@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** SURVEY §2.4 aggregations + §2.2 filters exercised through them.
+  * Mirrors: validation counts (etl-notes.md:263-285), duplicate detection
+  * via GROUP BY/HAVING (etl-notes.md:488-497), DISTINCT dedup
+  * (etl_qrt.py:261-267), categorical counts (etl-notes.md:370-379).
+  */
+object AggregationQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/A4 + P2 + money math: the TPC-H-Q1-shaped pricing summary.
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          asMoney(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          asMoney(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          asMoney(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A2: exact distinct counts (validation counts, etl-queries.md:158-162).
+    "q_agg_count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+    }),
+
+    // A3: GROUP BY + HAVING — duplicate detection (etl-notes.md:488-497:
+    // "group by pl_name, locality having count(*) > 1").
+    "q_agg_having_dups" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          asMoney(sum(dec2(col("o_totalprice")))).as("total_spend"))
+        .filter(col("n_orders") > 5)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A4: counts over a categorical (parcel_status_code counts,
+    // etl-notes.md:370-379).
+    "q_agg_categorical" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // A5: SELECT DISTINCT projection (etl_qrt.py:261-267).
+    "q_agg_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A6: group-and-collect — ordered values per key rendered as a string
+    // (bucket history rows per addr_id, cam/tables/lf_address_history.py:76-79).
+    "q_agg_collect_sorted" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 1000 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+          .as("linenumbers"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // Grouping sets via ROLLUP (SURVEY §2.4 note: exposed for parity).
+    "q_agg_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asMoney(sum(dec2(col("o_totalprice")))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // A1 count + approx variant for the 100 TB mode (SURVEY §2.12) — the
+    // approx column is engine-specific so the oracle only checks the exact
+    // column... both engines implement HLL differently; exact only here.
+    "q_agg_total_counts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.agg(count(lit(1)).as("n_lineitem"))
+        .crossJoin(o.agg(count(lit(1)).as("n_orders")))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        |FROM lineitem""".stripMargin,
+    "q_agg_having_dups" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+        |ORDER BY o_custkey""".stripMargin,
+    "q_agg_categorical" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_collect_sorted" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers
+        |FROM lineitem WHERE l_orderkey % 1000 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_total_counts" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT COUNT(*) FROM orders) AS n_orders""".stripMargin
+  )
+}

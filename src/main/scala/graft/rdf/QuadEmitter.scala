@@ -1,0 +1,113 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.TermKind
+
+/** Declarative row→quads explosion (SURVEY §2.9).
+  *
+  * The heart of the reference: one input row becomes 20-60 quads via
+  * imperative `ds.add((s,p,o,g))` calls (`etl_lalf_address.py:273-686`,
+  * `etl_pndb.py:85-343`, `etl_qrt.py:48-181`). The Spark-native shape is an
+  * `array(struct(...))` with `when`-gated optional elements followed by a
+  * single `explode` — pure Catalyst, whole-stage-codegen'd, no UDTF.
+  *
+  * An [[Emit]] mirrors one `ds.add(...)` call site; the YAML-driven
+  * declarative variant of the reference (`cam/transform.py:58-114`,
+  * `cam/config.py:5-46`) maps 1:1 onto a `Seq[Emit]`.
+  */
+final case class Emit(
+    predicate: Column,
+    obj: Column,
+    kind: String = TermKind.Literal,
+    datatype: Option[Column] = None,
+    lang: Option[Column] = None)
+
+object Emit {
+  /** Object-property quad: predicate → IRI object. */
+  def iri(predicate: String, obj: Column): Emit =
+    Emit(lit(predicate), obj, TermKind.Iri)
+
+  /** Plain/typed/lang literal. */
+  def literal(predicate: String, obj: Column,
+      datatype: String = null, lang: String = null): Emit =
+    Emit(lit(predicate), obj, TermKind.Literal,
+      Option(datatype).map(lit(_)), Option(lang).map(lit(_)))
+
+  /** Deterministically-labelled blank node
+    * (`BNode(f"{addr_id_uuid}-country")`, etl_lalf_address.py:400). */
+  def bnode(predicate: String, label: Column): Emit =
+    Emit(lit(predicate), label, TermKind.BNode)
+}
+
+object QuadEmitter {
+
+  /** Compile a subject + emit list into the quad relation.
+    *
+    * Null or blank objects vanish (the reference's truthiness guards,
+    * `cam/tables/lf_address.py:41`, `etl_lalf_address.py:452,477,523`):
+    * each element is `when(gate, struct).otherwise(null)`, nulls dropped
+    * after the explode. The output column set matches
+    * [[graft.model.Quad.schema]].
+    */
+  def explodeQuads(df: DataFrame, subject: Column, graph: String,
+      emits: Seq[Emit]): DataFrame = {
+    val elems = emits.map { e =>
+      val gated = when(
+        e.obj.isNotNull && length(trim(e.obj.cast("string"))) > 0,
+        struct(
+          e.predicate.as("predicate"),
+          e.obj.cast("string").as("objectValue"),
+          lit(e.kind).as("objectKind"),
+          e.datatype.getOrElse(lit(null).cast("string")).as("datatype"),
+          e.lang.getOrElse(lit(null).cast("string")).as("lang")))
+      gated // null when gate fails
+    }
+    df.select(subject.as("subject"), explode(array(elems: _*)).as("q"))
+      .where(col("q").isNotNull)
+      .select(
+        col("subject"),
+        col("q.predicate").as("predicate"),
+        col("q.objectValue").as("objectValue"),
+        col("q.objectKind").as("objectKind"),
+        col("q.datatype").as("datatype"),
+        col("q.lang").as("lang"),
+        lit(graph).as("graph"))
+  }
+
+  /** N-Quads line renderer (S8): one text line per quad, with the string
+    * escaping N-Triples requires (backslash first, then quote, LF, CR,
+    * tab). Order-independent by design — the reference's per-job file
+    * split (`etl_lalf_address.py:688-690`) already implies set semantics.
+    */
+  def renderNQuads(quads: DataFrame): DataFrame = {
+    val v = col("objectValue")
+    val escaped =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(v, "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    val objectTerm = when(col("objectKind") === graft.model.TermKind.Iri,
+        concat(lit("<"), v, lit(">")))
+      .when(col("objectKind") === graft.model.TermKind.BNode,
+        concat(lit("_:"), v))
+      .otherwise(
+        concat(lit("\""), escaped, lit("\""),
+          when(col("lang").isNotNull, concat(lit("@"), col("lang")))
+            .when(col("datatype").isNotNull,
+              concat(lit("^^<"), col("datatype"), lit(">")))
+            .otherwise(lit(""))))
+    quads.select(concat_ws(" ",
+      concat(lit("<"), col("subject"), lit(">")),
+      concat(lit("<"), col("predicate"), lit(">")),
+      objectTerm,
+      concat(lit("<"), col("graph"), lit(">")),
+      lit(".")).as("value"))
+  }
+
+  /** N-Quads file sink: `partitionBy("graph")` keeps one directory per
+    * named graph — the columnar twin of the reference's per-graph .nq
+    * outputs (`Taskfile.yml:108-114`). */
+  def writeNQuads(quads: DataFrame, path: String): Unit =
+    renderNQuads(quads).write.mode("overwrite").text(path)
+}

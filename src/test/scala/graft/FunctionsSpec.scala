@@ -1,0 +1,85 @@
+package graft
+
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private val NsDns = UUID.fromString("6ba7b810-9dad-11d1-80b4-00c04fd430c8")
+
+  test("uuid5 column expression matches RFC 4122 / python uuid.uuid5 vectors") {
+    import spark.implicits._
+    val df = Seq("example.org").toDF("name")
+      .select(uuid5(NsDns, col("name")).as("u"))
+    assert(df.head().getString(0) === "aad03681-8b63-5304-89e0-8ca8f49461b5")
+
+    val df2 = Seq("42", "", "héllo wörld").toDF("name")
+      .select(uuid5(GraftNamespace, col("name")).as("u"))
+    assert(df2.collect().map(_.getString(0)).toSeq === Seq(
+      "d25ac4b6-cc0a-5487-a654-3040219097e2",
+      "2d81fe7a-53b5-5bda-99ea-a57abb2a280b",
+      "78653f96-02b2-5ef1-b498-411814dc14d6"))
+  }
+
+  test("uuid5Jvm twin agrees with the column expression namespace constant") {
+    assert(GraftNamespace.toString === "7b0657bc-8ae9-5a82-98b2-784aa8a2f72a")
+    assert(uuid5Jvm(GraftNamespace, "42").toString ===
+      "d25ac4b6-cc0a-5487-a654-3040219097e2")
+  }
+
+  test("slugify / normalizeWs / blankAsNull") {
+    import spark.implicits._
+    val r = Seq(("  Mount   ISA  ", "  ", "a\t b\n c")).toDF("a", "b", "c")
+      .select(slugify(col("a")), blankAsNull(col("b")), normalizeWs(col("c")))
+      .head()
+    assert(r.getString(0) === "mount-isa")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) === "a b c")
+  }
+
+  test("wkt render + parse round-trip") {
+    import spark.implicits._
+    val r = Seq((153.02, -27.47)).toDF("lon", "lat")
+      .select(wktPointParse(wktPoint(col("lon"), col("lat"))).as("p"))
+      .head().getStruct(0)
+    assert(r.getDouble(0) === 153.02)
+    assert(r.getDouble(1) === -27.47)
+  }
+
+  test("haversine: Brisbane→Sydney ~733 km") {
+    import spark.implicits._
+    val km = Seq((153.0251, -27.4698, 151.2093, -33.8688))
+      .toDF("lon1", "lat1", "lon2", "lat2")
+      .select(haversineKm(col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+      .head().getDouble(0)
+    assert(km > 720 && km < 745)
+  }
+
+  test("packedTimestamp parses YYYYMMDDHHMMSS") {
+    import spark.implicits._
+    val ts = Seq("20240102030405").toDF("p")
+      .select(packedTimestamp(col("p")).cast("string")).head().getString(0)
+    assert(ts === "2024-01-02 03:04:05")
+  }
+
+  test("renderLabel drops blank components without doubled spaces") {
+    import spark.implicits._
+    val s = Seq(("12", "", "Main", null.asInstanceOf[String], "St"))
+      .toDF("a", "b", "c", "d", "e")
+      .select(renderLabel(col("a"), col("b"), col("c"), col("d"), col("e")))
+      .head().getString(0)
+    assert(s === "12 Main St")
+  }
+
+  test("roadNameBasic normalizes like etl-notes.md:74-110") {
+    import spark.implicits._
+    val s = Seq(("Logan ", "rd", null.asInstanceOf[String])).toDF("n", "t", "x")
+      .select(roadNameBasic(col("n"), col("t"), col("x"))).head().getString(0)
+    assert(s === "LOGAN RD")
+  }
+}
