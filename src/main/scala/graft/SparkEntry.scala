@@ -52,7 +52,11 @@ object SparkEntry {
   }
 
   private val catalogs: Seq[QueryCatalog] = Seq(
-    AggregationQueries)
+    AggregationQueries,
+    FilterQueries,
+    JoinQueries,
+    WindowQueries,
+    SetOpQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

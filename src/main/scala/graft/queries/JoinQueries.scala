@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** SURVEY §2.3 joins. Mirrors: the 5/9-way address assembly joins
+  * (etl_lalf_address.py:728-735, cam/tables/lf_address.py:73-88), left joins
+  * (J3), anti-join gap checks (J4, etl-queries.md:21-26), composite keys
+  * (J5), broadcast vocab lookup with fallback (J10,
+  * etl_lalf_address.py:576-583), theta/range joins (J6 relative).
+  *
+  * Scale notes: dimension tables (region/nation and derived vocab maps) are
+  * explicitly `broadcast()` so the big fact side never shuffles for them;
+  * fact-fact joins shuffle on their keys once and AQE handles skew.
+  */
+object JoinQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1/J2: multi-way inner equi-join, the address-pipeline shape —
+    // 6 tables, dims broadcast, group to revenue per nation (TPC-H Q5-ish).
+    "q_join_multiway" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .filter(reg("r_name") === "ASIA" &&
+          ord("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          ord("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(nat("n_name").as("n_name"))
+        .agg(asMoney(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // J3: left outer join — all nations, customer counts (zero-match rows
+    // survive with NULL-ignoring counts), like LEFT JOIN lf_road (J3).
+    "q_join_left" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val bigCust = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      nat.join(bigCust, nat("n_nationkey") === bigCust("c_nationkey"), "left")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_rich"),
+          asMoney(coalesce(sum(dec2(col("c_acctbal"))),
+            lit(0).cast("decimal(18,2)"))).as("rich_bal"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // J4: anti join — customers with no orders (the reference's
+    // "unjoined" gap checks, etl-queries.md:21-26).
+    "q_join_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val bigOrd = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+      cust.join(bigOrd, cust("c_custkey") === bigOrd("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Semi join — customers having at least one completed order (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J5: composite-key equi-join — lineitem joined back to its
+    // (partkey, suppkey) aggregate, like the lot+plan joins.
+    "q_join_composite_key" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val agg = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_ships"),
+          asMoney(sum(dec2(col("l_quantity")))).as("ps_qty"))
+      li.join(agg, Seq("l_partkey", "l_suppkey"))
+        .filter(col("n_ships") > 3)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("n_ships"), col("ps_qty"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+    }),
+
+    // J10: broadcast vocab lookup with fallback chain —
+    // coalesce(vocabValue, staticMapValue, sentinel); the reference errors
+    // on a miss (etl_lalf_address.py:576-583); here the miss routes to a
+    // sentinel so the fallback arm is exercised deterministically.
+    "q_join_vocab_fallback" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+      // vocab: only even-numbered nations get a "pref label"
+      val vocab = nat.filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_nationkey").as("v_key"),
+          concat(lit("pref:"), lower(col("n_name"))).as("pref_label"))
+      val cust = Tables.customer(s, dir)
+      cust.join(broadcast(vocab), cust("c_nationkey") === vocab("v_key"), "left")
+        .groupBy(coalesce(col("pref_label"),
+          concat(lit("static:"), col("c_nationkey").cast("string")))
+          .as("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
+    // J6-shaped theta/range join: orders matched to price bands
+    // (small broadcast dim, non-equi condition → BroadcastNestedLoopJoin).
+    "q_join_range_band" -> ((s, dir) => {
+      val reg = Tables.region(s, dir)
+      val bands = broadcast(reg.select(
+        col("r_regionkey").cast("long").as("band_id"),
+        (col("r_regionkey").cast("double") * 100000.0).as("lo"),
+        ((col("r_regionkey").cast("double") + 1) * 100000.0).as("hi")))
+      val ord = Tables.orders(s, dir)
+      ord.join(bands, ord("o_totalprice") >= bands("lo") &&
+          ord("o_totalprice") < bands("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          asMoney(sum(dec2(col("o_totalprice")))).as("band_total"))
+        .orderBy(col("band_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_rich,
+        |  CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rich_bal
+        |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON n_nationkey = c.c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_composite_key" ->
+      """WITH agg AS (
+        |  SELECT l_partkey, l_suppkey, COUNT(*) AS n_ships,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+        |  a.n_ships, a.ps_qty
+        |FROM lineitem l JOIN agg a
+        |  ON l.l_partkey = a.l_partkey AND l.l_suppkey = a.l_suppkey
+        |WHERE a.n_ships > 3
+        |ORDER BY l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber""".stripMargin,
+    "q_join_vocab_fallback" ->
+      """WITH vocab AS (
+        |  SELECT n_nationkey AS v_key, 'pref:' || lower(n_name) AS pref_label
+        |  FROM nation WHERE n_nationkey % 2 = 0)
+        |SELECT COALESCE(pref_label, 'static:' || CAST(c_nationkey AS VARCHAR)) AS label,
+        |  COUNT(*) AS n
+        |FROM customer LEFT JOIN vocab ON c_nationkey = v_key
+        |GROUP BY 1 ORDER BY label""".stripMargin,
+    "q_join_range_band" ->
+      """WITH bands AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS band_id,
+        |    CAST(r_regionkey AS DOUBLE) * 100000.0 AS lo,
+        |    (CAST(r_regionkey AS DOUBLE) + 1) * 100000.0 AS hi
+        |  FROM region)
+        |SELECT band_id, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
+  )
+}

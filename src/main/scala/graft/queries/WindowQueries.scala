@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** SURVEY §2.5 windows (W1-W5) + §2.6 sorts/limits (O1-O5).
+  * Mirrors the address-history sessionization
+  * (cam/tables/lf_address_history.py:50-169): ordered partition iteration,
+  * lag (prov:wasInformedBy), last-row current flag, lead-as-end-time; and
+  * the KNN top-k-per-group rank (etl_lalf_road_qrt_spatial_match.py:70-87).
+  *
+  * Every window ORDER BY carries a unique tiebreaker so ranks are total —
+  * the cross-engine determinism rule.
+  */
+object WindowQueries extends QueryCatalog {
+
+  private def byLine = Window.partitionBy(col("l_orderkey"))
+    .orderBy(col("l_linenumber"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1+W2+W4: ordered history per key with lag (previous version) and
+    // lead (next modified = this stage's end time).
+    "q_window_lag_lead" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          lag(col("l_quantity"), 1).over(byLine).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(byLine).as("next_qty"),
+          epochMs(lead(col("l_shipdate"), 1).over(byLine)).as("end_ms"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // W3: last-row flag — is_current = (version == max version in group)
+    // (cam/tables/lf_address_history.py:86,114-117).
+    "q_window_current_flag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").desc)
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (row_number().over(w) === 1).as("is_current"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // W5: top-k per group by score with total tiebreak — the nearest-100
+    // pattern (distance → here price).
+    "q_window_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          asMoney(dec2(col("o_totalprice"))).as("price"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // Running aggregate with explicit ROWS frame (analytic window over
+    // the ordered history, frame pinned so engines agree).
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          asMoney(sum(dec2(col("l_quantity"))).over(w)).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // O1-O3: global top-k — ORDER BY score DESC LIMIT k with tiebreak
+    // (etl-notes-data-loading.md:100).
+    "q_sort_topk_global" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          asMoney(dec2(col("o_totalprice"))).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // O4: offset/limit pagination (meili/main.py:96-105).
+    "q_sort_pagination" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+        .offset(100)
+        .limit(25)
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_window_lag_lead" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty,
+        |  epoch_ms(lead(l_shipdate, 1) OVER w) AS end_ms
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_current_flag" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC) = 1) AS is_current
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_sort_topk_global" ->
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_sort_pagination" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey LIMIT 25 OFFSET 100""".stripMargin
+  )
+}
