@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** SURVEY §2.8 scalar functions (F1-F18): concat with separator, slugify,
+  * regexp normalize, packed-timestamp round-trips, date parts, casts,
+  * stable hashes, WKT render, JSON access, status-pair pattern match,
+  * note assembly.
+  *
+  * All pure Column compositions — the whole query stays in one
+  * WholeStageCodegen span over the scan.
+  */
+object ScalarQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1+F3+F4+F5: concat_ws, upper/lower, slugify, whitespace collapse.
+    "q_scalar_strings" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          concat_ws(" ", col("p_brand"), col("p_name")).as("full_name"),
+          upper(col("p_name")).as("name_upper"),
+          slugify(col("p_name")).as("name_slug"),
+          normalizeWs(concat(lit("  "), col("p_type"), lit("   x  ")))
+            .as("type_norm"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F6: packed numeric timestamp 'yyyyMMddHHmmss' round-trip
+    // (cam/tables/lf_address_history.py:38-39).
+    "q_scalar_packed_ts" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyyMMddHHmmss").as("packed"))
+        .withColumn("reparsed_ms", epochMs(packedTimestamp(col("packed"))))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // F7: date parts + month truncation (created.date() idiom).
+    "q_scalar_date_parts" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          epochMs(date_trunc("month", col("o_orderdate"))).as("month_ms"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F8: CAST text→int/float round-trips.
+    "q_scalar_casts" -> ((s, dir) => {
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          col("s_suppkey").cast("string").cast("long").as("key_roundtrip"),
+          col("s_acctbal").cast("decimal(18,2)").cast("string").as("bal_str"),
+          floor(col("s_acctbal")).cast("long").as("bal_floor"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // F10: stable md5 content hash (vs the reference's process-seeded
+    // Python hash() bug — cam/etl/__init__.py:86).
+    "q_scalar_hash_md5" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          md5(concat_ws("|", col("c_name"), col("c_mktsegment"))).as("row_hash"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F12: WKT point render from synthesized lon/lat (bounded 2-dp values
+    // so double→string agrees across engines).
+    "q_scalar_wkt" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          ((col("c_custkey") % 36000).cast("double") / 100.0 - 180.0).as("lon"),
+          ((col("c_custkey") % 18000).cast("double") / 100.0 - 90.0).as("lat"))
+        .select(col("c_custkey"),
+          wktPoint(col("lon"), col("lat")).as("wkt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F18: JSON field access over events.props.
+    "q_scalar_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // F15: multi-way (status,currency)→concept pattern match
+    // (etl_pndb.py:163-175) — mapped onto (orderstatus, priority-class).
+    "q_scalar_status_map" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F" && urgent, "closed-fast")
+            .when(col("o_orderstatus") === "F" && !urgent, "closed-slow")
+            .when(col("o_orderstatus") === "O" && urgent, "open-hot")
+            .otherwise("other").as("concept"))
+        .groupBy(col("concept")).agg(count(lit(1)).as("n"))
+        .orderBy(col("concept"))
+    }),
+
+    // F17: history-note assembly — non-null parts joined by a separator
+    // then trimmed (etl_pndb.py:249-261).
+    "q_scalar_note_assembly" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          concat_ws("\n\n",
+            nullif(col("c_name"), lit("")),
+            nullif(col("c_mktsegment"), lit("BUILDING")),
+            when(col("c_acctbal") > 0, lit("in credit"))).as("note"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_scalar_strings" ->
+      """SELECT p_partkey,
+        |  concat_ws(' ', p_brand, p_name) AS full_name,
+        |  upper(p_name) AS name_upper,
+        |  regexp_replace(lower(trim(p_name)), '\s+', '-', 'g') AS name_slug,
+        |  regexp_replace(trim('  ' || p_type || '   x  '), '\s+', ' ', 'g') AS type_norm,
+        |  length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_packed_ts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y%m%d%H%M%S') AS packed,
+        |  epoch_ms(strptime(strftime(l_shipdate, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S')) AS reparsed_ms
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scalar_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_casts" ->
+      """SELECT s_suppkey,
+        |  CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_scalar_hash_md5" ->
+      """SELECT c_custkey, md5(c_name || '|' || c_mktsegment) AS row_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_wkt" ->
+      """SELECT c_custkey,
+        |  'POINT (' || CAST(CAST(c_custkey % 36000 AS DOUBLE) / 100.0 - 180.0 AS VARCHAR)
+        |  || ' ' || CAST(CAST(c_custkey % 18000 AS DOUBLE) / 100.0 - 90.0 AS VARCHAR) || ')' AS wkt
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    "q_scalar_status_map" ->
+      """SELECT CASE
+        |    WHEN o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'closed-fast'
+        |    WHEN o_orderstatus = 'F' AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 'closed-slow'
+        |    WHEN o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'open-hot'
+        |    ELSE 'other' END AS concept,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY concept ORDER BY concept""".stripMargin,
+    "q_scalar_note_assembly" ->
+      """SELECT c_custkey,
+        |  concat_ws(chr(10) || chr(10),
+        |    NULLIF(c_name, ''),
+        |    NULLIF(c_mktsegment, 'BUILDING'),
+        |    CASE WHEN c_acctbal > 0 THEN 'in credit' END) AS note
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}
