@@ -61,6 +61,12 @@ def main(sfdir, outdir):
             diff = (g.astype(str) != e.astype(str)).any(axis=1)
             print(pd.concat([g[diff].head(3).add_prefix("got_"),
                              e[diff].head(3).add_prefix("exp_")], axis=1).to_string())
+    # A query that crashed in Verify writes no output dir — count every
+    # oracle key with no directory as a failure so it can't read as green.
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(outdir, name)):
+            print(f"  [FAIL-missing] {name}: no Verify output")
+            n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 

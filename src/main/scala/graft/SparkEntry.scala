@@ -56,7 +56,9 @@ object SparkEntry {
     FilterQueries,
     JoinQueries,
     WindowQueries,
-    SetOpQueries)
+    SetOpQueries,
+    ScalarQueries,
+    QuadQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

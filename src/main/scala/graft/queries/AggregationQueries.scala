@@ -30,12 +30,28 @@ object AggregationQueries extends QueryCatalog {
     }),
 
     // A2: exact distinct counts (validation counts, etl-queries.md:158-162).
+    // Parity rule: Spark's multi-column countDistinct drops rows where ANY
+    // column is NULL, while DuckDB's COUNT(DISTINCT (a,b)) counts tuples
+    // with a NULL field — both sides filter explicitly so semantics align
+    // even on NULLable inputs (ADVICE r1).
     "q_agg_count_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
+        .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
         .agg(
           countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+    }),
+
+    // §2.12c: approx_count_distinct — the 100 TB-mode HLL path. Engines'
+    // HLL implementations differ, so this is a rows-only driver check (no
+    // oracleSql entry); exactness of the same counts is covered by
+    // q_agg_count_distinct above.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
     }),
 
     // A3: GROUP BY + HAVING — duplicate detection (etl-notes.md:488-497:
@@ -113,7 +129,8 @@ object AggregationQueries extends QueryCatalog {
       """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem
+        |WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin,
     "q_agg_having_dups" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
