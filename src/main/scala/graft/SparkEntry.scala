@@ -58,7 +58,8 @@ object SparkEntry {
     WindowQueries,
     SetOpQueries,
     ScalarQueries,
-    QuadQueries)
+    QuadQueries,
+    SpatialQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** SURVEY §2.3 J6/J7 — the reference's two hard spatial joins, re-expressed
+  * as grid-bucketed equi-joins (SURVEY §4 "KNN search" row: grid-cell
+  * bucket join + window top-k; `etl_lalf_road_qrt_spatial_match.py:52-88`,
+  * `cam/tables/lf_address.py:80`).
+  *
+  * Scale design: a naive KNN/θ-join is a cross join — quadratic and
+  * rejected at 100 TB. Both queries instead key every geometry to a grid
+  * cell of side CellSize and equi-join on the cell id, so the shuffle is
+  * hash-partitioned by cell and each task only sees co-located geometries.
+  * The probe side explodes to its 3×3 neighbor cells (KNN) / covered cell
+  * range (polygon), which bounds the fan-out by a constant; AQE handles
+  * cell skew. With the match radius bounded by the cell size the rewrite
+  * is EXACT, not approximate — the k-th neighbor cannot hide outside the
+  * probed cells — which is also what makes a DuckDB oracle possible.
+  *
+  * Coordinates are synthesized deterministically from integer keys into a
+  * [0,10)×[0,10) plane with two-decimal values (the q_scalar_wkt trick) so
+  * both engines compute bit-identical doubles; distances use dist2 —
+  * pure add/multiply IEEE math, no trig — for exact cross-engine parity.
+  */
+object SpatialQueries extends QueryCatalog {
+
+  /** Grid cell side == match radius: candidates within R of a probe point
+    * always fall in the probe's 3×3 neighborhood. */
+  private val CellSize = 0.5
+  private val R2 = CellSize * CellSize // squared match radius
+  private val K = 100                  // reference takes nearest-100 first
+
+  /** Deterministic synthetic coordinate in [0,10): (key*p % 1000)/100. */
+  private def coord(key: Column, p: Long): Column =
+    ((key * p) % 1000).cast("double") / 100.0
+
+  private def cellOf(c: Column): Column = floor(c / CellSize).cast("long")
+
+  /** Query points: customers, with a name key for the post-distance
+    * name-match step (road_name_basic equality in the reference). */
+  private def queryPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("qid"),
+      coord(col("c_custkey"), 7919L).as("qx"),
+      coord(col("c_custkey"), 104729L).as("qy"),
+      concat(lit("N"), (col("c_custkey") % 7).cast("string")).as("qname"))
+
+  /** Candidate points: suppliers (the "roads"). */
+  private def candPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey").as("cid"),
+      coord(col("s_suppkey"), 7919L).as("cx"),
+      coord(col("s_suppkey"), 104729L).as("cy"),
+      concat(lit("N"), (col("s_suppkey") % 7).cast("string")).as("cname"))
+
+  /** The KNN spatial match, reference order of operations preserved
+    * (SURVEY §7.4): distance-rank ≤ 100 FIRST, name equality SECOND,
+    * best-rank-1 LAST — never name-first. */
+  private def knn(s: SparkSession, dir: String): DataFrame = {
+    val q = queryPoints(s, dir)
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("cellX", cellOf(col("qx")) + col("dx"))
+      .withColumn("cellY", cellOf(col("qy")) + col("dy"))
+    val c = candPoints(s, dir)
+      .withColumn("cellX", cellOf(col("cx")))
+      .withColumn("cellY", cellOf(col("cy")))
+    val pairs = q.join(c, Seq("cellX", "cellY"))
+      .withColumn("d2", dist2(col("qx"), col("qy"), col("cx"), col("cy")))
+      .filter(col("d2") <= R2)
+    val byDist = Window.partitionBy(col("qid"))
+      .orderBy(col("d2"), col("cid")) // unique tiebreaker: candidate id
+    val ranked = pairs
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") <= K)
+    val byRank = Window.partitionBy(col("qid")).orderBy(col("rk"))
+    ranked
+      .filter(col("qname") === col("cname"))
+      .withColumn("best", row_number().over(byRank))
+      .filter(col("best") === 1)
+      .select(col("qid").as("c_custkey"), col("cid").as("s_suppkey"),
+        col("d2"), col("rk").as("dist_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Rectangles ("postcode polygons") synthesized from nation keys. */
+  private def rects(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("n_nationkey"),
+      ((col("n_nationkey") * 3) % 8).cast("double").as("xmin"),
+      ((col("n_nationkey") * 5) % 8).cast("double").as("ymin"))
+      .withColumn("xmax", col("xmin") + 2.0)
+      .withColumn("ymax", col("ymin") + 2.0)
+
+  /** Point-in-polygon: cover each rectangle with its grid cells (explode —
+    * a superset prefilter), equi-join points on their single cell, then
+    * the EXACT half-open containment test. Half-open [min,max) avoids
+    * boundary double-counting ties. */
+  private def contains(s: SparkSession, dir: String): DataFrame = {
+    val pts = queryPoints(s, dir)
+      .withColumn("cellX", cellOf(col("qx")))
+      .withColumn("cellY", cellOf(col("qy")))
+    val rectCells = rects(s, dir)
+      .withColumn("cellX",
+        explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
+      .withColumn("cellY",
+        explode(sequence(cellOf(col("ymin")), cellOf(col("ymax")))))
+    pts.join(broadcast(rectCells), Seq("cellX", "cellY"))
+      .filter(col("qx") >= col("xmin") && col("qx") < col("xmax") &&
+        col("qy") >= col("ymin") && col("qy") < col("ymax"))
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("qid")).as("sum_keys"),
+        // F13 finally on a gated path: great-circle km from the rect's
+        // min corner to each point. Rounded to 3 dp because BOTH libm-vs-
+        // JVM trig (1 ulp) and engine-specific partial-sum association
+        // perturb the low bits of a double sum.
+        round(sum(haversineKm(col("xmin"), col("ymin"),
+          col("qx"), col("qy"))), 3).as("sum_km"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_knn" -> ((s, dir) => knn(s, dir)),
+    "q_join_spatial_contains" -> ((s, dir) => contains(s, dir))
+  )
+
+  /** DuckDB replays the same semantics with a bounded θ-join (fine at
+    * oracle scale); the Spark side must produce identical rows from the
+    * bucketed plan — that equivalence is exactly what the gate checks. */
+  override def oracleSql: Map[String, String] = Map(
+    "q_join_knn" ->
+      s"""WITH q AS (
+         |  SELECT c_custkey AS qid,
+         |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 AS qx,
+         |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 AS qy,
+         |    'N' || CAST(c_custkey % 7 AS VARCHAR) AS qname
+         |  FROM customer),
+         |c AS (
+         |  SELECT s_suppkey AS cid,
+         |    CAST((s_suppkey * 7919) % 1000 AS DOUBLE) / 100.0 AS cx,
+         |    CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 100.0 AS cy,
+         |    'N' || CAST(s_suppkey % 7 AS VARCHAR) AS cname
+         |  FROM supplier),
+         |pairs AS (
+         |  SELECT qid, cid, qname, cname,
+         |    (qx-cx)*(qx-cx) + (qy-cy)*(qy-cy) AS d2
+         |  FROM q JOIN c
+         |    ON (qx-cx)*(qx-cx) + (qy-cy)*(qy-cy) <= $R2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+         |  FROM pairs),
+         |matched AS (
+         |  SELECT * FROM ranked WHERE rk <= $K AND qname = cname),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rk) AS brk
+         |  FROM matched)
+         |SELECT qid AS c_custkey, cid AS s_suppkey, d2, rk AS dist_rank
+         |FROM best WHERE brk = 1 ORDER BY c_custkey""".stripMargin,
+    "q_join_spatial_contains" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS qid,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 AS qx,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 AS qy
+        |  FROM customer),
+        |rects AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) AS xmin,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) AS ymin,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) + 2.0 AS xmax,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) + 2.0 AS ymax
+        |  FROM nation)
+        |SELECT n_nationkey, COUNT(*) AS n_pts,
+        |  CAST(SUM(qid) AS BIGINT) AS sum_keys,
+        |  round(SUM(2 * 6371.0088 * asin(sqrt(
+        |    pow(sin(radians(qy - ymin) / 2), 2) +
+        |    cos(radians(ymin)) * cos(radians(qy)) *
+        |    pow(sin(radians(qx - xmin) / 2), 2)))), 3) AS sum_km
+        |FROM rects JOIN pts
+        |  ON qx >= xmin AND qx < xmax AND qy >= ymin AND qy < ymax
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+  )
+}
