@@ -59,7 +59,8 @@ object SparkEntry {
     SetOpQueries,
     ScalarQueries,
     QuadQueries,
-    SpatialQueries)
+    SpatialQueries,
+    DedupQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap
