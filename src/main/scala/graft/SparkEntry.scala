@@ -60,7 +60,8 @@ object SparkEntry {
     ScalarQueries,
     QuadQueries,
     SpatialQueries,
-    DedupQueries)
+    DedupQueries,
+    AnnQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (builder brief; VERDICT
+  * r1 LLM-pipeline gap): approximate-nearest-neighbor over a 64-dim
+  * `Array[Float]` column.
+  *
+  *  - `q_ann_cosine_topk`: exact brute-force baseline — the (small) query
+  *    set is broadcast against the corpus, cosine via higher-order
+  *    functions, per-query window top-k. O(Q×N): correct as the recall
+  *    oracle, intentionally NOT the scale path.
+  *  - `q_ann_lsh_topk`: the scale path — random-hyperplane sign LSH.
+  *    Every vector gets a 4-bit signature (sign of dot with 4 fixed
+  *    hyperplanes); search only touches the query's bucket, turning the
+  *    all-pairs scan into a bucket equi-join. At 100 TB: more bits +
+  *    multi-probe; the bucket id is the shuffle key.
+  *  - `q_dedup_embedding`: embedding-cosine near-dup — same buckets,
+  *    pairs with cosine ≥ 0.4 — the 99.9th percentile of this corpus, which has no planted near-identical vectors (the 5th dedup flavor).
+  *
+  * Cross-engine parity: hyperplane components come from a pure-integer
+  * formula `((b*64 + j) * 2654435761) % 1000 - 500` (Knuth multiplicative
+  * hash) evaluated identically in Spark and DuckDB — no engine hash, no
+  * float literals. Dot products fold left-to-right over the list in both
+  * engines; cosines are rounded to 9 dp in the *output* (ranking uses the
+  * raw double).
+  */
+object AnnQueries extends QueryCatalog {
+
+  private val SigBits = 4
+
+  /** dot(a, b) with explicit float→double casts, left-fold order. */
+  private def dotSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+       |    cast(x as double) * cast(y as double)),
+       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** 4-bit sign-LSH bucket of an embedding column. */
+  private def bucketSql(e: String): String =
+    s"""aggregate(transform(sequence(0, ${SigBits - 1}), b ->
+       |    IF(aggregate(transform(sequence(1, size($e)), j ->
+       |          cast(element_at($e, j) as double) *
+       |          cast(((b * 64 + j) * 2654435761) % 1000 - 500 as double)),
+       |        cast(0 as double), (acc, v) -> acc + v) > 0,
+       |      shiftleft(1, b), 0)),
+       |  0, (acc, v) -> acc + v)""".stripMargin
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).withColumn("bucket", expr(bucketSql("embedding")))
+
+  /** Query subset: every 50th vector. */
+  private def isQuery = col("vec_id") % 50 === 0
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_cosine_topk" -> ((s, dir) => {
+      val v = vectors(s, dir)
+      val q = v.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val joined = broadcast(q).crossJoin(v)
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(cosSql("qe", "embedding")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val b = bucketed(s, dir)
+      val q = b.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket"))
+      val joined = q.join(b, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(cosSql("qe", "embedding")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) => {
+      val b = bucketed(s, dir)
+      b.as("a")
+        .join(b.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", expr(
+          cosSql("a.embedding", "b.embedding")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  // ---- DuckDB twins ----------------------------------------------------
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])"
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  private def duckBit(e: String, b: Int): String =
+    s"""(CASE WHEN list_sum([$e[j]::DOUBLE *
+       |    ((($b * 64 + j) * 2654435761) % 1000 - 500)::DOUBLE
+       |    for j in range(1, len($e) + 1)]) > 0
+       |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+
+  private def duckBucket(e: String): String =
+    (0 until SigBits).map(b => duckBit(e, b)).mkString("(", " + ", ")")
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_ann_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, e.vec_id AS nn_id,
+         |    ${duckCos("qe", "e.embedding")} AS cos
+         |  FROM q JOIN embeddings e ON qid <> e.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+         |  FROM pairs)
+         |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
+         |  round(cos, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_ann_lsh_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, bucket FROM b
+         |  WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, e.vec_id AS nn_id,
+         |    ${duckCos("qe", "e.embedding")} AS cos
+         |  FROM q JOIN b e ON q.bucket = e.bucket AND qid <> e.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+         |  FROM pairs)
+         |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
+         |  round(cos, 9) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(${duckCos("x.embedding", "y.embedding")}, 9) AS cos
+         |FROM b x JOIN b y
+         |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
