@@ -61,7 +61,8 @@ object SparkEntry {
     QuadQueries,
     SpatialQueries,
     DedupQueries,
-    AnnQueries)
+    AnnQueries,
+    TextAnalysisQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (builder
+  * brief): language-ID (character-n-gram heuristic), quality scoring
+  * (length/punctuation/stopword/uniqueness ratios), token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (polynomial
+  * rolling hash).
+  *
+  * Everything is a narrow per-row projection over the scan — no shuffle
+  * except the final small aggregates — so the operators scale linearly
+  * with corpus bytes and stay inside whole-stage codegen.
+  *
+  * Cross-engine parity notes: substring-occurrence counts use the
+  * `(len(t) - len(replace(t, g, ''))) / len(g)` identity (replace exists
+  * in both engines); ratios are int/int divisions (bit-identical); the
+  * rolling hash folds characters left-to-right mod 1e9+7 in both engines.
+  */
+object TextAnalysisQueries extends QueryCatalog {
+
+  /** Occurrences of literal `g` in column t — portable substring count. */
+  private def occ(t: Column, g: String): Column =
+    (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), ""))) / g.length
+
+  /** Per-language character-bigram profiles for the langid heuristic. */
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "a "),
+    "de" -> Seq("ch", "ei", "de"),
+    "fr" -> Seq("le", "ou", "es"))
+
+  private def langScore(t: Column, grams: Seq[String]): Column =
+    grams.map(g => occ(t, g).cast("double") / length(t)).reduce(_ + _)
+
+  private def normText(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        lower(normalizeWs(col("text"))).as("t"))
+      .filter(length(col("t")) >= 1)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: argmax of bigram-profile scores → confusion matrix
+    // against the labelled lang column. (The synthetic corpus draws every
+    // doc from one English-ish vocabulary, so the matrix shows exactly
+    // that — which is the honest output of an n-gram heuristic here.)
+    "q_text_langid" -> ((s, dir) => {
+      val t = col("t")
+      val scored = normText(s, dir)
+        .withColumn("s_en", langScore(t, Profiles(0)._2))
+        .withColumn("s_de", langScore(t, Profiles(1)._2))
+        .withColumn("s_fr", langScore(t, Profiles(2)._2))
+      scored
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Quality scoring: stopword ratio, uniqueness, length saturation,
+    // punctuation penalty → composite score and low/medium/high buckets.
+    "q_text_quality" -> ((s, dir) => {
+      normText(s, dir)
+        .withColumn("ws", split(col("t"), " "))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("stop_ratio",
+          size(filter(col("ws"), w => w.isin("the", "a"))).cast("double") /
+            col("n_words"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("ws"))).cast("double") / col("n_words"))
+        .withColumn("punct_ratio",
+          size(regexp_extract_all(col("t"), lit("[.,!?;:]"), lit(0)))
+            .cast("double") / length(col("t")))
+        .withColumn("score", round(
+          lit(0.4) * col("stop_ratio") + lit(0.3) * col("uniq_ratio") +
+            lit(0.2) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+            lit(0.1) * (lit(1.0) - col("punct_ratio")), 6))
+        .withColumn("bucket",
+          when(col("score") >= 0.35, "high")
+            .when(col("score") >= 0.25, "medium")
+            .otherwise("low"))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_words"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("uniq_ratio"), 6).as("uniq_ratio"),
+          col("score"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens vs BPE-ish regex tokens
+    // (letter runs / digit runs / single other chars), per lang.
+    "q_text_tokens" -> ((s, dir) => {
+      normText(s, dir)
+        .withColumn("ws_tokens", size(split(col("t"), " ")))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(col("t"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+          round(sum(col("ws_tokens")).cast("double") / count(lit(1)), 6)
+            .as("avg_ws_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Document fingerprint: order-sensitive polynomial rolling hash over
+    // the characters, mod 1e9+7 — unlike the set-based dedup sketches,
+    // any reordering changes the fingerprint.
+    "q_text_fingerprint" -> ((s, dir) => {
+      normText(s, dir)
+        .withColumn("fp", expr(
+          """aggregate(
+            |  transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+            |  cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- DuckDB twins ----------------------------------------------------
+
+  private def duckOcc(t: String, g: String): String =
+    s"(length($t) - length(replace($t, '$g', ''))) / ${g.length}"
+
+  private def duckScore(t: String, grams: Seq[String]): String =
+    grams.map(g => s"CAST(${duckOcc(t, g)} AS DOUBLE) / length($t)")
+      .mkString(" + ")
+
+  private val duckNorm =
+    """norm AS (
+      |  SELECT doc_id, lang,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) >= 1)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""WITH $duckNorm,
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ${duckScore("t", Profiles(0)._2)} AS s_en,
+         |    ${duckScore("t", Profiles(1)._2)} AS s_de,
+         |    ${duckScore("t", Profiles(2)._2)} AS s_fr
+         |  FROM norm)
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+         |  COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH $duckNorm,
+         |f AS (
+         |  SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm),
+         |feat AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+         |    CAST(len(regexp_extract_all(t, '[.,!?;:]')) AS DOUBLE) / length(t) AS punct_ratio
+         |  FROM f)
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(uniq_ratio, 6) AS uniq_ratio,
+         |  round(0.4 * stop_ratio + 0.3 * uniq_ratio +
+         |    0.2 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) +
+         |    0.1 * (1.0 - punct_ratio), 6) AS score,
+         |  CASE WHEN round(0.4 * stop_ratio + 0.3 * uniq_ratio +
+         |    0.2 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) +
+         |    0.1 * (1.0 - punct_ratio), 6) >= 0.35 THEN 'high'
+         |   WHEN round(0.4 * stop_ratio + 0.3 * uniq_ratio +
+         |    0.2 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) +
+         |    0.1 * (1.0 - punct_ratio), 6) >= 0.25 THEN 'medium'
+         |   ELSE 'low' END AS bucket
+         |FROM feat WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      s"""WITH $duckNorm
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS sum_ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
+         |  round(CAST(SUM(len(string_split(t, ' '))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
+         |FROM norm GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""WITH $duckNorm
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(substring(t, i, 1)) AS BIGINT)
+         |       for i in range(1, length(t) + 1)]),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         |FROM norm WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+  )
+}
