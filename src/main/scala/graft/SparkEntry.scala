@@ -62,7 +62,9 @@ object SparkEntry {
     SpatialQueries,
     DedupQueries,
     AnnQueries,
-    TextAnalysisQueries)
+    TextAnalysisQueries,
+    HierarchyQueries,
+    SearchQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap
