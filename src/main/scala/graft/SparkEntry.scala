@@ -64,7 +64,8 @@ object SparkEntry {
     AnnQueries,
     TextAnalysisQueries,
     HierarchyQueries,
-    SearchQueries)
+    SearchQueries,
+    StreamingQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

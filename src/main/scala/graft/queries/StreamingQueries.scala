@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventPipelines
+
+/** Batch twins of the streaming pipelines (SURVEY §2.11) — the exact
+  * transform objects from [[graft.streaming.EventPipelines]] applied to a
+  * batch read of `events`, so the driver's DuckDB gate checks the same
+  * code that runs under `readStream` (covered by StreamingSpec).
+  */
+object StreamingQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-day window aggregation (watermark is a no-op in batch).
+    "q_stream_window_daily" -> ((s, dir) =>
+      EventPipelines.windowedCounts(Tables.events(s, dir))
+        .orderBy(col("window_ms"), col("event_type"))),
+
+    // Dedup twin: replayed (self-unioned) events collapse back to the
+    // original set — the idempotent-reprocessing guarantee.
+    "q_stream_dedup" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventPipelines.dedupBatch(e.unionByName(e))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Session windows (30-minute gap) per user.
+    "q_stream_sessions" -> ((s, dir) =>
+      EventPipelines.sessions(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("session_start_ms")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_stream_window_daily" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS window_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Session reconstruction via the gap rule: a new session starts when
+    // the inter-event gap is >= 30 minutes (session_window's end bound is
+    // exclusive); end = last event + gap.
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
+        |    epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ms) AS session_start_ms,
+        |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin
+  )
+}
