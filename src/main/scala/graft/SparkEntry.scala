@@ -65,7 +65,9 @@ object SparkEntry {
     TextAnalysisQueries,
     HierarchyQueries,
     SearchQueries,
-    StreamingQueries)
+    StreamingQueries,
+    SourceSinkQueries,
+    MultimodalQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Multimodal-column plumbing and the query-side component explode
+  * (SURVEY §2.9b), per the builder brief.
+  *
+  * `q_multimodal_meta` treats content as an opaque `binary` column with
+  * typed metadata — the schema/partitioning/batch shape a real
+  * image/audio pipeline needs. The DECODE step is a clearly-marked
+  * deterministic fake (this container ships no codec libraries): the
+  * "feature vector" derives from byte statistics, the "frame samples"
+  * are fixed-stride chunk digests. Swapping the fake for a real decoder
+  * changes only the inner expressions, not the pipeline shape.
+  *
+  * `q_components_roundtrip` is the `func:getLiteralComponents` twin
+  * (`cam/compound_naming.py:13-23`, `fuseki/config.ttl:33`): explode a
+  * compound record into (componentType, componentValue) rows, rebuild
+  * the component map with `map_from_entries(collect_list(...))`, and
+  * re-render the label (F2) from the map — the reference's address-page
+  * serving path as one relational round-trip.
+  */
+object MultimodalQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").as("t"),
+          encode(col("text"), "UTF-8").as("bin"))
+        .select(
+          col("doc_id"),
+          // typed metadata over the opaque bytes
+          length(col("bin")).as("byte_len"),
+          md5(col("bin")).as("content_md5"),
+          substring(base64(col("bin")), 1, 8).as("magic"),
+          (lit(64) + col("doc_id") % 192).as("width"),
+          (lit(64) + (col("doc_id") * 7) % 192).as("height"),
+          // FAKE DECODE (stub): deterministic byte-statistics stand-in
+          // for the real image/audio feature extractor.
+          concat_ws(",",
+            (length(col("bin")) % 251).cast("string"),
+            ascii(substring(col("t"), 1, 1)).cast("string"),
+            expr("ascii(substring(t, length(t), 1))").cast("string"))
+            .as("fake_features"),
+          // FAKE FRAME SAMPLER (stub): fixed-stride chunk digests.
+          concat_ws("|",
+            md5(expr("substring(t, 1, 100)")),
+            md5(expr("substring(t, 101, 100)")),
+            md5(expr("substring(t, 201, 100)"))).as("frame_digests"))
+        .filter(col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_components_roundtrip" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val withComponents = cust
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          array(
+            struct(lit("name").as("componentType"),
+              col("c_name").as("componentValue")),
+            struct(lit("segment").as("componentType"),
+              col("c_mktsegment").as("componentValue")),
+            struct(lit("nation").as("componentType"),
+              col("n_name").as("componentValue"))).as("components"))
+      // explode — the getLiteralComponents surface…
+      val exploded = withComponents
+        .select(col("c_custkey"), explode(col("components")).as("c"))
+        .select(col("c_custkey"),
+          col("c.componentType").as("componentType"),
+          col("c.componentValue").as("componentValue"))
+      // …then re-aggregate to a map and re-render the label from it.
+      exploded
+        .groupBy(col("c_custkey"))
+        .agg(map_from_entries(
+          collect_list(struct(col("componentType"), col("componentValue"))))
+          .as("m"))
+        .select(col("c_custkey"),
+          size(col("m")).as("n_components"),
+          renderLabel(col("m")("name"), col("m")("segment"),
+            col("m")("nation")).as("label"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t, encode(text) AS bin FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(bin) AS INTEGER) AS byte_len,
+        |  md5(t) AS content_md5,
+        |  substring(to_base64(bin), 1, 8) AS magic,
+        |  64 + doc_id % 192 AS width,
+        |  64 + (doc_id * 7) % 192 AS height,
+        |  CAST(octet_length(bin) % 251 AS VARCHAR) || ',' ||
+        |    CAST(ascii(substring(t, 1, 1)) AS VARCHAR) || ',' ||
+        |    CAST(ascii(substring(t, length(t), 1)) AS VARCHAR) AS fake_features,
+        |  md5(substring(t, 1, 100)) || '|' || md5(substring(t, 101, 100))
+        |    || '|' || md5(substring(t, 201, 100)) AS frame_digests
+        |FROM d WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q_components_roundtrip" ->
+      """SELECT c.c_custkey, 3 AS n_components,
+        |  regexp_replace(trim(concat_ws(' ',
+        |    NULLIF(trim(c.c_name), ''), NULLIF(trim(c.c_mktsegment), ''),
+        |    NULLIF(trim(n.n_name), ''))), '\s+', ' ', 'g') AS label
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin
+  )
+}

@@ -125,6 +125,15 @@ object QuadQueries extends QueryCatalog {
             concat(lit("https://example.org/customer/"),
               col("c_custkey").cast("string"))))
         .orderBy(col("value"))
+    }),
+
+    // S9: the N-Triples renderer — same term syntax minus the graph.
+    "q_triples_render" -> ((s, dir) => {
+      QuadEmitter.renderNTriples(
+          quads(s, dir,
+            concat(lit("https://example.org/customer/"),
+              col("c_custkey").cast("string"))))
+        .orderBy(col("value"))
     })
   )
 
@@ -154,6 +163,18 @@ object QuadQueries extends QueryCatalog {
          |       ELSE '"' || objectValue || '"'
          |     END
          |  || ' <urn:qali:graph:addresses> .' AS value
+         |FROM quads ORDER BY value""".stripMargin,
+    "q_triples_render" ->
+      s"""$oracleQuadsCte
+         |SELECT '<' || subject || '> <' || predicate || '> '
+         |  || CASE
+         |       WHEN predicate IN ('$NationP', '$RegionP')
+         |         THEN '<' || objectValue || '>'
+         |       WHEN predicate = '$BalanceP'
+         |         THEN '"' || objectValue || '"^^<$XsdDecimal>'
+         |       ELSE '"' || objectValue || '"'
+         |     END
+         |  || ' .' AS value
          |FROM quads ORDER BY value""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.sources.Sources
+
+/** SURVEY §2.1 source/sink breadth, oracle-checked through round-trips:
+  * data leaves Spark through the sink under test, re-enters through the
+  * source under test, and the DuckDB oracle checks the result against the
+  * original parquet — any fidelity loss in either direction fails the
+  * hash compare.
+  *
+  *  - CSV sink+source (S10/S5) with explicit schema on re-read,
+  *  - CSV vocab → broadcast-join with fallback chain (S6/J10),
+  *  - JDBC write-back + partitioned scan + pushdown-subquery scan
+  *    (S12/S3/S2/S1) against embedded Derby — the same options drive any
+  *    JDBC store; partitioned range scans replace the reference's
+  *    server-side cursor at cluster scale.
+  */
+object SourceSinkQueries extends QueryCatalog {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+
+  private val DerbyUrl = "jdbc:derby:memory:graftdb;create=true"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S10 → S5: nation through a header CSV and back (explicit schema —
+    // schema inference is an extra full pass at scale).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Sources.writeCsv(out, tmp("nation_csv"))
+      Sources.readCsv(s, tmp("nation_csv"), out.schema)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // S6/J10: vocab dimension via CSV file, broadcast-joined with the
+    // reference's fallback chain (coalesce(vocabLabel, synthesized)).
+    "q_csv_vocab_join" -> ((s, dir) => {
+      val vocab = Tables.nation(s, dir)
+        .filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").as("code"),
+          slugify(col("n_name")).as("label"))
+      Sources.writeCsv(vocab, tmp("vocab_csv"))
+      val v = Sources.readCsv(s, tmp("vocab_csv"), vocab.schema)
+      Tables.customer(s, dir)
+        .join(broadcast(v), col("c_nationkey") === col("code"), "left")
+        .select(coalesce(col("label"),
+          concat(lit("unknown-"), col("c_nationkey").cast("string")))
+          .as("nation_label"))
+        .groupBy(col("nation_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nation_label"))
+    }),
+
+    // S12 → S3/S2: supplier keys+balances written to Derby, read back as
+    // a 4-way partitioned range scan AND as a pushdown subquery; the two
+    // reads are aggregated into one comparable row.
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      Sources.writeJdbc(sup, DerbyUrl, "suppliers")
+      val maxKey = 100000L
+      val part = Sources.readJdbcPartitioned(s, DerbyUrl, "suppliers",
+        "s_suppkey", 1L, maxKey, 4)
+      // Quoted identifiers: Derby folds unquoted names to upper case,
+      // while Spark's JDBC writer creates quoted lower-case columns.
+      val push = Sources.readJdbcQuery(s, DerbyUrl,
+        """SELECT "s_suppkey" FROM suppliers WHERE "s_acctbal" > 0""")
+      part.agg(count(lit(1)).as("n_rows"),
+          asMoney(sum(dec2(col("s_acctbal")))).as("sum_bal"))
+        .crossJoin(push.agg(count(lit(1)).as("n_positive")))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_csv_vocab_join" ->
+      """SELECT coalesce(v.label, 'unknown-' || CAST(c.c_nationkey AS VARCHAR)) AS nation_label,
+        |  COUNT(*) AS n
+        |FROM customer c
+        |LEFT JOIN (
+        |  SELECT n_nationkey AS code,
+        |    regexp_replace(lower(trim(n_name)), '\s+', '-', 'g') AS label
+        |  FROM nation WHERE n_nationkey < 20) v
+        |  ON c.c_nationkey = v.code
+        |GROUP BY nation_label ORDER BY nation_label""".stripMargin,
+    "q_jdbc_roundtrip" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM supplier) AS n_rows,
+        |  (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |     FROM supplier) AS sum_bal,
+        |  (SELECT COUNT(*) FROM supplier WHERE s_acctbal > 0) AS n_positive""".stripMargin
+  )
+}

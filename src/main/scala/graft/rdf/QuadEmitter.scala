@@ -110,4 +110,11 @@ object QuadEmitter {
     * outputs (`Taskfile.yml:108-114`). */
   def writeNQuads(quads: DataFrame, path: String): Unit =
     renderNQuads(quads).write.mode("overwrite").text(path)
+
+  /** N-Triples line renderer (S9) — the CAM1 sink
+    * (`cam/tables/__init__.py:32-41`): identical term syntax minus the
+    * graph term. A null graph vanishes inside renderNQuads' concat_ws,
+    * leaving exactly the `<s> <p> o .` triple line. */
+  def renderNTriples(quads: DataFrame): DataFrame =
+    renderNQuads(quads.withColumn("graph", lit(null).cast("string")))
 }

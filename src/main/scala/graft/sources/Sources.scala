@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY §2.1 sources beyond Parquet.
+  *
+  * CSV (S5/S10): explicit-schema readers — never schema inference on the
+  * hot path (inference is a full extra pass over the data at 100 TB).
+  *
+  * JDBC (S1/S2/S3/S12): the reference's three scan modes —
+  * full table, pushdown subquery (`cam/tables/lf_address.py:54-94`), and
+  * batched/partitioned (`etl_lalf_address.py:719-744`) — as thin wrappers
+  * over `spark.read.jdbc`. The partitioned read is the cluster-scale
+  * replacement for the server-side cursor: `numPartitions` concurrent
+  * range-bounded scans instead of one streaming cursor. Exercised against
+  * embedded Derby (in test/verify); the options are identical for any
+  * JDBC-compliant store.
+  */
+object Sources {
+
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.option("header", "true").schema(schema).csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S1: full-table scan. */
+  def readJdbcTable(s: SparkSession, url: String, table: String): DataFrame =
+    s.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  /** S2: pushdown-subquery scan — the whole query ships to the database;
+    * only its result crosses the wire. */
+  def readJdbcQuery(s: SparkSession, url: String, sql: String): DataFrame =
+    s.read.format("jdbc").option("url", url)
+      .option("dbtable", s"($sql) t").load()
+
+  /** S3: partitioned range scan — `numPartitions` parallel range-bounded
+    * queries on `partitionColumn`; the cluster-native cursor. */
+  def readJdbcPartitioned(s: SparkSession, url: String, table: String,
+      partitionColumn: String, lower: Long, upper: Long,
+      numPartitions: Int): DataFrame =
+    s.read.format("jdbc").option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", numPartitions).load()
+
+  /** S12: write-back. Append/overwrite into a staging table; row-wise
+    * UPDATE loops (`etl_lalf_road_qrt_spatial_match.py:115-138`) become a
+    * set-oriented MERGE from the staging table on the DB side. */
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+}
