@@ -172,4 +172,33 @@ object GraftFunctions {
     * "only render present components" semantics. */
   def renderLabel(parts: Column*): Column =
     normalizeWs(concat_ws(" ", parts.map(blankAsNull): _*))
+
+  /** F14: strip NUL bytes at ingest
+    * (`addressdb/remove_null_terminator_char.py:11-17`). */
+  def cleanNulBytes(c: Column): Column =
+    regexp_replace(c, "\u0000", "")
+
+  /** F11: declarative IRI template interpolation — `{column}`
+    * placeholders substituted with column expressions, the
+    * `cam/transform.py:17-46` / `cam/config.py:5-46` surface as one pure
+    * Column. Unknown placeholders are a build-time error, matching the
+    * reference's config validation. */
+  def iriTemplate(template: String, bindings: Map[String, Column]): Column = {
+    val parts = "\\{([a-zA-Z0-9_]+)\\}".r.split(template)
+    val keys = "\\{([a-zA-Z0-9_]+)\\}".r.findAllMatchIn(template)
+      .map(_.group(1)).toSeq
+    val cols = keys.map(k => bindings.getOrElse(k,
+      throw new IllegalArgumentException(s"unbound template column: $k")))
+    val pieces = parts.map(p => lit(p): Column).zipAll(cols, lit(""), lit(""))
+      .flatMap { case (l, c) => Seq(l, c) }
+    concat(pieces: _*)
+  }
+
+  /** F16: search-query token mangling (`meili/main.py:60-85`) —
+    * '-'/'/' become spaces, whitespace collapses, and the final token
+    * gets the prefix-search star. */
+  def searchMangle(q: Column): Column = {
+    val spaced = normalizeWs(translate(q, "-/", "  "))
+    concat(spaced, lit("*"))
+  }
 }

@@ -43,7 +43,7 @@ object DedupQueries extends QueryCatalog {
 
   /** 8-element MinHash signature: sig[h] = min over shingles of
     * md5(h || '|' || shingle), min taken lexicographically. */
-  private def minhashed(s: SparkSession, dir: String): DataFrame =
+  private[queries] def minhashed(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir).withColumn("sig",
       transform(sequence(lit(0), lit(7)),
         h => array_min(transform(col("shingles"),
@@ -144,6 +144,21 @@ object DedupQueries extends QueryCatalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // §2.12b: corpus-level sketch via the custom MinHash-merge Aggregator
+    // — one merged signature per source, partial-aggregated map-side.
+    "q_sketch_source_minhash" -> ((s, dir) => {
+      val mergeSig = udaf(graft.functions.MinHashAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      minhashed(s, dir)
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(mergeSig(col("sig")).as("merged"))
+        .select(col("source"),
+          concat_ws(",", col("merged")).as("sketch"))
+        .orderBy(col("source"))
+    }),
+
     // Character-5-gram Jaccard with argmin-LSH blocking: the block key is
     // the minimum md5 over a doc's gram set (collision prob == Jaccard),
     // so near-dups co-locate with a single hash — no banding needed.
@@ -228,6 +243,16 @@ object DedupQueries extends QueryCatalog {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
          |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sketch_source_minhash" ->
+      s"""WITH $shinglesCte,
+         |hashes AS (
+         |  SELECT d.source, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS mh
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) sx
+         |  JOIN documents d ON sx.doc_id = d.doc_id
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS h)
+         |  GROUP BY d.source, h)
+         |SELECT source, string_agg(mh, ',' ORDER BY h) AS sketch
+         |FROM hashes GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

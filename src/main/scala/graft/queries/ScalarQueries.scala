@@ -108,6 +108,40 @@ object ScalarQueries extends QueryCatalog {
         .orderBy(col("concept"))
     }),
 
+    // F14: NUL-byte cleanup at ingest — a NUL is injected between brand
+    // and name, lengths before/after prove the strip.
+    "q_scalar_nul_cleanup" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          concat(col("p_brand"), lit("\u0000"), col("p_name")).as("dirty"))
+        .select(col("p_partkey"),
+          length(col("dirty")).as("len_dirty"),
+          cleanNulBytes(col("dirty")).as("clean"))
+        .withColumn("len_clean", length(col("clean")))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F11: declarative IRI template interpolation.
+    "q_scalar_iri_template" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          iriTemplate(
+            "https://example.org/addr/{segment}/{key}",
+            Map("segment" -> slugify(col("c_mktsegment")),
+              "key" -> col("c_custkey").cast("string"))).as("iri"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F16: search-query token mangling for the prefix-search API.
+    "q_scalar_search_mangle" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          searchMangle(concat_ws("/", col("p_brand"), col("p_type")))
+            .as("query"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // F17: history-note assembly — non-null parts joined by a separator
     // then trimmed (etl_pndb.py:249-261).
     "q_scalar_note_assembly" -> ((s, dir) => {
@@ -170,6 +204,23 @@ object ScalarQueries extends QueryCatalog {
         |    ELSE 'other' END AS concept,
         |  COUNT(*) AS n
         |FROM orders GROUP BY concept ORDER BY concept""".stripMargin,
+    "q_scalar_nul_cleanup" ->
+      """SELECT p_partkey,
+        |  length(p_brand || chr(0) || p_name) AS len_dirty,
+        |  replace(p_brand || chr(0) || p_name, chr(0), '') AS clean,
+        |  length(replace(p_brand || chr(0) || p_name, chr(0), '')) AS len_clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_iri_template" ->
+      """SELECT c_custkey,
+        |  'https://example.org/addr/' ||
+        |  regexp_replace(lower(trim(c_mktsegment)), '\s+', '-', 'g') ||
+        |  '/' || CAST(c_custkey AS VARCHAR) AS iri
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_search_mangle" ->
+      """SELECT p_partkey,
+        |  regexp_replace(trim(translate(p_brand || '/' || p_type, '-/', '  ')),
+        |    '\s+', ' ', 'g') || '*' AS query
+        |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
     "q_scalar_note_assembly" ->
       """SELECT c_custkey,
         |  concat_ws(chr(10) || chr(10),
