@@ -57,6 +57,23 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("nation_label"))
     }),
 
+    // T4: filterable-attribute declaration → `partitionBy(facet)` layout.
+    // The write produces one directory per lang; the re-read's lang
+    // filter prunes to a single partition before any row is touched
+    // (PartitionFilters in the scan — asserted by PlanAuditSpec).
+    "q_facet_partitioned" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet(tmp("docs_by_lang"))
+      s.read.parquet(tmp("docs_by_lang"))
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // S12 → S3/S2: supplier keys+balances written to Derby, read back as
     // a 4-way partitioned range scan AND as a pushdown subquery; the two
     // reads are aggregated into one comparable row.
@@ -91,6 +108,11 @@ object SourceSinkQueries extends QueryCatalog {
         |  FROM nation WHERE n_nationkey < 20) v
         |  ON c.c_nationkey = v.code
         |GROUP BY nation_label ORDER BY nation_label""".stripMargin,
+    "q_facet_partitioned" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_jdbc_roundtrip" ->
       """SELECT
         |  (SELECT COUNT(*) FROM supplier) AS n_rows,

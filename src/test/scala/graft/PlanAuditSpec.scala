@@ -9,4 +9,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "cross join in KNN plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop join in KNN plan")
   }
+
+  test("facet-partitioned read prunes partitions") {
+    val df = SparkEntry.queries("q_facet_partitioned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      "lang filter did not reach PartitionFilters:\n" + plan)
+  }
+
+  test("dedup candidate generation has no cartesian joins") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+        "q_ann_lsh_topk", "q_dedup_embedding")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cross join in $q")
+    }
+  }
 }
