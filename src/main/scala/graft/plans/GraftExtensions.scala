@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+/** SparkSessionExtensions entry point (SURVEY §2.12 / builder brief
+  * "registered via SparkSessionExtensions"): native function surface +
+  * the radius-join optimizer rule.
+  *
+  * Usable both programmatically (`builder.withExtensions(new
+  * GraftExtensions)`) and by config
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_haversine_km"),
+      new ExpressionInfo(classOf[HaversineKm].getName, "graft_haversine_km"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_haversine_km takes (lon1, lat1, lon2, lat2); got ${args.length}")
+        val d = args.map(a => Cast(a, DoubleType): Expression)
+        HaversineKm(d(0), d(1), d(2), d(3))
+      }))
+    ext.injectOptimizerRule(_ => RadiusJoinRewrite)
+  }
+}

@@ -52,8 +52,12 @@ object AnnQueries extends QueryCatalog {
        |      shiftleft(1, b), 0)),
        |  0, (acc, v) -> acc + v)""".stripMargin
 
+  /** Vectors with the norm precomputed ONCE per vector — cosine per pair
+    * is then a single dot product, not three (the O(pairs × dim) term is
+    * the whole cost of the verify stage at scale). */
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
     vectors(s, dir).withColumn("bucket", expr(bucketSql("embedding")))
@@ -65,10 +69,13 @@ object AnnQueries extends QueryCatalog {
     "q_ann_cosine_topk" -> ((s, dir) => {
       val v = vectors(s, dir)
       val q = v.filter(isQuery)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val joined = broadcast(q).crossJoin(v)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val joined = broadcast(q)
+        .crossJoin(v.repartition(col("vec_id")))
         .filter(col("qid") =!= col("vec_id"))
-        .withColumn("cos", expr(cosSql("qe", "embedding")))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       joined.withColumn("rank", row_number().over(w))
@@ -82,10 +89,11 @@ object AnnQueries extends QueryCatalog {
       val b = bucketed(s, dir)
       val q = b.filter(isQuery)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("bucket"))
-      val joined = q.join(b, Seq("bucket"))
+          col("nrm").as("qn"), col("bucket"))
+      val joined = q.join(b.repartition(col("vec_id")), Seq("bucket"))
         .filter(col("qid") =!= col("vec_id"))
-        .withColumn("cos", expr(cosSql("qe", "embedding")))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       joined.withColumn("rank", row_number().over(w))
@@ -97,12 +105,13 @@ object AnnQueries extends QueryCatalog {
 
     "q_dedup_embedding" -> ((s, dir) => {
       val b = bucketed(s, dir)
-      b.as("a")
+      b.repartition(col("vec_id")).as("a")
         .join(b.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", expr(
-          cosSql("a.embedding", "b.embedding")))
+        .withColumn("cos",
+          expr(dotSql("a.embedding", "b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
         .filter(col("cos") >= 0.4)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cos"), 9).as("cos"))

@@ -106,7 +106,11 @@ object DedupQueries extends QueryCatalog {
     // exact-Jaccard verification at 0.8.
     "q_dedup_minhash" -> ((s, dir) => {
       val b = minhashBuckets(s, dir)
-      val cand = b.as("a")
+      // Repartition the probe side by doc_id: the testdata parquet is one
+      // split, and a broadcast pair-join would otherwise explode every
+      // bucket's pairs inside a single task. Hashing by doc_id spreads
+      // even a skewed bucket's probe rows across all cores.
+      val cand = b.repartition(col("doc_id")).as("a")
         .join(b.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_key") === col("b.band_key") &&
@@ -129,7 +133,7 @@ object DedupQueries extends QueryCatalog {
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("band_val",
           expr("shiftright(simhash, band * 4) & 15"))
-      val pairs = sim.as("a")
+      val pairs = sim.repartition(col("doc_id")).as("a")
         .join(sim.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_val") === col("b.band_val") &&
@@ -165,11 +169,23 @@ object DedupQueries extends QueryCatalog {
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       val g = charGrams(s, dir)
         .withColumn("blk", array_min(transform(col("grams"), x => md5(x))))
-      g.as("a")
+        .withColumn("sz", size(col("grams")))
+      // Size-ratio prefilter inside the join condition: J >= 0.6 implies
+      // min(|A|,|B|)/max(|A|,|B|) >= 0.6 (= 3/5, integer-exact), so the
+      // cheap size test prunes pairs BEFORE the O(|A|+|B|) intersect with
+      // zero recall loss.
+      g.repartition(col("doc_id")).as("a")
         .join(g.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 3 <= col("b.sz") * 5 &&
+            col("b.sz") * 3 <= col("a.sz") * 5)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+          // |A∪B| = |A|+|B|-|A∩B| for distinct sets: one intersect (CSE'd
+          // by codegen), no union array materialized.
+          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            (col("a.sz") + col("b.sz") -
+              size(array_intersect(col("a.grams"), col("b.grams")))))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     })

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.plans.GraftExtensions
+
+/** GraftExtensions: injected SQL function + the radius-join rewrite rule. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("graft_haversine_km SQL function matches the Column composition") {
+    import spark.implicits._
+    val rows = Seq((0.0, 0.0, 1.0, 1.0), (151.2, -33.9, 153.0, -27.5))
+      .toDF("lon1", "lat1", "lon2", "lat2")
+    rows.createOrReplaceTempView("pts")
+    val viaSql = spark
+      .sql("SELECT graft_haversine_km(lon1, lat1, lon2, lat2) AS km FROM pts")
+      .collect().map(_.getDouble(0))
+    val viaCols = rows.select(GraftFunctions.haversineKm(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2")).as("km"))
+      .collect().map(_.getDouble(0))
+    assert(viaSql.toSeq == viaCols.toSeq)
+    assert(math.abs(viaSql(0) - 157.25) < 0.1)
+  }
+
+  test("radius theta-join is rewritten to a grid-bucketed equi-join") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => (i.toLong, (i % 20) / 2.0, (i % 10) / 2.0))
+      .toDF("aid", "ax", "ay")
+    val b = (1 to 50).map(i => (i.toLong, (i % 15) / 2.0, (i % 7) / 2.0))
+      .toDF("bid", "bx", "by")
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val joined = a.join(b, d2 <= lit(0.25))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "radius join was not rewritten:\n" + plan)
+
+    // Ground truth from a driver-side nested loop.
+    val av = a.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val bv = b.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = (for {
+      (ai, ax, ay) <- av; (bi, bx, by) <- bv
+      if (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 0.25
+    } yield (ai, bi)).toSet
+    val got = joined.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == expected.size, "duplicate or missing pairs")
+    assert(got.toSet == expected)
+  }
+}
