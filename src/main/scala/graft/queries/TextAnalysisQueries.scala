@@ -40,6 +40,7 @@ object TextAnalysisQueries extends QueryCatalog {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         lower(normalizeWs(col("text"))).as("t"))
+      .repartition(col("doc_id")) // single-split parquet → parallel HOFs
       .filter(length(col("t")) >= 1)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
