@@ -11,7 +11,7 @@ import graft.functions.GraftFunctions._
   *
   *  - exact (prefix-fingerprint hash-groupBy),
   *  - MinHash + LSH banding (word 3-gram shingles),
-  *  - SimHash (16-bit, banded buckets, Hamming verify),
+  *  - SimHash (32-bit, banded buckets, Hamming verify),
   *  - character n-gram Jaccard with single-hash (argmin) LSH blocking.
   *
   * Scale design: every flavor is a *bucketed* equi-join — shingle→sketch→
@@ -88,20 +88,21 @@ object DedupQueries extends QueryCatalog {
     df.withColumn("salt", pmod(col("doc_id"), lit(SaltR.toLong))),
     df.withColumn("salt", explode(sequence(lit(0L), lit(SaltR - 1L)))))
 
-  /** 16-bit SimHash from the shingle set: one md5 per shingle, bit i of
-    * the sketch = majority vote of hex-nibble-i high bits. */
+  /** 32-bit SimHash from the shingle set: one md5 per shingle, bit i of
+    * the sketch = majority vote of hex-nibble-i high bits (md5 has
+    * exactly 32 nibbles). */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .withColumn("md5s", transform(col("shingles"), sh => md5(sh)))
       // coalesce: non-nullable join key — see minhashBuckets.
       .withColumn("simhash", coalesce(expr(
         """aggregate(
-          |  transform(sequence(0, 15), i ->
+          |  transform(sequence(0, 31), i ->
           |    IF(2 * size(filter(md5s, m ->
           |         substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
           |       > size(md5s),
-          |       shiftleft(1, i), 0)),
-          |  0, (acc, x) -> acc + x)""".stripMargin), lit(0)))
+          |       shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin), lit(0L)))
       .select(col("doc_id"), col("simhash"))
 
   /** Normalized text + distinct character 5-gram set. */
@@ -157,12 +158,16 @@ object DedupQueries extends QueryCatalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash: 4-bit band buckets → pairs → Hamming-distance ≤ 3 verify.
+    // SimHash: 8-bit band buckets → pairs → Hamming-distance ≤ 3 verify.
+    // Pigeonhole guarantee: ≤3 differing bits can dirty at most 3 of the
+    // 4 bands, so every true pair still collides on ≥1 clean band —
+    // exact recall, but 256 values per band instead of 16 keeps buckets
+    // (and the quadratic pair explosion) ~30× smaller.
     "q_dedup_simhash" -> ((s, dir) => {
       val sim = simhashed(s, dir)
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("band_val",
-          expr("shiftright(simhash, band * 4) & 15"))
+          expr("shiftright(simhash, band * 8) & 255"))
       val (simA, simB) = salted(sim)
       val pairs = simA.as("a")
         .join(simB.as("b"),
@@ -219,8 +224,13 @@ object DedupQueries extends QueryCatalog {
       //     (E[match] = J per component; deterministic md5 sketches, so
       //     both engines prune the identical pair set). On this corpus
       //     it cuts exact verifications ~48x.
-      val (ga, gb) = salted(g)
-      ga.as("a")
+      // The salted pair join carries ONLY keys + sketches (sig ≈ 0.5 KB)
+      // — never the 450-element gram arrays, which would put ~0.5 GB of
+      // replicated payload through the shuffle. Grams re-join for the
+      // few surviving candidates below.
+      val keys = g.select(col("doc_id"), col("blk"), col("sz"), col("sig"))
+      val (ga, gb) = salted(keys)
+      val cand = ga.as("a")
         .join(gb.as("b"),
           col("a.blk") === col("b.blk") &&
             col("a.salt") === col("b.salt") &&
@@ -230,11 +240,18 @@ object DedupQueries extends QueryCatalog {
             expr("""aggregate(zip_with(a.sig, b.sig, (x, y) ->
               |  IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) >= 6""".stripMargin))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (col("a.sz") + col("b.sz")).as("sz_sum"))
+      cand
+        .join(g.select(col("doc_id"), col("grams")).as("sa"),
+          col("doc_a") === col("sa.doc_id"))
+        .join(g.select(col("doc_id"), col("grams")).as("sb"),
+          col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
           // |A∪B| = |A|+|B|-|A∩B| for distinct sets: one intersect (CSE'd
           // by codegen), no union array materialized.
-          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            (col("a.sz") + col("b.sz") -
-              size(array_intersect(col("a.grams"), col("b.grams")))))
+          (size(array_intersect(col("sa.grams"), col("sb.grams"))).cast("double") /
+            (col("sz_sum") -
+              size(array_intersect(col("sa.grams"), col("sb.grams")))))
             .as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -295,10 +312,10 @@ object DedupQueries extends QueryCatalog {
          |    [CASE WHEN 2 * len(list_filter([md5(s) for s in shingles], m ->
          |            substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
          |          > len(shingles)
-         |     THEN 1 << i ELSE 0 END for i in range(0, 16)]) AS INTEGER) AS simhash
+         |     THEN CAST(1 AS BIGINT) << i ELSE 0 END for i in range(0, 32)]) AS BIGINT) AS simhash
          |  FROM sh),
          |banded AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS band_val
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
          |  FROM sim, (SELECT unnest(range(0, 4)) AS band)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -108,6 +108,18 @@ object ScalarQueries extends QueryCatalog {
         .orderBy(col("concept"))
     }),
 
+    // F9: deterministic uuid5 minting, checked against INDEPENDENT
+    // vectors: the oracle's VALUES list was produced by CPython's
+    // uuid.uuid5 (RFC 4122 §4.3 reference implementation), not by this
+    // engine — a true cross-implementation golden test.
+    "q_scalar_uuid5" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey").between(1, 20))
+        .select(col("c_custkey"),
+          uuid5(GraftNamespace, col("c_custkey").cast("string")).as("uuid"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // F14: NUL-byte cleanup at ingest — a NUL is injected between brand
     // and name, lengths before/after prove the strip.
     "q_scalar_nul_cleanup" -> ((s, dir) => {
@@ -204,6 +216,33 @@ object ScalarQueries extends QueryCatalog {
         |    ELSE 'other' END AS concept,
         |  COUNT(*) AS n
         |FROM orders GROUP BY concept ORDER BY concept""".stripMargin,
+    "q_scalar_uuid5" ->
+      """SELECT c.c_custkey, v.uuid
+        |FROM customer c
+        |JOIN (VALUES
+        |  (1, '675ff9c8-cb41-59fc-b4ee-effa05ba9ece'),
+        |  (2, '9261fdb5-1cb8-52e4-b7a4-702e777cb3b8'),
+        |  (3, 'b6d60816-695a-50e0-a027-443d1a2ca5be'),
+        |  (4, '6a3e7c51-e03f-505d-aabd-b20f78fa360f'),
+        |  (5, 'a928020f-d148-51b1-adf5-b19304f5e36f'),
+        |  (6, '45ea4212-3a3d-5151-a46b-c1347973a780'),
+        |  (7, '75385554-1bae-51ee-b7d4-eab68c6a7106'),
+        |  (8, '846f8a14-e60f-5cd4-9a4d-82917d81ad4b'),
+        |  (9, '9ba84ac7-87a8-5813-971a-6b046b6d9c55'),
+        |  (10, '9ed28b70-64b1-5547-8c95-c5fdf81df67b'),
+        |  (11, 'edd86c42-d11d-5275-85e2-03ccba2c3e0d'),
+        |  (12, '919e9abf-2273-5b00-a3bc-6546a431f60a'),
+        |  (13, '5e9f7481-9dac-516c-a0f0-076d8fd159f5'),
+        |  (14, '8e230820-5239-5a81-af33-e28b0c3412d3'),
+        |  (15, '3d30c800-5cd4-5b61-b8fb-b5fb379178f8'),
+        |  (16, '5cb71346-2f0e-5fd8-96fd-63dfce1b8a5a'),
+        |  (17, '1bc7b23b-565b-5206-b511-45b793b0974d'),
+        |  (18, '53c33b5b-4fb0-53bb-a35c-6c5128ac431b'),
+        |  (19, '7aa92e1d-1a1b-54f2-b7e7-db28f53d7f7e'),
+        |  (20, '1d4b8266-71f6-5c22-98e1-b65b04bc71b8')) AS v(k, uuid)
+        |  ON c.c_custkey = v.k
+        |WHERE c.c_custkey BETWEEN 1 AND 20
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_scalar_nul_cleanup" ->
       """SELECT p_partkey,
         |  length(p_brand || chr(0) || p_name) AS len_dirty,

@@ -125,9 +125,34 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("n_nationkey"))
   }
 
+  /** J2 — the reference's 9-way join with a spatial edge
+    * (`cam/tables/lf_address.py:73-88`): relational FK edges carry the
+    * join, the `st_intersects` edge rides as a residual predicate on the
+    * already-partitioned pairs (when an equi key exists, no grid rewrite
+    * is needed — the FK IS the shuffle key). */
+  private def multiwaySpatial(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey"),
+      coord(col("c_custkey"), 7919L).as("qx"),
+      coord(col("c_custkey"), 104729L).as("qy"))
+    val reg = Tables.region(s, dir)
+    pts
+      .join(broadcast(rects(s, dir)
+          .join(Tables.nation(s, dir).select(col("n_nationkey").as("nk"),
+            col("n_regionkey")), col("n_nationkey") === col("nk"))),
+        col("c_nationkey") === col("n_nationkey") &&
+          col("qx") >= col("xmin") && col("qx") < col("xmax") &&
+          col("qy") >= col("ymin") && col("qy") < col("ymax"))
+      .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_keys"))
+      .orderBy(col("r_name"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
-    "q_join_spatial_contains" -> ((s, dir) => contains(s, dir))
+    "q_join_spatial_contains" -> ((s, dir) => contains(s, dir)),
+    "q_join_multiway_spatial" -> ((s, dir) => multiwaySpatial(s, dir))
   )
 
   /** DuckDB replays the same semantics with a bounded θ-join (fine at
@@ -162,6 +187,26 @@ object SpatialQueries extends QueryCatalog {
          |  FROM matched)
          |SELECT qid AS c_custkey, cid AS s_suppkey, d2, rk AS dist_rank
          |FROM best WHERE brk = 1 ORDER BY c_custkey""".stripMargin,
+    "q_join_multiway_spatial" ->
+      """WITH pts AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 AS qx,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 AS qy
+        |  FROM customer),
+        |rects AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) AS xmin,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) AS ymin,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) + 2.0 AS xmax,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) + 2.0 AS ymax
+        |  FROM nation)
+        |SELECT r_name, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+        |FROM pts
+        |JOIN rects ON c_nationkey = n_nationkey
+        |  AND qx >= xmin AND qx < xmax AND qy >= ymin AND qy < ymax
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_join_spatial_contains" ->
       """WITH pts AS (
         |  SELECT c_custkey AS qid,
