@@ -73,6 +73,26 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // W1+W2+W3+W4 combined — the full lf_address_history lifecycle shape
+    // (cam/tables/lf_address_history.py:84-169): ordered versions per
+    // entity, each stage linked to its predecessor (prov:wasInformedBy),
+    // ended by its successor's timestamp, with the last stage flagged
+    // current (open-ended).
+    "q_window_lifecycle" -> ((s, dir) => {
+      val asc = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"))
+      val desc = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").desc)
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 200 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_linenumber"), 1).over(asc).as("informed_by"),
+          epochMs(col("l_shipdate")).as("start_ms"),
+          epochMs(lead(col("l_shipdate"), 1).over(asc)).as("end_ms"),
+          (row_number().over(desc) === 1).as("is_current"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // O1-O3: global top-k — ORDER BY score DESC LIMIT k with tiebreak
     // (etl-notes-data-loading.md:100).
     "q_sort_topk_global" -> ((s, dir) => {
@@ -124,6 +144,16 @@ object WindowQueries extends QueryCatalog {
         |    AS running_qty
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lifecycle" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  lag(l_linenumber, 1) OVER wa AS informed_by,
+        |  epoch_ms(l_shipdate) AS start_ms,
+        |  epoch_ms(lead(l_shipdate, 1) OVER wa) AS end_ms,
+        |  (row_number() OVER (PARTITION BY l_orderkey
+        |     ORDER BY l_linenumber DESC) = 1) AS is_current
+        |FROM lineitem WHERE l_orderkey % 200 = 0
+        |WINDOW wa AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_sort_topk_global" ->
       """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,

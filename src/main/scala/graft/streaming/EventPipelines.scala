@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.GraftFunctions._
 
@@ -45,6 +46,30 @@ object EventPipelines {
     * deterministic). */
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id", "ts", "user_id", "event_type")
+
+  /** Arbitrary-state incremental enrichment — the streaming twin of the
+    * reference's resumable tri-state `qrt_found` flag
+    * (`etl_lalf_road_qrt_spatial_match.py:96-112`): every event gets the
+    * user's running sequence number, state persisted across micro-batches
+    * via `flatMapGroupsWithState`. */
+  def enrichWithSeq(events: DataFrame): Dataset[(Long, String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        col("event_id").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var seq = state.getOption.getOrElse(0L)
+          val out = rows.map { case (_, eid) =>
+            seq += 1
+            (uid, eid, seq)
+          }.toList // materialize before updating state
+          state.update(seq)
+          out.iterator
+      }
+  }
 
   /** 30-minute-gap session windows per user: start, end, event count,
     * exact value sum. */

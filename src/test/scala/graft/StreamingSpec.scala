@@ -54,6 +54,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps per-user sequence across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF().toDF("user_id", "event_id")
+    val q = EventPipelines.enrichWithSeq(events)
+      .toDF("user_id", "event_id", "seq")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "a"), (1L, "b"), (2L, "x"))
+      q.processAllAvailable()
+      in.addData((1L, "c"), (2L, "y")) // second batch: state must carry over
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .orderBy("user_id", "seq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.filter(_._1 == 1L).map(_._3).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.find(r => r._1 == 1L && r._2 == "c").get._3 == 3L)
+      assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch streams events into the N-Quads parquet sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/stream_quads"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val in = MemoryStream[(Timestamp, String, String)]
+    val events = in.toDF().toDF("ts", "event_id", "event_type")
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val quads = graft.rdf.QuadEmitter.explodeQuads(
+          batch,
+          concat(lit("https://example.org/event/"), col("event_id")),
+          graft.model.Graphs.Addresses,
+          Seq(graft.rdf.Emit.literal("https://schema.org/name",
+            col("event_type"))))
+        quads.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      in.addData((ts(0), "e1", "view"), (ts(1), "e2", "click"))
+      q.processAllAvailable()
+      in.addData((ts(2), "e3", "view"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      assert(back.select("predicate").distinct().count() == 1)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
