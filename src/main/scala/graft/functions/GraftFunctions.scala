@@ -201,4 +201,15 @@ object GraftFunctions {
     val spaced = normalizeWs(translate(q, "-/", "  "))
     concat(spaced, lit("*"))
   }
+
+  /** J10 + §5.2 inline invariant: vocabulary lookup with fallback chain
+    * ending in a hard failure — the reference aborts mid-run on an
+    * unmappable code (`etl_lalf_address.py:216-219, :580-583`,
+    * `etl_pndb.py:105-109`). `raise_error` kills the job from inside the
+    * executor, exactly like the reference's worker `raise` cancelling the
+    * whole pool (`etl_lalf_address.py:761-768`). */
+  def vocabLookupOrFail(code: Column, vocabValue: Column,
+      staticValue: Column): Column =
+    coalesce(vocabValue, staticValue,
+      raise_error(concat(lit("unmappable vocab code: "), code.cast("string"))))
 }

@@ -134,6 +134,32 @@ object QuadQueries extends QueryCatalog {
             concat(lit("https://example.org/customer/"),
               col("c_custkey").cast("string"))))
         .orderBy(col("value"))
+    }),
+
+    // S8 end-to-end: the REAL file sink on the bench path — quads
+    // serialized to N-Quads text on disk, read back, and hash-compared
+    // line-for-line. This is the scan→join→explode→serialize pipeline
+    // BASELINE.md measures (lf_address ≈ 360 rows/s in the reference).
+    "q_quads_write_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/quads_nq"
+      QuadEmitter.writeNQuads(
+        quads(s, dir,
+          concat(lit("https://example.org/customer/"),
+            col("c_custkey").cast("string"))), out)
+      s.read.text(out).orderBy(col("value"))
+    }),
+
+    // §5.1 pre-validation — referential completeness BEFORE the main job
+    // (etl_pndb_pre_validate.py:18-61): every customer nation key must
+    // resolve against the nation vocab; the anti-join of codes minus
+    // vocab MUST be empty, and the gate hash-checks exactly that.
+    "q_prevalidate_codes" -> ((s, dir) => {
+      val codes = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("code")).distinct()
+      val vocab = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("code"))
+      codes.join(vocab, Seq("code"), "left_anti")
+        .orderBy(col("code"))
     })
   )
 
@@ -164,6 +190,22 @@ object QuadQueries extends QueryCatalog {
          |     END
          |  || ' <urn:qali:graph:addresses> .' AS value
          |FROM quads ORDER BY value""".stripMargin,
+    "q_quads_write_roundtrip" ->
+      s"""$oracleQuadsCte
+         |SELECT '<' || subject || '> <' || predicate || '> '
+         |  || CASE
+         |       WHEN predicate IN ('$NationP', '$RegionP')
+         |         THEN '<' || objectValue || '>'
+         |       WHEN predicate = '$BalanceP'
+         |         THEN '"' || objectValue || '"^^<$XsdDecimal>'
+         |       ELSE '"' || objectValue || '"'
+         |     END
+         |  || ' <urn:qali:graph:addresses> .' AS value
+         |FROM quads ORDER BY value""".stripMargin,
+    "q_prevalidate_codes" ->
+      """SELECT DISTINCT c_nationkey AS code FROM customer
+        |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |ORDER BY code""".stripMargin,
     "q_triples_render" ->
       s"""$oracleQuadsCte
          |SELECT '<' || subject || '> <' || predicate || '> '

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.SparkRuntimeException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+
+/** §5.2 inline invariants: the fail-fast vocab fallback chain. */
+class InvariantsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("vocabLookupOrFail resolves through the fallback chain") {
+    import spark.implicits._
+    val df = Seq(("A", Some("vocab-a"), None: Option[String]),
+        ("B", None, Some("static-b")))
+      .toDF("code", "vocab", "static")
+    val got = df.select(
+        vocabLookupOrFail(col("code"), col("vocab"), col("static")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("vocab-a", "static-b"))
+  }
+
+  test("vocabLookupOrFail aborts the job on an unmappable code") {
+    import spark.implicits._
+    val df = Seq(("Z", None: Option[String], None: Option[String]))
+      .toDF("code", "vocab", "static")
+    val e = intercept[SparkRuntimeException] {
+      df.select(vocabLookupOrFail(col("code"), col("vocab"), col("static")))
+        .collect()
+    }
+    assert(e.getMessage.contains("unmappable vocab code: Z"))
+  }
+}
