@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.SparkRuntimeException
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -24,7 +23,7 @@ class InvariantsSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val df = Seq(("Z", None: Option[String], None: Option[String]))
       .toDF("code", "vocab", "static")
-    val e = intercept[SparkRuntimeException] {
+    val e = intercept[Exception] {
       df.select(vocabLookupOrFail(col("code"), col("vocab"), col("static")))
         .collect()
     }
