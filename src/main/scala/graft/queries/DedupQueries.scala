@@ -47,13 +47,19 @@ object DedupQueries extends QueryCatalog {
             element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2)))).as("shingles"))
 
-  /** 8-element MinHash signature: sig[h] = min over shingles of
-    * md5(h || '|' || shingle), min taken lexicographically. */
+  /** 8-element MinHash signature from ONE md5 per shingle: component h =
+    * lexicographic min over shingles of hex slice [4h+1, 4h+4] of
+    * md5(shingle). md5's 128 bits are independent, so the eight 16-bit
+    * slices act as eight independent hash functions at an eighth of the
+    * hashing cost — the dominant term of sketch construction at scale. */
   private[queries] def minhashed(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir).withColumn("sig",
-      transform(sequence(lit(0), lit(7)),
-        h => array_min(transform(col("shingles"),
-          sh => md5(concat(h.cast("string"), lit("|"), sh))))))
+    shingled(s, dir)
+      .withColumn("md5s", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 7), h ->
+          |  array_min(transform(md5s, m -> substring(m, 4 * h + 1, 4))))"""
+          .stripMargin))
+      .drop("md5s")
 
   /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets.
     *
@@ -210,12 +216,20 @@ object DedupQueries extends QueryCatalog {
         .withColumn("blk",
           coalesce(array_min(transform(col("grams"), x => md5(x))), lit("")))
         .withColumn("sz", coalesce(size(col("grams")), lit(0)))
-        // 16-component MinHash sketch for the cheap agreement filter.
+        // 16-component MinHash sketch for the cheap agreement filter —
+        // two md5s per gram sliced into 8 components each (independent
+        // bits, an eighth of the hashing cost of 16 separate md5s).
+        .withColumn("md5a", transform(col("grams"), x => md5(x)))
+        .withColumn("md5b",
+          transform(col("grams"), x => md5(concat(lit("x"), x))))
         .withColumn("sig", coalesce(expr(
           """transform(sequence(0, 15), h ->
-            |  array_min(transform(grams, g ->
-            |    md5(concat(cast(h as string), '|', g)))))""".stripMargin),
+            |  IF(h < 8,
+            |    array_min(transform(md5a, m -> substring(m, 4 * h + 1, 4))),
+            |    array_min(transform(md5b, m -> substring(m, 4 * (h - 8) + 1, 4)))))"""
+            .stripMargin),
           array()))
+        .drop("md5a", "md5b")
       // Three-stage candidate pruning, all inside the join condition so
       // pairs die before the O(|A|+|B|) exact intersect:
       //  1. size ratio — J >= 0.6 implies min/max >= 3/5, integer-exact,
@@ -285,7 +299,7 @@ object DedupQueries extends QueryCatalog {
       s"""WITH $shinglesCte,
          |mh AS (
          |  SELECT doc_id, shingles,
-         |    [list_min([md5(CAST(h AS VARCHAR) || '|' || s) for s in shingles])
+         |    [list_min([substring(md5(s), 4 * h + 1, 4) for s in shingles])
          |     for h in range(0, 8)] AS sig
          |  FROM sh),
          |buckets AS (
@@ -329,7 +343,7 @@ object DedupQueries extends QueryCatalog {
     "q_sketch_source_minhash" ->
       s"""WITH $shinglesCte,
          |hashes AS (
-         |  SELECT d.source, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS mh
+         |  SELECT d.source, h, min(substring(md5(s), 4 * h + 1, 4)) AS mh
          |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) sx
          |  JOIN documents d ON sx.doc_id = d.doc_id
          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS h)
@@ -347,8 +361,10 @@ object DedupQueries extends QueryCatalog {
         |b AS (
         |  SELECT doc_id, grams, len(grams) AS sz,
         |    list_min([md5(x) for x in grams]) AS blk,
-        |    [list_min([md5(CAST(h AS VARCHAR) || '|' || x) for x in grams])
-        |     for h in range(0, 16)] AS sig
+        |    [CASE WHEN h < 8
+        |       THEN list_min([substring(md5(x), 4 * h + 1, 4) for x in grams])
+        |       ELSE list_min([substring(md5('x' || x), 4 * (h - 8) + 1, 4) for x in grams])
+        |     END for h in range(0, 16)] AS sig
         |  FROM g)
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
