@@ -149,6 +149,34 @@ object QuadQueries extends QueryCatalog {
       s.read.text(out).orderBy(col("value"))
     }),
 
+    // §2.9 declarative path — the same explosion driven by the pure-data
+    // EmitSpec config model (cam/config.py + cam/transform.py twin): the
+    // spec references columns by NAME; compilation emits the identical
+    // array(struct)+explode plan the hand-written pipelines use.
+    "q_quads_declarative" -> ((s, dir) => {
+      import graft.rdf._
+      val spec = EntitySpec(
+        graph = graft.model.Graphs.GeoNames,
+        subjectTemplate = "https://example.org/supplier/{s_suppkey}",
+        types = Seq("https://schema.org/Organization"),
+        properties = Seq(
+          PropertySpec("https://schema.org/name", LiteralCol("s_name")),
+          PropertySpec("https://example.org/def/nation",
+            IriTemplate("https://example.org/nation/{s_nationkey}")),
+          PropertySpec("https://example.org/def/accountBalance",
+            LiteralCol("bal", datatype = Some(XsdDecimal)))))
+      val in = Tables.supplier(s, dir).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        dec2(col("s_acctbal")).cast("string").as("bal"))
+      EmitCompiler.compile(in, spec)
+        .groupBy(col("predicate"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subj"),
+          min(col("objectValue")).as("min_obj"),
+          max(col("objectValue")).as("max_obj"))
+        .orderBy(col("predicate"))
+    }),
+
     // §5.1 pre-validation — referential completeness BEFORE the main job
     // (etl_pndb_pre_validate.py:18-61): every customer nation key must
     // resolve against the nation vocab; the anti-join of codes minus
@@ -202,6 +230,30 @@ object QuadQueries extends QueryCatalog {
          |     END
          |  || ' <urn:qali:graph:addresses> .' AS value
          |FROM quads ORDER BY value""".stripMargin,
+    "q_quads_declarative" ->
+      """WITH quads AS (
+        |  SELECT 'https://example.org/supplier/' || CAST(s_suppkey AS VARCHAR) AS subject,
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+        |    'https://schema.org/Organization' AS objectValue
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'https://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+        |    'https://schema.org/name', s_name
+        |  FROM supplier WHERE s_name IS NOT NULL AND length(trim(s_name)) > 0
+        |  UNION ALL
+        |  SELECT 'https://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+        |    'https://example.org/def/nation',
+        |    'https://example.org/nation/' || CAST(s_nationkey AS VARCHAR)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'https://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+        |    'https://example.org/def/accountBalance',
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM supplier
+        |    WHERE s_acctbal IS NOT NULL)
+        |SELECT predicate, COUNT(*) AS n, COUNT(DISTINCT subject) AS n_subj,
+        |  MIN(objectValue) AS min_obj, MAX(objectValue) AS max_obj
+        |FROM quads GROUP BY predicate ORDER BY predicate""".stripMargin,
     "q_prevalidate_codes" ->
       """SELECT DISTINCT c_nationkey AS code FROM customer
         |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
