@@ -62,8 +62,13 @@ def main(sfdir, outdir):
             print(pd.concat([g[diff].head(3).add_prefix("got_"),
                              e[diff].head(3).add_prefix("exp_")], axis=1).to_string())
     # A query that crashed in Verify writes no output dir — count every
-    # oracle key with no directory as a failure so it can't read as green.
-    for name in sorted(oracle):
+    # declared query with no directory as a failure so it can't read as
+    # green. queries.json (the full manifest Verify writes) also covers
+    # rows-only queries that have no oracle entry.
+    manifest_path = os.path.join(outdir, "queries.json")
+    declared = set(json.load(open(manifest_path))) \
+        if os.path.exists(manifest_path) else set(oracle)
+    for name in sorted(declared | set(oracle)):
         if not os.path.isdir(os.path.join(outdir, name)):
             print(f"  [FAIL-missing] {name}: no Verify output")
             n_bad += 1

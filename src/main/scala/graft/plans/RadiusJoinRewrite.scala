@@ -65,7 +65,11 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case d @ Dist2LE(x1, x2, y1, y2, r2)
             if refsOnly(x1, left) && refsOnly(y1, left) &&
               refsOnly(x2, right) && refsOnly(y2, right) =>
-          (x1, y1, x2, y2, math.sqrt(r2))
+          // nextUp: sqrt rounds to nearest, which can land strictly BELOW
+          // the true radius; the cell must be >= the radius or a pair a
+          // half-ulp across two cell boundaries could escape the 3×3
+          // neighborhood. One ulp of slack keeps the rewrite exact.
+          (x1, y1, x2, y2, Math.nextUp(math.sqrt(r2)))
       }
       if (radius.isEmpty || hasEquiKey(conjuncts, left, right)) j
       else {

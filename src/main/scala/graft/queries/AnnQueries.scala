@@ -117,9 +117,7 @@ object AnnQueries extends QueryCatalog {
       // Salted self-join: 16 sign-buckets over the corpus would otherwise
       // each land on one shuffle partition with B²/2 cosine evaluations
       // (quadratic COMPUTE skew that AQE's byte-based detection misses).
-      val R = 32L
-      val ba = b.withColumn("salt", pmod(col("vec_id"), lit(R)))
-      val bb = b.withColumn("salt", explode(sequence(lit(0L), lit(R - 1))))
+      val (ba, bb) = PairJoins.salted(b, col("vec_id"))
       ba.as("a")
         .join(bb.as("b"),
           col("a.bucket") === col("b.bucket") &&

@@ -81,18 +81,9 @@ object DedupQueries extends QueryCatalog {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Salted self-join for skew-proof in-bucket pair generation: the probe
-    * side carries `salt = doc_id % R`, the build side is replicated once
-    * per salt value, and the salt joins as an extra equi key — so a bucket
-    * holding B docs spreads its B²/2 candidate pairs over R shuffle
-    * partitions instead of one. AQE's skew-join can't help here (the
-    * skewed partition is small in BYTES but quadratic in COMPUTE), so the
-    * salt is explicit. Each (probe, build) pair matches exactly one salt
-    * value — no duplicates. */
-  private val SaltR = 32
-  private def salted(df: DataFrame): (DataFrame, DataFrame) = (
-    df.withColumn("salt", pmod(col("doc_id"), lit(SaltR.toLong))),
-    df.withColumn("salt", explode(sequence(lit(0L), lit(SaltR - 1L)))))
+  /** Skew-proof pair-join salting — see [[PairJoins.salted]]. */
+  private def salted(df: DataFrame): (DataFrame, DataFrame) =
+    PairJoins.salted(df, col("doc_id"))
 
   /** 32-bit SimHash from the shingle set: one md5 per shingle, bit i of
     * the sketch = majority vote of hex-nibble-i high bits (md5 has

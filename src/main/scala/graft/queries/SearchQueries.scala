@@ -117,8 +117,10 @@ object SearchQueries extends QueryCatalog {
         |  SELECT tf.doc_id, SUM(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df)) AS score
         |  FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN n
         |  GROUP BY tf.doc_id)
-        |SELECT doc_id, round(score, 6) AS score FROM scored
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+        |SELECT doc_id, round(score, 6) AS score FROM (
+        |  SELECT doc_id, score FROM scored
+        |  ORDER BY score DESC, doc_id LIMIT 10) top
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "q_search_facet_page" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400

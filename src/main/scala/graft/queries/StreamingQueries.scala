@@ -40,7 +40,7 @@ object StreamingQueries extends QueryCatalog {
     "q_stream_window_daily" ->
       """SELECT epoch_ms(date_trunc('day', ts)) AS window_ms, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -52,10 +52,11 @@ object StreamingQueries extends QueryCatalog {
     "q_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
-        |    epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+        |    epoch_us(ts) AS us,
+        |    epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_us
         |  FROM events),
         |flagged AS (
-        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM e),
         |numbered AS (
@@ -64,7 +65,7 @@ object StreamingQueries extends QueryCatalog {
         |  FROM flagged)
         |SELECT user_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin
   )

@@ -19,6 +19,19 @@ class InvariantsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq("vocab-a", "static-b"))
   }
 
+  test("stableId separator prevents boundary-shift collisions") {
+    import spark.implicits._
+    val df = Seq(("ab", "c", "a", "bc")).toDF("a1", "a2", "b1", "b2")
+    val row = df.select(
+        stableId(col("a1"), col("a2")).as("h1"),
+        stableId(col("b1"), col("b2")).as("h2"),
+        stableId(col("a1"), col("a2")).as("h1b"))
+      .collect()(0)
+    assert(row.getString(0) != row.getString(1),
+      "NUL separator must distinguish (ab,c) from (a,bc)")
+    assert(row.getString(0) == row.getString(2), "stableId must be pure")
+  }
+
   test("vocabLookupOrFail aborts the job on an unmappable code") {
     import spark.implicits._
     val df = Seq(("Z", None: Option[String], None: Option[String]))
