@@ -47,19 +47,25 @@ object DedupQueries extends QueryCatalog {
             element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2)))).as("shingles"))
 
-  /** 8-element MinHash signature from ONE md5 per shingle: component h =
-    * lexicographic min over shingles of hex slice [4h+1, 4h+4] of
-    * md5(shingle). md5's 128 bits are independent, so the eight 16-bit
-    * slices act as eight independent hash functions at an eighth of the
-    * hashing cost — the dominant term of sketch construction at scale. */
+  /** 8-element MinHash signature from TWO md5s per shingle: component h
+    * is the lexicographic min over shingles of an 8-hex (32-bit) slice.
+    * md5's 128 bits are independent, so slices act as independent hash
+    * functions at a quarter of the hashing cost. Slices must stay ≥32
+    * bits: with 16-bit slices the min of ~450 hashes concentrates near
+    * zero and unrelated documents collide per component far above their
+    * Jaccard rate, exploding the LSH buckets (observed 2.7s → 24s). */
   private[queries] def minhashed(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
-      .withColumn("md5s", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("md5a", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("md5b",
+        transform(col("shingles"), sh => md5(concat(lit("x"), sh))))
       .withColumn("sig", expr(
         """transform(sequence(0, 7), h ->
-          |  array_min(transform(md5s, m -> substring(m, 4 * h + 1, 4))))"""
+          |  IF(h < 4,
+          |    array_min(transform(md5a, m -> substring(m, 8 * h + 1, 8))),
+          |    array_min(transform(md5b, m -> substring(m, 8 * (h - 4) + 1, 8)))))"""
           .stripMargin))
-      .drop("md5s")
+      .drop("md5a", "md5b")
 
   /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets.
     *
@@ -208,19 +214,29 @@ object DedupQueries extends QueryCatalog {
           coalesce(array_min(transform(col("grams"), x => md5(x))), lit("")))
         .withColumn("sz", coalesce(size(col("grams")), lit(0)))
         // 16-component MinHash sketch for the cheap agreement filter —
-        // two md5s per gram sliced into 8 components each (independent
-        // bits, an eighth of the hashing cost of 16 separate md5s).
+        // four md5s per gram sliced into 8-hex (32-bit) components:
+        // independent bits at a quarter of 16 separate md5s, and wide
+        // enough that component collisions stay at the Jaccard rate (see
+        // minhashed for the 16-bit-slice failure mode).
         .withColumn("md5a", transform(col("grams"), x => md5(x)))
         .withColumn("md5b",
           transform(col("grams"), x => md5(concat(lit("x"), x))))
+        .withColumn("md5c",
+          transform(col("grams"), x => md5(concat(lit("y"), x))))
+        .withColumn("md5d",
+          transform(col("grams"), x => md5(concat(lit("z"), x))))
         .withColumn("sig", coalesce(expr(
           """transform(sequence(0, 15), h ->
+            |  IF(h < 4,
+            |    array_min(transform(md5a, m -> substring(m, 8 * h + 1, 8))),
             |  IF(h < 8,
-            |    array_min(transform(md5a, m -> substring(m, 4 * h + 1, 4))),
-            |    array_min(transform(md5b, m -> substring(m, 4 * (h - 8) + 1, 4)))))"""
+            |    array_min(transform(md5b, m -> substring(m, 8 * (h - 4) + 1, 8))),
+            |  IF(h < 12,
+            |    array_min(transform(md5c, m -> substring(m, 8 * (h - 8) + 1, 8))),
+            |    array_min(transform(md5d, m -> substring(m, 8 * (h - 12) + 1, 8)))))))"""
             .stripMargin),
           array()))
-        .drop("md5a", "md5b")
+        .drop("md5a", "md5b", "md5c", "md5d")
       // Three-stage candidate pruning, all inside the join condition so
       // pairs die before the O(|A|+|B|) exact intersect:
       //  1. size ratio — J >= 0.6 implies min/max >= 3/5, integer-exact,
@@ -290,8 +306,10 @@ object DedupQueries extends QueryCatalog {
       s"""WITH $shinglesCte,
          |mh AS (
          |  SELECT doc_id, shingles,
-         |    [list_min([substring(md5(s), 4 * h + 1, 4) for s in shingles])
-         |     for h in range(0, 8)] AS sig
+         |    [CASE WHEN h < 4
+         |       THEN list_min([substring(md5(s), 8 * h + 1, 8) for s in shingles])
+         |       ELSE list_min([substring(md5('x' || s), 8 * (h - 4) + 1, 8) for s in shingles])
+         |     END for h in range(0, 8)] AS sig
          |  FROM sh),
          |buckets AS (
          |  SELECT doc_id, band, md5(sig[2*band+1] || sig[2*band+2]) AS band_key
@@ -334,7 +352,9 @@ object DedupQueries extends QueryCatalog {
     "q_sketch_source_minhash" ->
       s"""WITH $shinglesCte,
          |hashes AS (
-         |  SELECT d.source, h, min(substring(md5(s), 4 * h + 1, 4)) AS mh
+         |  SELECT d.source, h,
+         |    min(CASE WHEN h < 4 THEN substring(md5(s), 8 * h + 1, 8)
+         |        ELSE substring(md5('x' || s), 8 * (h - 4) + 1, 8) END) AS mh
          |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) sx
          |  JOIN documents d ON sx.doc_id = d.doc_id
          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS h)
@@ -352,9 +372,13 @@ object DedupQueries extends QueryCatalog {
         |b AS (
         |  SELECT doc_id, grams, len(grams) AS sz,
         |    list_min([md5(x) for x in grams]) AS blk,
-        |    [CASE WHEN h < 8
-        |       THEN list_min([substring(md5(x), 4 * h + 1, 4) for x in grams])
-        |       ELSE list_min([substring(md5('x' || x), 4 * (h - 8) + 1, 4) for x in grams])
+        |    [CASE WHEN h < 4
+        |       THEN list_min([substring(md5(x), 8 * h + 1, 8) for x in grams])
+        |     WHEN h < 8
+        |       THEN list_min([substring(md5('x' || x), 8 * (h - 4) + 1, 8) for x in grams])
+        |     WHEN h < 12
+        |       THEN list_min([substring(md5('y' || x), 8 * (h - 8) + 1, 8) for x in grams])
+        |       ELSE list_min([substring(md5('z' || x), 8 * (h - 12) + 1, 8) for x in grams])
         |     END for h in range(0, 16)] AS sig
         |  FROM g)
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
