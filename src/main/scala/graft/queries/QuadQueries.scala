@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.rdf.{Emit, QuadEmitter}
+import graft.rdf.{Emit, EmitQ, QuadEmitter}
 
 /** SURVEY §2.9 — the row→quads explosion, oracle-checked end to end.
   *
@@ -85,6 +85,221 @@ object QuadQueries extends QueryCatalog {
     "WITH quads AS (\n" +
       oracleObjSql.map { case (p, o) => oracleEmit(p, o) }
         .mkString("\nUNION ALL\n") + "\n)"
+
+  // --------------------------------------------------------------------
+  // Full-fidelity flagship explosion (§2.9 at reference depth).
+  //
+  // One customer row → 25 quads (22 unconditional + a 3-quad lifecycle
+  // group gated on order history), mirroring the reference's address
+  // profile: blank-node part groups (`BNode(f"{addr_id_uuid}-country")` →
+  // additionalType → value, etl_lalf_address.py:398-415), lang-tagged
+  // literals (`lang="en"` etl_pndb.py:240, `lang="aus"` :314),
+  // `xsd:dateTime` lifecycle literals (etl_lalf_address.py:386), written
+  // across TWO named graphs (addresses + geographical-names) like the
+  // reference's per-job dataset split (Taskfile.yml:108-114).
+  // --------------------------------------------------------------------
+
+  private val GraphA = graft.model.Graphs.Addresses
+  private val GraphG = graft.model.Graphs.GeoNames
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val PlaceT = "https://schema.org/Place"
+  private val DescP = "https://schema.org/description"
+  private val HasPartP = "https://schema.org/hasPart"
+  private val AddTypeP = "https://schema.org/additionalType"
+  private val ValueP = "https://schema.org/value"
+  private val TimeInXsdP = "http://www.w3.org/2006/time#inXSDDateTime"
+  private val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+  private val PartNationT = "https://example.org/def/part/nationName"
+  private val PartRegionT = "https://example.org/def/part/regionName"
+  private val PartSegmentT = "https://example.org/def/part/marketSegment"
+  private val LifecycleCurrentT = "https://example.org/def/lifecycle/current"
+  private val GivenNameT = "https://example.org/def/part/geographicalGivenName"
+
+  /** Flagship input + first-order date (the lifecycle timestamp twin of
+    * `addr_create_date`). customer⋈orders-agg is a shuffle join by design:
+    * the aggregate combines map-side, and at 100 TB both sides hash on
+    * the customer key — no broadcast pretence for a fact-sized side. */
+  private def joinedFull(s: SparkSession, dir: String): DataFrame = {
+    val firstOrder = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_dt"))
+    joined(s, dir)
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("first_iso",
+        date_format(col("first_dt").cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss"))
+  }
+
+  /** The 25 emits. Lifecycle group objects are `when`-gated on
+    * `first_iso` so the WHOLE 3-quad group vanishes for order-less
+    * customers — the reference's `if addr_create_date:` block shape. */
+  private def fullEmits: Seq[EmitQ] = {
+    val k = col("c_custkey").cast("string")
+    val addr = concat(lit("https://example.org/customer/"), k)
+    val nameIri = concat(lit("https://example.org/place-name/"), k)
+    def bn(sfx: String) = concat(k, lit("-" + sfx))
+    val gn = concat(lit("gn-given-name-"), k)
+    val gnAlt = concat(lit("gn-alt-name-"), k)
+    val natIri =
+      concat(lit("https://example.org/nation/"), slugify(col("n_name")))
+    val regIri =
+      concat(lit("https://example.org/region/"), slugify(col("r_name")))
+    val lifecycleOn = col("first_iso").isNotNull
+    Seq(
+      // IRI-subject profile (graph A)
+      EmitQ.iri(addr, RdfType, lit(PlaceT), GraphA),
+      EmitQ.literal(addr, NameP, col("c_name"), GraphA),
+      EmitQ.literal(addr, DescP,
+        renderLabel(col("c_name"), col("n_name"), col("r_name")),
+        GraphA, lang = "en"),
+      EmitQ.literal(addr, SegmentP, col("c_mktsegment"), GraphA),
+      EmitQ.literal(addr, BalanceP, col("bal_str"), GraphA,
+        datatype = XsdDecimal),
+      EmitQ.iri(addr, NationP, natIri, GraphA),
+      EmitQ.iri(addr, RegionP, regIri, GraphA),
+      // nation part group (bnode 3-quad, etl_lalf_address.py:398-404)
+      EmitQ.bnodeObj(addr, HasPartP, bn("nation"), GraphA),
+      EmitQ.fromBnodeIri(bn("nation"), AddTypeP, lit(PartNationT), GraphA),
+      EmitQ.fromBnodeLiteral(bn("nation"), ValueP, col("n_name"), GraphA,
+        lang = "en"),
+      // region part group
+      EmitQ.bnodeObj(addr, HasPartP, bn("region"), GraphA),
+      EmitQ.fromBnodeIri(bn("region"), AddTypeP, lit(PartRegionT), GraphA),
+      EmitQ.fromBnodeLiteral(bn("region"), ValueP, col("r_name"), GraphA,
+        lang = "en"),
+      // segment part group (plain literal value)
+      EmitQ.bnodeObj(addr, HasPartP, bn("segment"), GraphA),
+      EmitQ.fromBnodeIri(bn("segment"), AddTypeP, lit(PartSegmentT), GraphA),
+      EmitQ.fromBnodeLiteral(bn("segment"), ValueP, col("c_mktsegment"),
+        GraphA),
+      // lifecycle group: xsd:dateTime literal (etl_lalf_address.py:386)
+      EmitQ.bnodeObj(addr, HasPartP,
+        when(lifecycleOn, bn("lifecycle")), GraphA),
+      EmitQ.fromBnodeIri(bn("lifecycle"), AddTypeP,
+        when(lifecycleOn, lit(LifecycleCurrentT)), GraphA),
+      EmitQ.fromBnodeLiteral(bn("lifecycle"), TimeInXsdP, col("first_iso"),
+        GraphA, datatype = XsdDateTime),
+      // geographical-names graph: given-name groups (etl_pndb.py:236-245)
+      EmitQ.bnodeObj(nameIri, HasPartP, gn, GraphG),
+      EmitQ.fromBnodeLiteral(gn, ValueP, col("c_name"), GraphG, lang = "en"),
+      EmitQ.fromBnodeIri(gn, AddTypeP, lit(GivenNameT), GraphG),
+      // indigenous-language variant (etl_pndb.py:305-318, lang="aus")
+      EmitQ.bnodeObj(nameIri, HasPartP, gnAlt, GraphG),
+      EmitQ.fromBnodeLiteral(gnAlt, ValueP, lower(col("c_name")), GraphG,
+        lang = "aus"),
+      EmitQ.fromBnodeIri(gnAlt, AddTypeP, lit(GivenNameT), GraphG))
+  }
+
+  private def fullQuads(s: SparkSession, dir: String): DataFrame =
+    QuadEmitter.explodeQuadsFull(joinedFull(s, dir), fullEmits)
+
+  /** One DuckDB SELECT per emit, producing the same 8-column quad shape
+    * the Spark explosion yields. */
+  private def fqSelect(subjSql: String, subjKind: String, pred: String,
+      objSql: String, objKind: String, dt: String, lang: String,
+      graph: String, where: String): String = {
+    def opt(v: String) =
+      if (v == null) "CAST(NULL AS VARCHAR)" else s"'$v'"
+    s"SELECT $subjSql AS subject, '$subjKind' AS subjectKind, " +
+      s"'$pred' AS predicate, $objSql AS objectValue, " +
+      s"'$objKind' AS objectKind, ${opt(dt)} AS datatype, " +
+      s"${opt(lang)} AS lang, '$graph' AS graph FROM base" +
+      (if (where == null) "" else s" WHERE $where")
+  }
+
+  private def fullQuadsCte: String = {
+    val baseCte =
+      """base AS (
+        |  SELECT c.c_custkey AS k, c.c_name AS name, c.c_mktsegment AS seg,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str,
+        |    n.n_name AS nat, r.r_name AS reg,
+        |    'https://example.org/nation/' ||
+        |      regexp_replace(lower(trim(n.n_name)), '\s+', '-', 'g') AS nat_iri,
+        |    'https://example.org/region/' ||
+        |      regexp_replace(lower(trim(r.r_name)), '\s+', '-', 'g') AS reg_iri,
+        |    regexp_replace(trim(concat_ws(' ', NULLIF(trim(c.c_name), ''),
+        |      NULLIF(trim(n.n_name), ''), NULLIF(trim(r.r_name), ''))),
+        |      '\s+', ' ', 'g') AS label,
+        |    strftime(CAST(o.first_dt AS TIMESTAMP),
+        |      '%Y-%m-%dT%H:%M:%S') AS first_iso
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  LEFT JOIN (SELECT o_custkey, MIN(o_orderdate) AS first_dt
+        |             FROM orders GROUP BY o_custkey) o
+        |    ON o.o_custkey = c.c_custkey
+        |)""".stripMargin
+    val addrS = "'https://example.org/customer/' || CAST(k AS VARCHAR)"
+    val nameS = "'https://example.org/place-name/' || CAST(k AS VARCHAR)"
+    def bnS(sfx: String) = s"CAST(k AS VARCHAR) || '-$sfx'"
+    val gnS = "'gn-given-name-' || CAST(k AS VARCHAR)"
+    val gnAltS = "'gn-alt-name-' || CAST(k AS VARCHAR)"
+    def gate(c: String) = s"$c IS NOT NULL AND length(trim($c)) > 0"
+    val I = graft.model.TermKind.Iri
+    val L = graft.model.TermKind.Literal
+    val B = graft.model.TermKind.BNode
+    val selects = Seq(
+      fqSelect(addrS, I, RdfType, s"'$PlaceT'", I, null, null, GraphA, null),
+      fqSelect(addrS, I, NameP, "name", L, null, null, GraphA, gate("name")),
+      fqSelect(addrS, I, DescP, "label", L, null, "en", GraphA,
+        gate("label")),
+      fqSelect(addrS, I, SegmentP, "seg", L, null, null, GraphA,
+        gate("seg")),
+      fqSelect(addrS, I, BalanceP, "bal_str", L, XsdDecimal, null, GraphA,
+        gate("bal_str")),
+      fqSelect(addrS, I, NationP, "nat_iri", I, null, null, GraphA, null),
+      fqSelect(addrS, I, RegionP, "reg_iri", I, null, null, GraphA, null),
+      fqSelect(addrS, I, HasPartP, bnS("nation"), B, null, null, GraphA,
+        null),
+      fqSelect(bnS("nation"), B, AddTypeP, s"'$PartNationT'", I, null, null,
+        GraphA, null),
+      fqSelect(bnS("nation"), B, ValueP, "nat", L, null, "en", GraphA,
+        gate("nat")),
+      fqSelect(addrS, I, HasPartP, bnS("region"), B, null, null, GraphA,
+        null),
+      fqSelect(bnS("region"), B, AddTypeP, s"'$PartRegionT'", I, null, null,
+        GraphA, null),
+      fqSelect(bnS("region"), B, ValueP, "reg", L, null, "en", GraphA,
+        gate("reg")),
+      fqSelect(addrS, I, HasPartP, bnS("segment"), B, null, null, GraphA,
+        null),
+      fqSelect(bnS("segment"), B, AddTypeP, s"'$PartSegmentT'", I, null,
+        null, GraphA, null),
+      fqSelect(bnS("segment"), B, ValueP, "seg", L, null, null, GraphA,
+        gate("seg")),
+      fqSelect(addrS, I, HasPartP, bnS("lifecycle"), B, null, null, GraphA,
+        "first_iso IS NOT NULL"),
+      fqSelect(bnS("lifecycle"), B, AddTypeP, s"'$LifecycleCurrentT'", I,
+        null, null, GraphA, "first_iso IS NOT NULL"),
+      fqSelect(bnS("lifecycle"), B, TimeInXsdP, "first_iso", L, XsdDateTime,
+        null, GraphA, "first_iso IS NOT NULL"),
+      fqSelect(nameS, I, HasPartP, gnS, B, null, null, GraphG, null),
+      fqSelect(gnS, B, ValueP, "name", L, null, "en", GraphG, gate("name")),
+      fqSelect(gnS, B, AddTypeP, s"'$GivenNameT'", I, null, null, GraphG,
+        null),
+      fqSelect(nameS, I, HasPartP, gnAltS, B, null, null, GraphG, null),
+      fqSelect(gnAltS, B, ValueP, "lower(name)", L, null, "aus", GraphG,
+        gate("lower(name)")),
+      fqSelect(gnAltS, B, AddTypeP, s"'$GivenNameT'", I, null, null, GraphG,
+        null))
+    "WITH " + baseCte + ",\nquads AS (\n" +
+      selects.mkString("\nUNION ALL\n") + "\n)"
+  }
+
+  /** The rendered-line SQL over the full quads CTE — `_:label` subjects,
+    * `@lang` and `^^<dt>` suffixes spelled out so the oracle verifies
+    * N-Quads term syntax independently of the Scala renderer. */
+  private val fullLineSql: String =
+    "CASE WHEN subjectKind = 'bnode' THEN '_:' || subject " +
+      "ELSE '<' || subject || '>' END " +
+      "|| ' <' || predicate || '> ' " +
+      "|| CASE WHEN objectKind = 'iri' THEN '<' || objectValue || '>' " +
+      "WHEN objectKind = 'bnode' THEN '_:' || objectValue " +
+      "ELSE '\"' || objectValue || '\"' || " +
+      "CASE WHEN lang IS NOT NULL THEN '@' || lang " +
+      "WHEN datatype IS NOT NULL THEN '^^<' || datatype || '>' " +
+      "ELSE '' END END " +
+      "|| ' <' || graph || '> .'"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.9: explode → per-predicate profile (count, distinct subjects,
@@ -177,6 +392,59 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("predicate"))
     }),
 
+    // §2.9 full fidelity: the 25-emit explosion profiled per
+    // (graph, predicate, objectKind, datatype, lang) — lang tags, typed
+    // literals and bnode kinds all hash-gated.
+    "q_quads_full_profile" -> ((s, dir) => {
+      fullQuads(s, dir)
+        .groupBy(col("graph"), col("predicate"),
+          col("objectKind").as("object_kind"), col("datatype"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subj"),
+          min(col("objectValue")).as("min_obj"),
+          max(col("objectValue")).as("max_obj"))
+        .orderBy(col("graph"), col("predicate"), col("object_kind"),
+          coalesce(col("lang"), lit("")), coalesce(col("datatype"), lit("")))
+    }),
+
+    // S8 full fidelity: every serialized line hash-compared — `_:label`
+    // subjects/objects, `@en`/`@aus` tags, `^^<xsd:dateTime>` suffixes,
+    // two graph terms, all byte-for-byte against an oracle that spells
+    // the term syntax out in SQL.
+    "q_quads_full_render" -> ((s, dir) => {
+      QuadEmitter.renderNQuads(fullQuads(s, dir)).orderBy(col("value"))
+    }),
+
+    // §5.3 count parity at full fidelity: inputs == distinct IRI subjects
+    // in the addresses graph; bnode subject count, graph count and total
+    // quads all pinned.
+    "q_quads_full_parity" -> ((s, dir) => {
+      val in = joinedFull(s, dir)
+      val q = fullQuads(s, dir)
+      val bk = graft.model.TermKind.BNode
+      in.agg(count(lit(1)).as("n_input"))
+        .crossJoin(q.agg(
+          countDistinct(when(col("graph") === GraphA &&
+            col("subjectKind") =!= bk, col("subject"))).as("n_addr_subjects"),
+          countDistinct(when(col("subjectKind") === bk, col("subject")))
+            .as("n_bnode_subjects"),
+          countDistinct(col("graph")).as("n_graphs"),
+          count(lit(1)).as("n_quads")))
+    }),
+
+    // S8 per-graph sink: partitionBy("graph") write, then a read-back
+    // filtered to ONE graph — partition pruning means the addresses
+    // directory is never touched (the 100 TB point of per-graph layout).
+    "q_quads_graph_roundtrip" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/quads_nq_graphs"
+      QuadEmitter.writeNQuadsByGraph(fullQuads(s, dir), out)
+      s.read.text(out)
+        .where(col("graph") === lit(GraphG))
+        .select(col("value"))
+        .orderBy(col("value"))
+    }),
+
     // §5.1 pre-validation — referential completeness BEFORE the main job
     // (etl_pndb_pre_validate.py:18-61): every customer nation key must
     // resolve against the nation vocab; the anti-join of codes minus
@@ -254,6 +522,32 @@ object QuadQueries extends QueryCatalog {
         |SELECT predicate, COUNT(*) AS n, COUNT(DISTINCT subject) AS n_subj,
         |  MIN(objectValue) AS min_obj, MAX(objectValue) AS max_obj
         |FROM quads GROUP BY predicate ORDER BY predicate""".stripMargin,
+    "q_quads_full_profile" ->
+      s"""$fullQuadsCte
+         |SELECT graph, predicate, objectKind AS object_kind, datatype, lang,
+         |  COUNT(*) AS n, COUNT(DISTINCT subject) AS n_subj,
+         |  MIN(objectValue) AS min_obj, MAX(objectValue) AS max_obj
+         |FROM quads
+         |GROUP BY graph, predicate, objectKind, datatype, lang
+         |ORDER BY graph, predicate, object_kind,
+         |  coalesce(lang, ''), coalesce(datatype, '')""".stripMargin,
+    "q_quads_full_render" ->
+      s"""$fullQuadsCte
+         |SELECT $fullLineSql AS value FROM quads ORDER BY value""".stripMargin,
+    "q_quads_full_parity" ->
+      s"""$fullQuadsCte
+         |SELECT (SELECT COUNT(*) FROM base) AS n_input,
+         |  COUNT(DISTINCT CASE WHEN graph = '$GraphA'
+         |    AND subjectKind <> 'bnode' THEN subject END) AS n_addr_subjects,
+         |  COUNT(DISTINCT CASE WHEN subjectKind = 'bnode'
+         |    THEN subject END) AS n_bnode_subjects,
+         |  COUNT(DISTINCT graph) AS n_graphs,
+         |  COUNT(*) AS n_quads
+         |FROM quads""".stripMargin,
+    "q_quads_graph_roundtrip" ->
+      s"""$fullQuadsCte
+         |SELECT $fullLineSql AS value FROM quads
+         |WHERE graph = '$GraphG' ORDER BY value""".stripMargin,
     "q_prevalidate_codes" ->
       """SELECT DISTINCT c_nationkey AS code FROM customer
         |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
