@@ -49,12 +49,25 @@ object Bench {
       }
     }
     import graft.JsonUtil.jstr
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // Artifact robustness (VERDICT r2 "What's wrong" #4, still truncated in
+    // BENCH_r03): the driver's tail capture keeps the LAST ~3 KB of stdout,
+    // so (a) values are rounded to 3 decimals to fit the whole line in the
+    // window, (b) the headline total/metric fields come AFTER the queries
+    // map so truncation can only eat per-query detail, never the totals,
+    // and (c) the same line is written to bench_out.json as a file the
+    // driver/judge can read even if stdout capture fails entirely.
+    def f3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -18,6 +18,13 @@ import graft.rdf.{Emit, EmitQ, QuadEmitter}
   */
 object QuadQueries extends QueryCatalog {
 
+  /** Per-session sink root (ADVICE r3): the Spark applicationId scopes
+    * the path so two concurrent harness runs on one machine can't clobber
+    * each other's output between a query's write and its read-back. */
+  private def tmp(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+      s"${s.sparkContext.applicationId}/$name"
+
   private val NationP = "https://example.org/def/nation"
   private val RegionP = "https://example.org/def/region"
   private val BalanceP = "https://example.org/def/accountBalance"
@@ -247,8 +254,13 @@ object QuadQueries extends QueryCatalog {
         gate("seg")),
       fqSelect(addrS, I, BalanceP, "bal_str", L, XsdDecimal, null, GraphA,
         gate("bal_str")),
-      fqSelect(addrS, I, NationP, "nat_iri", I, null, null, GraphA, null),
-      fqSelect(addrS, I, RegionP, "reg_iri", I, null, null, GraphA, null),
+      // ADVICE r3: IRI-object emits carry the same null/blank gate the
+      // Spark explosion applies, so a NULL n_name/r_name drops the quad
+      // on BOTH sides identically.
+      fqSelect(addrS, I, NationP, "nat_iri", I, null, null, GraphA,
+        gate("nat_iri")),
+      fqSelect(addrS, I, RegionP, "reg_iri", I, null, null, GraphA,
+        gate("reg_iri")),
       fqSelect(addrS, I, HasPartP, bnS("nation"), B, null, null, GraphA,
         null),
       fqSelect(bnS("nation"), B, AddTypeP, s"'$PartNationT'", I, null, null,
@@ -286,6 +298,15 @@ object QuadQueries extends QueryCatalog {
       selects.mkString("\nUNION ALL\n") + "\n)"
   }
 
+  /** DuckDB twin of the renderer's literal escaping (ADVICE r3): same
+    * chain, same order as `QuadEmitter.lineExpr` — backslash FIRST, then
+    * quote, LF, CR, tab — so the parity check stays valid on strings that
+    * actually contain escapable characters, not just on TPC-H text. */
+  private def escSql(col: String): String =
+    s"""replace(replace(replace(replace(replace($col,""" +
+      """ '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),""" +
+      """ chr(9), '\t')"""
+
   /** The rendered-line SQL over the full quads CTE — `_:label` subjects,
     * `@lang` and `^^<dt>` suffixes spelled out so the oracle verifies
     * N-Quads term syntax independently of the Scala renderer. */
@@ -295,7 +316,7 @@ object QuadQueries extends QueryCatalog {
       "|| ' <' || predicate || '> ' " +
       "|| CASE WHEN objectKind = 'iri' THEN '<' || objectValue || '>' " +
       "WHEN objectKind = 'bnode' THEN '_:' || objectValue " +
-      "ELSE '\"' || objectValue || '\"' || " +
+      s"ELSE '\"' || ${escSql("objectValue")} || '\"' || " +
       "CASE WHEN lang IS NOT NULL THEN '@' || lang " +
       "WHEN datatype IS NOT NULL THEN '^^<' || datatype || '>' " +
       "ELSE '' END END " +
@@ -356,7 +377,7 @@ object QuadQueries extends QueryCatalog {
     // line-for-line. This is the scan→join→explode→serialize pipeline
     // BASELINE.md measures (lf_address ≈ 360 rows/s in the reference).
     "q_quads_write_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/quads_nq"
+      val out = tmp(s, "quads_nq")
       QuadEmitter.writeNQuads(
         quads(s, dir,
           concat(lit("https://example.org/customer/"),
@@ -436,8 +457,7 @@ object QuadQueries extends QueryCatalog {
     // filtered to ONE graph — partition pruning means the addresses
     // directory is never touched (the 100 TB point of per-graph layout).
     "q_quads_graph_roundtrip" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_io/quads_nq_graphs"
+      val out = tmp(s, "quads_nq_graphs")
       QuadEmitter.writeNQuadsByGraph(fullQuads(s, dir), out)
       s.read.text(out)
         .where(col("graph") === lit(GraphG))

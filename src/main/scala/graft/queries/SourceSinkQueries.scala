@@ -22,8 +22,12 @@ import graft.sources.Sources
   */
 object SourceSinkQueries extends QueryCatalog {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+  /** Per-session sink root (ADVICE r3): the Spark applicationId scopes the
+    * path so concurrent harness runs can't clobber each other's files
+    * between a round-trip's write and its read-back. */
+  private def tmp(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+      s"${s.sparkContext.applicationId}/$name"
 
   private val DerbyUrl = "jdbc:derby:memory:graftdb;create=true"
 
@@ -33,8 +37,8 @@ object SourceSinkQueries extends QueryCatalog {
     "q_csv_roundtrip" -> ((s, dir) => {
       val out = Tables.nation(s, dir)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      Sources.writeCsv(out, tmp("nation_csv"))
-      Sources.readCsv(s, tmp("nation_csv"), out.schema)
+      Sources.writeCsv(out, tmp(s, "nation_csv"))
+      Sources.readCsv(s, tmp(s, "nation_csv"), out.schema)
         .orderBy(col("n_nationkey"))
     }),
 
@@ -45,8 +49,8 @@ object SourceSinkQueries extends QueryCatalog {
         .filter(col("n_nationkey") < 20)
         .select(col("n_nationkey").as("code"),
           slugify(col("n_name")).as("label"))
-      Sources.writeCsv(vocab, tmp("vocab_csv"))
-      val v = Sources.readCsv(s, tmp("vocab_csv"), vocab.schema)
+      Sources.writeCsv(vocab, tmp(s, "vocab_csv"))
+      val v = Sources.readCsv(s, tmp(s, "vocab_csv"), vocab.schema)
       Tables.customer(s, dir)
         .join(broadcast(v), col("c_nationkey") === col("code"), "left")
         .select(coalesce(col("label"),
@@ -65,8 +69,8 @@ object SourceSinkQueries extends QueryCatalog {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").partitionBy("lang")
-        .parquet(tmp("docs_by_lang"))
-      s.read.parquet(tmp("docs_by_lang"))
+        .parquet(tmp(s, "docs_by_lang"))
+      s.read.parquet(tmp(s, "docs_by_lang"))
         .filter(col("lang") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
@@ -81,9 +85,10 @@ object SourceSinkQueries extends QueryCatalog {
       val sup = Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_acctbal"))
       Sources.writeJdbc(sup, DerbyUrl, "suppliers")
-      val maxKey = 100000L
-      val part = Sources.readJdbcPartitioned(s, DerbyUrl, "suppliers",
-        "s_suppkey", 1L, maxKey, 4)
+      // Bounds come from SELECT min/max over the table itself (VERDICT r2
+      // #2) — no literal key range that could stop fitting the data.
+      val part = Sources.readJdbcPartitionedAuto(s, DerbyUrl, "suppliers",
+        "s_suppkey", 4)
       // Quoted identifiers: Derby folds unquoted names to upper case,
       // while Spark's JDBC writer creates quoted lower-case columns.
       val push = Sources.readJdbcQuery(s, DerbyUrl,
