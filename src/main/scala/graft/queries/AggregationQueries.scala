@@ -44,14 +44,26 @@ object AggregationQueries extends QueryCatalog {
     }),
 
     // §2.12c: approx_count_distinct — the 100 TB-mode HLL path. Engines'
-    // HLL implementations differ, so this is a rows-only driver check (no
-    // oracleSql entry); exactness of the same counts is covered by
-    // q_agg_count_distinct above.
+    // HLL implementations differ, so the raw estimate can't hash-match a
+    // DuckDB oracle. Instead the query is SELF-VALIDATING (VERDICT r2
+    // "Next round" #3): it computes the exact counts AND the HLL
+    // estimates in one pass and emits |approx−exact|/exact ≤ 2% booleans
+    // alongside the exact counts; the oracle expects `true` — so the
+    // tolerance check rides the driver's exact hash gate, and the row
+    // goes red if Spark's HLL ever drifts outside the budget.
     "q_agg_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+        .select(
+          col("exact_orders"), col("exact_parts"),
+          (abs(col("ao") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.02).as("orders_within_tol"),
+          (abs(col("ap") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.02).as("parts_within_tol"))
     }),
 
     // A3: GROUP BY + HAVING — duplicate detection (etl-notes.md:488-497:
@@ -131,6 +143,11 @@ object AggregationQueries extends QueryCatalog {
         |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
         |FROM lineitem
         |WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin,
+    "q_agg_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  true AS orders_within_tol, true AS parts_within_tol
+        |FROM lineitem""".stripMargin,
     "q_agg_having_dups" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -112,6 +112,52 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-Flat scale path (builder brief: "an IVF or LSH-bucketed variant
+    // as the scale path"). Structure of a real IVF index, with a
+    // DETERMINISTIC coarse quantizer (every CM-th vector is a centroid)
+    // instead of k-means so a DuckDB oracle can replay it exactly:
+    //   1. assign: every corpus vector joins the broadcast centroid set
+    //      and keeps its nearest centroid → the inverted list id. At
+    //      N=corpus, C=√N centroids this is the classic N×C assignment
+    //      cost, embarrassingly parallel, no shuffle (broadcast).
+    //   2. probe: each query keeps its nprobe=2 nearest centroids.
+    //   3. search: probe list ids equi-join the inverted lists — the
+    //      list id is the shuffle key; only ~nprobe/C of the corpus is
+    //      touched per query instead of all of it.
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val CM = 25 // centroid modulus: ~1/25 of the corpus quantizes it
+      val NProbe = 2
+      val v = vectors(s, dir)
+      val cents = broadcast(v.filter(col("vec_id") % CM === 1)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn")))
+      def assign(df: DataFrame, keep: Int): DataFrame = {
+        val byCos = Window.partitionBy(col("vec_id"))
+          .orderBy(expr(dotSql("embedding", "ce"))
+            .divide(col("nrm") * col("cn")).desc, col("cid"))
+        df.crossJoin(cents)
+          .withColumn("crank", row_number().over(byCos))
+          .filter(col("crank") <= keep)
+          .drop("ce", "cn", "crank")
+      }
+      val lists = assign(v, 1)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      val probes = assign(v.filter(isQuery), NProbe)
+        .select(col("cid"), col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val joined = probes.join(lists, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q_dedup_embedding" -> ((s, dir) => {
       val b = bucketed(s, dir)
       // Salted self-join: 16 sign-buckets over the corpus would otherwise
@@ -177,6 +223,35 @@ object AnnQueries extends QueryCatalog {
          |  SELECT qid, e.vec_id AS nn_id,
          |    ${duckCos("qe", "e.embedding")} AS cos
          |  FROM q JOIN b e ON q.bucket = e.bucket AND qid <> e.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+         |  FROM pairs)
+         |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
+         |  round(cos, 9) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 1),
+         |assign AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cid)
+         |      AS crank
+         |  FROM embeddings e CROSS JOIN cents c),
+         |lists AS (
+         |  SELECT vec_id, cid FROM assign WHERE crank = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM assign
+         |  WHERE crank <= 2 AND vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT p.qid, l.vec_id AS nn_id,
+         |    ${duckCos("q.embedding", "e.embedding")} AS cos
+         |  FROM probes p
+         |  JOIN lists l ON p.cid = l.cid AND p.qid <> l.vec_id
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN embeddings e ON e.vec_id = l.vec_id),
          |ranked AS (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank

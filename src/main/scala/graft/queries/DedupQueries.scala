@@ -151,16 +151,17 @@ object DedupQueries extends QueryCatalog {
     // exact-Jaccard verification at 0.8.
     "q_dedup_minhash" -> ((s, dir) => {
       val b = minhashBuckets(s, dir)
-      // Same explicit salting as every other pair join (PairJoins.salted;
-      // VERDICT r2 "What's wrong" #5 asked for ONE skew mechanism, not a
-      // per-query zoo): a skewed bucket's quadratic pair explosion spreads
-      // over SaltR shuffle partitions regardless of byte-based AQE.
-      val (bA, bB) = salted(b)
+      // probeSpread, NOT salted (PairJoins scaladoc has the decision
+      // rule): band_key is an md5 digest, so a bucket is one near-dup
+      // cluster — a handful of rows. Salting replicated the relation ×32
+      // into a driver-built broadcast and ran 15 s at sf0.1; spreading
+      // the probe side by doc_id and broadcasting the slim unreplicated
+      // build runs the same pair set in ~2 s (round-4 bench).
+      val (bA, bB) = PairJoins.probeSpread(b, col("doc_id"))
       val cand = bA.as("a")
         .join(bB.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_key") === col("b.band_key") &&
-            col("a.salt") === col("b.salt") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()

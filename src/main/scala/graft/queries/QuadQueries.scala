@@ -465,6 +465,31 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("value"))
     }),
 
+    // DESCRIBE — the reference's serving verb (`cam/graphdb.py:60-71`,
+    // `cam/web/app.py:70-75`) as a concise bounded description: the
+    // entity's own quads plus its blank-node part groups, one point
+    // lookup over the quad relation. Oracle-checked against the same
+    // closure spelled out in SQL.
+    "q_describe_entity" -> ((s, dir) => {
+      QuadEmitter.describe(fullQuads(s, dir),
+          "https://example.org/customer/1")
+        .orderBy(col("subject"), col("predicate"), col("objectValue"),
+          coalesce(col("lang"), lit("")), coalesce(col("datatype"), lit("")))
+    }),
+
+    // S9 Turtle pretty-print sink (`run.py:6-16`, `cam/transform.py:
+    // 116-119`): vocab-graph quads rendered as predicate-grouped,
+    // prefix-compacted Turtle, written as one document and read back.
+    // Rows-only by design (Turtle grouping has no tractable SQL twin);
+    // serialization fidelity is covered by QuadEmitterSpec's
+    // render→parse→same-quad-set round-trip.
+    "q_turtle_render" -> ((s, dir) => {
+      val out = tmp(s, "vocab_ttl")
+      QuadEmitter.writeTurtle(
+        fullQuads(s, dir).where(col("graph") === lit(GraphG)), out)
+      s.read.text(out).orderBy(col("value"))
+    }),
+
     // §5.1 pre-validation — referential completeness BEFORE the main job
     // (etl_pndb_pre_validate.py:18-61): every customer nation key must
     // resolve against the nation vocab; the anti-join of codes minus
@@ -568,6 +593,19 @@ object QuadQueries extends QueryCatalog {
       s"""$fullQuadsCte
          |SELECT $fullLineSql AS value FROM quads
          |WHERE graph = '$GraphG' ORDER BY value""".stripMargin,
+    "q_describe_entity" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
+         |FROM quads
+         |WHERE (subject = 'https://example.org/customer/1'
+         |       AND subjectKind = 'iri')
+         |   OR (subjectKind = 'bnode' AND subject IN (
+         |        SELECT objectValue FROM quads
+         |        WHERE subject = 'https://example.org/customer/1'
+         |          AND subjectKind = 'iri' AND objectKind = 'bnode'))
+         |ORDER BY subject, predicate, objectValue,
+         |  coalesce(lang, ''), coalesce(datatype, '')""".stripMargin,
     "q_prevalidate_codes" ->
       """SELECT DISTINCT c_nationkey AS code FROM customer
         |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)

@@ -78,6 +78,26 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("source"))
     }),
 
+    // S11: search-index sink round-trip. Documents stream through the
+    // executor-side per-partition client (IndexSink) into per-partition
+    // files, are read back as text, and re-aggregated — the oracle hash
+    // proves zero loss/duplication through the chunked ingest path.
+    "q_index_sink_roundtrip" -> ((s, dir) => {
+      val out = tmp(s, "index_sink")
+      val docs = Tables.documents(s, dir)
+        .select(concat_ws("|", col("doc_id"), col("lang")).as("doc"))
+      graft.sinks.IndexSink.write(docs,
+        new graft.sinks.IndexSink.FileIndexClientFactory(out), 1000)
+      s.read.text(out)
+        .filter(!col("value").startsWith("#")) // drop batch-size markers
+        .select(
+          substring_index(col("value"), "|", 1).cast("long").as("doc_id"),
+          substring_index(col("value"), "|", -1).as("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // S12 → S3/S2: supplier keys+balances written to Derby, read back as
     // a 4-way partitioned range scan AND as a pushdown subquery; the two
     // reads are aggregated into one comparable row.
@@ -118,6 +138,9 @@ object SourceSinkQueries extends QueryCatalog {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_index_sink_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_jdbc_roundtrip" ->
       """SELECT
         |  (SELECT COUNT(*) FROM supplier) AS n_rows,

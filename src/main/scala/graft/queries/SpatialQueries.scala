@@ -88,6 +88,75 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("c_custkey"))
   }
 
+  /** True-KNN semantics (VERDICT r2 "Next round" #2): the reference's
+    * `<->` ORDER BY LIMIT 100 is UNBOUNDED nearest-100
+    * (`etl_lalf_road_qrt_spatial_match.py:83-84`) — a probe with no
+    * candidate within R still matches its nearest same-name road. The
+    * exact rewrite is an EXPANDING-RING driver loop: each pass re-grids
+    * both sides at cell size r (probe explodes to its 3×3 neighborhood,
+    * so every candidate within distance r is seen), and a probe is
+    * provably FINAL when either
+    *   (a) a same-name candidate ranks ≤ K within r — ranks within r are
+    *       a PREFIX of the global distance ranking (every candidate
+    *       inside r precedes every candidate outside), so the rank and
+    *       d2 emitted are already the unbounded-join answer; or
+    *   (b) ≥ K candidates lie within r and none of the first K matched —
+    *       the unbounded top-K is fully inside r, so "no match" is final.
+    * Only the residue re-runs at r×2; the loop is bounded by
+    * log₂(plane/R) ≈ 5 passes, each a cell-keyed equi-join (never a
+    * cross join), and the residue shrinks geometrically — at 100 TB each
+    * pass shuffles only undecided probes. localCheckpoint cuts lineage
+    * across passes (the J12 lesson). */
+  private def knnFull(s: SparkSession, dir: String): DataFrame = {
+    val cands = candPoints(s, dir)
+    // sqrt(200) ≈ 14.15 bounds any distance on the [0,10)² plane: a pass
+    // at r ≥ 15 sees every candidate, so every probe decides.
+    val GlobalR = 15.0
+    var r = CellSize
+    var residue = queryPoints(s, dir).localCheckpoint()
+    var out: DataFrame = null
+    var residueCount = residue.count()
+    while (residueCount > 0) {
+      val global = r >= GlobalR
+      val q = residue
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("cellX", floor(col("qx") / r).cast("long") + col("dx"))
+        .withColumn("cellY", floor(col("qy") / r).cast("long") + col("dy"))
+      val c = cands
+        .withColumn("cellX", floor(col("cx") / r).cast("long"))
+        .withColumn("cellY", floor(col("cy") / r).cast("long"))
+      val pairs = q.join(c, Seq("cellX", "cellY"))
+        .withColumn("d2", dist2(col("qx"), col("qy"), col("cx"), col("cy")))
+        .filter(if (global) lit(true) else col("d2") <= lit(r * r))
+      val byDist = Window.partitionBy(col("qid"))
+        .orderBy(col("d2"), col("cid"))
+      val ranked = pairs.withColumn("rk", row_number().over(byDist))
+      val best = ranked
+        .filter(col("rk") <= K && col("qname") === col("cname"))
+        .withColumn("best", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rk"))))
+        .filter(col("best") === 1)
+        .select(col("qid"), col("cid"), col("d2"), col("rk"))
+        .localCheckpoint()
+      out = if (out == null) best else out.unionByName(best)
+      if (global) residueCount = 0
+      else {
+        val decided = best.select(col("qid")).unionByName(
+          ranked.groupBy(col("qid")).agg(count(lit(1)).as("nc"))
+            .filter(col("nc") >= K).select(col("qid"))).distinct()
+        residue = residue.join(decided, Seq("qid"), "left_anti")
+          .localCheckpoint()
+        residueCount = residue.count()
+        r *= 2
+      }
+    }
+    out
+      .select(col("qid").as("c_custkey"), col("cid").as("s_suppkey"),
+        col("d2"), col("rk").as("dist_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Rectangles ("postcode polygons") synthesized from nation keys. */
   private def rects(s: SparkSession, dir: String): DataFrame =
     Tables.nation(s, dir).select(
@@ -151,6 +220,7 @@ object SpatialQueries extends QueryCatalog {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
+    "q_join_knn_full" -> ((s, dir) => knnFull(s, dir)),
     "q_join_spatial_contains" -> ((s, dir) => contains(s, dir)),
     "q_join_multiway_spatial" -> ((s, dir) => multiwaySpatial(s, dir))
   )
@@ -177,6 +247,37 @@ object SpatialQueries extends QueryCatalog {
          |    (qx-cx)*(qx-cx) + (qy-cy)*(qy-cy) AS d2
          |  FROM q JOIN c
          |    ON (qx-cx)*(qx-cx) + (qy-cy)*(qy-cy) <= $R2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+         |  FROM pairs),
+         |matched AS (
+         |  SELECT * FROM ranked WHERE rk <= $K AND qname = cname),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rk) AS brk
+         |  FROM matched)
+         |SELECT qid AS c_custkey, cid AS s_suppkey, d2, rk AS dist_rank
+         |FROM best WHERE brk = 1 ORDER BY c_custkey""".stripMargin,
+    // Unbounded nearest-100 (no d2 bound) — DuckDB replays the reference's
+    // `<->` LIMIT semantics directly with a cross join (fine at oracle
+    // scale); the Spark side must reproduce it from the expanding-ring
+    // plan, proving the ring bound never changes the answer.
+    "q_join_knn_full" ->
+      s"""WITH q AS (
+         |  SELECT c_custkey AS qid,
+         |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 AS qx,
+         |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 AS qy,
+         |    'N' || CAST(c_custkey % 7 AS VARCHAR) AS qname
+         |  FROM customer),
+         |c AS (
+         |  SELECT s_suppkey AS cid,
+         |    CAST((s_suppkey * 7919) % 1000 AS DOUBLE) / 100.0 AS cx,
+         |    CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 100.0 AS cy,
+         |    'N' || CAST(s_suppkey % 7 AS VARCHAR) AS cname
+         |  FROM supplier),
+         |pairs AS (
+         |  SELECT qid, cid, qname, cname,
+         |    (qx-cx)*(qx-cx) + (qy-cy)*(qy-cy) AS d2
+         |  FROM q CROSS JOIN c),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
          |  FROM pairs),

@@ -13,7 +13,49 @@ import graft.streaming.EventPipelines
   */
 object StreamingQueries extends QueryCatalog {
 
+  /** Per-session ledger root (applicationId-scoped like every sink path
+    * in this repo — concurrent runs must not share state). */
+  private def tmp(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+      s"${s.sparkContext.applicationId}/$name"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Resumable incremental batch (VERDICT r2 "Next round" #5) — the
+    // batch twin of the reference's tri-state `qrt_found` resume pattern
+    // (`etl_lalf_road_qrt_spatial_match.py:96-112`, etl-notes.md:229-236):
+    // every run anti-joins the input against a persisted processed-keys
+    // ledger and handles only the residue, so a crash-and-rerun never
+    // reprocesses and a no-new-data rerun processes ZERO rows. Three runs
+    // are encoded in one result row: the initial backfill (pre-cutoff),
+    // the resume (the rest), and the idempotent third pass (must be 0).
+    // localCheckpoint pins each run's result BEFORE the ledger append
+    // that follows it — with lazy evaluation the later ledger state would
+    // otherwise leak back into the earlier anti-join.
+    "q_incremental_resume" -> ((s, dir) => {
+      val ledger = tmp(s, "processed_ledger")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+
+      // Run 1: initial incremental load — everything before the cutoff.
+      val run1 = ev.filter(col("ts") < cutoff).localCheckpoint()
+      run1.select(col("event_id")).write.mode("overwrite").parquet(ledger)
+
+      // Run 2: resume — anti-join the FULL input against the ledger;
+      // only the post-cutoff residue survives. Ledger keys broadcast-free:
+      // both sides hash on event_id (at 100 TB the ledger is fact-sized).
+      val run2 = ev.join(s.read.parquet(ledger), Seq("event_id"),
+        "left_anti").localCheckpoint()
+      run2.select(col("event_id")).write.mode("append").parquet(ledger)
+
+      // Run 3: nothing new — the anti-join must yield zero rows.
+      val run3 = ev.join(s.read.parquet(ledger), Seq("event_id"),
+        "left_anti").localCheckpoint()
+
+      run1.agg(count(lit(1)).as("n_first"))
+        .crossJoin(run2.agg(count(lit(1)).as("n_resumed")))
+        .crossJoin(run3.agg(count(lit(1)).as("n_second_pass")))
+    }),
+
     // Tumbling 1-day window aggregation (watermark is a no-op in batch).
     "q_stream_window_daily" -> ((s, dir) =>
       EventPipelines.windowedCounts(Tables.events(s, dir))
@@ -37,6 +79,14 @@ object StreamingQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_incremental_resume" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM events
+        |     WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS n_first,
+        |  (SELECT COUNT(*) FROM events) -
+        |  (SELECT COUNT(*) FROM events
+        |     WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS n_resumed,
+        |  CAST(0 AS BIGINT) AS n_second_pass""".stripMargin,
     "q_stream_window_daily" ->
       """SELECT epoch_ms(date_trunc('day', ts)) AS window_ms, event_type,
         |  COUNT(*) AS n,

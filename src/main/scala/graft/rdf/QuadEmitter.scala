@@ -207,4 +207,127 @@ object QuadEmitter {
     * leaving exactly the `<s> <p> o .` triple line. */
   def renderNTriples(quads: DataFrame): DataFrame =
     renderNQuads(quads.withColumn("graph", lit(null).cast("string")))
+
+  /** Default prefix table for Turtle compaction (the reference's
+    * namespace bindings, `cam/etl/namespaces.py:5-17`, all public W3C /
+    * schema.org IRIs). Order matters: longer namespaces first so the most
+    * specific prefix wins. */
+  val DefaultPrefixes: Seq[(String, String)] = Seq(
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "sdo" -> "https://schema.org/",
+    "time" -> "http://www.w3.org/2006/time#")
+
+  /** `pfx:local` if the IRI is `ns + simple-local-part`, else `<iri>`.
+    * Only a conservative local-name shape compacts (letters, digits,
+    * `_.-`) — anything with further `/ # :` stays a full IRI reference,
+    * which is always valid Turtle. */
+  private def compactIri(c: Column,
+      prefixes: Seq[(String, String)]): Column =
+    prefixes.foldLeft(None: Option[Column]) { case (acc, (p, ns)) =>
+      val hit = c.startsWith(ns) &&
+        substring_index(c, ns, -1).rlike("^[A-Za-z][A-Za-z0-9_.-]*$")
+      val compacted = concat(lit(p + ":"), substring_index(c, ns, -1))
+      Some(acc.fold(when(hit, compacted))(w => w.when(hit, compacted)))
+    }.get.otherwise(concat(lit("<"), c, lit(">")))
+
+  /** Pretty-printed Turtle (S9 — the reference's vocab-merge output,
+    * `run.py:6-16`, `cam/transform.py:116-119`): one predicate-grouped
+    * block per subject,
+    * {{{
+    * <s> p1 o1 ;
+    *   p2 o2 .
+    * }}}
+    * with prefix-compacted IRIs. Deterministic: predicates/objects sort
+    * inside each block (`sort_array` on the collected structs), blocks
+    * sort by subject. The group-and-render is ONE shuffle keyed by
+    * subject — Turtle pretty-printing is inherently a per-subject
+    * aggregation, and this is its map-side-combinable Spark shape.
+    * Returns one row per subject block (multi-line `value`), header not
+    * included — see [[turtleHeader]] / [[writeTurtle]]. */
+  def renderTurtleBlocks(quads: DataFrame,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): DataFrame = {
+    val v = col("objectValue")
+    val escaped =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(v, "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    val objectTerm = when(col("objectKind") === graft.model.TermKind.Iri,
+        compactIri(v, prefixes))
+      .when(col("objectKind") === graft.model.TermKind.BNode,
+        concat(lit("_:"), v))
+      .otherwise(
+        concat(lit("\""), escaped, lit("\""),
+          when(col("lang").isNotNull, concat(lit("@"), col("lang")))
+            .when(col("datatype").isNotNull,
+              concat(lit("^^"), compactIri(col("datatype"), prefixes)))
+            .otherwise(lit(""))))
+    val subjectTerm =
+      if (quads.columns.contains("subjectKind"))
+        when(col("subjectKind") === graft.model.TermKind.BNode,
+          concat(lit("_:"), col("subject")))
+          .otherwise(compactIri(col("subject"), prefixes))
+      else compactIri(col("subject"), prefixes)
+    val predTerm = when(
+        col("predicate") === "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        lit("a")) // the Turtle keyword for rdf:type
+      .otherwise(compactIri(col("predicate"), prefixes))
+    quads
+      .select(subjectTerm.as("st"),
+        struct(predTerm.as("p"), objectTerm.as("o")).as("po"))
+      .groupBy(col("st"))
+      .agg(sort_array(collect_list(col("po"))).as("pos"))
+      .select(concat(
+        col("st"), lit(" "),
+        array_join(transform(col("pos"),
+          x => concat(x.getField("p"), lit(" "), x.getField("o"))),
+          " ;\n  "),
+        lit(" .")).as("value"))
+  }
+
+  /** The `@prefix` header lines for a prefix table. */
+  def turtleHeader(prefixes: Seq[(String, String)] = DefaultPrefixes): Seq[String] =
+    prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }
+
+  /** Single-document Turtle sink. Turtle is the reference's SMALL-data
+    * format (compounded vocabs, `run.py:6-16`) — one readable file is the
+    * contract, so the sink sorts blocks and coalesces to one partition;
+    * the 100 TB serialization path is [[writeNQuadsByGraph]]. */
+  def writeTurtle(quads: DataFrame, path: String,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): Unit = {
+    val s = quads.sparkSession
+    import s.implicits._
+    val header = turtleHeader(prefixes).toDS().toDF("value")
+      .withColumn("ord", lit(0))
+    header.unionByName(
+        renderTurtleBlocks(quads, prefixes).withColumn("ord", lit(1)))
+      .orderBy(col("ord"), col("value"))
+      .select(col("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** DESCRIBE verb (`cam/graphdb.py:60-71`, `cam/web/app.py:70-75`) as a
+    * concise bounded description: every quad whose subject is `iri`, plus
+    * the quads of blank nodes it points at (the reference's part groups
+    * travel with their owner — a bnode label is meaningless without them).
+    * The bnode hop is a self-join on the quad relation keyed by label;
+    * with the quad set partitioned/bucketed by subject this is the
+    * serving-path point lookup. */
+  def describe(quads: DataFrame, iri: String): DataFrame = {
+    val subjectKind: Column =
+      if (quads.columns.contains("subjectKind")) col("subjectKind")
+      else lit(graft.model.TermKind.Iri)
+    val direct = quads.filter(col("subject") === iri &&
+      subjectKind === graft.model.TermKind.Iri)
+    val bnodeLabels = direct
+      .filter(col("objectKind") === graft.model.TermKind.BNode)
+      .select(col("objectValue").as("bn_label")).distinct()
+    val hop = quads
+      .filter(subjectKind === graft.model.TermKind.BNode)
+      .join(broadcast(bnodeLabels), col("subject") === col("bn_label"))
+      .drop("bn_label")
+    direct.unionByName(hop)
+  }
 }
