@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val d = args.map(a => Cast(a, DoubleType): Expression)
         HaversineKm(d(0), d(1), d(2), d(3))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      DotProduct.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
   }
 }

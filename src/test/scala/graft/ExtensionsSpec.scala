@@ -39,6 +39,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(viaSql(0) - 157.25) < 0.1)
   }
 
+  test("graft_dot matches the HOF zip_with/aggregate chain bit-for-bit") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1.0f, 2.5f, -3.25f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val hof =
+      """aggregate(zip_with(a, b, (x, y) ->
+        |  cast(x as double) * cast(y as double)),
+        |cast(0 as double), (acc, v) -> acc + v)""".stripMargin
+    val both = rows
+      .select(expr("graft_dot(a, b)").as("native"), expr(hof).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // unequal lengths: both formulations yield null
+    val odd = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val r = odd.select(expr("graft_dot(a, b)").as("native"), expr(hof).as("hof"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("radius theta-join is rewritten to a grid-bucketed equi-join") {
     import spark.implicits._
     val a = (1 to 200).map(i => (i.toLong, (i % 20) / 2.0, (i % 10) / 2.0))
