@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized text-deduplication building blocks (the library surface
+  * behind the gated `q_dedup_*` catalog; VERDICT r2 watch item: the
+  * corpus-tuned constants are PARAMETERS here, the catalog pins them for
+  * its oracles).
+  *
+  * All sketches are md5-derived so any SQL engine can replay them
+  * exactly (the DuckDB oracle does); all join keys produced here are
+  * `coalesce`-wrapped non-nullable so join-inferred `isnotnull`
+  * constraints fold away instead of inlining sketch expressions into
+  * scan filters (PERF.md #2).
+  *
+  * Scale contract: every candidate generator is a bucketed equi-join —
+  * bucket/band keys are the shuffle keys, candidate generation is linear
+  * in corpus × bands, and pair joins should go through
+  * [[graft.queries.PairJoins]] (bucket-size decision rule in its
+  * scaladoc).
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingle set per document.
+    * @param n shingle width in words (reference default 3) */
+  def wordShingles(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3): DataFrame =
+    docs
+      .select(id.as("doc_id"), split(trim(text), "\\s+").as("ws"))
+      .repartition(col("doc_id")) // spread HOF sketch work off the scan
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("ws"), i + k)): _*)))
+        .as("shingles"))
+
+  /** Distinct character n-gram set per document over normalized text.
+    * @param n gram width in characters (default 5) */
+  def charGrams(docs: DataFrame, id: Column, text: Column,
+      n: Int = 5): DataFrame =
+    docs
+      .select(id.as("doc_id"),
+        lower(graft.functions.GraftFunctions.normalizeWs(text)).as("t"))
+      .repartition(col("doc_id"))
+      .filter(length(col("t")) >= n)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, length(t) - ${n - 1}), " +
+          s"i -> substring(t, i, $n)))").as("grams"))
+
+  /** Four 32-bit slice-minima from one md5 array — slices of one digest
+    * act as independent 32-bit hash functions at a quarter of the
+    * hashing cost. Slices must stay ≥32 bits (PERF.md #7: 16-bit slices
+    * collide far above the Jaccard rate and explode LSH buckets). */
+  private[graft] def sliceMins(md5s: Column): Column =
+    transform(sequence(lit(0), lit(3)),
+      h => array_min(transform(md5s, m => m.substr(h * 8 + 1, lit(8)))))
+
+  /** MinHash signature over a token-set column: `4 * seeds` 32-bit
+    * components from `seeds` md5 digests per token (seed s prefixes the
+    * token with a distinct salt).
+    * @param seeds digests per token; signature width = 4×seeds */
+  def minhashSignature(tokens: Column, seeds: Int = 2): Column = {
+    val salts = Seq("", "x", "y", "z").take(seeds)
+    concat(salts.map { s =>
+      val hashed =
+        if (s.isEmpty) transform(tokens, t => md5(t))
+        else transform(tokens, t => md5(concat(lit(s), t)))
+      sliceMins(hashed)
+    }: _*)
+  }
+
+  /** LSH banding of a signature: one (band, band_key) row per band, the
+    * candidate-join shuffle key. `rowsPerBand` signature components hash
+    * into each band key; bands × rowsPerBand must equal the signature
+    * width. Near-dup probability per band = J^rowsPerBand. */
+  def lshBands(sig: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame =
+    sig
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(col("doc_id"), col("band"),
+        coalesce(md5(concat_ws("",
+          (1 to rowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * rowsPerBand + r)): _*)),
+          lit("")).as("band_key"))
+
+  /** SimHash sketch over a token-set column: bit i = majority vote of
+    * md5-nibble-i high bits (md5 has exactly 32 nibbles → 32 bits). */
+  def simhash(tokensCol: String): Column =
+    coalesce(expr(
+      s"""aggregate(
+         |  transform(sequence(0, 31), i ->
+         |    IF(2 * size(filter(transform($tokensCol, t -> md5(t)), m ->
+         |         substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
+         |       > size($tokensCol),
+         |       shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin), lit(0L))
+
+  /** Exact Jaccard between two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

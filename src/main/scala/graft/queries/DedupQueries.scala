@@ -29,106 +29,45 @@ import graft.functions.GraftFunctions._
   */
 object DedupQueries extends QueryCatalog {
 
-  /** doc_id + distinct word-3-gram shingle set.
-    *
-    * The repartition sits BELOW the shingle/sketch projections: the
-    * testdata parquet is a single split, and without the exchange every
-    * downstream higher-order-function sketch (thousands of md5 calls per
-    * document) would evaluate inside the one-task scan stage. */
+  // The sketch machinery lives in graft.operators.TextDedup as
+  // PARAMETERIZED library functions (shingle width, seeds, bands, rows
+  // per band — VERDICT r2 watch item); this catalog pins the corpus
+  // defaults its DuckDB oracles replay. Planning-cost and
+  // constraint-pushdown lessons (flat per-array transforms, coalesce-
+  // wrapped keys) are documented there and in PERF.md #2/#8.
+  import graft.operators.TextDedup
+
+  /** doc_id + distinct word-3-gram shingle set. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .repartition(col("doc_id"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("ws")) - 2),
-          i => concat_ws(" ",
-            element_at(col("ws"), i),
-            element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2)))).as("shingles"))
+    TextDedup.wordShingles(Tables.documents(s, dir),
+      col("doc_id"), col("text"), n = 3)
 
-  /** Four 32-bit slice-minima from one md5 array: components i of the
-    * signature, `min over docs' hashes of substring(m, 8i+1, 8)`.
-    *
-    * Expressed as a FLAT `transform(sequence(0,3))` per source array and
-    * concatenated — never as one transform over 0..N with a nested
-    * `IF(h<4, ..., IF(h<8, ...))` selector. Catalyst's `If.dataTypeCheck`
-    * recomputes child `dataType`s without memoization, so nested-IF
-    * selectors inside HOF lambdas made ANALYSIS (driver-side, single
-    * threaded) the bottleneck: 8-17 s of planning per action on the
-    * 16-component sketch while all 32 executor threads sat parked
-    * (round-4 jstack sampling). Same values, ~flat analysis cost. */
-  private def sliceMins(md5s: Column): Column =
-    transform(sequence(lit(0), lit(3)),
-      h => array_min(transform(md5s, m => m.substr(h * 8 + 1, lit(8)))))
-
-  /** 8-element MinHash signature from TWO md5s per shingle: component h
-    * is the lexicographic min over shingles of an 8-hex (32-bit) slice.
-    * md5's 128 bits are independent, so slices act as independent hash
-    * functions at a quarter of the hashing cost. Slices must stay ≥32
-    * bits: with 16-bit slices the min of ~450 hashes concentrates near
-    * zero and unrelated documents collide per component far above their
-    * Jaccard rate, exploding the LSH buckets (observed 2.7s → 24s). */
+  /** 8-component MinHash signature (2 md5 seeds × 4 slices). */
   private[queries] def minhashed(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
-      .withColumn("md5a", transform(col("shingles"), sh => md5(sh)))
-      .withColumn("md5b",
-        transform(col("shingles"), sh => md5(concat(lit("x"), sh))))
-      .withColumn("sig",
-        concat(sliceMins(col("md5a")), sliceMins(col("md5b"))))
-      .drop("md5a", "md5b")
+    shingled(s, dir).withColumn("sig",
+      TextDedup.minhashSignature(col("shingles"), seeds = 2))
 
-  /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets.
-    *
-    * `band_key` (like every sketch-derived JOIN KEY in this file) is
-    * wrapped in `coalesce(..., constant)` to make it non-nullable:
-    * otherwise the join's inferred `isnotnull(key)` constraint is pushed
-    * below the repartition exchange, inlining the whole sketch expression
-    * (with `ws` substituted back to `split(text)` PER REFERENCE) into the
-    * single-task scan filter — observed as ~100M regex splits on one core
-    * at sf0.1. With a non-nullable key the constraint folds to true. */
+  /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets. */
   private def minhashBuckets(s: SparkSession, dir: String): DataFrame =
-    minhashed(s, dir)
-      .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .select(col("doc_id"), col("band"),
-        coalesce(md5(concat(element_at(col("sig"), col("band") * 2 + 1),
-          element_at(col("sig"), col("band") * 2 + 2))), lit(""))
-          .as("band_key"))
+    TextDedup.lshBands(minhashed(s, dir), bands = 4, rowsPerBand = 2)
 
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    TextDedup.jaccard(a, b)
 
   /** Skew-proof pair-join salting — see [[PairJoins.salted]]. */
   private def salted(df: DataFrame): (DataFrame, DataFrame) =
     PairJoins.salted(df, col("doc_id"))
 
-  /** 32-bit SimHash from the shingle set: one md5 per shingle, bit i of
-    * the sketch = majority vote of hex-nibble-i high bits (md5 has
-    * exactly 32 nibbles). */
+  /** 32-bit SimHash over the shingle set. */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
-      .withColumn("md5s", transform(col("shingles"), sh => md5(sh)))
-      // coalesce: non-nullable join key — see minhashBuckets.
-      .withColumn("simhash", coalesce(expr(
-        """aggregate(
-          |  transform(sequence(0, 31), i ->
-          |    IF(2 * size(filter(md5s, m ->
-          |         substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
-          |       > size(md5s),
-          |       shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin), lit(0L)))
+      .withColumn("simhash", TextDedup.simhash("shingles"))
       .select(col("doc_id"), col("simhash"))
 
   /** Normalized text + distinct character 5-gram set. */
   private def charGrams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        lower(normalizeWs(col("text"))).as("t"))
-      .repartition(col("doc_id"))
-      .filter(length(col("t")) >= 5)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))")
-        .as("grams"))
+    TextDedup.charGrams(Tables.documents(s, dir),
+      col("doc_id"), col("text"), n = 5)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via hash-groupBy on a prefix fingerprint (first 8
@@ -231,24 +170,12 @@ object DedupQueries extends QueryCatalog {
           coalesce(array_min(transform(col("grams"), x => md5(x))), lit("")))
         .withColumn("sz", coalesce(size(col("grams")), lit(0)))
         // 16-component MinHash sketch for the cheap agreement filter —
-        // four md5s per gram sliced into 8-hex (32-bit) components:
-        // independent bits at a quarter of 16 separate md5s, and wide
-        // enough that component collisions stay at the Jaccard rate (see
-        // minhashed for the 16-bit-slice failure mode). Flat per-array
-        // transforms, concatenated — see sliceMins for why a nested-IF
-        // component selector is a driver-side analysis killer.
-        .withColumn("md5a", transform(col("grams"), x => md5(x)))
-        .withColumn("md5b",
-          transform(col("grams"), x => md5(concat(lit("x"), x))))
-        .withColumn("md5c",
-          transform(col("grams"), x => md5(concat(lit("y"), x))))
-        .withColumn("md5d",
-          transform(col("grams"), x => md5(concat(lit("z"), x))))
+        // four md5 seeds per gram sliced into 8-hex (32-bit) components
+        // (TextDedup.minhashSignature; slice-width and flat-transform
+        // rationale in its scaladoc / PERF.md #7-8).
         .withColumn("sig", coalesce(
-          concat(sliceMins(col("md5a")), sliceMins(col("md5b")),
-            sliceMins(col("md5c")), sliceMins(col("md5d"))),
+          graft.operators.TextDedup.minhashSignature(col("grams"), seeds = 4),
           array()))
-        .drop("md5a", "md5b", "md5c", "md5d")
       // Three-stage candidate pruning, all inside the join condition so
       // pairs die before the O(|A|+|B|) exact intersect:
       //  1. size ratio — J >= 0.6 implies min/max >= 3/5, integer-exact,

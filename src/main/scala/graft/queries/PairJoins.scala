@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   * and exactly once in [[probeSpread]] — no duplicates, no misses.
   */
 private[queries] object PairJoins {
+  /** Default salt count ≈ cores per skewed bucket's pair work; a
+    * parameter (VERDICT r2 watch item), sized so B²/2 pair generation
+    * for the biggest expected bucket spreads to ~R tasks. */
   val SaltR = 32
 
-  def salted(df: DataFrame, key: Column): (DataFrame, DataFrame) = (
-    df.withColumn("salt", pmod(key, lit(SaltR.toLong))),
-    df.withColumn("salt", explode(sequence(lit(0L), lit(SaltR - 1L)))))
+  def salted(df: DataFrame, key: Column,
+      r: Int = SaltR): (DataFrame, DataFrame) = (
+    df.withColumn("salt", pmod(key, lit(r.toLong))),
+    df.withColumn("salt", explode(sequence(lit(0L), lit(r - 1L)))))
 
   def probeSpread(df: DataFrame, key: Column): (DataFrame, DataFrame) =
     (df.repartition(key), df)
