@@ -39,7 +39,8 @@ object Bench {
     // minutes apart, round 4) — a single timed pass can misreport a
     // query by 10×. The min of N is the standard steal-resistant
     // estimator of the query's actual cost.
-    val nTimed = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nTimed =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = names.map { name =>
       if (errors.contains(name)) name -> -1.0
       else {

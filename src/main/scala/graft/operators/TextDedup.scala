@@ -60,8 +60,12 @@ object TextDedup {
   /** MinHash signature over a token-set column: `4 * seeds` 32-bit
     * components from `seeds` md5 digests per token (seed s prefixes the
     * token with a distinct salt).
-    * @param seeds digests per token; signature width = 4×seeds */
+    * @param seeds digests per token, 1..4 (enforced — a silent cap would
+    *              hand the caller a narrower signature than requested);
+    *              signature width = 4×seeds, so up to 16 components */
   def minhashSignature(tokens: Column, seeds: Int = 2): Column = {
+    require(seeds >= 1 && seeds <= 4,
+      s"seeds must be in 1..4 (got $seeds); signature width is 4*seeds")
     val salts = Seq("", "x", "y", "z").take(seeds)
     concat(salts.map { s =>
       val hashed =
@@ -74,16 +78,25 @@ object TextDedup {
   /** LSH banding of a signature: one (band, band_key) row per band, the
     * candidate-join shuffle key. `rowsPerBand` signature components hash
     * into each band key; bands × rowsPerBand must equal the signature
-    * width. Near-dup probability per band = J^rowsPerBand. */
+    * width (not statically checkable against a Column — enforced at
+    * runtime by null poisoning: `concat`, unlike `concat_ws`, nulls the
+    * key when a component index reads past the signature, and the
+    * fallback key is UNIQUE PER DOC, so a mis-sized banding yields zero
+    * candidate pairs — conspicuous — instead of silently-wrong band
+    * statistics). Near-dup probability per band = J^rowsPerBand. */
   def lshBands(sig: DataFrame, bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame =
+      rowsPerBand: Int = 2): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1 (got $bands/$rowsPerBand)")
     sig
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .select(col("doc_id"), col("band"),
-        coalesce(md5(concat_ws("",
+        coalesce(md5(concat(
           (1 to rowsPerBand).map(r =>
             element_at(col("sig"), col("band") * rowsPerBand + r)): _*)),
-          lit("")).as("band_key"))
+          concat(lit("invalid-"), col("doc_id").cast("string")))
+          .as("band_key"))
+  }
 
   /** SimHash sketch over a token-set column: bit i = majority vote of
     * md5-nibble-i high bits (md5 has exactly 32 nibbles → 32 bits). */

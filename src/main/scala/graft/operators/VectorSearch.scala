@@ -48,9 +48,19 @@ object VectorSearch {
   /** Random-hyperplane sign-LSH bucket id: bit b = sign of the dot with
     * hyperplane b. More bits → smaller buckets (2^bits of them); pair
     * that with multi-probe at higher corpus sizes.
-    * @param bits signature width (default 4 → 16 buckets) */
-  def signLshBucketSql(e: String, bits: Int = 4, dim: Int = 64): String =
-    (0 until bits)
+    *
+    * The hyperplanes are `dim`-long literals, so a vector of any OTHER
+    * length gets a NULL bucket (graft_dot nulls on length mismatch and
+    * the explicit size gate keeps it null rather than letting
+    * `IF(null > 0, …, 0)` default every bit to 0) — a mis-declared dim
+    * surfaces as null buckets instead of silently collapsing the whole
+    * corpus into bucket 0 and turning the LSH join quadratic.
+    * @param bits signature width (default 4 → 16 buckets)
+    * @param dim  vector dimensionality; must match the data */
+  def signLshBucketSql(e: String, bits: Int = 4, dim: Int = 64): String = {
+    val bucket = (0 until bits)
       .map(b => s"IF(graft_dot($e, ${hyperplaneSql(b, dim)}) > 0, ${1 << b}, 0)")
       .mkString("(", " + ", ")")
+    s"IF(size($e) = $dim, $bucket, CAST(NULL AS INT))"
+  }
 }

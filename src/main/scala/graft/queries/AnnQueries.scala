@@ -95,15 +95,19 @@ object AnnQueries extends QueryCatalog {
     // DETERMINISTIC coarse quantizer (every CM-th vector is a centroid)
     // instead of k-means so a DuckDB oracle can replay it exactly:
     //   1. assign: every corpus vector joins the broadcast centroid set
-    //      and keeps its nearest centroid → the inverted list id. At
-    //      N=corpus, C=√N centroids this is the classic N×C assignment
-    //      cost, embarrassingly parallel, no shuffle (broadcast).
+    //      and keeps its nearest centroid → the inverted list id. The
+    //      centroid modulus is CM = ⌈√N⌉, giving C ≈ √N centroids — the
+    //      classic IVF balance point — so the broadcast stays √N-sized
+    //      (a few MB even at billions of vectors, never O(N)) and the
+    //      assignment cost is the standard N×√N, embarrassingly
+    //      parallel, no shuffle.
     //   2. probe: each query keeps its nprobe=2 nearest centroids.
     //   3. search: probe list ids equi-join the inverted lists — the
-    //      list id is the shuffle key; only ~nprobe/C of the corpus is
+    //      list id is the shuffle key; only ~nprobe/√N of the corpus is
     //      touched per query instead of all of it.
     "q_ann_ivf_topk" -> ((s, dir) => {
-      val CM = 25 // centroid modulus: ~1/25 of the corpus quantizes it
+      val n = Tables.embeddings(s, dir).count()
+      val CM = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
       val NProbe = 2
       val v = vectors(s, dir)
       val cents = broadcast(v.filter(col("vec_id") % CM === 1)
@@ -211,7 +215,8 @@ object AnnQueries extends QueryCatalog {
     "q_ann_ivf_topk" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id % 25 = 1),
+         |  WHERE vec_id % CAST(ceil(sqrt(
+         |    (SELECT COUNT(*) FROM embeddings))) AS BIGINT) = 1),
          |assign AS (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id

@@ -38,6 +38,12 @@ private[queries] object PairJoins {
     df.withColumn("salt", pmod(key, lit(r.toLong))),
     df.withColumn("salt", explode(sequence(lit(0L), lit(r - 1L)))))
 
+  /** The build side is broadcast EXPLICITLY: the mechanism's whole point
+    * is that pair generation happens map-side on the key-spread probe —
+    * if the planner fell back to a sort-merge join it would re-shuffle
+    * both sides by bucket key and waste the probe repartition entirely.
+    * Beyond broadcast size, don't use probeSpread at all: tiny buckets
+    * mean a plain bucket-keyed shuffle join has no compute skew to fix. */
   def probeSpread(df: DataFrame, key: Column): (DataFrame, DataFrame) =
-    (df.repartition(key), df)
+    (df.repartition(key), broadcast(df))
 }

@@ -114,7 +114,10 @@ object SpatialQueries extends QueryCatalog {
     val GlobalR = 15.0
     var r = CellSize
     var residue = queryPoints(s, dir).localCheckpoint()
-    var out: DataFrame = null
+    // Empty-but-typed accumulator: an empty probe set must yield an empty
+    // result, not an NPE from a never-assigned accumulator.
+    var out: DataFrame = residue.select(col("qid"), col("qid").as("cid"),
+      lit(0.0).as("d2"), lit(0).as("rk")).filter(lit(false))
     var residueCount = residue.count()
     while (residueCount > 0) {
       val global = r >= GlobalR
@@ -139,7 +142,7 @@ object SpatialQueries extends QueryCatalog {
         .filter(col("best") === 1)
         .select(col("qid"), col("cid"), col("d2"), col("rk"))
         .localCheckpoint()
-      out = if (out == null) best else out.unionByName(best)
+      out = out.unionByName(best)
       if (global) residueCount = 0
       else {
         val decided = best.select(col("qid")).unionByName(

@@ -220,15 +220,21 @@ object QuadEmitter {
     "time" -> "http://www.w3.org/2006/time#")
 
   /** `pfx:local` if the IRI is `ns + simple-local-part`, else `<iri>`.
-    * Only a conservative local-name shape compacts (letters, digits,
-    * `_.-`) — anything with further `/ # :` stays a full IRI reference,
-    * which is always valid Turtle. */
+    * The local part is the text AFTER the leading namespace (a fixed-
+    * length substring — NOT substring_index, which splits on the LAST
+    * namespace occurrence and would mis-compact an IRI containing its
+    * namespace twice). Only a conservative local-name shape compacts:
+    * letters/digits/`_-` with interior dots but no trailing dot (Turtle
+    * PN_LOCAL may not end in `.` — the parser would eat it as the
+    * statement terminator). Everything else stays a full `<iri>`, which
+    * is always valid Turtle. */
   private def compactIri(c: Column,
       prefixes: Seq[(String, String)]): Column =
     prefixes.foldLeft(None: Option[Column]) { case (acc, (p, ns)) =>
+      val local = c.substr(lit(ns.length + 1), length(c) - ns.length)
       val hit = c.startsWith(ns) &&
-        substring_index(c, ns, -1).rlike("^[A-Za-z][A-Za-z0-9_.-]*$")
-      val compacted = concat(lit(p + ":"), substring_index(c, ns, -1))
+        local.rlike("^[A-Za-z]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$")
+      val compacted = concat(lit(p + ":"), local)
       Some(acc.fold(when(hit, compacted))(w => w.when(hit, compacted)))
     }.get.otherwise(concat(lit("<"), c, lit(">")))
 

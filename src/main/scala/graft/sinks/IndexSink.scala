@@ -22,7 +22,10 @@ object IndexSink {
     * serialized (the factory is). */
   trait IndexClient {
     def addDocuments(batch: Seq[String]): Unit
+    /** Commit: called only when every batch was delivered. */
     def close(): Unit = ()
+    /** Roll back a failed attempt; must not publish partial output. */
+    def abort(): Unit = ()
   }
 
   /** Shipped to executors; `open` runs task-side with the partition id. */
@@ -34,21 +37,36 @@ object IndexSink {
     * file under `runDir` — no shared mutable state, so the test proves
     * cluster-shape semantics. Each batch is recorded with a leading
     * `#<size>` marker line so chunking is observable after the fact.
-    * The writer truncates on open: a retried task overwrites its own
-    * partition file instead of duplicating documents (idempotent per
-    * partition, like a keyed upsert into a real index). */
+    * Idempotence under retries AND speculative/zombie attempts: each
+    * attempt writes an attempt-scoped temp file and atomically renames it
+    * over the partition file on close — last completed attempt wins
+    * whole, never torn/interleaved output (truncate-on-open alone only
+    * handles sequential retry). */
   final class FileIndexClientFactory(runDir: String) extends IndexClientFactory {
     def open(partitionId: Int): IndexClient = new IndexClient {
       private val dir = java.nio.file.Paths.get(runDir)
       java.nio.file.Files.createDirectories(dir)
+      private val attempt =
+        Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      private val tmp =
+        dir.resolve(f"part-$partitionId%05d.txt.attempt-$attempt%d.tmp")
+      private val fin = dir.resolve(f"part-$partitionId%05d.txt")
       private val out = java.nio.file.Files.newBufferedWriter(
-        dir.resolve(f"part-$partitionId%05d.txt"),
-        java.nio.charset.StandardCharsets.UTF_8)
+        tmp, java.nio.charset.StandardCharsets.UTF_8)
       def addDocuments(batch: Seq[String]): Unit = {
         out.write("#" + batch.size + "\n")
         batch.foreach { d => out.write(d); out.write("\n") }
       }
-      override def close(): Unit = out.close()
+      override def close(): Unit = {
+        out.close()
+        java.nio.file.Files.move(tmp, fin,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      override def abort(): Unit = {
+        out.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
   }
 
@@ -58,8 +76,11 @@ object IndexSink {
   def write(df: DataFrame, factory: IndexClientFactory, chunkSize: Int): Unit =
     df.foreachPartition { rows: Iterator[Row] =>
       val client = factory.open(TaskContext.getPartitionId())
-      try rows.map(_.getString(0)).grouped(chunkSize)
-        .foreach(g => client.addDocuments(g))
-      finally client.close()
+      var ok = false
+      try {
+        rows.map(_.getString(0)).grouped(chunkSize)
+          .foreach(g => client.addDocuments(g))
+        ok = true
+      } finally if (ok) client.close() else client.abort()
     }
 }
