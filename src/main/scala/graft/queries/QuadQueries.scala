@@ -479,10 +479,12 @@ object QuadQueries extends QueryCatalog {
 
     // S9 Turtle pretty-print sink (`run.py:6-16`, `cam/transform.py:
     // 116-119`): vocab-graph quads rendered as predicate-grouped,
-    // prefix-compacted Turtle, written as one document and read back.
-    // Rows-only by design (Turtle grouping has no tractable SQL twin);
-    // serialization fidelity is covered by QuadEmitterSpec's
-    // render→parse→same-quad-set round-trip.
+    // prefix-compacted Turtle, written as one document and read back as
+    // LINES — the oracle rebuilds the identical line set in SQL
+    // (@prefix header, `st p o ;` first lines, two-space continuations,
+    // ` .` terminators, sdo: compaction), so grouping, compaction and
+    // term syntax are all hash-gated; QuadEmitterSpec additionally
+    // round-trips render→parse→same-quad-set.
     "q_turtle_render" -> ((s, dir) => {
       val out = tmp(s, "vocab_ttl")
       QuadEmitter.writeTurtle(
@@ -593,6 +595,54 @@ object QuadQueries extends QueryCatalog {
       s"""$fullQuadsCte
          |SELECT $fullLineSql AS value FROM quads
          |WHERE graph = '$GraphG' ORDER BY value""".stripMargin,
+    // The Turtle doc as a LINE relation: term rendering + sdo: prefix
+    // compaction (mirroring QuadEmitter.compactIri's leading-namespace
+    // strip and local-name shape), predicate-grouped blocks via window
+    // functions — first line carries the subject, continuations indent
+    // two spaces, last line of a block ends " .", others " ;".
+    "q_turtle_render" -> {
+      val sdoNs = "https://schema.org/"
+      val localOk = "^[A-Za-z]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
+      def compact(c: String) =
+        s"""CASE WHEN $c LIKE '$sdoNs%' AND regexp_matches(
+           |    substring($c, ${sdoNs.length + 1}), '$localOk')
+           |  THEN 'sdo:' || substring($c, ${sdoNs.length + 1})
+           |  ELSE '<' || $c || '>' END""".stripMargin
+      val headerRows = QuadEmitter.DefaultPrefixes
+        .map { case (p, ns) => s"SELECT '@prefix $p: <$ns> .' AS value" }
+        .mkString("\nUNION ALL\n")
+      s"""$fullQuadsCte,
+         |g AS (SELECT * FROM quads WHERE graph = '$GraphG'),
+         |terms AS (
+         |  SELECT
+         |    CASE WHEN subjectKind = 'bnode' THEN '_:' || subject
+         |         ELSE ${compact("subject")} END AS st,
+         |    CASE WHEN predicate =
+         |        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' THEN 'a'
+         |         ELSE ${compact("predicate")} END AS pt,
+         |    CASE WHEN objectKind = 'iri' THEN ${compact("objectValue")}
+         |         WHEN objectKind = 'bnode' THEN '_:' || objectValue
+         |         ELSE '"' || ${escSql("objectValue")} || '"' ||
+         |           CASE WHEN lang IS NOT NULL THEN '@' || lang
+         |                WHEN datatype IS NOT NULL
+         |                  THEN '^^' || ${compact("datatype")}
+         |                ELSE '' END
+         |    END AS ot
+         |  FROM g),
+         |numbered AS (
+         |  SELECT st, pt, ot,
+         |    row_number() OVER (PARTITION BY st ORDER BY pt, ot) AS rn,
+         |    count(*) OVER (PARTITION BY st) AS cnt
+         |  FROM terms)
+         |SELECT value FROM (
+         |  $headerRows
+         |  UNION ALL
+         |  SELECT CASE WHEN rn = 1 THEN st || ' ' ELSE '  ' END
+         |    || pt || ' ' || ot
+         |    || CASE WHEN rn = cnt THEN ' .' ELSE ' ;' END AS value
+         |  FROM numbered)
+         |ORDER BY value""".stripMargin
+    },
     "q_describe_entity" ->
       s"""$fullQuadsCte
          |SELECT subject, subjectKind, predicate, objectValue, objectKind,
