@@ -55,6 +55,33 @@ object MultimodalQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // Batched per-partition decode through the TYPED Dataset surface
+    // (operators/Multimodal): documents → Dataset[MediaRecord] →
+    // mapPartitions in 64-record batches → Dataset[DecodedMedia] → a
+    // relational profile of the decoded output. The oracle replays the
+    // deterministic fake decoder in SQL, so the batch plumbing (encoder
+    // round-trip, grouped iteration, partition independence) is what the
+    // hash actually gates — a dropped/duplicated/reordered batch changes
+    // the profile.
+    "q_multimodal_batch_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{MediaRecord, Multimodal}
+      val media = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          encode(col("text"), "UTF-8").as("bin"),
+          (lit(64) + col("doc_id") % 192).cast("int").as("width"),
+          (lit(64) + (col("doc_id") * 7) % 192).cast("int").as("height"))
+        .repartition(col("doc_id")) // decode spreads across the cluster
+        .as[MediaRecord]
+      Multimodal.decodeBatched(media, batchSize = 64).toDF()
+        .select(col("doc_id"),
+          expr("aggregate(features, 0L, (a, x) -> a + x)").as("feat_sum"),
+          concat_ws("|", col("frames")).as("frame_digests"))
+        .filter(col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_components_roundtrip" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
       val nat = Tables.nation(s, dir)
@@ -101,6 +128,15 @@ object MultimodalQueries extends QueryCatalog {
         |  CAST(octet_length(bin) % 251 AS VARCHAR) || ',' ||
         |    CAST(ascii(substring(t, 1, 1)) AS VARCHAR) || ',' ||
         |    CAST(ascii(substring(t, length(t), 1)) AS VARCHAR) AS fake_features,
+        |  md5(substring(t, 1, 100)) || '|' || md5(substring(t, 101, 100))
+        |    || '|' || md5(substring(t, 201, 100)) AS frame_digests
+        |FROM d WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q_multimodal_batch_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(list_sum([ascii(substring(t, (i * 37) % length(t) + 1, 1))
+        |                 for i in range(0, 8)]) AS BIGINT) AS feat_sum,
         |  md5(substring(t, 1, 100)) || '|' || md5(substring(t, 101, 100))
         |    || '|' || md5(substring(t, 201, 100)) AS frame_digests
         |FROM d WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
