@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the DuckDB oracle's list comprehension, so swapping it into a gated
   * query cannot move a hash. Arrays of unequal length return null (the
   * zip_with+aggregate chain also nulls: zip_with pads with null and
-  * `null * y` poisons the sum).
+  * `null * y` poisons the sum), and so does a null ELEMENT on either side
+  * (ADVICE r4: parquet-read embeddings are `array<float>` with
+  * containsNull=true, and `null * y` poisons the HOF sum the same way —
+  * silently reading the slot as 0.0 would be a non-null wrong answer).
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -57,11 +60,17 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val lf = elemIsFloat(left)
       val rf = elemIsFloat(right)
+      val tmp = ctx.freshName("graftDot")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.plans.DotProduct.compute($a, $b, $lf, $rf);
+         |  java.lang.Double $tmp = graft.plans.DotProduct.compute($a, $b, $lf, $rf);
+         |  if ($tmp == null) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $tmp.doubleValue();
+         |  }
          |}
        """.stripMargin
     })
@@ -73,19 +82,23 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
-  /** Tight primitive loop, left-to-right double accumulation. */
+  /** Tight primitive loop, left-to-right double accumulation. Returns null
+    * (boxed — one allocation per ROW, not per element) when any slot is
+    * null, matching zip_with's null-poisons-the-sum semantics; isNullAt on
+    * an UnsafeArrayData is a bit test, so the guard stays in the hot loop. */
   def compute(a: ArrayData, b: ArrayData, aFloat: Boolean,
-      bFloat: Boolean): Double = {
+      bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
   val builder: Seq[Expression] => Expression = { args =>

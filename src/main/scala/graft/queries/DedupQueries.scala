@@ -90,15 +90,17 @@ object DedupQueries extends QueryCatalog {
     // exact-Jaccard verification at 0.8.
     "q_dedup_minhash" -> ((s, dir) => {
       val b = minhashBuckets(s, dir)
-      // probeSpread, NOT salted (PairJoins scaladoc has the decision
-      // rule): band_key is an md5 digest, so a bucket is one near-dup
-      // cluster — a handful of rows. Salting replicated the relation ×32
-      // into a driver-built broadcast and ran 15 s at sf0.1; spreading
-      // the probe side by doc_id and broadcasting the slim unreplicated
-      // build runs the same pair set in ~2 s (round-4 bench).
-      val (bA, bB) = PairJoins.probeSpread(b, col("doc_id"))
-      val cand = bA.as("a")
-        .join(bB.as("b"),
+      // Plain bucket-keyed shuffle self-join (PairJoins scaladoc has the
+      // decision rule): band_key is an md5 digest, so a bucket is one
+      // near-dup cluster — a handful of rows, no compute skew to fix.
+      // Salting replicated the relation ×32 and ran 15 s at sf0.1
+      // (round-4 bench); probeSpread's explicit broadcast of the WHOLE
+      // corpus×4-bands build side would exceed the broadcast cap at the
+      // 100 TB target (ADVICE r4). One shuffle per side on the band key,
+      // and the planner still auto-broadcasts when the relation really
+      // is small — size-gated by Spark, not hard-coded here.
+      val cand = b.as("a")
+        .join(b.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -15,14 +15,21 @@ import org.apache.spark.sql.functions._
   *    Cost: the build side is replicated ×SaltR — only worth paying when
   *    B² dominates.
   *
-  *  - [[probeSpread]] — for MANY, TINY buckets (fine keys: md5 band
-  *    digests, where a bucket is one near-dup cluster, typically < 10
-  *    rows). Replication would multiply the relation ×SaltR for pair
-  *    lists that are already tiny — observed 15 s vs 2 s at sf0.1 when
-  *    the ×32 exploded side additionally became a driver-built broadcast
-  *    (round-4 bench). Instead the PROBE side hash-partitions by row key,
-  *    spreading every bucket's pair generation across the cluster, and
-  *    the unreplicated build side broadcasts (sketch-width rows only).
+  *  - plain bucket-keyed shuffle join — for MANY, TINY buckets (fine
+  *    keys: md5 band digests, where a bucket is one near-dup cluster,
+  *    typically < 10 rows). Tiny buckets mean there is NO compute skew
+  *    to fix: just join on the bucket key and let the planner pick
+  *    sort-merge (or auto-broadcast if the relation really is small).
+  *    Not a helper — it's an ordinary `.join`; see q_dedup_minhash.
+  *
+  *  - [[probeSpread]] — for a PROVABLY-SMALL build side only (fits the
+  *    broadcast cap at target scale, e.g. a centroid or vocab relation):
+  *    the probe side hash-partitions by row key, spreading every
+  *    bucket's pair generation across the cluster, and the small build
+  *    side broadcasts unreplicated. Do NOT hand it a corpus-sized
+  *    relation — `broadcast(df)` is an explicit planner instruction that
+  *    bypasses the size gate and fails outright past the 8 GB broadcast
+  *    cap (ADVICE r4).
   *
   * Each (probe, build) pair matches exactly one salt value in [[salted]]
   * and exactly once in [[probeSpread]] — no duplicates, no misses.
@@ -42,8 +49,10 @@ private[queries] object PairJoins {
     * is that pair generation happens map-side on the key-spread probe —
     * if the planner fell back to a sort-merge join it would re-shuffle
     * both sides by bucket key and waste the probe repartition entirely.
-    * Beyond broadcast size, don't use probeSpread at all: tiny buckets
-    * mean a plain bucket-keyed shuffle join has no compute skew to fix. */
+    * CONTRACT: the build side must provably fit the broadcast cap at the
+    * caller's target scale (centroids, vocabs — not a corpus). For
+    * corpus-sized relations with tiny buckets use a plain bucket-keyed
+    * shuffle join instead (object scaladoc). */
   def probeSpread(df: DataFrame, key: Column): (DataFrame, DataFrame) =
     (df.repartition(key), broadcast(df))
 }

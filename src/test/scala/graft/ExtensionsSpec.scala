@@ -58,6 +58,25 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = odd.select(expr("graft_dot(a, b)").as("native"), expr(hof).as("hof"))
       .collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
+    // null ELEMENT (parquet embeddings read as array<float> with
+    // containsNull=true): null * y poisons the HOF sum → NULL, and the
+    // native expression must agree rather than reading the slot as 0.0
+    // (ADVICE r4). Covers both interpreted eval and whole-stage codegen.
+    val withNullElem = spark.sql(
+      """SELECT array(cast(1.0 as float), cast(null as float)) AS a,
+        |       array(cast(2.0 as float), cast(3.0 as float)) AS b""".stripMargin)
+    val nr = withNullElem
+      .select(expr("graft_dot(a, b)").as("native"), expr(hof).as("hof"))
+      .collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1),
+      s"null element must yield NULL on both paths, got $nr")
+    val nrInterp = graft.plans.DotProduct.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array[Any](1.0f, null)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array[Any](2.0f, 3.0f)),
+      aFloat = true, bFloat = true)
+    assert(nrInterp == null)
   }
 
   test("radius theta-join is rewritten to a grid-bucketed equi-join") {
