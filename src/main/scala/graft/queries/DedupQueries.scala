@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
 
+import graft.operators.Checkpoints.CutOps
+
 /** LLM-pipeline deduplication operators over `documents` (builder brief;
   * VERDICT r1 "LLM-data-pipeline operators"). Four escalating flavors:
   *
@@ -164,7 +166,7 @@ object DedupQueries extends QueryCatalog {
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       // The gram relation materializes ONCE (lazy checkpoint) and feeds
       // both the sketch build and the survivor re-joins below.
-      val grams = charGrams(s, dir).localCheckpoint(false)
+      val grams = charGrams(s, dir).cutLineage(eager = false)
       // coalesce: non-nullable join key / predicate inputs — see
       // minhashBuckets.
       val g = grams
@@ -200,7 +202,7 @@ object DedupQueries extends QueryCatalog {
       // sketch relation ONCE at first action and replaces each reference
       // with a leaf — planning cost flat, sketches computed once.
       val keys = g.select(col("doc_id"), col("blk"), col("sz"), col("sig"))
-        .localCheckpoint(false)
+        .cutLineage(eager = false)
       val (ga, gb) = salted(keys)
       val cand = ga.as("a")
         .join(gb.as("b"),
@@ -216,7 +218,7 @@ object DedupQueries extends QueryCatalog {
         // Candidate set is tiny (~3% of in-block pairs) — checkpoint it so
         // the verify joins plan over a leaf instead of re-deriving the
         // whole salted-join subtree through every optimizer rule.
-        .localCheckpoint(false)
+        .cutLineage(eager = false)
       // Survivor verification re-joins the checkpointed gram relation —
       // same rows, but the analyzed tree carries a leaf, not two more
       // copies of the sketch projections.

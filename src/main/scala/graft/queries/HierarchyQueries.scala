@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+import graft.operators.Checkpoints.CutOps
+
 /** SURVEY §2.3 J12 — recursive/iterative hierarchy traversal. The
   * reference walks site parent chains with a recursive CTE
   * (`etl-notes.md:663-692`) and place-name history depth-first
@@ -28,7 +30,7 @@ object HierarchyQueries extends QueryCatalog {
     var acc = nodes.filter(col("node") <= 1)
       .select(col("node"), lit(0).as("level"),
         concat(lit("/"), col("node").cast("string")).as("path"))
-    var frontier = acc.localCheckpoint()
+    var frontier = acc.cutLineage()
     var levelCount = frontier.count()
     while (levelCount > 0) {
       val next = frontier.as("f")
@@ -37,7 +39,7 @@ object HierarchyQueries extends QueryCatalog {
           (col("f.level") + 1).as("level"),
           concat(col("f.path"), lit("/"), col("c.node").cast("string"))
             .as("path"))
-        .localCheckpoint()
+        .cutLineage()
       levelCount = next.count()
       if (levelCount > 0) acc = acc.unionByName(next)
       frontier = next

@@ -595,19 +595,26 @@ object QuadQueries extends QueryCatalog {
       s"""$fullQuadsCte
          |SELECT $fullLineSql AS value FROM quads
          |WHERE graph = '$GraphG' ORDER BY value""".stripMargin,
-    // The Turtle doc as a LINE relation: term rendering + sdo: prefix
+    // The Turtle doc as a LINE relation: term rendering + prefix
     // compaction (mirroring QuadEmitter.compactIri's leading-namespace
     // strip and local-name shape), predicate-grouped blocks via window
     // functions — first line carries the subject, continuations indent
     // two spaces, last line of a block ends " .", others " ;".
+    // The compaction CASE chain is GENERATED from the same
+    // QuadEmitter.DefaultPrefixes table the Scala renderer folds over, in
+    // the same first-match order (ADVICE r4: a hand-written sdo:-only
+    // oracle held only while GraphG happened to contain no xsd-typed
+    // literals or non-sdo namespace IRIs — one prefix table, two
+    // renderings).
     "q_turtle_render" -> {
-      val sdoNs = "https://schema.org/"
       val localOk = "^[A-Za-z]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
-      def compact(c: String) =
-        s"""CASE WHEN $c LIKE '$sdoNs%' AND regexp_matches(
-           |    substring($c, ${sdoNs.length + 1}), '$localOk')
-           |  THEN 'sdo:' || substring($c, ${sdoNs.length + 1})
-           |  ELSE '<' || $c || '>' END""".stripMargin
+      def compact(c: String) = QuadEmitter.DefaultPrefixes
+        .map { case (p, ns) =>
+          s"""WHEN $c LIKE '$ns%' AND regexp_matches(
+             |    substring($c, ${ns.length + 1}), '$localOk')
+             |  THEN '$p:' || substring($c, ${ns.length + 1})""".stripMargin
+        }
+        .mkString("CASE ", "\n", s"\n  ELSE '<' || $c || '>' END")
       val headerRows = QuadEmitter.DefaultPrefixes
         .map { case (p, ns) => s"SELECT '@prefix $p: <$ns> .' AS value" }
         .mkString("\nUNION ALL\n")

@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
 
+import graft.operators.Checkpoints.CutOps
+
 /** SURVEY §2.3 J6/J7 — the reference's two hard spatial joins, re-expressed
   * as grid-bucketed equi-joins (SURVEY §4 "KNN search" row: grid-cell
   * bucket join + window top-k; `etl_lalf_road_qrt_spatial_match.py:52-88`,
@@ -113,7 +115,7 @@ object SpatialQueries extends QueryCatalog {
     // at r ≥ 15 sees every candidate, so every probe decides.
     val GlobalR = 15.0
     var r = CellSize
-    var residue = queryPoints(s, dir).localCheckpoint()
+    var residue = queryPoints(s, dir).cutLineage()
     // Empty-but-typed accumulator: an empty probe set must yield an empty
     // result, not an NPE from a never-assigned accumulator.
     var out: DataFrame = residue.select(col("qid"), col("qid").as("cid"),
@@ -141,7 +143,7 @@ object SpatialQueries extends QueryCatalog {
           Window.partitionBy(col("qid")).orderBy(col("rk"))))
         .filter(col("best") === 1)
         .select(col("qid"), col("cid"), col("d2"), col("rk"))
-        .localCheckpoint()
+        .cutLineage()
       out = out.unionByName(best)
       if (global) residueCount = 0
       else {
@@ -149,7 +151,7 @@ object SpatialQueries extends QueryCatalog {
           ranked.groupBy(col("qid")).agg(count(lit(1)).as("nc"))
             .filter(col("nc") >= K).select(col("qid"))).distinct()
         residue = residue.join(decided, Seq("qid"), "left_anti")
-          .localCheckpoint()
+          .cutLineage()
         residueCount = residue.count()
         r *= 2
       }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.streaming.EventPipelines
 
+import graft.operators.Checkpoints.CutOps
+
 /** Batch twins of the streaming pipelines (SURVEY §2.11) — the exact
   * transform objects from [[graft.streaming.EventPipelines]] applied to a
   * batch read of `events`, so the driver's DuckDB gate checks the same
@@ -37,19 +39,19 @@ object StreamingQueries extends QueryCatalog {
       val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
 
       // Run 1: initial incremental load — everything before the cutoff.
-      val run1 = ev.filter(col("ts") < cutoff).localCheckpoint()
+      val run1 = ev.filter(col("ts") < cutoff).cutLineage()
       run1.select(col("event_id")).write.mode("overwrite").parquet(ledger)
 
       // Run 2: resume — anti-join the FULL input against the ledger;
       // only the post-cutoff residue survives. Ledger keys broadcast-free:
       // both sides hash on event_id (at 100 TB the ledger is fact-sized).
       val run2 = ev.join(s.read.parquet(ledger), Seq("event_id"),
-        "left_anti").localCheckpoint()
+        "left_anti").cutLineage()
       run2.select(col("event_id")).write.mode("append").parquet(ledger)
 
       // Run 3: nothing new — the anti-join must yield zero rows.
       val run3 = ev.join(s.read.parquet(ledger), Seq("event_id"),
-        "left_anti").localCheckpoint()
+        "left_anti").cutLineage()
 
       run1.agg(count(lit(1)).as("n_first"))
         .crossJoin(run2.agg(count(lit(1)).as("n_resumed")))

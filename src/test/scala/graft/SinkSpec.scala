@@ -36,6 +36,19 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(sizes.sum == payload.size)
   }
 
+  test("IndexSink skips NULL documents instead of NPE-ing the task") {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+      s"${spark.sparkContext.applicationId}/index_sink_null_spec"
+    val docs = Seq(Some("a"), None, Some("b"), None, Some("c"))
+      .toDF("doc").repartition(2)
+    IndexSink.write(docs, new IndexSink.FileIndexClientFactory(out), chunkSize = 2)
+    val payload = new java.io.File(out).listFiles().toSeq
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toList)
+      .filterNot(_.startsWith("#"))
+    assert(payload.sorted == Seq("a", "b", "c"))
+  }
+
   test("writeNQuads produces loadable N-Quads text files") {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/nq_test"
     val quads = SparkEntry.entry(spark)
