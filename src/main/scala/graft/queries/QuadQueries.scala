@@ -503,8 +503,41 @@ object QuadQueries extends QueryCatalog {
         .select(col("n_nationkey").as("code"))
       codes.join(vocab, Seq("code"), "left_anti")
         .orderBy(col("code"))
+    }),
+
+    // SHACL twin (reference shacl.ttl; README "Loading SHACL shapes"):
+    // the declarative ShapeSpec layer compiled to a violations relation
+    // over the full-profile quads. The synthetic corpus is CLEAN (every
+    // customer has orders, names, balances), so the input is
+    // deterministically degraded first — every 20th name dropped
+    // (minCount must fire through the zero-quad left join), names ≡ 7
+    // (mod 20) doubled (maxCount) — and the oracle replays the same
+    // degradation; a gate over an always-empty relation would prove
+    // nothing.
+    "q_shape_validate" -> ((s, dir) => {
+      val q = fullQuads(s, dir)
+      val key = regexp_extract(col("subject"), "([0-9]+)$", 1).cast("long")
+      val isName = col("predicate") === NameP
+      val dirty = q.filter(!(isName && key % 20 === 0))
+        .unionByName(q.filter(isName && key % 20 === 7))
+      graft.rdf.ShapeValidator.violations(dirty, addressShapes)
+        .orderBy(col("focus"), col("path"), col("constraint"))
     })
   )
+
+  /** The reference Address shape (shacl.ttl: targetClass + per-property
+    * minCount/maxCount/datatype), widened with nodeKind/languageIn
+    * constraints over the full 25-emit profile. */
+  private def addressShapes: Seq[graft.rdf.NodeShape] = Seq(
+    graft.rdf.NodeShape("urn:shape:Address", PlaceT, Seq(
+      graft.rdf.PropertyShape(NameP, minCount = 1, maxCount = Some(1),
+        nodeKind = Some(graft.model.TermKind.Literal)),
+      graft.rdf.PropertyShape(DescP, minCount = 1, maxCount = Some(1),
+        languageIn = Seq("en")),
+      graft.rdf.PropertyShape(BalanceP, minCount = 1, maxCount = Some(1),
+        datatype = Some(XsdDecimal)),
+      graft.rdf.PropertyShape(HasPartP, minCount = 4,
+        nodeKind = Some(graft.model.TermKind.BNode)))))
 
   override def oracleSql: Map[String, String] = Map(
     "q_quads_explode" ->
@@ -678,6 +711,68 @@ object QuadQueries extends QueryCatalog {
          |       ELSE '"' || objectValue || '"'
          |     END
          |  || ' .' AS value
-         |FROM quads ORDER BY value""".stripMargin
+         |FROM quads ORDER BY value""".stripMargin,
+    // Replays every ShapeSpec constraint in SQL over the same quads: the
+    // property table is a VALUES literal mirroring addressShapes, stats
+    // aggregate per (focus, path) with per-constraint mismatch counts,
+    // and each violated bound emits one row — same columns, same casts.
+    "q_shape_validate" ->
+      s"""$fullQuadsCte,
+         |dirty AS (
+         |  SELECT * FROM quads
+         |  WHERE NOT (predicate = '$NameP' AND CAST(regexp_extract(
+         |    subject, '([0-9]+)$$', 1) AS BIGINT) % 20 = 0)
+         |  UNION ALL
+         |  SELECT * FROM quads
+         |  WHERE predicate = '$NameP' AND CAST(regexp_extract(
+         |    subject, '([0-9]+)$$', 1) AS BIGINT) % 20 = 7),
+         |focus AS (
+         |  SELECT DISTINCT subject AS focus FROM dirty
+         |  WHERE predicate = '$RdfType' AND objectKind = 'iri'
+         |    AND objectValue = '$PlaceT'),
+         |props AS (
+         |  SELECT * FROM (VALUES
+         |    ('$NameP', 1, 1, NULL, 'literal', NULL),
+         |    ('$DescP', 1, 1, NULL, NULL, 'en'),
+         |    ('$BalanceP', 1, 1, '$XsdDecimal', NULL, NULL),
+         |    ('$HasPartP', 4, NULL, NULL, 'bnode', NULL))
+         |    AS t(path, min_count, max_count, dt_req, kind_req, lang_req)),
+         |stats AS (
+         |  SELECT f.focus, p.path, p.min_count, p.max_count, p.dt_req,
+         |    p.kind_req, p.lang_req,
+         |    COUNT(q.predicate) AS n,
+         |    SUM(CASE WHEN p.dt_req IS NOT NULL AND q.predicate IS NOT NULL
+         |      AND (q.objectKind <> 'literal' OR q.datatype IS NULL
+         |           OR q.datatype <> p.dt_req) THEN 1 ELSE 0 END) AS bad_dt,
+         |    SUM(CASE WHEN p.kind_req IS NOT NULL AND q.predicate IS NOT NULL
+         |      AND q.objectKind <> p.kind_req THEN 1 ELSE 0 END) AS bad_kind,
+         |    SUM(CASE WHEN p.lang_req IS NOT NULL AND q.predicate IS NOT NULL
+         |      AND (q.lang IS NULL OR q.lang <> p.lang_req)
+         |      THEN 1 ELSE 0 END) AS bad_lang
+         |  FROM focus f CROSS JOIN props p
+         |  LEFT JOIN dirty q ON q.subject = f.focus AND q.predicate = p.path
+         |  GROUP BY f.focus, p.path, p.min_count, p.max_count, p.dt_req,
+         |    p.kind_req, p.lang_req),
+         |viol AS (
+         |  SELECT focus, path, 'minCount' AS "constraint",
+         |    CAST(min_count AS VARCHAR) AS expected,
+         |    CAST(n AS VARCHAR) AS actual
+         |  FROM stats WHERE n < min_count
+         |  UNION ALL
+         |  SELECT focus, path, 'maxCount',
+         |    CAST(max_count AS VARCHAR), CAST(n AS VARCHAR)
+         |  FROM stats WHERE max_count IS NOT NULL AND n > max_count
+         |  UNION ALL
+         |  SELECT focus, path, 'datatype', dt_req, CAST(bad_dt AS VARCHAR)
+         |  FROM stats WHERE bad_dt > 0
+         |  UNION ALL
+         |  SELECT focus, path, 'nodeKind', kind_req, CAST(bad_kind AS VARCHAR)
+         |  FROM stats WHERE bad_kind > 0
+         |  UNION ALL
+         |  SELECT focus, path, 'language', lang_req, CAST(bad_lang AS VARCHAR)
+         |  FROM stats WHERE bad_lang > 0)
+         |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
+         |  expected, actual
+         |FROM viol ORDER BY focus, path, "constraint"""".stripMargin
   )
 }

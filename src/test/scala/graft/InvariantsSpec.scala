@@ -42,4 +42,43 @@ class InvariantsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("unmappable vocab code: Z"))
   }
+
+  test("ShapeValidator.validateOrAbort: clean shapes pass, violations abort") {
+    import spark.implicits._
+    import graft.rdf.{NodeShape, PropertyShape, ShapeValidator}
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    def quad(s: String, p: String, o: String, kind: String,
+        dt: String = null, lang: String = null) =
+      (s, "iri", p, o, kind, Option(dt), Option(lang), "urn:g")
+    val quads = Seq(
+      quad("urn:a", rdfType, "urn:T", "iri"),
+      quad("urn:a", "urn:label", "Alpha", "literal"),
+      quad("urn:b", rdfType, "urn:T", "iri"),
+      // urn:b has NO label (minCount violation) and a lang-less desc
+      quad("urn:b", "urn:desc", "x", "literal"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+
+    val clean = NodeShape("urn:shape:ok", "urn:T",
+      Seq(PropertyShape("urn:label", maxCount = Some(2))))
+    ShapeValidator.validateOrAbort(quads, Seq(clean)) // must not throw
+
+    val strict = NodeShape("urn:shape:strict", "urn:T",
+      Seq(PropertyShape("urn:label", minCount = 1,
+        nodeKind = Some("literal"))))
+    val e = intercept[IllegalStateException] {
+      ShapeValidator.validateOrAbort(quads, Seq(strict))
+    }
+    assert(e.getMessage.contains("Failed shape validation"))
+    assert(e.getMessage.contains("urn:b") &&
+      e.getMessage.contains("minCount"))
+
+    // full violations relation: exactly the one minCount row
+    val v = ShapeValidator.violations(quads, Seq(strict)).collect()
+    assert(v.length == 1)
+    assert(v(0).getAs[String]("focus") == "urn:b" &&
+      v(0).getAs[String]("constraint") == "minCount" &&
+      v(0).getAs[String]("expected") == "1" &&
+      v(0).getAs[String]("actual") == "0")
+  }
 }
