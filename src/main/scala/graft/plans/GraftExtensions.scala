@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       DotProduct.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nt_unescape"),
+      new ExpressionInfo(classOf[NtUnescape].getName, "graft_nt_unescape"),
+      NtUnescape.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
   }
 }

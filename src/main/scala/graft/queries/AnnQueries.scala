@@ -179,7 +179,7 @@ object AnnQueries extends QueryCatalog {
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id % CAST(ceil(sqrt(
-       |    (SELECT COUNT(*) FROM embeddings))) AS BIGINT) = 1),
+       |    (SELECT COUNT(*) FROM embeddings))) AS BIGINT) = 0),
        |assign AS (
        |  SELECT e.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id

@@ -60,6 +60,35 @@ object DedupQueries extends QueryCatalog {
   private def salted(df: DataFrame): (DataFrame, DataFrame) =
     PairJoins.salted(df, col("doc_id"))
 
+  /** Verified near-dup pairs: LSH candidates → exact Jaccard ≥ 0.8.
+    * Feeds q_dedup_minhash directly and q_dedup_clusters' component
+    * step. Plain bucket-keyed shuffle self-join (PairJoins scaladoc has
+    * the decision rule): band_key is an md5 digest, so a bucket is one
+    * near-dup cluster — a handful of rows, no compute skew to fix.
+    * Salting replicated the relation ×32 and ran 15 s at sf0.1
+    * (round-4 bench); probeSpread's explicit broadcast of the WHOLE
+    * corpus×4-bands build side would exceed the broadcast cap at the
+    * 100 TB target (ADVICE r4). One shuffle per side on the band key,
+    * and the planner still auto-broadcasts when the relation really
+    * is small — size-gated by Spark, not hard-coded here. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = minhashBuckets(s, dir)
+    val cand = b.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled(s, dir)
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   /** 32-bit SimHash over the shingle set. */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
@@ -90,32 +119,26 @@ object DedupQueries extends QueryCatalog {
 
     // MinHash + LSH: banded buckets → in-bucket candidate pairs →
     // exact-Jaccard verification at 0.8.
-    "q_dedup_minhash" -> ((s, dir) => {
-      val b = minhashBuckets(s, dir)
-      // Plain bucket-keyed shuffle self-join (PairJoins scaladoc has the
-      // decision rule): band_key is an md5 digest, so a bucket is one
-      // near-dup cluster — a handful of rows, no compute skew to fix.
-      // Salting replicated the relation ×32 and ran 15 s at sf0.1
-      // (round-4 bench); probeSpread's explicit broadcast of the WHOLE
-      // corpus×4-bands build side would exceed the broadcast cap at the
-      // 100 TB target (ADVICE r4). One shuffle per side on the band key,
-      // and the planner still auto-broadcasts when the relation really
-      // is small — size-gated by Spark, not hard-coded here.
-      val cand = b.as("a")
-        .join(b.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sh = shingled(s, dir)
-      cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+    "q_dedup_minhash" -> ((s, dir) =>
+      minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Pair detection is only half a dedup pipeline: "a~b, b~c" must
+    // become ONE cluster {a,b,c} with one survivor before anything is
+    // dropped, or transitive groups lose extra members (a kept, b
+    // dropped vs a, c kept vs b). Connected components over the verified
+    // pair graph — hash-min label propagation, node id as the shuffle
+    // key every round (operators/ConnectedComponents) — then one
+    // summary row per cluster with the canonical keep (min doc_id,
+    // which IS the component label at fixpoint — no second pass).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val labels = graft.operators.ConnectedComponents.label(
+        minhashPairs(s, dir), col("doc_a"), col("doc_b"))
+      labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", transform(sort_array(collect_list(col("node"))),
+            x => x.cast("string"))).as("doc_ids"))
+        .select(col("comp").as("keep_id"), col("n"), col("doc_ids"))
+        .orderBy(col("keep_id"))
     }),
 
     // SimHash: 8-bit band buckets → pairs → Hamming-distance ≤ 3 verify.
@@ -253,6 +276,35 @@ object DedupQueries extends QueryCatalog {
        |                   for i in range(1, len(ws) - 1)]) AS shingles
        |  FROM words WHERE len(ws) >= 3)""".stripMargin
 
+  /** Shared by q_dedup_minhash and q_dedup_clusters: shingles → MinHash
+    * signatures → LSH buckets → verified pairs (exact Jaccard ≥ 0.8). */
+  private val minhashPairsCte =
+    s"""$shinglesCte,
+       |mh AS (
+       |  SELECT doc_id, shingles,
+       |    [CASE WHEN h < 4
+       |       THEN list_min([substring(md5(s), 8 * h + 1, 8) for s in shingles])
+       |       ELSE list_min([substring(md5('x' || s), 8 * (h - 4) + 1, 8) for s in shingles])
+       |     END for h in range(0, 8)] AS sig
+       |  FROM sh),
+       |buckets AS (
+       |  SELECT doc_id, band, md5(sig[2*band+1] || sig[2*band+2]) AS band_key
+       |  FROM mh, (SELECT unnest(range(0, 4)) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $wordsCte
@@ -261,31 +313,30 @@ object DedupQueries extends QueryCatalog {
          |FROM (SELECT doc_id, md5(array_to_string(ws[1:8], ' ')) AS fp FROM words)
          |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH $shinglesCte,
-         |mh AS (
-         |  SELECT doc_id, shingles,
-         |    [CASE WHEN h < 4
-         |       THEN list_min([substring(md5(s), 8 * h + 1, 8) for s in shingles])
-         |       ELSE list_min([substring(md5('x' || s), 8 * (h - 4) + 1, 8) for s in shingles])
-         |     END for h in range(0, 8)] AS sig
-         |  FROM sh),
-         |buckets AS (
-         |  SELECT doc_id, band, md5(sig[2*band+1] || sig[2*band+2]) AS band_key
-         |  FROM mh, (SELECT unnest(range(0, 4)) AS band)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-         |FROM cand
-         |JOIN sh sa ON cand.doc_a = sa.doc_id
-         |JOIN sh sb ON cand.doc_b = sb.doc_id
-         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure as the independent oracle for the iterative
+    // label-propagation loop (same independence pattern as the
+    // WITH RECURSIVE twin of q_recursive_hierarchy): reach(node, m)
+    // saturates reachability over the verified pair graph, then each
+    // node's component is MIN(reachable) — replayed entirely in SQL,
+    // no propagation rounds anywhere on the oracle side.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+         |labels AS (
+         |  SELECT node, MIN(m) AS comp FROM reach GROUP BY node)
+         |SELECT comp AS keep_id, COUNT(*) AS n,
+         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS doc_ids
+         |FROM labels GROUP BY comp ORDER BY keep_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $shinglesCte,
          |sim AS (

@@ -385,6 +385,22 @@ object QuadQueries extends QueryCatalog {
       s.read.text(out).orderBy(col("value"))
     }),
 
+    // RDF text SOURCE (VERDICT r4 Missing #2 — the inverse of the S8/S9
+    // sinks): the full-fidelity quads render to N-Quads text on disk and
+    // come back through QuadParser as a quad RELATION; parse ∘ render =
+    // identity on the quad set. The oracle recomputes the same quads
+    // relationally and never sees the text form, so any term-syntax or
+    // escaping drift in EITHER direction breaks the hash — bnode
+    // subjects/objects, @en/@aus lang tags, xsd datatypes and both named
+    // graphs all cross the text boundary here.
+    "q_nquads_parse_roundtrip" -> ((s, dir) => {
+      val out = tmp(s, "nquads_parse")
+      QuadEmitter.writeNQuads(fullQuads(s, dir), out)
+      graft.rdf.QuadParser.readNQuads(s, out)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"),
+          col("graph"))
+    }),
+
     // §2.9 declarative path — the same explosion driven by the pure-data
     // EmitSpec config model (cam/config.py + cam/transform.py twin): the
     // spec references columns by NAME; compilation emits the identical
@@ -516,7 +532,13 @@ object QuadQueries extends QueryCatalog {
     // nothing.
     "q_shape_validate" -> ((s, dir) => {
       val q = fullQuads(s, dir)
-      val key = regexp_extract(col("subject"), "([0-9]+)$", 1).cast("long")
+      // Guarded key (ADVICE r5 #4): a subject with no digit tail extracts
+      // "" → CAST null → coalesced to -1, which matches neither degradation
+      // residue — the quad is KEPT, identically on both engines (the oracle
+      // uses TRY_CAST + COALESCE below). The unguarded cast only agreed
+      // with DuckDB because every NameP subject happens to end in digits.
+      val key = coalesce(
+        regexp_extract(col("subject"), "([0-9]+)$", 1).cast("long"), lit(-1L))
       val isName = col("predicate") === NameP
       val dirty = q.filter(!(isName && key % 20 === 0))
         .unionByName(q.filter(isName && key % 20 === 7))
@@ -578,6 +600,14 @@ object QuadQueries extends QueryCatalog {
          |     END
          |  || ' <urn:qali:graph:addresses> .' AS value
          |FROM quads ORDER BY value""".stripMargin,
+    // The parser roundtrip oracle recomputes the quads RELATIONALLY (no
+    // text form anywhere in the SQL): parse(render(q)) must equal q.
+    "q_nquads_parse_roundtrip" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
+         |FROM quads
+         |ORDER BY subject, predicate, objectValue, graph""".stripMargin,
     "q_quads_declarative" ->
       """WITH quads AS (
         |  SELECT 'https://example.org/supplier/' || CAST(s_suppkey AS VARCHAR) AS subject,
@@ -720,12 +750,12 @@ object QuadQueries extends QueryCatalog {
       s"""$fullQuadsCte,
          |dirty AS (
          |  SELECT * FROM quads
-         |  WHERE NOT (predicate = '$NameP' AND CAST(regexp_extract(
-         |    subject, '([0-9]+)$$', 1) AS BIGINT) % 20 = 0)
+         |  WHERE NOT (predicate = '$NameP' AND COALESCE(TRY_CAST(regexp_extract(
+         |    subject, '([0-9]+)$$', 1) AS BIGINT), -1) % 20 = 0)
          |  UNION ALL
          |  SELECT * FROM quads
-         |  WHERE predicate = '$NameP' AND CAST(regexp_extract(
-         |    subject, '([0-9]+)$$', 1) AS BIGINT) % 20 = 7),
+         |  WHERE predicate = '$NameP' AND COALESCE(TRY_CAST(regexp_extract(
+         |    subject, '([0-9]+)$$', 1) AS BIGINT), -1) % 20 = 7),
          |focus AS (
          |  SELECT DISTINCT subject AS focus FROM dirty
          |  WHERE predicate = '$RdfType' AND objectKind = 'iri'

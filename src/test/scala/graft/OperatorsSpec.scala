@@ -117,6 +117,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfCentroids: modulus 1 selects the whole relation (ADVICE r5 #1)") {
+    graft.plans.DotProduct.register(spark)
+    val v = VectorSearch.withNorm(spark, Tables.embeddings(spark, sf),
+      col("vec_id"), col("embedding"))
+    val n = v.count()
+    assert(VectorSearch.ivfCentroids(v, 1L).count() == n)
+    // and a larger modulus selects roughly n/CM, never zero
+    val c7 = VectorSearch.ivfCentroids(v, 7L).count()
+    assert(c7 > 0 && c7 <= n / 7 + 1)
+  }
+
+  test("ConnectedComponents: transitive chains merge, components stay apart") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // chain 1-2-3-4 (diameter 3), separate pair (10,11), triangle (20,21,22)
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = ConnectedComponents.label(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a bound too tight for the diameter fails LOUD, never partial
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.label(edges, col("a"), col("b"), maxRounds = 1)
+    }
+  }
+
   test("iterative loops: identical results under local and reliable checkpoint") {
     // Checkpoints.cut switches on the session's checkpoint dir — the
     // cluster-hardened mode (VERDICT r4 Missing #4) must be a pure
@@ -134,7 +161,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       }
       // and the reliable path really wrote checkpoint state to the dir
       assert(new java.io.File(dir).listFiles().nonEmpty)
-    } finally spark.sparkContext.setCheckpointDir(null)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      // per-run checkpoint dirs are the caller's to reclaim (the cleaner
+      // flag is session-build-only — Checkpoints scaladoc, ADVICE r5 #2)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("Multimodal.decodeBatched indexes by code points, not UTF-16 units") {

@@ -180,6 +180,74 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
       ("b1", "urn:p:value", "v1")))
   }
 
+  test("QuadParser: parse ∘ render = identity on escape-hostile quads") {
+    import spark.implicits._
+    // Every path through the escaper/unescaper: a literal backslash
+    // FOLLOWED BY an n (the case a regexp_replace chain gets wrong), real
+    // newline/tab/CR, quotes, astral unicode, lang tags, datatypes, bnode
+    // subject AND object, both term kinds in the graph position.
+    val quads = Seq(
+      ("urn:s1", "iri", "urn:p", "back\\nslash", "literal", null, null, "urn:g"),
+      ("urn:s1", "iri", "urn:p2", "line\nbreak\ttab\rcr", "literal", null,
+        "en-AU", "urn:g"),
+      ("urn:s1", "iri", "urn:p3", "say \"hi\" \\\" tricky", "literal", null,
+        null, "urn:g"),
+      ("urn:s1", "iri", "urn:p4", "astral 😀 char", "literal",
+        "http://www.w3.org/2001/XMLSchema#string", null, "urn:g2"),
+      ("urn:s1", "iri", "urn:p5", "urn:o", "iri", null, null, "urn:g"),
+      ("urn:s1", "iri", "urn:p6", "b7-part", "bnode", null, null, "urn:g"),
+      ("b7-part", "bnode", "urn:p7", "", "literal", null, null, "urn:g"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    val lines = graft.rdf.QuadEmitter.renderNQuads(quads)
+    val back = graft.rdf.QuadParser.parse(lines)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+        .collect().map(_.toString).sorted.toSeq
+    assert(key(back) == key(quads))
+    assert(graft.rdf.QuadParser.rejects(lines).count() == 0)
+  }
+
+  test("QuadParser: triples get a null graph; comments and blanks skip; rejects surface") {
+    import spark.implicits._
+    val lines = Seq(
+      "# a comment line",
+      "",
+      "   ",
+      "<urn:s> <urn:p> \"v\"@en .",                  // triple: no graph term
+      "<urn:s> <urn:p> <urn:o> <urn:g> . # trailing comment",
+      "_:b1 <urn:p> _:b2 .",
+      "<urn:s> <urn:p> unquoted-garbage .",          // malformed object
+      "not a statement at all").toDF("value")
+    val got = graft.rdf.QuadParser.parse(lines).collect()
+    assert(got.length == 3)
+    val byPred = got.map(r => (r.getString(0), r.getString(3),
+      r.getString(6), r.getString(7)))
+    assert(byPred.contains(("urn:s", "v", "en", null)))         // null graph
+    assert(byPred.contains(("urn:s", "urn:o", null, "urn:g")))  // comment eaten
+    assert(byPred.contains(("b1", "b2", null, null)))           // bnodes
+    val bad = graft.rdf.QuadParser.rejects(lines).as[String].collect().toSet
+    assert(bad == Set("<urn:s> <urn:p> unquoted-garbage .",
+      "not a statement at all"))
+  }
+
+  test("NtUnescape: single-pass semantics a replace chain cannot have") {
+    import graft.plans.NtUnescape
+    import org.apache.spark.unsafe.types.UTF8String
+    def un(s: String) = NtUnescape.compute(UTF8String.fromString(s)).toString
+    // NB: built by concatenation — the Scala lexer itself interprets
+    // backslash-u sequences inside string literals, even triple-quoted.
+    val bs = "\\"
+    assert(un(s"a${bs}${bs}nb") == s"a${bs}nb") // escaped backslash THEN n
+    assert(un(s"a${bs}nb") == "a\nb")           // real escape
+    assert(un(s"a${bs}u0041b") == "aAb")        // UCHAR 4-hex
+    assert(un(s"${bs}U0001F600") == "😀")       // UCHAR 8-hex, astral
+    assert(un(s"bad${bs}uZZZZesc") == s"bad${bs}uZZZZesc") // non-hex: verbatim
+    assert(un(s"trail$bs") == s"trail$bs")      // trailing backslash: verbatim
+    assert(un("plain") == "plain")              // no-op fast path
+  }
+
   test("flagship entry() produces quads on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
