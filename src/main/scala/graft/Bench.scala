@@ -54,7 +54,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val maxPasses = math.max(1, envInt("SPARK_GRAFT_BENCH_RUNS", 3))
-    val budgetS = math.max(1, envInt("SPARK_GRAFT_BENCH_BUDGET_S", 900))
+    // Default budget sized against observed harness behavior: the r05
+    // driver run completed at ~2 600 s wall without being killed, and the
+    // artifact flushes after every run anyway, so the cost of aiming high
+    // is bounded — while the benefit (at least one timed pass after
+    // warm-up even under heavy CPU steal → min over TIME-SEPARATED
+    // samples) is what makes the numbers trustworthy at all.
+    val budgetS = math.max(1, envInt("SPARK_GRAFT_BENCH_BUDGET_S", 2400))
     val bench0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - bench0) / 1e9
 
@@ -116,11 +122,14 @@ object Bench {
     }
     // Timed passes: stop STARTING a new pass when over budget; stop
     // mid-pass too (every query already has its warm-up estimate, and
-    // a partial pass still improved the prefix's mins).
+    // a partial pass still improved the prefix's mins). Alternating
+    // direction means a budget/kill cutoff mid-pass leaves the extra
+    // samples spread across both ends of the list, not always the front.
     var p = 0
     while (p < maxPasses && elapsedS < budgetS) {
       p += 1
-      names.foreach { n =>
+      val order = if (p % 2 == 1) names else names.reverse
+      order.foreach { n =>
         if (elapsedS < budgetS) {
           System.err.println(s"[bench] pass $p $n (t=${f3(elapsedS)}s)")
           runOnce(n, warm = false)

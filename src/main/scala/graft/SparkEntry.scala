@@ -67,7 +67,8 @@ object SparkEntry {
     SearchQueries,
     StreamingQueries,
     SourceSinkQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    SampleQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

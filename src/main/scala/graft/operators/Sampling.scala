@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes (builder brief: the
+  * operations a large-scale training-data pipeline needs). `rand()` is
+  * the wrong tool for corpus construction: a re-run, a retried task, or
+  * a different partition count changes the sample, so the dataset is
+  * unreproducible and downstream caches/dedups never line up. Both
+  * operators here key the randomness on the ROW ID through md5 —
+  * identical across runs, engines (the DuckDB oracles replay them
+  * byte-for-byte), partitionings, and retries.
+  *
+  * Scale shape:
+  *  - [[hashSample]] is a pure filter — fully pushable, no shuffle, no
+  *    state; rate precision is 16 bits (hex-prefix compare).
+  *  - [[quotaPerGroup]] is `row_number() <= quota` over a group window —
+  *    Spark's WindowGroupLimit rewrites it to a map-side partial top-k
+  *    BEFORE the shuffle (PERF.md #5), so a skewed giant source ships at
+  *    most `quota` rows per input partition, not its whole group.
+  */
+object Sampling {
+
+  /** Deterministic per-row sort/selection key: md5 of the id's string
+    * form. Lowercase fixed-width hex ⇒ lexicographic order IS numeric
+    * order, which both engines share. */
+  def hashKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Keep a row iff the first 4 hex chars of its hash sort below
+    * `threshold16` — a deterministic Bernoulli(threshold16/65536) sample.
+    * @param threshold16 4-char lowercase hex string, e.g. "4000" ≈ 25% */
+  def hashSample(df: DataFrame, id: Column, threshold16: String): DataFrame = {
+    require(threshold16.matches("[0-9a-f]{4}"),
+      s"threshold16 must be 4 lowercase hex chars, got '$threshold16'")
+    df.filter(substring(hashKey(id), 1, 4) < threshold16)
+  }
+
+  /** First `quota` rows of each group in hash order — a fixed-size,
+    * reproducible per-source quota (the mixing primitive: N docs per
+    * source regardless of source skew). Ties cannot occur (md5 of
+    * distinct ids collides nowhere at these widths; `id` itself breaks
+    * the residual tie deterministically anyway). */
+  def quotaPerGroup(df: DataFrame, group: Column, id: Column,
+      quota: Int): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val w = Window.partitionBy(group).orderBy(hashKey(id), id)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+      .drop("sample_rank")
+  }
+}

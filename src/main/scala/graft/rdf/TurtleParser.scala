@@ -1,0 +1,150 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.TermKind
+
+/** One parsed Turtle statement (graph is always null — Turtle carries no
+  * graph term; callers assign one, as the reference does when loading a
+  * vocab file into its named graph, `Taskfile.yml:50`). */
+final case class TurtleQuad(
+    subject: String,
+    subjectKind: String,
+    predicate: String,
+    objectValue: String,
+    objectKind: String,
+    datatype: String,
+    lang: String,
+    graph: String)
+
+/** Turtle SOURCE — the inverse of [[QuadEmitter.renderTurtleBlocks]] /
+  * `writeTurtle`, completing the serialization loop for BOTH edge
+  * formats (N-Quads via [[QuadParser]], Turtle here; VERDICT r4
+  * "Missing" #2 — the reference parses remote Turtle vocabs into graphs
+  * at load time, `cam/etl/__init__.py:55-62`).
+  *
+  * Coverage: the pretty-printed subset the renderer emits and the
+  * reference's vocab files use — `@prefix` headers, prefix-compacted
+  * names, `a`, `<iri>` / `_:label` terms, predicate-grouped blocks with
+  * `;` continuations, string literals with `@lang` / `^^dt` suffixes and
+  * ECHAR/UCHAR escapes (shared unescaper: [[graft.plans.NtUnescape]]).
+  * Not a full Turtle implementation (no collections, no `[]` anonymous
+  * bnodes, no multi-line `\"\"\"` literals — the renderer never emits
+  * them); a line that doesn't fit the subset fails LOUD with the line
+  * text, because a vocab load that silently drops statements would
+  * corrupt every downstream lookup.
+  *
+  * Scale shape: Turtle is stateful across lines (the prefix table, the
+  * current block's subject), so unlike N-Quads it cannot be
+  * line-parallel. The distribution unit is the FILE — `wholetext` scan +
+  * one parser pass per document (`flatMap`, the mapPartitions tier of
+  * SURVEY §2.12) — which parallelizes across vocab files exactly the way
+  * the reference consumes them. Turtle is the engine's SMALL-document
+  * contract (`writeTurtle` coalesces to 1 for the same reason); bulk
+  * data takes the line-parallel N-Quads path.
+  */
+object TurtleParser {
+
+  private val PrefixLine = """@prefix\s+(\S+):\s+<([^>]*)>\s+\.""".r
+
+  private def unescape(s: String): String =
+    graft.plans.NtUnescape.compute(UTF8String.fromString(s)).toString
+
+  /** Resolve a resource term against the document's prefix table:
+    * `<iri>`, `_:label`, the `a` keyword, or `pfx:local`. */
+  private def resource(t: String, prefixes: Map[String, String],
+      line: String): (String, String) =
+    if (t.startsWith("<") && t.endsWith(">"))
+      (t.substring(1, t.length - 1), TermKind.Iri)
+    else if (t.startsWith("_:")) (t.substring(2), TermKind.BNode)
+    else if (t == "a")
+      ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", TermKind.Iri)
+    else t.split(":", 2) match {
+      case Array(p, local) if prefixes.contains(p) =>
+        (prefixes(p) + local, TermKind.Iri)
+      case _ => fail(s"unresolvable term '$t'", line)
+    }
+
+  private def fail(msg: String, line: String): Nothing =
+    throw new IllegalArgumentException(s"turtle parse: $msg in line: $line")
+
+  /** Parse one Turtle document's lines. Single pass, constant state
+    * (prefix table + current subject) — streams blocks without holding
+    * the document's quads in memory. */
+  def parseLines(lines: Iterator[String]): Iterator[TurtleQuad] = {
+    var prefixes = Map.empty[String, String]
+    var subject: (String, String) = null
+    lines.flatMap { line =>
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("#")) Iterator.empty
+      else if (t.startsWith("@prefix")) {
+        t match {
+          case PrefixLine(p, ns) => prefixes += (p -> ns); Iterator.empty
+          case _ => fail("malformed @prefix", line)
+        }
+      } else {
+        // the renderer terminates every statement line with " ;" (block
+        // continues) or " ." (block ends); both strip the SAME way and
+        // cannot eat literal content — the separator is always appended
+        // after the closing quote / term.
+        val stmt =
+          if (t.endsWith(" ;")) t.dropRight(2)
+          else if (t.endsWith(" .")) t.dropRight(2)
+          else fail("missing statement terminator", line)
+        // a block's first line starts at column 0 and carries the
+        // subject; continuation lines are indented
+        val rest =
+          if (line.startsWith(" ") || line.startsWith("\t")) {
+            if (subject == null) fail("continuation before any subject", line)
+            stmt.trim
+          } else {
+            val sp = stmt.indexOf(' ')
+            if (sp < 0) fail("subject without predicate", line)
+            subject = resource(stmt.take(sp), prefixes, line)
+            stmt.drop(sp + 1)
+          }
+        val sp = rest.indexOf(' ')
+        if (sp < 0) fail("predicate without object", line)
+        val (pred, predKind) = resource(rest.take(sp), prefixes, line)
+        if (predKind != TermKind.Iri) fail("predicate must be an IRI", line)
+        val objTerm = rest.drop(sp + 1)
+        val (ov, ok, dt, lang) =
+          if (objTerm.startsWith("\"")) {
+            var i = 1
+            var close = -1
+            while (close < 0 && i < objTerm.length) {
+              if (objTerm.charAt(i) == '\\') i += 2
+              else if (objTerm.charAt(i) == '"') close = i
+              else i += 1
+            }
+            if (close < 0) fail("unterminated literal", line)
+            val body = unescape(objTerm.substring(1, close))
+            val suffix = objTerm.substring(close + 1)
+            if (suffix.isEmpty) (body, TermKind.Literal, null, null)
+            else if (suffix.startsWith("@"))
+              (body, TermKind.Literal, null, suffix.substring(1))
+            else if (suffix.startsWith("^^"))
+              (body, TermKind.Literal,
+                resource(suffix.substring(2), prefixes, line)._1, null)
+            else fail(s"bad literal suffix '$suffix'", line)
+          } else {
+            val (v, k) = resource(objTerm, prefixes, line)
+            (v, k, null, null)
+          }
+        Iterator.single(TurtleQuad(subject._1, subject._2, pred, ov, ok,
+          dt, lang, null))
+      }
+    }
+  }
+
+  /** File source: each file under `path` is one Turtle document, parsed
+    * as one task (`wholetext`) — parallelism across files. */
+  def readTurtle(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap(doc => parseLines(doc.linesIterator))
+      .toDF()
+  }
+}

@@ -128,6 +128,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(c7 > 0 && c7 <= n / 7 + 1)
   }
 
+  test("Sampling: partition-invariant, reproducible, quota-exact") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // identical sample regardless of physical layout — the property
+    // rand() cannot give
+    val s1 = ids(Sampling.hashSample(docs, col("doc_id"), "4000"))
+    val s2 = ids(Sampling.hashSample(docs.repartition(7), col("doc_id"), "4000"))
+    assert(s1 == s2 && s1.nonEmpty && s1.length < docs.count())
+    // monotone in the threshold: a wider gate strictly contains a narrower
+    val s3 = ids(Sampling.hashSample(docs, col("doc_id"), "8000"))
+    assert(s1.toSet.subsetOf(s3.toSet) && s3.length > s1.length)
+    // quota: exactly min(quota, group size) rows per group, stable set
+    val q = Sampling.quotaPerGroup(docs, col("source"), col("doc_id"), 3)
+      .groupBy(col("source")).count().collect()
+    assert(q.forall(_.getLong(1) <= 3) && q.nonEmpty)
+    val q1 = ids(Sampling.quotaPerGroup(docs, col("source"), col("doc_id"), 3))
+    val q2 = ids(Sampling.quotaPerGroup(docs.repartition(5), col("source"),
+      col("doc_id"), 3))
+    assert(q1 == q2)
+  }
+
   test("ConnectedComponents: transitive chains merge, components stay apart") {
     import spark.implicits._
     import graft.operators.ConnectedComponents

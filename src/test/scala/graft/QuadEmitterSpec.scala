@@ -45,84 +45,6 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
       """<urn:s> <urn:p4> "42"^^<http://www.w3.org/2001/XMLSchema#integer> <urn:g> ."""))
   }
 
-  /** Minimal Turtle reader for the round-trip test: handles exactly the
-    * constructs the renderer emits — @prefix header, predicate-grouped
-    * blocks (`;` continuations), `a`, prefixed names, `<iri>`, `_:label`,
-    * `"literal"` with `@lang` / `^^dt` and the five escapes. */
-  private def parseTurtle(lines: Seq[String])
-      : Set[(String, String, String, String, String, String, String)] = {
-    val prefixes = scala.collection.mutable.Map[String, String]()
-    def unescape(s: String): String = {
-      val b = new StringBuilder; var i = 0
-      while (i < s.length) {
-        if (s(i) == '\\' && i + 1 < s.length) {
-          s(i + 1) match {
-            case 'n' => b += '\n'; case 'r' => b += '\r'
-            case 't' => b += '\t'; case '"' => b += '"'
-            case '\\' => b += '\\'; case c => b += c
-          }; i += 2
-        } else { b += s(i); i += 1 }
-      }
-      b.toString
-    }
-    def resource(t: String): (String, String) =
-      if (t.startsWith("<")) (t.drop(1).dropRight(1), "iri")
-      else if (t.startsWith("_:")) (t.drop(2), "bnode")
-      else if (t == "a")
-        ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri")
-      else {
-        val Array(p, l) = t.split(":", 2)
-        (prefixes(p) + l, "iri")
-      }
-    val out = scala.collection.mutable.Set
-      .empty[(String, String, String, String, String, String, String)]
-    var subject: (String, String) = null
-    for (line <- lines if line.trim.nonEmpty) {
-      val t = line.trim
-      if (t.startsWith("@prefix")) {
-        val m = """@prefix (\S+): <([^>]*)> \.""".r.findFirstMatchIn(t).get
-        prefixes(m.group(1)) = m.group(2)
-      } else {
-        // Continuation lines are indented (the renderer's " ;\n  " join);
-        // a block's first line starts at column 0 and carries the subject.
-        val isContinuation = line.startsWith(" ")
-        val stmt = t.stripSuffix(" ;").stripSuffix(" .")
-        val rest =
-          if (isContinuation) stmt
-          else {
-            val sp = stmt.indexOf(' ')
-            subject = resource(stmt.take(sp))
-            stmt.drop(sp + 1)
-          }
-        val sp = rest.indexOf(' ')
-        val predTerm = rest.take(sp)
-        val objTerm = rest.drop(sp + 1)
-        val (pred, _) = resource(predTerm)
-        val (ov, ok, dt, lang) =
-          if (objTerm.startsWith("\"")) {
-            // find the closing unescaped quote
-            var i = 1; var close = -1
-            while (close < 0 && i < objTerm.length) {
-              if (objTerm(i) == '\\') i += 2
-              else if (objTerm(i) == '"') close = i
-              else i += 1
-            }
-            val lit = unescape(objTerm.substring(1, close))
-            val suffix = objTerm.drop(close + 1)
-            if (suffix.startsWith("@")) (lit, "literal", null, suffix.drop(1))
-            else if (suffix.startsWith("^^"))
-              (lit, "literal", resource(suffix.drop(2))._1, null)
-            else (lit, "literal", null, null)
-          } else {
-            val (v, k) = resource(objTerm)
-            (v, k, null, null)
-          }
-        out += ((subject._1, subject._2, pred, ov, ok, dt, lang))
-      }
-    }
-    out.toSet
-  }
-
   test("Turtle render → parse round-trips the quad set") {
     import spark.implicits._
     val quads = Seq(
@@ -145,19 +67,29 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
       s"${spark.sparkContext.applicationId}/ttl_roundtrip"
     graft.rdf.QuadEmitter.writeTurtle(quads, out)
-    val lines = spark.read.text(out).as[String].collect().toSeq
-      // re-order: @prefix lines first (text read does not preserve order
-      // beyond a single file, but writeTurtle coalesces to 1 — keep as-is)
-    val parsed = parseTurtle(lines)
+    // the ENGINE Turtle source (rdf.TurtleParser): wholetext scan +
+    // per-document parse; graph is null by contract — drop for compare
+    val parsed = graft.rdf.TurtleParser.readTurtle(spark, out)
+      .collect().map { r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getString(5), r.getString(6))
+      }.toSet
     val want = quads.collect().map { r =>
       (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5), r.getString(6))
     }.toSet
     assert(parsed == want)
     // the doc is genuinely pretty-printed: grouped blocks, compacted names
+    val lines = spark.read.text(out).as[String].collect().toSeq
     assert(lines.exists(_.contains("a sdo:Place ;")) ||
       lines.exists(_.contains("a sdo:Place .")))
     assert(lines.exists(_.contains("^^xsd:decimal")))
+    // malformed documents fail loud, with the offending line in the error
+    val bad = intercept[Exception] {
+      graft.rdf.TurtleParser.parseLines(
+        Iterator("<urn:s> unknownpfx:name \"v\" .")).toList
+    }
+    assert(bad.getMessage.contains("unknownpfx"))
   }
 
   test("describe returns the entity closure including bnode part groups") {
