@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nt_unescape"),
       new ExpressionInfo(classOf[NtUnescape].getName, "graft_nt_unescape"),
       NtUnescape.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nq_terms"),
+      new ExpressionInfo(classOf[NqTerms].getName, "graft_nq_terms"),
+      NqTerms.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
   }
 }

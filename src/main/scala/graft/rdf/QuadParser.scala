@@ -32,8 +32,9 @@ object QuadParser {
     * IRI, object (IRI | bnode | literal with optional `@lang` / `^^<dt>`),
     * optional graph (IRI | bnode), terminating dot, optional comment.
     * Group 1 = subject term, 2 = predicate IRI, 3 = object term,
-    * 4 = graph term ("" when absent — the N-Triples case). */
-  private[rdf] val LineRegex: String =
+    * 4 = graph term (absent — the N-Triples case). Matched natively by
+    * [[graft.plans.NqTerms]]. */
+  val LineRegex: String =
     "^[ \\t]*(<[^>]*>|_:[^ \\t]+)[ \\t]+<([^>]*)>[ \\t]+" +
       "(<[^>]*>|_:[^ \\t]+|\"(?:[^\"\\\\]|\\\\.)*\"" +
       "(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\\^\\^<[^>]*>)?)" +
@@ -54,18 +55,24 @@ object QuadParser {
   /** Parse a `value: string` relation of N-Quads/N-Triples lines into the
     * engine quad shape: `subject, subjectKind, predicate, objectValue,
     * objectKind, datatype, lang, graph` (graph null on triple lines).
-    * Malformed lines are dropped — audit them via [[rejects]]. */
+    * Malformed lines are dropped — audit them via [[rejects]].
+    *
+    * The statement split is ONE native regex pass per line
+    * ([[graft.plans.NqTerms]] — `isnotnull` of its struct result is the
+    * grammar gate, so blanks/comments/malformed all fall out of the same
+    * match); term classification and body strips are plain string
+    * expressions. */
   def parse(lines: DataFrame): DataFrame = {
     graft.plans.NtUnescape.register(lines.sparkSession)
+    graft.plans.NqTerms.register(lines.sparkSession)
     import graft.model.TermKind
-    val line = col("value")
     lines
-      .filter(!isBlankOrComment(line) && line.rlike(LineRegex))
-      .select(
-        regexp_extract(line, LineRegex, 1).as("s_term"),
-        regexp_extract(line, LineRegex, 2).as("predicate"),
-        regexp_extract(line, LineRegex, 3).as("o_term"),
-        regexp_extract(line, LineRegex, 4).as("g_term"))
+      .select(call_function("graft_nq_terms", col("value")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("t.s_term").as("s_term"),
+        col("t.predicate").as("predicate"),
+        col("t.o_term").as("o_term"),
+        coalesce(col("t.g_term"), lit("")).as("g_term"))
       .select(
         when(col("s_term").startsWith("_:"), bnodeBody(col("s_term")))
           .otherwise(iriBody(col("s_term"))).as("subject"),
@@ -92,9 +99,11 @@ object QuadParser {
 
   /** Data lines that fail the statement grammar (blank/comment lines are
     * legal, never rejects). Empty ⇔ [[parse]] was lossless on this input. */
-  def rejects(lines: DataFrame): DataFrame =
+  def rejects(lines: DataFrame): DataFrame = {
+    graft.plans.NqTerms.register(lines.sparkSession)
     lines.filter(!isBlankOrComment(col("value")) &&
-      !col("value").rlike(LineRegex))
+      call_function("graft_nq_terms", col("value")).isNull)
+  }
 
   /** File source: read a text dir/glob as N-Quads (or N-Triples — the
     * graph column is simply null on triple lines). */

@@ -43,4 +43,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(!plan.contains("CartesianProduct"), s"cross join in $q")
     }
   }
+
+  test("quota sampling gets a map-side partial WindowGroupLimit") {
+    // row_number() <= quota must rewrite to a partial top-k BEFORE the
+    // group exchange (Sampling scaladoc / PERF.md #5): a skewed giant
+    // source then ships at most quota rows per input partition.
+    val plan = SparkEntry.queries("q_sample_quota")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val idx = plan.indexOf("WindowGroupLimit")
+    assert(idx >= 0, "no WindowGroupLimit in quota plan:\n" + plan)
+    assert(plan.indexOf("WindowGroupLimit", idx + 1) > idx,
+      "no PARTIAL WindowGroupLimit (map side) in quota plan:\n" + plan)
+  }
+
+  test("hash-Bernoulli sampling is a pure scan-side filter, no exchange") {
+    import org.apache.spark.sql.functions.col
+    // the un-sorted operator output (the catalog query adds an orderBy
+    // for the correctness gate's total order): filter over scan only
+    val df = graft.operators.Sampling.hashSample(
+      Tables.documents(spark, sf), col("doc_id"), "4000")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "hashSample introduced a shuffle:\n" + plan)
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("N-Quads parser stays whole-stage-codegen with no shuffle") {
+    import org.apache.spark.sql.functions.lit
+    // parse = scan → filter → two projections; anything beyond one
+    // codegen span over the scan means the text path stopped being an
+    // embarrassingly parallel map (QuadParser scaladoc).
+    val lines = spark.range(0, 1000).selectExpr(
+      """concat('<urn:s', id, '> <urn:p> "v', id, '"@en <urn:g> .')
+         AS value""")
+    val parsed = graft.rdf.QuadParser.parse(lines)
+    val plan = parsed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "parser introduced a shuffle:\n" + plan)
+    // executedPlan renders codegen spans as "*(n)": everything must sit
+    // in span 1 — a second span or a non-starred operator means the
+    // parse fell out of whole-stage codegen
+    assert(plan.contains("*(1)") && !plan.contains("*(2)"), plan)
+    // and the statement split is the single native matcher, not a
+    // regexp_extract fan-out (one compiled-regex pass per line)
+    val optimized = parsed.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("regexp_extract(value"), optimized)
+    assert(optimized.contains("graft_nq_terms"), optimized)
+    assert(parsed.filter(parsed("lang") === lit("en")).count() == 1000)
+  }
 }
