@@ -50,4 +50,26 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
       .drop("sample_rank")
   }
+
+  /** Pack rows into per-group shards of ≈`budget` total `weight` (token
+    * budget per training shard): rows take the group's deterministic
+    * hash order and a shard closes when its running weight passes the
+    * budget. `shard = floor(exclusive-running-sum / budget)` — a row
+    * that straddles the boundary belongs to the shard it STARTED in, so
+    * every shard holds ≥ 1 row and ≤ budget + max(weight) total.
+    *
+    * One window over the group partition (running sum; the shuffle key
+    * is the group id) — no driver state, no second pass. Deliberately
+    * per-GROUP: a single global packing would order the whole corpus
+    * through one partition, which is the wrong shape at 100 TB; shard
+    * ids are only meaningful within a group (source), and groups pack
+    * in parallel. */
+  def packShards(df: DataFrame, group: Column, id: Column, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(group).orderBy(hashKey(id), id)
+    df.withColumn("shard",
+      floor((sum(weight).over(w) - weight).cast("double") / budget)
+        .cast("long"))
+  }
 }

@@ -28,6 +28,19 @@ object SampleQueries extends QueryCatalog {
           col("doc_id"), quota = 5)
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Shard packing: documents → per-source training shards of ≈200
+    // whitespace tokens, deterministic hash order (Sampling.packShards —
+    // one running-sum window per source, no driver state).
+    "q_sample_pack_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      Sampling.packShards(docs, col("source"), col("doc_id"), col("tok"),
+          budget = 200L)
+        .select(col("source"), col("doc_id"), col("tok"), col("shard"))
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -43,6 +56,19 @@ object SampleQueries extends QueryCatalog {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT source, doc_id FROM ranked WHERE rn <= 5
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_sample_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, tok,
+        |    sum(tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, CAST(tok AS BIGINT) AS tok,
+        |  CAST(floor((cum - tok) / 200.0) AS BIGINT) AS shard
+        |FROM r ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -151,6 +151,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(q1 == q2)
   }
 
+  test("Sampling.packShards matches a reference sequential packer") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      col("source"), size(split(trim(col("text")), "\\s+")).cast("long")
+        .as("tok"))
+    val got = Sampling.packShards(docs, col("source"), col("doc_id"),
+        col("tok"), budget = 200L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (md5hex(r._2.toString), r._2)).foreach { r =>
+        assert(r._4 == cum / 200L, s"doc ${r._2}: shard ${r._4} != ${cum / 200L}")
+        cum += r._3
+      }
+      // note: ids need NOT be dense — a document wider than the budget
+      // legitimately skips shard ids; the packer equivalence above is
+      // the full semantic pin
+      assert(rows.exists(_._4 == 0L)) // but shard 0 always exists
+    }
+  }
+
   test("ConnectedComponents: transitive chains merge, components stay apart") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
