@@ -113,4 +113,39 @@ object TextDedup {
   /** Exact Jaccard between two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Benchmark decontamination: for every training document, the number
+    * of distinct word `n`-grams it shares with an evaluation corpus —
+    * the standard "drop/flag train docs that contain benchmark text"
+    * pipeline step (n-gram overlap, the common n is 8-13 words).
+    *
+    * Scale shape: the EVAL side is tiny by nature (benchmarks are KBs to
+    * MBs), so its distinct gram set broadcasts and the 100 TB train side
+    * is a scan → explode → broadcast-hash-join → partial-agg pipeline
+    * with no train-side shuffle except the final per-doc count combine.
+    * Returns `(doc_id, n_hits)` for CONTAMINATED docs only (n_hits ≥ 1);
+    * anti-join the ids to drop them, or join to audit. */
+  def contaminationHits(train: DataFrame, trainId: Column, trainText: Column,
+      evalDf: DataFrame, evalId: Column, evalText: Column,
+      n: Int = 8): DataFrame = {
+    import graft.operators.Checkpoints.CutOps
+    // Lazy checkpoint BEFORE the explode (the PERF.md #2/#8 pattern):
+    // InferFiltersFromGenerate adds `size(shingles) > 0 AND
+    // isnotnull(shingles)` above the generator, and predicate pushdown
+    // then inlines the whole n-gram transform into the SCAN filter —
+    // evaluated twice per row, inside whatever parallelism the raw scan
+    // has (a single-file scan = one task; measured 15.7 s vs 1.5 s at
+    // sf0.1). The checkpointed leaf pins the shingle relation at the
+    // repartitioned parallelism and leaves the inferred filter a cheap
+    // array-size test on a materialized column.
+    val tg = wordShingles(train, trainId, trainText, n)
+      .cutLineage(eager = false)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+    val eg = wordShingles(evalDf, evalId, evalText, n)
+      .cutLineage(eager = false)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    tg.join(broadcast(eg), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
 }

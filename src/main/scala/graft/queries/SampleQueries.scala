@@ -30,6 +30,19 @@ object SampleQueries extends QueryCatalog {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Stable train/val/test split: the first two hex chars of the row
+    // hash partition [0,256) into ~80/10/10 — every engine, run, and
+    // partitioning assigns each doc the same split, so eval sets never
+    // bleed into train across reruns (the failure mode of rand() splits).
+    "q_sample_split" -> ((s, dir) => {
+      val h2 = substring(Sampling.hashKey(col("doc_id")), 1, 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          when(h2 < "cc", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Shard packing: documents → per-source training shards of ≈200
     // whitespace tokens, deterministic hash order (Sampling.packShards —
     // one running-sum window per source, no driver state).
@@ -57,6 +70,14 @@ object SampleQueries extends QueryCatalog {
         |  FROM documents)
         |SELECT source, doc_id FROM ranked WHERE rn <= 5
         |ORDER BY source, doc_id""".stripMargin,
+    "q_sample_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -44,6 +44,21 @@ object TextAnalysisQueries extends QueryCatalog {
       .filter(length(col("t")) >= 1)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination (the drop-benchmark-text-from-train
+    // pipeline step): word-8-gram overlap between the train split and a
+    // held-out eval corpus (src0 plays the benchmark). Eval's distinct
+    // gram set BROADCASTS — benchmarks are tiny by nature — so the train
+    // side is scan → explode → broadcast join → count, no train shuffle
+    // before the per-doc combine (operators/TextDedup.contaminationHits).
+    "q_text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextDedup.contaminationHits(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+          n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID: argmax of bigram-profile scores → confusion matrix
     // against the labelled lang column. (The synthetic corpus draws every
     // doc from one English-ish vocabulary, so the matrix shows exactly
@@ -142,6 +157,23 @@ object TextAnalysisQueries extends QueryCatalog {
       |  FROM documents WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) >= 1)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q_text_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(ws[i:i+7], ' ')
+        |                   for i in range(1, len(ws) - 6)]) AS sh
+        |  FROM w WHERE len(ws) >= 8),
+        |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sh
+        |       WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+        |       WHERE source <> 'src0')
+        |SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_hits
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH $duckNorm,
          |scored AS (

@@ -151,6 +151,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(q1 == q2)
   }
 
+  test("contaminationHits: verbatim benchmark text flags, disjoint text doesn't") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the benchmark 8-gram verbatim (prefix + suffix noise)
+      (1L, "noise alpha beta gamma delta epsilon zeta eta theta more"),
+      // shares 7 of 8 words in order — NOT an 8-gram match
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely unrelated text about spark physical plans today ok"))
+      .toDF("doc_id", "text")
+    val hits = TextDedup.contaminationHits(train, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L))
+  }
+
   test("Sampling.packShards matches a reference sequential packer") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf).select(col("doc_id"),

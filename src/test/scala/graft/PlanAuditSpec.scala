@@ -23,7 +23,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // the sketch expression with split(text) substituted per reference —
     // a 100M-regex single-task stage at sf0.1.
     for (q <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram_jaccard",
-        "q_ann_lsh_topk", "q_dedup_embedding")) {
+        "q_ann_lsh_topk", "q_dedup_embedding", "q_text_decontaminate")) {
       val opt = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString
       val badFilters = opt.linesIterator
@@ -37,7 +37,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("dedup candidate generation has no cartesian joins") {
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
-        "q_ann_lsh_topk", "q_dedup_embedding")) {
+        "q_ann_lsh_topk", "q_dedup_embedding", "q_text_decontaminate")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cross join in $q")
