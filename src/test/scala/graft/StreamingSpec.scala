@@ -38,6 +38,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("N-Quads parser runs unchanged on a stream (stateless column exprs)") {
+    // the RDF text source composes with readStream for free: the parse
+    // is a stateless projection/filter (one native regex pass per line),
+    // so a streaming N-Quads ingest is the same code path as batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = graft.rdf.QuadParser.parse(in.toDF().toDF("value"))
+      .writeStream.format("memory").queryName("nq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        "<urn:s> <urn:p> \"v\"@en <urn:g> .",
+        "# comment",
+        "_:b <urn:p> <urn:o> .",
+        "malformed line")
+      q.processAllAvailable()
+      val rows = spark.table("nq_out").orderBy("subject").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getString(0)).toSeq == Seq("b", "urn:s"))
+      assert(rows(1).getString(6) == "en")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
