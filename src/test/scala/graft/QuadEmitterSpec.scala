@@ -164,6 +164,36 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
       "not a statement at all"))
   }
 
+  test("QuadParser property: parse ∘ render = identity on random literal content") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // adversarial alphabet: escapables, astral plane, spaces, quad syntax
+    val alphabet = Gen.oneOf('\\', '"', '\n', '\r', '\t', ' ', '<', '>',
+      '.', '@', '^', '_', ':', '#', 'a', 'Z', '0', 'é', '\uD83D')
+    // NB: lone surrogates are not valid UTF-8 — pair \uD83D with a low
+    // surrogate so the string survives the UTF8String round trip
+    val litGen = Gen.listOfN(12, alphabet).map(cs =>
+      new String(cs.toArray).replace("\uD83D", "😀"))
+    val params = Gen.Parameters.default
+    val lits = (1 to 200).flatMap(i =>
+      litGen(params, Seed(i.toLong))) // deterministic: reproducible failures
+    val quads = lits.zipWithIndex.map { case (v, i) =>
+      (s"urn:s$i", "iri", "urn:p", v, "literal",
+        if (i % 3 == 0) "http://www.w3.org/2001/XMLSchema#string" else null,
+        if (i % 3 == 1) "en" else null, "urn:g")
+    }.toDF("subject", "subjectKind", "predicate", "objectValue",
+      "objectKind", "datatype", "lang", "graph")
+    val lines = graft.rdf.QuadEmitter.renderNQuads(quads)
+    assert(graft.rdf.QuadParser.rejects(lines).count() == 0,
+      "renderer emitted a line the parser grammar rejects")
+    val back = graft.rdf.QuadParser.parse(lines)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("subject", "objectValue", "datatype", "lang")
+        .collect().map(_.toString).sorted.toSeq
+    assert(key(back) == key(quads))
+  }
+
   test("NtUnescape: single-pass semantics a replace chain cannot have") {
     import graft.plans.NtUnescape
     import org.apache.spark.unsafe.types.UTF8String
