@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nq_terms"),
       new ExpressionInfo(classOf[NqTerms].getName, "graft_nq_terms"),
       NqTerms.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nt_escape"),
+      new ExpressionInfo(classOf[NtEscape].getName, "graft_nt_escape"),
+      NtEscape.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
   }
 }

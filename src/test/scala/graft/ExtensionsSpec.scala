@@ -79,6 +79,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nrInterp == null)
   }
 
+  test("graft_nt_escape matches the regexp_replace chain byte-for-byte") {
+    import spark.implicits._
+    val bs = "\\"
+    val rows = (Seq(
+      "plain text",
+      "quote \" here",
+      s"back${bs}slash and ${bs}n literal",
+      "tab\there\nnewline\rcr",
+      s"""mixed $bs"$bs$bs "" ${bs}t""",
+      "", "😀 astral") ++
+      // deterministic fuzz over the escapable alphabet
+      (1 to 100).map { i =>
+        val rnd = new scala.util.Random(i)
+        (1 to 20).map(_ => "\\\"\n\r\tax".charAt(rnd.nextInt(7))).mkString
+      }).toDF("v")
+    val chain = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col("v"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    val got = rows.select(expr("graft_nt_escape(v)").as("native"),
+      chain.as("chain"), expr("graft_nt_unescape(graft_nt_escape(v))").as("rt"),
+      col("v")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"escape diverged on ${r.getString(3)}")
+      assert(r.getString(2) == r.getString(3), "unescape ∘ escape ≠ identity")
+    }
+  }
+
   test("radius theta-join is rewritten to a grid-bucketed equi-join") {
     import spark.implicits._
     val a = (1 to 200).map(i => (i.toLong, (i % 20) / 2.0, (i % 10) / 2.0))
