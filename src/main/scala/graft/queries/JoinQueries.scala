@@ -127,6 +127,27 @@ object JoinQueries extends QueryCatalog {
         .agg(count(lit(1)).as("n_orders"),
           asMoney(sum(dec2(col("o_totalprice")))).as("band_total"))
         .orderBy(col("band_id"))
+    }),
+
+    // AS-OF join (operators/AsOfJoin — the merge formulation, one
+    // key shuffle, no inequality θ-join): clickstream attribution —
+    // every click matched to the user's latest view at-or-before it,
+    // clicks with no prior view kept with null attribution. The oracle
+    // is DuckDB's NATIVE `ASOF LEFT JOIN` — a fully independent
+    // implementation of the semantics, not a SQL replay of this plan.
+    "q_join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"),
+          unix_millis(col("ts")).as("view_ms"))
+      graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("click_ms"),
+          col("view_event_id"), col("view_ms"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -187,6 +208,13 @@ object JoinQueries extends QueryCatalog {
         |SELECT band_id, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ms,
+        |  v.event_id AS view_event_id, epoch_ms(v.ts) AS view_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin
   )
 }

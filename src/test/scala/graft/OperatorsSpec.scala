@@ -151,6 +151,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(q1 == q2)
   }
 
+  test("AsOfJoin: latest-at-or-before semantics, null when no prior row") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (1L, 30L, "r@30"),
+      (2L, 50L, "r@50"))
+      .toDF("k", "t", "pay")
+    val got = AsOfJoin.asOf(left, right, "k", "t")
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      "e1" -> Some("r@10"), // equal timestamp matches (≤ semantics)
+      "e2" -> Some("r@15"), // LATEST at-or-before, not first
+      "e3" -> None))        // right row exists only in the future → null
+    // and the plan is a key-shuffle window, never a nested-loop θ-join
+    val plan = AsOfJoin.asOf(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("contaminationHits: verbatim benchmark text flags, disjoint text doesn't") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
