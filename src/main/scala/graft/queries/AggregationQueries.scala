@@ -115,6 +115,22 @@ object AggregationQueries extends QueryCatalog {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Pivot with an EXPLICIT value list (A-family widening): per-status
+    // money columns by order year. Explicit values keep the plan a
+    // single pass (no distinct-values pre-query) and the output schema
+    // deterministic — the two things implicit pivot gets wrong at scale.
+    "q_agg_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("p"))
+        .groupBy(col("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(asMoney(sum(col("p"))))
+        .select(col("yr"), col("F").as("f_total"), col("O").as("o_total"),
+          col("P").as("p_total"))
+        .orderBy(col("yr"))
+    }),
+
     // A1 count + approx variant for the 100 TB mode (SURVEY §2.12) — the
     // approx column is engine-specific so the oracle only checks the exact
     // column... both engines implement HLL differently; exact only here.
@@ -170,6 +186,17 @@ object AggregationQueries extends QueryCatalog {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // conditional-aggregation replay of the pivot (engine-independent of
+    // Spark's pivot operator)
+    "q_agg_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "q_agg_total_counts" ->
       """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
         |  (SELECT COUNT(*) FROM orders) AS n_orders""".stripMargin

@@ -42,6 +42,20 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("n_nationkey"))
     }),
 
+    // JSON-lines sink → source round-trip (S5/S10 sibling format):
+    // string escaping, decimal-as-double fidelity and explicit-schema
+    // read-back all cross the text boundary; the oracle recomputes the
+    // relation from parquet and never sees the JSON.
+    "q_json_roundtrip" -> ((s, dir) => {
+      val out = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          dec2(col("c_acctbal")).cast("double").as("bal"))
+      Sources.writeJson(out, tmp(s, "cust_json"))
+      Sources.readJson(s, tmp(s, "cust_json"), out.schema)
+        .orderBy(col("c_custkey"))
+    }),
+
     // S6/J10: vocab dimension via CSV file, broadcast-joined with the
     // reference's fallback chain (coalesce(vocabLabel, synthesized)).
     "q_csv_vocab_join" -> ((s, dir) => {
@@ -123,6 +137,11 @@ object SourceSinkQueries extends QueryCatalog {
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_csv_vocab_join" ->
       """SELECT coalesce(v.label, 'unknown-' || CAST(c.c_nationkey AS VARCHAR)) AS nation_label,
         |  COUNT(*) AS n

@@ -25,6 +25,15 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSON-lines source — explicit schema for the same reason as CSV
+    * (inference is an extra full pass, and inferred nullability/types
+    * drift between files at scale). One object per line ⇒ splittable. */
+  def readJson(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S1: full-table scan. */
   def readJdbcTable(s: SparkSession, url: String, table: String): DataFrame =
     s.read.format("jdbc").option("url", url).option("dbtable", table).load()
