@@ -115,6 +115,32 @@ object AggregationQueries extends QueryCatalog {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // CUBE: all 2^k grouping-set combinations (rollup's lattice sibling —
+    // one shuffle, grouping-id expansion map-side).
+    "q_agg_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asMoney(sum(dec2(col("o_totalprice")))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Exact interpolated percentiles per group (the distribution-profile
+    // verb): Spark `percentile` and DuckDB `quantile_cont` share the
+    // linear-interpolation definition; rounding to 4 decimals absorbs
+    // last-ulp float differences between the two summation orders.
+    "q_agg_percentiles" -> ((s, dir) => {
+      val p = expr(
+        "percentile(cast(o_totalprice as double), array(0.25D, 0.5D, 0.75D))")
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(element_at(p, 1), 4).as("p25"),
+          round(element_at(p, 2), 4).as("p50"),
+          round(element_at(p, 3), 4).as("p75"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Pivot with an EXPLICIT value list (A-family widening): per-status
     // money columns by order year. Explicit values keep the plan a
     // single pass (no distinct-values pre-query) and the output schema
@@ -186,6 +212,17 @@ object AggregationQueries extends QueryCatalog {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 4) AS p50,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // conditional-aggregation replay of the pivot (engine-independent of
     // Spark's pivot operator)
     "q_agg_pivot" ->

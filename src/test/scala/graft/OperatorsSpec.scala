@@ -230,6 +230,58 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ConnectedComponents == union-find on random graphs") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (1 to 50).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong))
+      // reference: textbook union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val want = (0 until n).map(i => i.toLong -> {
+        // component label = min member id, matching the operator contract
+        (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }).toMap
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val got = ConnectedComponents.label(edges.toDF("a", "b"),
+          col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == touched, s"seed $seed: node set diverged")
+      got.foreach { case (node, comp) =>
+        assert(comp == want(node), s"seed $seed: node $node → $comp, " +
+          s"union-find says ${want(node)}")
+      }
+    }
+  }
+
+  test("AsOfJoin == brute-force latest-at-or-before on random data") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 60).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (1 to 40).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100) * 2L, 1000L + i))
+      // ts × 2 keeps (key, ts) unique-ish; dedup exact collisions to
+      // honor the operator's right-side uniqueness contract
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = AsOfJoin.asOf(left.toDF("k", "t", "lid"),
+        right.toDF("k", "t", "rid"), "k", "t")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    left.foreach { case (k, t, lid) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(lid) == want, s"left $lid (k=$k, t=$t): ${got(lid)} vs $want")
+    }
+  }
+
   test("iterative loops: identical results under local and reliable checkpoint") {
     // Checkpoints.cut switches on the session's checkpoint dir — the
     // cluster-hardened mode (VERDICT r4 Missing #4) must be a pure
