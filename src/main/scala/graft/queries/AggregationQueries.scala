@@ -141,6 +141,29 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // approx percentiles — the 100 TB mode of q_agg_percentiles
+    // (percentile_approx = one-pass mergeable sketch; exact percentile
+    // buffers each group's values). Self-validating like
+    // q_agg_approx_distinct: the exact values ride the hash gate and the
+    // approx estimates assert into tolerance booleans — accuracy=10000
+    // bounds rank error at n/10000, far inside the 2% value band here.
+    "q_agg_approx_percentiles" -> ((s, dir) => {
+      val exact = expr(
+        "percentile(cast(o_totalprice as double), array(0.25D, 0.5D, 0.75D))")
+      val approx = expr("percentile_approx(cast(o_totalprice as double), " +
+        "array(0.25D, 0.5D, 0.75D), 10000)")
+      def within(i: Int) =
+        (abs(element_at(approx, i) - element_at(exact, i)) /
+          element_at(exact, i) <= 0.02).as(s"p${Seq(25, 50, 75)(i - 1)}_tol")
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(element_at(exact, 1), 4).as("p25"),
+          round(element_at(exact, 2), 4).as("p50"),
+          round(element_at(exact, 3), 4).as("p75"),
+          within(1), within(2), within(3))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Pivot with an EXPLICIT value list (A-family widening): per-status
     // money columns by order year. Explicit values keep the plan a
     // single pass (no distinct-values pre-query) and the output schema
@@ -222,6 +245,13 @@ object AggregationQueries extends QueryCatalog {
         |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
         |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 4) AS p50,
         |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_approx_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 4) AS p50,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75,
+        |  true AS p25_tol, true AS p50_tol, true AS p75_tol
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // conditional-aggregation replay of the pivot (engine-independent of
     // Spark's pivot operator)

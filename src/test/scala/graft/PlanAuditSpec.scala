@@ -44,6 +44,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dimension joins broadcast; the fact side never builds the hash table") {
+    val plan = SparkEntry.queries("q_join_multiway")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "multiway join lost its broadcast dims:\n" + plan)
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
   test("quota sampling gets a map-side partial WindowGroupLimit") {
     // row_number() <= quota must rewrite to a partial top-k BEFORE the
     // group exchange (Sampling scaladoc / PERF.md #5): a skewed giant
