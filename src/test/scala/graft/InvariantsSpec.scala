@@ -81,4 +81,20 @@ class InvariantsSpec extends AnyFunSuite with SparkTestBase {
       v(0).getAs[String]("expected") == "1" &&
       v(0).getAs[String]("actual") == "0")
   }
+
+  test("N-Quads ingest gate: rejects-empty is the §5.2 fail-fast invariant") {
+    import spark.implicits._
+    // the pre-validation shape for a text ingest: gate on rejects()
+    // BEFORE consuming parse() — a malformed feed aborts, a clean feed
+    // (comments/blanks allowed) flows through losslessly
+    val clean = Seq("# header", "",
+      "<urn:s> <urn:p> \"v\" <urn:g> .").toDF("value")
+    val dirty = Seq("<urn:s> <urn:p> \"v\" <urn:g> .",
+      "corrupt line").toDF("value")
+    assert(graft.rdf.QuadParser.rejects(clean).isEmpty)
+    assert(graft.rdf.QuadParser.parse(clean).count() == 1)
+    val bad = graft.rdf.QuadParser.rejects(dirty)
+    assert(!bad.isEmpty) // pipelines assert this and abort with the lines
+    assert(bad.as[String].collect().toSeq == Seq("corrupt line"))
+  }
 }
