@@ -42,6 +42,19 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("n_nationkey"))
     }),
 
+    // ORC sink → source round-trip with a PUSHED filter on the re-read
+    // (the second columnar format: same relational content must survive
+    // the format change, and the predicate reaches the ORC scan).
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          dec2(col("s_acctbal")).cast("double").as("bal"))
+      Sources.writeOrc(out, tmp(s, "supp_orc"))
+      Sources.readOrc(s, tmp(s, "supp_orc"))
+        .filter(col("s_nationkey") < 10)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // JSON-lines sink → source round-trip (S5/S10 sibling format):
     // string escaping, decimal-as-double fidelity and explicit-schema
     // read-back all cross the text boundary; the oracle recomputes the
@@ -137,6 +150,11 @@ object SourceSinkQueries extends QueryCatalog {
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM supplier WHERE s_nationkey < 10
+        |ORDER BY s_suppkey""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment,
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal

@@ -34,6 +34,13 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC source/sink — the second columnar format next to Parquet
+    * (stripe-level predicate pushdown, same writer API). */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S1: full-table scan. */
   def readJdbcTable(s: SparkSession, url: String, table: String): DataFrame =
     s.read.format("jdbc").option("url", url).option("dbtable", table).load()
