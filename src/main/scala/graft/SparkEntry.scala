@@ -68,7 +68,8 @@ object SparkEntry {
     StreamingQueries,
     SourceSinkQueries,
     MultimodalQueries,
-    SampleQueries)
+    SampleQueries,
+    MergeQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

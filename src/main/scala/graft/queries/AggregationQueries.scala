@@ -180,6 +180,43 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("yr"))
     }),
 
+    // Explicit GROUPING SETS (the general form under cube/rollup): the
+    // exact subtotal combinations the report needs and nothing else — at
+    // 100 TB a cube over k columns expands every row 2^k ways pre-shuffle,
+    // grouping sets only |sets| ways. The grouping-id is computed as
+    // explicit `grouping()` arithmetic so both engines agree on the
+    // encoding by construction (bit order of native GROUPING_ID differs
+    // across engines); it also disambiguates real NULLs from subtotals.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      val st = col("o_orderstatus")
+      val pr = col("o_orderpriority")
+      Tables.orders(s, dir)
+        .groupingSets(Seq(Seq(st, pr), Seq(st), Seq()), st, pr)
+        .agg((grouping(st).cast("int") * 2 + grouping(pr).cast("int"))
+            .as("gid"),
+          count(lit(1)).as("n"),
+          asMoney(sum(dec2(col("o_totalprice")))).as("total"))
+        .orderBy(col("gid"), st.asc_nulls_first, pr.asc_nulls_first)
+    }),
+
+    // Unpivot/melt — the inverse of q_agg_pivot (wide metric columns →
+    // long (metric, value) rows). A Generate-shaped narrow transform:
+    // no shuffle, each row expands to exactly |metrics| rows, so it
+    // scales as a map over the scan.
+    "q_agg_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          asMoney(dec2(col("l_quantity"))).as("quantity"),
+          asMoney(dec2(col("l_extendedprice"))).as("extendedprice"),
+          asMoney(dec2(col("l_discount"))).as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
     // A1 count + approx variant for the 100 TB mode (SURVEY §2.12) — the
     // approx column is engine-specific so the oracle only checks the exact
     // column... both engines implement HLL differently; exact only here.
@@ -235,6 +272,27 @@ object AggregationQueries extends QueryCatalog {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_unpivot" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extendedprice,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discount
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS value FROM t
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM t
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', discount FROM t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.Merge
+
+/** MERGE / upsert over the customer dimension — the engine twin of the
+  * reference's JDBC write-back loop (SURVEY §2.1 S12,
+  * `etl_lalf_road_qrt_spatial_match.py:115-138`) re-expressed as one
+  * co-partitioned full-outer join (see [[graft.operators.Merge]]).
+  *
+  * The delta batch is derived deterministically from the same table so the
+  * DuckDB oracle can replay it: every 7th customer gets a balance update,
+  * every 1000th spawns a brand-new key (insert), every 997th is deleted.
+  */
+object MergeQueries extends QueryCatalog {
+
+  private def target(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("key"),
+      col("c_name").as("name"), dec2(col("c_acctbal")).as("bal"))
+
+  private def source(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        dec2(dec2(col("c_acctbal")) + lit(100)).as("bal"),
+        lit(false).as("del"))
+    val inserts = c.filter(col("c_custkey") % 1000 === 0)
+      .select((col("c_custkey") + 10000000L).as("key"),
+        concat(lit("NEW "), col("c_name")).as("name"),
+        dec2(lit(0)).as("bal"), lit(false).as("del"))
+    // % 7 exclusion keeps the branches key-disjoint at every SF (keys
+    // divisible by both 7 and 997 would otherwise emit two source rows
+    // for one merge key — MERGE requires unique source keys).
+    val deletes = c.filter(col("c_custkey") % 997 === 0 &&
+        col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        dec2(col("c_acctbal")).as("bal"), lit(true).as("del"))
+    updates.unionByName(inserts).unionByName(deletes)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full MERGE INTO: update + insert + keep + delete in one pass; the
+    // output is the complete next target version plus the action audit
+    // column. One key shuffle per side — no row-at-a-time writes.
+    "q_merge_upsert" -> ((s, dir) => {
+      Merge.upsert(target(s, dir), source(s, dir), "key",
+          deleteFlag = Some("del"))
+        .select(col("key"), col("name"), asMoney(col("bal")).as("bal"),
+          col("action"))
+        .orderBy(col("key"))
+    }),
+
+    // Merge audit rollup: action counts + moved money — the count-parity
+    // check a production merge job would gate on (SURVEY §5.3 style).
+    "q_merge_audit" -> ((s, dir) => {
+      Merge.upsert(target(s, dir), source(s, dir), "key",
+          deleteFlag = Some("del"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"), asMoney(sum(col("bal"))).as("bal_sum"))
+        .orderBy(col("action"))
+    })
+  )
+
+  // The delete-filtered update wins over the same key's delete row only via
+  // the flag — in SQL the three branches are reconstructed with a FULL
+  // OUTER JOIN against the union'd delta, exactly as the operator plans it.
+  private val deltaSql =
+    """SELECT c_custkey AS key, c_name AS name,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)) AS bal,
+      |    FALSE AS del
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey + 10000000, 'NEW ' || c_name,
+      |    CAST(0 AS DECIMAL(18,2)), FALSE
+      |  FROM customer WHERE c_custkey % 1000 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)), TRUE
+      |  FROM customer WHERE c_custkey % 997 = 0 AND c_custkey % 7 <> 0""".stripMargin
+
+  private val mergedSql =
+    s"""WITH tgt AS (
+       |  SELECT c_custkey AS key, c_name AS name,
+       |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+       |src AS (
+       |  $deltaSql),
+       |m AS (
+       |  SELECT COALESCE(s.key, t.key) AS key,
+       |    CASE WHEN s.key IS NOT NULL THEN s.name ELSE t.name END AS name,
+       |    CASE WHEN s.key IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+       |    CASE WHEN t.key IS NULL THEN 'insert'
+       |         WHEN s.key IS NULL THEN 'keep'
+       |         ELSE 'update' END AS action
+       |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+       |  WHERE NOT (t.key IS NOT NULL AND s.key IS NOT NULL
+       |             AND COALESCE(s.del, FALSE)))""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      s"""$mergedSql
+         |SELECT key, name, CAST(bal AS DOUBLE) AS bal, action
+         |FROM m ORDER BY key""".stripMargin,
+    "q_merge_audit" ->
+      s"""$mergedSql
+         |SELECT action, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS bal_sum
+         |FROM m GROUP BY action ORDER BY action""".stripMargin
+  )
+}

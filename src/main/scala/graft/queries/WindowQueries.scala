@@ -93,6 +93,32 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Frame specs — the one window feature the reference never needed
+    // (SURVEY §2.5 note) but a declared part of the engine surface:
+    // a ROWS frame (last-3-orders moving spend; order carries a unique
+    // tiebreaker because ROWS frames are tie-sensitive) and a RANGE frame
+    // (trailing-30-day spend over an integer day key; RANGE includes
+    // peers, so it is deterministic under ties by construction). Both
+    // windows share the o_custkey partition → one shuffle, two frames.
+    "q_window_frames" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date"))
+      val wRows = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+          dec2(col("o_totalprice")).as("p"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          asMoney(sum(col("p")).over(wRows)).as("last3_total"),
+          asMoney(sum(col("p")).over(wRange)).as("d30_total"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }),
+
     // O1-O3: global top-k — ORDER BY score DESC LIMIT k with tiebreak
     // (etl-notes-data-loading.md:100).
     "q_sort_topk_global" -> ((s, dir) => {
@@ -154,6 +180,18 @@ object WindowQueries extends QueryCatalog {
         |FROM lineitem WHERE l_orderkey % 200 = 0
         |WINDOW wa AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_frames" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |SELECT o_custkey, o_orderkey, CAST(day AS INT) AS day,
+        |  CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last3_total,
+        |  CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS d30_total
+        |FROM t ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q_sort_topk_global" ->
       """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
