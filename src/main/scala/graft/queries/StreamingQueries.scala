@@ -77,7 +77,18 @@ object StreamingQueries extends QueryCatalog {
     // Session windows (30-minute gap) per user.
     "q_stream_sessions" -> ((s, dir) =>
       EventPipelines.sessions(Tables.events(s, dir))
-        .orderBy(col("user_id"), col("session_start_ms")))
+        .orderBy(col("user_id"), col("session_start_ms"))),
+
+    // Stream-stream interval join, batch twin (the streaming run with two
+    // MemoryStreams + watermark state expiry is in StreamingSpec):
+    // purchase→view attribution within a 30-minute look-back per user.
+    "q_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventPipelines.attributeViews(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -98,6 +109,14 @@ object StreamingQueries extends QueryCatalog {
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(v.ts) AS view_ms
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
     // Session reconstruction via the gap rule: a new session starts when
     // the inter-event gap is >= 30 minutes (session_window's end bound is
     // exclusive); end = last event + gap.

@@ -126,6 +126,50 @@ object TextAnalysisQueries extends QueryCatalog {
         .orderBy(col("lang"))
     }),
 
+    // Intra-document repetition signals (the Gopher-style quality rules
+    // that catch boilerplate/keyword-stuffed docs DEDUP can't — dedup
+    // compares across docs, these measure repetition WITHIN one):
+    // token repeat ratio (1 − distinct/total), top-token mass, and the
+    // fraction of word-bigram occurrences that are duplicated in-doc.
+    // Shape at scale: per-doc signals only, so both combines are keyed by
+    // doc_id (map-side combinable); the lazy checkpoint pins the bigram
+    // transform out of the scan filter (PERF.md #12).
+    "q_text_repetition" -> ((s, dir) => {
+      import graft.operators.Checkpoints.CutOps
+      val base = normText(s, dir)
+        .select(col("doc_id"), split(col("t"), " ").as("ws"))
+        .withColumn("bg",
+          // sequence(1, 0) counts DOWN in Spark — guard short docs.
+          when(size(col("ws")) >= 2, expr(
+            """transform(sequence(1, size(ws) - 1),
+              |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""
+              .stripMargin))
+            .otherwise(expr("cast(array() as array<string>)")))
+        .cutLineage(eager = false)
+      val tok = base
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+      val big = base
+        .select(col("doc_id"), explode(col("bg")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("bg_total"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("bg_dup"))
+      tok.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("rep_ratio"),
+          round(col("top_c").cast("double") / col("n_tokens"), 6)
+            .as("top_tok_frac"),
+          round(coalesce(col("bg_dup").cast("double") / col("bg_total"),
+            lit(0.0)), 6).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: order-sensitive polynomial rolling hash over
     // the characters, mod 1e9+7 — unlike the set-based dedup sketches,
     // any reordering changes the fingerprint.
@@ -219,6 +263,31 @@ object TextAnalysisQueries extends QueryCatalog {
          |  CAST(SUM(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
          |  round(CAST(SUM(len(string_split(t, ' '))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
          |FROM norm GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH $duckNorm,
+         |d AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+         |         MAX(c) AS top_c FROM tc GROUP BY 1),
+         |bgl AS (SELECT doc_id,
+         |          [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS bg
+         |        FROM d),
+         |bge AS (SELECT doc_id, unnest(bg) AS b FROM bgl),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bge GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, SUM(c) AS bg_total,
+         |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS bg_dup
+         |       FROM bc GROUP BY 1)
+         |SELECT ts.doc_id,
+         |  CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(ts.n_distinct AS BIGINT) AS n_distinct,
+         |  round(1.0 - CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens, 6)
+         |    AS rep_ratio,
+         |  round(CAST(ts.top_c AS DOUBLE) / ts.n_tokens, 6) AS top_tok_frac,
+         |  round(COALESCE(CAST(bs.bg_dup AS DOUBLE) / bs.bg_total, 0.0), 6)
+         |    AS dup_bigram_frac
+         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       s"""WITH $duckNorm
          |SELECT doc_id,

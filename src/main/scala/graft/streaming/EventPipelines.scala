@@ -71,6 +71,34 @@ object EventPipelines {
       }
   }
 
+  /** Stream-stream INTERVAL join — purchase-to-view attribution: each
+    * purchase joins the same user's views from the preceding 30 minutes.
+    * Under `readStream` this is Spark's canonical stream-stream join:
+    * both sides carry watermarks and the two-sided time bound makes the
+    * join state expirable (views older than purchase-watermark − 30 min
+    * are dropped), so state is bounded by rate × horizon — the only
+    * stream-stream join shape that survives unbounded inputs. In batch
+    * the watermarks are no-ops and it is a plain equi-join on user_id
+    * with the time band as a residual — one key shuffle per side.
+    */
+  def attributeViews(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user"))
+      .withWatermark("view_ts", "10 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("view_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        epochMs(col("purchase_ts")).as("purchase_ms"),
+        epochMs(col("view_ts")).as("view_ms"))
+  }
+
   /** 30-minute-gap session windows per user: start, end, event count,
     * exact value sum. */
   def sessions(events: DataFrame): DataFrame =

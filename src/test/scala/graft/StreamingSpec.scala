@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, String, Long)]
+    val purchases = MemoryStream[(Timestamp, String, Long)]
+    val q = EventPipelines.attributeViews(
+        views.toDF().toDF("ts", "event_id", "user_id"),
+        purchases.toDF().toDF("ts", "event_id", "user_id"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: one view inside the 30-min window, one outside (45 min
+      // before); user 2: view AFTER the purchase — never attributed.
+      views.addData((ts(0), "v_old", 1L), (ts(45), "v_in", 1L),
+        (ts(50), "v_late", 2L))
+      purchases.addData((ts(59), "p1", 1L), (ts(30), "p2", 2L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+      assert(rows.map(r => (r.getAs[String]("purchase_id"),
+        r.getAs[String]("view_id"))).toSet == Set(("p1", "v_in")))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
