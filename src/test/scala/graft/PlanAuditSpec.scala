@@ -77,6 +77,74 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Filter"), plan)
   }
 
+  test("unpivot is a shuffle-free generate over the scan") {
+    import org.apache.spark.sql.functions.col
+    // the catalog query adds a presentation orderBy; the operator itself
+    // must not exchange — each row expands to |metrics| rows in place.
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice")), "metric", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "unpivot introduced a shuffle:\n" + plan)
+  }
+
+  test("merge upsert is one co-partitioned join, no nested loops") {
+    val plan = SparkEntry.queries("q_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // exactly one merge join over the key — the delta union folds into
+    // one source side, never one join per MERGE branch
+    val joins = plan.linesIterator.count(l => l.contains("SortMergeJoin") ||
+      l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected 1 join in merge plan, found $joins:\n" + plan)
+  }
+
+  test("both window frames share one partition exchange") {
+    val plan = SparkEntry.queries("q_window_frames")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"ROWS+RANGE frames should reuse one o_custkey shuffle, got $hashEx:\n" +
+        plan)
+  }
+
+  test("selective big-big joins get a runtime bloom filter on the probe side") {
+    import org.apache.spark.sql.functions.col
+    // the 100 TB shape: fact ⋈ fact where one side carries a selective
+    // filter — Spark's runtime row-level bloom filter prunes the probe
+    // side scan before the shuffle. Thresholds floor to 0 here because
+    // sf0.001 is below the default 10 MB/10 GB gates; at scale the same
+    // rewrite fires from real sizes.
+    val conf = spark.conf
+    // creation side must be UNDER its threshold (raise it), application
+    // side OVER its scan threshold (floor it), and the feature on.
+    val overrides = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // a broadcastable creation side suppresses the rule (broadcast
+      // joins don't shuffle the probe side, so the filter buys nothing);
+      // force the shuffle-join regime the audit is about
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.keys.map(k => k -> conf.get(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        "no runtime bloom filter injected on the probe side:\n" + opt)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("N-Quads parser stays whole-stage-codegen with no shuffle") {
     import org.apache.spark.sql.functions.lit
     // parse = scan → filter → two projections; anything beyond one
