@@ -93,6 +93,25 @@ object JoinQueries extends QueryCatalog {
           col("l_linenumber"))
     }),
 
+    // Explicit salted skew join (operators/SkewJoin): the planned rewrite
+    // for known-pathological probe keys — each probe key spreads over 16
+    // salted shuffle partitions, the slim build side replicates 16×, and
+    // the result is provably the plain inner join (the oracle replays it
+    // unsalted). AQE skew-split is the runtime fallback; this is the
+    // up-front shape for celebrity keys.
+    "q_join_skew_salted" -> ((s, dir) => {
+      val probe = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec2(col("l_quantity")).as("qty"))
+      val build = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.salted(probe, build, "l_orderkey",
+          struct(col("l_orderkey"), col("l_linenumber")), r = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), asMoney(sum(col("qty"))).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // J10: broadcast vocab lookup with fallback chain —
     // coalesce(vocabValue, staticMapValue, sentinel); the reference errors
     // on a miss (etl_lalf_address.py:576-583); here the miss routes to a
@@ -170,6 +189,11 @@ object JoinQueries extends QueryCatalog {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON n_nationkey = c.c_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q_join_skew_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -55,6 +55,30 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Bucketed-layout co-located join (SURVEY §4 "Indexing": bucketing is
+    // the engine's btree replacement): both fact tables written with the
+    // same bucket count on the join key, re-read through the session
+    // catalog, joined WITHOUT a shuffle on either side (zero-exchange
+    // join asserted in PlanAuditSpec). The oracle recomputes from the
+    // base parquet and never sees the layout.
+    "q_bucket_join_colocated" -> ((s, dir) => {
+      val id = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, lt) = (s"graft_bkt_orders_$id", s"graft_bkt_lineitem_$id")
+      Sources.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")),
+        ot, tmp(s, "bkt_orders"), "o_orderkey", buckets = 8)
+      Sources.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          dec2(col("l_quantity")).as("qty")),
+        lt, tmp(s, "bkt_lineitem"), "l_orderkey", buckets = 8)
+      Sources.readBucketed(s, ot)
+        .join(Sources.readBucketed(s, lt),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), asMoney(sum(col("qty"))).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // JSON-lines sink → source round-trip (S5/S10 sibling format):
     // string escaping, decimal-as-double fidelity and explicit-schema
     // read-back all cross the text boundary; the oracle recomputes the
@@ -147,6 +171,11 @@ object SourceSinkQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_bucket_join_colocated" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

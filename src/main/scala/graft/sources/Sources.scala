@@ -41,6 +41,23 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Bucketed-table layout (SURVEY §4 "Indexing" row: partitioning/
+    * bucketing replaces the reference's btree indexes): both sides of a
+    * recurring join written with the same bucket count on the join key
+    * co-locate — the join plans with ZERO exchanges (asserted in
+    * PlanAuditSpec). At 100 TB this converts every repeated fact⋈fact
+    * join on the bucket key from a full shuffle into a local zip of
+    * pre-sorted buckets; the write cost is paid once. External-table
+    * form (`path` + `saveAsTable`) so the data lands under the caller's
+    * directory and only bucket METADATA lives in the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+
+  def readBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+
   /** S1: full-table scan. */
   def readJdbcTable(s: SparkSession, url: String, table: String): DataFrame =
     s.read.format("jdbc").option("url", url).option("dbtable", table).load()

@@ -145,6 +145,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("salted skew join shuffles on (key, salt)") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // salting only matters in the shuffle-join regime (a broadcastable
+    // build side needs no salt) — force it, as a 100 TB build side would
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val build = Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val plan = graft.operators.SkewJoin.salted(probe, build, "l_orderkey",
+          struct(col("l_orderkey"), col("l_linenumber")), r = 16)
+        .queryExecution.executedPlan.toString
+      val saltedEx = plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+      assert(saltedEx, "join shuffle does not include the salt key:\n" + plan)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed co-located join plans with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join regime: the point is that bucket layout,
+      // not broadcast, removes the exchanges
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+        s"${spark.sparkContext.applicationId}/bkt_audit"
+      graft.sources.Sources.writeBucketed(
+        Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_bkt_audit_o", s"$dir/o", "o_orderkey", buckets = 4)
+      graft.sources.Sources.writeBucketed(
+        Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+        "graft_bkt_audit_l", s"$dir/l", "l_orderkey", buckets = 4)
+      val joined = spark.table("graft_bkt_audit_o")
+        .join(spark.table("graft_bkt_audit_l"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan)
+      assert(joined.count() ==
+        Tables.lineitem(spark, sf).count(), "inner join lost rows")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("N-Quads parser stays whole-stage-codegen with no shuffle") {
     import org.apache.spark.sql.functions.lit
     // parse = scan → filter → two projections; anything beyond one
