@@ -310,6 +310,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Merge.upsert: source NULL wins on match; delete flag drops the row") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val target = Seq((1L, "a", "t1"), (2L, "b", "t2"), (3L, "c", "t3"))
+      .toDF("key", "v", "w")
+    val source = Seq(
+      (1L, Option.empty[String], "s1", false), // update with NULL v
+      (3L, Option("z"), "s3", true),           // matched delete
+      (4L, Option("d"), "s4", false))          // insert
+      .toDF("key", "v", "w", "del")
+    val out = Merge.upsert(target, source, "key", deleteFlag = Some("del"))
+      .orderBy("key")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, None, "s1", "update"), // source's NULL v REPLACED target's "a"
+      (2L, Some("b"), "t2", "keep"),
+      (4L, Some("d"), "s4", "insert")))
+  }
+
+  test("SkewJoin.salted equals the plain inner join for any fan-out") {
+    import org.apache.spark.sql.functions.struct
+    import graft.operators.SkewJoin
+    val probe = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val build = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = probe.join(build, Seq("l_orderkey"))
+    for (r <- Seq(1, 4, 32)) {
+      val salted = SkewJoin.salted(probe, build, "l_orderkey",
+        struct(col("l_orderkey"), col("l_linenumber")), r)
+      assert(salted.count() == plain.count(), s"row count drift at r=$r")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"multiset drift at r=$r")
+    }
+  }
+
   test("Multimodal.decodeBatched indexes by code points, not UTF-16 units") {
     import spark.implicits._
     import graft.operators.{MediaRecord, Multimodal}
