@@ -98,6 +98,23 @@ object TextDedup {
           .as("band_key"))
   }
 
+  /** Persistable LSH band index — the INCREMENTAL dedup shape: sketch the
+    * corpus once, store `(doc_id, band, band_key)` (plus shingles if exact
+    * verification is wanted), and every ingest batch dedups against the
+    * whole history by equi-joining its own bands to the index on
+    * (band, band_key) — no corpus re-sketching, no self-join. The index
+    * is append-only (accepted docs' bands append after each batch), which
+    * is the same ledger discipline as the incremental-resume pattern
+    * (StreamingQueries). At 100 TB: batch side is small, index side is
+    * band-key-partitioned; the candidate join shuffles only the batch. */
+  def bandIndex(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+      seeds: Int = 2, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    lshBands(
+      wordShingles(docs, id, text, n)
+        .withColumn("sig", minhashSignature(col("shingles"), seeds))
+        .select(col("doc_id"), col("sig")),
+      bands, rowsPerBand)
+
   /** SimHash sketch over a token-set column: bit i = majority vote of
     * md5-nibble-i high bits (md5 has exactly 32 nibbles → 32 bits). */
   def simhash(tokensCol: String): Column =

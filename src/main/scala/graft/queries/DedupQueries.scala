@@ -39,6 +39,12 @@ object DedupQueries extends QueryCatalog {
   // wrapped keys) are documented there and in PERF.md #2/#8.
   import graft.operators.TextDedup
 
+  /** Per-session sink root (applicationId-scoped like every sink path in
+    * this repo — concurrent runs must not share the band index). */
+  private def tmp(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+      s"${s.sparkContext.applicationId}/$name"
+
   /** doc_id + distinct word-3-gram shingle set. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     TextDedup.wordShingles(Tables.documents(s, dir),
@@ -121,6 +127,38 @@ object DedupQueries extends QueryCatalog {
     // exact-Jaccard verification at 0.8.
     "q_dedup_minhash" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // INCREMENTAL dedup — a new ingest batch (doc_id % 5 = 0) dedups
+    // against a PERSISTED corpus band index (written to parquet and read
+    // back, simulating yesterday's index): batch bands equi-join the
+    // index on (band, band_key), then only candidate corpus docs are
+    // re-shingled for exact verification. The corpus is never
+    // re-sketched and never self-joined — ingestion cost scales with the
+    // batch, not the history (TextDedup.bandIndex scaladoc).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val idxPath = tmp(s, "dedup_band_index")
+      TextDedup.bandIndex(corpus, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(idxPath)
+      val idx = s.read.parquet(idxPath)
+      val cand = TextDedup.bandIndex(batch, col("doc_id"), col("text")).as("b")
+        .join(idx.as("c"), col("b.band") === col("c.band") &&
+          col("b.band_key") === col("c.band_key"))
+        .select(col("b.doc_id").as("batch_doc"),
+          col("c.doc_id").as("corpus_doc"))
+        .distinct()
+      val shB = TextDedup.wordShingles(batch, col("doc_id"), col("text"))
+      val shC = TextDedup.wordShingles(corpus, col("doc_id"), col("text"))
+      cand
+        .join(shB.as("sb"), col("batch_doc") === col("sb.doc_id"))
+        .join(shC.as("sc"), col("corpus_doc") === col("sc.doc_id"))
+        .select(col("batch_doc"), col("corpus_doc"),
+          jaccard(col("sb.shingles"), col("sc.shingles")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("batch_doc"), col("corpus_doc"))
+    }),
 
     // Pair detection is only half a dedup pipeline: "a~b, b~c" must
     // become ONE cluster {a,b,c} with one survivor before anything is
@@ -316,6 +354,35 @@ object DedupQueries extends QueryCatalog {
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same sketch pipeline, but candidates cross the batch/corpus split
+    // instead of self-joining (the persisted-index layout is invisible
+    // to the oracle — it replays the sketches relationally).
+    "q_dedup_incremental" ->
+      s"""WITH $shinglesCte,
+         |mh AS (
+         |  SELECT doc_id, shingles,
+         |    [CASE WHEN h < 4
+         |       THEN list_min([substring(md5(s), 8 * h + 1, 8) for s in shingles])
+         |       ELSE list_min([substring(md5('x' || s), 8 * (h - 4) + 1, 8) for s in shingles])
+         |     END for h in range(0, 8)] AS sig
+         |  FROM sh),
+         |buckets AS (
+         |  SELECT doc_id, band, md5(sig[2*band+1] || sig[2*band+2]) AS band_key
+         |  FROM mh, (SELECT unnest(range(0, 4)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+         |  FROM buckets b JOIN buckets c
+         |    ON b.band = c.band AND b.band_key = c.band_key
+         |   AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+         |SELECT batch_doc, corpus_doc,
+         |  CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sb.shingles, sc.shingles))) AS jaccard
+         |FROM cand
+         |JOIN sh sb ON cand.batch_doc = sb.doc_id
+         |JOIN sh sc ON cand.corpus_doc = sc.doc_id
+         |WHERE CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sb.shingles, sc.shingles))) >= 0.8
+         |ORDER BY batch_doc, corpus_doc""".stripMargin,
     // Transitive closure as the independent oracle for the iterative
     // label-propagation loop (same independence pattern as the
     // WITH RECURSIVE twin of q_recursive_hierarchy): reach(node, m)
