@@ -170,6 +170,22 @@ object TextAnalysisQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // PII-style redaction + pseudonymization (training corpora scrub
+    // identifiers before the text ships): numeric IDs in the name column
+    // are replaced with a <ID> tag, and a stable md5 pseudonym preserves
+    // join-ability across the corpus without exposing the raw value —
+    // same value → same pseudonym on every engine, run, and partition
+    // (the rule all the sampling/dedup keys here follow). Pure per-row
+    // column expressions: redaction at 100 TB is exactly a scan.
+    "q_text_redact" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") % 25 === 0)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("redacted"),
+          md5(regexp_extract(col("c_name"), "([0-9]+)", 1)).as("pseudonym"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Document fingerprint: order-sensitive polynomial rolling hash over
     // the characters, mod 1e9+7 — unlike the set-based dedup sketches,
     // any reordering changes the fingerprint.
@@ -288,6 +304,12 @@ object TextAnalysisQueries extends QueryCatalog {
          |    AS dup_bigram_frac
          |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
          |ORDER BY ts.doc_id""".stripMargin,
+    "q_text_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+        |  md5(regexp_extract(c_name, '([0-9]+)', 1)) AS pseudonym
+        |FROM customer WHERE c_custkey % 25 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_text_fingerprint" ->
       s"""WITH $duckNorm
          |SELECT doc_id,

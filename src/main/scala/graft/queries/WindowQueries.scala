@@ -119,6 +119,32 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
 
+    // Time-series densify + carry-forward (gap fill): per supplier, a
+    // complete daily calendar spanned by sequence()+explode, left-joined
+    // to the real daily sums, missing days carrying the last observed
+    // value forward (`last(ignoreNulls)` over an unbounded-preceding ROWS
+    // frame). Scale shape: the calendar explode is keyed by the same
+    // partition as the window, so densify + fill is ONE shuffle; row
+    // growth is bounded by (date span × keys), independent of fact rows.
+    "q_window_gapfill" -> ((s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 3)
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+        .agg(asMoney(sum(dec2(col("l_quantity")))).as("qty"))
+      val calendar = daily.groupBy(col("l_suppkey"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("l_suppkey"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      calendar.join(daily, Seq("l_suppkey", "day"), "left")
+        .select(col("l_suppkey"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("qty"), ignoreNulls = true).over(w).as("qty_filled"),
+          col("qty").isNull.as("is_gap"))
+        .orderBy(col("l_suppkey"), col("day"))
+    }),
+
     // O1-O3: global top-k — ORDER BY score DESC LIMIT k with tiebreak
     // (etl-notes-data-loading.md:100).
     "q_sort_topk_global" -> ((s, dir) => {
@@ -192,6 +218,28 @@ object WindowQueries extends QueryCatalog {
         |  CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS d30_total
         |FROM t ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q_window_gapfill" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1, 2),
+        |b AS (
+        |  SELECT l_suppkey, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT l_suppkey,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |f AS (
+        |  SELECT c.l_suppkey, c.day, d.qty
+        |  FROM cal c LEFT JOIN daily d
+        |    ON c.l_suppkey = d.l_suppkey AND c.day = d.day)
+        |SELECT l_suppkey, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(qty IGNORE NULLS) OVER (PARTITION BY l_suppkey
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS qty_filled,
+        |  (qty IS NULL) AS is_gap
+        |FROM f ORDER BY l_suppkey, day""".stripMargin,
     "q_sort_topk_global" ->
       """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
