@@ -123,9 +123,10 @@ object WindowQueries extends QueryCatalog {
     // complete daily calendar spanned by sequence()+explode, left-joined
     // to the real daily sums, missing days carrying the last observed
     // value forward (`last(ignoreNulls)` over an unbounded-preceding ROWS
-    // frame). Scale shape: the calendar explode is keyed by the same
-    // partition as the window, so densify + fill is ONE shuffle; row
-    // growth is bounded by (date span × keys), independent of fact rows.
+    // frame). Scale shape: after the daily pre-aggregation (the only
+    // fact-sized shuffle) everything downstream — calendar, join, fill
+    // window — operates on span × keys rows, independent of fact rows;
+    // the explode itself is narrow.
     "q_window_gapfill" -> ((s, dir) => {
       val daily = Tables.lineitem(s, dir)
         .filter(col("l_suppkey") <= 3)
