@@ -112,6 +112,31 @@ object JoinQueries extends QueryCatalog {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // 1-D interval OVERLAP join (operators/IntervalJoin): supplier 1's
+    // shipment windows × supplier 2's, every overlapping pair. The
+    // inequality θ-join becomes a bucket-keyed equi-join by exploding
+    // each interval to the ~(len/bucket + 1) time buckets it touches;
+    // the oracle replays the plain θ-join. Intervals are [ship_day,
+    // ship_day + qty % 30] — deterministic from the data.
+    "q_join_interval_overlap" -> ((s, dir) => {
+      def itv(supp: Int, p: String) = Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") === supp)
+        .select(col("l_orderkey").as(s"${p}_order"),
+          col("l_linenumber").as(s"${p}_line"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1990-01-01").cast("date")).cast("long").as(s"${p}_d"),
+          (col("l_quantity").cast("long") % 30).as(s"${p}_len"))
+      graft.operators.IntervalJoin.overlaps(
+          itv(1, "a"), col("a_d"), col("a_d") + col("a_len"),
+          itv(2, "b"), col("b_d"), col("b_d") + col("b_len"),
+          bucketDays = 30)
+        .select(col("a_order"), col("a_line"),
+          col("a_start"), col("a_end"),
+          col("b_order"), col("b_line"),
+          col("b_start"), col("b_end"))
+        .orderBy(col("a_order"), col("a_line"), col("b_order"), col("b_line"))
+    }),
+
     // J10: broadcast vocab lookup with fallback chain —
     // coalesce(vocabValue, staticMapValue, sentinel); the reference errors
     // on a miss (etl_lalf_address.py:576-583); here the miss routes to a
@@ -189,6 +214,23 @@ object JoinQueries extends QueryCatalog {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON n_nationkey = c.c_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q_join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS a_order, l_linenumber AS a_line,
+        |    date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |    CAST(l_quantity AS BIGINT) % 30 AS len
+        |  FROM lineitem WHERE l_suppkey = 1),
+        |b AS (
+        |  SELECT l_orderkey AS b_order, l_linenumber AS b_line,
+        |    date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |    CAST(l_quantity AS BIGINT) % 30 AS len
+        |  FROM lineitem WHERE l_suppkey = 2)
+        |SELECT a_order, a_line,
+        |  CAST(a.s AS BIGINT) AS a_start, CAST(a.s + a.len AS BIGINT) AS a_end,
+        |  b_order, b_line,
+        |  CAST(b.s AS BIGINT) AS b_start, CAST(b.s + b.len AS BIGINT) AS b_end
+        |FROM a JOIN b ON a.s <= b.s + b.len AND b.s <= a.s + a.len
+        |ORDER BY a_order, a_line, b_order, b_line""".stripMargin,
     "q_join_skew_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

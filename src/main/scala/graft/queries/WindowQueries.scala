@@ -119,6 +119,21 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
 
+    // NTILE quantile bucketing — stratification for quota sampling /
+    // data mixing (assign each row its within-group quartile). Keyed by
+    // market segment so the sort stays per-group (a global NTILE is a
+    // single-partition sort at scale — avoid); tiebreak makes ranks total.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(dec2(col("c_acctbal")).desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          asMoney(dec2(col("c_acctbal"))).as("bal"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_mktsegment"), col("quartile"), col("c_custkey"))
+    }),
+
     // Time-series densify + carry-forward (gap fill): per supplier, a
     // complete daily calendar spanned by sequence()+explode, left-joined
     // to the real daily sums, missing days carrying the last observed
@@ -219,6 +234,14 @@ object WindowQueries extends QueryCatalog {
         |  CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS d30_total
         |FROM t ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey)
+        |    AS quartile
+        |FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin,
     "q_window_gapfill" ->
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,

@@ -347,6 +347,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IntervalJoin.overlaps is bucket-size-invariant and matches the θ-join") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val a = Seq((1L, 0L, 10L), (2L, 50L, 55L), (3L, 100L, 100L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 5L, 7L), (11L, 10L, 20L), (12L, 56L, 60L),
+      (13L, 100L, 130L), (14L, 99L, 99L))
+      .toDF("b_id", "b_s", "b_e")
+    val expected = a.join(b,
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (1L, 11L), (3L, 13L)))
+    for (bucket <- Seq(1, 7, 30, 1000)) {
+      val got = IntervalJoin.overlaps(a, col("a_s"), col("a_e"),
+          b, col("b_s"), col("b_e"), bucket)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"drift at bucket=$bucket")
+    }
+  }
+
   test("Multimodal.decodeBatched indexes by code points, not UTF-16 units") {
     import spark.implicits._
     import graft.operators.{MediaRecord, Multimodal}

@@ -195,6 +195,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("interval overlap join is bucket-keyed, no cartesian") {
+    val plan = SparkEntry.queries("q_join_interval_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "interval join fell back to a product plan:\n" + plan)
+    assert(plan.contains("__bucket"), "bucket key missing from plan:\n" + plan)
+  }
+
   test("N-Quads parser stays whole-stage-codegen with no shuffle") {
     import org.apache.spark.sql.functions.lit
     // parse = scan → filter → two projections; anything beyond one
