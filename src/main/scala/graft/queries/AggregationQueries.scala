@@ -217,6 +217,45 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     }),
 
+    // Fixed-width histogram (the third distribution-profile verb next to
+    // exact/approx percentiles): bucket = floor(value / width), one
+    // map-side-combinable groupBy — the O(buckets) answer to "what does
+    // this column look like" that percentile sketches can't give.
+    "q_agg_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(floor(dec2(col("o_totalprice")) / 50000).cast("long")
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Approximate heavy hitters — the sketch-mode top-k (one-pass,
+    // mergeable, bounded memory; the exact groupBy-count is a full
+    // shuffle of the key's cardinality). Self-validating like
+    // q_agg_approx_distinct: the EXACT top-5 items + row mass ride the
+    // hash gate, and the sketch's item set asserts into a boolean. The
+    // skew column floor(sqrt(custkey)) has strictly separated counts, so
+    // the true top-5 is unambiguous and the sketch (tracking 10k items,
+    // far above the ~√N distinct values) must agree deterministically.
+    "q_agg_heavy_hitters" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(floor(sqrt(col("o_custkey"))).cast("long").as("x"))
+      val exact5 = base.groupBy(col("x")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("x")).limit(5)
+      val exactAgg = exact5.agg(
+        concat_ws(",", sort_array(collect_list(col("x").cast("string"))))
+          .as("exact_items"),
+        sum(col("n")).as("top5_rows"))
+      val approx = base
+        .agg(expr("approx_top_k(x, 5, 10000)").as("tk"))
+        .select(concat_ws(",", sort_array(
+          expr("transform(tk, e -> cast(e.item as string))")))
+          .as("approx_items"))
+      exactAgg.crossJoin(approx)
+        .select(col("exact_items"), col("top5_rows"),
+          (col("exact_items") === col("approx_items")).as("topk_match"))
+    }),
+
     // A1 count + approx variant for the 100 TB mode (SURVEY §2.12) — the
     // approx column is engine-specific so the oracle only checks the exact
     // column... both engines implement HLL differently; exact only here.
@@ -272,6 +311,23 @@ object AggregationQueries extends QueryCatalog {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000)
+        |    AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_agg_heavy_hitters" ->
+      """WITH x AS (
+        |  SELECT CAST(floor(sqrt(o_custkey)) AS BIGINT) AS x FROM orders),
+        |c AS (
+        |  SELECT x, COUNT(*) AS n FROM x GROUP BY x
+        |  ORDER BY n DESC, x LIMIT 5)
+        |SELECT
+        |  string_agg(CAST(x AS VARCHAR), ',' ORDER BY CAST(x AS VARCHAR))
+        |    AS exact_items,
+        |  CAST(SUM(n) AS BIGINT) AS top5_rows,
+        |  TRUE AS topk_match
+        |FROM c""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
