@@ -79,6 +79,60 @@ object StreamingQueries extends QueryCatalog {
       EventPipelines.sessions(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_start_ms"))),
 
+    // Funnel analysis — ordered stage progression per user (first view →
+    // first click within 2 h of it → first purchase within 2 h of that),
+    // then users per deepest stage. The conversion window is what makes
+    // a funnel a funnel (unbounded "ever after" degenerates to set
+    // membership). Every step is a user-keyed min-agg or equi-join
+    // (map-side combinable, one key family end to end) — the relational
+    // form of sequential pattern matching over the event stream.
+    "q_stream_funnel" -> ((s, dir) => {
+      val window = expr("INTERVAL 2 HOURS")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") >= col("t_view") &&
+          col("ts") <= col("t_view") + window)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") >= col("t_click") &&
+          col("ts") <= col("t_click") + window)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1).cast("int").as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention — users grouped by first-seen day, counted per
+    // elapsed-week offset. The cohort assignment is one user-keyed
+    // min-agg; the (cohort, offset) matrix is a distinct + groupBy over
+    // derived keys — no self-join, no window over the full stream.
+    "q_stream_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("user_id"),
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          // explicit floor: Spark's int cast truncates, DuckDB's rounds —
+          // floor() agrees everywhere for the non-negative offsets here
+          floor(datediff(col("day"), col("cohort_day")) / 7).cast("int")
+            .as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     // Stream-stream interval join, batch twin (the streaming run with two
     // MemoryStreams + watermark state expiry is in StreamingSpec):
     // purchase→view attribution within a 30-minute look-back per user.
@@ -109,6 +163,42 @@ object StreamingQueries extends QueryCatalog {
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 2 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 2 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |  WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
+        |  COUNT(*) AS n_users
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_stream_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        |m AS (
+        |  SELECT DISTINCT e.user_id,
+        |    strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        |    CAST(floor(date_diff('day', cohort_day, day) / 7) AS INT)
+        |      AS week_offset
+        |  FROM e JOIN cohort ON e.user_id = cohort.user_id)
+        |SELECT cohort, week_offset, COUNT(*) AS n_users
+        |FROM m GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin,
     "q_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
         |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(v.ts) AS view_ms
