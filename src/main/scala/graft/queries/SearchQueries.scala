@@ -72,6 +72,49 @@ object SearchQueries extends QueryCatalog {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // TF-IDF document-to-document similarity — text retrieval WITHOUT
+    // embeddings (the sparse sibling of AnnQueries' dense cosine): each
+    // doc becomes a unit-normalized tf·idf vector, and pair similarity is
+    // a TERM-keyed inverted-index join summing weight products — only
+    // docs sharing a term ever meet, so cost is Σ_term df(term)², not
+    // N². At 100 TB the high-df stopword terms dominate that sum — the
+    // classic posting-list prune drops them (a df threshold; this
+    // corpus's tiny shared vocabulary only permits dropping df = N
+    // terms, which carry idf = ln(1) = 0 anyway — on natural text the
+    // threshold bites much lower). Query docs (id % 25 = 0) take top-3
+    // neighbors; cosines ROUND to 6 dp before ranking so the rank is
+    // identical across engines' float-summation orders.
+    "q_search_tfidf_sim" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(s, dir)
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = tf.join(broadcast(df), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") < col("n_docs"))
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df")))
+            .as("w"))
+      val nrm = w.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val unit = w.join(nrm, Seq("doc_id"))
+        .select(col("doc_id"), col("tok"), (col("w") / col("nrm")).as("u"))
+      val q = unit.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_doc"), col("tok"), col("u").as("uq"))
+      val sim = q.join(unit.filter(col("doc_id") % 25 =!= 0), Seq("tok"))
+        .groupBy(col("q_doc"), col("doc_id"))
+        .agg(round(sum(col("uq") * col("u")), 6).as("cosine"))
+      val rk = Window.partitionBy(col("q_doc"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      sim.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select(col("q_doc"), col("rk"), col("doc_id").as("match_doc"),
+          col("cosine"))
+        .orderBy(col("q_doc"), col("rk"))
+    }),
+
     // T3: faceted filter + sort + paginate (page 2 of 10).
     "q_search_facet_page" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -93,6 +136,37 @@ object SearchQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_search_tfidf_sim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, t.tok, t.tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+        |  FROM tf t JOIN dfreq USING (tok), nn
+        |  WHERE df < n_docs),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |unit AS (
+        |  SELECT w.doc_id, w.tok, w.w / nrm.nrm AS u
+        |  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+        |sim AS (
+        |  SELECT q.doc_id AS q_doc, d.doc_id,
+        |    round(SUM(q.u * d.u), 6) AS cosine
+        |  FROM unit q JOIN unit d
+        |    ON q.tok = d.tok AND q.doc_id % 25 = 0 AND d.doc_id % 25 <> 0
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_doc, doc_id, cosine, row_number() OVER (
+        |    PARTITION BY q_doc ORDER BY cosine DESC, doc_id) AS rk
+        |  FROM sim)
+        |SELECT q_doc, CAST(rk AS INT) AS rk, doc_id AS match_doc, cosine
+        |FROM ranked WHERE rk <= 3 ORDER BY q_doc, rk""".stripMargin,
     "q_search_prefix" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(
