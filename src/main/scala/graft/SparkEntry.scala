@@ -69,7 +69,8 @@ object SparkEntry {
     SourceSinkQueries,
     MultimodalQueries,
     SampleQueries,
-    MergeQueries)
+    MergeQueries,
+    MiningQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-mining operators for the LLM training-data pipeline (builder
+  * brief: dedup / similarity / text analysis are first-class alongside
+  * SURVEY §2) — the model-building half that TextAnalysisQueries'
+  * per-document signals feed into:
+  *
+  *  - `q_text_chunk_overlap`: overlapping token-window chunking — the
+  *    standard pre-tokenization step that turns long documents into
+  *    training windows (size 32, stride 24). Shuffle-free: explode of a
+  *    `sequence` of chunk starts inside one projection, so the whole
+  *    query is a single codegen'd scan. Tail windows that add no new
+  *    tokens beyond the previous window's coverage are dropped
+  *    (`start + (size − stride) < n`), the standard sliding-window rule.
+  *  - `q_lm_unigram_score`: add-one-smoothed unigram language-model
+  *    scoring — train token counts on 80% of the corpus (doc_id % 5 ≠ 0),
+  *    score held-out docs by mean log-probability. The classic
+  *    cheap-perplexity quality signal for corpus filtering. The
+  *    vocab join is TOKEN-keyed (shuffle join, NOT a broadcast): a
+  *    100 TB corpus's vocabulary is itself huge, and the token join is
+  *    uniform by Zipf-bucket salting if needed — only the 2-value
+  *    (total, vocab-size) row is broadcast.
+  *  - `q_cluster_kmeans`: 2 Lloyd iterations over the embeddings table
+  *    via [[graft.operators.Clustering.lloyd]] — semantic clustering for
+  *    topic balancing / semantic dedup. Scale analysis on the operator.
+  *  - `q_join_fuzzy_levenshtein`: edit-distance fuzzy self-match over
+  *    part names with first-token blocking — candidate pairs come from a
+  *    blocking-key EQUI-join (the shuffle key), the length-difference
+  *    guard `|len(a)−len(b)| ≤ maxDist` prunes before the O(len²)
+  *    levenshtein, and only block-mates ever compare. At 100 TB: skewed
+  *    blocks route through the operators/SkewJoin salting rule.
+  *  - `q_events_anomaly_zscore`: per-group z-score outlier detection
+  *    (|z| ≥ 3) — group stats are a partial-aggregable groupBy on a
+  *    low-cardinality key, broadcast back to the fact scan; one shuffle
+  *    of group partials, no fact-table re-shuffle.
+  *
+  * Parity: z and log-prob values are ROUNDED TO 6 DP on both sides and
+  * thresholds compare the ROUNDED value, so engine-order float summation
+  * in means/stddevs cannot flip a row in or out; levenshtein and md5 are
+  * exact; k-means parity is documented on the operator.
+  */
+object MiningQueries extends QueryCatalog {
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+        explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")),
+          " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_chunk_overlap" -> ((s, dir) => {
+      val newTok = ChunkSize - ChunkStride
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("s", explode(expr(s"sequence(0, n - 1, $ChunkStride)")))
+        .filter(col("s") === 0 || col("s") + newTok < col("n"))
+        .select(col("doc_id"),
+          (col("s") / ChunkStride).cast("int").as("chunk_id"),
+          col("s").cast("long").as("chunk_start"),
+          least(lit(ChunkSize), col("n") - col("s")).cast("long").as("n_tok"),
+          md5(concat_ws(" ",
+            expr(s"slice(t, s + 1, least($ChunkSize, n - s))")))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q_lm_unigram_score" -> ((s, dir) => {
+      val toks = docToks(s, dir)
+      val vocab = toks.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val stats = vocab.agg(sum(col("cnt")).as("tt_total"),
+        count(lit(1)).as("v_size"))
+      toks.filter(col("doc_id") % 5 === 0)
+        .join(vocab, Seq("tok"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp",
+          log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("tt_total") + col("v_size")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(col("lp")), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_cluster_kmeans" -> ((s, dir) => {
+      graft.operators.Clustering
+        .lloyd(Tables.embeddings(s, dir), initModulus = 100L, iters = 2)
+        .select(col("vec_id"), col("cid"),
+          // abs normalizes the -0.0 a centroid's own round(−1e−16) yields
+          abs(round(col("d2"), 6)).as("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_join_fuzzy_levenshtein" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        length(col("p_name")).as("ln"))
+      val probes = p.filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          col("p_name").as("probe_name"), col("blk"), col("ln").as("pl"))
+      probes.join(p, Seq("blk"))
+        .filter(col("probe_key") =!= col("p_partkey") &&
+          abs(col("pl") - col("ln")) <= 2 &&
+          levenshtein(col("probe_name"), col("p_name")) <= 2)
+        .select(col("probe_key"), col("p_partkey").as("match_key"),
+          levenshtein(col("probe_name"), col("p_name")).cast("int")
+            .as("dist"))
+        .orderBy(col("probe_key"), col("dist"), col("match_key"))
+    }),
+
+    "q_events_anomaly_zscore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("m")) / col("sd"), 6))
+        .filter(abs(col("z")) >= 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy(col("event_type"), col("event_id"))
+    })
+  )
+
+  // DuckDB list-comprehension dot product — same left-to-right double fold
+  // as graft_dot (see AnnQueries parity note).
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])"
+
+  private def duckD2(e: String, n2: String, ce: String, cn2: String): String =
+    s"$n2 - 2 * ${duckDot(e, ce)} + $cn2"
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "q_text_chunk_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(
+         |    regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS s
+         |  FROM toks)
+         |SELECT doc_id, CAST(s // $ChunkStride AS INT) AS chunk_id,
+         |  s AS chunk_start, least($ChunkSize, n - s) AS n_tok,
+         |  md5(array_to_string(
+         |    list_slice(t, s + 1, s + least($ChunkSize, n - s)), ' '))
+         |    AS chunk_md5
+         |FROM st WHERE s = 0 OR s + ${ChunkSize - ChunkStride} < n
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_lm_unigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |vocab AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM tt
+        |  WHERE doc_id % 5 <> 0 GROUP BY tok),
+        |stats AS (
+        |  SELECT SUM(cnt) AS tt_total, COUNT(*) AS v_size FROM vocab),
+        |held AS (
+        |  SELECT t.doc_id, COALESCE(v.cnt, 0) AS cnt
+        |  FROM tt t LEFT JOIN vocab v USING (tok)
+        |  WHERE t.doc_id % 5 = 0)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  round(avg(ln((cnt + 1)::DOUBLE / (tt_total + v_size)::DOUBLE)), 6)
+        |    AS avg_logprob
+        |FROM held, stats GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_kmeans" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    ${duckDot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id // 100 AS cid,
+         |    list_transform(embedding, x -> x::DOUBLE) AS ce, n2 AS cn2
+         |  FROM v WHERE vec_id % 100 = 0),
+         |p1 AS (
+         |  SELECT v.vec_id, v.embedding, v.n2, c.cid,
+         |    ${duckD2("v.embedding", "v.n2", "c.ce", "c.cn2")} AS d2
+         |  FROM v CROSS JOIN c0 c),
+         |a1 AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |  FROM p1),
+         |m1 AS (SELECT vec_id, embedding, n2, cid FROM a1 WHERE rk = 1),
+         |comp1 AS (
+         |  SELECT cid, i.i AS pos, round(avg(embedding[i.i]::DOUBLE), 6) AS val
+         |  FROM m1, range(1, 65) i(i) GROUP BY cid, i.i),
+         |c1l AS (
+         |  SELECT cid, list(val ORDER BY pos) AS ce FROM comp1 GROUP BY cid),
+         |c1 AS (
+         |  SELECT cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM c1l),
+         |p2 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${duckD2("v.embedding", "v.n2", "c.ce", "c.cn2")} AS d2
+         |  FROM v CROSS JOIN c1 c),
+         |a2 AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |  FROM p2)
+         |SELECT vec_id, cid, abs(round(d2, 6)) AS dist2
+         |FROM a2 WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_join_fuzzy_levenshtein" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+        |    length(p_name) AS ln
+        |  FROM part)
+        |SELECT a.p_partkey AS probe_key, b.p_partkey AS match_key,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+        |  AND abs(a.ln - b.ln) <= 2
+        |WHERE a.p_partkey % 100 = 0
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY probe_key, dist, match_key""".stripMargin,
+
+    "q_events_anomaly_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s.m) / s.sd, 6) AS z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 3.0
+        |ORDER BY e.event_type, e.event_id""".stripMargin
+  )
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{TextDedup, VectorSearch}
+import graft.operators.{Clustering, TextDedup, VectorSearch}
 
 /** Property-style checks for the parameterized operator surface —
   * invariants that must hold for ANY parameter choice, complementing the
@@ -384,5 +384,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val md = java.security.MessageDigest.getInstance("MD5")
     val full = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(d.frames.head == full)
+  }
+
+  test("lloyd: modulus 1 + one iteration assigns every vector to itself") {
+    import spark.implicits._
+    val v = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(-1f, 0f)), (3L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.lloyd(v, initModulus = 1L, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    out.foreach { case (id, (cid, d2)) =>
+      assert(cid == id, s"vector $id assigned to foreign centroid $cid")
+      assert(math.abs(d2) < 1e-12)
+    }
+  }
+
+  test("lloyd: planted clusters recovered, exactly one assignment per vector") {
+    import spark.implicits._
+    // ids ≡ 0 (mod 3) seed the two centroids: id 0 in cluster A (near the
+    // origin), id 3 in cluster B (near (10, 10)); evens are A, odds B.
+    val v = Seq(
+      (0L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.2f)),
+      (4L, Array(-0.1f, 0.1f)), (3L, Array(10.1f, 9.9f)),
+      (1L, Array(9.9f, 10.0f)), (5L, Array(10.0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    for (iters <- Seq(1, 2, 3)) {
+      val rows = Clustering.lloyd(v, initModulus = 3L, iters = iters).collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (0L to 5L),
+        "each vector assigned exactly once")
+      val byCid = rows.groupBy(_.getLong(1))
+        .map { case (c, rs) => c -> rs.map(_.getLong(0)).toSet }
+      assert(byCid(0L) == Set(0L, 2L, 4L) && byCid(1L) == Set(1L, 3L, 5L),
+        s"iters=$iters: planted clusters not recovered: $byCid")
+    }
   }
 }

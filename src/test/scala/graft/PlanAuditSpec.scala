@@ -226,4 +226,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(optimized.contains("graft_nq_terms"), optimized)
     assert(parsed.filter(parsed("lang") === lit("en")).count() == 1000)
   }
+
+  test("chunking is a shuffle-free scan (plus the presentation sort)") {
+    val df = SparkEntry.queries("q_text_chunk_overlap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "chunking should not join:\n" + plan)
+    // explode-of-sequence rides the scan projection; the only exchange is
+    // the final ORDER BY's range partitioning
+    val ex = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size <= 1 && ex.forall(_.contains("rangepartitioning")),
+      "unexpected exchange in chunking plan:\n" + plan)
+  }
+
+  test("k-means assignment broadcasts centroids and collapses before the exchange") {
+    val df = SparkEntry.queries("q_cluster_kmeans")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus × centroids must be corpus × BROADCAST, never a shuffle pair
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the argmin is a PARTIAL min below the exchange — N×C candidate rows
+    // never travel; each task ships one partial row per vec_id
+    assert(plan.contains("partial_min"),
+      "argmin is not a partial aggregate:\n" + plan)
+  }
+
+  test("fuzzy levenshtein join is a blocking-key equi-join, never all-pairs") {
+    val df = SparkEntry.queries("q_join_fuzzy_levenshtein")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "levenshtein ran as a non-equi nested loop:\n" + plan)
+  }
+
+  test("z-score outliers broadcast the group stats back to the fact scan") {
+    val df = SparkEntry.queries("q_events_anomaly_zscore")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "group stats did not broadcast:\n" + plan)
+  }
 }
