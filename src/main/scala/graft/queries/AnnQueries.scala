@@ -152,6 +152,32 @@ object AnnQueries extends QueryCatalog {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cos"), 9).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // 8-bit scalar quantization (the FAISS SQ8 storage path): per-vector
+    // min/max affine-map each component to a 0..255 code; at 100 TB this
+    // is the 4× shrink that keeps an ANN corpus in executor memory
+    // (codes + 2 floats per vector), with exact re-rank on the float
+    // originals as the standard second stage. Everything is an
+    // elementwise projection inside one codegen span — no shuffle, no
+    // join; the gate checks the round-trip: quantize → reconstruct →
+    // per-vector max abs error (order-independent max, exact parity; a
+    // flat vector degrades to code 0 on both sides rather than a NaN).
+    "q_ann_quantize_int8" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        .withColumn("err", expr(
+          """CASE WHEN mx > mn THEN array_max(transform(embedding,
+            |  x -> abs(CAST(x AS DOUBLE) -
+            |    (round((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) *
+            |      ((mx - mn) / 255) + mn))))
+            |ELSE CAST(0 AS DOUBLE) END""".stripMargin))
+        .select(col("vec_id"),
+          round((col("mx") - col("mn")) / 255, 9).as("scale"),
+          round(col("err"), 9).as("max_abs_err"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -251,6 +277,22 @@ object AnnQueries extends QueryCatalog {
          |FROM b x JOIN b y
          |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_min(embedding)::DOUBLE AS mn,
+        |    list_max(embedding)::DOUBLE AS mx
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, mn, mx,
+        |    CASE WHEN mx > mn THEN list_max([
+        |      abs(x::DOUBLE - (round((x::DOUBLE - mn) * 255 / (mx - mn)) *
+        |        ((mx - mn) / 255) + mn)) for x in embedding])
+        |    ELSE 0.0::DOUBLE END AS err
+        |  FROM q)
+        |SELECT vec_id, round((mx - mn) / 255, 9) AS scale,
+        |  round(err, 9) AS max_abs_err
+        |FROM e ORDER BY vec_id""".stripMargin
   )
 }

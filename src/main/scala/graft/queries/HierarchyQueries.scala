@@ -62,6 +62,50 @@ object HierarchyQueries extends QueryCatalog {
           min(col("node")).as("min_node"),
           max(col("node")).as("max_node"))
         .orderBy(col("level")))
+      ,
+
+    // PageRank (damping 0.85, 2 fixed iterations) over the bipartite
+    // customer↔supplier trade graph (each distinct (cust, supp) pair from
+    // orders⋈lineitem becomes two directed edges). The other iterative-
+    // graph shape next to the frontier loop above and ConnectedComponents:
+    // per iteration, ranks equi-join edges on src (shuffle key) and the
+    // contributions groupBy-SUM on dst with map-side partials — the
+    // textbook distributed PageRank step, no driver state beyond the loop
+    // counter. Parity: each iteration's rank is rounded to 9 dp on BOTH
+    // sides (same trick as Clustering.lloyd's centroid rounding), so
+    // engine-order float summation cannot drift across iterations; only
+    // the single-row node count is broadcast. Fixed iteration count keeps
+    // the oracle replayable; every node here has out-degree ≥ 1 (edges go
+    // both ways), so there is no dangling-mass term.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = pairs.select(
+          concat(lit("c"), col("c").cast("string")).as("src"),
+          concat(lit("s"), col("sp").cast("string")).as("dst"))
+        .unionByName(pairs.select(
+          concat(lit("s"), col("sp").cast("string")).as("src"),
+          concat(lit("c"), col("c").cast("string")).as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val nn = nodes.agg(count(lit(1)).as("nn"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      var ranks = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
+      for (_ <- 1 to 2) {
+        ranks = edges.join(ranks, col("src") === col("node"))
+          .join(deg, Seq("src"))
+          .crossJoin(broadcast(nn))
+          .groupBy(col("dst"), col("nn"))
+          .agg((lit(0.15) / col("nn") +
+            lit(0.85) * sum(col("rank") / col("outdeg"))).as("raw"))
+          .select(col("dst").as("node"), round(col("raw"), 9).as("rank"))
+      }
+      ranks.orderBy(col("rank").desc, col("node")).limit(20)
+        .select(col("node"), col("rank"))
+    })
   )
 
   private val recursiveCte =
@@ -83,6 +127,31 @@ object HierarchyQueries extends QueryCatalog {
       s"""$recursiveCte
          |SELECT level, COUNT(*) AS n, MIN(node) AS min_node,
          |  MAX(node) AS max_node
-         |FROM r GROUP BY level ORDER BY level""".stripMargin
+         |FROM r GROUP BY level ORDER BY level""".stripMargin,
+    "q_graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (
+        |  SELECT 'c' || c AS src, 's' || sp AS dst FROM pairs
+        |  UNION ALL SELECT 's' || sp, 'c' || c FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |n AS (SELECT COUNT(*) AS nn FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn AS rank FROM nodes, n),
+        |i1 AS (
+        |  SELECT e.dst AS node,
+        |    round(0.15 / nn + 0.85 * SUM(r.rank / d.outdeg), 9) AS rank
+        |  FROM edges e JOIN r0 r ON e.src = r.node
+        |    JOIN deg d ON e.src = d.src, n
+        |  GROUP BY e.dst, nn),
+        |i2 AS (
+        |  SELECT e.dst AS node,
+        |    round(0.15 / nn + 0.85 * SUM(r.rank / d.outdeg), 9) AS rank
+        |  FROM edges e JOIN i1 r ON e.src = r.node
+        |    JOIN deg d ON e.src = d.src, n
+        |  GROUP BY e.dst, nn)
+        |SELECT node, rank FROM i2
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 }

@@ -132,6 +132,39 @@ object SearchQueries extends QueryCatalog {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
+    }),
+
+    // BM25 ranking for the same 3-term query — the saturating upgrade of
+    // q_search_scored's raw tf·idf (tf gains diminish via k1, long docs
+    // are normalized via b·dl/avgdl). Same inverted-index shape: only the
+    // tiny (n, avgdl) aggregate row is broadcast; tf/df are token-keyed
+    // partial-aggregable groupBys. avgdl is an exact integer-sum / count,
+    // so every per-doc term weight is deterministic double math — the only
+    // engine-order float sum is the ≤3-term per-doc total, rounded 6 dp.
+    "q_search_bm25" -> ((s, dir) => {
+      val K1 = 1.2; val B = 0.75
+      val toks = tokens(s, dir)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+      val stats = dl.agg(
+        (sum(col("dlen")).cast("double") / count(lit(1))).as("ad"),
+        count(lit(1)).as("n"))
+      val tf = toks.filter(col("tok").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(idf), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("w",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * lit(2.2) / // literal 2.2, NOT K1+1: the float sum
+              // 1.2+1.0 can round differently than the literal both
+              // engines' parsers produce
+            (col("tf") + lit(K1) *
+              (lit(1) - lit(B) + lit(B) * col("dlen") / col("ad"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("w")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -202,6 +235,28 @@ object SearchQueries extends QueryCatalog {
     "q_search_facet_counts" ->
       """SELECT lang, COUNT(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 400
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_search_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tt GROUP BY doc_id),
+        |stats AS (
+        |  SELECT SUM(dlen)::DOUBLE / COUNT(*) AS ad, COUNT(*) AS n FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tt
+        |  WHERE tok IN ('spark', 'join', 'fast') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1) * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / ad))), 6) AS score
+        |  FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

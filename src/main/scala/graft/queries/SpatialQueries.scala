@@ -223,11 +223,41 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("r_name"))
   }
 
+  /** Morton (Z-order) interleave of two 10-bit grid coordinates as pure
+    * integer arithmetic — bit b of gx lands at code bit 2b, of gy at
+    * 2b+1. `div` is the engine's integer-division operator (Spark `DIV`,
+    * DuckDB `//`); everything else is engine-neutral SQL, so both engines
+    * evaluate the identical exact-integer expression. */
+  def mortonSql(gx: String, gy: String, div: String, bits: Int = 10): String =
+    (0 until bits).flatMap { b =>
+      Seq(s"(($gx $div ${1L << b}) % 2) * ${math.pow(4, b).toLong}",
+        s"(($gy $div ${1L << b}) % 2) * ${2 * math.pow(4, b).toLong}")
+    }.mkString(" + ")
+
+  /** Z-order data layout (Delta OPTIMIZE ZORDER / Hudi space-curve twin):
+    * map each point's 2-D grid cell to a 1-D Morton code, so range-
+    * partitioning + min/max file skipping serve 2-D box queries. A box
+    * becomes a FEW morton ranges (this query scans one quadrant-sized
+    * range); at 100 TB the layout write is `repartitionByRange(morton)` +
+    * sortWithinPartitions — every file then covers a tight morton (and
+    * hence spatial) window, and a box probe touches only the files whose
+    * stats overlap (pruning asserted in PlanAuditSpec on a zbucket-
+    * partitioned write). Pure-integer morton math replays exactly in SQL. */
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(s, dir).select(col("c_custkey"),
+      (col("c_custkey") * 7919L % 1000L).as("gx"),
+      (col("c_custkey") * 104729L % 1000L).as("gy"))
+    g.withColumn("morton", expr(mortonSql("gx", "gy", "DIV")))
+      .filter(col("morton").between(262144L, 393215L))
+      .orderBy(col("morton"), col("c_custkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
     "q_join_knn_full" -> ((s, dir) => knnFull(s, dir)),
     "q_join_spatial_contains" -> ((s, dir) => contains(s, dir)),
-    "q_join_multiway_spatial" -> ((s, dir) => multiwaySpatial(s, dir))
+    "q_join_multiway_spatial" -> ((s, dir) => multiwaySpatial(s, dir)),
+    "q_spatial_zorder" -> ((s, dir) => zorder(s, dir))
   )
 
   /** DuckDB replays the same semantics with a bounded θ-join (fine at
@@ -334,6 +364,18 @@ object SpatialQueries extends QueryCatalog {
         |    pow(sin(radians(qx - xmin) / 2), 2)))), 3) AS sum_km
         |FROM rects JOIN pts
         |  ON qx >= xmin AND qx < xmax AND qy >= ymin AND qy < ymax
-        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    "q_spatial_zorder" ->
+      s"""WITH g AS (
+         |  SELECT c_custkey, (c_custkey * 7919) % 1000 AS gx,
+         |    (c_custkey * 104729) % 1000 AS gy
+         |  FROM customer),
+         |m AS (
+         |  SELECT c_custkey, gx, gy,
+         |    ${mortonSql("gx", "gy", "//")} AS morton
+         |  FROM g)
+         |SELECT c_custkey, gx, gy, morton FROM m
+         |WHERE morton BETWEEN 262144 AND 393215
+         |ORDER BY morton, c_custkey""".stripMargin
   )
 }

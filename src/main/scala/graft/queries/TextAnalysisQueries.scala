@@ -198,6 +198,28 @@ object TextAnalysisQueries extends QueryCatalog {
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Character-distribution Shannon entropy (bits/char) — the
+    // model-free compressibility signal quality pipelines use to drop
+    // mojibake, binary-ish spill and keyboard-mash documents (low OR
+    // implausibly high entropy are both red flags; natural language sits
+    // ~4 bits). Per-doc char histogram = one partial-aggregable groupBy;
+    // counts are exact integers, so the only engine-order float sum is
+    // the ≤|alphabet| -Σp·ln(p) terms, rounded 6 dp.
+    "q_text_entropy" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("i", explode(sequence(lit(1), length(col("text")))))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      val tot = cnt.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+      cnt.join(tot, Seq("doc_id"))
+        .withColumn("p", col("k").cast("double") / col("n"))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum(col("p") * log(col("p"))) / math.log(2.0), 6)
+          .as("entropy_bits"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -318,6 +340,19 @@ object TextAnalysisQueries extends QueryCatalog {
          |      [CAST(ascii(substring(t, i, 1)) AS BIGINT)
          |       for i in range(1, length(t) + 1)]),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-         |FROM norm WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+         |FROM norm WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, substr(text, i, 1) AS c, COUNT(*) AS k
+        |  FROM pos GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id,
+        |  round(-SUM((k::DOUBLE / n) * ln(k::DOUBLE / n)) / ln(2), 6)
+        |    AS entropy_bits
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin
   )
 }

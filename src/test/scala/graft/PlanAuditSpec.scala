@@ -259,6 +259,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "levenshtein ran as a non-equi nested loop:\n" + plan)
   }
 
+  test("z-ordered layout prunes a box probe to overlapping z-buckets") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val g = Tables.customer(spark, sf).select(col("c_custkey"),
+      (col("c_custkey") * 7919L % 1000L).as("gx"),
+      (col("c_custkey") * 104729L % 1000L).as("gy"))
+      .withColumn("morton",
+        expr(graft.queries.SpatialQueries.mortonSql("gx", "gy", "DIV")))
+      .withColumn("zbucket", expr("morton DIV 65536"))
+    // the z-order layout: directory per coarse z-range, rows sorted by
+    // morton within — a box probe overlaps only a few buckets
+    g.repartition(col("zbucket")).sortWithinPartitions(col("morton"))
+      .write.partitionBy("zbucket").mode("overwrite").parquet(dir)
+    // box probe: morton range plus its DERIVED bucket range (bucket =
+    // morton DIV 65536 → [4, 5]) — the directory-pruning predicate
+    val back = spark.read.parquet(dir)
+      .filter(col("zbucket").between(4L, 5L) &&
+        col("morton").between(262144L, 393215L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("zbucket"),
+      "zbucket range did not prune partitions:\n" + plan)
+    // morton range [262144, 393215] = z-buckets 4..5 of 0..15: the probe
+    // must also push the residual morton min/max to the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(morton), GreaterThanOrEqual(morton"),
+      "morton range not pushed to parquet:\n" + plan)
+  }
+
+  test("int8 quantization is an elementwise scan, no join or aggregation exchange") {
+    val df = SparkEntry.queries("q_ann_quantize_int8")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "quantization should not join:\n" + plan)
+    val ex = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size <= 1 && ex.forall(_.contains("rangepartitioning")),
+      "unexpected exchange in quantization plan:\n" + plan)
+  }
+
+  test("pagerank iterations are equi-joins with partial-aggregated contributions") {
+    val df = SparkEntry.queries("q_graph_pagerank")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum"),
+      "contribution sum is not map-side partial:\n" + plan)
+  }
+
   test("z-score outliers broadcast the group stats back to the fact scan") {
     val df = SparkEntry.queries("q_events_anomaly_zscore")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
