@@ -264,6 +264,18 @@ object AggregationQueries extends QueryCatalog {
       val o = Tables.orders(s, dir)
       li.agg(count(lit(1)).as("n_lineitem"))
         .crossJoin(o.agg(count(lit(1)).as("n_orders")))
+    }),
+
+    // Single-pass column profiler (operators/Profiler — the deequ-style
+    // pre-ingest data-quality gate): per-column row/null/distinct counts
+    // and typed min/max over the events stream, one scan, all metrics
+    // partial-aggregable. Scale analysis on the operator.
+    "q_profile_events" -> ((s, dir) => {
+      val src = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+      graft.operators.Profiler.profile(src,
+        numericCols = Seq("user_id", "value", "ts_ms"),
+        stringCols = Seq("event_type"))
     })
   )
 
@@ -380,6 +392,32 @@ object AggregationQueries extends QueryCatalog {
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "q_agg_total_counts" ->
       """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
-        |  (SELECT COUNT(*) FROM orders) AS n_orders""".stripMargin
+        |  (SELECT COUNT(*) FROM orders) AS n_orders""".stripMargin,
+    "q_profile_events" ->
+      """WITH src AS (
+        |  SELECT user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events)
+        |SELECT 'user_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(user_id) AS n_null,
+        |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  min(user_id)::DOUBLE AS min_num, max(user_id)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        |FROM src
+        |UNION ALL
+        |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+        |  COUNT(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE,
+        |  NULL, NULL
+        |FROM src
+        |UNION ALL
+        |SELECT 'ts_ms', COUNT(*), COUNT(*) - COUNT(ts_ms),
+        |  COUNT(DISTINCT ts_ms), min(ts_ms)::DOUBLE, max(ts_ms)::DOUBLE,
+        |  NULL, NULL
+        |FROM src
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+        |  COUNT(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE,
+        |  min(event_type), max(event_type)
+        |FROM src
+        |ORDER BY col_name""".stripMargin
   )
 }

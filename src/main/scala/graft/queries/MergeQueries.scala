@@ -62,6 +62,24 @@ object MergeQueries extends QueryCatalog {
         .groupBy(col("action"))
         .agg(count(lit(1)).as("n"), asMoney(sum(col("bal"))).as("bal_sum"))
         .orderBy(col("action"))
+    }),
+
+    // SCD Type-2 history build over the order-status change stream
+    // (operators/Scd2): run-compressed status versions per customer with
+    // [valid_from, valid_to) epoch-ms intervals and the current flag —
+    // the time-travel complement of Merge's "current state only" upsert.
+    "q_scd2_history" -> ((s, dir) => {
+      val src = graft.Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderstatus"),
+        // o_orderdate is TIMESTAMP_NTZ; the UTC session tz (Verify/Bench
+        // builders) makes the cast epoch-exact, matching DuckDB epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+      graft.operators.Scd2.buildHistory(src, col("o_custkey"), col("ms"),
+          col("o_orderkey"), col("o_orderstatus"))
+        .select(col("key").as("o_custkey"), col("version"),
+          col("attr_value").as("status"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("version"))
     })
   )
 
@@ -106,6 +124,24 @@ object MergeQueries extends QueryCatalog {
     "q_merge_audit" ->
       s"""$mergedSql
          |SELECT action, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS bal_sum
-         |FROM m GROUP BY action ORDER BY action""".stripMargin
+         |FROM m GROUP BY action ORDER BY action""".stripMargin,
+    "q_scd2_history" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    epoch_ms(o_orderdate) AS ms
+        |  FROM orders),
+        |runs AS (
+        |  SELECT *, lag(o_orderstatus) OVER
+        |    (PARTITION BY o_custkey ORDER BY ms, o_orderkey) AS prev
+        |  FROM src),
+        |ch AS (
+        |  SELECT * FROM runs WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, CAST(row_number() OVER w AS INT) AS version,
+        |  o_orderstatus AS status, ms AS valid_from,
+        |  lead(ms) OVER w AS valid_to,
+        |  (lead(ms) OVER w IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin
   )
 }

@@ -128,6 +128,51 @@ object MiningQueries extends QueryCatalog {
         .filter(abs(col("z")) >= 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
         .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Robust (median/MAD) outlier twin of q_events_anomaly_zscore:
+    // mean/stddev are themselves dragged by the outliers they hunt, so
+    // heavy-tailed telemetry uses the modified z-score |x−med| ∕
+    // (1.4826·MAD) ≥ 3.5 (Iglewicz–Hoaglin). Same scale shape — two
+    // partial-aggregable group stats broadcast back to the fact scan —
+    // with exact interpolated percentiles (the q_agg_percentiles parity
+    // pattern; at 100 TB swap in percentile_approx like
+    // q_agg_approx_percentiles).
+    "q_events_anomaly_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("rz",
+          round(abs(col("value") - col("med")) /
+            (lit(1.4826) * col("mad")), 6))
+        .filter(col("rz") >= 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("rz"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Training-sequence assembly: each user's event stream becomes one
+    // ordered record (the SFT/conversation-packing shape: group, order
+    // within group, serialize). One key shuffle; the per-group sort is
+    // the aggregation itself. Parity: the sequence is fingerprinted as
+    // md5 over "type:ms" joined by ';' in (ms, event_id) order — a total
+    // order both engines replay exactly; no doubles are serialized.
+    "q_events_to_sequences" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("ms"), col("event_id"), col("event_type")))),
+              x => concat(x("event_type"), lit(":"),
+                x("ms").cast("string"))),
+            ";")).as("seq_md5"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -235,6 +280,30 @@ object MiningQueries extends QueryCatalog {
         |  round((e.value - s.m) / s.sd, 6) AS z
         |FROM events e JOIN stats s USING (event_type)
         |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 3.0
-        |ORDER BY e.event_type, e.event_id""".stripMargin
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    "q_events_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, m.med,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(abs(e.value - d.med) / (1.4826 * d.mad), 6) AS rz
+        |FROM events e JOIN mad d USING (event_type)
+        |WHERE round(abs(e.value - d.med) / (1.4826 * d.mad), 6) >= 3.5
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    "q_events_to_sequences" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  md5(string_agg(event_type || ':' || ms, ';'
+        |    ORDER BY ms, event_id)) AS seq_md5
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -220,6 +220,43 @@ object TextAnalysisQueries extends QueryCatalog {
         .agg(round(-sum(col("p") * log(col("p"))) / math.log(2.0), 6)
           .as("entropy_bits"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bigram collocations by pointwise mutual information — phrase
+    // mining for tokenizer/vocab construction: which adjacent token
+    // pairs co-occur far above chance (PMI = ln p(a,b)/(p(a)p(b)), with
+    // a min-count floor to kill the low-frequency PMI explosion). The
+    // bigram explode is a shuffle-free scan projection; pair/unigram
+    // counts are partial-aggregable groupBys keyed by the pair/token;
+    // the two unigram relations ride back in broadcast joins. All
+    // probabilities are exact-integer-count ratios — the only float op
+    // is the final ln, identical on identical doubles.
+    "q_text_bigram_pmi" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(expr(
+          """filter(split(lower(regexp_replace(trim(text), '\\s+', ' ')),
+            | ' '), x -> length(x) > 0)""".stripMargin.replace("\n", ""))
+          .as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            | i -> named_struct('a', t[i - 1], 'b', t[i]))"""
+            .stripMargin.replace("\n", ""))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      val pc = pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cab"))
+      val tp = pc.agg(sum(col("cab")).as("tpairs"))
+      val ua = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val ub = pairs.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      pc.join(broadcast(ua), Seq("a")).join(broadcast(ub), Seq("b"))
+        .crossJoin(broadcast(tp))
+        .filter(col("cab") >= 5)
+        .select(col("a"), col("b"), col("cab"),
+          round(log((col("cab").cast("double") / col("tpairs")) /
+            ((col("ca").cast("double") / col("tpairs")) *
+              (col("cb").cast("double") / col("tpairs")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
     })
   )
 
@@ -353,6 +390,26 @@ object TextAnalysisQueries extends QueryCatalog {
         |  round(-SUM((k::DOUBLE / n) * ln(k::DOUBLE / n)) / ln(2), 6)
         |    AS entropy_bits
         |FROM cnt JOIN tot USING (doc_id)
-        |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin
+        |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin,
+    "q_text_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS pr
+        |  FROM toks WHERE len(t) >= 2),
+        |pairs AS (SELECT pr[1] AS a, pr[2] AS b FROM bg),
+        |pc AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+        |tp AS (SELECT SUM(cab) AS tpairs FROM pc),
+        |ua AS (SELECT a, COUNT(*) AS ca FROM pairs GROUP BY a),
+        |ub AS (SELECT b, COUNT(*) AS cb FROM pairs GROUP BY b)
+        |SELECT pc.a, pc.b, cab,
+        |  round(ln((cab::DOUBLE / tpairs) /
+        |    ((ca::DOUBLE / tpairs) * (cb::DOUBLE / tpairs))), 6) AS pmi
+        |FROM pc JOIN ua USING (a) JOIN ub USING (b), tp
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin
   )
 }

@@ -421,4 +421,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         s"iters=$iters: planted clusters not recovered: $byCid")
     }
   }
+
+  test("Scd2: run compression, interval chaining, exactly one current version") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    // key 1: A,A,B,B,A → 3 versions (re-reverting values reopen);
+    // key 2: same-ts tie broken by id; key 3: single row
+    val ch = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"), (1L, 3L, 30L, "B"),
+      (1L, 4L, 40L, "B"), (1L, 5L, 50L, "A"),
+      (2L, 6L, 10L, "X"), (2L, 7L, 10L, "Y"),
+      (3L, 8L, 99L, "Z"))
+      .toDF("k", "id", "ts", "status")
+    val h = Scd2.buildHistory(ch, col("k"), col("ts"), col("id"),
+        col("status"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(h.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, "A", 10L, Some(30L), false),
+      (1L, 2, "B", 30L, Some(50L), false),
+      (1L, 3, "A", 50L, None, true)))
+    // same-ts tie: id 6 (X) precedes id 7 (Y)
+    assert(h.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 1, "X", 10L, Some(10L), false),
+      (2L, 2, "Y", 10L, None, true)))
+    assert(h.filter(_._1 == 3L).toSeq == Seq((3L, 1, "Z", 99L, None, true)))
+    // invariants: intervals chain, exactly one open version per key
+    h.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.count(_._5.isEmpty) == 1)
+      vs.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), s"gap: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("Profiler: exact per-column metrics including nulls and typed min/max") {
+    import spark.implicits._
+    import graft.operators.Profiler
+    val df = Seq(
+      (Some(3.5), Some("b")), (None, Some("a")), (Some(-1.0), None),
+      (Some(3.5), Some("c")))
+      .toDF("v", "s")
+    val p = Profiler.profile(df, numericCols = Seq("v"), stringCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = p("v"); val st = p("s")
+    assert(v.getLong(1) == 4 && v.getLong(2) == 1 && v.getLong(3) == 2)
+    assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 3.5)
+    assert(v.isNullAt(6) && v.isNullAt(7))
+    assert(st.getLong(1) == 4 && st.getLong(2) == 1 && st.getLong(3) == 3)
+    assert(st.isNullAt(4) && st.isNullAt(5))
+    assert(st.getString(6) == "a" && st.getString(7) == "c")
+  }
 }

@@ -303,6 +303,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "contribution sum is not map-side partial:\n" + plan)
   }
 
+  test("scd2 plans both windows over a single key exchange") {
+    val df = SparkEntry.queries("q_scd2_history")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected one key shuffle for lag + version windows, got " +
+        s"${hashEx.size}:\n" + plan)
+  }
+
+  test("profiler reads the input once (Expand-based distincts, one scan)") {
+    val df = SparkEntry.queries("q_profile_events")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 1, s"profiler scanned ${scans.size} times:\n" + plan)
+    assert(plan.contains("Expand"),
+      "multi-column exact distincts should plan via Expand:\n" + plan)
+  }
+
   test("z-score outliers broadcast the group stats back to the fact scan") {
     val df = SparkEntry.queries("q_events_anomaly_zscore")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
