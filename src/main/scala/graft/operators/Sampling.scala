@@ -72,4 +72,50 @@ object Sampling {
       floor((sum(weight).over(w) - weight).cast("double") / budget)
         .cast("long"))
   }
+
+  /** Corpus mixture: draw a `budget`-row sample whose group composition
+    * follows `weights` (the data-mixture primitive — "50% en, 30% de,
+    * 20% fr"). Each group's quota is `round(budget × weight)`; members
+    * are taken in deterministic hash order, so re-runs, engines and
+    * repartitions agree row-for-row. Groups outside `weights` drop.
+    *
+    * Scale: the rank filter is split so the LITERAL max-quota bound is
+    * its own conjunct — Spark's WindowGroupLimit rewrite picks it up and
+    * caps every input partition at max-quota rows map-side BEFORE the
+    * group shuffle; the per-group quota residual then filters exactly. */
+  def mixture(df: DataFrame, group: Column, id: Column,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty && budget >= 1, "need weights and budget >= 1")
+    val quotas = weights.toSeq.map { case (g, p) =>
+      g -> math.round(budget * p)
+    }
+    val maxQuota = quotas.map(_._2).max
+    val quotaCol = quotas.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, q)) => when(group === g, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(group).orderBy(hashKey(id), id)
+    df.withColumn("quota", quotaCol)
+      .filter(col("quota").isNotNull)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= maxQuota)   // literal → WindowGroupLimit
+      .filter(col("sample_rank") <= col("quota"))
+      .drop("quota", "sample_rank")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): row i
+    * wins with probability ∝ `weight` via the exponential race key
+    * −ln(u_i)/w_i with u_i a DETERMINISTIC per-row uniform — the first 8
+    * md5 hex chars as a 32-bit fraction — so the draw is reproducible
+    * and engine-replayable (both engines parse the hex and fold the same
+    * doubles). Global top-k by race key = one TakeOrderedAndProject, no
+    * full sort. */
+  def weighted(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (conv(substring(hashKey(id), 1, 8), 16, 10).cast("long")
+      .cast("double") / 4294967296.0)
+    df.withColumn("race_key", -log(u) / weight.cast("double"))
+      .orderBy(col("race_key"), id)
+      .limit(k)
+  }
 }

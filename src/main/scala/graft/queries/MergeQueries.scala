@@ -64,6 +64,23 @@ object MergeQueries extends QueryCatalog {
         .orderBy(col("action"))
     }),
 
+    // Snapshot diff (operators/Diff — the inverse of the merge): old
+    // version vs the POST-merge state recovers the change feed — insert /
+    // delete / update / same per key with old/new values. The CDC shape
+    // for full-dump sources: one co-partitioned full-outer join instead
+    // of re-processing the dump downstream.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val newState = Merge.upsert(target(s, dir), source(s, dir), "key",
+        deleteFlag = Some("del")).select(col("key"), col("name"), col("bal"))
+      graft.operators.Diff
+        .snapshotDiff(target(s, dir), newState, "key", Seq("name", "bal"))
+        .select(col("key"), col("action"),
+          col("old_name"), col("new_name"),
+          col("old_bal").cast("double").as("old_bal"),
+          col("new_bal").cast("double").as("new_bal"))
+        .orderBy(col("key"))
+    }),
+
     // SCD Type-2 history build over the order-status change stream
     // (operators/Scd2): run-compressed status versions per customer with
     // [valid_from, valid_to) epoch-ms intervals and the current flag —
@@ -125,6 +142,20 @@ object MergeQueries extends QueryCatalog {
       s"""$mergedSql
          |SELECT action, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS bal_sum
          |FROM m GROUP BY action ORDER BY action""".stripMargin,
+    "q_snapshot_diff" ->
+      s"""$mergedSql
+         |SELECT COALESCE(o.key, m.key) AS key,
+         |  CASE WHEN o.key IS NULL THEN 'insert'
+         |       WHEN m.key IS NULL THEN 'delete'
+         |       WHEN o.name IS DISTINCT FROM m.name
+         |         OR o.bal IS DISTINCT FROM m.bal THEN 'update'
+         |       ELSE 'same' END AS action,
+         |  o.name AS old_name, m.name AS new_name,
+         |  CAST(o.bal AS DOUBLE) AS old_bal, CAST(m.bal AS DOUBLE) AS new_bal
+         |FROM (SELECT c_custkey AS key, c_name AS name,
+         |        CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer) o
+         |FULL OUTER JOIN (SELECT key, name, bal FROM m) m ON o.key = m.key
+         |ORDER BY key""".stripMargin,
     "q_scd2_history" ->
       """WITH src AS (
         |  SELECT o_custkey, o_orderkey, o_orderstatus,

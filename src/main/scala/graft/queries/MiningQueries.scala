@@ -154,6 +154,44 @@ object MiningQueries extends QueryCatalog {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // Bigram conditional LM — the context-aware upgrade of
+    // q_lm_unigram_score: P(b|a) = (c(ab)+1) / (c(a)+V) with add-one
+    // smoothing, trained on the 80% split, scoring held-out docs by mean
+    // log-prob. Fluency (word-order) signal where the unigram model only
+    // sees vocabulary. Count joins are pair-/token-keyed shuffles; only
+    // the single-row vocab size broadcasts.
+    "q_lm_bigram_score" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(
+          """filter(split(lower(regexp_replace(trim(text), '\\s+', ' ')),
+            | ' '), x -> length(x) > 0)""".stripMargin.replace("\n", ""))
+          .as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            | i -> named_struct('a', t[i - 1], 'b', t[i]))"""
+            .stripMargin.replace("\n", ""))).as("pr"))
+        .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      val train = pairs.filter(col("doc_id") % 5 =!= 0)
+      val cab = train.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cab"))
+      val ca = train.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val v = train.select(col("a").as("tok"))
+        .unionByName(train.select(col("b").as("tok")))
+        .distinct().agg(count(lit(1)).as("v_size"))
+      pairs.filter(col("doc_id") % 5 === 0)
+        .join(cab, Seq("a", "b"), "left")
+        .join(ca, Seq("a"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("lp",
+          log((coalesce(col("cab"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("ca"), lit(0L)) + col("v_size")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-sequence assembly: each user's event stream becomes one
     // ordered record (the SFT/conversation-packing shape: group, order
     // within group, serialize). One key shuffle; the per-group sort is
@@ -296,6 +334,34 @@ object MiningQueries extends QueryCatalog {
         |FROM events e JOIN mad d USING (event_type)
         |WHERE round(abs(e.value - d.med) / (1.4826 * d.mad), 6) >= 3.5
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    "q_lm_bigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS pr
+        |  FROM toks WHERE len(t) >= 2),
+        |pairs AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM bg),
+        |train AS (SELECT * FROM pairs WHERE doc_id % 5 <> 0),
+        |cab AS (SELECT a, b, COUNT(*) AS cab FROM train GROUP BY a, b),
+        |ca AS (SELECT a, COUNT(*) AS ca FROM train GROUP BY a),
+        |v AS (
+        |  SELECT COUNT(*) AS v_size FROM (
+        |    SELECT a AS tok FROM train UNION SELECT b FROM train) u),
+        |held AS (
+        |  SELECT p.doc_id,
+        |    (COALESCE(cab.cab, 0) + 1)::DOUBLE /
+        |      (COALESCE(ca.ca, 0) + v.v_size)::DOUBLE AS prob
+        |  FROM pairs p
+        |  LEFT JOIN cab ON p.a = cab.a AND p.b = cab.b
+        |  LEFT JOIN ca ON p.a = ca.a, v
+        |  WHERE p.doc_id % 5 = 0)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(avg(ln(prob)), 6) AS avg_logprob
+        |FROM held GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_events_to_sequences" ->
       """WITH ev AS (

@@ -54,6 +54,28 @@ object SampleQueries extends QueryCatalog {
           budget = 200L)
         .select(col("source"), col("doc_id"), col("tok"), col("shard"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Corpus mixture: 200 docs at 50% en / 30% de / 20% fr (the
+    // data-mixture spec of a training run), per-language members in
+    // deterministic hash order; languages outside the mix drop.
+    "q_sample_mixture" -> ((s, dir) => {
+      Sampling.mixture(Tables.documents(s, dir), col("lang"), col("doc_id"),
+          weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+          budget = 200L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Importance-weighted draw: 50 docs with probability ∝ length
+    // (n_chars) via the deterministic exponential race
+    // (Sampling.weighted) — the upweight-long-documents mixing knob.
+    "q_sample_weighted" -> ((s, dir) => {
+      Sampling.weighted(Tables.documents(s, dir), col("doc_id"),
+          col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("race_key"), 9).as("race_key"))
+        .orderBy(col("race_key"), col("doc_id"))
     })
   )
 
@@ -90,6 +112,26 @@ object SampleQueries extends QueryCatalog {
         |  FROM t)
         |SELECT source, doc_id, CAST(tok AS BIGINT) AS tok,
         |  CAST(floor((cum - tok) / 200.0) AS BIGINT) AS shard
-        |FROM r ORDER BY source, doc_id""".stripMargin
+        |FROM r ORDER BY source, doc_id""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60
+        |      WHEN 'fr' THEN 40 END AS quota,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr'))
+        |SELECT lang, doc_id FROM ranked WHERE rn <= quota
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT)::DOUBLE / 4294967296.0)
+        |      / n_chars::DOUBLE AS rk_raw
+        |  FROM documents),
+        |top AS (SELECT * FROM keyed ORDER BY rk_raw, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars, round(rk_raw, 9) AS race_key
+        |FROM top ORDER BY race_key, doc_id""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Clustering, TextDedup, VectorSearch}
+import graft.operators.{Clustering, Sampling, TextDedup, VectorSearch}
 
 /** Property-style checks for the parameterized operator surface —
   * invariants that must hold for ANY parameter choice, complementing the
@@ -457,6 +457,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         case _ =>
       }
     }
+  }
+
+  test("Diff.snapshotDiff: insert/delete/update/same with null-safe compare") {
+    import spark.implicits._
+    import graft.operators.Diff
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val nw = Seq((1L, Some("a")), (3L, Some("c")), (4L, None),
+      (5L, Some("e"))).toDF("k", "v")
+    val d = Diff.snapshotDiff(old, nw, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "same", 2L -> "delete", 3L -> "update",
+      4L -> "update", 5L -> "insert"))
+  }
+
+  test("Sampling.mixture: quotas honored exactly, off-mix groups dropped") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, Seq("en", "de", "fr", "zh")(i.toInt % 4))).toDF("doc_id", "lang")
+    val m = Sampling.mixture(docs, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100L)
+      .collect().map(r => r.getString(1))
+    val counts = m.groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts == Map("en" -> 50, "de" -> 30, "fr" -> 20),
+      s"mixture off-spec: $counts")
+  }
+
+  test("Sampling.weighted: deterministic, scale-invariant in the weights") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, i % 17 + 1)).toDF("id", "w")
+    def draw(wCol: org.apache.spark.sql.Column) =
+      Sampling.weighted(docs, col("id"), wCol, k = 40)
+        .collect().map(_.getLong(0)).toSeq
+    val a = draw(col("w"))
+    assert(a == draw(col("w")), "re-run changed the sample")
+    // scaling every weight by a constant scales every race key by its
+    // inverse — the selected set and order must not move
+    assert(a == draw(col("w") * 1000), "weight scaling changed the sample")
   }
 
   test("Profiler: exact per-column metrics including nulls and typed min/max") {

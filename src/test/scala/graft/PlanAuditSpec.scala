@@ -322,6 +322,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "multi-column exact distincts should plan via Expand:\n" + plan)
   }
 
+  test("mixture sampling keeps the map-side WindowGroupLimit rewrite") {
+    val df = SparkEntry.queries("q_sample_mixture")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "literal max-quota bound lost the partial top-k rewrite:\n" + plan)
+  }
+
+  test("weighted sampling is a streaming top-k, not a global sort") {
+    val df = SparkEntry.queries("q_sample_weighted")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k by race key should plan as TakeOrderedAndProject:\n" + plan)
+  }
+
+  test("snapshot diff is one co-partitioned join, no nested loops") {
+    val df = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("z-score outliers broadcast the group stats back to the fact scan") {
     val df = SparkEntry.queries("q_events_anomaly_zscore")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
