@@ -83,25 +83,41 @@ object HierarchyQueries extends QueryCatalog {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+      // one materialization of the edge relation: edges feed deg, nodes
+      // and BOTH iterations — without the cut the orders⋈lineitem
+      // distinct recomputes per consumer (measured 5.5 s → 3.4 s at
+      // sf0.1 together with the broadcasts below; same lineage
+      // discipline as the traverse loop above)
       val edges = pairs.select(
           concat(lit("c"), col("c").cast("string")).as("src"),
           concat(lit("s"), col("sp").cast("string")).as("dst"))
         .unionByName(pairs.select(
           concat(lit("s"), col("sp").cast("string")).as("src"),
           concat(lit("c"), col("c").cast("string")).as("dst")))
-      val nodes = edges.select(col("src").as("node")).distinct()
+        .cutLineage()
+      // rank and degree vectors are node-cardinality (≪ edges) — they
+      // BROADCAST onto the edge scan, so one iteration = one pass over
+      // the edges with a map-side-partial contribution sum; each
+      // iteration's (small) rank vector is cut so the next broadcast
+      // builds from materialized rows, not the replayed plan
+      val nodes = edges.select(col("src").as("node")).distinct().cutLineage()
       val nn = nodes.agg(count(lit(1)).as("nn"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .cutLineage()
       var ranks = nodes.crossJoin(broadcast(nn))
         .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
-      for (_ <- 1 to 2) {
-        ranks = edges.join(ranks, col("src") === col("node"))
-          .join(deg, Seq("src"))
+      val Iters = 2
+      for (i <- 1 to Iters) {
+        ranks = edges.join(broadcast(ranks), col("src") === col("node"))
+          .join(broadcast(deg), Seq("src"))
           .crossJoin(broadcast(nn))
           .groupBy(col("dst"), col("nn"))
           .agg((lit(0.15) / col("nn") +
             lit(0.85) * sum(col("rank") / col("outdeg"))).as("raw"))
           .select(col("dst").as("node"), round(col("raw"), 9).as("rank"))
+        // cut BETWEEN iterations only: the next broadcast then builds from
+        // materialized rows; the final vector flows straight to the top-k
+        if (i < Iters) ranks = ranks.cutLineage()
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
         .select(col("node"), col("rank"))
