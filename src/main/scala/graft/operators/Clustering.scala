@@ -41,7 +41,39 @@ object Clustering {
     * `VectorSearch.ivfTopK`). Returns `(vec_id, cid, d2)` — the final
     * assignment and its squared L2 distance.
     */
-  def lloyd(v: DataFrame, initModulus: Long, iters: Int): DataFrame = {
+  def lloyd(v: DataFrame, initModulus: Long, iters: Int): DataFrame =
+    iterate(v, initModulus, iters)._1
+      .select(col("vec_id"), col("cid"), col("d2"))
+
+  /** Simplified (centroid-based) silhouette per cluster after `iters`
+    * Lloyd rounds: for each vector, a = squared distance to its own
+    * centroid, b = squared distance to the nearest OTHER centroid, s =
+    * (b − a) / max(a, b) ∈ [−1, 1]; returns (cid, n_members,
+    * mean_silhouette). Uses the final iteration's vector×centroid
+    * distance matrix that assignment computed anyway — a and b are just
+    * ranks 1 and 2 of each vector's distance column (every candidate is
+    * a distinct centroid), so quality costs one extra window over the
+    * matrix, not a new pass over the data. */
+  def silhouette(v: DataFrame, initModulus: Long, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = iterate(v, initModulus, iters)._2
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val top2 = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("rk") === 1, col("d2"))).as("a"),
+        min(when(col("rk") === 1, col("cid"))).as("cid"),
+        min(when(col("rk") === 2, col("d2"))).as("b"))
+    top2
+      .withColumn("s", (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("s")), 6).as("mean_silhouette"))
+  }
+
+  /** Core Lloyd loop → (final assignment, final distance matrix). */
+  private def iterate(v: DataFrame, initModulus: Long,
+      iters: Int): (DataFrame, DataFrame) = {
     require(initModulus >= 1, "initModulus must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     graft.plans.DotProduct.register(v.sparkSession)
@@ -54,8 +86,9 @@ object Clustering {
         col("embedding").cast("array<double>").as("ce"),
         col("n2").as("cn2"))
     var asg: DataFrame = null
+    var cand: DataFrame = null
     for (i <- 1 to iters) {
-      val cand = vv.crossJoin(broadcast(cent))
+      cand = vv.crossJoin(broadcast(cent))
         .withColumn("d2",
           col("n2") - lit(2d) * expr(dotSql("embedding", "ce")) + col("cn2"))
       // argmin as a partial-aggregable min over (d2, cid, payload): cid is
@@ -78,6 +111,6 @@ object Clustering {
           .withColumn("cn2", expr(dotSql("ce", "ce")))
       }
     }
-    asg.select(col("vec_id"), col("cid"), col("d2"))
+    (asg, cand.select(col("vec_id"), col("cid"), col("d2")))
   }
 }

@@ -102,6 +102,52 @@ object MiningQueries extends QueryCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-quality companion of q_cluster_kmeans: simplified
+    // silhouette from the SAME final distance matrix the assignment
+    // computes (see Clustering.silhouette — quality is one extra window,
+    // not a new data pass). Low mean silhouette flags clusters to split
+    // or merge before the mix is balanced on them.
+    "q_cluster_silhouette" -> ((s, dir) => {
+      graft.operators.Clustering
+        .silhouette(Tables.embeddings(s, dir), initModulus = 100L,
+          iters = 2)
+        .orderBy(col("cid"))
+    }),
+
+    // Market-basket co-occurrence: parts bought together in one order
+    // (the item-item signal recommenders and negative-sampling miners
+    // start from). The pair explode is an order-keyed SELF equi-join —
+    // quadratic only in per-basket size (bounded), never in the corpus —
+    // and the support count shuffles on the pair key with map-side
+    // partials. Top-20 by support with a full deterministic tiebreak.
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
+    // Dictionary encoding (StringIndexer twin): dense integer codes for
+    // a categorical column, assigned in deterministic value order, plus
+    // the code table's frequencies. The single-partition window is FINE
+    // here because it runs over the already-aggregated distinct values
+    // (5 rows), never the fact table — for high-cardinality dictionaries
+    // the assignment becomes a sort + zipWithIndex-style range layout.
+    "q_encode_dictionary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("code",
+          row_number().over(Window.orderBy(col("event_type"))))
+        .select(col("code"), col("event_type"), col("n"))
+        .orderBy(col("code"))
+    }),
+
     "q_join_fuzzy_levenshtein" -> ((s, dir) => {
       val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
         split(col("p_name"), " ").getItem(0).as("blk"),
@@ -222,6 +268,44 @@ object MiningQueries extends QueryCatalog {
   private def duckD2(e: String, n2: String, ce: String, cn2: String): String =
     s"$n2 - 2 * ${duckDot(e, ce)} + $cn2"
 
+  /** Shared 2-iteration Lloyd replay (Clustering.lloyd's oracle): ends at
+    * `a2` = the final vector×centroid distance matrix ranked per vector —
+    * q_cluster_kmeans takes rank 1 (the assignment), q_cluster_silhouette
+    * takes ranks 1 and 2 (own vs nearest-other centroid). */
+  private val kmeansCtes: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    ${duckDot("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id // 100 AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS ce, n2 AS cn2
+       |  FROM v WHERE vec_id % 100 = 0),
+       |p1 AS (
+       |  SELECT v.vec_id, v.embedding, v.n2, c.cid,
+       |    ${duckD2("v.embedding", "v.n2", "c.ce", "c.cn2")} AS d2
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM p1),
+       |m1 AS (SELECT vec_id, embedding, n2, cid FROM a1 WHERE rk = 1),
+       |comp1 AS (
+       |  SELECT cid, i.i AS pos, round(avg(embedding[i.i]::DOUBLE), 6) AS val
+       |  FROM m1, range(1, 65) i(i) GROUP BY cid, i.i),
+       |c1l AS (
+       |  SELECT cid, list(val ORDER BY pos) AS ce FROM comp1 GROUP BY cid),
+       |c1 AS (
+       |  SELECT cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM c1l),
+       |p2 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ${duckD2("v.embedding", "v.n2", "c.ce", "c.cn2")} AS d2
+       |  FROM v CROSS JOIN c1 c),
+       |a2 AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM p2)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
 
     "q_text_chunk_overlap" ->
@@ -262,40 +346,36 @@ object MiningQueries extends QueryCatalog {
         |FROM held, stats GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_cluster_kmeans" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding,
-         |    ${duckDot("embedding", "embedding")} AS n2
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT vec_id // 100 AS cid,
-         |    list_transform(embedding, x -> x::DOUBLE) AS ce, n2 AS cn2
-         |  FROM v WHERE vec_id % 100 = 0),
-         |p1 AS (
-         |  SELECT v.vec_id, v.embedding, v.n2, c.cid,
-         |    ${duckD2("v.embedding", "v.n2", "c.ce", "c.cn2")} AS d2
-         |  FROM v CROSS JOIN c0 c),
-         |a1 AS (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-         |  FROM p1),
-         |m1 AS (SELECT vec_id, embedding, n2, cid FROM a1 WHERE rk = 1),
-         |comp1 AS (
-         |  SELECT cid, i.i AS pos, round(avg(embedding[i.i]::DOUBLE), 6) AS val
-         |  FROM m1, range(1, 65) i(i) GROUP BY cid, i.i),
-         |c1l AS (
-         |  SELECT cid, list(val ORDER BY pos) AS ce FROM comp1 GROUP BY cid),
-         |c1 AS (
-         |  SELECT cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM c1l),
-         |p2 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    ${duckD2("v.embedding", "v.n2", "c.ce", "c.cn2")} AS d2
-         |  FROM v CROSS JOIN c1 c),
-         |a2 AS (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-         |  FROM p2)
+      s"""$kmeansCtes
          |SELECT vec_id, cid, abs(round(d2, 6)) AS dist2
          |FROM a2 WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_cluster_silhouette" ->
+      s"""$kmeansCtes,
+         |top2 AS (
+         |  SELECT vec_id,
+         |    min(CASE WHEN rk = 1 THEN d2 END) AS a,
+         |    min(CASE WHEN rk = 1 THEN cid END) AS cid,
+         |    min(CASE WHEN rk = 2 THEN d2 END) AS b
+         |  FROM a2 WHERE rk <= 2 GROUP BY vec_id)
+         |SELECT cid, COUNT(*) AS n_members,
+         |  round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+         |FROM top2 GROUP BY cid ORDER BY cid""".stripMargin,
+
+
+    "q_basket_pairs" ->
+      """SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY pa, pb
+        |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin,
+
+    "q_encode_dictionary" ->
+      """SELECT CAST(row_number() OVER (ORDER BY event_type) AS INT) AS code,
+        |  event_type, n
+        |FROM (SELECT event_type, COUNT(*) AS n FROM events
+        |      GROUP BY event_type) t
+        |ORDER BY code""".stripMargin,
 
     "q_join_fuzzy_levenshtein" ->
       """WITH p AS (

@@ -178,6 +178,50 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("c_custkey"))
         .offset(100)
         .limit(25)
+    }),
+
+    // Ratio-to-report: each nation's revenue share within its region —
+    // the percent-of-total window verb. Revenue sums run in DECIMAL
+    // (exact, engine-order-proof); only the final share division is
+    // float, on identical operands. One group shuffle + one window over
+    // the (tiny) aggregate.
+    "q_window_share" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      rev.withColumn("share",
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy(col("r_name")))
+              .cast("double"), 6))
+        .select(col("r_name"), col("n_name"),
+          asMoney(col("rev")).as("rev"), col("share"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Time-weighted average (TWAP): per-user mean of `value` weighted by
+    // how long it was the CURRENT value (lead-ts delta) — the correct
+    // average over irregularly sampled series, where the plain mean
+    // overweights bursts. One key shuffle shared by the lead window and
+    // the aggregation.
+    "q_window_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("dt", lead(col("ms"), 1).over(w) - col("ms"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 6)
+          .as("twap"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -269,6 +313,29 @@ object WindowQueries extends QueryCatalog {
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
     "q_sort_pagination" ->
       """SELECT c_custkey, c_name FROM customer
-        |ORDER BY c_custkey LIMIT 25 OFFSET 100""".stripMargin
+        |ORDER BY c_custkey LIMIT 25 OFFSET 100""".stripMargin,
+    "q_window_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS rev,
+        |  round(rev::DOUBLE /
+        |    (SUM(rev) OVER (PARTITION BY r_name))::DOUBLE, 6) AS share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    "q_window_twap" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) - epoch_ms(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, round(SUM(value * dt) / SUM(dt), 6) AS twap,
+        |  COUNT(*) AS n_intervals
+        |FROM w WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -459,6 +459,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lloyd silhouette: bounded in [-1,1], near 1 on well-separated clusters") {
+    import spark.implicits._
+    val v = Seq(
+      (0L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.2f)),
+      (4L, Array(-0.1f, 0.1f)), (3L, Array(10.1f, 9.9f)),
+      (1L, Array(9.9f, 10.0f)), (5L, Array(10.0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val s = Clustering.silhouette(v, initModulus = 3L, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(s.map(_._2).sum == 6, "every vector scored once")
+    s.foreach { case (cid, _, ms) =>
+      assert(ms >= -1.0 && ms <= 1.0, s"silhouette out of range for $cid")
+      assert(ms > 0.9, s"well-separated clusters should score ~1, got $ms")
+    }
+  }
+
   test("Diff.snapshotDiff: insert/delete/update/same with null-safe compare") {
     import spark.implicits._
     import graft.operators.Diff

@@ -343,6 +343,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("basket pairs is an order-keyed self equi-join, quadratic only per basket") {
+    val df = SparkEntry.queries("q_basket_pairs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "basket pair explode lost the equi-join key:\n" + plan)
+  }
+
+  test("twap shares one user exchange between the lead window and the aggregate") {
+    val df = SparkEntry.queries("q_window_twap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected one user_id shuffle, got ${hashEx.size}:\n" + plan)
+  }
+
   test("z-score outliers broadcast the group stats back to the fact scan") {
     val df = SparkEntry.queries("q_events_anomaly_zscore")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
