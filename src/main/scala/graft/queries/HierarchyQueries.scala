@@ -87,13 +87,14 @@ object HierarchyQueries extends QueryCatalog {
       // and BOTH iterations — without the cut the orders⋈lineitem
       // distinct recomputes per consumer (measured 5.5 s → 3.4 s at
       // sf0.1 together with the broadcasts below; same lineage
-      // discipline as the traverse loop above)
-      val edges = pairs.select(
-          concat(lit("c"), col("c").cast("string")).as("src"),
-          concat(lit("s"), col("sp").cast("string")).as("dst"))
-        .unionByName(pairs.select(
-          concat(lit("s"), col("sp").cast("string")).as("src"),
-          concat(lit("c"), col("c").cast("string")).as("dst")))
+      // discipline as the traverse loop above). Node ids are NUMERIC
+      // (2·custkey / 2·suppkey+1): long-keyed shuffles and checkpoints
+      // move fixed-width rows, not concatenated strings — the id space
+      // is disjoint by parity, and the oracle replays the arithmetic.
+      val edges = pairs.select((col("c") * 2).as("src"),
+          (col("sp") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sp") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst")))
         .cutLineage()
       // rank and degree vectors are node-cardinality (≪ edges) — they
       // BROADCAST onto the edge scan, so one iteration = one pass over
@@ -120,7 +121,11 @@ object HierarchyQueries extends QueryCatalog {
         if (i < Iters) ranks = ranks.cutLineage()
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
-        .select(col("node"), col("rank"))
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("node_type"),
+          expr("node DIV 2").as("entity_key"),
+          col("rank"))
     })
   )
 
@@ -149,8 +154,8 @@ object HierarchyQueries extends QueryCatalog {
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
         |edges AS (
-        |  SELECT 'c' || c AS src, 's' || sp AS dst FROM pairs
-        |  UNION ALL SELECT 's' || sp, 'c' || c FROM pairs),
+        |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
+        |  UNION ALL SELECT sp * 2 + 1, c * 2 FROM pairs),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),
         |n AS (SELECT COUNT(*) AS nn FROM nodes),
         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
@@ -167,7 +172,10 @@ object HierarchyQueries extends QueryCatalog {
         |  FROM edges e JOIN i1 r ON e.src = r.node
         |    JOIN deg d ON e.src = d.src, n
         |  GROUP BY e.dst, nn)
-        |SELECT node, rank FROM i2
-        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+        |SELECT node,
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  node // 2 AS entity_key, rank
+        |FROM i2 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 }
