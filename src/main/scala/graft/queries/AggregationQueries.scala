@@ -266,6 +266,59 @@ object AggregationQueries extends QueryCatalog {
         .crossJoin(o.agg(count(lit(1)).as("n_orders")))
     }),
 
+    // Skew diagnostics — the report you run BEFORE picking a join
+    // strategy at 100 TB: per-key row-count distribution (p50/p90/p99/
+    // max) plus the top hot keys. Feeds the operators/SkewJoin decision
+    // (salt when p99 ≫ p50). One groupBy for the counts; the quantiles
+    // aggregate over keys, not rows.
+    "q_profile_skew" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("l_suppkey"))))
+      ranked.agg(
+        count(lit(1)).as("n_keys"),
+        expr("percentile(n, array(0.5D, 0.9D, 0.99D))").as("pct"),
+        max(col("n")).as("max_rows"),
+        min(when(col("rk") === 1, col("l_suppkey"))).as("top1_key"),
+        min(when(col("rk") === 2, col("l_suppkey"))).as("top2_key"),
+        min(when(col("rk") === 3, col("l_suppkey"))).as("top3_key"))
+        .select(col("n_keys"),
+          round(col("pct").getItem(0), 6).as("p50"),
+          round(col("pct").getItem(1), 6).as("p90"),
+          round(col("pct").getItem(2), 6).as("p99"),
+          col("max_rows"), col("top1_key"), col("top2_key"),
+          col("top3_key"))
+    }),
+
+    // Incremental aggregate maintenance: merge a history partial with a
+    // new-batch partial instead of rescanning history — the mergeable-
+    // partial-aggregate contract (count/sum/min/max) that makes 100 TB
+    // rollups incremental. The GATE IS THE PROOF: the oracle aggregates
+    // the full table directly, so the merged partials must equal a full
+    // recompute bit-for-bit — value sums run in DECIMAL(18,6), which is
+    // associative, unlike double addition.
+    "q_incremental_agg_merge" -> ((s, dir) => {
+      def partial(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("s"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val ev = Tables.events(s, dir)
+      val hist = partial(ev.filter(col("event_id") % 5 =!= 0))
+      val batch = partial(ev.filter(col("event_id") % 5 === 0))
+      hist.as("h").join(batch.as("b"), Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("h.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("h.s"), lit(0).cast("decimal(18,6)")) +
+            coalesce(col("b.s"), lit(0).cast("decimal(18,6)")))
+            .cast("double").as("sum_value"),
+          least(col("h.mn"), col("b.mn")).as("min_value"),
+          greatest(col("h.mx"), col("b.mx")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Single-pass column profiler (operators/Profiler — the deequ-style
     // pre-ingest data-quality gate): per-column row/null/distinct counts
     // and typed min/max over the events stream, one scan, all metrics
@@ -393,6 +446,28 @@ object AggregationQueries extends QueryCatalog {
     "q_agg_total_counts" ->
       """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
         |  (SELECT COUNT(*) FROM orders) AS n_orders""".stripMargin,
+    "q_profile_skew" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY n DESC, l_suppkey) AS rk
+        |  FROM counts)
+        |SELECT COUNT(*) AS n_keys,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.9), 6) AS p90,
+        |  round(quantile_cont(n, 0.99), 6) AS p99,
+        |  max(n) AS max_rows,
+        |  min(CASE WHEN rk = 1 THEN l_suppkey END) AS top1_key,
+        |  min(CASE WHEN rk = 2 THEN l_suppkey END) AS top2_key,
+        |  min(CASE WHEN rk = 3 THEN l_suppkey END) AS top3_key
+        |FROM ranked""".stripMargin,
+
+    "q_incremental_agg_merge" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_profile_events" ->
       """WITH src AS (
         |  SELECT user_id, event_type, value, epoch_ms(ts) AS ts_ms

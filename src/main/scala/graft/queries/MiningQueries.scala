@@ -114,6 +114,32 @@ object MiningQueries extends QueryCatalog {
         .orderBy(col("cid"))
     }),
 
+    // Semantic dedup — the 6th dedup flavor: k-means clusters as the
+    // BLOCKING stage (candidates must share a cluster), exact cosine as
+    // the verifier. Complements q_dedup_embedding's sign-LSH blocking:
+    // LSH buckets are random projections, clusters follow the data — at
+    // 100 TB the cluster id is the shuffle key and per-cluster pair
+    // counts are corpus²/C, tunable via the centroid modulus.
+    "q_dedup_semantic" -> ((s, dir) => {
+      import graft.operators.VectorSearch.dotSql
+      val asg = graft.operators.Clustering
+        .lloyd(Tables.embeddings(s, dir), initModulus = 100L, iters = 2)
+        .select(col("vec_id"), col("cid"))
+      val v = graft.operators.VectorSearch.withNorm(s,
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val m = v.join(asg, Seq("vec_id"))
+      m.as("a").join(m.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          expr(dotSql("a.embedding", "b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Market-basket co-occurrence: parts bought together in one order
     // (the item-item signal recommenders and negative-sampling miners
     // start from). The pair explode is an order-keyed SELF equi-join —
@@ -362,6 +388,19 @@ object MiningQueries extends QueryCatalog {
          |  round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
          |FROM top2 GROUP BY cid ORDER BY cid""".stripMargin,
 
+
+    "q_dedup_semantic" ->
+      s"""$kmeansCtes,
+         |m2 AS (
+         |  SELECT a2.vec_id, a2.cid, v.embedding, sqrt(v.n2) AS nrm
+         |  FROM a2 JOIN v USING (vec_id) WHERE rk = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${duckDot("a.embedding", "b.embedding")} /
+         |    (a.nrm * b.nrm), 9) AS cos
+         |FROM m2 a JOIN m2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE ${duckDot("a.embedding", "b.embedding")} /
+         |  (a.nrm * b.nrm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_basket_pairs" ->
       """SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support

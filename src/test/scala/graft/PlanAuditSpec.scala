@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("dedup candidate generation has no cartesian joins") {
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
-        "q_ann_lsh_topk", "q_dedup_embedding", "q_text_decontaminate")) {
+        "q_ann_lsh_topk", "q_dedup_embedding", "q_text_decontaminate",
+        "q_dedup_semantic")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cross join in $q")
