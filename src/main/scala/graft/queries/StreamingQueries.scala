@@ -142,6 +142,17 @@ object StreamingQueries extends QueryCatalog {
           ev.filter(col("event_type") === "view"),
           ev.filter(col("event_type") === "purchase"))
         .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+    }),
+
+    // ONLINE anomaly detection, batch twin (streaming run with state
+    // carried across time-split micro-batches is in StreamingSpec):
+    // each event judged against its PREDECESSORS' running Welford stats
+    // only — the live-monitor contrast to q_events_anomaly_zscore's
+    // full-corpus statistics. The oracle replays the prefix semantics
+    // with expanding window frames.
+    "q_stream_anomaly" -> ((s, dir) => {
+      EventPipelines.onlineAnomalies(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("event_id"))
     })
   )
 
@@ -228,6 +239,22 @@ object StreamingQueries extends QueryCatalog {
         |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_ms""".stripMargin
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "q_stream_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_id, event_type, value,
+        |    COUNT(*) OVER pre AS cnt,
+        |    AVG(value) OVER pre AS m,
+        |    var_samp(value) OVER pre AS v
+        |  FROM events
+        |  WINDOW pre AS (PARTITION BY event_type
+        |    ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, value,
+        |  round((value - m) / sqrt(v), 6) AS z
+        |FROM w
+        |WHERE cnt >= 30 AND v > 0
+        |  AND abs(round((value - m) / sqrt(v), 6)) >= 3.0
+        |ORDER BY event_type, event_id""".stripMargin
   )
 }

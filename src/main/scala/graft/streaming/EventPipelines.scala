@@ -112,4 +112,58 @@ object EventPipelines {
         epochMs(col("sw.start")).as("session_start_ms"),
         epochMs(col("sw.end")).as("session_end_ms"),
         col("n"), col("sum_value"))
+
+  /** A flagged event from [[onlineAnomalies]]. */
+  case class AnomalyFlag(event_id: Long, event_type: String, value: Double,
+    z: Double)
+
+  /** ONLINE anomaly detection — the streaming twin of the batch z-score
+    * queries: per event_type, O(1) running (count, mean, M2) Welford
+    * state in `flatMapGroupsWithState`; an event is flagged against the
+    * statistics of its PREDECESSORS only (no lookahead — what a monitor
+    * on a live stream can actually know), then folded into the state.
+    * State is three doubles per key regardless of stream length — the
+    * canonical bounded-state shape.
+    *
+    * Determinism: rows are folded in (ms, event_id) order within each
+    * group/micro-batch, so the batch run replays exactly and a
+    * time-split micro-batch sequence reaches the same flags
+    * (StreamingSpec). z is rounded to 6 dp with Spark's own
+    * BigDecimal.valueOf HALF_UP (identical to SQL `round(z, 6)`), and
+    * the threshold compares the ROUNDED value — the DuckDB oracle
+    * replays the prefix stats with window frames. */
+  def onlineAnomalies(events: DataFrame, minCount: Int = 30,
+      zThresh: Double = 3.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id").cast("long"),
+        epochMs(col("ts")).as("ms"), col("value").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Long, Long, Double)],
+            state: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ListBuffer[AnomalyFlag]()
+          rows.toArray.sortBy(r => (r._3, r._2)).foreach {
+            case (_, eid, _, x) =>
+              if (n >= minCount) {
+                val sd = math.sqrt(m2 / (n - 1))
+                if (sd > 0) {
+                  val z = java.math.BigDecimal.valueOf((x - mean) / sd)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+                  if (math.abs(z) >= zThresh)
+                    out += AnomalyFlag(eid, etype, x, z)
+                }
+              }
+              n += 1
+              val d = x - mean
+              mean += d / n
+              m2 += d * (x - mean)
+          }
+          state.update((n, mean, m2))
+          out.iterator
+      }.toDF()
+  }
 }

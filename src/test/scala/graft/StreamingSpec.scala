@@ -174,4 +174,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(rows(1).getAs[Long]("n") == 1)
     } finally q.stop()
   }
+
+  test("online anomalies: streaming over time-split batches equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 calm events then a spike, split mid-stream: the Welford state
+    // must carry across the micro-batch boundary for the spike (and only
+    // the spike) to flag with the same z as the single-pass batch run
+    val calm = (0 until 40).map(i =>
+      (ts(i), i.toLong, "m", 10.0 + (i % 5) * 0.1))
+    val spike = Seq((ts(41), 100L, "m", 25.0), (ts(42), 101L, "m", 10.2))
+    val batchDf = (calm ++ spike)
+      .toDF("ts", "event_id", "event_type", "value")
+    val expected = EventPipelines.onlineAnomalies(batchDf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(expected.map(_._1) == Seq(100L), "exactly the spike flags")
+
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventPipelines
+      .onlineAnomalies(in.toDF().toDF("ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(calm.take(25))
+      q.processAllAvailable()
+      in.addData(calm.drop(25) ++ spike) // state must carry over
+      q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      assert(got == expected,
+        s"streaming flags $got != batch twin $expected")
+    } finally q.stop()
+  }
 }
