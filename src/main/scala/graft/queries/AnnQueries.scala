@@ -154,6 +154,64 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Multi-probe LSH — the recall knob on q_ann_lsh_topk without more
+    // tables: each query also probes the 4 Hamming-1 neighbors of its
+    // sign bucket (a near-miss vector most likely sits across ONE
+    // hyperplane), so 5 of 16 buckets are searched instead of 1. Corpus
+    // side is untouched — probes explode query-side only, the bucket
+    // stays the shuffle key, and candidates stay unique (one bucket per
+    // corpus vector).
+    "q_ann_lsh_multiprobe" -> ((s, dir) => {
+      val b = bucketed(s, dir)
+      val q = b.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("b0"))
+        .withColumn("bucket", explode(array(col("b0"),
+          expr("b0 ^ 1"), expr("b0 ^ 2"), expr("b0 ^ 4"), expr("b0 ^ 8"))))
+      val joined = q.join(b.repartition(col("vec_id")), Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Per-dimension standardization (z-scoring) of the embedding corpus —
+    // the preprocessing that stops high-variance dimensions from
+    // dominating L2/k-means geometry. Dimension stats are one
+    // posexplode→groupBy (partial-aggregable, 64 output rows) broadcast
+    // back; per-dim mean/sd are ROUNDED 6 dp as part of the algorithm
+    // (the Clustering.lloyd parity trick) so the standardized fold is
+    // bit-identical cross-engine.
+    "q_ann_standardize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val dims = e.select(posexplode(col("embedding")))
+        .toDF("pos", "ev")
+        .groupBy(col("pos"))
+        .agg(round(avg(col("ev").cast("double")), 6).as("m"),
+          round(stddev_samp(col("ev").cast("double")), 6).as("sd"))
+      val stats = dims
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"), col("sd"))))
+          .as("pv"))
+        .select(expr("transform(pv, x -> x.m)").as("ms"),
+          expr("transform(pv, x -> x.sd)").as("sds"))
+      e.crossJoin(broadcast(stats))
+        .withColumn("z", expr(
+          """transform(embedding,
+            | (x, i) -> (CAST(x AS DOUBLE) - ms[i]) / sds[i])"""
+            .stripMargin.replace("\n", "")))
+        .select(col("vec_id"),
+          round(sqrt(expr(dotSql("z", "z"))), 6).as("znorm"),
+          round(expr("z[0]"), 6).as("z0"))
+        .orderBy(col("vec_id"))
+    }),
+
     // 8-bit scalar quantization (the FAISS SQ8 storage path): per-vector
     // min/max affine-map each component to a 0..255 code; at 100 TB this
     // is the 4× shrink that keeps an ANN corpus in executor memory
@@ -278,6 +336,50 @@ object AnnQueries extends QueryCatalog {
          |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_lsh_multiprobe" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, bucket AS b0 FROM b
+         |  WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT qid, qe, unnest([b0, xor(b0, 1), xor(b0, 2),
+         |    xor(b0, 4), xor(b0, 8)]) AS bucket
+         |  FROM q),
+         |pairs AS (
+         |  SELECT qid, e.vec_id AS nn_id,
+         |    ${duckCos("qe", "e.embedding")} AS cos
+         |  FROM probes p JOIN b e ON p.bucket = e.bucket
+         |    AND qid <> e.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+         |  FROM pairs)
+         |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
+         |  round(cos, 9) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_standardize" ->
+      """WITH dims AS (
+        |  SELECT i.i AS pos,
+        |    round(avg(embedding[i.i]::DOUBLE), 6) AS m,
+        |    round(stddev_samp(embedding[i.i]::DOUBLE), 6) AS sd
+        |  FROM embeddings, range(1, 65) i(i) GROUP BY i.i),
+        |st AS (
+        |  SELECT list(m ORDER BY pos) AS ms, list(sd ORDER BY pos) AS sds
+        |  FROM dims),
+        |z AS (
+        |  SELECT vec_id,
+        |    [(embedding[i]::DOUBLE - ms[i]) / sds[i]
+        |     for i in range(1, len(embedding) + 1)] AS z
+        |  FROM embeddings, st)
+        |SELECT vec_id,
+        |  round(sqrt(list_sum([z[i] * z[i]
+        |    for i in range(1, len(z) + 1)])), 6) AS znorm,
+        |  round(z[1], 6) AS z0
+        |FROM z ORDER BY vec_id""".stripMargin,
+
     "q_ann_quantize_int8" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

@@ -204,6 +204,21 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Percent-rank (CDF) normalization: each value's empirical quantile
+    // within its event_type — the rank-based score transform that makes
+    // heterogeneous signals comparable before mixing. The unique
+    // (value, event_id) ordering makes the ranking strict, so
+    // (rank−1)/(n−1) is exact integer math in both engines.
+    "q_window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("pr", round(percent_rank().over(w), 9))
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"), col("value"), col("pr"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // Time-weighted average (TWAP): per-user mean of `value` weighted by
     // how long it was the CURRENT value (lead-ts delta) — the correct
     // average over irregularly sampled series, where the plain mean
@@ -327,6 +342,15 @@ object WindowQueries extends QueryCatalog {
         |  round(rev::DOUBLE /
         |    (SUM(rev) OVER (PARTITION BY r_name))::DOUBLE, 6) AS share
         |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    "q_window_percent_rank" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    round(percent_rank() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id), 9) AS pr
+        |  FROM events)
+        |SELECT event_id, event_type, value, pr FROM r
+        |WHERE event_id % 97 = 0
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_window_twap" ->
       """WITH w AS (
         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,

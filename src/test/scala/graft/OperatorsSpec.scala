@@ -475,6 +475,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-probe LSH dominates single-probe: rank-1 neighbor at least as close") {
+    def rank1(q: String) = SparkEntry.queries(q)(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val single = rank1("q_ann_lsh_topk")
+    val multi = rank1("q_ann_lsh_multiprobe")
+    assert(single.keySet.subsetOf(multi.keySet),
+      "multi-probe lost a query that single-probe answered")
+    single.foreach { case (qid, cos) =>
+      assert(multi(qid) >= cos - 1e-12,
+        s"qid $qid: multi-probe rank-1 $cos worse than single-probe")
+    }
+  }
+
   test("Diff.snapshotDiff: insert/delete/update/same with null-safe compare") {
     import spark.implicits._
     import graft.operators.Diff
