@@ -70,7 +70,9 @@ object SparkEntry {
     MultimodalQueries,
     SampleQueries,
     MergeQueries,
-    MiningQueries)
+    MiningQueries,
+    GraphQueries,
+    PrepQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Checkpoints.CutOps
+
+/** Graph-shaped analytics beyond the iterative loops in
+  * [[HierarchyQueries]] (frontier traversal, PageRank) and the
+  * label-propagation components in [[graft.operators.ConnectedComponents]]:
+  * whole-graph structural metrics computed as plain relational plans.
+  *
+  * Triangle counting is the canonical "join-shaped graph analytics"
+  * benchmark (reference analogue: the graph-adjacency checks the QRT road
+  * matcher runs, `etl_lalf_road_missing_qrt.py:221-231`, generalized to a
+  * full structural-motif count). The scale shape is the degree-ordered
+  * node-iterator: orienting every edge from its (degree, id)-smaller
+  * endpoint to the larger one makes each triangle enumerable exactly once
+  * and bounds the wedge fan-out of the self-join by O(m^1.5) regardless of
+  * degree skew (Suri & Vassilvitskii, "Counting Triangles and the Curse of
+  * the Last Reducer", WWW'11) — a hub of degree d generates wedges only
+  * from its ≤ √m higher-ordered neighbors, not all d.
+  */
+object GraphQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-supplier triangle participation in the co-supply graph (two
+    // suppliers are adjacent when they both ship high-quantity lines of
+    // the same order). Plan shape, in scale order:
+    //   1. edge build: one equi-join of the filtered lineitem projection
+    //      with itself on the order key (quantity filter is pushed to the
+    //      scan; ReadSchema carries 3 columns) + a distinct — both shuffle
+    //      on keys Catalyst picks;
+    //   2. degree: map-side-combinable count over the symmetrized ends —
+    //      node-cardinality output, BROADCAST back onto the edges (no
+    //      edge-relation shuffle to orient);
+    //   3. wedge join e1.b = e2.a and the closing join on (a, b) — the
+    //      only edge×edge work, bounded by the orientation;
+    //   4. triangle→node explode + count: partial-aggregable, then a
+    //      20-row TakeOrderedAndProject.
+    // The oriented edge relation feeds the self-join THREE times — one
+    // lazy lineage cut materializes it once (PERF.md #2: without the cut
+    // the edge-build join replays per consumer and the analyzer walks an
+    // exponentially nested plan).
+    "q_graph_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .distinct()
+        .cutLineage(eager = false)
+      val deg = edges.select(col("u").as("n"))
+        .unionByName(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val uFirst = col("du.d") < col("dv.d") ||
+        (col("du.d") === col("dv.d") && col("u") < col("v"))
+      val oe = edges
+        .join(broadcast(deg).as("du"), col("u") === col("du.n"))
+        .join(broadcast(deg).as("dv"), col("v") === col("dv.n"))
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("ea"),
+          when(uFirst, col("v")).otherwise(col("u")).as("eb"))
+        .cutLineage(eager = false)
+      val tri = oe.as("e1")
+        .join(oe.as("e2"), col("e1.eb") === col("e2.ea"))
+        .join(oe.as("e3"),
+          col("e3.ea") === col("e1.ea") && col("e3.eb") === col("e2.eb"))
+        .select(col("e1.ea").as("x"), col("e1.eb").as("y"),
+          col("e2.eb").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("suppkey"))
+        .groupBy(col("suppkey")).agg(count(lit(1)).as("tri_cnt"))
+        .orderBy(col("tri_cnt").desc, col("suppkey")).limit(20)
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |edges AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY n),
+        |oe AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS ea,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS eb
+        |  FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |tri AS (
+        |  SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
+        |  FROM oe e1 JOIN oe e2 ON e1.eb = e2.ea
+        |  JOIN oe e3 ON e3.ea = e1.ea AND e3.eb = e2.eb)
+        |SELECT suppkey, COUNT(*) AS tri_cnt FROM (
+        |  SELECT x AS suppkey FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY suppkey
+        |ORDER BY tri_cnt DESC, suppkey LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ML feature-preparation operators — the transforms that sit between the
+  * cleaned corpus and model training in a large-scale training-data
+  * pipeline (reference analogue: the derived-attribute normalization
+  * passes of the address/road matchers, generalized to feature space):
+  *
+  *  - `q_feature_hashing`: the hashing trick (Weinberger et al., ICML'09)
+  *    — token → stable 32-bit hash → modulo-D feature index, counts per
+  *    (doc, feature). No vocabulary table, no vocabulary JOIN, no driver
+  *    state: the feature space is fixed at D up front, so the transform
+  *    is a single map-side pass + one partial-aggregable groupBy. That
+  *    statelessness is exactly why hashing wins at 100 TB — dictionary
+  *    encoding (`q_encode_dictionary`) needs a fitted vocab broadcast,
+  *    hashing needs nothing.
+  *  - `q_encode_target`: smoothed mean target encoding of a categorical
+  *    against a continuous target, `enc = (Σy + m·prior) / (n + m)` —
+  *    the empirical-Bayes shrinkage form, m = 50. Stats are one
+  *    partial-aggregable groupBy on the (low-cardinality) category; only
+  *    the single-row global prior is broadcast back. Money math runs in
+  *    DECIMAL(18,2) until the final DOUBLE division (catalog parity
+  *    convention).
+  *  - `q_sample_time_split`: temporal train/test split — the leakage-safe
+  *    split for time-ordered corpora (hash splits leak future into
+  *    train). Pure scan-side predicate: the cutoff comparison pushes into
+  *    the parquet scan, each split is a partition-prunable filter at
+  *    scale, and the audit aggregate is map-side combinable.
+  *
+  * Parity: hashes are md5-hex → 32-bit int (the [[graft.operators.Sampling]]
+  * convention both engines replay); floating outputs rounded to 6 dp.
+  */
+object PrepQueries extends QueryCatalog {
+
+  /** Feature-space width for the hashing trick. */
+  private val HashDim = 256
+
+  /** Smoothing pseudo-count for target encoding. */
+  private val Smooth = 50
+
+  /** Temporal split cutoff (events span 2024-01-01 .. 2024-01-30). */
+  private val Cutoff = "2024-01-24 00:00:00"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hashed bag-of-words: token → (first 8 md5 hex chars as u32) mod D.
+    // The doc_id % 5 gate only bounds the MATERIALIZED output (the gate
+    // compares full results); the transform itself is corpus-wide and
+    // per-row — no join, no vocab, one shuffle for the (doc, feature)
+    // count whose partials combine map-side.
+    "q_feature_hashing" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")),
+            " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks
+        .withColumn("feature",
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+            % HashDim).cast("int"))
+        .groupBy(col("doc_id"), col("feature"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("feature"))
+    }),
+
+    // Smoothed mean target encoding of customer market segment against
+    // order total price. The fact→dim join shuffles on the customer key
+    // (Catalyst auto-broadcasts the dim projection when it fits); the
+    // encoder itself is 5 rows — at serving time THAT is what gets
+    // broadcast onto the scoring scan, never the fact table.
+    "q_encode_target" -> ((s, dir) => {
+      val j = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("tp"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+      val g = j.groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt"), sum(col("tp")).as("s"))
+      val p = g.agg(
+        (sum(col("s")).cast("double") / sum(col("cnt"))).as("prior"))
+      g.crossJoin(broadcast(p))
+        .select(col("segment"), col("cnt"),
+          round((col("s").cast("double") + lit(Smooth.toDouble) * col("prior"))
+            / (col("cnt") + lit(Smooth)), 6).as("target_enc"),
+          round(col("prior"), 6).as("prior"))
+        .orderBy(col("segment"))
+    }),
+
+    // Temporal split audit: per-split × event-type row counts and time
+    // bounds. The split label is a scan-side expression; downstream
+    // pipelines filter on it, so each side stays a pushed-down predicate
+    // over the same source — no materialized copy of the corpus.
+    "q_sample_time_split" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("split",
+          when(col("ts") < lit(Cutoff).cast("timestamp"), "train")
+            .otherwise("test"))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          unix_millis(min(col("ts"))).as("min_ms"),
+          unix_millis(max(col("ts"))).as("max_ms"))
+        .orderBy(col("split"), col("event_type")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_feature_hashing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |  FROM documents WHERE doc_id % 5 = 0)
+         |SELECT doc_id,
+         |  CAST((('0x' || substring(md5(tok), 1, 8))::BIGINT % $HashDim)
+         |    AS INT) AS feature,
+         |  COUNT(*) AS tf
+         |FROM toks WHERE length(tok) > 0
+         |GROUP BY doc_id, feature
+         |ORDER BY doc_id, feature""".stripMargin,
+
+    "q_encode_target" ->
+      s"""WITH j AS (
+         |  SELECT c.c_mktsegment AS segment,
+         |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS tp
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |g AS (
+         |  SELECT segment, COUNT(*) AS cnt, SUM(tp) AS s
+         |  FROM j GROUP BY segment),
+         |p AS (SELECT CAST(SUM(s) AS DOUBLE) / SUM(cnt) AS prior FROM g)
+         |SELECT segment, cnt,
+         |  round((CAST(s AS DOUBLE) + $Smooth.0 * prior) / (cnt + $Smooth), 6)
+         |    AS target_enc,
+         |  round(prior, 6) AS prior
+         |FROM g, p ORDER BY segment""".stripMargin,
+
+    "q_sample_time_split" ->
+      s"""SELECT
+         |  CASE WHEN ts < TIMESTAMP '$Cutoff' THEN 'train' ELSE 'test' END
+         |    AS split,
+         |  event_type, COUNT(*) AS n,
+         |  epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
+         |FROM events
+         |GROUP BY split, event_type
+         |ORDER BY split, event_type""".stripMargin
+  )
+}
