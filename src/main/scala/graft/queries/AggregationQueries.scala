@@ -329,7 +329,44 @@ object AggregationQueries extends QueryCatalog {
       graft.operators.Profiler.profile(src,
         numericCols = Seq("user_id", "value", "ts_ms"),
         stringCols = Seq("event_type"))
-    })
+    }),
+
+    // Per-group MODE with deterministic tie-break — two-level aggregate:
+    // the fact table collapses to (group, value) counts first (partial-
+    // aggregable, one shuffle), and only THAT tiny relation is windowed —
+    // the window never touches fact-table cardinality. The literal
+    // rn = 1 filter compiles to WindowGroupLimit.
+    "q_agg_mode" -> ((s, dir) => {
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("status"))
+        .orderBy(col("cnt").desc, col("priority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("status"), col("priority").as("mode_priority"),
+          col("cnt"))
+        .orderBy(col("status"))
+    }),
+
+    // Per-group Pearson correlation + sample covariance — single-pass
+    // co-moment aggregation (Welford merge), partial-aggregable, one
+    // shuffle of 3-group partials. Values rounded to 6 dp on both
+    // engines: corr is scale-free in [-1,1] and covar's double error is
+    // ~1e-9 at this magnitude, so engine-order summation cannot move the
+    // rounded value.
+    "q_agg_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("q"), col("p")), 6).as("corr_qty_price"),
+          round(covar_samp(col("q"), col("p")), 6).as("covar_qty_price"))
+        .orderBy(col("l_returnflag")))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -493,6 +530,27 @@ object AggregationQueries extends QueryCatalog {
         |  COUNT(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE,
         |  min(event_type), max(event_type)
         |FROM src
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH counts AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |    COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT status, priority, cnt, row_number() OVER (
+        |    PARTITION BY status ORDER BY cnt DESC, priority) AS rn
+        |  FROM counts)
+        |SELECT status, priority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY status""".stripMargin,
+
+    "q_agg_corr" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(corr(CAST(l_quantity AS DOUBLE),
+        |    CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
+        |  round(covar_samp(CAST(l_quantity AS DOUBLE),
+        |    CAST(l_extendedprice AS DOUBLE)), 6) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -295,6 +295,55 @@ object DedupQueries extends QueryCatalog {
             .as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Asymmetric containment join |A∩B|/|A| ≥ 0.8 with |A| ≤ |B| — the
+    // subset/quote detector (a doc mostly contained in a longer one is a
+    // near-dup that symmetric Jaccard MISSES when the sizes differ).
+    // Blocking is PPJoin-style PREFIX FILTERING (Xiao et al., WWW'08)
+    // with an EXACT pigeonhole guarantee: containment ≥ 0.8 means at most
+    // ⌊0.2·|A|⌋ of A's shingles are missing from B, so among A's
+    // ⌊0.2·|A|⌋+1 smallest shingle-hashes at least one IS in B — probing
+    // only that prefix against the full inverted index finds every true
+    // pair. Cost shape at 100 TB: the index side is linear in corpus
+    // shingle mass (one explode, shuffle on the hash key), the probe side
+    // is ~20% of it, and the candidate pair set — not the quadratic
+    // all-pairs space — is all that reaches the exact verify, which
+    // re-joins the shingle arrays by doc key (never shipping arrays
+    // through the pair join; same payload discipline as ngram_jaccard).
+    // Hash order is md5-lexicographic on BOTH engines, so the prefix
+    // choice and the verified fractions (int/int division) replay
+    // bit-identically.
+    "q_dedup_containment" -> ((s, dir) => {
+      val sh = shingled(s, dir).withColumn("sz", size(col("shingles")))
+        .cutLineage(eager = false)
+      val hashes = sh.select(col("doc_id"), col("sz"),
+          array_sort(transform(col("shingles"), x => md5(x))).as("hs"))
+        .cutLineage(eager = false)
+      val prefix = hashes.select(col("doc_id").as("doc_a"),
+        col("sz").as("pa_sz"),
+        explode(slice(col("hs"), lit(1),
+          floor(col("sz") * lit(0.2)).cast("int") + 1)).as("hk"))
+      val inv = hashes.select(col("doc_id").as("doc_b"),
+        col("sz").as("pb_sz"), explode(col("hs")).as("hk"))
+      val candidates = prefix.as("pa").join(inv.as("pb"),
+          col("pa.hk") === col("pb.hk") &&
+            (col("pa.pa_sz") < col("pb.pb_sz") ||
+              (col("pa.pa_sz") === col("pb.pb_sz") &&
+                col("pa.doc_a") < col("pb.doc_b"))))
+        .select(col("pa.doc_a").as("doc_a"), col("pb.doc_b").as("doc_b"))
+        .distinct()
+      candidates
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"),
+          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+            .cast("double") / col("sa.sz")).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -466,6 +515,34 @@ object DedupQueries extends QueryCatalog {
         |                for i in range(1, 17)]) >= 6
         |WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
         |    len(list_distinct(list_concat(x.grams, y.grams))) >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH $shinglesCte,
+         |hs AS (
+         |  SELECT doc_id, len(shingles) AS sz,
+         |    list_sort([md5(x) for x in shingles]) AS hs
+         |  FROM sh),
+         |pre AS (
+         |  SELECT doc_id AS doc_a, sz AS pa_sz,
+         |    unnest(list_slice(hs, 1, CAST(floor(sz * 0.2) AS INT) + 1)) AS hk
+         |  FROM hs),
+         |inv AS (SELECT doc_id AS doc_b, sz AS pb_sz, unnest(hs) AS hk
+         |        FROM hs),
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b
+         |  FROM pre JOIN inv ON pre.hk = inv.hk
+         |  WHERE pa_sz < pb_sz OR (pa_sz = pb_sz AND doc_a < doc_b)),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(sa.shingles) AS sz_a, len(sb.shingles) AS sz_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(sa.shingles) AS containment
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, sz_a, sz_b, round(containment, 6) AS containment
+         |FROM v WHERE containment >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

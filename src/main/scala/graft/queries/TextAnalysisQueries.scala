@@ -257,6 +257,42 @@ object TextAnalysisQueries extends QueryCatalog {
               (col("cb").cast("double") / col("tpairs")))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    // TF-IDF keyword extraction: top-3 highest-scoring tokens per doc —
+    // the per-document topical summary a corpus-curation pipeline tags
+    // documents with. Corpus stats are global (tf feeds df via a second
+    // partial-aggregable groupBy; tf is lineage-cut so the token scan runs
+    // once); the token→df join is TOKEN-keyed — a shuffle join, NOT a
+    // broadcast, because a 100 TB corpus's vocabulary is itself huge (same
+    // shape rationale as q_lm_unigram_score). Only the single-row doc
+    // count broadcasts. Ranking uses the ROUNDED score on both engines so
+    // a last-ulp ln() difference can never flip a rank; the literal
+    // rank <= 3 compiles to WindowGroupLimit (map-side partial top-k).
+    // The doc_id % 5 gate bounds only the materialized output — df/nd are
+    // full-corpus statistics.
+    "q_text_keywords" -> ((s, dir) => {
+      import graft.operators.Checkpoints.CutOps
+      val toks = normText(s, dir)
+        .select(col("doc_id"), explode(split(col("t"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .cutLineage(eager = false)
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = normText(s, dir).agg(count(lit(1)).as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.filter(col("doc_id") % 5 === 0)
+        .join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(nd))
+        .withColumn("score", round(col("tf") *
+          log((col("nd") + 1).cast("double") / (col("df") + 1)), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
     })
   )
 
@@ -410,6 +446,26 @@ object TextAnalysisQueries extends QueryCatalog {
         |    ((ca::DOUBLE / tpairs) * (cb::DOUBLE / tpairs))), 6) AS pmi
         |FROM pc JOIN ua USING (a) JOIN ub USING (b), tp
         |WHERE cab >= 5
-        |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin,
+
+    "q_text_keywords" ->
+      s"""WITH $duckNorm,
+         |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+         |         FROM norm),
+         |tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT COUNT(*) AS nd FROM norm),
+         |scored AS (
+         |  SELECT f.doc_id, f.tok,
+         |    round(f.tf * ln((nd.nd + 1)::DOUBLE / (d.df + 1)), 6) AS score
+         |  FROM tf f JOIN dfreq d ON f.tok = d.tok, nd
+         |  WHERE f.doc_id % 5 = 0),
+         |r AS (
+         |  SELECT doc_id, tok, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, tok, score FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin
   )
 }
