@@ -544,4 +544,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(st.isNullAt(4) && st.isNullAt(5))
     assert(st.getString(6) == "a" && st.getString(7) == "c")
   }
+
+  test("containment prefix filter loses NO pair vs brute force (pigeonhole)") {
+    // q_dedup_containment's recall rests on the pigeonhole bound: with
+    // containment >= 0.8, at least one of A's floor(0.2*|A|)+1 smallest
+    // shingle-hashes is in B. Verify the BLOCKED query equals a
+    // brute-force all-pairs scan on the sf0.001 corpus.
+    import org.apache.spark.sql.functions._
+    val blocked = SparkEntry.queries("q_dedup_containment")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = graft.operators.TextDedup.wordShingles(
+      Tables.documents(spark, sf), col("doc_id"), col("text"), n = 3)
+      .withColumn("sz", size(col("shingles")))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.sz") < col("b.sz") ||
+          (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles")))
+          .cast("double") / col("a.sz")).as("c"))
+      .filter(col("c") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missed: ${brute -- blocked}; extra: ${blocked -- brute}")
+  }
 }

@@ -367,4 +367,54 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       "group stats did not broadcast:\n" + plan)
   }
+
+  test("triangle counting stays equi-joined and never goes cartesian") {
+    // the oriented-edge relation is lineage-cut, so the degree broadcast
+    // and the pushed l_quantity filter live behind the RDD scan barrier;
+    // what must hold in the VISIBLE (post-cut) plan is that the wedge and
+    // closing joins keep their equi-join keys.
+    val df = SparkEntry.queries("q_graph_triangles")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration lost an equi-join key:\n" + plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "no hash/merge equi-join in triangle plan:\n" + plan)
+  }
+
+  test("mode and keyword top-k windows rewrite to WindowGroupLimit") {
+    for (q <- Seq("q_agg_mode", "q_text_keywords")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: rank filter did not rewrite to WindowGroupLimit:\n" + plan)
+    }
+  }
+
+  test("feature hashing is one scan plus one partial-aggregated exchange") {
+    val df = SparkEntry.queries("q_feature_hashing")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "feature hashing must be join-free:\n" + plan)
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected one (doc,feature) shuffle, got ${hashEx.size}:\n" + plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "count partials missing:\n" + plan)
+  }
+
+  test("containment join is hash-keyed, arrays never ride the pair join") {
+    val df = SparkEntry.queries("q_dedup_containment")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "prefix filter lost its equi-join key:\n" + plan)
+  }
+
+  test("temporal split is a scan-side expression, no join") {
+    val df = SparkEntry.queries("q_sample_time_split")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "time split must be join-free:\n" + plan)
+  }
 }
