@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Checkpoints.CutOps
 
 /** Similarity search over the `embeddings` table (builder brief; VERDICT
   * r1 LLM-pipeline gap): approximate-nearest-neighbor over a 64-dim
@@ -236,6 +237,66 @@ object AnnQueries extends QueryCatalog {
           round((col("mx") - col("mn")) / 255, 9).as("scale"),
           round(col("err"), 9).as("max_abs_err"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Product quantization + asymmetric-distance (ADC) top-k (Jégou et
+    // al., "Product Quantization for Nearest Neighbor Search", TPAMI'11)
+    // — the memory-bound ANN scale path: the 64-float vector compresses
+    // to M=8 one-byte codes (32× smaller), so the billion-vector corpus
+    // that can't hold raw floats in cluster memory holds codes easily.
+    // Deterministic codebook (subvectors of every CM-th vector, the IVF
+    // convention) so the oracle replays it. Plan shape at 100 TB:
+    //  - encoding: corpus×(M·C) candidates via ONE broadcast of the tiny
+    //    codebook; argmin is a partial-aggregable min(struct(d2, cid))
+    //    (same shape as Clustering.lloyd) — one shuffle of per-(vec,m)
+    //    partials, corpus never re-shuffles;
+    //  - search: the Q×M×C lookup table (query-to-codeword distances) is
+    //    broadcast onto the CODES scan — the corpus side touches only the
+    //    narrow codes, never the embeddings; the per-query accumulation
+    //    is a partial-aggregable SUM keyed on (qid, vec_id);
+    //  - ranking on the ROUNDED distance (6 dp both engines) so float
+    //    summation order can't flip a rank; literal rank <= 5 →
+    //    WindowGroupLimit.
+    "q_ann_pq_adc" -> ((s, dir) => {
+      graft.plans.DotProduct.register(s)
+      val M = 8; val SubDim = 8; val CM = 50; val QM = 100
+      val sub = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(col("vec_id")) // spread fold math off a one-split scan
+        .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+          col("embedding"))
+        .select(col("vec_id"), col("m"),
+          slice(col("embedding"), col("m") * SubDim + 1, lit(SubDim)).as("sv"))
+        .withColumn("sn2", expr(dotSql("sv", "sv")))
+        .cutLineage(eager = false)
+      val cb = sub.filter(col("vec_id") % CM === 0)
+        .select(expr(s"vec_id DIV $CM").as("cid"), col("m"),
+          col("sv").as("cv"), col("sn2").as("cn2"))
+      val codes = sub
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d2",
+          col("sn2") - lit(2d) * expr(dotSql("sv", "cv")) + col("cn2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+      val lut = sub.filter(col("vec_id") % QM === 7)
+        .select(col("vec_id").as("qid"), col("m").as("qm"),
+          col("sv").as("qv"), col("sn2").as("qn2"))
+        .join(broadcast(cb), col("qm") === col("m"))
+        .select(col("qid"), col("m"), col("cid"),
+          (col("qn2") - lit(2d) * expr(dotSql("qv", "cv")) + col("cn2"))
+            .as("qd2"))
+      val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(round(sum(col("qd2")), 6).as("adc_d2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_d2"), col("vec_id"))
+      adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          col("rank").cast("int").as("rank"), col("adc_d2"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -395,6 +456,38 @@ object AnnQueries extends QueryCatalog {
         |  FROM q)
         |SELECT vec_id, round((mx - mn) / 255, 9) AS scale,
         |  round(err, 9) AS max_abs_err
-        |FROM e ORDER BY vec_id""".stripMargin
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_ann_pq_adc" -> {
+      def d2(a: String, b: String) =
+        s"(${duckDot(a, a)} - 2 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+      s"""WITH sub AS (
+         |  SELECT vec_id, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS sv
+         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS m)),
+         |cb AS (
+         |  SELECT vec_id // 50 AS cid, m, sv AS cv
+         |  FROM sub WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT s.vec_id, s.m, c.cid, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY ${d2("s.sv", "c.cv")}, c.cid) AS rk
+         |  FROM sub s JOIN cb c ON s.m = c.m),
+         |codes AS (SELECT vec_id, m, cid FROM assign WHERE rk = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS qid, c.m, c.cid, ${d2("q.sv", "c.cv")} AS qd2
+         |  FROM sub q JOIN cb c ON q.m = c.m
+         |  WHERE q.vec_id % 100 = 7),
+         |adc AS (
+         |  SELECT l.qid, co.vec_id, round(SUM(l.qd2), 6) AS adc_d2
+         |  FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+         |  WHERE l.qid <> co.vec_id
+         |  GROUP BY l.qid, co.vec_id),
+         |r AS (
+         |  SELECT qid, vec_id, adc_d2, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank
+         |  FROM adc)
+         |SELECT qid, vec_id AS nn_id, CAST(rank AS INT) AS rank, adc_d2
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }
   )
 }

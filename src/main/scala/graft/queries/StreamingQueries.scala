@@ -63,6 +63,13 @@ object StreamingQueries extends QueryCatalog {
       EventPipelines.windowedCounts(Tables.events(s, dir))
         .orderBy(col("window_ms"), col("event_type"))),
 
+    // Trending top-2 event types per daily window (batch twin; the
+    // streaming form ranks each micro-batch in foreachBatch —
+    // StreamingSpec).
+    "q_stream_topk" -> ((s, dir) =>
+      EventPipelines.topKPerWindow(Tables.events(s, dir), k = 2)
+        .orderBy(col("window_ms"), col("rnk"))),
+
     // Dedup twin: replayed (self-unioned) events collapse back to the
     // original set — the idempotent-reprocessing guarantee.
     "q_stream_dedup" -> ((s, dir) => {
@@ -170,6 +177,19 @@ object StreamingQueries extends QueryCatalog {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
+
+    "q_stream_topk" ->
+      """WITH agg AS (
+        |  SELECT epoch_ms(date_trunc('day', ts)) AS window_ms, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_ms, event_type, n, row_number() OVER (
+        |    PARTITION BY window_ms ORDER BY n DESC, event_type) AS rnk
+        |  FROM agg)
+        |SELECT window_ms, rnk, event_type, n FROM r WHERE rnk <= 2
+        |ORDER BY window_ms, rnk""".stripMargin,
+
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT event_id) AS n_ids

@@ -35,6 +35,24 @@ object EventPipelines {
       .select(epochMs(col("w.start")).as("window_ms"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Top-k event types per tumbling window by count — the trending-items
+    * view over the stream. Ranking over an aggregate isn't expressible
+    * MID-stream (no window functions on a streaming agg), so the
+    * streaming form applies this to each [[windowedCounts]] micro-batch
+    * output via `foreachBatch` (StreamingSpec drives exactly that); in
+    * batch it's the direct plan. Scale: the rank runs over the
+    * (window × event_type)-cardinality AGGREGATE, never the event
+    * stream, and the literal rank filter compiles to WindowGroupLimit. */
+  def topKPerWindow(events: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_ms"))
+      .orderBy(col("n").desc, col("event_type"))
+    windowedCounts(events)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("window_ms"), col("rnk"), col("event_type"), col("n"))
+  }
+
   /** Streaming dedup by event_id bounded by the watermark. */
   def dedupStream(events: DataFrame): DataFrame =
     events

@@ -154,6 +154,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed top-k ranks each micro-batch output via foreachBatch") {
+    // rank-over-aggregate isn't expressible mid-stream, so the streaming
+    // form of topKPerWindow applies the rank to each complete-mode
+    // windowedCounts emission; the last emission equals the batch twin.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_ms"))
+      .orderBy(col("n").desc, col("event_type"))
+    val q = EventPipelines.windowedCounts(events).writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.clear()
+        got ++= batch.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 1)
+          .orderBy(col("window_ms"))
+          .collect()
+          .map(r => (r.getAs[Long]("window_ms"), r.getAs[Int]("rnk"),
+            r.getAs[String]("event_type")))
+        ()
+      }
+      .start()
+    try {
+      in.addData((ts(0), 1L, "view", 1.0), (ts(1), 1L, "view", 1.0),
+        (ts(2), 2L, "click", 1.0))
+      q.processAllAvailable()
+      assert(got.toList.map(_._3) == List("view"))
+      in.addData((ts(3), 2L, "click", 1.0), (ts(4), 3L, "click", 1.0))
+      q.processAllAvailable()
+      // clicks (3) now beat views (2) in the same daily window
+      assert(got.toList.map(_._3) == List("click"))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
