@@ -283,6 +283,31 @@ object MiningQueries extends QueryCatalog {
                 x("ms").cast("string"))),
             ";")).as("seq_md5"))
         .orderBy(col("user_id"))
+    }),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // — P(next event type | current), the behavioral model a sequence-
+    // mining pipeline estimates. One user-keyed window (the lag is the
+    // only fact-scale operation, shuffled on the session's natural key)
+    // collapses to a (type × type)-cardinality count matrix; the
+    // normalizing row total joins back by broadcast. Probabilities are
+    // exact int/int divisions rounded to 6 dp.
+    "q_events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("cnt")).as("total"))
+      pairs.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 6).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
     })
   )
 
@@ -489,6 +514,24 @@ object MiningQueries extends QueryCatalog {
         |SELECT user_id, COUNT(*) AS n_events,
         |  md5(string_agg(event_type || ':' || ms, ';'
         |    ORDER BY ms, event_id)) AS seq_md5
-        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_transitions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+        |  FROM lagged WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, next_type),
+        |totals AS (
+        |  SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM pairs GROUP BY prev_type)
+        |SELECT p.prev_type, p.next_type, p.cnt,
+        |  round(CAST(p.cnt AS DOUBLE) / t.total, 6) AS p
+        |FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+        |ORDER BY p.prev_type, p.next_type""".stripMargin
   )
 }

@@ -92,6 +92,37 @@ object PrepQueries extends QueryCatalog {
         .orderBy(col("segment"))
     }),
 
+    // Winsorization: clip the value column at the per-group [p05, p95]
+    // and report raw vs clipped means — the outlier-robust normalization
+    // a feature pipeline applies before scaling. Group thresholds are one
+    // partial-aggregable percentile pass over the (low-cardinality)
+    // group key, BROADCAST back onto the fact scan (the q_events_anomaly
+    // shape) — the fact table is never re-shuffled. Thresholds are
+    // rounded to 4 dp on BOTH engines before comparing, so a last-ulp
+    // difference in percentile interpolation can never flip a row's
+    // clipped/kept classification (integer count parity).
+    "q_prep_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val p = expr("percentile(v, array(0.05D, 0.95D))")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(round(element_at(p, 1), 4).as("lo"),
+          round(element_at(p, 2), 4).as("hi"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("clipped",
+          when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi"))
+            .otherwise(col("v")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          round(avg(col("v")), 6).as("mean_raw"),
+          round(avg(col("clipped")), 6).as("mean_winsorized"),
+          max(col("lo")).as("p05"), max(col("hi")).as("p95"))
+        .orderBy(col("event_type"))
+    }),
+
     // Temporal split audit: per-split × event-type row counts and time
     // bounds. The split label is a scan-side expression; downstream
     // pipelines filter on it, so each side stays a pushed-down predicate
@@ -136,6 +167,26 @@ object PrepQueries extends QueryCatalog {
          |    AS target_enc,
          |  round(prior, 6) AS prior
          |FROM g, p ORDER BY segment""".stripMargin,
+
+    "q_prep_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |stats AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(v, 0.05), 4) AS lo,
+        |    round(quantile_cont(v, 0.95), 4) AS hi
+        |  FROM ev GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(AVG(v), 6) AS mean_raw,
+        |  round(AVG(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END),
+        |    6) AS mean_winsorized,
+        |  MAX(lo) AS p05, MAX(hi) AS p95
+        |FROM ev e JOIN stats s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_sample_time_split" ->
       s"""SELECT

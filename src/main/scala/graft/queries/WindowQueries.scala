@@ -237,6 +237,26 @@ object WindowQueries extends QueryCatalog {
           .as("twap"),
           count(lit(1)).as("n_intervals"))
         .orderBy(col("user_id"))
+    }),
+
+    // cume_dist + group extrema (explicit unbounded ROWS frame for the
+    // first/last pair — both engines get the identical frame, sidestepping
+    // DuckDB's RANGE-to-current-row default). The unique (value, event_id)
+    // ordering makes cume_dist an exact int/int fraction. Output bounded
+    // AFTER the windows (the distribution is over the full relation).
+    "q_window_cume_dist" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val frame = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("cd", round(cume_dist().over(ord), 9))
+        .withColumn("v_min", first(col("value")).over(frame))
+        .withColumn("v_max", last(col("value")).over(frame))
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("cd"), col("v_min"), col("v_max"))
+        .orderBy(col("event_type"), col("event_id"))
     })
   )
 
@@ -360,6 +380,24 @@ object WindowQueries extends QueryCatalog {
         |SELECT user_id, round(SUM(value * dt) / SUM(dt), 6) AS twap,
         |  COUNT(*) AS n_intervals
         |FROM w WHERE dt IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_window_cume_dist" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    round(cume_dist() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id), 9) AS cd,
+        |    first_value(value) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS v_min,
+        |    last_value(value) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS v_max
+        |  FROM events)
+        |SELECT event_id, event_type, value, cd, v_min, v_max FROM r
+        |WHERE event_id % 97 = 0
+        |ORDER BY event_type, event_id""".stripMargin
   )
 }
