@@ -351,6 +351,21 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("status"))
     }),
 
+    // Several COUNT(DISTINCT) over DIFFERENT columns in ONE query — the
+    // data-profiling shape. Catalyst plans it as a single scan + Expand
+    // (each row replicated once per distinct-set, null-padded), so the
+    // fact table is read ONCE however many distincts ride along
+    // (PlanAuditSpec asserts Expand + one scan). The naive alternative —
+    // one job per column — multiplies 100 TB of I/O by the column count.
+    "q_agg_multi_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_orderkey")).as("d_ord"))
+        .orderBy(col("l_returnflag"))),
+
     // Per-group Pearson correlation + sample covariance — single-pass
     // co-moment aggregation (Welford merge), partial-aggregable, one
     // shuffle of 3-group partials. Values rounded to 6 dp on both
@@ -543,6 +558,14 @@ object AggregationQueries extends QueryCatalog {
         |  FROM counts)
         |SELECT status, priority AS mode_priority, cnt
         |FROM r WHERE rn = 1 ORDER BY status""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(DISTINCT l_suppkey) AS d_supp,
+        |  COUNT(DISTINCT l_partkey) AS d_part,
+        |  COUNT(DISTINCT l_orderkey) AS d_ord
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_corr" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -129,6 +129,31 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("source"))
     }),
 
+    // Dynamic partition pruning: the fact side is the lang-partitioned
+    // layout, the dim side a separate relation with a selective literal
+    // predicate (the serving allowlist) — the fact's partition filter
+    // only exists THROUGH the join, so Catalyst injects a dynamicpruning
+    // subquery that reuses the dim's broadcast to skip fact partitions at
+    // execution time (PlanAuditSpec asserts the dynamicpruningexpression;
+    // an aggregate-derived dim filter like `cnt*5 > total` does NOT
+    // qualify as likely-selective, which is why the allowlist shape is
+    // the one to reach for). THE 100 TB shape: a date/tenant-partitioned
+    // fact joined to a filtered dim scans only the partitions the dim
+    // admits — I/O proportional to dim selectivity, not corpus size.
+    "q_join_dpp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("lang")
+        .parquet(tmp(s, "docs_dpp"))
+      val dim = docs.select(col("lang")).distinct()
+        .filter(col("lang").isin("en", "es"))
+      s.read.parquet(tmp(s, "docs_dpp"))
+        .join(broadcast(dim), Seq("lang"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // S11: search-index sink round-trip. Documents stream through the
     // executor-side per-partition client (IndexSink) into per-partition
     // files, are read back as text, and re-aggregated — the oracle hash
@@ -207,6 +232,14 @@ object SourceSinkQueries extends QueryCatalog {
     "q_index_sink_roundtrip" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_join_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT lang FROM documents WHERE lang IN ('en', 'es'))
+        |SELECT d.lang, d.source, COUNT(*) AS n,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN dim ON d.lang = dim.lang
+        |GROUP BY d.lang, d.source
+        |ORDER BY d.lang, d.source""".stripMargin,
     "q_jdbc_roundtrip" ->
       """SELECT
         |  (SELECT COUNT(*) FROM supplier) AS n_rows,

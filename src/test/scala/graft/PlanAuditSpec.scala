@@ -417,4 +417,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "time split must be join-free:\n" + plan)
   }
+
+  test("runtime-derived dim triggers dynamic partition pruning on the fact scan") {
+    val df = SparkEntry.queries("q_join_dpp")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "no dynamicpruning expression in the partitioned fact scan:\n" + plan)
+  }
+
+  test("multi-column distinct plans one scan with Expand, not one job per column") {
+    val df = SparkEntry.queries("q_agg_multi_distinct")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      "multi-distinct lost the Expand rewrite:\n" + plan)
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n" + plan)
+  }
 }
