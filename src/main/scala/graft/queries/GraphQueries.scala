@@ -24,6 +24,29 @@ import graft.operators.Checkpoints.CutOps
   */
 object GraphQueries extends QueryCatalog {
 
+  /** Distinct co-supply edges: suppliers adjacent when both ship
+    * high-quantity lines of the same order. The quantity filter is
+    * pushed to the scan; the self-join shuffles on the order key. */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+  }
+
+  private val edgesCte =
+    """li AS (
+      |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+      |edges AS (
+      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-supplier triangle participation in the co-supply graph (two
@@ -45,16 +68,7 @@ object GraphQueries extends QueryCatalog {
     // the edge-build join replays per consumer and the analyzer walks an
     // exponentially nested plan).
     "q_graph_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .distinct()
-        .cutLineage(eager = false)
+      val edges = coSupplyEdges(s, dir).cutLineage(eager = false)
       val deg = edges.select(col("u").as("n"))
         .unionByName(edges.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -75,17 +89,35 @@ object GraphQueries extends QueryCatalog {
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("suppkey"))
         .groupBy(col("suppkey")).agg(count(lit(1)).as("tri_cnt"))
         .orderBy(col("tri_cnt").desc, col("suppkey")).limit(20)
+    }),
+
+    // Degree distribution of the co-supply graph — the first structural
+    // diagnostic before any graph algorithm (skew here predicts reducer
+    // skew everywhere downstream; a power-law tail is what the
+    // degree-ordered orientation above defuses). Two partial-aggregable
+    // groupBys: node degree, then nodes-per-degree.
+    "q_graph_degree_dist" -> ((s, dir) => {
+      val edges = coSupplyEdges(s, dir)
+      edges.select(col("u").as("n"))
+        .unionByName(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_graph_degree_dist" ->
+      s"""WITH $edgesCte,
+         |deg AS (
+         |  SELECT n, COUNT(*) AS degree FROM (
+         |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+         |  GROUP BY n)
+         |SELECT degree, COUNT(*) AS n_nodes FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
+
     "q_graph_triangles" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
-        |edges AS (
-        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      s"""WITH $edgesCte,
         |deg AS (
         |  SELECT n, COUNT(*) AS d FROM (
         |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)

@@ -92,6 +92,46 @@ object PrepQueries extends QueryCatalog {
         .orderBy(col("segment"))
     }),
 
+    // Population-stability-index drift monitor — the distribution-shift
+    // alarm a training pipeline runs between a reference window and the
+    // current window before trusting new data. Per event_type: decile
+    // edges fitted on the REFERENCE half (time split at Jan 16), both
+    // halves bucketed against those edges, PSI = Σ (p_cur − p_ref) ·
+    // ln(p_cur / p_ref) with Laplace smoothing so an empty bucket stays
+    // finite. Scale shape: the 9-edge-per-type table is a percentile
+    // aggregate BROADCAST back onto the scan (the winsorize/z-score
+    // shape); bucketing is a per-row HOF fold over the broadcast edge
+    // array; everything after is (type × 10)-cardinality. Edges rounded
+    // to 4 dp on both engines before comparison → integer bucket parity.
+    "q_profile_drift" -> ((s, dir) => {
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"),
+          (col("ts") < cutoff).as("is_ref"))
+      val qs = (1 to 9).map(i => s"0.${i}D").mkString(", ")
+      val edges = ev.filter(col("is_ref"))
+        .groupBy(col("event_type"))
+        .agg(expr(s"transform(percentile(v, array($qs)), e -> round(e, 4))")
+          .as("edges"))
+      val bucketed = ev.join(broadcast(edges), Seq("event_type"))
+        .withColumn("bucket",
+          expr("aggregate(edges, 0, (acc, e) -> acc + IF(v > e, 1, 0))"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = bucketed.groupBy(col("event_type"))
+        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      bucketed.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          ((col("n_ref") + 1).cast("double") / (col("t_ref") + 10)).as("pr"),
+          ((col("n_cur") + 1).cast("double") / (col("t_cur") + 10)).as("pc"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+          round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 6)
+            .as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
     // Winsorization: clip the value column at the per-group [p05, p95]
     // and report raw vs clipped means — the outlier-robust normalization
     // a feature pipeline applies before scaling. Group thresholds are one
@@ -167,6 +207,37 @@ object PrepQueries extends QueryCatalog {
          |    AS target_enc,
          |  round(prior, 6) AS prior
          |FROM g, p ORDER BY segment""".stripMargin,
+
+    "q_profile_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+        |  FROM events),
+        |edges AS (
+        |  SELECT event_type,
+        |    [round(e, 4) for e in quantile_cont(v,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS edges
+        |  FROM ev WHERE is_ref GROUP BY event_type),
+        |bucketed AS (
+        |  SELECT ev.event_type,
+        |    len(list_filter(ed.edges, x -> ev.v > x)) AS bucket,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM ev JOIN edges ed ON ev.event_type = ed.event_type
+        |  GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+        |  FROM bucketed GROUP BY 1),
+        |frac AS (
+        |  SELECT b.event_type, n_ref, n_cur,
+        |    (n_ref + 1)::DOUBLE / (t_ref + 10) AS pr,
+        |    (n_cur + 1)::DOUBLE / (t_cur + 10) AS pc
+        |  FROM bucketed b JOIN totals t ON b.event_type = t.event_type)
+        |SELECT event_type, CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+        |  round(SUM((pc - pr) * ln(pc / pr)), 6) AS psi
+        |FROM frac GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_prep_winsorize" ->
       """WITH ev AS (
