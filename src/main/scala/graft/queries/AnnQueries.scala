@@ -239,6 +239,50 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // Recall@5 audit of the LSH index against exact ground truth — the
+    // measurement every ANN deployment ships with (an index without a
+    // recall number is a guess). Both pipelines are the catalog's own:
+    // exact top-5 by brute-force cosine, LSH-bucket top-5; recall is the
+    // per-query overlap/5 — an exact int/int fraction, so the audit rides
+    // the hash gate with no tolerance machinery. At 100 TB the same query
+    // runs over a SAMPLED query set: ground truth costs O(Q·N), so Q is
+    // the knob — the audit's cost shape is the brute-force one, which is
+    // exactly why it runs on a sample while the index serves the rest.
+    "q_ann_recall" -> ((s, dir) => {
+      val v = vectors(s, dir)
+      val b = bucketed(s, dir)
+      def topk(joined: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        joined.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("nn_id"))
+      }
+      val q = v.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val exact = topk(broadcast(q)
+        .crossJoin(v.repartition(col("vec_id")))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm"))))
+      val qb = b.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket"))
+      val approx = topk(qb.join(b.repartition(col("vec_id")), Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm"))))
+      exact.join(approx.withColumn("hit", lit(1)),
+          Seq("qid", "nn_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("qid"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // Product quantization + asymmetric-distance (ADC) top-k (Jégou et
     // al., "Product Quantization for Nearest Neighbor Search", TPAMI'11)
     // — the memory-bound ANN scale path: the 64-float vector compresses
@@ -457,6 +501,42 @@ object AnnQueries extends QueryCatalog {
         |SELECT vec_id, round((mx - mn) / 255, 9) AS scale,
         |  round(err, 9) AS max_abs_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM v
+         |  WHERE vec_id % 50 = 0),
+         |ex_pairs AS (
+         |  SELECT qid, e.vec_id AS nn_id,
+         |    ${duckCos("qe", "e.embedding")} AS cos
+         |  FROM q CROSS JOIN v e WHERE qid <> e.vec_id),
+         |ex_rank AS (
+         |  SELECT qid, nn_id, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+         |  FROM ex_pairs),
+         |exact AS (SELECT qid, nn_id FROM ex_rank WHERE rank <= 5),
+         |b AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |qb AS (
+         |  SELECT vec_id AS qid, embedding AS qe, bucket FROM b
+         |  WHERE vec_id % 50 = 0),
+         |ap_pairs AS (
+         |  SELECT qid, e.vec_id AS nn_id,
+         |    ${duckCos("qe", "e.embedding")} AS cos
+         |  FROM qb JOIN b e ON qb.bucket = e.bucket AND qid <> e.vec_id),
+         |ap_rank AS (
+         |  SELECT qid, nn_id, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+         |  FROM ap_pairs),
+         |approx AS (SELECT qid, nn_id, 1 AS hit FROM ap_rank WHERE rank <= 5)
+         |SELECT e.qid, COUNT(*) AS n_true,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.qid = a.qid AND e.nn_id = a.nn_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     "q_ann_pq_adc" -> {
       def d2(a: String, b: String) =
