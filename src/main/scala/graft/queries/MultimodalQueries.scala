@@ -82,6 +82,34 @@ object MultimodalQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // Resize plumbing (builder brief: decode / feature-extract / RESIZE /
+    // frame-sample): aspect-ratio-preserving fit into 64×64 plus a
+    // deterministic strided "resample" digest standing in for the pixel
+    // interpolation (same stub convention as the decoders above). The
+    // shape that matters at scale: a pure per-row codegen projection —
+    // no shuffle, no join, no driver state; a real resampler swaps into
+    // the same projection slot.
+    "q_multimodal_resize" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), col("text").as("t"),
+          (lit(64) + col("doc_id") % 192).cast("int").as("w"),
+          (lit(64) + (col("doc_id") * 7) % 192).cast("int").as("h"))
+        .withColumn("scale",
+          least(lit(64.0) / col("w"), lit(64.0) / col("h")))
+        .withColumn("tw", greatest(lit(1),
+          floor(col("w") * col("scale")).cast("int")))
+        .withColumn("th", greatest(lit(1),
+          floor(col("h") * col("scale")).cast("int")))
+        .withColumn("stride", expr("CAST(length(t) DIV 16 AS INT)"))
+        .withColumn("resample_md5", md5(concat_ws("",
+          expr("transform(sequence(0, 15), k -> substring(t, 1 + k * stride, 1))"))))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("w"), col("h"), col("tw"), col("th"),
+          col("resample_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_components_roundtrip" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
       val nat = Tables.nation(s, dir)
@@ -146,6 +174,25 @@ object MultimodalQueries extends QueryCatalog {
         |    NULLIF(trim(c.c_name), ''), NULLIF(trim(c.c_mktsegment), ''),
         |    NULLIF(trim(n.n_name), ''))), '\s+', ' ', 'g') AS label
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t,
+        |    CAST(64 + doc_id % 192 AS INT) AS w,
+        |    CAST(64 + (doc_id * 7) % 192 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |r AS (
+        |  SELECT doc_id, w, h, t,
+        |    least(64.0 / w, 64.0 / h) AS scale,
+        |    CAST(length(t) // 16 AS INT) AS stride
+        |  FROM d)
+        |SELECT doc_id, w, h,
+        |  greatest(1, CAST(floor(w * scale) AS INT)) AS tw,
+        |  greatest(1, CAST(floor(h * scale) AS INT)) AS th,
+        |  md5(array_to_string(
+        |    [substring(t, 1 + k * stride, 1) for k in range(0, 16)], ''))
+        |    AS resample_md5
+        |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
   )
 }
