@@ -259,6 +259,33 @@ object TextAnalysisQueries extends QueryCatalog {
         .limit(20)
     }),
 
+    // Corpus curation gate — the keep/drop POLICY a training pipeline
+    // applies on top of the raw signals (q_text_quality scores,
+    // q_text_repetition ratios): first matching drop reason wins, and the
+    // output is the per-reason audit summary a pipeline owner reviews
+    // before shipping the cut. Pure per-row signal math + one tiny
+    // aggregate — the corpus-sized stage is a single codegen'd scan pass.
+    "q_text_quality_gate" -> ((s, dir) => {
+      normText(s, dir)
+        .withColumn("ws", split(col("t"), " "))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("rep_ratio",
+          lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+            col("n_words"))
+        .withColumn("stop_cnt",
+          size(filter(col("ws"), w => w.isin("the", "a"))))
+        .withColumn("reason",
+          when(col("n_words") < 5, "too_short")
+            .when(col("rep_ratio") > 0.4, "repetitive")
+            .when(col("stop_cnt") === 0, "no_stopwords")
+            .otherwise("keep"))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_words")), 6).as("avg_words"),
+          round(avg(col("rep_ratio")), 6).as("avg_rep_ratio"))
+        .orderBy(col("reason"))
+    }),
+
     // TF-IDF keyword extraction: top-3 highest-scoring tokens per doc —
     // the per-document topical summary a corpus-curation pipeline tags
     // documents with. Corpus stats are global (tf feeds df via a second
@@ -447,6 +474,27 @@ object TextAnalysisQueries extends QueryCatalog {
         |FROM pc JOIN ua USING (a) JOIN ub USING (b), tp
         |WHERE cab >= 5
         |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin,
+
+    "q_text_quality_gate" ->
+      s"""WITH $duckNorm,
+         |f AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+         |sig AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+         |      AS rep_ratio,
+         |    len(list_filter(ws, w -> w IN ('the', 'a'))) AS stop_cnt
+         |  FROM f),
+         |gated AS (
+         |  SELECT doc_id, n_words, rep_ratio,
+         |    CASE WHEN n_words < 5 THEN 'too_short'
+         |         WHEN rep_ratio > 0.4 THEN 'repetitive'
+         |         WHEN stop_cnt = 0 THEN 'no_stopwords'
+         |         ELSE 'keep' END AS reason
+         |  FROM sig)
+         |SELECT reason, COUNT(*) AS n_docs,
+         |  round(avg(n_words), 6) AS avg_words,
+         |  round(avg(rep_ratio), 6) AS avg_rep_ratio
+         |FROM gated GROUP BY reason ORDER BY reason""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH $duckNorm,
