@@ -70,6 +70,13 @@ object StreamingQueries extends QueryCatalog {
       EventPipelines.topKPerWindow(Tables.events(s, dir), k = 2)
         .orderBy(col("window_ms"), col("rnk"))),
 
+    // Hopping 2-day/1-day windows: every event lands in exactly two
+    // overlapping windows (batch twin; same plan streams with the
+    // watermark bounding state).
+    "q_stream_window_sliding" -> ((s, dir) =>
+      EventPipelines.slidingCounts(Tables.events(s, dir))
+        .orderBy(col("window_ms"), col("event_type"))),
+
     // Dedup twin: replayed (self-unioned) events collapse back to the
     // original set — the idempotent-reprocessing guarantee.
     "q_stream_dedup" -> ((s, dir) => {
@@ -177,6 +184,15 @@ object StreamingQueries extends QueryCatalog {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
+
+    "q_stream_window_sliding" ->
+      """WITH exp AS (
+        |  SELECT epoch_ms(date_trunc('day', ts) - (k * INTERVAL 1 DAY))
+        |    AS window_ms, event_type
+        |  FROM events, (SELECT unnest([0, 1]) AS k))
+        |SELECT window_ms, event_type, COUNT(*) AS n
+        |FROM exp GROUP BY 1, 2
+        |ORDER BY window_ms, event_type""".stripMargin,
 
     "q_stream_topk" ->
       """WITH agg AS (

@@ -35,6 +35,21 @@ object EventPipelines {
       .select(epochMs(col("w.start")).as("window_ms"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** HOPPING (sliding) windows — 2-day windows advancing by 1 day, so
+    * every event lands in exactly two overlapping windows. The streaming
+    * state story is the same as tumbling (state keyed by
+    * (window, event_type), expired by the watermark) but each event
+    * updates window-size/slide = 2 states; the batch twin is the same
+    * plan with the watermark a no-op. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(epochMs(col("w.start")).as("window_ms"), col("event_type"),
+        col("n"))
+
   /** Top-k event types per tumbling window by count — the trending-items
     * view over the stream. Ranking over an aggregate isn't expressible
     * MID-stream (no window functions on a streaming agg), so the
