@@ -94,6 +94,16 @@ object FilterQueries extends QueryCatalog {
         .orderBy(col("p_partkey"))
     }),
 
+    // Regex predicate (rlike / regexp_matches) — the pattern class LIKE
+    // can't express; stays a scan-side filter (one compiled-regex pass
+    // per row inside codegen, no shuffle).
+    "q_filter_rlike" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_name").rlike("(00|77)$"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // P8: truthiness guard — blank-stripped optional component counting.
     "q_filter_truthiness" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -140,6 +150,10 @@ object FilterQueries extends QueryCatalog {
       """SELECT p_partkey, p_name FROM part
         |WHERE p_name LIKE '%widget%' OR p_name ILIKE 'LARGE%'
         |ORDER BY p_partkey""".stripMargin,
+    "q_filter_rlike" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE regexp_matches(c_name, '(00|77)$')
+        |ORDER BY c_custkey""".stripMargin,
     "q_filter_truthiness" ->
       """SELECT lang, COUNT(*) AS n_nonblank FROM documents
         |WHERE length(trim(substring(text, 1, 20))) > 0

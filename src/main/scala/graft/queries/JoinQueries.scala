@@ -192,6 +192,25 @@ object JoinQueries extends QueryCatalog {
           unix_millis(col("ts")).as("click_ms"),
           col("view_event_id"), col("view_ms"))
         .orderBy(col("event_id"))
+    }),
+
+    // Null-safe equi-join (<=>): NULL keys MATCH each other — the
+    // semantics a sentinel-to-NULL normalization pipeline needs when the
+    // normalized key joins downstream (the reference's 'XXX' road-type /
+    // '9999' lot sentinels become NULLs, then must still join their dim
+    // row). The part that matters at scale: Spark keeps EqualNullSafe as
+    // a HASH join key (coalesce-struct trick internally), so the plan is
+    // the same shuffled/broadcast hash join as = — never a nested loop.
+    "q_join_null_safe" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("ok"),
+          col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      val dim = o.select(col("ok")).distinct()
+      o.as("l").join(dim.as("d"), col("l.ok") <=> col("d.ok"))
+        .groupBy(col("d.ok").as("priority_key"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("tp")).cast("double").as("sum_price"))
+        .orderBy(col("priority_key").asc_nulls_first)
     })
   )
 
@@ -281,6 +300,18 @@ object JoinQueries extends QueryCatalog {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_null_safe" ->
+      """WITH o AS (
+        |  SELECT NULLIF(o_orderpriority, '1-URGENT') AS ok,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+        |  FROM orders),
+        |dim AS (SELECT DISTINCT ok FROM o)
+        |SELECT d.ok AS priority_key, COUNT(*) AS n,
+        |  CAST(SUM(o.tp) AS DOUBLE) AS sum_price
+        |FROM o JOIN dim d ON o.ok IS NOT DISTINCT FROM d.ok
+        |GROUP BY d.ok
+        |ORDER BY priority_key NULLS FIRST""".stripMargin
   )
 }

@@ -239,6 +239,25 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("user_id"))
     }),
 
+    // rank vs dense_rank under REAL ties (the quantity ordering has no
+    // tiebreaker on purpose): tied rows share a rank, rank then skips,
+    // dense_rank doesn't — deterministic cross-engine because tied rows
+    // get identical outputs regardless of physical order, the one case
+    // where an incomplete window ordering is still gate-safe.
+    "q_window_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("l_orderkey") % 199 === 0 && col("l_linenumber") === 1)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"),
+          col("rnk"), col("drnk"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"))
+    }),
+
     // cume_dist + group extrema (explicit unbounded ROWS frame for the
     // first/last pair — both engines get the identical frame, sidestepping
     // DuckDB's RANGE-to-current-row default). The unique (value, event_id)
@@ -381,6 +400,18 @@ object WindowQueries extends QueryCatalog {
         |  COUNT(*) AS n_intervals
         |FROM w WHERE dt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_window_rank_dense" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      AS rnk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS drnk
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_orderkey, l_quantity, rnk, drnk FROM r
+        |WHERE l_orderkey % 199 = 0 AND l_linenumber = 1
+        |ORDER BY l_returnflag, l_orderkey""".stripMargin,
 
     "q_window_cume_dist" ->
       """WITH r AS (

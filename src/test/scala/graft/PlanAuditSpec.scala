@@ -425,6 +425,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "no dynamicpruning expression in the partitioned fact scan:\n" + plan)
   }
 
+  test("null-safe equi-join keeps <=> as a hash join key, never a nested loop") {
+    val df = SparkEntry.queries("q_join_null_safe")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "EqualNullSafe fell out of the hash join key:\n" + plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "no hash/merge join in null-safe plan:\n" + plan)
+  }
+
   test("multi-column distinct plans one scan with Expand, not one job per column") {
     val df = SparkEntry.queries("q_agg_multi_distinct")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
