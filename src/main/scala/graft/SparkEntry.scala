@@ -72,7 +72,8 @@ object SparkEntry {
     MergeQueries,
     MiningQueries,
     GraphQueries,
-    PrepQueries)
+    PrepQueries,
+    StatsQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap

@@ -381,7 +381,35 @@ object AggregationQueries extends QueryCatalog {
         .agg(count(lit(1)).as("n"),
           round(corr(col("q"), col("p")), 6).as("corr_qty_price"),
           round(covar_samp(col("q"), col("p")), 6).as("covar_qty_price"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Mergeable-sketch distinct counting (Apache DataSketches HLL via the
+    // Spark 3.5+ built-ins): per-group sketches whose UNION answers the
+    // global question WITHOUT rescanning — the re-aggregatable-datacube
+    // property that lets a 100 TB pipeline maintain per-partition sketch
+    // partials incrementally and serve any rollup by merging. Like
+    // q_agg_approx_distinct, the estimate is self-validating: the gated
+    // row carries the EXACT count plus a within-tolerance boolean, so
+    // the oracle (which has no HLL) still hash-checks the whole row.
+    "q_agg_sketch_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grp = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val global = grp
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(
+          ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .select(lit("ALL").as("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_tol"))
+      grp
+        .select(col("event_type"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_tol"))
+        .unionByName(global)
+        .orderBy(col("event_type"))
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -574,6 +602,15 @@ object AggregationQueries extends QueryCatalog {
         |  round(covar_samp(CAST(l_quantity AS DOUBLE),
         |    CAST(l_extendedprice AS DOUBLE)), 6) AS covar_qty_price
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_sketch_hll" ->
+      """SELECT event_type, exact_users, within_tol FROM (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |         TRUE AS within_tol
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -344,6 +344,35 @@ object DedupQueries extends QueryCatalog {
         .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
           round(col("containment"), 6).as("containment"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Approximate exact-substring dedup (the suffix-array span dedup of
+    // Lee et al. "Deduplicating Training Data Makes Language Models
+    // Better", approximated at fixed granularity): a word 8-gram that
+    // appears in more than one document marks a repeated SPAN at every
+    // position it occupies. Per-doc repeated-position and distinct-gram
+    // counts drive span excision upstream. Scale shape: positional grams
+    // explode ~|words| rows/doc; the repeated-gram set is one
+    // partial-aggregable groupBy (countDistinct doc_id > 1) and rides
+    // back on a gram-keyed equi-join — production variants key both
+    // sides on a 64-bit gram fingerprint to slim the shuffle; the string
+    // key stays here so the DuckDB oracle replays it verbatim.
+    "q_dedup_substring" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 7),
+            i => array_join(slice(col("ws"), i, lit(8)), " "))).as("gram"))
+        .cutLineage(eager = false) // feeds the repeat set AND the probe
+      val rep = g.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("gram"))
+      g.join(rep, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_rep"),
+          countDistinct(col("gram")).as("n_grams"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -543,6 +572,21 @@ object DedupQueries extends QueryCatalog {
          |  JOIN sh sb ON cand.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, sz_a, sz_b, round(containment, 6) AS containment
          |FROM v WHERE containment >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""WITH $wordsCte,
+         |g AS (
+         |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(1, len(ws) - 7)) AS i
+         |        FROM words WHERE len(ws) >= 8)),
+         |rep AS (
+         |  SELECT gram FROM g GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) > 1)
+         |SELECT g.doc_id, count(*) AS n_rep,
+         |       count(DISTINCT g.gram) AS n_grams
+         |FROM g JOIN rep ON g.gram = rep.gram
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -103,6 +103,67 @@ object GraphQueries extends QueryCatalog {
         .groupBy(col("n")).agg(count(lit(1)).as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("degree"))
+    }),
+
+    // Link prediction by neighbor-set Jaccard over the supplier→part
+    // bipartite graph (two suppliers are similar when their part
+    // catalogs overlap). Scale shape: common-neighbor counting is ONE
+    // self-equi-join on the part key — fan-out bounded by per-part
+    // supplier degree, the bipartite twin of the wedge bound above —
+    // then degree vectors (node-cardinality) broadcast back on. No
+    // supplier×supplier enumeration anywhere.
+    "q_graph_jaccard" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+        .distinct()
+        .cutLineage(eager = false)
+      val deg = sp.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+      val com = sp.as("a")
+        .join(sp.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+        .agg(count(lit(1)).as("common"))
+      com
+        .join(broadcast(deg).as("d1"), col("s1") === col("d1.sk"))
+        .join(broadcast(deg).as("d2"), col("s2") === col("d2.sk"))
+        .select(col("s1"), col("s2"), col("common"),
+          round(col("common").cast("double") /
+            (col("d1.d") + col("d2.d") - col("common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+        .limit(20)
+    }),
+
+    // Multi-source BFS hop distance over the (cyclic) co-supply graph —
+    // frontier iteration with min-dist semantics, the general-graph
+    // sibling of HierarchyQueries' DAG traversal. Each round is one
+    // frontier⋈edges equi-join plus an anti-join against the reached
+    // set; the frontier shrinks monotonically (visited nodes never
+    // re-enter), lineage is cut per round, and the depth bound caps the
+    // loop. The DuckDB oracle replays it as a bounded WITH RECURSIVE
+    // with UNION-distinct on (node, dist) and a min(dist) collapse.
+    "q_graph_bfs" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      val edges = e0.unionByName(
+          e0.select(col("v").as("u"), col("u").as("v")))
+        .cutLineage(eager = false)
+      val sources = edges.select(col("u").as("node")).distinct()
+        .filter(col("node") % 50 === 0)
+      var reached = sources.withColumn("dist", lit(0)).cutLineage()
+      var frontier = reached
+      var depth = 0
+      while (depth < 3 && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier
+          .join(edges, frontier("node") === edges("u"))
+          .select(col("v").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("dist", lit(depth))
+          .cutLineage()
+        reached = reached.unionByName(next).cutLineage(eager = false)
+        frontier = next
+      }
+      reached.orderBy(col("node"))
     })
   )
 
@@ -135,6 +196,33 @@ object GraphQueries extends QueryCatalog {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY suppkey
-        |ORDER BY tri_cnt DESC, suppkey LIMIT 20""".stripMargin
+        |ORDER BY tri_cnt DESC, suppkey LIMIT 20""".stripMargin,
+
+    "q_graph_jaccard" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |deg AS (SELECT sk, COUNT(*) AS d FROM sp GROUP BY sk),
+        |com AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, common,
+        |       round(common::DOUBLE / (d1.d + d2.d - common), 6) AS jaccard
+        |FROM com
+        |JOIN deg d1 ON d1.sk = com.s1
+        |JOIN deg d2 ON d2.sk = com.s2
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |e AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |bfs(node, dist) AS (
+        |  SELECT DISTINCT u AS node, 0 AS dist FROM e WHERE u % 50 = 0
+        |  UNION
+        |  SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.node
+        |  WHERE bfs.dist < 3)
+        |SELECT node, MIN(dist) AS dist FROM bfs
+        |GROUP BY node ORDER BY node""".stripMargin
   )
 }

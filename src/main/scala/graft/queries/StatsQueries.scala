@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.DataQuality
+import graft.operators.DataQuality.Check
+
+/** Distribution statistics and declarative data-quality rules — the
+  * monitoring layer a 100 TB ingest runs BEFORE accepting a batch
+  * (reference analogue: the pre-load validation SQL and count-parity
+  * checks, `etl-notes.md` "validation"; the drift twin of
+  * [[MiningQueries]]' PSI monitor).
+  *
+  * Cross-engine parity: every statistic is `round(…, 6)`; the reductions
+  * (`max`, `sum` of ≤ a few dozen cells) are order-insensitive well below
+  * 6 dp, so IEEE double noise cannot reach the hash.
+  */
+object StatsQueries extends QueryCatalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Two-sample Kolmogorov-Smirnov D between the value distributions of
+    // two event types — the classic "did this batch drift?" test. Scale
+    // shape: the N-row input collapses FIRST to per-distinct-value counts
+    // (map-side-combinable groupBy), so the global cumulative window runs
+    // over the VALUE DOMAIN (|V| ≪ N), not the events; totals ride in on
+    // a broadcast single-row aggregate. The domain-ordered cumulative is
+    // the one inherently sequential step of a CDF — at extreme domains,
+    // range-partition the sort and add per-partition prefix offsets.
+    "q_stats_ks" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("value").as("v"),
+          (col("event_type") === "click").as("isa"))
+      val perV = ev.groupBy(col("v")).agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("b"))
+      val tot = ev.agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).cast("double").as("na"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).cast("double").as("nb"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perV
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(
+          round(max(abs(col("ca") / col("na") - col("cb") / col("nb"))), 6)
+            .as("ks_d"),
+          count(lit(1)).as("n_points"))
+    }),
+
+    // Chi-squared independence between market segment and order priority.
+    // Observed counts are one map-side-combinable aggregation; row/column
+    // marginals and the grand total are windows over the CONTINGENCY
+    // MATRIX (cells = |segments|×|priorities|, a constant — the windows
+    // never see fact-table cardinality).
+    "q_stats_chi2" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val obs = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).cast("double").as("o"))
+      val e = col("r") * col("c") / col("n")
+      obs
+        .withColumn("r", sum(col("o")).over(Window.partitionBy(col("seg"))))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy(col("pri"))))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+        .agg(
+          round(sum(pow(col("o") - e, 2) / e), 6).as("chi2"),
+          count(lit(1)).as("cells"))
+    }),
+
+    // Declarative DQ rule spec → violations relation. Six row-level
+    // checks over two tables compile to TWO aggregate passes (one per
+    // table — adding a rule adds no scan), plus one uniqueness
+    // aggregation and one anti-join FK probe. Zero AND nonzero rows both
+    // appear: the report is the contract, not just the failures.
+    "q_dq_rules" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val e = Tables.events(s, dir)
+      val c = Tables.customer(s, dir)
+      DataQuality.report(Seq(
+        DataQuality.checkViolations(o, Seq(
+          Check("ord_date_not_null", col("o_orderdate").isNotNull),
+          Check("ord_price_cap", col("o_totalprice") <= 400000.0),
+          Check("ord_status_domain",
+            col("o_orderstatus").isin("O", "F", "P")))),
+        DataQuality.checkViolations(e, Seq(
+          Check("evt_props_format", col("props").rlike("^\\{\"k\": [0-9]+\\}$")),
+          Check("evt_type_domain", col("event_type").isin(
+            "click", "view", "purchase", "signup", "error")),
+          Check("evt_value_range",
+            col("value") >= 0.0 && col("value") <= 190.0))),
+        DataQuality.uniqueViolations("ord_key_unique", o,
+          Seq(col("o_orderkey"))),
+        DataQuality.fkViolations("evt_user_fk", e, col("user_id"),
+          c, col("c_custkey"))))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_stats_ks" ->
+      """WITH u AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |tot AS (SELECT sum(ia)::DOUBLE AS na, sum(ib)::DOUBLE AS nb FROM u),
+        |pv AS (SELECT v, sum(ia) AS a, sum(ib) AS b FROM u GROUP BY v),
+        |c AS (SELECT v, sum(a) OVER (ORDER BY v) AS ca,
+        |             sum(b) OVER (ORDER BY v) AS cb FROM pv)
+        |SELECT round(max(abs(ca / na - cb / nb)), 6) AS ks_d,
+        |       count(*) AS n_points
+        |FROM c, tot""".stripMargin,
+
+    "q_stats_chi2" ->
+      """WITH obs AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+        |         count(*)::DOUBLE AS o
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o,
+        |         sum(o) OVER (PARTITION BY seg) AS r,
+        |         sum(o) OVER (PARTITION BY pri) AS c,
+        |         sum(o) OVER () AS n
+        |  FROM obs)
+        |SELECT round(sum((o - r*c/n) * (o - r*c/n) / (r*c/n)), 6) AS chi2,
+        |       count(*) AS cells
+        |FROM m""".stripMargin,
+
+    "q_dq_rules" ->
+      """SELECT rule_id, violations FROM (
+        |  SELECT 'ord_date_not_null' AS rule_id,
+        |         count(*) FILTER (WHERE o_orderdate IS NULL)::BIGINT AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_price_cap',
+        |         count(*) FILTER (WHERE NOT coalesce(o_totalprice <= 400000.0, FALSE))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_status_domain',
+        |         count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'evt_props_format',
+        |         count(*) FILTER (WHERE NOT coalesce(regexp_matches(props, '^\{"k": [0-9]+\}$'), FALSE))::BIGINT
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'evt_type_domain',
+        |         count(*) FILTER (WHERE NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE))::BIGINT
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'evt_value_range',
+        |         count(*) FILTER (WHERE NOT coalesce(value >= 0.0 AND value <= 190.0, FALSE))::BIGINT
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'ord_key_unique', coalesce(sum(n), 0)::BIGINT FROM (
+        |    SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+        |    HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'evt_user_fk', count(*)::BIGINT FROM events e
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |ORDER BY rule_id""".stripMargin
+  )
+}

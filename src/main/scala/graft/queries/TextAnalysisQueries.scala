@@ -320,6 +320,24 @@ object TextAnalysisQueries extends QueryCatalog {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
         .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // One BPE merge-learning step: corpus-wide counts of ADJACENT symbol
+    // pairs — the statistic a tokenizer trainer maximizes at every merge
+    // (Sennrich et al. 2016), here at word granularity over the corpus.
+    // Positional pairs explode ~|words| rows/doc and collapse in one
+    // partial-aggregable groupBy; the top-20 is a TakeOrderedAndProject,
+    // never a global sort. Iterating merges = re-running this with the
+    // learned vocabulary applied — each step the same one-shuffle plan.
+    "q_text_bpe_pairs" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
     })
   )
 
@@ -514,6 +532,17 @@ object TextAnalysisQueries extends QueryCatalog {
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
          |  FROM scored)
          |SELECT doc_id, rnk, tok, score FROM r WHERE rnk <= 3
-         |ORDER BY doc_id, rnk""".stripMargin
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair
+        |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2))
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
   )
 }
