@@ -319,6 +319,69 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Incremental JOIN-view maintenance: the enriched rollup
+    // orders⋈customer is refreshed by aggregating ONLY the delta slice
+    // and merging its partials into the stored history partials — the
+    // join-shaped sibling of q_incremental_agg_merge (facts join a
+    // slowly-changing dim, so the delta join touches delta×dim, never
+    // history). The oracle recomputes the view from scratch: hash
+    // equality IS the proof that increment-and-merge = full recompute.
+    // Money partials stay DECIMAL until the final cast — associative,
+    // so merge order cannot move a cent.
+    "q_incremental_join_delta" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def partial(df: DataFrame) =
+        df.join(broadcast(c), df("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).as("s"))
+      val o = Tables.orders(s, dir)
+      val watermark = lit("1999-01-01").cast("timestamp")
+      val hist = partial(o.filter(col("o_orderdate") < watermark))
+      val delta = partial(o.filter(col("o_orderdate") >= watermark))
+      hist.as("h").join(delta.as("d"), Seq("seg"), "full_outer")
+        .select(col("seg"),
+          (coalesce(col("h.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n_orders"),
+          asMoney(coalesce(col("h.s"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("d.s"), lit(0).cast("decimal(18,2)")))
+            .as("revenue"))
+        .orderBy(col("seg"))
+    }),
+
+    // Count-Min frequency sketch (functions/CountMinAgg — the second
+    // custom sketch Aggregator beside MinHashAgg): the key stream folds
+    // into one 4×1024 counter matrix via map-side partials; point
+    // estimates for the top keys read `min_r cms[r][h_r(k)]` off the
+    // merged array with pure Column arithmetic (the hash twin of
+    // CountMinAgg.bucket — no UDF, no second scan). Self-validating:
+    // both CMS bounds (never undercounts; overcounts ≤ e·N/Width) ride
+    // the gate as booleans beside the exact counts.
+    "q_agg_countmin" -> ((s, dir) => {
+      import graft.functions.CountMinAgg
+      val cmsAgg = udaf(CountMinAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("k"))
+      val sketch = li.agg(cmsAgg(col("k")).as("cms"),
+        count(lit(1)).as("n"))
+      val cand = li.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("k")).limit(10)
+      val est = (0 until CountMinAgg.Depth).map { r =>
+        element_at(col("cms"),
+          (lit(r * CountMinAgg.Width) + pmod(
+            pmod(lit(CountMinAgg.A(r)) * col("k") + CountMinAgg.B(r),
+              lit(CountMinAgg.P)),
+            lit(CountMinAgg.Width.toLong))).cast("int") + 1)
+      }.reduce(least(_, _))
+      val tol = ceil(lit(math.E) * col("n") / CountMinAgg.Width)
+      cand.crossJoin(broadcast(sketch))
+        .select(col("k"), col("exact_cnt"),
+          (est >= col("exact_cnt")).as("lower_ok"),
+          (est <= col("exact_cnt") + tol).as("upper_ok"))
+        .orderBy(col("exact_cnt").desc, col("k"))
+    }),
+
     // Single-pass column profiler (operators/Profiler — the deequ-style
     // pre-ingest data-quality gate): per-column row/null/distinct counts
     // and typed min/max over the events stream, one scan, all metrics
@@ -603,6 +666,20 @@ object AggregationQueries extends QueryCatalog {
         |    CAST(l_extendedprice AS DOUBLE)), 6) AS covar_qty_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_incremental_join_delta" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q_agg_countmin" ->
+      """SELECT k, exact_cnt, TRUE AS lower_ok, TRUE AS upper_ok FROM (
+        |  SELECT l_suppkey AS k, COUNT(*) AS exact_cnt
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY exact_cnt DESC, k LIMIT 10)
+        |ORDER BY exact_cnt DESC, k""".stripMargin,
 
     "q_agg_sketch_hll" ->
       """SELECT event_type, exact_users, within_tol FROM (

@@ -164,6 +164,29 @@ object GraphQueries extends QueryCatalog {
         frontier = next
       }
       reached.orderBy(col("node"))
+    }),
+
+    // Min-label propagation, two synchronous rounds — the community-
+    // detection primitive (and the per-round step of ConnectedComponents,
+    // surfaced here as a bounded catalog query the oracle can replay).
+    // Each round is ONE edge⋈label equi-join + a min-aggregation over
+    // neighbors∪self; labels are node ids, so the state is two
+    // fixed-width columns regardless of graph size. The self-loop union
+    // keeps isolated-in-round nodes stable without an outer join.
+    "q_graph_labelprop" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      val adjBase = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v")))
+      val nodes = adjBase.select(col("u")).distinct()
+      val adj = adjBase
+        .unionByName(nodes.select(col("u"), col("u").as("v")))
+        .cutLineage(eager = false)
+      def round1(labels: DataFrame): DataFrame =
+        adj.join(labels, adj("u") === labels("node"))
+          .groupBy(col("v").as("n")).agg(min(col("label")).as("l"))
+          .select(col("n").as("node"), col("l").as("label"))
+      val l0 = nodes.select(col("u").as("node"), col("u").as("label"))
+      round1(round1(l0)).orderBy(col("node"))
     })
   )
 
@@ -223,6 +246,19 @@ object GraphQueries extends QueryCatalog {
         |  SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.node
         |  WHERE bfs.dist < 3)
         |SELECT node, MIN(dist) AS dist FROM bfs
-        |GROUP BY node ORDER BY node""".stripMargin
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_graph_labelprop" ->
+      s"""WITH $edgesCte,
+        |adjb AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |nodes AS (SELECT DISTINCT u FROM adjb),
+        |adj AS (SELECT u, v FROM adjb UNION ALL SELECT u, u FROM nodes),
+        |l1 AS (
+        |  SELECT adj.v AS node, MIN(adj.u) AS label
+        |  FROM adj GROUP BY adj.v),
+        |l2 AS (
+        |  SELECT adj.v AS node, MIN(l1.label) AS label
+        |  FROM adj JOIN l1 ON adj.u = l1.node GROUP BY adj.v)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin
   )
 }

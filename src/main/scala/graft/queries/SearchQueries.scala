@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -165,6 +166,34 @@ object SearchQueries extends QueryCatalog {
         .agg(round(sum(col("w")), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009): merge two term
+    // rankings by summing 1/(60+rank) — the standard way to combine
+    // heterogeneous retrieval lists (BM25 + vector, here two term lists)
+    // without score calibration. Each input list is ALREADY top-k
+    // bounded (k=20), so the fusion join touches ≤ 2k rows no matter
+    // the corpus size — rank windows run over the term's posting list,
+    // never the whole corpus, and missing-from-list contributes zero
+    // via the outer join.
+    "q_search_rrf" -> ((s, dir) => {
+      def ranked(term: String) = {
+        val w = Window.orderBy(col("tf").desc, col("doc_id"))
+        tokens(s, dir).filter(col("tok") === term)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .select(col("doc_id"), col("rnk"))
+      }
+      ranked("spark").as("a")
+        .join(ranked("table").as("b"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("a.rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("b.rnk")), lit(0.0)),
+            6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -257,6 +286,29 @@ object SearchQueries extends QueryCatalog {
         |  FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, stats
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, score FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_search_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |ra AS (
+        |  SELECT doc_id, rnk FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY COUNT(*) DESC, doc_id) AS rnk
+        |    FROM toks WHERE tok = 'spark' GROUP BY doc_id)
+        |  WHERE rnk <= 20),
+        |rb AS (
+        |  SELECT doc_id, rnk FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY COUNT(*) DESC, doc_id) AS rnk
+        |    FROM toks WHERE tok = 'table' GROUP BY doc_id)
+        |  WHERE rnk <= 20)
+        |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |  round(coalesce(1.0::DOUBLE / (60 + ra.rnk), 0) +
+        |        coalesce(1.0::DOUBLE / (60 + rb.rnk), 0), 6) AS rrf_score
+        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
   )
 }
