@@ -82,4 +82,30 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .select(roadNameBasic(col("n"), col("t"), col("x"))).head().getString(0)
     assert(s === "LOGAN RD")
   }
+
+  test("CountMinAgg: partial-merge equals single-buffer fold; never undercounts") {
+    import graft.functions.CountMinAgg
+    val keys = Seq.tabulate(5000)(i => (i % 137).toLong)
+    // one buffer, sequential fold
+    val whole = keys.foldLeft(CountMinAgg.zero)(CountMinAgg.reduce)
+    // two partials merged — the map-side/shuffle contract
+    val (ka, kb) = keys.splitAt(1900)
+    val merged = CountMinAgg.merge(
+      ka.foldLeft(CountMinAgg.zero)(CountMinAgg.reduce),
+      kb.foldLeft(CountMinAgg.zero)(CountMinAgg.reduce))
+    assert(whole.toSeq == merged.toSeq, "merge is not associative-equivalent")
+    // point estimates: min over rows, >= exact for every key
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    for ((k, n) <- exact) {
+      val est = (0 until CountMinAgg.Depth)
+        .map(r => whole(r * CountMinAgg.Width + CountMinAgg.bucket(r, k))).min
+      assert(est >= n, s"CMS undercounted key $k: est $est < exact $n")
+    }
+    // buckets are stable and in range
+    for (r <- 0 until CountMinAgg.Depth; k <- Seq(0L, 1L, 999999L)) {
+      val b = CountMinAgg.bucket(r, k)
+      assert(b >= 0 && b < CountMinAgg.Width)
+      assert(b == CountMinAgg.bucket(r, k))
+    }
+  }
 }

@@ -567,4 +567,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(blocked == brute,
       s"missed: ${brute -- blocked}; extra: ${blocked -- brute}")
   }
+
+  test("DataQuality: NULL predicate results count as violations (3VL guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.DataQuality
+    // value > 0 is NULL for the null row — it must count as a violation,
+    // not slip through three-valued logic.
+    val df = Seq(Some(5), None, Some(-3)).toDF("v")
+    val out = DataQuality.checkViolations(df,
+        Seq(DataQuality.Check("v_pos", col("v") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("v_pos") == 2, s"expected null+negative = 2, got $out")
+  }
+
+  test("DataQuality: unique and FK rules report zero on clean data, not null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.DataQuality
+    val fact = Seq((1, "a"), (2, "b")).toDF("k", "x")
+    val dim = Seq(1, 2, 3).toDF("k")
+    val rep = DataQuality.report(Seq(
+      DataQuality.uniqueViolations("u", fact, Seq(col("k"))),
+      DataQuality.fkViolations("f", fact, col("k"), dim, col("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("u" -> 0L, "f" -> 0L), rep.toString)
+    // and a dirty fact: one dup pair (2 rows) + one orphan
+    val dirty = Seq((1, "a"), (1, "b"), (9, "c")).toDF("k", "x")
+    val rep2 = DataQuality.report(Seq(
+      DataQuality.uniqueViolations("u", dirty, Seq(col("k"))),
+      DataQuality.fkViolations("f", dirty, col("k"), dim, col("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2 == Map("u" -> 2L, "f" -> 1L), rep2.toString)
+  }
 }

@@ -443,4 +443,98 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n" + plan)
   }
+
+  test("DQ rules compile to one scan per table per rule KIND, not per rule") {
+    // 3 orders checks + 3 events checks + 1 unique + 1 FK must plan as:
+    // orders×2 (checks, unique), events×2 (checks, FK probe), customer×1
+    // (FK dim) — adding a row-level rule must never add a scan.
+    val df = SparkEntry.queries("q_dq_rules")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    def scans(t: String) = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains(s"/$t.parquet"))
+    assert(scans("orders") == 2, s"orders scanned ${scans("orders")}×:\n" + plan)
+    assert(scans("events") == 2, s"events scanned ${scans("events")}×:\n" + plan)
+    assert(scans("customer") == 1, s"customer scanned ${scans("customer")}×:\n" + plan)
+  }
+
+  test("KS statistic windows over the value DOMAIN, never the event stream") {
+    // The per-value groupBy must sit BELOW the global cumulative window:
+    // the single-partition sort then sees |distinct values|, not N.
+    val df = SparkEntry.queries("q_stats_ks")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      "no per-value aggregate below the CDF window:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("neighbor-Jaccard broadcasts the degree vectors onto the pair join") {
+    val df = SparkEntry.queries("q_graph_jaccard")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "supplier×supplier enumeration leaked into the Jaccard plan:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "degree vectors lost their broadcast:\n" + plan)
+  }
+
+  test("sketch aggregators fold through ObjectHashAggregate partials") {
+    // Both typed sketch Aggregators (CMS counters, HLL buffers) must
+    // partial-aggregate map-side — the property that makes a 100 TB key
+    // stream fold into KB-sized buffers before the shuffle.
+    for (q <- Seq("q_agg_countmin", "q_agg_sketch_hll")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q: sketch agg lost the ObjectHashAggregate path:\n" + plan)
+    }
+  }
+
+  test("CMS estimation is pure Column arithmetic — no UDF after the fold") {
+    val plan = SparkEntry.queries("q_agg_countmin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      "CMS point estimate fell back to a UDF:\n" + plan)
+  }
+
+  test("RRF input lists are bounded BEFORE the rank window") {
+    // rnk <= 20 must become a partial top-k below the window — either a
+    // WindowGroupLimit or (what Spark picks here) a pushed
+    // TakeOrderedAndProject(limit=20) feeding the row_number — so the
+    // global rank window only ever sees k rows, not the posting list.
+    val plan = SparkEntry.queries("q_search_rrf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject(limit=20"),
+      "rnk <= 20 did not rewrite to a partial top-k:\n" + plan)
+  }
+
+  test("delta-join view maintenance broadcasts the dim on BOTH legs") {
+    val plan = SparkEntry.queries("q_incremental_join_delta")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val b = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(b >= 2, s"expected 2 broadcast dim joins, saw $b:\n" + plan)
+    // the only non-broadcast join allowed is the FullOuter merge of the
+    // two segment-cardinality partials
+    val nonBroadcast = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .filterNot(_.contains("FullOuter")).toSeq
+    assert(nonBroadcast.isEmpty,
+      "a fact-side join lost its broadcast:\n" + nonBroadcast.mkString("\n"))
+  }
+
+  test("substring dedup joins grams hash-to-hash, no cartesian") {
+    val plan = SparkEntry.queries("q_dedup_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("BPE pair counting tops out in TakeOrderedAndProject, not a sort") {
+    val plan = SparkEntry.queries("q_text_bpe_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 pairs planned as a global sort:\n" + plan)
+  }
 }
