@@ -47,6 +47,37 @@ object GraphQueries extends QueryCatalog {
       |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)""".stripMargin
 
+  /** Two synchronous min-label rounds over neighbors∪self — shared by
+    * q_graph_labelprop (the labels) and q_graph_modularity (the quality
+    * score of exactly those labels). */
+  private def labelPropLabels(s: SparkSession, dir: String): DataFrame = {
+    val e0 = coSupplyEdges(s, dir)
+    val adjBase = e0.unionByName(
+      e0.select(col("v").as("u"), col("u").as("v")))
+    val nodes = adjBase.select(col("u")).distinct()
+    val adj = adjBase
+      .unionByName(nodes.select(col("u"), col("u").as("v")))
+      .cutLineage(eager = false)
+    def round1(labels: DataFrame): DataFrame =
+      adj.join(labels, adj("u") === labels("node"))
+        .groupBy(col("v").as("n")).agg(min(col("label")).as("l"))
+        .select(col("n").as("node"), col("l").as("label"))
+    val l0 = nodes.select(col("u").as("node"), col("u").as("label"))
+    round1(round1(l0))
+  }
+
+  /** DuckDB twin of [[labelPropLabels]] — `l2` is the label relation. */
+  private val labelPropCte =
+    """adjb AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      |nodes AS (SELECT DISTINCT u FROM adjb),
+      |adj AS (SELECT u, v FROM adjb UNION ALL SELECT u, u FROM nodes),
+      |l1 AS (
+      |  SELECT adj.v AS node, MIN(adj.u) AS label
+      |  FROM adj GROUP BY adj.v),
+      |l2 AS (
+      |  SELECT adj.v AS node, MIN(l1.label) AS label
+      |  FROM adj JOIN l1 ON adj.u = l1.node GROUP BY adj.v)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-supplier triangle participation in the co-supply graph (two
@@ -173,20 +204,39 @@ object GraphQueries extends QueryCatalog {
     // neighbors∪self; labels are node ids, so the state is two
     // fixed-width columns regardless of graph size. The self-loop union
     // keeps isolated-in-round nodes stable without an outer join.
-    "q_graph_labelprop" -> ((s, dir) => {
-      val e0 = coSupplyEdges(s, dir)
-      val adjBase = e0.unionByName(
-        e0.select(col("v").as("u"), col("u").as("v")))
-      val nodes = adjBase.select(col("u")).distinct()
-      val adj = adjBase
-        .unionByName(nodes.select(col("u"), col("u").as("v")))
-        .cutLineage(eager = false)
-      def round1(labels: DataFrame): DataFrame =
-        adj.join(labels, adj("u") === labels("node"))
-          .groupBy(col("v").as("n")).agg(min(col("label")).as("l"))
-          .select(col("n").as("node"), col("l").as("label"))
-      val l0 = nodes.select(col("u").as("node"), col("u").as("label"))
-      round1(round1(l0)).orderBy(col("node"))
+    "q_graph_labelprop" -> ((s, dir) =>
+      labelPropLabels(s, dir).orderBy(col("node"))),
+
+    // Newman modularity of the label-propagation communities — the
+    // quality score that tells you whether the detected partition beats
+    // random wiring (Q > 0). Everything reduces to community-cardinality
+    // relations: intra-community edge counts (one edge⋈labels join with
+    // the node-sized label map BROADCAST), community degree mass (the
+    // same broadcast onto the degree vector), and the closed form
+    // Q = Σ_c [e_c/m − (d_c/2m)²] folds in a single-row aggregate.
+    "q_graph_modularity" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir).cutLineage(eager = false)
+      val lab = labelPropLabels(s, dir).cutLineage(eager = false)
+      val m = e0.agg(count(lit(1)).cast("double").as("m"))
+      val intra = e0
+        .join(broadcast(lab).as("lu"), col("u") === col("lu.node"))
+        .join(broadcast(lab).as("lv"), col("v") === col("lv.node"))
+        .filter(col("lu.label") === col("lv.label"))
+        .groupBy(col("lu.label").as("lbl")).agg(count(lit(1)).as("ec"))
+      val deg = e0.select(col("u").as("n"))
+        .unionByName(e0.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val dc = deg.join(broadcast(lab), col("n") === col("node"))
+        .groupBy(col("label").as("lbl"))
+        .agg(sum(col("d")).cast("double").as("dc"))
+      dc.join(intra, Seq("lbl"), "left_outer")
+        .select(col("lbl"), coalesce(col("ec"), lit(0L)).as("ec"),
+          col("dc"))
+        .crossJoin(broadcast(m))
+        .agg(
+          round(sum(col("ec") / col("m") -
+            pow(col("dc") / (col("m") * 2), 2)), 6).as("modularity"),
+          count(lit(1)).as("n_communities"))
     })
   )
 
@@ -250,15 +300,29 @@ object GraphQueries extends QueryCatalog {
 
     "q_graph_labelprop" ->
       s"""WITH $edgesCte,
-        |adjb AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
-        |nodes AS (SELECT DISTINCT u FROM adjb),
-        |adj AS (SELECT u, v FROM adjb UNION ALL SELECT u, u FROM nodes),
-        |l1 AS (
-        |  SELECT adj.v AS node, MIN(adj.u) AS label
-        |  FROM adj GROUP BY adj.v),
-        |l2 AS (
-        |  SELECT adj.v AS node, MIN(l1.label) AS label
-        |  FROM adj JOIN l1 ON adj.u = l1.node GROUP BY adj.v)
-        |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+        |$labelPropCte
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+
+    "q_graph_modularity" ->
+      s"""WITH $edgesCte,
+        |$labelPropCte,
+        |m AS (SELECT COUNT(*)::DOUBLE AS m FROM edges),
+        |intra AS (
+        |  SELECT lu.label AS lbl, COUNT(*) AS ec
+        |  FROM edges e
+        |  JOIN l2 lu ON e.u = lu.node
+        |  JOIN l2 lv ON e.v = lv.node
+        |  WHERE lu.label = lv.label GROUP BY 1),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY n),
+        |dc AS (
+        |  SELECT l2.label AS lbl, SUM(d)::DOUBLE AS dc
+        |  FROM deg JOIN l2 ON deg.n = l2.node GROUP BY 1)
+        |SELECT round(SUM(coalesce(ec, 0) / m.m
+        |    - pow(dc.dc / (2 * m.m), 2)), 6) AS modularity,
+        |  COUNT(*) AS n_communities
+        |FROM dc LEFT JOIN intra ON dc.lbl = intra.lbl, m""".stripMargin
   )
 }

@@ -97,6 +97,33 @@ object MergeQueries extends QueryCatalog {
           col("attr_value").as("status"),
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy(col("o_custkey"), col("version"))
+    }),
+
+    // Point-in-time lookup against the SCD2 history — the feature-store
+    // join that answers "what was this user's status WHEN the event
+    // happened" without leaking later versions (training-serving skew
+    // guard). The interval probe is NOT an inequality θ-join: version
+    // validity [from, to) makes "latest valid_from ≤ ts" sufficient, so
+    // it rides operators/AsOfJoin — one key shuffle, merge-sorted, linear
+    // per key. The oracle replays it with DuckDB's NATIVE ASOF LEFT JOIN
+    // — an independent implementation of the semantics.
+    "q_scd2_pit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val changes = ev
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("status"), unix_millis(col("ts")).as("ms"))
+      val hist = graft.operators.Scd2.buildHistory(changes, col("user_id"),
+          col("ms"), col("event_id"), col("status"))
+        .select(col("key").as("user_id"), col("valid_from").as("ms"),
+          col("attr_value").as("status_at"), col("version"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ms"))
+      graft.operators.AsOfJoin.asOf(clicks, hist, "user_id", "ms")
+        .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
+          col("status_at"), col("version"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -173,6 +200,29 @@ object MergeQueries extends QueryCatalog {
         |  (lead(ms) OVER w IS NULL) AS is_current
         |FROM ch
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms, o_orderkey)
-        |ORDER BY o_custkey, version""".stripMargin
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "q_scd2_pit" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, event_type AS status, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+        |runs AS (
+        |  SELECT *, lag(status) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |  FROM src),
+        |ch AS (SELECT * FROM runs WHERE prev IS NULL OR prev <> status),
+        |hist AS (
+        |  SELECT user_id, ms, status AS status_at,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ms, event_id) AS INT) AS version
+        |  FROM ch),
+        |clicks AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ms AS click_ms,
+        |       h.status_at, h.version
+        |FROM clicks c ASOF LEFT JOIN hist h
+        |  ON c.user_id = h.user_id AND c.ms >= h.ms
+        |ORDER BY c.event_id""".stripMargin
   )
 }

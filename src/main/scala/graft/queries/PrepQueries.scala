@@ -177,7 +177,31 @@ object PrepQueries extends QueryCatalog {
           unix_millis(min(col("ts"))).as("min_ms"),
           unix_millis(max(col("ts"))).as("max_ms"))
         .orderBy(col("split"), col("event_type")))
-  )
+  ,
+
+    // Leakage-safe training matrix: per-user features computed ONLY from
+    // pre-cutoff events, label ONLY from the post-cutoff window — the
+    // temporal hygiene that keeps a trained model from seeing its own
+    // future (the feature-store point-in-time contract, batch form).
+    // ONE conditional-aggregation scan builds both sides: every feature
+    // and the label are `when(ts < cutoff …)` branches of the same
+    // groupBy, so adding a feature never adds a scan or a join, and the
+    // cutoff is a constant the scan can prune on.
+    "q_prep_leakage_safe" -> ((s, dir) => {
+      val cut = lit(Cutoff).cast("timestamp")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < cut && col("event_type") === "click", 1L)
+            .otherwise(0L)).as("f_clicks"),
+          sum(when(col("ts") < cut && col("event_type") === "view", 1L)
+            .otherwise(0L)).as("f_views"),
+          round(sum(when(col("ts") < cut, col("value"))
+            .otherwise(lit(0.0))), 6).as("f_value"),
+          max(when(col("ts") >= cut && col("event_type") === "purchase", 1)
+            .otherwise(0)).as("label"))
+        .orderBy(col("user_id"))
+    }))
 
   override def oracleSql: Map[String, String] = Map(
     "q_feature_hashing" ->
@@ -267,6 +291,18 @@ object PrepQueries extends QueryCatalog {
          |  epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
          |FROM events
          |GROUP BY split, event_type
-         |ORDER BY split, event_type""".stripMargin
+         |ORDER BY split, event_type""".stripMargin,
+
+    "q_prep_leakage_safe" ->
+      s"""SELECT user_id,
+         |  COUNT(*) FILTER (WHERE ts < TIMESTAMP '$Cutoff'
+         |    AND event_type = 'click')::BIGINT AS f_clicks,
+         |  COUNT(*) FILTER (WHERE ts < TIMESTAMP '$Cutoff'
+         |    AND event_type = 'view')::BIGINT AS f_views,
+         |  round(SUM(CASE WHEN ts < TIMESTAMP '$Cutoff' THEN value
+         |    ELSE 0.0 END), 6) AS f_value,
+         |  MAX(CASE WHEN ts >= TIMESTAMP '$Cutoff'
+         |    AND event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

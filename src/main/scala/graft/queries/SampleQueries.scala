@@ -76,6 +76,30 @@ object SampleQueries extends QueryCatalog {
         .select(col("doc_id"), col("n_chars"),
           round(col("race_key"), 9).as("race_key"))
         .orderBy(col("race_key"), col("doc_id"))
+    }),
+
+    // Proportionally-stratified sample: each source's allocation is
+    // computed FROM the data (⌊100·n_g/N⌋, floor-1 minimum so no stratum
+    // vanishes) and rows fill it in hash order — unlike the fixed-quota
+    // sampler above, the mix tracks the corpus composition. Allocation
+    // math is INTEGER division (engine-exact, no float rounding to
+    // diverge); the allocation relation is group-cardinality and
+    // broadcasts onto the ranked stream.
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val tot = docs.agg(count(lit(1)).as("total"))
+      val alloc = counts.crossJoin(broadcast(tot))
+        .select(col("source"),
+          greatest(lit(1L), expr("100 * cnt div total")).as("alloc"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("rn") <= col("alloc"))
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -132,6 +156,23 @@ object SampleQueries extends QueryCatalog {
         |  FROM documents),
         |top AS (SELECT * FROM keyed ORDER BY rk_raw, doc_id LIMIT 50)
         |SELECT doc_id, n_chars, round(rk_raw, 9) AS race_key
-        |FROM top ORDER BY race_key, doc_id""".stripMargin
+        |FROM top ORDER BY race_key, doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |tot AS (SELECT COUNT(*) AS total FROM documents),
+        |alloc AS (
+        |  SELECT source, greatest(1, (100 * cnt) // total) AS alloc
+        |  FROM counts, tot),
+        |ranked AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.source, r.doc_id
+        |FROM ranked r JOIN alloc a ON r.source = a.source
+        |WHERE r.rn <= a.alloc
+        |ORDER BY r.source, r.doc_id""".stripMargin
   )
 }

@@ -537,4 +537,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-20 pairs planned as a global sort:\n" + plan)
   }
+
+  test("leakage-safe matrix is ONE conditional-agg scan — no per-window joins") {
+    val plan = SparkEntry.queries("q_prep_leakage_safe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "feature/label windows joined:\n" + plan)
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n" + plan)
+  }
+
+  test("PIT lookup stays a merge window — no inequality theta-join") {
+    val plan = SparkEntry.queries("q_scd2_pit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "PIT lookup planned as a theta-join:\n" + plan)
+    assert(plan.contains("Window"), "as-of merge window missing:\n" + plan)
+  }
+
+  test("stratified allocation broadcasts onto the ranked stream") {
+    val plan = SparkEntry.queries("q_sample_stratified")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "group-cardinality allocation lost its broadcast:\n" + plan)
+  }
+
+  test("modularity reductions broadcast the label map onto edges") {
+    val plan = SparkEntry.queries("q_graph_modularity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // (the single-row m combinator is a broadcast nested loop by design;
+    // only an unkeyed node×node product would be wrong)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "label map not broadcast onto the edge relation:\n" + plan)
+  }
 }
