@@ -472,6 +472,43 @@ object AggregationQueries extends QueryCatalog {
             col("exact_users") * 0.05).as("within_tol"))
         .unionByName(global)
         .orderBy(col("event_type"))
+    }),
+
+    // Trailing-7-day distinct users per day, answered from DAILY HLL
+    // sketches — the query exact distinct counts cannot pre-aggregate
+    // (distinct doesn't sum) and sketches can (union does): the events
+    // stream folds once into day-cardinality sketch partials, and every
+    // sliding window is a union of ≤7 of them. At 100 TB the raw-stream
+    // rescan per window (which the self-check and oracle do here) is
+    // exactly what this pattern deletes. Day×day and event×day range
+    // joins broadcast the day-cardinality side — a calendar dim never
+    // outgrows a broadcast.
+    "q_agg_hll_sliding" -> ((s, dir) => {
+      import graft.operators.Checkpoints.CutOps
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .cutLineage(eager = false)
+      val winEst = daily.as("w")
+        .join(daily.as("d"),
+          col("d.day") >= date_sub(col("w.day"), 6) &&
+            col("d.day") <= col("w.day"))
+        .groupBy(col("w.day").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("d.sk"))).as("est"))
+      val winExact = ev
+        .join(broadcast(daily.select(col("day").as("wday"))),
+          col("day") >= date_sub(col("wday"), 6) &&
+            col("day") <= col("wday"))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("wday").as("day"), col("exact_users"))
+      winEst.join(winExact, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_tol"))
+        .orderBy(col("day"))
     })
   )
 
@@ -688,6 +725,18 @@ object AggregationQueries extends QueryCatalog {
         |  FROM events GROUP BY event_type
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q_agg_hll_sliding" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM ev),
+        |wx AS (
+        |  SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_users
+        |  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, exact_users,
+        |       TRUE AS within_tol
+        |FROM wx ORDER BY day""".stripMargin
   )
 }

@@ -239,6 +239,41 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-source centroid outliers — embedding-space corpus curation:
+    // the mean vector of each source is its "domain centroid", and the
+    // documents farthest from their own centroid are the mislabeled /
+    // off-domain candidates a cleaning pass reviews first. Centroids are
+    // dimension-exploded partial-aggregable means (group-cardinality ×
+    // dim output, BROADCAST back); per-doc distance is one codegen
+    // `graft_dot` over the diff vector — no pairwise anything, the whole
+    // query is linear in corpus size. Centroid components round to 6 dp
+    // BEFORE use (the q_ann_standardize parity rule) so engine-order
+    // float addition can never reach the gated distances.
+    "q_ann_centroid_outliers" -> ((s, dir) => {
+      graft.plans.DotProduct.register(s)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val em = Tables.embeddings(s, dir)
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("source"), col("embedding"))
+        .cutLineage(eager = false)
+      val cents = em
+        .select(col("source"), posexplode(col("embedding")))
+        .toDF("source", "pos", "ev")
+        .groupBy(col("source"), col("pos"))
+        .agg(round(avg(col("ev").cast("double")), 6).as("c"))
+        .groupBy(col("source"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        .select(col("source"), expr("transform(pc, x -> x.c)").as("cent"))
+      em.join(broadcast(cents), Seq("source"))
+        .withColumn("diff", expr(
+          "zip_with(embedding, cent, (x, c) -> CAST(x AS DOUBLE) - c)"))
+        .select(col("source"), col("vec_id"),
+          round(sqrt(expr(dotSql("diff", "diff"))), 6).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Recall@5 audit of the LSH index against exact ground truth — the
     // measurement every ANN deployment ships with (an index without a
     // recall number is a guess). Both pipelines are the catalog's own:
@@ -484,6 +519,27 @@ object AnnQueries extends QueryCatalog {
         |    for i in range(1, len(z) + 1)])), 6) AS znorm,
         |  round(z[1], 6) AS z0
         |FROM z ORDER BY vec_id""".stripMargin,
+
+    "q_ann_centroid_outliers" ->
+      """WITH em AS (
+        |  SELECT e.vec_id, d.source, e.embedding
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |dims AS (
+        |  SELECT source, i.i AS pos,
+        |    round(avg(embedding[i.i]::DOUBLE), 6) AS c
+        |  FROM em, range(1, 65) i(i) GROUP BY source, i.i),
+        |cents AS (
+        |  SELECT source, list(c ORDER BY pos) AS cent
+        |  FROM dims GROUP BY source),
+        |dd AS (
+        |  SELECT em.source, em.vec_id,
+        |    round(sqrt(list_sum(
+        |      [(em.embedding[i]::DOUBLE - cent[i])
+        |         * (em.embedding[i]::DOUBLE - cent[i])
+        |       for i in range(1, 65)])), 6) AS dist
+        |  FROM em JOIN cents ON em.source = cents.source)
+        |SELECT source, vec_id, dist FROM dd
+        |ORDER BY dist DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_quantize_int8" ->
       """WITH q AS (

@@ -562,6 +562,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "group-cardinality allocation lost its broadcast:\n" + plan)
   }
 
+  test("sliding HLL: daily sketches fold partial; window union never rescans events") {
+    val plan = SparkEntry.queries("q_agg_hll_sliding")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "daily sketch agg lost its partial fold:\n" + plan)
+    // the estimate path unions day-cardinality sketches; only the
+    // self-check leg may touch raw events a second time
+    val scans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("/events.parquet"))
+    assert(scans <= 2, s"events scanned $scans times:\n" + plan)
+  }
+
+  test("centroid outliers broadcast the per-source centroids, no pair join") {
+    val plan = SparkEntry.queries("q_ann_centroid_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "centroid relation lost its broadcast:\n" + plan)
+  }
+
   test("modularity reductions broadcast the label map onto edges") {
     val plan = SparkEntry.queries("q_graph_modularity")(spark, sf)
       .queryExecution.executedPlan.toString
