@@ -124,6 +124,36 @@ object MergeQueries extends QueryCatalog {
         .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
           col("status_at"), col("version"))
         .orderBy(col("event_id"))
+    }),
+
+    // CDC applied across SUCCESSIVE batches: two change waves merge
+    // sequentially into the target (update → update-again + delete), and
+    // the oracle computes the final state directly with last-writer-wins
+    // CASE logic — proving batch-at-a-time MERGE convergence, the batch
+    // twin of StreamingSpec's foreachBatch CDC-apply loop. Each wave is
+    // one co-partitioned full-outer join; N waves cost N joins, never a
+    // history rescan.
+    "q_merge_cdc_batches" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val target = c.select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val b1 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("key"),
+          (col("c_acctbal").cast("decimal(18,2)") + 100)
+            .cast("decimal(18,2)").as("bal"),
+          lit(false).as("del"))
+      val b2 = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("key"),
+          (col("c_acctbal").cast("decimal(18,2)") + 200)
+            .cast("decimal(18,2)").as("bal"),
+          (col("c_custkey") % 500 === 0).as("del"))
+      val m1 = Merge.upsert(target, b1, "key", deleteFlag = Some("del"))
+        .drop("action")
+      Merge.upsert(m1, b2, "key", deleteFlag = Some("del"))
+        .drop("action")
+        .filter(col("key") % 5 === 0)
+        .select(col("key"), col("bal").cast("double").as("bal"))
+        .orderBy(col("key"))
     })
   )
 
@@ -223,6 +253,20 @@ object MergeQueries extends QueryCatalog {
         |       h.status_at, h.version
         |FROM clicks c ASOF LEFT JOIN hist h
         |  ON c.user_id = h.user_id AND c.ms >= h.ms
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_merge_cdc_batches" ->
+      """SELECT key, CAST(bal AS DOUBLE) AS bal FROM (
+        |  SELECT c_custkey AS key,
+        |    CASE WHEN c_custkey % 10 = 0
+        |           THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 200
+        |                AS DECIMAL(18,2))
+        |         WHEN c_custkey % 5 = 0
+        |           THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100
+        |                AS DECIMAL(18,2))
+        |         ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 500 = 0))
+        |WHERE key % 5 = 0 ORDER BY key""".stripMargin
   )
 }

@@ -140,6 +140,33 @@ object MultimodalQueries extends QueryCatalog {
           renderLabel(col("m")("name"), col("m")("segment"),
             col("m")("nation")).as("label"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Exact binary-payload dedup: content-hash the OPAQUE media bytes
+    // (never the decoded form — decode is the expensive step dedup
+    // exists to avoid), keep the min-id copy, account the bytes saved.
+    // The shuffle carries (16-byte hash, id, length) — payload bytes
+    // never move; at 100 TB this is the first pass of any media ingest,
+    // upstream of the perceptual/near-dup passes.
+    "q_multimodal_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // re-ingested batch: every 20th asset arrives again under a new id
+      // — byte-identical payload, different provenance
+      val media = docs
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      media
+        .select(col("doc_id"), md5(col("bin")).as("content_hash"),
+          length(col("bin")).as("nbytes"))
+        .groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keeper_id"),
+          ((count(lit(1)) - 1) * max(col("nbytes")).cast("long"))
+            .as("saved_bytes"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("content_hash"))
     })
   )
 
@@ -193,6 +220,19 @@ object MultimodalQueries extends QueryCatalog {
         |  md5(array_to_string(
         |    [substring(t, 1 + k * stride, 1) for k in range(0, 16)], ''))
         |    AS resample_md5
-        |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 20 = 0)
+        |SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keeper_id,
+        |  (COUNT(*) - 1) * MAX(strlen(text)) AS saved_bytes
+        |FROM media
+        |GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY content_hash""".stripMargin
   )
 }

@@ -100,6 +100,26 @@ object StatsQueries extends QueryCatalog {
           Seq(col("o_orderkey"))),
         DataQuality.fkViolations("evt_user_fk", e, col("user_id"),
           c, col("c_custkey"))))
+    }),
+
+    // Day-of-week seasonal index — the volume baseline a monitoring
+    // pipeline divides out before alerting (Monday traffic ≠ Sunday
+    // traffic is seasonality, not drift). Two partial-aggregable
+    // reductions: events→daily counts (N→days), daily→per-weekday means
+    // (days→7); the corpus-wide mean rides a broadcast single-row
+    // combinator. All ratios are exact-integer sums divided in double —
+    // engine-identical below the 6 dp gate.
+    "q_events_seasonality" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(avg(col("n")).as("a"))
+      daily.withColumn("dow", weekday(col("day")))
+        .groupBy(col("dow")).agg(avg(col("n")).as("avg_n"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), round(col("avg_n"), 6).as("avg_events"),
+          round(col("avg_n") / col("a"), 6).as("seasonal_idx"))
+        .orderBy(col("dow"))
     })
   )
 
@@ -167,6 +187,18 @@ object StatsQueries extends QueryCatalog {
         |  SELECT 'evt_user_fk', count(*)::BIGINT FROM events e
         |  WHERE NOT EXISTS (
         |    SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
-        |ORDER BY rule_id""".stripMargin
+        |ORDER BY rule_id""".stripMargin,
+
+    "q_events_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |byd AS (
+        |  SELECT CAST(isodow(day) - 1 AS INT) AS dow, AVG(n) AS avg_n
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT AVG(n) AS a FROM daily)
+        |SELECT dow, round(avg_n, 6) AS avg_events,
+        |       round(avg_n / a, 6) AS seasonal_idx
+        |FROM byd, tot ORDER BY dow""".stripMargin
   )
 }

@@ -154,6 +154,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch CDC apply: per-batch Merge.upsert converges to the sequential state") {
+    // The streaming half of q_merge_upsert: each micro-batch of change
+    // records MERGEs into a parquet target (read → upsert → atomic dir
+    // swap), so the stream materializes "current state" continuously —
+    // the lakehouse CDC-apply loop, minus a table format's transaction
+    // log. Two batches with an overlapping key prove last-writer-wins
+    // across batches, an insert, and a delete.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/cdc_target"
+    val tgtDir = new java.io.File(base)
+    org.apache.commons.io.FileUtils.deleteQuietly(tgtDir)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("key", "name", "bal")
+      .write.mode("overwrite").parquet(base)
+    val in = MemoryStream[(Long, String, Double, Boolean)]
+    val q = in.toDF().toDF("key", "name", "bal", "del").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = graft.operators.Merge.upsert(
+            spark.read.parquet(base), batch, "key",
+            deleteFlag = Some("del"))
+          .drop("action")
+        val tmp = new java.io.File(base + "_next")
+        next.write.mode("overwrite").parquet(tmp.getPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(tgtDir)
+        org.apache.commons.io.FileUtils.moveDirectory(tmp, tgtDir)
+      }
+      .start()
+    try {
+      in.addData((2L, "b2", 25.0, false), (3L, "c", 30.0, false))
+      q.processAllAvailable()
+      in.addData((1L, "a", 10.0, true), (3L, "c2", 35.0, false))
+      q.processAllAvailable()
+      val got = spark.read.parquet(base)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set((2L, "b2", 25.0), (3L, "c2", 35.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("windowed top-k ranks each micro-batch output via foreachBatch") {
     // rank-over-aggregate isn't expressible mid-stream, so the streaming
     // form of topKPerWindow applies the rank to each complete-mode
