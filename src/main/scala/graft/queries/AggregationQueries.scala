@@ -483,6 +483,26 @@ object AggregationQueries extends QueryCatalog {
     // exactly what this pattern deletes. Day×day and event×day range
     // joins broadcast the day-cardinality side — a calendar dim never
     // outgrows a broadcast.
+    // EXACT mergeable distinct via bitmap partials
+    // (functions/BitmapDistinctAgg): when the key domain is bounded, a
+    // fixed 8 KB bitmap per group replaces both the exact
+    // shuffle-every-key countDistinct AND the approximate HLL — partials
+    // OR-merge map-side like any sketch, but the answer is exact, so the
+    // oracle checks EQUALITY against COUNT(DISTINCT), no tolerance
+    // booleans. The countDistinct column alongside is the in-query
+    // self-check (and what the 100 TB plan deletes).
+    "q_agg_bitmap_distinct" -> ((s, dir) => {
+      val bm = udaf(graft.functions.BitmapDistinctAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(bm(col("user_id")).as("distinct_users"),
+          countDistinct(col("user_id")).as("check_exact"))
+        .select(col("event_type"), col("distinct_users"),
+          (col("distinct_users") === col("check_exact")).as("bitmap_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_agg_hll_sliding" -> ((s, dir) => {
       import graft.operators.Checkpoints.CutOps
       val ev = Tables.events(s, dir)
@@ -725,6 +745,13 @@ object AggregationQueries extends QueryCatalog {
         |  FROM events GROUP BY event_type
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
+        |ORDER BY event_type""".stripMargin,
+
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS distinct_users,
+        |  TRUE AS bitmap_exact
+        |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
     "q_agg_hll_sliding" ->

@@ -94,6 +94,29 @@ object ScalarQueries extends QueryCatalog {
         .orderBy(col("k_mod"))
     }),
 
+    // F18b: TYPED json parse — `from_json` with an explicit schema parses
+    // ONCE and projects many fields (per-path get_json_object re-parses
+    // the document per field — the anti-pattern at 100 TB), and its
+    // PERMISSIVE mode turns corrupt documents into null rows instead of
+    // failed tasks. A deterministic slice of inputs is corrupted in-query
+    // to prove that: parsed k survives, corrupt rows yield nulls, absent
+    // fields project as null without error.
+    "q_scalar_json_typed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", IntegerType),
+        StructField("absent", StringType)))
+      Tables.events(s, dir)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 40 === 0, concat(lit("x"), col("props")))
+            .otherwise(col("props")).as("p"))
+        .select(col("event_id"), from_json(col("p"), schema).as("j"))
+        .select(col("event_id"), col("j.k").as("k"),
+          col("j.k").isNull.as("is_corrupt"),
+          col("j.absent").isNull.as("absent_is_null"))
+        .orderBy(col("event_id"))
+    }),
+
     // F15: multi-way (status,currency)→concept pattern match
     // (etl_pndb.py:163-175) — mapped onto (orderstatus, priority-class).
     "q_scalar_status_map" -> ((s, dir) => {
@@ -208,6 +231,18 @@ object ScalarQueries extends QueryCatalog {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "q_scalar_json_typed" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 40 = 0 THEN 'x' || props ELSE props END AS p
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(p)
+        |    THEN CAST(json_extract_string(p, '$.k') AS INTEGER) END AS k,
+        |  NOT json_valid(p) AS is_corrupt,
+        |  TRUE AS absent_is_null
+        |FROM p ORDER BY event_id""".stripMargin,
     "q_scalar_status_map" ->
       """SELECT CASE
         |    WHEN o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'closed-fast'

@@ -276,6 +276,36 @@ object WindowQueries extends QueryCatalog {
         .select(col("event_id"), col("event_type"), col("value"),
           col("cd"), col("v_min"), col("v_max"))
         .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Bounded-horizon EWMA (geometric weights over the last 8 events per
+    // user) — time-series smoothing in its SCALABLE form: the textbook
+    // recurrence ewma_i = αx_i + (1-α)ewma_{i-1} is inherently
+    // sequential over unbounded history, but geometric decay makes the
+    // tail negligible, so an 8-term truncation is a lag pyramid — eight
+    // lag() columns over ONE window spec, one exchange + one sort,
+    // partial weights renormalized at sequence starts. The half-life
+    // weights (0.5^k) are exact binary fractions: bit-identical algebra
+    // in both engines.
+    "q_window_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") % 25 === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+      val lags = (0 to 7).map(k => lag(col("value"), k).over(w).as(s"l$k"))
+      val withLags = ev.select(Seq(col("user_id"), col("event_id"),
+        col("ms"), col("value")) ++ lags: _*)
+      val num = (0 to 7).map(k =>
+        when(col(s"l$k").isNotNull, col(s"l$k") * lit(math.pow(0.5, k)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      val den = (0 to 7).map(k =>
+        when(col(s"l$k").isNotNull, lit(math.pow(0.5, k)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      withLags.select(col("user_id"), col("event_id"), col("ms"),
+          col("value"), round(num / den, 6).as("ewma8"))
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
     })
   )
 
@@ -429,6 +459,29 @@ object WindowQueries extends QueryCatalog {
         |  FROM events)
         |SELECT event_id, event_type, value, cd, v_min, v_max FROM r
         |WHERE event_id % 97 = 0
-        |ORDER BY event_type, event_id""".stripMargin
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_window_ewma" -> {
+      val lagCols = (0 to 7)
+        .map(k => s"lag(value, $k) OVER w AS l$k").mkString(",\n|    ")
+      val num = (0 to 7)
+        .map(k => s"CASE WHEN l$k IS NOT NULL THEN l$k * ${math.pow(0.5, k)}::DOUBLE ELSE 0 END")
+        .mkString("\n|      + ")
+      val den = (0 to 7)
+        .map(k => s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)}::DOUBLE ELSE 0 END")
+        .mkString("\n|      + ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+         |  FROM events WHERE user_id % 25 = 0),
+         |l AS (
+         |  SELECT user_id, event_id, ms, value,
+         |    $lagCols
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+         |SELECT user_id, event_id, ms, value,
+         |  round(($num)
+         |    / ($den), 6) AS ewma8
+         |FROM l ORDER BY user_id, ms, event_id""".stripMargin
+    }
   )
 }

@@ -108,4 +108,19 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       assert(b == CountMinAgg.bucket(r, k))
     }
   }
+
+  test("BitmapDistinctAgg: OR-merge partials equal one fold; overflow fails loud") {
+    import graft.functions.BitmapDistinctAgg
+    val keys = Seq.tabulate(3000)(i => (i * 37 % 500).toLong)
+    val whole = keys.foldLeft(BitmapDistinctAgg.zero)(BitmapDistinctAgg.reduce)
+    val (a, b) = keys.splitAt(777)
+    val merged = BitmapDistinctAgg.merge(
+      a.foldLeft(BitmapDistinctAgg.zero)(BitmapDistinctAgg.reduce),
+      b.foldLeft(BitmapDistinctAgg.zero)(BitmapDistinctAgg.reduce))
+    assert(BitmapDistinctAgg.finish(whole) == keys.distinct.size.toLong)
+    assert(whole.toSeq == merged.toSeq)
+    val over = BitmapDistinctAgg.reduce(BitmapDistinctAgg.zero,
+      BitmapDistinctAgg.MaxId.toLong)
+    assertThrows[IllegalArgumentException](BitmapDistinctAgg.finish(over))
+  }
 }

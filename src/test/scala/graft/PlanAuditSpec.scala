@@ -483,12 +483,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // Both typed sketch Aggregators (CMS counters, HLL buffers) must
     // partial-aggregate map-side — the property that makes a 100 TB key
     // stream fold into KB-sized buffers before the shuffle.
-    for (q <- Seq("q_agg_countmin", "q_agg_sketch_hll")) {
+    for (q <- Seq("q_agg_countmin", "q_agg_sketch_hll",
+        "q_agg_bitmap_distinct")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("ObjectHashAggregate"),
         s"$q: sketch agg lost the ObjectHashAggregate path:\n" + plan)
     }
+  }
+
+  test("EWMA lag pyramid plans ONE window exchange+sort for all 8 lags") {
+    val plan = SparkEntry.queries("q_window_ewma")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n" + plan)
   }
 
   test("CMS estimation is pure Column arithmetic — no UDF after the fold") {
