@@ -237,6 +237,33 @@ object GraphQueries extends QueryCatalog {
           round(sum(col("ec") / col("m") -
             pow(col("dc") / (col("m") * 2), 2)), 6).as("modularity"),
           count(lit(1)).as("n_communities"))
+    }),
+
+    // 3-core peel, three synchronous rounds: drop nodes with degree < 3,
+    // recount over the induced subgraph, repeat — the densest-region
+    // extractor (spam rings, scraper farms, hub communities). Each round
+    // is one semi-join of edges against surviving nodes + one
+    // partial-aggregable degree count; the round count is FIXED (3) on
+    // both engines, so the oracle replays the same bounded peel rather
+    // than a fixpoint the two sides might reach at different depths.
+    // Output: survivors with their degree in the surviving subgraph.
+    "q_graph_kcore" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      var edges = e0.unionByName(
+          e0.select(col("v").as("u"), col("u").as("v")))
+        .cutLineage(eager = false)
+      val k = 3
+      for (_ <- 1 to 3) {
+        val alive = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u").as("n"))
+        edges = edges
+          .join(alive.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .cutLineage()
+      }
+      edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("node"))
     })
   )
 
@@ -323,6 +350,21 @@ object GraphQueries extends QueryCatalog {
         |SELECT round(SUM(coalesce(ec, 0) / m.m
         |    - pow(dc.dc / (2 * m.m), 2)), 6) AS modularity,
         |  COUNT(*) AS n_communities
-        |FROM dc LEFT JOIN intra ON dc.lbl = intra.lbl, m""".stripMargin
+        |FROM dc LEFT JOIN intra ON dc.lbl = intra.lbl, m""".stripMargin,
+
+    "q_graph_kcore" ->
+      s"""WITH $edgesCte,
+        |e1 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |a1 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
+        |f1 AS (SELECT e.u, e.v FROM e1 e
+        |       JOIN a1 x ON e.u = x.u JOIN a1 y ON e.v = y.u),
+        |a2 AS (SELECT u FROM f1 GROUP BY u HAVING COUNT(*) >= 3),
+        |f2 AS (SELECT e.u, e.v FROM f1 e
+        |       JOIN a2 x ON e.u = x.u JOIN a2 y ON e.v = y.u),
+        |a3 AS (SELECT u FROM f2 GROUP BY u HAVING COUNT(*) >= 3),
+        |f3 AS (SELECT e.u, e.v FROM f2 e
+        |       JOIN a3 x ON e.u = x.u JOIN a3 y ON e.v = y.u)
+        |SELECT u AS node, COUNT(*) AS core_deg FROM f3
+        |GROUP BY u ORDER BY node""".stripMargin
   )
 }

@@ -120,6 +120,25 @@ object StatsQueries extends QueryCatalog {
         .select(col("dow"), round(col("avg_n"), 6).as("avg_events"),
           round(col("avg_n") / col("a"), 6).as("seasonal_idx"))
         .orderBy(col("dow"))
+    }),
+
+    // Lag-1 autocorrelation of daily volume — "is today predicted by
+    // yesterday": the one-number stationarity probe run before any
+    // forecasting model. The N-row stream reduces to daily counts first;
+    // the lag window and corr() then run over the DAY domain (the same
+    // domain-not-stream shape as q_stats_ks). corr is a single-pass
+    // co-moment — order-insensitive far below the 6 dp gate.
+    "q_stats_autocorr" -> ((s, dir) => {
+      val w = Window.orderBy(col("day"))
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .filter(col("prev_n").isNotNull)
+        .agg(
+          round(corr(col("n").cast("double"),
+            col("prev_n").cast("double")), 6).as("lag1_autocorr"),
+          count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -199,6 +218,16 @@ object StatsQueries extends QueryCatalog {
         |tot AS (SELECT AVG(n) AS a FROM daily)
         |SELECT dow, round(avg_n, 6) AS avg_events,
         |       round(avg_n / a, 6) AS seasonal_idx
-        |FROM byd, tot ORDER BY dow""".stripMargin
+        |FROM byd, tot ORDER BY dow""".stripMargin,
+
+    "q_stats_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT n, lag(n, 1) OVER (ORDER BY day) AS prev_n FROM daily)
+        |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
+        |       COUNT(*) AS n_pairs
+        |FROM l WHERE prev_n IS NOT NULL""".stripMargin
   )
 }
