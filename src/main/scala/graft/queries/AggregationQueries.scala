@@ -266,6 +266,33 @@ object AggregationQueries extends QueryCatalog {
         .crossJoin(o.agg(count(lit(1)).as("n_orders")))
     }),
 
+    // Top-N per group with the tail collapsed to OTHER — the standard
+    // reporting shape ("top 2 segments per region, everything else
+    // lumped") that at 100 TB replaces shipping the full category tail
+    // to the consumer. Scale shape: the raw rows collapse FIRST through
+    // a partial-aggregable groupBy; the rank window then runs over the
+    // tiny (region × segment) relation, and the OTHER re-aggregation is
+    // again partial-aggregable. Dims ride in on broadcasts.
+    "q_agg_topn_others" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSeg = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("r_name"))
+        .orderBy(col("n").desc, col("c_mktsegment"))
+      perSeg
+        .withColumn("rn", row_number().over(w))
+        .withColumn("seg_out",
+          when(col("rn") <= 2, col("c_mktsegment")).otherwise("OTHER"))
+        .groupBy(col("r_name"), col("seg_out"))
+        .agg(sum(col("n")).as("n_customers"))
+        .orderBy(col("r_name"), col("seg_out"))
+    }),
+
     // Skew diagnostics — the report you run BEFORE picking a join
     // strategy at 100 TB: per-key row-count distribution (p50/p90/p99/
     // max) plus the top hot keys. Feeds the operators/SkewJoin decision
@@ -646,6 +673,22 @@ object AggregationQueries extends QueryCatalog {
     "q_agg_total_counts" ->
       """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
         |  (SELECT COUNT(*) FROM orders) AS n_orders""".stripMargin,
+    "q_agg_topn_others" ->
+      """WITH per_seg AS (
+        |  SELECT r_name, c_mktsegment, COUNT(*) AS n
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, c_mktsegment),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY r_name ORDER BY n DESC, c_mktsegment) AS rn
+        |  FROM per_seg)
+        |SELECT r_name,
+        |  CASE WHEN rn <= 2 THEN c_mktsegment ELSE 'OTHER' END AS seg_out,
+        |  CAST(SUM(n) AS BIGINT) AS n_customers
+        |FROM ranked GROUP BY r_name, seg_out
+        |ORDER BY r_name, seg_out""".stripMargin,
     "q_profile_skew" ->
       """WITH counts AS (
         |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),

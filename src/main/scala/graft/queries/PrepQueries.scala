@@ -132,6 +132,30 @@ object PrepQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Curriculum ordering: the deterministic total training order a
+    // curriculum-learning pipeline ships to the trainer — quality tiers
+    // first (threshold-based, NOT quantile-based, so the tier label is a
+    // pure scan-side projection with no global pass), md5-hash shuffle
+    // within each tier (reproducible pseudo-randomness, the
+    // [[graft.operators.Sampling]] convention), then a GLOBAL position +
+    // round-robin shard id. The position comes from
+    // [[graft.operators.GlobalRank]] — a no-partition row_number window
+    // here would serialize the whole corpus through one task.
+    "q_prep_curriculum" -> ((s, dir) => {
+      val tiered = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("n_chars") >= 350, "t1_long")
+            .when(col("n_chars") >= 250, "t2_mid")
+            .otherwise("t3_short").as("tier"),
+          md5(col("doc_id").cast("string")).as("h"))
+      graft.operators.GlobalRank
+        .withGlobalRowNumber(
+          tiered, Seq(col("tier"), col("h"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("tier"), col("pos"),
+          ((col("pos") - 1) % 4).as("shard"))
+        .orderBy(col("pos"))
+    }),
+
     // Winsorization: clip the value column at the per-group [p05, p95]
     // and report raw vs clipped means — the outlier-robust normalization
     // a feature pipeline applies before scaling. Group thresholds are one
@@ -303,6 +327,19 @@ object PrepQueries extends QueryCatalog {
          |    ELSE 0.0 END), 6) AS f_value,
          |  MAX(CASE WHEN ts >= TIMESTAMP '$Cutoff'
          |    AND event_type = 'purchase' THEN 1 ELSE 0 END) AS label
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_prep_curriculum" ->
+      """WITH tiered AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars >= 350 THEN 't1_long'
+        |         WHEN n_chars >= 250 THEN 't2_mid'
+        |         ELSE 't3_short' END AS tier,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, tier,
+        |  row_number() OVER (ORDER BY tier, h, doc_id) AS pos,
+        |  (row_number() OVER (ORDER BY tier, h, doc_id) - 1) % 4 AS shard
+        |FROM tiered ORDER BY pos""".stripMargin
   )
 }

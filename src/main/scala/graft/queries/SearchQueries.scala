@@ -194,6 +194,31 @@ object SearchQueries extends QueryCatalog {
             6).as("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // Inverted-index build with TRUNCATED posting lists: per term, the
+    // document frequency, total term frequency, and the top-5 postings
+    // by tf (the impact-ordered prefix a WAND/impact-sorted index keeps
+    // hot; Anh & Moffat 2006). This is the MATERIALIZATION step behind
+    // T1-T3 — the index the search sink ships. Scale shape: one
+    // token-keyed partial-aggregable groupBy; the rank window runs per
+    // token over its own postings (never global); the truncated list is
+    // assembled by an array_sort over ≤5 collected structs per term.
+    "q_search_postings" -> ((s, dir) => {
+      val tf = tokens(s, dir).filter(col("tok").isin(Terms: _*))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("tok"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      val stats = tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      val top = tf
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("tok"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("doc_id")))),
+          x => x.getField("doc_id")), ",").as("postings"))
+      stats.join(top, Seq("tok")).orderBy(col("tok"))
     })
   )
 
@@ -309,6 +334,29 @@ object SearchQueries extends QueryCatalog {
         |  round(coalesce(1.0::DOUBLE / (60 + ra.rnk), 0) +
         |        coalesce(1.0::DOUBLE / (60 + rb.rnk), 0), 6) AS rrf_score
         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
-        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_search_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'join', 'fast') GROUP BY tok, doc_id),
+        |stats AS (
+        |  SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+        |  FROM tf GROUP BY tok),
+        |ranked AS (
+        |  SELECT tok, doc_id, row_number() OVER (
+        |    PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |top AS (
+        |  SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+        |    AS postings
+        |  FROM ranked WHERE rn <= 5 GROUP BY tok)
+        |SELECT stats.tok, df, tf_total, postings
+        |FROM stats JOIN top ON stats.tok = top.tok
+        |ORDER BY stats.tok""".stripMargin
   )
 }

@@ -139,6 +139,32 @@ object StatsQueries extends QueryCatalog {
           round(corr(col("n").cast("double"),
             col("prev_n").cast("double")), 6).as("lag1_autocorr"),
           count(lit(1)).as("n_pairs"))
+    }),
+
+    // Gini coefficient of per-customer spend — the concentration audit a
+    // corpus owner runs on source/author balance before training ("does
+    // 1% of the corpus contribute 50% of the tokens?"). Uses the sorted
+    // Lorenz form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, which needs a GLOBAL
+    // rank of the per-key totals: the naive no-partition window is a
+    // single-task scale killer, so the rank comes from
+    // [[graft.operators.GlobalRank]] (range-shuffle + per-partition
+    // offsets — full parallelism, identical ranks). The N-row stream
+    // collapses to per-key totals first; money math stays DECIMAL(18,2)
+    // until the final DOUBLE division (catalog parity convention).
+    "q_stats_gini" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      graft.operators.GlobalRank
+        .withGlobalRowNumber(spend, Seq(col("x"), col("o_custkey")), "i")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n"),
+          round(
+            lit(2.0) * col("six").cast("double") /
+              (col("n") * col("sx").cast("double")) -
+              (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
     })
   )
 
@@ -228,6 +254,19 @@ object StatsQueries extends QueryCatalog {
         |  SELECT n, lag(n, 1) OVER (ORDER BY day) AS prev_n FROM daily)
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
-        |FROM l WHERE prev_n IS NOT NULL""".stripMargin
+        |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_stats_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+        |  FROM spend)
+        |SELECT COUNT(*) AS n,
+        |  round(2.0 * CAST(SUM(i * x) AS DOUBLE) /
+        |          (COUNT(*) * CAST(SUM(x) AS DOUBLE)) -
+        |        CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+        |FROM r""".stripMargin
   )
 }

@@ -600,4 +600,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep2 == Map("u" -> 2L, "f" -> 1L), rep2.toString)
   }
+
+  test("GlobalRank equals the single-partition window row_number") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val sortCols = Seq(col("o_totalprice"), col("o_orderkey"))
+    // numPartitions=7 forces multiple range partitions even on the tiny
+    // sf0.001 relation, so the offset arithmetic is actually exercised.
+    val got = graft.operators.GlobalRank
+      .withGlobalRowNumber(df, sortCols, "r", numPartitions = 7)
+      .select(col("o_orderkey"), col("r"))
+    val exp = df
+      .withColumn("r", row_number().over(Window.orderBy(sortCols: _*)))
+      .select(col("o_orderkey"), col("r"))
+    assert(got.count() == exp.count())
+    assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
+      "distributed rank diverged from the single-partition window rank")
+  }
 }

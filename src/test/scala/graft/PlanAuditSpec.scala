@@ -599,4 +599,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       "label map not broadcast onto the edge relation:\n" + plan)
   }
+
+  test("GlobalRank ranks via rangepartitioning, not a global-window sort") {
+    // The Gini/curriculum global position must come from the range
+    // shuffle + per-partition offsets (full parallelism); the only
+    // no-partition window allowed in the plan is the cumulative offset
+    // over the TINY per-partition count relation, which rides a
+    // broadcast back. Assert the range exchange exists and the offset
+    // join is a broadcast.
+    for (q <- Seq("q_stats_gini", "q_prep_curriculum")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning"),
+        s"$q: no range exchange — rank fell back to a global window:\n" +
+          plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: partition offsets not broadcast:\n" + plan.take(2000))
+    }
+  }
 }
