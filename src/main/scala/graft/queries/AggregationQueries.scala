@@ -501,6 +501,38 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Sketch-estimated SET INTERSECTION via inclusion-exclusion:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), all three read off two HLL
+    // sketches — the audience-overlap question ("how many users both
+    // click AND view?") answered WITHOUT a key-level join. At 100 TB the
+    // two sketches fold map-side and meet in one driver-sized row;
+    // the exact pairwise-cohort join this replaces shuffles every user
+    // id. Incl-excl compounds the per-sketch error, so the gated
+    // tolerance is wider (±10% + absolute floor of 8) and the exact
+    // intersection rides alongside as the hash-checked column — same
+    // self-validating pattern as q_agg_sketch_hll.
+    "q_agg_hll_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def side(t: String, sk: String, n: String) =
+        ev.filter(col("event_type") === t)
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as(sk),
+            countDistinct(col("user_id")).as(n))
+      val exact = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === 2)
+        .agg(count(lit(1)).as("exact_overlap"))
+      side("click", "ska", "na").crossJoin(side("view", "skb", "nb"))
+        .crossJoin(exact)
+        .select(col("exact_overlap"),
+          (abs(hll_sketch_estimate(col("ska")) +
+            hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))) -
+            col("exact_overlap")) <=
+            greatest(col("exact_overlap") * 0.10, lit(8.0)))
+            .as("within_tol"))
+    }),
+
     // Trailing-7-day distinct users per day, answered from DAILY HLL
     // sketches — the query exact distinct counts cannot pre-aggregate
     // (distinct doesn't sum) and sketches can (union does): the events
@@ -789,6 +821,13 @@ object AggregationQueries extends QueryCatalog {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_hll_intersect" ->
+      """WITH both_types AS (
+        |  SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2)
+        |SELECT COUNT(*) AS exact_overlap, TRUE AS within_tol
+        |FROM both_types""".stripMargin,
 
     "q_agg_bitmap_distinct" ->
       """SELECT event_type,

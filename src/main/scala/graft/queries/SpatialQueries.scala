@@ -252,12 +252,30 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("morton"), col("c_custkey"))
   }
 
+  /** Grid-density heatmap: per-cell point counts, top-15 hottest cells.
+    * The spatial analogue of a GROUP BY — one partial-aggregable shuffle
+    * keyed on the cell id; the per-row cell assignment is pure scan-side
+    * arithmetic (same `floor(coord/cell)` quantizer as the KNN grid), so
+    * the plan is scan → project → partial agg → final agg → top-k, and
+    * at 100 TB the map-side combine collapses each input split to ≤
+    * |occupied cells| rows before any network hop. */
+  private def density(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .select(cellOf(coord(col("c_custkey"), 7919L)).as("cell_x"),
+        cellOf(coord(col("c_custkey"), 104729L)).as("cell_y"))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_pts"))
+      .orderBy(col("n_pts").desc, col("cell_x"), col("cell_y"))
+      .limit(15)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
     "q_join_knn_full" -> ((s, dir) => knnFull(s, dir)),
     "q_join_spatial_contains" -> ((s, dir) => contains(s, dir)),
     "q_join_multiway_spatial" -> ((s, dir) => multiwaySpatial(s, dir)),
-    "q_spatial_zorder" -> ((s, dir) => zorder(s, dir))
+    "q_spatial_zorder" -> ((s, dir) => zorder(s, dir)),
+    "q_spatial_density" -> ((s, dir) => density(s, dir))
   )
 
   /** DuckDB replays the same semantics with a bounded θ-join (fine at
@@ -376,6 +394,17 @@ object SpatialQueries extends QueryCatalog {
          |  FROM g)
          |SELECT c_custkey, gx, gy, morton FROM m
          |WHERE morton BETWEEN 262144 AND 393215
-         |ORDER BY morton, c_custkey""".stripMargin
+         |ORDER BY morton, c_custkey""".stripMargin,
+    "q_spatial_density" ->
+      """WITH pts AS (
+        |  SELECT
+        |    CAST(floor(CAST((c_custkey * 7919) % 1000 AS DOUBLE)
+        |      / 100.0 / 0.5) AS BIGINT) AS cell_x,
+        |    CAST(floor(CAST((c_custkey * 104729) % 1000 AS DOUBLE)
+        |      / 100.0 / 0.5) AS BIGINT) AS cell_y
+        |  FROM customer)
+        |SELECT cell_x, cell_y, COUNT(*) AS n_pts
+        |FROM pts GROUP BY cell_x, cell_y
+        |ORDER BY n_pts DESC, cell_x, cell_y LIMIT 15""".stripMargin
   )
 }

@@ -338,6 +338,56 @@ object TextAnalysisQueries extends QueryCatalog {
             element_at(col("ws"), i + 1)))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
+    // Skip-gram co-occurrence counts (window ≤ 2) — the raw statistic
+    // behind GloVe/word2vec-style embedding training and collocation
+    // mining; distinct from q_text_bigram_pmi, which only sees ADJACENT
+    // pairs. The distance-d pair lists come from per-row array zips (no
+    // positional self-join: a position-keyed join would shuffle every
+    // token twice), so the corpus-sized stage is scan → HOF → one
+    // partial-aggregable groupBy on the pair key.
+    "q_text_cooccurrence" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(expr(
+          """filter(split(lower(regexp_replace(trim(text), '\\s+', ' ')),
+            | ' '), x -> length(x) > 0)""".stripMargin.replace("\n", ""))
+          .as("t"))
+      def zipd(d: Int) = toks.filter(size(col("t")) > d)
+        .select(explode(expr(
+          s"""transform(sequence(1, size(t) - $d),
+             | i -> named_struct('a', t[i - 1], 'b', t[i - 1 + $d]))"""
+            .stripMargin.replace("\n", ""))).as("pr"))
+      zipd(1).unionAll(zipd(2))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Vocabulary-coverage / OOV-rate audit: fit a top-K document-
+    // frequency vocabulary, then measure per-source what share of tokens
+    // falls OUTSIDE it — the tokenizer-fit health check run before
+    // committing a vocab (a source with high OOV is about to be
+    // shredded into bytes). The vocab is a top-K aggregate (tiny by
+    // construction) BROADCAST onto the token stream; both corpus-sized
+    // stages are partial-aggregable groupBys.
+    "q_text_vocab_oov" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(normalizeWs(col("text"))), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(15)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("oov_rate"))
+        .orderBy(col("source"))
     })
   )
 
@@ -543,6 +593,40 @@ object TextAnalysisQueries extends QueryCatalog {
         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
         |        FROM w WHERE len(ws) >= 2))
         |SELECT pair, count(*) AS cnt FROM p
-        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q_text_cooccurrence" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS pr
+        |  FROM toks WHERE len(t) > 1
+        |  UNION ALL
+        |  SELECT unnest(list_zip(t[1:len(t) - 2], t[3:len(t)])) AS pr
+        |  FROM toks WHERE len(t) > 2)
+        |SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS n
+        |FROM pairs GROUP BY a, b
+        |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
+    "q_text_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT * FROM toks WHERE length(tok) > 0),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tt GROUP BY tok
+        |    ORDER BY df DESC, tok LIMIT 15))
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE /
+        |    COUNT(*), 6) AS oov_rate
+        |FROM tt LEFT JOIN vocab v ON tt.tok = v.tok
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }
