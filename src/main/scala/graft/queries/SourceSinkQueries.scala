@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
+import graft.operators.Compaction
 import graft.sources.Sources
 
 /** SURVEY §2.1 source/sink breadth, oracle-checked through round-trips:
@@ -77,6 +78,38 @@ object SourceSinkQueries extends QueryCatalog {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), asMoney(sum(col("qty"))).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Small-file compaction (operators/Compaction): fragment the events
+    // table into 64 files (what a micro-batch ingest leaves behind),
+    // compact to 4 range-disjoint ts-sorted files, and report the
+    // file-count audit + content checksum columns. Both file counts are
+    // computed from REAL file listings (distinct input_file_name of each
+    // read-back), so the gate fails if the compactor writes the wrong
+    // layout; the content columns prove rewrite fidelity. The oracle
+    // states the two expected counts and recomputes content from base
+    // parquet.
+    "q_compact_files" -> ((s, dir) => {
+      val frag = tmp(s, "ev_frag")
+      val comp = tmp(s, "ev_compact")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      Compaction.compactToSortedFiles(
+        s.read.parquet(frag), comp, nFiles = 4,
+        Seq(col("ts"), col("event_id")))
+      s.read.parquet(comp)
+        .agg(count(lit(1)).as("n_rows"),
+          unix_millis(min(col("ts"))).as("min_ms"),
+          unix_millis(max(col("ts"))).as("max_ms"),
+          sum(col("event_id")).as("sum_ids"))
+        .crossJoin(broadcast(s.read.parquet(frag)
+          .select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("n_files_before"))))
+        .crossJoin(broadcast(s.read.parquet(comp)
+          .select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("n_files_after"))))
     }),
 
     // JSON-lines sink → source round-trip (S5/S10 sibling format):
@@ -196,6 +229,13 @@ object SourceSinkQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_compact_files" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(64 AS BIGINT) AS n_files_before,
+        |  CAST(4 AS BIGINT) AS n_files_after
+        |FROM events""".stripMargin,
     "q_bucket_join_colocated" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -167,6 +167,34 @@ object StreamingQueries extends QueryCatalog {
     "q_stream_anomaly" -> ((s, dir) => {
       EventPipelines.onlineAnomalies(Tables.events(s, dir))
         .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Watermark late-drop audit — the batch twin of Structured
+    // Streaming's `withWatermark` drop accounting: replaying each
+    // keyed stream in ARRIVAL order (event_id = ingest sequence), an
+    // event is "late" when its event time trails the key's
+    // high-watermark (max event time seen so far) by more than the
+    // 30-minute allowance — exactly the rows a `withWatermark("ts",
+    // "30 minutes")` stateful agg would silently drop. Run over history
+    // BEFORE picking the allowance, this query is how you SIZE the
+    // watermark ("0.4% loss at 30 min"). The running max is a per-key
+    // window — per-key streaming state, never a global sort.
+    "q_stream_late_drops" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("hwm", max(col("ms")).over(w))
+        .withColumn("late",
+          col("hwm").isNotNull && col("ms") < col("hwm") - 1800000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          round(sum(when(col("late"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("late_rate"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -291,6 +319,23 @@ object StreamingQueries extends QueryCatalog {
         |FROM w
         |WHERE cnt >= 30 AND v > 0
         |  AND abs(round((value - m) / sqrt(v), 6)) >= 3.0
-        |ORDER BY event_type, event_id""".stripMargin
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_stream_late_drops" ->
+      """WITH seq AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
+        |    max(epoch_ms(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |flagged AS (
+        |  SELECT event_type,
+        |    (hwm IS NOT NULL AND ms < hwm - 1800000) AS late
+        |  FROM seq)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(SUM(CASE WHEN late THEN 1 ELSE 0 END)::DOUBLE / COUNT(*),
+        |    6) AS late_rate
+        |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -239,6 +239,28 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("user_id"))
     }),
 
+    // Trailing 7-row moving MEDIAN per key — the robust smoother that
+    // survives the spikes a moving average absorbs (sensor/metric
+    // denoising before anomaly rules). percentile() is an ordinary
+    // aggregate in both engines, so it runs directly over the row frame:
+    // one per-key window exchange+sort, identical linear-interpolation
+    // semantics (index p·(n−1)) on both sides. Restricted to purchases
+    // to keep the gated output focused; the plan shape is key-partitioned
+    // regardless of volume.
+    "q_window_moving_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(-6, 0)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+        .withColumn("med7",
+          round(expr("percentile(value, 0.5D)").over(w), 6))
+        .filter(col("user_id") % 10 === 0)
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
+    }),
+
     // rank vs dense_rank under REAL ties (the quantity ordering has no
     // tiebreaker on purpose): tied rows share a rank, rank then skips,
     // dense_rank doesn't — deterministic cross-engine because tied rows
@@ -430,6 +452,17 @@ object WindowQueries extends QueryCatalog {
         |  COUNT(*) AS n_intervals
         |FROM w WHERE dt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_window_moving_median" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, ms, value,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+        |FROM p QUALIFY user_id % 10 = 0
+        |ORDER BY user_id, ms, event_id""".stripMargin,
 
     "q_window_rank_dense" ->
       """WITH r AS (

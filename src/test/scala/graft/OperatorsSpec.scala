@@ -601,6 +601,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(rep2 == Map("u" -> 2L, "f" -> 1L), rep2.toString)
   }
 
+  test("Compaction writes the exact file count, range-disjoint and sorted") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+    ev.repartition(16).write.mode("overwrite").parquet(s"$dir/frag")
+    graft.operators.Compaction.compactToSortedFiles(
+      spark.read.parquet(s"$dir/frag"), s"$dir/out", nFiles = 3,
+      Seq(col("ts"), col("event_id")))
+    assert(graft.operators.Compaction.fileCount(spark, s"$dir/out") == 3)
+    // range-disjoint: each file's [min,max] ts must not overlap another's
+    val ranges = spark.read.parquet(s"$dir/out")
+      .select(input_file_name().as("f"), unix_millis(col("ts")).as("ms"))
+      .groupBy(col("f")).agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // content identical to the input
+    assert(spark.read.parquet(s"$dir/out").except(ev).count() == 0 &&
+      ev.except(spark.read.parquet(s"$dir/out")).count() == 0)
+  }
+
   test("GlobalRank equals the single-partition window row_number") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
