@@ -91,6 +91,45 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Maximum-inner-product search (MIPS) — retrieval over UNNORMALIZED
+    // embeddings (recommender scores, learned rankers), where cosine
+    // machinery doesn't directly apply. Demonstrates the classic
+    // norm-augmentation reduction (Bachrach et al., RecSys'14;
+    // Shrivastava & Li, NIPS'14): lift x → x' = [x, √(M²−‖x‖²)] with
+    // M = max corpus norm and q → q' = [q, 0]; then ‖x'‖ = M for every
+    // corpus vector, so cos(q', x') = dot(q,x)/(‖q‖·M) is STRICTLY
+    // monotone in the inner product — any cosine-ANN index (the sign-LSH
+    // / IVF machinery above) now answers MIPS. The gate proves the
+    // reduction: rank-by-dot (what the oracle replays) must equal
+    // rank-by-augmented-cosine, exported as the hash-checked
+    // `aug_parity` boolean. M arrives via a single-row broadcast — no
+    // driver action.
+    "q_ann_mips_topk" -> ((s, dir) => {
+      val v = vectors(s, dir)
+      val m = v.agg(max(col("nrm")).as("mx"))
+      val q = v.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val joined = broadcast(q)
+        .crossJoin(v.repartition(col("vec_id")))
+        .filter(col("qid") =!= col("vec_id"))
+        .crossJoin(broadcast(m))
+        .withColumn("dot", expr(dotSql("qe", "embedding")))
+        .withColumn("acos", col("dot") / (col("qn") * col("mx")))
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("vec_id"))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("acos").desc, col("vec_id"))
+      joined
+        .withColumn("rank", row_number().over(wd))
+        .withColumn("rank_aug", row_number().over(wc))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+          round(col("dot"), 6).as("dot"),
+          (col("rank") === col("rank_aug")).as("aug_parity"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF-Flat scale path (builder brief: "an IVF or LSH-bucketed variant
     // as the scale path"). Structure of a real IVF index, with a
     // DETERMINISTIC coarse quantizer (every CM-th vector is a centroid)
@@ -466,6 +505,21 @@ object AnnQueries extends QueryCatalog {
          |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
          |  round(cos, 9) AS cos
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_ann_mips_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, e.vec_id AS nn_id,
+         |    ${duckDot("qe", "e.embedding")} AS dot
+         |  FROM q JOIN embeddings e ON qid <> e.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY dot DESC, nn_id) AS rank
+         |  FROM pairs)
+         |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
+         |  round(dot, 6) AS dot, TRUE AS aug_parity
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket

@@ -308,6 +308,45 @@ object MiningQueries extends QueryCatalog {
         .select(col("prev_type"), col("next_type"), col("cnt"),
           round(col("cnt").cast("double") / col("total"), 6).as("p"))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // Position-weighted multi-touch attribution (the U-shaped model):
+    // each purchase credits the user's VIEW touches in the prior 7 days
+    // — 100% to a lone touch, 50/50 for two, else 40% first / 40% last /
+    // 20% split across the middle — and the credit rolls up by touch
+    // day. The touch-collection join is USER-keyed with the time window
+    // as a residual band predicate (the interval-join shape): shuffle
+    // key = user_id, so per-user touch lists co-locate and nothing
+    // resembles a time-cross-join. Touch counts/positions come from
+    // per-conversion windows over the collected pairs.
+    "q_events_attribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_millis(col("ts")).as("pms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"),
+          unix_millis(col("ts")).as("vms"))
+      val SevenDays = 7L * 86400000L
+      val touches = purchases.join(views, Seq("user_id"))
+        .filter(col("vms") < col("pms") &&
+          col("vms") >= col("pms") - SevenDays)
+      val wp = w.partitionBy(col("pid")).orderBy(col("vms"), col("vid"))
+      val weighted = touches
+        .withColumn("pos", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(w.partitionBy(col("pid"))))
+        .withColumn("wt",
+          when(col("n") === 1, 1.0)
+            .when(col("n") === 2, 0.5)
+            .when(col("pos") === 1 || col("pos") === col("n"), 0.4)
+            .otherwise(lit(0.2) / (col("n") - 2)))
+      weighted
+        .groupBy(((col("vms") - (col("vms") % 86400000L)) / 86400000L)
+          .cast("long").as("touch_day"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("wt")), 6).as("credit"))
+        .orderBy(col("touch_day"))
     })
   )
 
@@ -532,6 +571,33 @@ object MiningQueries extends QueryCatalog {
         |SELECT p.prev_type, p.next_type, p.cnt,
         |  round(CAST(p.cnt AS DOUBLE) / t.total, 6) AS p
         |FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
-        |ORDER BY p.prev_type, p.next_type""".stripMargin
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_events_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_ms(ts) AS pms
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS vid, epoch_ms(ts) AS vms
+        |  FROM events WHERE event_type = 'view'),
+        |touches AS (
+        |  SELECT pid, vid, vms FROM p JOIN v USING (user_id)
+        |  WHERE vms < pms AND vms >= pms - 604800000),
+        |pos AS (
+        |  SELECT pid, vms,
+        |    row_number() OVER (PARTITION BY pid ORDER BY vms, vid) AS pos,
+        |    COUNT(*) OVER (PARTITION BY pid) AS n
+        |  FROM touches),
+        |wt AS (
+        |  SELECT vms,
+        |    CASE WHEN n = 1 THEN 1.0
+        |         WHEN n = 2 THEN 0.5
+        |         WHEN pos = 1 OR pos = n THEN 0.4
+        |         ELSE 0.2 / (n - 2) END AS wt
+        |  FROM pos)
+        |SELECT CAST((vms - (vms % 86400000)) / 86400000 AS BIGINT)
+        |    AS touch_day,
+        |  COUNT(*) AS n_touches, round(SUM(wt), 6) AS credit
+        |FROM wt GROUP BY touch_day ORDER BY touch_day""".stripMargin
   )
 }

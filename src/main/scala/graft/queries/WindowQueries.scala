@@ -239,6 +239,33 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("user_id"))
     }),
 
+    // Longest consecutive-active-day streak per user — the classic
+    // gaps-and-islands decomposition (day_number − row_number is
+    // constant within a run), the engagement metric behind retention
+    // dashboards. All windows are USER-partitioned; the stream collapses
+    // to distinct (user, day) first, so every stage after the dedup runs
+    // over ≤ users × days rows. Deterministic winner: longest streak,
+    // ties broken by earliest start.
+    "q_window_streaks" -> ((s, dir) => {
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("dn"))
+        .distinct()
+      val runs = days
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("grp", col("dn") - col("rn"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak"), min(col("dn")).as("start_dn"))
+      val pick = Window.partitionBy(col("user_id"))
+        .orderBy(col("streak").desc, col("start_dn"))
+      runs.withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1 && col("user_id") % 5 === 0)
+        .select(col("user_id"), col("streak"), col("start_dn"))
+        .orderBy(col("user_id"))
+    }),
+
     // Trailing 7-row moving MEDIAN per key — the robust smoother that
     // survives the spikes a moving average absorbs (sensor/metric
     // denoising before anomaly rules). percentile() is an ordinary
@@ -452,6 +479,26 @@ object WindowQueries extends QueryCatalog {
         |  COUNT(*) AS n_intervals
         |FROM w WHERE dt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_window_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, dn - row_number() OVER (
+        |      PARTITION BY user_id ORDER BY dn) AS grp, dn
+        |  FROM days),
+        |islands AS (
+        |  SELECT user_id, grp, COUNT(*) AS streak, min(dn) AS start_dn
+        |  FROM runs GROUP BY user_id, grp),
+        |ranked AS (
+        |  SELECT user_id, streak, start_dn, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY streak DESC, start_dn) AS rk
+        |  FROM islands)
+        |SELECT user_id, streak, CAST(start_dn AS INTEGER) AS start_dn
+        |FROM ranked WHERE rk = 1 AND user_id % 5 = 0
+        |ORDER BY user_id""".stripMargin,
 
     "q_window_moving_median" ->
       """WITH p AS (
