@@ -293,6 +293,80 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("r_name"), col("seg_out"))
     }),
 
+    // Equi-DEPTH histogram (the q_agg_histogram sibling: equal COUNTS
+    // per bucket instead of equal widths) — the profiling shape that
+    // stays informative under heavy skew, and the binning behind
+    // quantile-bucketed features. Quartile edges are ONE tiny percentile
+    // aggregate broadcast back onto the scan; per-row bucketing is a
+    // HOF fold over the 3-edge array (scan-side, codegen'd); the final
+    // rollup is partial-aggregable. Edges rounded to 4 dp on both
+    // engines before bucketing → integer bucket parity.
+    "q_agg_equidepth" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_totalprice").cast("double").as("v"))
+      val edges = o.agg(
+        expr("transform(percentile(v, array(0.25D, 0.5D, 0.75D)), " +
+          "e -> round(e, 4))").as("edges"))
+      o.crossJoin(broadcast(edges))
+        .withColumn("bucket",
+          expr("aggregate(edges, 0, (acc, e) -> acc + IF(v > e, 1, 0))"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("v")), 2).as("lo"),
+          round(max(col("v")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Deterministic ARG-MAX per group ("which user drove the most
+    // value?"): the winner comes from max(struct(total, user_id)) — one
+    // partial-aggregable struct-max, so at 100 TB this is two map-side-
+    // combinable aggregations and NO rank window / join-back. The
+    // user_id rides inside the comparison key, so ties resolve
+    // identically in both engines (largest id wins). Value sums in
+    // DECIMAL(18,6) (exact) before the struct compare.
+    "q_agg_argmax" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("s"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("s"), col("user_id"))).as("m"),
+          count(lit(1)).as("n_users"))
+        .select(col("event_type"),
+          col("m").getField("user_id").as("top_user"),
+          col("m").getField("s").cast("double").as("top_value"),
+          col("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // WEIGHTED median — the robust center when rows carry unequal mass
+    // (price per unit weighted by quantity): smallest value whose
+    // cumulative weight reaches half the total. The stream collapses to
+    // per-DISTINCT-VALUE weight sums first (the q_stats_ks domain trick),
+    // so the cumulative window runs over the value domain, not the rows;
+    // totals broadcast; `2·cum ≥ total` avoids any division. Exact
+    // decimal weight math end to end — no float in the decision.
+    "q_agg_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("v"),
+          dec2(col("l_quantity")).as("wt"))
+        .groupBy(col("l_returnflag"), col("v"))
+        .agg(sum(col("wt")).as("w"))
+      val tot = rows.groupBy(col("l_returnflag"))
+        .agg(sum(col("w")).as("tw"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows
+        .withColumn("cw", sum(col("w")).over(wc))
+        .join(broadcast(tot), Seq("l_returnflag"))
+        .filter(col("cw") * 2 >= col("tw"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("v").cast("double").as("wmedian"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Skew diagnostics — the report you run BEFORE picking a join
     // strategy at 100 TB: per-key row-count distribution (p50/p90/p99/
     // max) plus the top hot keys. Feeds the operators/SkewJoin decision
@@ -721,6 +795,52 @@ object AggregationQueries extends QueryCatalog {
         |  CAST(SUM(n) AS BIGINT) AS n_customers
         |FROM ranked GROUP BY r_name, seg_out
         |ORDER BY r_name, seg_out""".stripMargin,
+    "q_agg_equidepth" ->
+      """WITH v AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |edges AS (
+        |  SELECT [round(e, 4) for e in
+        |    quantile_cont(v, [0.25, 0.5, 0.75])] AS edges
+        |  FROM v)
+        |SELECT len(list_filter(edges, x -> v > x)) AS bucket,
+        |  COUNT(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM v, edges GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_agg_argmax" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, user_id, s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY s DESC, user_id DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_users
+        |  FROM per)
+        |SELECT event_type, user_id AS top_user,
+        |  CAST(s AS DOUBLE) AS top_value, n_users
+        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_agg_weighted_median" ->
+      """WITH rows_w AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY l_returnflag, v),
+        |tot AS (
+        |  SELECT l_returnflag, SUM(w) AS tw FROM rows_w
+        |  GROUP BY l_returnflag),
+        |cum AS (
+        |  SELECT r.l_returnflag, v, tw,
+        |    SUM(w) OVER (PARTITION BY r.l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM rows_w r JOIN tot USING (l_returnflag)),
+        |hit AS (
+        |  SELECT l_returnflag, v, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY v) AS rn
+        |  FROM cum WHERE cw * 2 >= tw)
+        |SELECT l_returnflag, CAST(v AS DOUBLE) AS wmedian
+        |FROM hit WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
     "q_profile_skew" ->
       """WITH counts AS (
         |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
