@@ -142,6 +142,25 @@ object MultimodalQueries extends QueryCatalog {
         .orderBy(col("c_custkey"))
     }),
 
+    // WebDataset-style shard MANIFEST: byte offsets of each opaque
+    // payload inside its training shard — the index a dataloader seeks
+    // with, built WITHOUT concatenating any bytes: offset = exclusive
+    // running sum of payload sizes within the shard, a per-shard window
+    // over (id, size) pairs. Payload bytes themselves never shuffle —
+    // the window input is two fixed-width columns — which is the whole
+    // point at 100 TB of media.
+    "q_multimodal_shard_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+          length(encode(col("text"), "UTF-8")).as("nbytes"))
+        .withColumn("offset",
+          coalesce(sum(col("nbytes")).over(w), lit(0L)))
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
     // Exact binary-payload dedup: content-hash the OPAQUE media bytes
     // (never the decoded form — decode is the expensive step dedup
     // exists to avoid), keep the min-id copy, account the bytes saved.
@@ -171,6 +190,17 @@ object MultimodalQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_multimodal_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
+        |  FROM documents)
+        |SELECT doc_id, shard, nbytes,
+        |  CAST(coalesce(SUM(nbytes) OVER (PARTITION BY shard
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset"
+        |FROM d ORDER BY shard, doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """WITH d AS (
         |  SELECT doc_id, text AS t, encode(text) AS bin FROM documents)

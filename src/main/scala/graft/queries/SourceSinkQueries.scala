@@ -112,6 +112,34 @@ object SourceSinkQueries extends QueryCatalog {
           .agg(countDistinct(col("f")).as("n_files_after"))))
     }),
 
+    // Idempotent single-partition backfill via DYNAMIC partition
+    // overwrite — the lake correction pattern: rerunning one day's job
+    // must replace ONLY that day's partition, never truncate the table
+    // (static overwrite mode, the default, deletes every partition
+    // first). Full load day-partitioned → corrected rerun of 2024-01-05
+    // (values doubled) written with partitionOverwriteMode=dynamic →
+    // read-back aggregated per day. The gate fails BOTH failure modes:
+    // clobbered other days (row counts vanish) and un-replaced target
+    // day (old values persist).
+    "q_partition_overwrite_dynamic" -> ((s, dir) => {
+      val path = tmp(s, "ev_dynpart")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("day"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(path)
+      ev.filter(col("day") === lit("2024-01-05").cast("date"))
+        .withColumn("value", col("value") * 2)
+        .write.partitionBy("day").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+      s.read.parquet(path)
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
+        .orderBy(col("day"))
+    }),
+
     // JSON-lines sink → source round-trip (S5/S10 sibling format):
     // string escaping, decimal-as-double fidelity and explicit-schema
     // read-back all cross the text boundary; the oracle recomputes the
@@ -236,6 +264,16 @@ object SourceSinkQueries extends QueryCatalog {
         |  CAST(64 AS BIGINT) AS n_files_before,
         |  CAST(4 AS BIGINT) AS n_files_after
         |FROM events""".stripMargin,
+    "q_partition_overwrite_dynamic" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |         THEN value * 2 ELSE value END AS v
+        |  FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS sum_value
+        |FROM ev GROUP BY day ORDER BY day""".stripMargin,
     "q_bucket_join_colocated" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -141,6 +141,37 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // Freshness + volume monitor — the two table-level DQ signals every
+    // ingest dashboard alarms on: per source key, "is the newest data
+    // recent?" (lag vs the global high-watermark ≤ 1 day) and "did the
+    // last day's volume collapse?" (final-day count ≥ 50% of the key's
+    // daily average). Everything reduces through per-(key, day) counts
+    // first — two tiny aggregates and a single-row broadcast; the
+    // final-day count is a struct-max over the daily relation (the
+    // q_agg_argmax trick), no join-back.
+    "q_dq_freshness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+          to_date(col("ts")).as("day"))
+      val perDay = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val perType = perDay.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"),
+          max(struct(col("day"), col("n"))).as("m"))
+      val maxMs = ev.groupBy(col("event_type")).agg(max(col("ms")).as("max_ms"))
+      val globalMs = ev.agg(max(col("ms")).as("gmax"))
+      perType.join(maxMs, Seq("event_type"))
+        .crossJoin(broadcast(globalMs))
+        .select(col("event_type"), col("max_ms"), col("n_days"),
+          col("m").getField("n").as("n_last_day"),
+          round(col("total").cast("double") / col("n_days"), 6)
+            .as("avg_daily"),
+          (col("gmax") - col("max_ms") <= 86400000L).as("fresh_ok"),
+          (col("m").getField("n").cast("double") * 2 >=
+            col("total").cast("double") / col("n_days")).as("volume_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gini coefficient of per-customer spend — the concentration audit a
     // corpus owner runs on source/author balance before training ("does
     // 1% of the corpus contribute 50% of the tokens?"). Uses the sorted
@@ -255,6 +286,28 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_dq_freshness" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ms(ts) AS ms, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |per_day AS (
+        |  SELECT event_type, day, COUNT(*) AS n FROM ev
+        |  GROUP BY event_type, day),
+        |per_type AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |    COUNT(*) AS n_days, arg_max(n, day) AS n_last_day
+        |  FROM per_day GROUP BY event_type),
+        |mx AS (SELECT event_type, max(ms) AS max_ms FROM ev
+        |       GROUP BY event_type),
+        |g AS (SELECT max(ms) AS gmax FROM ev)
+        |SELECT p.event_type, max_ms, n_days, n_last_day,
+        |  round(CAST(total AS DOUBLE) / n_days, 6) AS avg_daily,
+        |  (gmax - max_ms <= 86400000) AS fresh_ok,
+        |  (CAST(n_last_day AS DOUBLE) * 2 >= CAST(total AS DOUBLE) / n_days)
+        |    AS volume_ok
+        |FROM per_type p JOIN mx ON p.event_type = mx.event_type, g
+        |ORDER BY p.event_type""".stripMargin,
 
     "q_stats_gini" ->
       """WITH spend AS (
