@@ -575,6 +575,33 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Two-level EXACT distinct rollup via re-aggregable bitmap partials
+    // (functions/BitmapSketchAgg + BitmapOrCountAgg): per-(type, day)
+    // bitmaps materialize once, the period answer is an OR-merge +
+    // popcount over them — never a rescan of the stream. The naive
+    // `Σ daily distinct` rides alongside to show WHY this exists
+    // (distinct doesn't sum: the overcount is visible in the gated
+    // row), and the oracle checks the merged count for strict EQUALITY
+    // against COUNT(DISTINCT) — no tolerance, because bitmaps are
+    // exact. The HLL twin of this pattern is q_agg_hll_sliding; this is
+    // the bounded-domain exact variant.
+    "q_agg_bitmap_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val sk = udaf(graft.functions.BitmapSketchAgg,
+        ExpressionEncoder[Long]())
+      val mg = udaf(graft.functions.BitmapOrCountAgg,
+        ExpressionEncoder[Array[Byte]]())
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sk(col("user_id")).as("bm"),
+          countDistinct(col("user_id")).as("d"))
+        .groupBy(col("event_type"))
+        .agg(mg(col("bm")).as("distinct_period"),
+          sum(col("d")).as("sum_daily"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sketch-estimated SET INTERSECTION via inclusion-exclusion:
     // |A∩B| ≈ est(A) + est(B) − est(A∪B), all three read off two HLL
     // sketches — the audience-overlap question ("how many users both
@@ -941,6 +968,19 @@ object AggregationQueries extends QueryCatalog {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_bitmap_rollup" ->
+      """WITH per_day AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(DISTINCT user_id) AS d
+        |  FROM events GROUP BY event_type, day)
+        |SELECT e.event_type,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events x
+        |   WHERE x.event_type = e.event_type) AS distinct_period,
+        |  CAST(SUM(d) AS BIGINT) AS sum_daily,
+        |  COUNT(*) AS n_days
+        |FROM per_day e GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     "q_agg_hll_intersect" ->
       """WITH both_types AS (

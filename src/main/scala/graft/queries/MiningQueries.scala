@@ -310,6 +310,53 @@ object MiningQueries extends QueryCatalog {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // RFM segmentation — the classic customer-value cube: per user,
+    // Recency (days since last event), Frequency (event count), Monetary
+    // (value sum, exact decimal), each bucketed into quintiles, users
+    // rolled up per 3-digit segment. Quintiles come from
+    // [[graft.operators.GlobalRank]] + the floor((rank−1)·5/n) formula —
+    // NOT a no-partition ntile window (single-task at scale) — and the
+    // formula replays exactly in SQL, so both engines agree on every
+    // boundary row by construction.
+    "q_events_rfm" -> ((s, dir) => {
+      import graft.operators.GlobalRank
+      val ev = Tables.events(s, dir)
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(unix_millis(col("ts"))).as("last_ms"),
+          count(lit(1)).as("f"),
+          sum(col("value").cast("decimal(18,6)")).as("m"))
+      val gmax = ev.agg(max(unix_millis(col("ts"))).as("gms"))
+      val base = per.crossJoin(broadcast(gmax))
+        .withColumn("r_days", expr("(gms - last_ms) div 86400000"))
+      val n = base.agg(count(lit(1)).as("n_users"))
+      def quintile(df: DataFrame, metric: String, asc: Boolean, q: String) = {
+        val key = if (asc) col(metric) else negate(col(metric))
+        GlobalRank.withGlobalRowNumber(
+            df, Seq(key, col("user_id")), "_rk")
+          .crossJoin(broadcast(n))
+          // integer `div`, NOT `/`: Spark's / is double division and
+          // DuckDB rounds on CAST-to-int — div/`//` floors in both.
+          .withColumn(q, expr("((_rk - 1) * 5) div n_users") + 1)
+          .drop("_rk", "n_users")
+      }
+      // R: recent = low r_days = highest score ⇒ rank ascending on
+      // r_days gives quintile 1 to the freshest — invert to 5.
+      val scored = quintile(quintile(quintile(base,
+          "r_days", asc = true, "rq0"),
+          "f", asc = false, "fq0"),
+          "m", asc = false, "mq0")
+        .withColumn("r_q", lit(6) - col("rq0"))
+        .withColumn("f_q", lit(6) - col("fq0"))
+        .withColumn("m_q", lit(6) - col("mq0"))
+      scored
+        .groupBy(concat(col("r_q").cast("string"),
+          col("f_q").cast("string"), col("m_q").cast("string"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("user_id")).as("min_user"))
+        .orderBy(col("segment"))
+    }),
+
     // Position-weighted multi-touch attribution (the U-shaped model):
     // each purchase credits the user's VIEW touches in the prior 7 days
     // — 100% to a lone touch, 50/50 for two, else 40% first / 40% last /
@@ -572,6 +619,33 @@ object MiningQueries extends QueryCatalog {
         |  round(CAST(p.cnt AS DOUBLE) / t.total, 6) AS p
         |FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, COUNT(*) AS f,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS m
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT max(epoch_ms(ts)) AS gms FROM events),
+        |n AS (SELECT COUNT(*) AS n_users FROM per),
+        |base AS (
+        |  SELECT user_id, (gms - last_ms) // 86400000 AS r_days, f, m
+        |  FROM per, g),
+        |rk AS (
+        |  SELECT user_id,
+        |    row_number() OVER (ORDER BY r_days, user_id) AS rr,
+        |    row_number() OVER (ORDER BY f DESC, user_id) AS rf,
+        |    row_number() OVER (ORDER BY m DESC, user_id) AS rm
+        |  FROM base),
+        |q AS (
+        |  SELECT user_id,
+        |    6 - (((rr - 1) * 5) // n_users + 1) AS r_q,
+        |    6 - (((rf - 1) * 5) // n_users + 1) AS f_q,
+        |    6 - (((rm - 1) * 5) // n_users + 1) AS m_q
+        |  FROM rk, n)
+        |SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+        |    CAST(m_q AS VARCHAR) AS segment,
+        |  COUNT(*) AS n_users, min(user_id) AS min_user
+        |FROM q GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_events_attribution" ->
       """WITH p AS (

@@ -141,6 +141,34 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // OHLC downsampling — the canonical time-series reduction (open/
+    // high/low/close per key per day, metrics dashboards and financial
+    // bars alike). Open and close come from min/max over
+    // struct(ts, event_id, value) — ONE partial-aggregable pass, no
+    // first_value window, no sort: the struct comparison makes "value
+    // at the earliest/latest timestamp" an ordinary mergeable aggregate
+    // (event_id uniquifies the instant). That is what lets a 100 TB
+    // stream downsample map-side.
+    "q_stats_ohlc" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_millis(col("ts")).as("ms"), col("event_id"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min(struct(col("ms"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ms"), col("event_id"), col("value"))).as("c"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("o").getField("value"), 6).as("open"),
+          col("high"), col("low"),
+          round(col("c").getField("value"), 6).as("close"), col("n"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Freshness + volume monitor — the two table-level DQ signals every
     // ingest dashboard alarms on: per source key, "is the newest data
     // recent?" (lag vs the global high-watermark ≤ 1 day) and "did the
@@ -286,6 +314,26 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_stats_ohlc" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_ms(ts) AS ms,
+        |    event_id, value,
+        |    first_value(value) OVER w AS o,
+        |    last_value(value) OVER (PARTITION BY event_type,
+        |      CAST(ts AS DATE) ORDER BY epoch_ms(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS c
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY epoch_ms(ts), event_id))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  round(min(o), 6) AS open, round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low, round(min(c), 6) AS close,
+        |  COUNT(*) AS n
+        |FROM t GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_dq_freshness" ->
       """WITH ev AS (

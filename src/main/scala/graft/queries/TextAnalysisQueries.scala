@@ -340,6 +340,36 @@ object TextAnalysisQueries extends QueryCatalog {
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }),
 
+    // Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    // SIGMOD'03 — the MOSS algorithm): k-gram rolling hashes, then keep
+    // the MINIMUM hash of every w-length window. Guarantees detection of
+    // matches ≥ w+k−1 chars while storing ~2/(w+1) of the hashes — the
+    // storage/recall contract plain fingerprinting (q_text_fingerprint)
+    // lacks. Pure per-row HOF pipeline (hash array → window minima →
+    // distinct set): scan-side, codegen'd, zero shuffle until the tiny
+    // gated projection.
+    "q_text_winnowing" -> ((s, dir) => {
+      val K = 8; val W = 4
+      normText(s, dir)
+        .filter(length(col("t")) >= K + W - 1 && col("doc_id") % 10 === 0)
+        .withColumn("hs", expr(
+          s"""transform(sequence(1, length(t) - ${K - 1}),
+             | i -> aggregate(sequence(i, i + ${K - 1}),
+             |   cast(0 as bigint),
+             |   (acc, j) -> (acc * 31 + ascii(substring(t, j, 1)))
+             |     % 1000000007))""".stripMargin.replace("\n", "")))
+        .withColumn("fps", expr(
+          s"""array_sort(array_distinct(transform(
+             | sequence(1, size(hs) - ${W - 1}),
+             | i -> array_min(slice(hs, i, $W)))))"""
+            .stripMargin.replace("\n", "")))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          md5(concat_ws(",",
+            expr("transform(fps, x -> cast(x as string))")))
+            .as("fp_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Skip-gram co-occurrence counts (window ≤ 2) — the raw statistic
     // behind GloVe/word2vec-style embedding training and collocation
     // mining; distinct from q_text_bigram_pmi, which only sees ADJACENT
@@ -594,6 +624,25 @@ object TextAnalysisQueries extends QueryCatalog {
         |        FROM w WHERE len(ws) >= 2))
         |SELECT pair, count(*) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q_text_winnowing" ->
+      s"""WITH $duckNorm,
+         |hs AS (
+         |  SELECT doc_id,
+         |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        [CAST(ascii(substring(t, j, 1)) AS BIGINT)
+         |         for j in range(i, i + 8)]),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007)
+         |     for i in range(1, length(t) - 8 + 2)] AS hs
+         |  FROM norm WHERE length(t) >= 11 AND doc_id % 10 = 0),
+         |fp AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    [list_min(hs[i:i + 3]) for i in range(1, len(hs) - 2)])) AS fps
+         |  FROM hs)
+         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+         |  md5(list_aggregate([CAST(x AS VARCHAR) for x in fps],
+         |    'string_agg', ',')) AS fp_digest
+         |FROM fp ORDER BY doc_id""".stripMargin,
 
     "q_text_cooccurrence" ->
       """WITH toks AS (

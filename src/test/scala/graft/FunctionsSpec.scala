@@ -123,4 +123,21 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       BitmapDistinctAgg.MaxId.toLong)
     assertThrows[IllegalArgumentException](BitmapDistinctAgg.finish(over))
   }
+
+  test("Bitmap sketch → OR-count rollup equals direct distinct") {
+    import graft.functions.{BitmapOrCountAgg, BitmapSketchAgg}
+    // three "daily" groups with overlapping keys: the rollup of the three
+    // serialized sketches must equal the distinct count of the union,
+    // NOT the sum of the per-group distincts.
+    val days = Seq(
+      Seq(1L, 2L, 3L, 100L),
+      Seq(2L, 3L, 4L),
+      Seq(100L, 101L, 1L))
+    val sketches = days.map(d =>
+      BitmapSketchAgg.finish(d.foldLeft(BitmapSketchAgg.zero)(BitmapSketchAgg.reduce)))
+    val rolled = BitmapOrCountAgg.finish(
+      sketches.foldLeft(BitmapOrCountAgg.zero)(BitmapOrCountAgg.reduce))
+    assert(rolled == days.flatten.distinct.size.toLong)
+    assert(rolled < days.map(_.distinct.size).sum) // why the op exists
+  }
 }
