@@ -127,6 +127,29 @@ object GraphQueries extends QueryCatalog {
     // skew everywhere downstream; a power-law tail is what the
     // degree-ordered orientation above defuses). Two partial-aggregable
     // groupBys: node degree, then nodes-per-degree.
+    // Degree assortativity (Newman 2002): Pearson correlation of the
+    // endpoint degrees over the edge list — one number separating
+    // hub-to-hub networks (> 0) from hub-and-spoke ones (< 0), the
+    // structural health check run before graph partitioning (a strongly
+    // disassortative graph is the skew-join warning sign). Degrees are
+    // one partial-aggregable groupBy BROADCAST onto both edge endpoints
+    // (the q_graph_jaccard shape); corr() is a single-pass co-moment.
+    // Each undirected edge contributes both orientations so the
+    // correlation is symmetric.
+    "q_graph_assortativity" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      val edges = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      edges
+        .join(broadcast(deg), Seq("u"))
+        .join(broadcast(deg.select(col("u").as("v"), col("d").as("dv"))),
+          Seq("v"))
+        .agg(count(lit(1)).as("n_endpoints"),
+          round(corr(col("d").cast("double"), col("dv").cast("double")), 6)
+            .as("assortativity"))
+    }),
+
     "q_graph_degree_dist" -> ((s, dir) => {
       val edges = coSupplyEdges(s, dir)
       edges.select(col("u").as("n"))
@@ -268,6 +291,16 @@ object GraphQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      s"""WITH $edgesCte,
+         |sym AS (
+         |  SELECT u, v FROM edges
+         |  UNION ALL SELECT v AS u, u AS v FROM edges),
+         |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)
+         |SELECT COUNT(*) AS n_endpoints,
+         |  round(corr(du.d::DOUBLE, dv.d::DOUBLE), 6) AS assortativity
+         |FROM sym JOIN deg du ON sym.u = du.u
+         |         JOIN deg dv ON sym.v = dv.u""".stripMargin,
     "q_graph_degree_dist" ->
       s"""WITH $edgesCte,
          |deg AS (

@@ -19,6 +19,7 @@ import graft.functions.GraftFunctions._
 object JoinQueries extends QueryCatalog {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_rel_division" -> ((s, dir) => relDivision(s, dir)),
     // J1/J2: multi-way inner equi-join, the address-pipeline shape —
     // 6 tables, dims broadcast, group to revenue per nation (TPC-H Q5-ish).
     "q_join_multiway" -> ((s, dir) => {
@@ -214,7 +215,41 @@ object JoinQueries extends QueryCatalog {
     })
   )
 
+  /** Relational DIVISION — "suppliers who shipped EVERY part in the
+    * requirement set" (the universal-quantifier join, Codd's ÷; the
+    * for-all shape behind compliance/coverage checks). No NOT EXISTS
+    * double negation: the scalable form is candidate pairs → distinct →
+    * per-candidate match count == divisor size, which is two
+    * partial-aggregable aggregations and one broadcast of the (by
+    * definition small) divisor — the anti-join formulation would probe
+    * the full cross space instead. */
+  private def relDivision(s: SparkSession, dir: String): DataFrame = {
+    val divisor = Tables.part(s, dir)
+      .filter(col("p_partkey").isin(20L, 40L))
+      .select(col("p_partkey"))
+    val dn = divisor.agg(count(lit(1)).as("nd"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(divisor), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"), col("p_partkey")).distinct()
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("p_partkey")).as("nc"))
+      .crossJoin(broadcast(dn))
+      .filter(col("nc") === col("nd"))
+      .select(col("l_suppkey").as("s_suppkey"), col("nc").as("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q_join_rel_division" ->
+      """WITH divisor AS (
+        |  SELECT p_partkey FROM part WHERE p_partkey IN (20, 40)),
+        |pairs AS (
+        |  SELECT DISTINCT l_suppkey, p_partkey
+        |  FROM lineitem JOIN divisor ON l_partkey = p_partkey)
+        |SELECT l_suppkey AS s_suppkey, COUNT(*) AS n_parts
+        |FROM pairs GROUP BY l_suppkey
+        |HAVING COUNT(*) = (SELECT COUNT(*) FROM divisor)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_join_multiway" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -310,6 +310,30 @@ object MiningQueries extends QueryCatalog {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Sequential-pattern detection, the batch twin of a CEP rule: a
+    // "dip" is a strict local minimum over a user's value sequence
+    // (prev > v < next) — the down-then-up shape alerting/trading rules
+    // watch for. Pure lag/lead over USER-partitioned event-time order
+    // (one window exchange, per-key streaming state at scale), then a
+    // partial-aggregable per-user rollup: n_dips + the deepest dip's
+    // depth, min(prev,next) − v, via an ordinary max.
+    "q_events_dips" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .filter(col("pv") > col("value") && col("nv") > col("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_dips"),
+          round(max(least(col("pv"), col("nv")) - col("value")), 6)
+            .as("max_depth"))
+        .filter(col("user_id") % 7 === 0)
+        .orderBy(col("user_id"))
+    }),
+
     // RFM segmentation — the classic customer-value cube: per user,
     // Recency (days since last event), Frequency (event count), Monetary
     // (value sum, exact decimal), each bucketed into quintiles, users
@@ -619,6 +643,19 @@ object MiningQueries extends QueryCatalog {
         |  round(CAST(p.cnt AS DOUBLE) / t.total, 6) AS p
         |FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_events_dips" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, value,
+        |    lag(value) OVER w AS pv, lead(value) OVER w AS nv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id))
+        |SELECT user_id, COUNT(*) AS n_dips,
+        |  round(max(least(pv, nv) - value), 6) AS max_depth
+        |FROM seq WHERE pv > value AND nv > value
+        |GROUP BY user_id HAVING user_id % 7 = 0
+        |ORDER BY user_id""".stripMargin,
 
     "q_events_rfm" ->
       """WITH per AS (
