@@ -575,6 +575,38 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable SUFFICIENT STATISTICS (n, Σx, Σx²) — the parallel-
+    // variance pattern: each shard/epoch keeps three exact-decimal
+    // partials that merge by ADDITION, and mean/variance fall out of
+    // the merged triple at the end — how a 100 TB pipeline maintains
+    // incremental distribution stats without Welford state or a second
+    // pass. Demonstrated as the real two-stage plan: per-(type, half)
+    // partials (split at the incremental cutoff), re-aggregated by
+    // summation, finished with the closed-form
+    // var = (n·Σx² − (Σx)²)/(n(n−1)). The oracle computes directly from
+    // the full stream — the gate IS the merge-equals-recompute proof
+    // (the q_incremental_agg_merge contract, extended to 2nd moments).
+    "q_agg_sufficient_stats" -> ((s, dir) => {
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val partials = Tables.events(s, dir)
+        .select(col("event_type"), (col("ts") < cutoff).as("h"),
+          col("value").cast("decimal(18,6)").as("x"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      partials
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          round(col("sx").cast("double") / col("n"), 6).as("mean"),
+          round(
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n") * (col("n") - 1)), 6).as("variance"))
+        .orderBy(col("event_type"))
+    }),
+
     // Two-level EXACT distinct rollup via re-aggregable bitmap partials
     // (functions/BitmapSketchAgg + BitmapOrCountAgg): per-(type, day)
     // bitmaps materialize once, the period answer is an OR-merge +
@@ -968,6 +1000,17 @@ object AggregationQueries extends QueryCatalog {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_sufficient_stats" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+        |  round((COUNT(*) * CAST(SUM(x * x) AS DOUBLE) -
+        |         CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
+        |        (COUNT(*) * (COUNT(*) - 1)), 6) AS variance
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_bitmap_rollup" ->
       """WITH per_day AS (

@@ -141,6 +141,63 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // Pareto / Lorenz deciles — the "top 10% of customers drive X% of
+    // revenue" table behind every concentration dashboard (the decile
+    // view of q_stats_gini's single number). Global spend rank comes
+    // from [[graft.operators.GlobalRank]]; decile boundaries use the
+    // integer `div` formula (floors identically in both engines, unlike
+    // ntile + CAST); the cumulative share window then runs over TEN
+    // rows. Money exact-decimal until the final share division.
+    "q_stats_pareto" -> ((s, dir) => {
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      val n = spend.agg(count(lit(1)).as("n_cust"))
+      graft.operators.GlobalRank
+        .withGlobalRowNumber(spend,
+          Seq(negate(col("x")), col("o_custkey")), "rk")
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rk - 1) * 10) div n_cust") + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("dx"))
+        .crossJoin(broadcast(spend.agg(sum(col("x")).as("tx"))))
+        .select(col("decile"), col("n_cust"),
+          round(col("dx").cast("double") / col("tx").cast("double"), 6)
+            .as("share"),
+          round(sum(col("dx")).over(w).cast("double") /
+            col("tx").cast("double"), 6).as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
+    // Deterministic distributed BOOTSTRAP — resampling-based uncertainty
+    // for a mean without collecting anything: each replicate draws a
+    // per-row Poisson(1) weight (the classic large-N approximation of
+    // multinomial resampling) INVERTED FROM THE ROW'S HASH, so the
+    // "randomness" is reproducible, shuffle-free, and SQL-replayable —
+    // the hex-prefix thresholds are the Poisson(1) CDF at 16-bit
+    // precision (24109/65536 ≈ e⁻¹ …). Three replicates explode from
+    // each row in one scan pass; each replicate's weighted mean is an
+    // exact-decimal reduction.
+    "q_stats_bootstrap" -> ((s, dir) => {
+      val h4 = substring(
+        md5(concat(col("o_orderkey").cast("string"), lit(":"),
+          col("rep").cast("string"))), 1, 4)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("x"),
+          explode(array(lit(0), lit(1), lit(2))).as("rep"))
+        .withColumn("w",
+          when(h4 < "5e2d", 0).when(h4 < "bc5b", 1).when(h4 < "eb79", 2)
+            .when(h4 < "fb2b", 3).when(h4 < "ff10", 4).otherwise(5))
+        .groupBy(col("rep"))
+        .agg(sum(col("w")).as("n_eff"),
+          round(sum(col("w") * col("x")).cast("double") / sum(col("w")), 6)
+            .as("boot_mean"))
+        .orderBy(col("rep"))
+    }),
+
     // OHLC downsampling — the canonical time-series reduction (open/
     // high/low/close per key per day, metrics dashboards and financial
     // bars alike). Open and close come from min/max over
@@ -314,6 +371,51 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_stats_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT COUNT(*) AS n_cust FROM spend),
+        |t AS (SELECT SUM(x) AS tx FROM spend),
+        |rk AS (
+        |  SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rk
+        |  FROM spend),
+        |dec AS (
+        |  SELECT ((rk - 1) * 10) // n_cust + 1 AS decile, x FROM rk, n),
+        |per AS (
+        |  SELECT decile, COUNT(*) AS n_cust, SUM(x) AS dx
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n_cust,
+        |  round(CAST(dx AS DOUBLE) / CAST(tx AS DOUBLE), 6) AS share,
+        |  round(CAST(SUM(dx) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tx AS DOUBLE), 6) AS cum_share
+        |FROM per, t ORDER BY decile""".stripMargin,
+
+    "q_stats_bootstrap" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    unnest([0, 1, 2]) AS rep
+        |  FROM orders),
+        |wts AS (
+        |  SELECT rep, x,
+        |    CASE
+        |      WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |        CAST(rep AS VARCHAR)), 1, 4) < '5e2d' THEN 0
+        |      WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |        CAST(rep AS VARCHAR)), 1, 4) < 'bc5b' THEN 1
+        |      WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |        CAST(rep AS VARCHAR)), 1, 4) < 'eb79' THEN 2
+        |      WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |        CAST(rep AS VARCHAR)), 1, 4) < 'fb2b' THEN 3
+        |      WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |        CAST(rep AS VARCHAR)), 1, 4) < 'ff10' THEN 4
+        |      ELSE 5 END AS w
+        |  FROM r)
+        |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  round(CAST(SUM(w * x) AS DOUBLE) / SUM(w), 6) AS boot_mean
+        |FROM wts GROUP BY rep ORDER BY rep""".stripMargin,
 
     "q_stats_ohlc" ->
       """WITH t AS (
