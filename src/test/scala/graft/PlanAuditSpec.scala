@@ -601,20 +601,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("GlobalRank ranks via rangepartitioning, not a global-window sort") {
-    // The Gini/curriculum global position must come from the range
-    // shuffle + per-partition offsets (full parallelism); the only
-    // no-partition window allowed in the plan is the cumulative offset
-    // over the TINY per-partition count relation, which rides a
-    // broadcast back. Assert the range exchange exists and the offset
-    // join is a broadcast.
-    for (q <- Seq("q_stats_gini", "q_prep_curriculum")) {
-      val plan = SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("rangepartitioning"),
-        s"$q: no range exchange — rank fell back to a global window:\n" +
-          plan.take(2000))
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$q: partition offsets not broadcast:\n" + plan.take(2000))
-    }
+    // The global position must come from the range shuffle +
+    // per-partition offsets (full parallelism); the only no-partition
+    // window allowed in the plan is the cumulative offset over the TINY
+    // per-partition count relation, which rides a broadcast back.
+    // Audited with cutLineage=false — the production default lazily
+    // checkpoints the ranged relation, which truncates the visible plan
+    // (same operators execute, just behind the checkpoint boundary).
+    import org.apache.spark.sql.functions.col
+    val plan = graft.operators.GlobalRank
+      .withGlobalRowNumber(
+        Tables.orders(spark, sf).select(col("o_orderkey"),
+          col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), "r",
+        cutLineage = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "no range exchange — rank fell back to a global window:\n" +
+        plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "partition offsets not broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("Window [row_number()"),
+      "unexpected row_number window in the GlobalRank plan")
   }
 }
