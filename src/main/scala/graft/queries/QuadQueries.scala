@@ -493,6 +493,62 @@ object QuadQueries extends QueryCatalog {
           coalesce(col("lang"), lit("")), coalesce(col("datatype"), lit("")))
     }),
 
+    // RDF 1.1 skolemization round-trip (spec §3.5 well-known genid
+    // IRIs): blank nodes don't survive dataset UNION or cross-system
+    // exchange (labels are document-scoped), so publishing pipelines
+    // rewrite `_:label` → `<…/.well-known/genid/label>` and consumers
+    // invert by prefix. Both directions are pure scan-side projections
+    // over the quad relation; the gate checks the per-graph skolem
+    // counts against the oracle's quad CTE AND carries the Spark-side
+    // roundtrip-identity proof (deskolemize ∘ skolemize = id, checked
+    // with two anti-join counts) as a hash-gated boolean.
+    "q_quads_skolemize" -> ((s, dir) => {
+      val Genid = "https://example.org/.well-known/genid/"
+      val B = graft.model.TermKind.BNode
+      val I = graft.model.TermKind.Iri
+      val q0 = fullQuads(s, dir)
+      val sk = q0
+        .withColumn("subject",
+          when(col("subjectKind") === B, concat(lit(Genid), col("subject")))
+            .otherwise(col("subject")))
+        .withColumn("subjectKind", lit(I))
+        .withColumn("objectValue",
+          when(col("objectKind") === B,
+            concat(lit(Genid), col("objectValue")))
+            .otherwise(col("objectValue")))
+        .withColumn("objectKind",
+          when(col("objectKind") === B, I).otherwise(col("objectKind")))
+      val desk = sk
+        .withColumn("subjectKind",
+          when(col("subject").startsWith(Genid), B)
+            .otherwise(col("subjectKind")))
+        .withColumn("subject",
+          when(col("subject").startsWith(Genid),
+            expr(s"substring(subject, ${Genid.length + 1})"))
+            .otherwise(col("subject")))
+        .withColumn("objectKind",
+          when(col("objectKind") === I &&
+            col("objectValue").startsWith(Genid), B)
+            .otherwise(col("objectKind")))
+        .withColumn("objectValue",
+          when(col("objectValue").startsWith(Genid),
+            expr(s"substring(objectValue, ${Genid.length + 1})"))
+            .otherwise(col("objectValue")))
+      val diffs = desk.exceptAll(q0).agg(count(lit(1)).as("d1"))
+        .crossJoin(q0.exceptAll(desk).agg(count(lit(1)).as("d2")))
+      sk.groupBy(col("graph"))
+        .agg(count(lit(1)).as("n_quads"),
+          sum(when(col("subject").startsWith(Genid), 1L).otherwise(0L))
+            .as("n_skolem_subjects"),
+          sum(when(col("objectValue").startsWith(Genid), 1L).otherwise(0L))
+            .as("n_skolem_objects"))
+        .crossJoin(broadcast(diffs))
+        .select(col("graph"), col("n_quads"), col("n_skolem_subjects"),
+          col("n_skolem_objects"),
+          (col("d1") === 0 && col("d2") === 0).as("roundtrip_ok"))
+        .orderBy(col("graph"))
+    }),
+
     // S9 Turtle pretty-print sink (`run.py:6-16`, `cam/transform.py:
     // 116-119`): vocab-graph quads rendered as predicate-grouped,
     // prefix-compacted Turtle, written as one document and read back as
@@ -654,6 +710,16 @@ object QuadQueries extends QueryCatalog {
         |SELECT predicate, COUNT(*) AS n, COUNT(DISTINCT subject) AS n_subj,
         |  MIN(objectValue) AS min_obj, MAX(objectValue) AS max_obj
         |FROM quads GROUP BY predicate ORDER BY predicate""".stripMargin,
+    "q_quads_skolemize" ->
+      s"""$fullQuadsCte
+         |SELECT graph, COUNT(*) AS n_quads,
+         |  CAST(SUM(CASE WHEN subjectKind = 'bnode' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skolem_subjects,
+         |  CAST(SUM(CASE WHEN objectKind = 'bnode' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skolem_objects,
+         |  TRUE AS roundtrip_ok
+         |FROM quads GROUP BY graph ORDER BY graph""".stripMargin,
+
     "q_quads_full_profile" ->
       s"""$fullQuadsCte
          |SELECT graph, predicate, objectKind AS object_kind, datatype, lang,

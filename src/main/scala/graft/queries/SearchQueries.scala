@@ -196,6 +196,35 @@ object SearchQueries extends QueryCatalog {
         .limit(10)
     }),
 
+    // KEYSET (seek-method) pagination — the 100 TB replacement for
+    // OFFSET paging that q_sort_pagination demos (the scaladoc's O4
+    // note, made real): page N+1 is fetched by PREDICATE on the last
+    // row of page N — `(bal < b) OR (bal = b AND key > k)` — so the
+    // engine never materializes/discards the preceding pages; with the
+    // client-echoed boundary as a literal the predicate pushes into the
+    // parquet scan and a sort-keyed layout prunes whole files. Here the
+    // boundary (row 20 under the page ordering) is computed inline via
+    // a min-over-struct of the bounded page prefix, so the query is
+    // self-contained and SF-independent in shape.
+    "q_search_keyset_page" -> ((s, dir) => {
+      val base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val boundary = base
+        .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(20)
+        .agg(min(struct(col("c_acctbal").as("b"),
+          negate(col("c_custkey")).as("nk"))).as("m"))
+        .select(col("m.b").as("b_bal"), negate(col("m.nk")).as("b_key"))
+      base.crossJoin(broadcast(boundary))
+        .filter(col("c_acctbal") < col("b_bal") ||
+          (col("c_acctbal") === col("b_bal") &&
+            col("c_custkey") > col("b_key")))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"),
+          graft.functions.GraftFunctions.dec2(col("c_acctbal"))
+            .cast("double").as("bal"))
+    }),
+
     // Inverted-index build with TRUNCATED posting lists: per term, the
     // document frequency, total term frequency, and the top-5 postings
     // by tf (the impact-ordered prefix a WAND/impact-sorted index keeps
@@ -335,6 +364,17 @@ object SearchQueries extends QueryCatalog {
         |        coalesce(1.0::DOUBLE / (60 + rb.rnk), 0), 6) AS rrf_score
         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_search_keyset_page" ->
+      """WITH b AS (
+        |  SELECT c_acctbal AS b_bal, c_custkey AS b_key FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1 OFFSET 19)
+        |SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer, b
+        |WHERE c_acctbal < b_bal
+        |   OR (c_acctbal = b_bal AND c_custkey > b_key)
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
 
     "q_search_postings" ->
       """WITH toks AS (
