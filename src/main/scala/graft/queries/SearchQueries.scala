@@ -196,6 +196,36 @@ object SearchQueries extends QueryCatalog {
         .limit(10)
     }),
 
+    // Posting-list DELTA-GAP compression — the index-layout step after
+    // q_search_postings: doc-id-sorted postings store first-id + gaps,
+    // and the audit reports the variable-byte cost those gaps would
+    // occupy (1 B < 2⁷, 2 B < 2¹⁴, else 3 B — the classic VByte model)
+    // plus a decode self-check (Σ gaps = last id, hash-gated). All
+    // array-local HOF math after one token-keyed groupBy; nothing but
+    // fixed-width stats leaves the executor.
+    "q_search_postings_dgaps" -> ((s, dir) => {
+      val tf = tokens(s, dir).filter(col("tok").isin(Terms: _*))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("tok"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("p"))
+        .withColumn("gaps", expr(
+          "transform(sequence(1, size(p)), " +
+            "i -> IF(i = 1, p[0], p[i - 1] - p[i - 2]))"))
+        .withColumn("vbyte_bytes", expr(
+          "aggregate(gaps, cast(0 as bigint), (acc, g) -> acc + " +
+            "CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2 ELSE 3 END)"))
+        .withColumn("decode_ok",
+          expr("aggregate(gaps, cast(0 as bigint), (acc, g) -> acc + g)")
+            === expr("p[size(p) - 1]"))
+        .select(col("tok"), size(col("p")).as("n_postings"),
+          (size(col("p")) * 8).cast("long").as("raw_bytes"),
+          col("vbyte_bytes"),
+          round(col("vbyte_bytes").cast("double") / (size(col("p")) * 8), 6)
+            .as("ratio"),
+          col("decode_ok"))
+        .orderBy(col("tok"))
+    }),
+
     // KEYSET (seek-method) pagination — the 100 TB replacement for
     // OFFSET paging that q_sort_pagination demos (the scaladoc's O4
     // note, made real): page N+1 is fetched by PREDICATE on the last
@@ -364,6 +394,32 @@ object SearchQueries extends QueryCatalog {
         |        coalesce(1.0::DOUBLE / (60 + rb.rnk), 0), 6) AS rrf_score
         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_search_postings_dgaps" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'join', 'fast') GROUP BY tok, doc_id),
+        |pl AS (SELECT tok, list_sort(list(doc_id)) AS p FROM tf
+        |       GROUP BY tok),
+        |g AS (
+        |  SELECT tok, p,
+        |    [CASE WHEN i = 1 THEN p[1] ELSE p[i] - p[i - 1] END
+        |     for i in range(1, len(p) + 1)] AS gaps
+        |  FROM pl),
+        |c AS (
+        |  SELECT tok, p, gaps,
+        |    CAST(list_sum([CASE WHEN x < 128 THEN 1 WHEN x < 16384 THEN 2
+        |      ELSE 3 END for x in gaps]) AS BIGINT) AS vbyte_bytes
+        |  FROM g)
+        |SELECT tok, CAST(len(p) AS INTEGER) AS n_postings,
+        |  CAST(len(p) * 8 AS BIGINT) AS raw_bytes, vbyte_bytes,
+        |  round(CAST(vbyte_bytes AS DOUBLE) / (len(p) * 8), 6) AS ratio,
+        |  (CAST(list_sum(gaps) AS BIGINT) = p[len(p)]) AS decode_ok
+        |FROM c ORDER BY tok""".stripMargin,
 
     "q_search_keyset_page" ->
       """WITH b AS (

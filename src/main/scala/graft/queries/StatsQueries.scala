@@ -141,6 +141,82 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // Kaplan-Meier survival estimator — time-to-conversion with
+    // censoring done right: users who never purchase after their first
+    // view aren't dropped (that biases the curve down) but counted
+    // at-risk until the observation horizon. S(t) = Π(1 − dᵢ/nᵢ) over
+    // event days, computed as exp of a cumulative log-sum so the
+    // product order is the deterministic day order. The stream reduces
+    // to per-user (duration, event) pairs first, then everything runs
+    // over the ~30-row day domain (the q_stats_ks shape).
+    "q_stats_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val t0 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, Seq("user_id")).filter(col("ms") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("te"))
+      val gmax = ev.agg(max(col("ms")).as("gm"))
+      val durs = t0.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(gmax))
+        .select(
+          when(col("te").isNotNull, expr("(te - t0) div 86400000"))
+            .otherwise(expr("(gm - t0) div 86400000")).as("t"),
+          col("te").isNotNull.cast("int").as("ev"))
+      val total = durs.agg(count(lit(1)).as("ntot"))
+      val byT = durs.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("all_t"))
+      val before = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val upTo = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(total))
+        .withColumn("n_risk",
+          col("ntot") - coalesce(sum(col("all_t")).over(before), lit(0L)))
+        .filter(col("d") > 0)
+        // S(t) hits exactly 0 when every remaining at-risk user converts
+        // (d = n); ln(0) is undefined, so the zero factor is carried as
+        // a sticky flag and the log-sum skips it (same guard in SQL).
+        .withColumn("f",
+          lit(1.0) - col("d").cast("double") / col("n_risk"))
+        .withColumn("anyzero",
+          max(when(col("f") === 0.0, 1).otherwise(0)).over(upTo))
+        .withColumn("surv",
+          round(when(col("anyzero") === 1, 0.0).otherwise(
+            exp(sum(log(when(col("f") === 0.0, 1.0).otherwise(col("f"))))
+              .over(upTo))), 6))
+        .select(col("t"), col("n_risk"), col("d"), col("surv"))
+        .orderBy(col("t"))
+    }),
+
+    // Declarative SCHEMA CONTRACT check — the ingest handshake: the
+    // expected (column, type) contract meets the source's ACTUAL schema
+    // (from the engine's canonical reader) in a full outer comparison,
+    // yielding ok / missing_column / unexpected_column / type_mismatch
+    // per column. Pure metadata — no data rows are read — which is
+    // exactly why it runs BEFORE the 100 TB scan it protects.
+    "q_dq_schema_contract" -> ((s, dir) => {
+      import s.implicits._
+      val expectedContract = Seq(
+        ("event_id", "BIGINT"), ("ts", "TIMESTAMP"), ("user_id", "BIGINT"),
+        ("event_type", "STRING"), ("value", "DOUBLE"), ("props", "STRING"))
+      val exp = expectedContract.toDF("col_name", "expected_type")
+      val act = Tables.events(s, dir).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.sql)).toDF("col_name", "actual_type")
+      exp.join(act, Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          coalesce(col("expected_type"), lit("-")).as("expected_type"),
+          coalesce(col("actual_type"), lit("-")).as("actual_type"),
+          when(col("expected_type").isNull, "unexpected_column")
+            .when(col("actual_type").isNull, "missing_column")
+            .when(col("expected_type") =!= col("actual_type"),
+              "type_mismatch")
+            .otherwise("ok").as("status"))
+        .orderBy(col("col_name"))
+    }),
+
     // Pareto / Lorenz deciles — the "top 10% of customers drive X% of
     // revenue" table behind every concentration dashboard (the decile
     // view of q_stats_gini's single number). Global spend rank comes
@@ -371,6 +447,58 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_stats_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t0 AS (
+        |  SELECT user_id, min(ms) AS t0 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (
+        |  SELECT ev.user_id, min(ms) AS te
+        |  FROM ev JOIN t0 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t0
+        |  GROUP BY ev.user_id),
+        |g AS (SELECT max(ms) AS gm FROM ev),
+        |durs AS (
+        |  SELECT CASE WHEN te IS NOT NULL THEN (te - t0) // 86400000
+        |              ELSE (gm - t0) // 86400000 END AS t,
+        |    CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM t0 LEFT JOIN fp USING (user_id), g),
+        |tot AS (SELECT COUNT(*) AS ntot FROM durs),
+        |by_t AS (
+        |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS all_t
+        |  FROM durs GROUP BY t),
+        |risk AS (
+        |  SELECT t, d,
+        |    CAST(ntot - coalesce(SUM(all_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM by_t, tot),
+        |f AS (
+        |  SELECT t, n_risk, d,
+        |    1.0 - CAST(d AS DOUBLE) / n_risk AS f
+        |  FROM risk WHERE d > 0)
+        |SELECT t, n_risk, d,
+        |  round(CASE WHEN max(CASE WHEN f = 0.0 THEN 1 ELSE 0 END)
+        |      OVER upto = 1 THEN 0.0
+        |    ELSE exp(SUM(ln(CASE WHEN f = 0.0 THEN 1.0 ELSE f END))
+        |      OVER upto) END, 6) AS surv
+        |FROM f
+        |WINDOW upto AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
+
+    "q_dq_schema_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'BIGINT', 'BIGINT', 'ok'),
+        |  ('ts', 'TIMESTAMP', 'TIMESTAMP', 'ok'),
+        |  ('user_id', 'BIGINT', 'BIGINT', 'ok'),
+        |  ('event_type', 'STRING', 'STRING', 'ok'),
+        |  ('value', 'DOUBLE', 'DOUBLE', 'ok'),
+        |  ('props', 'STRING', 'STRING', 'ok'))
+        |  AS t(col_name, expected_type, actual_type, status)
+        |ORDER BY col_name""".stripMargin,
 
     "q_stats_pareto" ->
       """WITH spend AS (
