@@ -607,6 +607,42 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Higher distribution moments — skewness and excess kurtosis from
+    // MERGEABLE raw power sums (Σx…Σx⁴), the q_agg_sufficient_stats
+    // pattern extended to 3rd/4th order: shards keep five additive
+    // partials, the central-moment algebra runs once on the merged
+    // totals. Built-in skewness()/kurtosis() are avoided on purpose —
+    // engines disagree on estimator corrections; the raw-moment
+    // formulas are engine-neutral. Σx/Σx² stay exact decimal; Σx³/Σx⁴
+    // run in double (values ≤ 500 ⇒ relative error ~1e-15, far below
+    // the 6 dp gate).
+    "q_agg_higher_moments" -> ((s, dir) => {
+      val x = col("value").cast("double")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s1"),
+          sum(col("value").cast("decimal(18,6)") *
+            col("value").cast("decimal(18,6)")).cast("double").as("s2"),
+          sum(x * x * x).as("s3"),
+          sum(x * x * x * x).as("s4"))
+        .withColumn("mu", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+        .withColumn("m3",
+          col("s3") / col("n") - lit(3.0) * col("mu") * col("s2") / col("n")
+            + lit(2.0) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4",
+          col("s4") / col("n") - lit(4.0) * col("mu") * col("s3") / col("n")
+            + lit(6.0) * col("mu") * col("mu") * col("s2") / col("n")
+            - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .select(col("event_type"), col("n").cast("long").as("n_events"),
+          round(col("mu"), 6).as("mean"),
+          round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - 3.0, 6)
+            .as("kurtosis_excess"))
+        .orderBy(col("event_type"))
+    }),
+
     // Two-level EXACT distinct rollup via re-aggregable bitmap partials
     // (functions/BitmapSketchAgg + BitmapOrCountAgg): per-(type, day)
     // bitmaps materialize once, the period answer is an OR-merge +
@@ -1000,6 +1036,30 @@ object AggregationQueries extends QueryCatalog {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_higher_moments" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+        |      CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        |    SUM(value * value * value) AS s3,
+        |    SUM(value * value * value * value) AS s4
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * s2 / n
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * s3 / n
+        |      + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  round(mu, 6) AS mean,
+        |  round(m3 / pow(m2, 1.5), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_agg_sufficient_stats" ->
       """WITH x AS (

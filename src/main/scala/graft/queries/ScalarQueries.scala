@@ -53,6 +53,27 @@ object ScalarQueries extends QueryCatalog {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Calendar ARITHMETIC (the q_scalar_date_parts sibling: producing
+    // dates, not extracting fields): month-add with end-of-month
+    // clamping (Jan 31 + 1m = Feb 29 in both engines), quarter
+    // truncation, last-day-of-month, and day deltas vs a fixed epoch —
+    // the fiscal-calendar toolkit of any reporting layer, all
+    // scan-side codegen'd expressions. Dates cross the gate as strings
+    // / day integers (the catalog's timestamp-free parity convention).
+    "q_scalar_date_arith" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          date_format(d, "yyyy-MM-dd").as("d_str"),
+          date_format(add_months(d, 3), "yyyy-MM-dd").as("plus_3m"),
+          date_format(date_trunc("quarter", col("o_orderdate")),
+            "yyyy-MM-dd").as("quarter_start"),
+          date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+          datediff(d, lit("2024-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // F8: CAST text→int/float round-trips.
     "q_scalar_casts" -> ((s, dir) => {
       Tables.supplier(s, dir)
@@ -212,6 +233,18 @@ object ScalarQueries extends QueryCatalog {
         |  CAST(day(o_orderdate) AS INTEGER) AS d,
         |  epoch_ms(date_trunc('month', o_orderdate)) AS month_ms
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_date_arith" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey,
+        |  strftime(d, '%Y-%m-%d') AS d_str,
+        |  strftime(d + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |  strftime(date_trunc('quarter', d), '%Y-%m-%d') AS quarter_start,
+        |  strftime(last_day(d), '%Y-%m-%d') AS month_end,
+        |  CAST(date_diff('day', DATE '2024-01-01', d) AS INTEGER)
+        |    AS days_since
+        |FROM d ORDER BY o_orderkey""".stripMargin,
     "q_scalar_casts" ->
       """SELECT s_suppkey,
         |  CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
