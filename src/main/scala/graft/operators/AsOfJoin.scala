@@ -63,4 +63,36 @@ object AsOfJoin {
       .select(col("__left.*") +: payload.map(c =>
         col("__match").getField(c).as(c)): _*)
   }
+
+  /** FORWARD as-of: for every left row, the single EARLIEST right row
+    * of the same key with timestamp ≥ the left's ("next scheduled event
+    * after this failure"). Same merge shape as [[asOf]] mirrored: left
+    * rows sort BEFORE right rows at equal instants (≥ matches), and the
+    * carried value is the first non-null payload in the
+    * current-row..unbounded-following frame. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String): DataFrame = {
+    val payload = right.columns.filter(c => c != key && c != ts)
+    require(payload.nonEmpty, "right side needs at least one payload column")
+    val collide = payload.intersect(left.columns)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    val r = right.select(col(key), col(ts).as("__asof_ts"),
+      lit(1).as("__side"), struct(payload.map(col): _*).as("__payload"))
+    val l = left.select(col(key), col(ts).as("__asof_ts"),
+      lit(0).as("__side"),
+      lit(null).cast(r.schema("__payload").dataType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__left"))
+    val r2 = r.withColumn("__left",
+      lit(null).cast(l.schema("__left").dataType))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__asof_ts"), col("__side"), col("__payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r2.unionByName(l)
+      .withColumn("__match",
+        first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__left.*") +: payload.map(c =>
+        col("__match").getField(c).as(c)): _*)
+  }
 }

@@ -195,6 +195,28 @@ object JoinQueries extends QueryCatalog {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of (operators/AsOfJoin.asOfForward): each purchase
+    // matched to the user's NEXT view at-or-after it — the
+    // "next-touch" temporal lookup (next maintenance after a failure,
+    // next quote after an order). Same single-shuffle merge plan as
+    // the backward form, frame mirrored; DuckDB replays it as
+    // ASOF JOIN with v.ts >= p.ts.
+    "q_join_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"),
+          unix_millis(col("ts")).as("view_ms"))
+      graft.operators.AsOfJoin
+        .asOfForward(purchases, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("purchase_ms"),
+          col("view_event_id"), col("view_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // Null-safe equi-join (<=>): NULL keys MATCH each other — the
     // semantics a sentinel-to-NULL normalization pipeline needs when the
     // normalized key joins downstream (the reference's 'XXX' road-type /
@@ -336,6 +358,14 @@ object JoinQueries extends QueryCatalog {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_forward" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms,
+        |  v.event_id AS view_event_id, epoch_ms(v.ts) AS view_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_join_null_safe" ->
       """WITH o AS (

@@ -141,6 +141,31 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // Inter-arrival-time profile — the traffic-shape signature per
+    // stream key (burstiness shows up as p95 ≫ mean; the input to
+    // capacity planning and anomaly thresholds). Gaps are a per-key
+    // lag over event time (one window exchange); the percentile
+    // summary then aggregates the per-key gap relation. Gap units are
+    // exact integer milliseconds end to end.
+    "q_stats_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap")), 6).as("mean_ms"),
+          expr("percentile(gap, array(0.5D, 0.95D))").as("pct"),
+          max(col("gap")).as("max_ms"))
+        .select(col("event_type"), col("n_gaps"), col("mean_ms"),
+          round(col("pct").getItem(0), 6).as("p50_ms"),
+          round(col("pct").getItem(1), 6).as("p95_ms"), col("max_ms"))
+        .orderBy(col("event_type"))
+    }),
+
     // Kaplan-Meier survival estimator — time-to-conversion with
     // censoring done right: users who never purchase after their first
     // view aren't dropped (that biases the curve down) but counted
@@ -447,6 +472,21 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_stats_interarrival" ->
+      """WITH seq AS (
+        |  SELECT event_type, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  round(AVG(gap), 6) AS mean_ms,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50_ms,
+        |  round(quantile_cont(gap, 0.95), 6) AS p95_ms,
+        |  max(gap) AS max_ms
+        |FROM seq WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stats_kaplan_meier" ->
       """WITH ev AS (

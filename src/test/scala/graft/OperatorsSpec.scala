@@ -625,6 +625,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       ev.except(spark.read.parquet(s"$dir/out")).count() == 0)
   }
 
+  test("asOfForward equals the brute-force next-at-or-after lookup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1, 10L, "a"), (1, 25L, "b"), (2, 5L, "c"), (3, 9L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 10L, "r10"), (1, 20L, "r20"), (1, 30L, "r30"),
+      (2, 4L, "r4")).toDF("k", "t", "p")
+    val got = graft.operators.AsOfJoin
+      .asOfForward(left, right.select(col("k"), col("t"),
+        col("p").as("pay")), "k", "t")
+      .select(col("tag"), col("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // ties match (>= semantics): left (1,10) takes right (1,10);
+    // (2,5) has no right at-or-after → null; k=3 has no right side.
+    assert(got == Map("a" -> Some("r10"), "b" -> Some("r30"),
+      "c" -> None, "d" -> None), got.toString)
+  }
+
   test("GlobalRank equals the single-partition window row_number") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

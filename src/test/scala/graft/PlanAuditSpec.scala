@@ -600,6 +600,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "label map not broadcast onto the edge relation:\n" + plan)
   }
 
+  test("OHLC open/close come from struct aggregates, not a window sort") {
+    val plan = SparkEntry.queries("q_stats_ohlc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "OHLC should be pure partial-aggregable min/max(struct):\n" +
+        plan.take(1500))
+  }
+
+  test("bitmap rollup folds through ObjectHashAggregate partials") {
+    val plan = SparkEntry.queries("q_agg_bitmap_rollup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "bitmap Aggregators should plan as ObjectHashAggregate " +
+        "(map-side partials):\n" + plan.take(1500))
+  }
+
+  test("attribution and as-of plans stay key-partitioned — no cartesian") {
+    for (q <- Seq("q_events_attribution", "q_join_asof_forward")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n" + plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n" + plan.take(1500))
+    }
+  }
+
+  test("keyset page plans a bounded top-k, not a full sort") {
+    val plan = SparkEntry.queries("q_search_keyset_page")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "page fetch should be TakeOrderedAndProject (per-partition top-k " +
+        "+ merge), not a global sort:\n" + plan.take(1500))
+  }
+
   test("GlobalRank ranks via rangepartitioning, not a global-window sort") {
     // The global position must come from the range shuffle +
     // per-partition offsets (full parallelism); the only no-partition
