@@ -269,7 +269,45 @@ object SpatialQueries extends QueryCatalog {
       .limit(15)
   }
 
+  /** Grid-cell DBSCAN: density-based spatial clustering in the shape
+    * that scales — dense cells (≥ MinPts points) become nodes, 8-adjacent
+    * dense cells become edges (the same offset-explode equi-join as the
+    * KNN grid, never a theta-join), and
+    * [[graft.operators.ConnectedComponents]] labels each cluster with
+    * its min cell id. This is the cell-graph approximation of DBSCAN
+    * (cluster = maximal run of adjacent dense regions); the oracle
+    * replays the transitive closure with a recursive CTE. */
+  private def clusterCells(s: SparkSession, dir: String): DataFrame = {
+    val MinPts = 5
+    val dense = Tables.customer(s, dir)
+      .select(cellOf(coord(col("c_custkey"), 7919L)).as("cx"),
+        cellOf(coord(col("c_custkey"), 104729L)).as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinPts)
+      .withColumn("cid", col("cx") * 1000L + col("cy"))
+    val probe = dense
+      .select(col("cid").as("ca"), col("cx"), col("cy"),
+        explode(expr(
+          "transform(sequence(0, 8), i -> " +
+            "named_struct('dx', i div 3 - 1, 'dy', i % 3 - 1))")).as("o"))
+      .select(col("ca"), (col("cx") + col("o.dx")).as("nx"),
+        (col("cy") + col("o.dy")).as("ny"))
+    val edges = probe.join(
+      dense.select(col("cid").as("cb"), col("cx").as("nx"),
+        col("cy").as("ny")),
+      Seq("nx", "ny"))
+      .select(col("ca"), col("cb")) // offset (0,0) keeps singletons
+    graft.operators.ConnectedComponents
+      .label(edges, col("ca"), col("cb"))
+      .join(dense, col("node") === col("cid"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_pts"))
+      .orderBy(col("comp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_cluster_cells" -> ((s, dir) => clusterCells(s, dir)),
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
     "q_join_knn_full" -> ((s, dir) => knnFull(s, dir)),
     "q_join_spatial_contains" -> ((s, dir) => contains(s, dir)),
@@ -395,6 +433,31 @@ object SpatialQueries extends QueryCatalog {
          |SELECT c_custkey, gx, gy, morton FROM m
          |WHERE morton BETWEEN 262144 AND 393215
          |ORDER BY morton, c_custkey""".stripMargin,
+    "q_spatial_cluster_cells" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT
+        |    CAST(floor(CAST((c_custkey * 7919) % 1000 AS DOUBLE)
+        |      / 100.0 / 0.5) AS BIGINT) AS cx,
+        |    CAST(floor(CAST((c_custkey * 104729) % 1000 AS DOUBLE)
+        |      / 100.0 / 0.5) AS BIGINT) AS cy
+        |  FROM customer),
+        |dense AS (
+        |  SELECT cx, cy, COUNT(*) AS n, cx * 1000 + cy AS cid
+        |  FROM pts GROUP BY cx, cy HAVING COUNT(*) >= 5),
+        |nb AS (
+        |  SELECT a.cid AS ca, b.cid AS cb
+        |  FROM dense a JOIN dense b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+        |reach(src, dst) AS (
+        |  SELECT cid, cid FROM dense
+        |  UNION
+        |  SELECT r.src, nb.cb FROM reach r JOIN nb ON r.dst = nb.ca),
+        |lab AS (SELECT src AS cid, min(dst) AS comp FROM reach
+        |        GROUP BY src)
+        |SELECT comp, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_pts
+        |FROM lab JOIN dense USING (cid)
+        |GROUP BY comp ORDER BY comp""".stripMargin,
+
     "q_spatial_density" ->
       """WITH pts AS (
         |  SELECT
