@@ -670,6 +670,38 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // EXACT trailing-7-day distinct users + DAU/WAU stickiness — the
+    // bitmap twin of q_agg_hll_sliding: daily bitmap partials OR-merge
+    // across the ≤7-day window (functions/BitmapOrCountAgg), so the
+    // sliding exact-distinct never rescans events and the oracle checks
+    // EQUALITY, not a tolerance. The day×day band join broadcasts the
+    // daily relation (a calendar never outgrows a broadcast); the
+    // stickiness ratio (DAU/WAU, Facebook's engagement metric) rides
+    // out of the same row.
+    "q_agg_bitmap_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val sk = udaf(graft.functions.BitmapSketchAgg,
+        ExpressionEncoder[Long]())
+      val mg = udaf(graft.functions.BitmapOrCountAgg,
+        ExpressionEncoder[Array[Byte]]())
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sk(col("user_id")).as("bm"),
+          countDistinct(col("user_id")).as("dau"))
+      val anchors = daily.select(col("day").as("anchor"),
+        col("dau").as("dau_a"))
+      anchors
+        .join(broadcast(daily),
+          datediff(col("anchor"), col("day")).between(0, 6))
+        .groupBy(col("anchor"), col("dau_a"))
+        .agg(mg(col("bm")).as("wau7"))
+        .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+          col("dau_a").as("dau"), col("wau7"),
+          round(col("dau_a").cast("double") / col("wau7"), 6)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // Sketch-estimated SET INTERSECTION via inclusion-exclusion:
     // |A∩B| ≈ est(A) + est(B) − est(A∪B), all three read off two HLL
     // sketches — the audience-overlap question ("how many users both
@@ -1071,6 +1103,21 @@ object AggregationQueries extends QueryCatalog {
         |         CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
         |        (COUNT(*) * (COUNT(*) - 1)), 6) AS variance
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_bitmap_sliding" ->
+      """WITH cal AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS anchor FROM events)
+        |SELECT strftime(anchor, '%Y-%m-%d') AS day,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events
+        |   WHERE CAST(ts AS DATE) = anchor) AS dau,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events
+        |   WHERE CAST(ts AS DATE) BETWEEN anchor - 6 AND anchor) AS wau7,
+        |  round(CAST((SELECT COUNT(DISTINCT user_id) FROM events
+        |      WHERE CAST(ts AS DATE) = anchor) AS DOUBLE) /
+        |    (SELECT COUNT(DISTINCT user_id) FROM events
+        |     WHERE CAST(ts AS DATE) BETWEEN anchor - 6 AND anchor), 6)
+        |    AS stickiness
+        |FROM cal ORDER BY day""".stripMargin,
 
     "q_agg_bitmap_rollup" ->
       """WITH per_day AS (

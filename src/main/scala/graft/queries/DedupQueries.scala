@@ -179,6 +179,29 @@ object DedupQueries extends QueryCatalog {
         .orderBy(col("keep_id"))
     }),
 
+    // Canonical-survivor selection — the policy step AFTER clustering:
+    // every near-dup cluster keeps exactly ONE document, chosen by an
+    // explicit rule (longest text wins, ties to the smallest id), and
+    // the rule runs as a partial-aggregable max(struct(quality, -id))
+    // over the labeled relation — no rank window, no join-back. This is
+    // the step that turns "these documents duplicate each other" into
+    // the actual training-corpus cut list.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val labels = graft.operators.ConnectedComponents.label(
+        minhashPairs(s, dir), col("doc_a"), col("doc_b"))
+      labels
+        .join(Tables.documents(s, dir),
+          col("node") === col("doc_id"))
+        .groupBy(col("comp"))
+        .agg(max(struct(col("n_chars"), negate(col("doc_id")).as("nid")))
+          .as("m"), count(lit(1)).as("n_members"))
+        .select(col("comp"),
+          negate(col("m").getField("nid")).as("keeper_id"),
+          col("m").getField("n_chars").as("keeper_chars"),
+          col("n_members"))
+        .orderBy(col("comp"))
+    }),
+
     // SimHash: 8-bit band buckets → pairs → Hamming-distance ≤ 3 verify.
     // Pigeonhole guarantee: ≤3 differing bits can dirty at most 3 of the
     // 4 bands, so every true pair still collides on ≥1 clean band —
@@ -482,6 +505,28 @@ object DedupQueries extends QueryCatalog {
          |SELECT comp AS keep_id, COUNT(*) AS n,
          |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS doc_ids
          |FROM labels GROUP BY comp ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+         |labels AS (
+         |  SELECT node, MIN(m) AS comp FROM reach GROUP BY node),
+         |ranked AS (
+         |  SELECT comp, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY n_chars DESC, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY comp) AS n_members
+         |  FROM labels JOIN documents ON node = doc_id)
+         |SELECT comp, doc_id AS keeper_id, n_chars AS keeper_chars,
+         |  n_members
+         |FROM ranked WHERE rk = 1 ORDER BY comp""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $shinglesCte,
          |sim AS (
