@@ -127,6 +127,41 @@ object GraphQueries extends QueryCatalog {
     // skew everywhere downstream; a power-law tail is what the
     // degree-ordered orientation above defuses). Two partial-aggregable
     // groupBys: node degree, then nodes-per-degree.
+    // HITS hubs & authorities (Kleinberg 1999), 2 fixed iterations over
+    // the DIRECTED customer→supplier trade graph — the bipartite
+    // companion of q_graph_pagerank: authority(s) sums hub scores of
+    // buyers, hub(c) sums authority of its suppliers. Each half-step is
+    // one edge-scan with the (node-cardinality) score vector broadcast
+    // and a map-side-partial sum; scores are SUM-normalized and rounded
+    // to 9 dp per step on BOTH engines so float order can't drift
+    // across iterations (the pagerank parity discipline). Fixed
+    // iterations keep the oracle replayable.
+    "q_graph_hits" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .cutLineage()
+      def normed(df: DataFrame, key: String, v: String): DataFrame = {
+        val t = df.agg(sum(col(v)).as("t"))
+        df.crossJoin(broadcast(t))
+          .select(col(key), round(col(v) / col("t"), 9).as(v))
+      }
+      // h0 = 1 ⇒ a1 ∝ in-degree
+      val a1 = normed(edges.groupBy(col("sp"))
+        .agg(count(lit(1)).cast("double").as("a")), "sp", "a")
+      val h1 = normed(edges.join(broadcast(a1), Seq("sp"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+      val a2 = normed(edges.join(broadcast(h1), Seq("c"))
+        .groupBy(col("sp")).agg(sum(col("h")).as("a")), "sp", "a")
+      a2.select(col("sp").as("s_suppkey"), round(col("a"), 6).as("authority"))
+        .orderBy(col("authority").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
     // Degree assortativity (Newman 2002): Pearson correlation of the
     // endpoint degrees over the edge list — one number separating
     // hub-to-hub networks (> 0) from hub-and-spoke ones (< 0), the
@@ -291,6 +326,25 @@ object GraphQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_graph_hits" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1r AS (SELECT sp, CAST(COUNT(*) AS DOUBLE) AS a FROM edges
+        |        GROUP BY sp),
+        |a1 AS (SELECT sp, round(a / (SELECT SUM(a) FROM a1r), 9) AS a
+        |       FROM a1r),
+        |h1r AS (SELECT c, SUM(a) AS h FROM edges JOIN a1 USING (sp)
+        |        GROUP BY c),
+        |h1 AS (SELECT c, round(h / (SELECT SUM(h) FROM h1r), 9) AS h
+        |       FROM h1r),
+        |a2r AS (SELECT sp, SUM(h) AS a FROM edges JOIN h1 USING (c)
+        |        GROUP BY sp),
+        |a2 AS (SELECT sp, round(a / (SELECT SUM(a) FROM a2r), 9) AS a
+        |       FROM a2r)
+        |SELECT sp AS s_suppkey, round(a, 6) AS authority
+        |FROM a2 ORDER BY authority DESC, s_suppkey LIMIT 10""".stripMargin,
+
     "q_graph_assortativity" ->
       s"""WITH $edgesCte,
          |sym AS (

@@ -100,6 +100,30 @@ object SampleQueries extends QueryCatalog {
         .filter(col("rn") <= col("alloc"))
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Importance (acceptance) sampling: keep each document with
+    // probability ∝ its length — the quality-weighted corpus thinning
+    // step (upsample what matters without materializing weights or a
+    // global sort). The per-row coin is the Knuth multiplicative hash
+    // u = (id·2654435761) mod 2¹⁶, accepted iff u·max_w < w·2¹⁶ — ALL
+    // INTEGER math, so both engines decide every row identically; only
+    // the single-row max weight broadcasts. Acceptance audit per
+    // source rides out with exact counts.
+    "q_sample_importance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mx = docs.agg(max(col("n_chars")).as("max_w"))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("u", (col("doc_id") * 2654435761L) % 65536L)
+        .withColumn("accept",
+          col("u") * col("max_w") < col("n_chars") * 65536L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("accept"), 1L).otherwise(0L)).as("n_accepted"),
+          round(avg(col("n_chars")), 6).as("avg_chars_all"),
+          round(avg(when(col("accept"), col("n_chars"))), 6)
+            .as("avg_chars_accepted"))
+        .orderBy(col("source"))
     })
   )
 
@@ -173,6 +197,21 @@ object SampleQueries extends QueryCatalog {
         |SELECT r.source, r.doc_id
         |FROM ranked r JOIN alloc a ON r.source = a.source
         |WHERE r.rn <= a.alloc
-        |ORDER BY r.source, r.doc_id""".stripMargin
+        |ORDER BY r.source, r.doc_id""".stripMargin,
+
+    "q_sample_importance" ->
+      """WITH mx AS (SELECT max(n_chars) AS max_w FROM documents),
+        |flagged AS (
+        |  SELECT source, n_chars,
+        |    ((doc_id * 2654435761) % 65536) * max_w
+        |      < n_chars * 65536 AS accept
+        |  FROM documents, mx)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_accepted,
+        |  round(AVG(n_chars), 6) AS avg_chars_all,
+        |  round(AVG(CASE WHEN accept THEN n_chars END), 6)
+        |    AS avg_chars_accepted
+        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -283,4 +283,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         s"streaming flags $got != batch twin $expected")
     } finally q.stop()
   }
+
+  test("late-drop audit predicts real withWatermark drops") {
+    // q_stream_late_drops' rule (late iff ts < running-max − 30 min over
+    // arrival order) must agree with what a watermarked streaming agg
+    // actually discards. Arrival order is forced by singleton
+    // micro-batches; lateness is either 0 or ≥ 45 min so the 1-minute
+    // window-end granularity can't blur the verdict; a far-future flush
+    // event pushes the final watermark past every surviving window.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def m(min: Int) = new Timestamp(1704103200000L + min * 60000L)
+    val arrivals = Seq( // (event_id = arrival order, event-time minutes)
+      1 -> 60, 2 -> 70, 3 -> 80, 4 -> 10, 5 -> 90, 6 -> 40, 7 -> 100)
+    // batch audit, same expressions as the catalog query
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val audited = arrivals.map { case (id, mm) => (id.toLong, m(mm)) }
+      .toDF("event_id", "ts")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("hwm", max(col("ms")).over(w))
+      .withColumn("late",
+        col("hwm").isNotNull && col("ms") < col("hwm") - 1800000L)
+      .collect().filter(_.getAs[Boolean]("late"))
+      .map(_.getLong(0)).toSet
+    assert(audited == Set(4L, 6L), s"audit flagged $audited")
+
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 minute")).count()
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      arrivals.foreach { case (id, mm) => // one micro-batch per event
+        in.addData((m(mm), id.toLong))
+        q.processAllAvailable()
+      }
+      in.addData((m(200), 99L)) // flush: advance watermark past 100
+      q.processAllAvailable()
+      val emitted = spark.table("late_out")
+        .select(unix_millis(col("window.start")).as("s"))
+        .collect().map(r => ((r.getLong(0) - 1704103200000L) / 60000L).toInt)
+        .toSet
+      val survivors = arrivals.filterNot(a => audited(a._1.toLong))
+        .map(_._2).toSet
+      assert(emitted == survivors,
+        s"streaming emitted $emitted, audit predicted $survivors")
+    } finally q.stop()
+  }
 }
