@@ -141,6 +141,54 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // Sweep-line CONCURRENCY — peak simultaneous sessions per day, the
+    // capacity-planning number (licenses, connection pools, GPU slots).
+    // Sessions (30-min idle gap, the q_stream_sessions rule) become
+    // ±1 boundary events; a day-partitioned running sum over
+    // (ts, delta) is the classic sweep, and its max is the answer. At
+    // equal timestamps STARTS process before ENDS (closed intervals —
+    // a single-event session still peaks at 1; same-user boundaries
+    // can never collide because sessions are >30 min apart), mirrored
+    // in the oracle's window ORDER BY. Day partitioning keeps the sweep
+    // parallel; sessions crossing midnight are split by day attribution
+    // of their boundaries (documented approximation, exact for this
+    // gap rule's intraday sessions).
+    "q_events_concurrency" -> ((s, dir) => {
+      val wGap = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val wSweep = Window.partitionBy(col("day"))
+        .orderBy(col("ts_b"), col("delta").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+      val sessions = ev
+        .withColumn("prev", lag(col("ms"), 1).over(wGap))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ms") - col("prev") > 1800000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ms"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ms")).as("s_start"), max(col("ms")).as("s_end"))
+      val bounds = sessions
+        .select(col("user_id"), col("s_start").as("ts_b"),
+          lit(1).as("delta"))
+        .unionByName(sessions.select(col("user_id"),
+          col("s_end").as("ts_b"), lit(-1).as("delta")))
+        .withColumn("day",
+          expr("ts_b div 86400000"))
+      bounds
+        .withColumn("conc", sum(col("delta")).over(wSweep))
+        .groupBy(col("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L))
+            .as("n_sessions"))
+        .orderBy(col("day"))
+    }),
+
     // Inter-arrival-time profile — the traffic-shape signature per
     // stream key (burstiness shows up as p95 ≫ mean; the input to
     // capacity planning and anomaly thresholds). Gaps are a per-key
@@ -472,6 +520,40 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_events_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |gaps AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+        |    ms
+        |  FROM gaps),
+        |spans AS (
+        |  SELECT user_id, sid, min(ms) AS s_start, max(ms) AS s_end
+        |  FROM sess GROUP BY user_id, sid),
+        |bounds AS (
+        |  SELECT user_id, s_start AS ts_b, 1 AS delta FROM spans
+        |  UNION ALL
+        |  SELECT user_id, s_end, -1 FROM spans),
+        |sweep AS (
+        |  SELECT ts_b // 86400000 AS day, delta,
+        |    SUM(delta) OVER (PARTITION BY ts_b // 86400000
+        |      ORDER BY ts_b, delta DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM bounds)
+        |SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions
+        |FROM sweep GROUP BY day ORDER BY day""".stripMargin,
 
     "q_stats_interarrival" ->
       """WITH seq AS (
