@@ -625,6 +625,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       ev.except(spark.read.parquet(s"$dir/out")).count() == 0)
   }
 
+  test("PlanLint flags cross joins and global windows, passes clean plans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.operators.PlanLint
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    assert(PlanLint.lint(a.crossJoin(b)).exists(_.rule == "cross-join"))
+    assert(PlanLint.lint(
+      a.withColumn("r", row_number().over(W.orderBy(col("x")))))
+      .exists(_.rule == "global-window"))
+    // orderBy+limit compiles to TakeOrdered — must NOT flag global-sort
+    assert(PlanLint.lint(a.orderBy(col("x")).limit(2)).isEmpty)
+    // broadcast-joined aggregate: clean
+    val clean = a.join(broadcast(b), col("x") === col("y"))
+      .groupBy(col("x")).count()
+    assert(PlanLint.lint(clean).isEmpty)
+    assertThrows[IllegalArgumentException](
+      PlanLint.assertScaleSafe(a.crossJoin(b)))
+    PlanLint.assertScaleSafe(clean) // no throw
+    // the engine's own distributed-rank operator must lint clean
+    PlanLint.assertScaleSafe(graft.operators.GlobalRank
+      .withGlobalRowNumber(a, Seq(col("x")), "r", cutLineage = false))
+  }
+
   test("asOfForward equals the brute-force next-at-or-after lookup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

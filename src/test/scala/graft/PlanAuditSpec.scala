@@ -636,10 +636,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("GlobalRank ranks via rangepartitioning, not a global-window sort") {
     // The global position must come from the range shuffle +
-    // per-partition offsets (full parallelism); the only no-partition
-    // window allowed in the plan is the cumulative offset over the TINY
-    // per-partition count relation, which rides a broadcast back.
-    // Audited with cutLineage=false — the production default lazily
+    // per-partition offsets (full parallelism); the offset prefix sum
+    // is a bounded self-join over the tiny count relation, so the plan
+    // contains NO window at all (PlanLint-clean, asserted in
+    // OperatorsSpec). Audited with cutLineage=false — the production
+    // default lazily
     // checkpoints the ranged relation, which truncates the visible plan
     // (same operators execute, just behind the checkpoint boundary).
     import org.apache.spark.sql.functions.col
