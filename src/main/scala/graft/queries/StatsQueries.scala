@@ -264,6 +264,31 @@ object StatsQueries extends QueryCatalog {
         .orderBy(col("t"))
     }),
 
+    // Plan LINT through the gate (operators/PlanLint): a deliberately
+    // scale-broken plan (unconditioned cross join) and a healthy one
+    // (broadcast equi-join + partial agg) are linted, and the
+    // error/info counts cross the oracle. This pins the linter's
+    // verdicts — the same rules a pipeline's submit gate would enforce
+    // with PlanLint.assertScaleSafe — to an explicit expectation.
+    "q_dq_plan_lint" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PlanLint
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val dims = Tables.nation(s, dir).select(col("n_nationkey"))
+      val bad = docs.crossJoin(dims)
+      val good = docs
+        .join(broadcast(dims), col("doc_id") % 25 === col("n_nationkey"))
+        .groupBy(col("n_nationkey")).count()
+      def counts(name: String, df: DataFrame) = {
+        val f = PlanLint.lint(df)
+        (name, f.count(_.severity == "error").toLong,
+          f.count(_.severity == "info").toLong)
+      }
+      Seq(counts("bad_cross_join", bad), counts("good_broadcast_agg", good))
+        .toDF("plan", "n_errors", "n_infos")
+        .orderBy(col("plan"))
+    }),
+
     // Declarative SCHEMA CONTRACT check — the ingest handshake: the
     // expected (column, type) contract meets the source's ACTUAL schema
     // (from the engine's canonical reader) in a full outer comparison,
@@ -610,6 +635,13 @@ object StatsQueries extends QueryCatalog {
         |WINDOW upto AS (ORDER BY t
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY t""".stripMargin,
+
+    "q_dq_plan_lint" ->
+      """SELECT * FROM (VALUES
+        |  ('bad_cross_join', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('good_broadcast_agg', CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(plan, n_errors, n_infos)
+        |ORDER BY plan""".stripMargin,
 
     "q_dq_schema_contract" ->
       """SELECT * FROM (VALUES
