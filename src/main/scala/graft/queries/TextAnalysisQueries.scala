@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -77,6 +78,73 @@ object TextAnalysisQueries extends QueryCatalog {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Classifier evaluation — per-class precision/recall/F1 of the
+    // langid heuristic against the labeled lang column: the confusion
+    // cells reduce FIRST (map-side combinable), so the metric algebra
+    // runs over a classes² relation no matter the corpus size. F1 uses
+    // the 2·tp/(pt+at) identity — one division, no p·r/(p+r)
+    // intermediate. The eval harness every model-training pipeline
+    // bolts on, expressed as the same partial-aggregable shape as any
+    // other rollup.
+    "q_eval_class_metrics" -> ((s, dir) => {
+      val t = col("t")
+      val cells = normText(s, dir)
+        .withColumn("s_en", langScore(t, Profiles(0)._2))
+        .withColumn("s_de", langScore(t, Profiles(1)._2))
+        .withColumn("s_fr", langScore(t, Profiles(2)._2))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"),
+            "en").when(col("s_de") >= col("s_fr"), "de").otherwise("fr"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val tp = cells.filter(col("lang") === col("pred"))
+        .select(col("lang").as("cls"), col("n").as("tp"))
+      val predTot = cells.groupBy(col("pred").as("cls"))
+        .agg(sum(col("n")).as("pt"))
+      val actTot = cells.groupBy(col("lang").as("cls"))
+        .agg(sum(col("n")).as("at"))
+      actTot.join(predTot, Seq("cls"), "left").join(tp, Seq("cls"), "left")
+        .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("pt"), lit(0L)).as("predicted"), col("at").as("actual"),
+          round(when(coalesce(col("pt"), lit(0L)) > 0,
+            coalesce(col("tp"), lit(0L)).cast("double") / col("pt"))
+            .otherwise(0.0), 6).as("prec"), // "precision" is a reserved
+                                            // type word in the oracle
+
+          round(coalesce(col("tp"), lit(0L)).cast("double") / col("at"), 6)
+            .as("recall"),
+          round(lit(2.0) * coalesce(col("tp"), lit(0L)) /
+            (coalesce(col("pt"), lit(0L)) + col("at")), 6).as("f1"))
+        .orderBy(col("cls"))
+    }),
+
+    // ROC AUC via the Mann-Whitney rank-sum identity, tie-corrected
+    // with midranks — the threshold-free ranking metric ("does the
+    // score order positives above negatives?"). INTEGER arithmetic end
+    // to end: the score stream collapses to per-distinct-score
+    // (count, positives) pairs, midranks double to stay integral
+    // (2·Σrank⁺ = Σ p·(2·cumBefore + c + 1)), and the only division is
+    // the final AUC = (2Σrank⁺ − P(P+1)) / (2PN). The cumulative runs
+    // over the score DOMAIN (the q_stats_ks shape). Synthetic label:
+    // doc_id % 3 = 0; score: n_chars.
+    "q_eval_auc" -> ((s, dir) => {
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val per = Tables.documents(s, dir)
+        .select((col("doc_id") % 3 === 0).cast("long").as("y"),
+          col("n_chars").as("s"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      per.agg(
+          sum(col("p") * (lit(2) * col("cum_before") + col("c") + 1))
+            .as("num2"),
+          sum(col("p")).as("np"), sum(col("c") - col("p")).as("nn"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          round((col("num2") - col("np") * (col("np") + 1)).cast("double") /
+            (lit(2) * col("np") * col("nn")), 6).as("auc"))
     }),
 
     // Quality scoring: stopword ratio, uniqueness, length saturation,
@@ -467,6 +535,54 @@ object TextAnalysisQueries extends QueryCatalog {
          |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
          |  COUNT(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "q_eval_class_metrics" ->
+      s"""WITH $duckNorm,
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ${duckScore("t", Profiles(0)._2)} AS s_en,
+         |    ${duckScore("t", Profiles(1)._2)} AS s_de,
+         |    ${duckScore("t", Profiles(2)._2)} AS s_fr
+         |  FROM norm),
+         |cells AS (
+         |  SELECT lang,
+         |    CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred,
+         |    COUNT(*) AS n
+         |  FROM scored GROUP BY 1, 2),
+         |tpc AS (SELECT lang AS cls, n AS tp FROM cells
+         |        WHERE lang = pred),
+         |ptc AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS pt
+         |        FROM cells GROUP BY pred),
+         |atc AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS act
+         |        FROM cells GROUP BY lang)
+         |SELECT atc.cls, coalesce(tp, 0) AS tp,
+         |  coalesce(pt, 0) AS predicted, act AS actual,
+         |  round(CASE WHEN coalesce(pt, 0) > 0
+         |    THEN coalesce(tp, 0)::DOUBLE / pt ELSE 0 END, 6) AS prec,
+         |  round(coalesce(tp, 0)::DOUBLE / act, 6) AS recall,
+         |  round(2.0 * coalesce(tp, 0) / (coalesce(pt, 0) + act), 6) AS f1
+         |FROM atc LEFT JOIN ptc USING (cls) LEFT JOIN tpc USING (cls)
+         |ORDER BY cls""".stripMargin,
+
+    "q_eval_auc" ->
+      """WITH per AS (
+        |  SELECT n_chars AS s, COUNT(*) AS c,
+        |    CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM documents GROUP BY n_chars),
+        |cum AS (
+        |  SELECT s, c, p,
+        |    CAST(coalesce(SUM(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM per)
+        |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |  CAST(SUM(c - p) AS BIGINT) AS n_neg,
+        |  round(CAST(SUM(p * (2 * cum_before + c + 1)) -
+        |      SUM(p) * (SUM(p) + 1) AS DOUBLE) /
+        |    (2 * SUM(p) * SUM(c - p)), 6) AS auc
+        |FROM cum""".stripMargin,
+
     "q_text_quality" ->
       s"""WITH $duckNorm,
          |f AS (
