@@ -112,6 +112,38 @@ object SourceSinkQueries extends QueryCatalog {
           .agg(countDistinct(col("f")).as("n_files_after"))))
     }),
 
+    // Zone-map / layout-locality audit — WHY q_compact_files sorts:
+    // the same one-day predicate touches every file of the fragmented
+    // 64-way layout but exactly ONE of the 4 range-sorted files (each
+    // file owns a disjoint ts range, so its parquet min/max stats
+    // exclude the rest — the data-skipping contract). All five audit
+    // numbers are computed from real file listings / row counts via
+    // single-row aggregates (no driver-side collect); the oracle pins
+    // the expected locality plus the day's row count from base parquet.
+    "q_compact_prune" -> ((s, dir) => {
+      val frag = tmp(s, "ev_prune_frag")
+      val comp = tmp(s, "ev_prune_sorted")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      ev.repartition(64).write.mode("overwrite").parquet(frag)
+      Compaction.compactToSortedFiles(
+        s.read.parquet(frag), comp, nFiles = 4,
+        Seq(col("ts"), col("event_id")))
+      val day0 = lit("2024-01-03").cast("date")
+      def touched(path: String) =
+        s.read.parquet(path).filter(to_date(col("ts")) === day0)
+          .select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("n"))
+      def total(path: String) =
+        s.read.parquet(path).select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("n"))
+      s.read.parquet(comp).filter(to_date(col("ts")) === day0)
+        .agg(count(lit(1)).as("n_rows_day"))
+        .crossJoin(broadcast(touched(comp).toDF("files_touched_sorted")))
+        .crossJoin(broadcast(total(comp).toDF("files_total_sorted")))
+        .crossJoin(broadcast(touched(frag).toDF("files_touched_frag")))
+        .crossJoin(broadcast(total(frag).toDF("files_total_frag")))
+    }),
+
     // Idempotent single-partition backfill via DYNAMIC partition
     // overwrite — the lake correction pattern: rerunning one day's job
     // must replace ONLY that day's partition, never truncate the table
@@ -264,6 +296,15 @@ object SourceSinkQueries extends QueryCatalog {
         |  CAST(64 AS BIGINT) AS n_files_before,
         |  CAST(4 AS BIGINT) AS n_files_after
         |FROM events""".stripMargin,
+    "q_compact_prune" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE CAST(ts AS DATE) = DATE '2024-01-03') AS n_rows_day,
+        |  CAST(1 AS BIGINT) AS files_touched_sorted,
+        |  CAST(4 AS BIGINT) AS files_total_sorted,
+        |  CAST(64 AS BIGINT) AS files_touched_frag,
+        |  CAST(64 AS BIGINT) AS files_total_frag""".stripMargin,
+
     "q_partition_overwrite_dynamic" ->
       """WITH ev AS (
         |  SELECT CAST(ts AS DATE) AS day,
