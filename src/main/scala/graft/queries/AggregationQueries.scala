@@ -607,6 +607,26 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Per-group OLS trend — regr_slope/intercept/r² of value over time,
+    // the "is this metric drifting?" line fit. The regr_* family is
+    // mergeable sufficient-statistics underneath (Σx, Σy, Σxy, Σx², n —
+    // the same algebra as q_agg_sufficient_stats), so the fit is one
+    // partial-aggregable pass in BOTH engines; x is days-since-epoch to
+    // keep the slope in a human unit (value/day) and the float
+    // conditioning sane. Outputs rounded to 6 dp.
+    "q_agg_regression" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          (unix_millis(col("ts")).cast("double") / 86400000.0).as("x"),
+          col("value").cast("double").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(col("y"), col("x")), 6).as("slope_per_day"),
+          round(regr_intercept(col("y"), col("x")), 6).as("intercept"),
+          round(regr_r2(col("y"), col("x")), 6).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Higher distribution moments — skewness and excess kurtosis from
     // MERGEABLE raw power sums (Σx…Σx⁴), the q_agg_sufficient_stats
     // pattern extended to 3rd/4th order: shards keep five additive
@@ -1068,6 +1088,18 @@ object AggregationQueries extends QueryCatalog {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_regression" ->
+      """WITH xy AS (
+        |  SELECT event_type,
+        |    CAST(epoch_ms(ts) AS DOUBLE) / 86400000.0 AS x,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  round(regr_slope(y, x), 6) AS slope_per_day,
+        |  round(regr_intercept(y, x), 6) AS intercept,
+        |  round(regr_r2(y, x), 6) AS r2
+        |FROM xy GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_higher_moments" ->
       """WITH s AS (

@@ -264,6 +264,32 @@ object StatsQueries extends QueryCatalog {
         .orderBy(col("t"))
     }),
 
+    // Event-ORDER contract — the state-machine DQ rule relational
+    // engines usually can't express declaratively: "no purchase before
+    // the user's first signup". Per-user first-timestamps by type come
+    // from ONE conditional-aggregate scan (no per-type joins — the
+    // leakage-safe-matrix shape), then the violation predicate is a
+    // pure projection. Counts + an example offender id cross the gate.
+    "q_dq_event_order" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_millis(col("ts"))))
+            .as("first_signup"),
+          min(when(col("event_type") === "purchase",
+            unix_millis(col("ts")))).as("first_purchase"))
+        .select(
+          count(lit(1)).as("n_users"),
+          sum(when(col("first_purchase").isNotNull &&
+            (col("first_signup").isNull ||
+              col("first_purchase") < col("first_signup")), 1L)
+            .otherwise(0L)).as("n_violations"),
+          min(when(col("first_purchase").isNotNull &&
+            (col("first_signup").isNull ||
+              col("first_purchase") < col("first_signup")),
+            col("user_id"))).as("first_offender"))
+    }),
+
     // Plan LINT through the gate (operators/PlanLint): a deliberately
     // scale-broken plan (unconditioned cross join) and a healthy one
     // (broadcast equi-join + partial agg) are linted, and the
@@ -635,6 +661,23 @@ object StatsQueries extends QueryCatalog {
         |WINDOW upto AS (ORDER BY t
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY t""".stripMargin,
+
+    "q_dq_event_order" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+        |      AS first_signup,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+        |      AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN first_purchase IS NOT NULL AND
+        |    (first_signup IS NULL OR first_purchase < first_signup)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  min(CASE WHEN first_purchase IS NOT NULL AND
+        |    (first_signup IS NULL OR first_purchase < first_signup)
+        |    THEN user_id END) AS first_offender
+        |FROM per""".stripMargin,
 
     "q_dq_plan_lint" ->
       """SELECT * FROM (VALUES
