@@ -142,6 +142,28 @@ object TextDedup {
     * with no train-side shuffle except the final per-doc count combine.
     * Returns `(doc_id, n_hits)` for CONTAMINATED docs only (n_hits ≥ 1);
     * anti-join the ids to drop them, or join to audit. */
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — MOSS): k-gram rolling hashes of a (pre-normalized)
+    * text column `t`, then the MINIMUM hash of every w-length window,
+    * deduplicated and sorted. Guarantee: any match of length
+    * ≥ w + k − 1 chars between two documents shares at least one
+    * selected fingerprint (proved as a property in OperatorsSpec),
+    * while only ~2/(w+1) of all hashes are stored. Pure HOF SQL — the
+    * same expression replays in DuckDB for the oracle. */
+  def winnowSql(t: String, k: Int = 8, w: Int = 4): String =
+    s"""array_sort(array_distinct(transform(
+       | sequence(1, size(_winnow_hs) - ${w - 1}),
+       | i -> array_min(slice(_winnow_hs, i, $w)))))"""
+      .stripMargin.replace("\n", "")
+      .replace("_winnow_hs", winnowHashesSql(t, k))
+
+  /** The k-gram polynomial rolling-hash array behind [[winnowSql]]. */
+  def winnowHashesSql(t: String, k: Int = 8): String =
+    s"""transform(sequence(1, length($t) - ${k - 1}),
+       | i -> aggregate(sequence(i, i + ${k - 1}), cast(0 as bigint),
+       |   (acc, j) -> (acc * 31 + ascii(substring($t, j, 1)))
+       |     % 1000000007))""".stripMargin.replace("\n", "")
+
   def contaminationHits(train: DataFrame, trainId: Column, trainText: Column,
       evalDf: DataFrame, evalId: Column, evalText: Column,
       n: Int = 8): DataFrame = {

@@ -420,17 +420,8 @@ object TextAnalysisQueries extends QueryCatalog {
       val K = 8; val W = 4
       normText(s, dir)
         .filter(length(col("t")) >= K + W - 1 && col("doc_id") % 10 === 0)
-        .withColumn("hs", expr(
-          s"""transform(sequence(1, length(t) - ${K - 1}),
-             | i -> aggregate(sequence(i, i + ${K - 1}),
-             |   cast(0 as bigint),
-             |   (acc, j) -> (acc * 31 + ascii(substring(t, j, 1)))
-             |     % 1000000007))""".stripMargin.replace("\n", "")))
-        .withColumn("fps", expr(
-          s"""array_sort(array_distinct(transform(
-             | sequence(1, size(hs) - ${W - 1}),
-             | i -> array_min(slice(hs, i, $W)))))"""
-            .stripMargin.replace("\n", "")))
+        .withColumn("fps",
+          expr(graft.operators.TextDedup.winnowSql("t", K, W)))
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
           md5(concat_ws(",",
             expr("transform(fps, x -> cast(x as string))")))

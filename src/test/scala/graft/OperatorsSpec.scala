@@ -625,6 +625,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       ev.except(spark.read.parquet(s"$dir/out")).count() == 0)
   }
 
+  test("winnowing guarantee: a shared run of w+k-1 chars shares a fingerprint") {
+    // Schleimer et al. §2: with k-gram hashes and window w, ANY common
+    // substring of length >= w + k - 1 contributes at least one common
+    // selected fingerprint. Embed the same 11-char run (k=8, w=4) in
+    // otherwise-different documents at different offsets and check the
+    // fingerprint sets intersect; two disjoint strings must not.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val shared = "abcdefghijk" // w + k - 1 = 11 chars
+    val docs = Seq(
+      (1L, "xxxx" + shared + "yyyyyy"),
+      (2L, "qqqqqqqqq" + shared + "zz"),
+      (3L, "0123456789012345678901234")).toDF("id", "t")
+    val fps = docs
+      .withColumn("fps", expr(graft.operators.TextDedup.winnowSql("t")))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared 11-char run produced no common fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty,
+      "disjoint strings should not share fingerprints")
+  }
+
   test("PlanLint flags cross joins and global windows, passes clean plans") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
