@@ -306,7 +306,57 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("comp"))
   }
 
+  /** TRUE polygon containment (not the rect approximation of J6): each
+    * nation owns a pentagon (fixed literal vertex offsets — no trig, so
+    * both engines parse identical doubles), points test by the even-odd
+    * RAY CAST over the vertex ring — the st_intersects semantics of the
+    * reference's spatial joins on real geometry. Scale shape: the
+    * polygon's grid-cell COVER (bbox cells, ≤7×7 per polygon) broadcasts
+    * and the point's cell is the equi-join key — the exact predicate
+    * runs only on cover-collided pairs, never all points × all
+    * polygons; the oracle replays the identical ray cast on a direct
+    * bbox join. Division inside the crossing test is guarded by the
+    * (yi>py)≠(yj>py) branch; double/0 → ±inf identically in both
+    * engines anyway. */
+  private def pointInPolygon(s: SparkSession, dir: String): DataFrame = {
+    val dxs = Seq(1.5, 0.46, -1.21, -1.21, 0.46)
+    val dys = Seq(0.0, 1.43, 0.88, -0.88, -1.43)
+    val polys = Tables.nation(s, dir).select(col("n_nationkey"),
+        coord(col("n_nationkey"), 7919L).as("cx"),
+        coord(col("n_nationkey"), 104729L).as("cy"))
+      .withColumn("vx", array(dxs.map(d => col("cx") + d): _*))
+      .withColumn("vy", array(dys.map(d => col("cy") + d): _*))
+    val cover = polys
+      .withColumn("gx", explode(sequence(
+        cellOf(col("cx") - 1.5), cellOf(col("cx") + 1.5))))
+      .withColumn("gy", explode(sequence(
+        cellOf(col("cy") - 1.5), cellOf(col("cy") + 1.5))))
+    val pts = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      coord(col("c_custkey"), 7919L).as("qx"),
+      coord(col("c_custkey"), 104729L).as("qy"))
+      .withColumn("cellX", cellOf(col("qx")))
+      .withColumn("cellY", cellOf(col("qy")))
+    val rayCast = expr(
+      """aggregate(sequence(1, 5), 0, (acc, i) -> acc + IF(
+        |  ((element_at(vy, i) > qy) !=
+        |   (element_at(vy, IF(i = 1, 5, i - 1)) > qy)) AND
+        |  (qx < (element_at(vx, IF(i = 1, 5, i - 1)) - element_at(vx, i))
+        |    * (qy - element_at(vy, i))
+        |    / (element_at(vy, IF(i = 1, 5, i - 1)) - element_at(vy, i))
+        |    + element_at(vx, i)), 1, 0)) % 2 = 1"""
+        .stripMargin.replace("\n", ""))
+    pts.join(broadcast(cover),
+        col("cellX") === col("gx") && col("cellY") === col("gy"))
+      .filter(rayCast)
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_inside"),
+        sum(col("c_custkey")).as("sum_keys"))
+      .orderBy(col("n_nationkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_point_in_polygon" -> ((s, dir) => pointInPolygon(s, dir)),
     "q_spatial_cluster_cells" -> ((s, dir) => clusterCells(s, dir)),
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
     "q_join_knn_full" -> ((s, dir) => knnFull(s, dir)),
@@ -433,6 +483,40 @@ object SpatialQueries extends QueryCatalog {
          |SELECT c_custkey, gx, gy, morton FROM m
          |WHERE morton BETWEEN 262144 AND 393215
          |ORDER BY morton, c_custkey""".stripMargin,
+    "q_join_point_in_polygon" ->
+      """WITH polys AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 7919) % 1000 AS DOUBLE) / 100.0 AS cx,
+        |    CAST((n_nationkey * 104729) % 1000 AS DOUBLE) / 100.0 AS cy
+        |  FROM nation),
+        |v AS (
+        |  SELECT n_nationkey, cx, cy,
+        |    [cx + 1.5, cx + 0.46, cx - 1.21, cx - 1.21, cx + 0.46] AS vx,
+        |    [cy + 0.0, cy + 1.43, cy + 0.88, cy - 0.88, cy - 1.43] AS vy
+        |  FROM polys),
+        |pts AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 AS qx,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 AS qy
+        |  FROM customer),
+        |cand AS (
+        |  SELECT * FROM pts JOIN v
+        |    ON qx BETWEEN cx - 1.5 AND cx + 1.5
+        |   AND qy BETWEEN cy - 1.5 AND cy + 1.5),
+        |inside AS (
+        |  SELECT n_nationkey, c_custkey FROM cand
+        |  WHERE list_sum([CASE WHEN
+        |      ((vy[i] > qy) != (vy[CASE WHEN i = 1 THEN 5 ELSE i - 1 END]
+        |        > qy)) AND
+        |      (qx < (vx[CASE WHEN i = 1 THEN 5 ELSE i - 1 END] - vx[i])
+        |        * (qy - vy[i])
+        |        / (vy[CASE WHEN i = 1 THEN 5 ELSE i - 1 END] - vy[i])
+        |        + vx[i])
+        |    THEN 1 ELSE 0 END for i in range(1, 6)]) % 2 = 1)
+        |SELECT n_nationkey, COUNT(*) AS n_inside,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+        |FROM inside GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
     "q_spatial_cluster_cells" ->
       """WITH RECURSIVE pts AS (
         |  SELECT
