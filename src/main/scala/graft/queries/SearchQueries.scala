@@ -196,6 +196,53 @@ object SearchQueries extends QueryCatalog {
         .limit(10)
     }),
 
+    // HYBRID retrieval — the modern search stack in one plan: a lexical
+    // leg (tf·idf over the inverted index, top-20) and a vector leg
+    // (cosine against a query embedding, top-20) fused with reciprocal
+    // ranks (RRF, k=60 — no score calibration needed across the two
+    // modalities). Each leg is top-k-bounded BEFORE the fusion join, so
+    // the fuse touches ≤40 rows regardless of corpus size; the vector
+    // leg here is the brute-force demo shape — at scale it swaps for
+    // the sign-LSH / IVF index with the fusion unchanged. doc_id and
+    // vec_id share the key space by fixture contract.
+    "q_search_hybrid" -> ((s, dir) => {
+      val toks = tokens(s, dir)
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tf = toks.filter(col("tok").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val lex = tf.join(broadcast(idf), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("lscore"))
+        .withColumn("lrank", row_number().over(
+          Window.orderBy(col("lscore").desc, col("doc_id"))))
+        .filter(col("lrank") <= 20)
+        .select(col("doc_id"), col("lrank"))
+      import graft.operators.VectorSearch.dotSql
+      graft.plans.DotProduct.register(s)
+      val v = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(expr(dotSql("embedding", "embedding"))))
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val vec = v.crossJoin(broadcast(q))
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+        .withColumn("vrank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("vrank") <= 20)
+        .select(col("vec_id").as("doc_id"), col("vrank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)),
+            6).as("hybrid_score"))
+        .orderBy(col("hybrid_score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Posting-list DELTA-GAP compression — the index-layout step after
     // q_search_postings: doc-id-sorted postings store first-id + gaps,
     // and the audit reports the variable-byte cost those gaps would
@@ -394,6 +441,42 @@ object SearchQueries extends QueryCatalog {
         |        coalesce(1.0::DOUBLE / (60 + rb.rnk), 0), 6) AS rrf_score
         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_search_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'join', 'fast') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY SUM(tf * ln(CAST(n_docs AS DOUBLE) / df)) DESC,
+        |      doc_id) AS lrank
+        |  FROM tf JOIN idf USING (tok), n
+        |  GROUP BY doc_id, n_docs),
+        |lex20 AS (SELECT doc_id, lrank FROM lex WHERE lrank <= 20),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |vec AS (
+        |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+        |    list_sum([qe[i]::DOUBLE * embedding[i]::DOUBLE
+        |      for i in range(1, len(qe) + 1)]) /
+        |    (sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+        |      for i in range(1, len(qe) + 1)])) *
+        |     sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |      for i in range(1, len(embedding) + 1)]))) DESC,
+        |    vec_id) AS vrank
+        |  FROM embeddings, q),
+        |vec20 AS (SELECT doc_id, vrank FROM vec WHERE vrank <= 20)
+        |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |  round(coalesce(1.0::DOUBLE / (60 + lrank), 0) +
+        |        coalesce(1.0::DOUBLE / (60 + vrank), 0), 6)
+        |    AS hybrid_score
+        |FROM lex20 l FULL OUTER JOIN vec20 v ON l.doc_id = v.doc_id
+        |ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_search_postings_dgaps" ->
       """WITH toks AS (
