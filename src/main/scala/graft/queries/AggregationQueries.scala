@@ -690,6 +690,34 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // HLL PRECISION SIZING CURVE — the table an engineer reads before
+    // picking lgK for a 100 TB distinct-count sketch: one single-pass
+    // aggregate builds sketches at lgK = 4..14 side by side (sketch
+    // memory 2^lgK registers each), stack() unpivots them, and each
+    // row's estimate is gated against the theoretical relative-error
+    // envelope 3·1.04/√2^lgK (+ a small-count floor). The exact count
+    // rides along hash-checked; the booleans prove every precision
+    // lands inside its own bound.
+    "q_agg_hll_error_curve" -> ((s, dir) => {
+      val ps = Seq(4, 6, 8, 10, 12, 14)
+      val aggs = ps.map(p =>
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(p)))
+          .as(s"est_$p")) :+ countDistinct(col("user_id")).as("exact_users")
+      val row = Tables.events(s, dir).agg(aggs.head, aggs.tail: _*)
+      val tol = ps.map(p => p -> 3.0 * 1.04 / math.sqrt((1 << p).toDouble))
+        .foldLeft(lit(0.0).as("z")) { case (acc, (p, t)) =>
+          when(col("lg_k") === p, t).otherwise(acc) }
+      row
+        .select(expr("stack(6, " +
+          ps.map(p => s"$p, est_$p").mkString(", ") + ") as (lg_k, est)"),
+          col("exact_users"))
+        .select(col("lg_k"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(col("exact_users") * tol, lit(5.0)))
+            .as("within_bound"))
+        .orderBy(col("lg_k"))
+    }),
+
     // EXACT trailing-7-day distinct users + DAU/WAU stickiness — the
     // bitmap twin of q_agg_hll_sliding: daily bitmap partials OR-merge
     // across the ≤7-day window (functions/BitmapOrCountAgg), so the
@@ -1135,6 +1163,13 @@ object AggregationQueries extends QueryCatalog {
         |         CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
         |        (COUNT(*) * (COUNT(*) - 1)), 6) AS variance
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_hll_error_curve" ->
+      """WITH e AS (SELECT COUNT(DISTINCT user_id) AS exact_users
+        |           FROM events)
+        |SELECT lg_k, exact_users, TRUE AS within_bound
+        |FROM e, (SELECT unnest([4, 6, 8, 10, 12, 14]) AS lg_k)
+        |ORDER BY lg_k""".stripMargin,
 
     "q_agg_bitmap_sliding" ->
       """WITH cal AS (

@@ -130,6 +130,46 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // TWO-STAGE retrieval (coarse-then-rerank, the Matryoshka/MRL
+    // serving pattern): stage 1 ranks by cosine over only the FIRST 16
+    // of 64 dims (4× cheaper per comparison — at scale the coarse index
+    // is truncated-dim or PQ) and keeps 50 candidates; stage 2 reranks
+    // ONLY those 50 by full-dimension cosine and keeps 5. The gated
+    // output carries both ranks, so the oracle pins stage-1 candidate
+    // generation AND stage-2 ordering; `slice` keeps the truncation a
+    // pure column op — the full vectors never shuffle for stage 1.
+    "q_ann_two_stage" -> ((s, dir) => {
+      graft.plans.DotProduct.register(s)
+      val Coarse = 16
+      val v = Tables.embeddings(s, dir)
+        .withColumn("e16", slice(col("embedding"), 1, Coarse))
+        .withColumn("nrm", sqrt(expr(dotSql("embedding", "embedding"))))
+        .withColumn("nrm16", sqrt(expr(dotSql("e16", "e16"))))
+      val q = v.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("e16").as("qe16"), col("nrm").as("qn"),
+          col("nrm16").as("qn16"))
+      val coarse = broadcast(q)
+        .crossJoin(v.repartition(col("vec_id")))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos16",
+          expr(dotSql("qe16", "e16")) / (col("qn16") * col("nrm16")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos16").desc, col("vec_id"))))
+        .filter(col("crank") <= 50)
+      coarse
+        .withColumn("cos",
+          expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+          col("crank"), round(col("cos"), 9).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF-Flat scale path (builder brief: "an IVF or LSH-bucketed variant
     // as the scale path"). Structure of a real IVF index, with a
     // DETERMINISTIC coarse quantizer (every CM-th vector is a centroid)
@@ -505,6 +545,37 @@ object AnnQueries extends QueryCatalog {
          |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
          |  round(cos, 9) AS cos
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_ann_two_stage" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS e16
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, e16 AS qe16 FROM v
+         |  WHERE vec_id % 50 = 0),
+         |coarse AS (
+         |  SELECT qid, e.vec_id AS nn_id, e.embedding, qe,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      ${duckDot("qe16", "e.e16")} /
+         |      (sqrt(${duckDot("qe16", "qe16")}) *
+         |       sqrt(${duckDot("e.e16", "e.e16")})) DESC,
+         |      e.vec_id) AS crank
+         |  FROM q JOIN v e ON qid <> e.vec_id),
+         |c50 AS (SELECT * FROM coarse WHERE crank <= 50),
+         |rr AS (
+         |  SELECT qid, nn_id, crank,
+         |    ${duckDot("qe", "embedding")} /
+         |      (sqrt(${duckDot("qe", "qe")}) *
+         |       sqrt(${duckDot("embedding", "embedding")})) AS cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      ${duckDot("qe", "embedding")} /
+         |      (sqrt(${duckDot("qe", "qe")}) *
+         |       sqrt(${duckDot("embedding", "embedding")})) DESC,
+         |      nn_id) AS rank
+         |  FROM c50)
+         |SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank,
+         |  CAST(crank AS INTEGER) AS crank, round(cos, 9) AS cos
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q_ann_mips_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
