@@ -690,6 +690,29 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // Exponentially time-decayed engagement score — Σ value·e^(−λ·age),
+    // λ = ln2/7 (7-day half-life): the recency-weighted leaderboard
+    // metric. Unlike a windowed sum, decay needs NO window at all —
+    // the weight is a pure per-row function of age, so the whole score
+    // is one partial-aggregable scan pass (and two scores with
+    // different half-lives cost the same pass). Age is exact integer
+    // days (div) before the float exp; rounded 6 dp.
+    "q_agg_decay_score" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val gmax = ev.agg(max(unix_millis(col("ts"))).as("gm"))
+      ev.select(col("user_id"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+        .crossJoin(broadcast(gmax))
+        .withColumn("age_d", expr("(gm - ms) div 86400000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") *
+            exp(lit(-math.log(2.0) / 7.0) * col("age_d"))), 6)
+            .as("decayed_score"))
+        .filter(col("user_id") % 25 === 0)
+        .orderBy(col("user_id"))
+    }),
+
     // HLL PRECISION SIZING CURVE — the table an engineer reads before
     // picking lgK for a 100 TB distinct-count sketch: one single-pass
     // aggregate builds sketches at lgK = 4..14 side by side (sketch
@@ -1163,6 +1186,18 @@ object AggregationQueries extends QueryCatalog {
         |         CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
         |        (COUNT(*) * (COUNT(*) - 1)), 6) AS variance
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_decay_score" ->
+      """WITH g AS (SELECT max(epoch_ms(ts)) AS gm FROM events),
+        |x AS (
+        |  SELECT user_id, value,
+        |    (gm - epoch_ms(ts)) // 86400000 AS age_d
+        |  FROM events, g)
+        |SELECT user_id, COUNT(*) AS n,
+        |  round(SUM(value * exp(-ln(2) / 7 * age_d)), 6)
+        |    AS decayed_score
+        |FROM x GROUP BY user_id HAVING user_id % 25 = 0
+        |ORDER BY user_id""".stripMargin,
 
     "q_agg_hll_error_curve" ->
       """WITH e AS (SELECT COUNT(DISTINCT user_id) AS exact_users

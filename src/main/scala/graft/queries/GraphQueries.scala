@@ -162,6 +162,36 @@ object GraphQueries extends QueryCatalog {
         .limit(10)
     }),
 
+    // LOCAL clustering coefficient — per-node cliquishness
+    // lcc(u) = 2·t(u) / (d(u)·(d(u)−1)), the node-level companion of
+    // the global triangle count: per edge (u,v), the closed wedges at u
+    // are |N(u) ∩ N(v)|, summed and halved (each triangle at u closes
+    // through two of its edges). Neighbor sets ride as sorted arrays on
+    // a node-keyed join — the same adjacency-list join shape as the
+    // Jaccard query; per-row set intersection is an array op, no
+    // wedge-explosion join. Top-10 by degree.
+    "q_graph_local_clustering" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      val edges = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v")))
+      val nbrs = edges.groupBy(col("u"))
+        .agg(sort_array(collect_set(col("v"))).as("ns"))
+      val tri = edges
+        .join(nbrs, Seq("u"))
+        .join(nbrs.select(col("u").as("v"), col("ns").as("ns_v")),
+          Seq("v"))
+        .groupBy(col("u"))
+        .agg((sum(size(array_intersect(col("ns"), col("ns_v")))) / 2)
+          .cast("long").as("t"), count(lit(1)).as("d"))
+      tri.filter(col("d") >= 2)
+        .select(col("u").as("supplier"), col("d").as("degree"), col("t")
+          .as("triangles"),
+          round(lit(2.0) * col("t") / (col("d") * (col("d") - 1)), 6)
+            .as("lcc"))
+        .orderBy(col("degree").desc, col("supplier"))
+        .limit(10)
+    }),
+
     // Degree assortativity (Newman 2002): Pearson correlation of the
     // endpoint degrees over the edge list — one number separating
     // hub-to-hub networks (> 0) from hub-and-spoke ones (< 0), the
@@ -326,6 +356,26 @@ object GraphQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_graph_local_clustering" ->
+      s"""WITH $edgesCte,
+         |sym AS (
+         |  SELECT u, v FROM edges
+         |  UNION ALL SELECT v AS u, u AS v FROM edges),
+         |nbrs AS (
+         |  SELECT u, list_sort(list(DISTINCT v)) AS ns FROM sym
+         |  GROUP BY u),
+         |tri AS (
+         |  SELECT s.u,
+         |    CAST(SUM(len(list_intersect(a.ns, b.ns))) // 2 AS BIGINT)
+         |      AS t,
+         |    COUNT(*) AS d
+         |  FROM sym s JOIN nbrs a ON s.u = a.u JOIN nbrs b ON s.v = b.u
+         |  GROUP BY s.u)
+         |SELECT u AS supplier, d AS degree, t AS triangles,
+         |  round(2.0 * t / (d * (d - 1)), 6) AS lcc
+         |FROM tri WHERE d >= 2
+         |ORDER BY degree DESC, supplier LIMIT 10""".stripMargin,
+
     "q_graph_hits" ->
       """WITH edges AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
