@@ -481,6 +481,148 @@ object StatsQueries extends QueryCatalog {
             lit(2.0) * col("six").cast("double") /
               (col("n") * col("sx").cast("double")) -
               (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+    }),
+
+    // CUSUM changepoint detection on the daily event-volume series —
+    // "where did the level shift?" for an ingest monitor. CUSUM_t =
+    // Σ_{i≤t}(x_i − x̄) peaks at the most likely change location. Scale
+    // shape: the N-row stream collapses to per-day counts first, so the
+    // ordered cumulative runs over the DAY domain (|D| ≪ N); the running
+    // sum stays BIGINT (exact) and the mean subtraction is i·(Σx/|D|) —
+    // two double ops per day, identical fold order in both engines. The
+    // argmax day is recovered against the 6-dp-rounded peak so a sub-6dp
+    // FP wiggle can never flip the reported changepoint.
+    "q_stats_cusum" -> ((s, dir) => {
+      val perDay = Tables.events(s, dir)
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      val tot = perDay.agg(
+        sum(col("x")).cast("double").as("sx"),
+        count(lit(1)).cast("double").as("nd"))
+      val wc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay
+        .withColumn("cs", sum(col("x")).over(wc))
+        .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+        .crossJoin(broadcast(tot))
+        .withColumn("a", round(abs(
+          col("cs").cast("double") - col("i") * (col("sx") / col("nd"))), 6))
+        .withColumn("mx", max(col("a")).over(Window.partitionBy()))
+        .agg(
+          max(col("a")).as("max_abs_cusum"),
+          min(when(col("a") === col("mx"), col("day"))).as("cp_day"),
+          count(lit(1)).as("n_days"))
+    }),
+
+    // Additive seasonal decomposition of daily order revenue: trend =
+    // centered 7-day moving average, seasonal = per-day-of-week mean of
+    // the detrended series (the STL-lite a forecasting pipeline runs
+    // before modeling). Parity trick: the detrended value is kept EXACT
+    // as 7·revenue − Σ₇revenue in DECIMAL (no division until the end),
+    // so the per-DoW aggregation is order-insensitive; one final DOUBLE
+    // division by 7·n. DoW comes from the epoch-day index mod 7 (both
+    // engines agree by construction; named weekday functions differ in
+    // origin across engines). Interior days only (full 7-day window).
+    "q_stats_seasonal" -> ((s, dir) => {
+      val perDay = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      perDay
+        .withColumn("s7", sum(col("rev")).over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .filter(col("c7") === 7)
+        .withColumn("det7", lit(7) * col("rev") - col("s7"))
+        .groupBy((col("day") % 7).cast("int").as("dow"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          round(sum(col("det7")).cast("double") /
+            (lit(7.0) * count(lit(1))), 6).as("seasonal"))
+        .orderBy(col("dow"))
+    }),
+
+    // Lagged cross-correlation: does today's click VOLUME predict
+    // purchase REVENUE `lag` days later? Pearson r at lags 0..3 from
+    // exact mergeable sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²):
+    // counts stay BIGINT, revenue stays DECIMAL, the products are
+    // DECIMAL — every sum is order-insensitive, and r is assembled in
+    // doubles only at the very end (the same discipline as
+    // q_agg_sufficient_stats, which makes the window-order-free plan
+    // safe at any scale). The lag shift is an equi-join of the tiny
+    // per-day relation against itself per lag — no window functions.
+    "q_stats_crosscorr" -> ((s, dir) => {
+      val perDay = Tables.events(s, dir)
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("event_type"), col("value"))
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          // Re-narrow the summed revenue to DECIMAL(18,2): keeps y·y at
+          // precision 37 ≤ 38, so the squared products stay EXACT in both
+          // engines instead of silently losing scale past the cap.
+          coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+            lit(0).cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+      val lags = s.range(0, 4).select(col("id").cast("int").as("lag"))
+      val a = perDay.select(col("day"), col("x"))
+      val b = perDay.select(col("day").as("day2"), col("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("day2") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(9,0)") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          round(
+            (col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("r"))
+        .orderBy(col("lag"))
+    }),
+
+    // Two-proportion z-test for an A/B experiment: users are assigned to
+    // arms by a deterministic md5 split (the same engine-replayable hash
+    // the sampling operators use), conversion = "has at least one
+    // purchase event". The z statistic is assembled from four integers
+    // (users and converters per arm) — the aggregation is a single
+    // map-side-combinable pass over per-user flags, and the only doubles
+    // are the final closed-form expression, so parity is exact. This is
+    // the experimentation readout a feature-flag pipeline runs at scale.
+    "q_stats_ab_ztest" -> ((s, dir) => {
+      // Conversion = "made a HIGH-VALUE purchase" — at test SFs nearly
+      // every user purchases at least once, which saturates p at 1 and
+      // zeroes the pooled SE; the value threshold keeps p in (0,1).
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+            "A").otherwise("B"))
+      val z = perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("c_b"))
+      val p  = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      // Degenerate experiment (p = 0 or 1 ⇒ SE = 0) reports NULL z on
+      // both sides instead of tripping ANSI divide-by-zero.
+      z.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        when(se > 0.0,
+          round((col("c_a").cast("double") / col("n_a") -
+            col("c_b").cast("double") / col("n_b")) / se, 6)).as("z"))
     })
   )
 
@@ -795,6 +937,96 @@ object StatsQueries extends QueryCatalog {
         |  round(2.0 * CAST(SUM(i * x) AS DOUBLE) /
         |          (COUNT(*) * CAST(SUM(x) AS DOUBLE)) -
         |        CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q_stats_cusum" ->
+      """WITH pd AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS DOUBLE) AS sx,
+        |             CAST(count(*) AS DOUBLE) AS nd FROM pd),
+        |c AS (SELECT day,
+        |             sum(x) OVER (ORDER BY day) AS cs,
+        |             row_number() OVER (ORDER BY day) AS i FROM pd),
+        |a AS (SELECT day,
+        |             round(abs(CAST(cs AS DOUBLE) - i * (sx / nd)), 6) AS a
+        |      FROM c, t)
+        |SELECT max(a) AS max_abs_cusum,
+        |       min(day) FILTER (WHERE a = (SELECT max(a) FROM a)) AS cp_day,
+        |       count(*) AS n_days
+        |FROM a""".stripMargin,
+
+    "q_stats_seasonal" ->
+      """WITH pd AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev,
+        |    sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |                   AND 3 FOLLOWING) AS s7,
+        |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |                   AND 3 FOLLOWING) AS c7
+        |  FROM pd)
+        |SELECT CAST(day % 7 AS INT) AS dow, count(*) AS n_days,
+        |       round(CAST(sum(7 * rev - s7) AS DOUBLE) / (7.0 * count(*)), 6)
+        |         AS seasonal
+        |FROM w WHERE c7 = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stats_crosscorr" ->
+      """WITH pd AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM pd a
+        |  CROSS JOIN (VALUES (0),(1),(2),(3)) AS l(lag)
+        |  JOIN pd b ON b.day = a.day + l.lag),
+        |s AS (
+        |  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(CAST(x AS DECIMAL(9,0)) * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  round((n * CAST(sxy AS DOUBLE) -
+        |           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        sqrt((n * CAST(sxx AS DOUBLE) -
+        |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |             (n * CAST(syy AS DOUBLE) -
+        |                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM s ORDER BY lag""".stripMargin,
+
+    "q_stats_ab_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |        THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN substring(md5(CAST(min(user_id) AS VARCHAR)), 1, 2)
+        |           < '80' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM pu),
+        |se AS (
+        |  SELECT *,
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 / n_a + 1.0 / n_b)) AS sev
+        |  FROM s)
+        |SELECT n_a, n_b, c_a, c_b,
+        |  CASE WHEN sev > 0.0 THEN
+        |    round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |          / sev, 6) END AS z
+        |FROM se""".stripMargin
   )
 }
