@@ -234,6 +234,29 @@ object JoinQueries extends QueryCatalog {
         .agg(count(lit(1)).as("n"),
           sum(col("tp")).cast("double").as("sum_price"))
         .orderBy(col("priority_key").asc_nulls_first)
+    }),
+
+    // Bloom-pruned semi join — the runtime-filter pattern as an explicit
+    // operator ([[graft.operators.BloomJoin]]): the NATION_7 suppliers'
+    // key set collapses to a 1 KB broadcast bitmap whose membership test
+    // runs in the scan stage (pure codegen xxhash64 + bit probes), so
+    // non-joining fact rows never reach the verify join's shuffle; the
+    // exact semi join then removes bloom false positives, making the
+    // result bit-identical to the plain semi join the oracle runs.
+    "q_join_bloom_prune" -> ((s, dir) => {
+      val dim = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      graft.operators.BloomJoin
+        .prunedSemiJoin(Tables.lineitem(s, dir), col("l_suppkey"),
+          dim, col("s_suppkey"), numWords = 128, numHashes = 5)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -377,6 +400,17 @@ object JoinQueries extends QueryCatalog {
         |  CAST(SUM(o.tp) AS DOUBLE) AS sum_price
         |FROM o JOIN dim d ON o.ok IS NOT DISTINCT FROM d.ok
         |GROUP BY d.ok
-        |ORDER BY priority_key NULLS FIRST""".stripMargin
+        |ORDER BY priority_key NULLS FIRST""".stripMargin,
+
+    "q_join_bloom_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_7')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

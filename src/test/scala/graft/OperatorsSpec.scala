@@ -709,4 +709,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
       "distributed rank diverged from the single-partition window rank")
   }
+
+  test("BloomJoin: candidates ⊇ matches, pruned join exact, empty dim safe") {
+    import graft.operators.BloomJoin
+    val fact = Tables.lineitem(spark, sf).select(col("l_suppkey"))
+    val dim = Tables.supplier(spark, sf)
+      .filter(col("s_suppkey") % 3 === 0).select(col("s_suppkey"))
+    val exact = fact.join(dim.distinct(),
+      col("l_suppkey") === col("s_suppkey"), "left_semi")
+    // Tiny filter (64 words) to force a visible false-positive regime:
+    // candidates must still be a superset of the true matches…
+    val cand = BloomJoin.candidates(fact, col("l_suppkey"), dim,
+      col("s_suppkey"), numWords = 64, numHashes = 5)
+    assert(cand.count() >= exact.count(),
+      "bloom prefilter dropped true matches (false negative!)")
+    // …and the verified join must be bit-identical to the plain semi join
+    // at ANY filter size, saturated or roomy.
+    for (words <- Seq(1, 64, 1024)) {
+      val pruned = BloomJoin.prunedSemiJoin(fact, col("l_suppkey"), dim,
+        col("s_suppkey"), numWords = words, numHashes = 5)
+        .select(col("l_suppkey"))
+      assert(pruned.count() == exact.count(), s"numWords=$words count")
+      assert(pruned.except(exact).count() == 0 &&
+        exact.except(pruned).count() == 0, s"numWords=$words contents")
+    }
+    // Empty dim ⇒ all-zero bitmap ⇒ zero candidates, no error.
+    val none = BloomJoin.prunedSemiJoin(fact, col("l_suppkey"),
+      dim.filter(lit(false)), col("s_suppkey"))
+    assert(none.count() == 0L)
+  }
 }
