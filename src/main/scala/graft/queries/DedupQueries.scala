@@ -396,6 +396,37 @@ object DedupQueries extends QueryCatalog {
         .agg(count(lit(1)).as("n_rep"),
           countDistinct(col("gram")).as("n_grams"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Probabilistic record linkage (operators/EntityResolution, the
+    // Fellegi–Sunter accumulate-evidence shape): blocking on
+    // (nation, coarse balance bucket) bounds the pair space, then three
+    // field comparisons — market segment, balance proximity, key
+    // adjacency — each add a positive agreement weight or a negative
+    // disagreement weight; pairs above threshold are linkage candidates.
+    // DECIMAL weights keep the evidence sum exact on both engines. The
+    // one shuffle is the block-keyed self equi-join.
+    "q_er_link" -> ((s, dir) => {
+      import graft.operators.EntityResolution._
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"),
+          floor(col("c_acctbal") / 500.0).cast("long").as("bal_bucket"))
+      val pairs = blockPairs(cust, Seq("c_nationkey", "bal_bucket"),
+        "c_custkey")
+      val score = matchWeight(Seq(
+        FieldWeight(col("a_c_mktsegment") === col("b_c_mktsegment"),
+          BigDecimal("2.0"), BigDecimal("-1.5")),
+        FieldWeight(abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 50.0,
+          BigDecimal("3.0"), BigDecimal("-0.5")),
+        FieldWeight(abs(col("a_c_custkey") - col("b_c_custkey")) <= 5,
+          BigDecimal("1.0"), BigDecimal("-0.3"))))
+      pairs
+        .select(col("a_c_custkey").as("key_a"),
+          col("b_c_custkey").as("key_b"),
+          score.cast("double").as("score"))
+        .filter(col("score") >= 1.5)
+        .orderBy(col("key_a"), col("key_b"))
     })
   )
 
@@ -632,6 +663,30 @@ object DedupQueries extends QueryCatalog {
          |SELECT g.doc_id, count(*) AS n_rep,
          |       count(DISTINCT g.gram) AS n_grams
          |FROM g JOIN rep ON g.gram = rep.gram
-         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_er_link" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+        |    CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |    (CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |          THEN CAST(2.0 AS DECIMAL(6,1))
+        |          ELSE CAST(-1.5 AS DECIMAL(6,1)) END +
+        |     CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0
+        |          THEN CAST(3.0 AS DECIMAL(6,1))
+        |          ELSE CAST(-0.5 AS DECIMAL(6,1)) END +
+        |     CASE WHEN abs(a.c_custkey - b.c_custkey) <= 5
+        |          THEN CAST(1.0 AS DECIMAL(6,1))
+        |          ELSE CAST(-0.3 AS DECIMAL(6,1)) END) AS score
+        |  FROM c a JOIN c b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.bal_bucket = b.bal_bucket
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT ka AS key_a, kb AS key_b, CAST(score AS DOUBLE) AS score
+        |FROM pairs WHERE CAST(score AS DOUBLE) >= 1.5
+        |ORDER BY key_a, key_b""".stripMargin
   )
 }

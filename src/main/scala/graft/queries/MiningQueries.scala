@@ -57,6 +57,62 @@ object MiningQueries extends QueryCatalog {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Item-item collaborative filtering: cosine similarity over binary
+    // basket membership — cos(i,j) = |orders with both| / √(nᵢ·nⱼ), the
+    // classic "customers who bought X also bought Y" kernel. Scale
+    // shape: baskets dedup to (order, item) FIRST; the pair enumeration
+    // is the order-keyed self equi-join (quadratic per basket only);
+    // per-item totals re-join on the item key. Ranking uses the
+    // 6-dp-ROUNDED score with (pa, pb) tie-breaks, so the top-20 cut is
+    // engine-deterministic even among near-equal cosines.
+    "q_rec_item_cosine" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val ni = b.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val co = b.as("x").join(b.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("c"))
+      co.join(ni.select(col("p").as("pa"), col("n").as("na")), Seq("pa"))
+        .join(ni.select(col("p").as("pb"), col("n").as("nb")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("c").as("support"),
+          round(col("c") / sqrt(col("na").cast("double") * col("nb")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
+    // A-priori frequent 3-itemsets: candidate triples are enumerated by
+    // EXTENDING frequent pairs only (the downward-closure prune), never
+    // by a blind 3-way basket join — per-order pair instances are first
+    // semi-joined against L2 (pairs with support ≥ 2), the third item
+    // joins in only where (pb,pc) and (pa,pc) are also frequent, and the
+    // final count keeps triples at support ≥ 2. At scale the prune is
+    // the whole game: the unpruned triple space is |basket|³-ish, while
+    // candidates extend the (tiny) frequent-pair relation.
+    "q_basket_triples" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairInst = b.as("x").join(b.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.o").as("o"), col("x.p").as("pa"), col("y.p").as("pb"))
+      val l2 = pairInst.groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        .select(col("pa"), col("pb"))
+      val freqPairInst = pairInst.join(l2, Seq("pa", "pb"), "left_semi")
+      freqPairInst
+        .join(b.select(col("o"), col("p").as("pc")), Seq("o"))
+        .filter(col("pc") > col("pb"))
+        .join(l2.toDF("pb", "pc"), Seq("pb", "pc"), "left_semi")
+        .join(l2.toDF("pa", "pc"), Seq("pa", "pc"), "left_semi")
+        .groupBy(col("pa"), col("pb"), col("pc"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("pa"), col("pb"), col("pc"))
+    }),
+
     "q_text_chunk_overlap" -> ((s, dir) => {
       val newTok = ChunkSize - ChunkStride
       Tables.documents(s, dir)
