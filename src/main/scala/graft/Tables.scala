@@ -22,19 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true` — set
-    * by every session builder in this repo). Normalize it here to a proper
-    * timestamp via *integer* division to micros: ns-since-epoch ≈ 1.7e18
-    * exceeds double precision, so FP division would corrupt low bits.
+  /** `events.ts` arrives in whatever encoding the generator used, and the
+    * engine's contract downstream is a session-TZ `TIMESTAMP`. Normalize
+    * every encoding seen in the wild here, once, so no query ever touches a
+    * raw `ts`:
+    *   - `LongType`: Parquet TIMESTAMP(NANOS) read as a raw long
+    *     (`spark.sql.legacy.parquet.nanosAsLong=true` — set by every session
+    *     builder in this repo). Integer division to micros: ns-since-epoch
+    *     ≈ 1.7e18 exceeds double precision, so FP division would corrupt
+    *     low bits.
+    *   - `TimestampNTZType`: Parquet timestamp[us] with isAdjustedToUTC=
+    *     false (pandas/pyarrow default). The session TZ is pinned to UTC by
+    *     every builder, so the NTZ→TIMESTAMP cast is a pure re-tag of the
+    *     same instant — no value shift.
+    *   - `TimestampType`: already the contract; pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NtEscape].getName, "graft_nt_escape"),
       NtEscape.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
+    // Post-operator-batch slot (runs ONCE, after InferFiltersFromConstraints
+    // et al.) — the same placement Spark gives its own InjectRuntimeFilter:
+    // inside the fixed-point batch, constraint inference would mirror the
+    // injected might_contain back onto the build side through the join
+    // equality, bloom-filtering the build against itself.
+    ext.injectPreCBORule(_ => BloomJoinInject)
   }
 }

@@ -489,7 +489,7 @@ object AggregationQueries extends QueryCatalog {
     // partial-aggregable. Scale analysis on the operator.
     "q_profile_events" -> ((s, dir) => {
       val src = Tables.events(s, dir).select(col("user_id"),
-        col("event_type"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+        col("event_type"), col("value"), epochMs(col("ts")).as("ts_ms"))
       graft.operators.Profiler.profile(src,
         numericCols = Seq("user_id", "value", "ts_ms"),
         stringCols = Seq("event_type"))
@@ -617,7 +617,7 @@ object AggregationQueries extends QueryCatalog {
     "q_agg_regression" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"),
-          (unix_millis(col("ts")).cast("double") / 86400000.0).as("x"),
+          (epochMs(col("ts")).cast("double") / 86400000.0).as("x"),
           col("value").cast("double").as("y"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -699,9 +699,9 @@ object AggregationQueries extends QueryCatalog {
     // days (div) before the float exp; rounded 6 dp.
     "q_agg_decay_score" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val gmax = ev.agg(max(unix_millis(col("ts"))).as("gm"))
+      val gmax = ev.agg(max(epochMs(col("ts"))).as("gm"))
       ev.select(col("user_id"), col("value"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
         .crossJoin(broadcast(gmax))
         .withColumn("age_d", expr("(gm - ms) div 86400000"))
         .groupBy(col("user_id"))

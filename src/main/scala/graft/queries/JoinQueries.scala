@@ -187,10 +187,10 @@ object JoinQueries extends QueryCatalog {
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"),
           col("event_id").as("view_event_id"),
-          unix_millis(col("ts")).as("view_ms"))
+          epochMs(col("ts")).as("view_ms"))
       graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts")
         .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("click_ms"),
+          epochMs(col("ts")).as("click_ms"),
           col("view_event_id"), col("view_ms"))
         .orderBy(col("event_id"))
     }),
@@ -208,11 +208,11 @@ object JoinQueries extends QueryCatalog {
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"),
           col("event_id").as("view_event_id"),
-          unix_millis(col("ts")).as("view_ms"))
+          epochMs(col("ts")).as("view_ms"))
       graft.operators.AsOfJoin
         .asOfForward(purchases, views, "user_id", "ts")
         .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("purchase_ms"),
+          epochMs(col("ts")).as("purchase_ms"),
           col("view_event_id"), col("view_ms"))
         .orderBy(col("event_id"))
     }),
@@ -257,6 +257,46 @@ object JoinQueries extends QueryCatalog {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // The AUTOMATIC form of q_join_bloom_prune: no operator call — the
+    // query is the plain filtered-dim join, and the runtime bloom filter
+    // is injected by [[graft.plans.BloomJoinInject]], the optimizer rule
+    // that spots the selective small build side and rewrites the probe
+    // scan to pre-filter on a scalar-subquery bloom of the build keys.
+    // Runs in a child session (`newSession` shares the SparkContext and
+    // extensions but isolates SQL conf) so enabling the rule — and
+    // thresholds low enough to fire at test SF; the defaults are sized
+    // for the 100 TB regime — cannot leak into sibling queries. Spark's
+    // own runtime filter is disabled in that session so the asserted
+    // bloom is provably this rule's. The oracle is the UNREWRITTEN join:
+    // result identity is the rule's exactness contract.
+    "q_join_bloom_auto" -> ((s, dir) => {
+      val s2 = s.newSession()
+      // Per-session registration path for plain (extension-less) sessions —
+      // the public `experimental` hook schedules the rule in the late
+      // "User Provided Optimizers" batch, after constraint inference (the
+      // withExtensions path lands it in the equivalent preCBO slot).
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.BloomJoinInject
+      s2.conf.set("spark.graft.runtimeBloom.enabled", "true")
+      s2.conf.set("spark.graft.runtimeBloom.maxCreationSideBytes",
+        (64L * 1024 * 1024).toString)
+      s2.conf.set("spark.graft.runtimeBloom.minSizeRatio", "1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // Keep the verify join a SHUFFLE join — the regime the bloom is
+      // for; with broadcast enabled the planner would hide the win.
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Tables.supplier(s2, dir)
+        .filter(col("s_nationkey") === 7)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s2, dir)
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -285,6 +325,12 @@ object JoinQueries extends QueryCatalog {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q_join_bloom_auto" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 7
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_rel_division" ->
       """WITH divisor AS (
         |  SELECT p_partkey FROM part WHERE p_partkey IN (20, 40)),

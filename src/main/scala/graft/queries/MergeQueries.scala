@@ -112,14 +112,14 @@ object MergeQueries extends QueryCatalog {
       val changes = ev
         .filter(col("event_type").isin("signup", "purchase", "error"))
         .select(col("user_id"), col("event_id"),
-          col("event_type").as("status"), unix_millis(col("ts")).as("ms"))
+          col("event_type").as("status"), epochMs(col("ts")).as("ms"))
       val hist = graft.operators.Scd2.buildHistory(changes, col("user_id"),
           col("ms"), col("event_id"), col("status"))
         .select(col("key").as("user_id"), col("valid_from").as("ms"),
           col("attr_value").as("status_at"), col("version"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
       graft.operators.AsOfJoin.asOf(clicks, hist, "user_id", "ms")
         .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
           col("status_at"), col("version"))

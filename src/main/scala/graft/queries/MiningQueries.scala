@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.epochMs
 
 /** Corpus-mining operators for the LLM training-data pipeline (builder
   * brief: dedup / similarity / text analysis are first-class alongside
@@ -328,7 +329,7 @@ object MiningQueries extends QueryCatalog {
     // order both engines replay exactly; no doubles are serialized.
     "q_events_to_sequences" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-        col("event_type"), unix_millis(col("ts")).as("ms"))
+        col("event_type"), epochMs(col("ts")).as("ms"))
       ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           md5(array_join(
@@ -378,7 +379,7 @@ object MiningQueries extends QueryCatalog {
         .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"), col("value"))
+          epochMs(col("ts")).as("ms"), col("value"))
         .withColumn("pv", lag(col("value"), 1).over(w))
         .withColumn("nv", lead(col("value"), 1).over(w))
         .filter(col("pv") > col("value") && col("nv") > col("value"))
@@ -402,10 +403,10 @@ object MiningQueries extends QueryCatalog {
       import graft.operators.GlobalRank
       val ev = Tables.events(s, dir)
       val per = ev.groupBy(col("user_id"))
-        .agg(max(unix_millis(col("ts"))).as("last_ms"),
+        .agg(max(epochMs(col("ts"))).as("last_ms"),
           count(lit(1)).as("f"),
           sum(col("value").cast("decimal(18,6)")).as("m"))
-      val gmax = ev.agg(max(unix_millis(col("ts"))).as("gms"))
+      val gmax = ev.agg(max(epochMs(col("ts"))).as("gms"))
       val base = per.crossJoin(broadcast(gmax))
         .withColumn("r_days", expr("(gms - last_ms) div 86400000"))
       val n = base.agg(count(lit(1)).as("n_users"))
@@ -451,10 +452,10 @@ object MiningQueries extends QueryCatalog {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("pid"),
-          unix_millis(col("ts")).as("pms"))
+          epochMs(col("ts")).as("pms"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("vid"),
-          unix_millis(col("ts")).as("vms"))
+          epochMs(col("ts")).as("vms"))
       val SevenDays = 7L * 86400000L
       val touches = purchases.join(views, Seq("user_id"))
         .filter(col("vms") < col("pms") &&
@@ -592,6 +593,48 @@ object MiningQueries extends QueryCatalog {
          |WHERE ${duckDot("a.embedding", "b.embedding")} /
          |  (a.nrm * b.nrm) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Replays the cosine kernel directly: dedup to binary baskets, the
+    // order-keyed self-join for co-occurrence, per-item totals re-joined.
+    "q_rec_item_cosine" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ni AS (SELECT p, COUNT(*) AS n FROM b GROUP BY p),
+        |co AS (
+        |  SELECT x.p AS pa, y.p AS pb, COUNT(*) AS c
+        |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, c AS support,
+        |  round(c / sqrt(na.n::DOUBLE * nb.n), 6) AS cosine
+        |FROM co JOIN ni na ON co.pa = na.p JOIN ni nb ON co.pb = nb.p
+        |ORDER BY cosine DESC, pa, pb LIMIT 20""".stripMargin,
+
+    // The apriori prune replayed as CTEs: L2 = frequent pairs, candidate
+    // triples EXTEND frequent-pair instances only, and both closure edges
+    // (pb,pc) and (pa,pc) must be frequent before counting.
+    "q_basket_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pair_inst AS (
+        |  SELECT x.o AS o, x.p AS pa, y.p AS pb
+        |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p),
+        |l2 AS (
+        |  SELECT pa, pb FROM pair_inst GROUP BY pa, pb
+        |  HAVING COUNT(*) >= 2),
+        |fpi AS (
+        |  SELECT pi.o, pi.pa, pi.pb FROM pair_inst pi
+        |  WHERE EXISTS (SELECT 1 FROM l2
+        |                WHERE l2.pa = pi.pa AND l2.pb = pi.pb)),
+        |tri AS (
+        |  SELECT f.pa, f.pb, c.p AS pc
+        |  FROM fpi f JOIN b c ON f.o = c.o AND c.p > f.pb
+        |  WHERE EXISTS (SELECT 1 FROM l2
+        |                WHERE l2.pa = f.pb AND l2.pb = c.p)
+        |    AND EXISTS (SELECT 1 FROM l2
+        |                WHERE l2.pa = f.pa AND l2.pb = c.p))
+        |SELECT pa, pb, pc, COUNT(*) AS support
+        |FROM tri GROUP BY pa, pb, pc HAVING COUNT(*) >= 2
+        |ORDER BY pa, pb, pc""".stripMargin,
 
     "q_basket_pairs" ->
       """SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.epochMs
 
 /** ML feature-preparation operators — the transforms that sit between the
   * cleaned corpus and model training in a large-scale training-data
@@ -198,8 +199,8 @@ object PrepQueries extends QueryCatalog {
             .otherwise("test"))
         .groupBy(col("split"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          unix_millis(min(col("ts"))).as("min_ms"),
-          unix_millis(max(col("ts"))).as("max_ms"))
+          epochMs(min(col("ts"))).as("min_ms"),
+          epochMs(max(col("ts"))).as("max_ms"))
         .orderBy(col("split"), col("event_type")))
   ,
 

@@ -101,8 +101,8 @@ object SourceSinkQueries extends QueryCatalog {
         Seq(col("ts"), col("event_id")))
       s.read.parquet(comp)
         .agg(count(lit(1)).as("n_rows"),
-          unix_millis(min(col("ts"))).as("min_ms"),
-          unix_millis(max(col("ts"))).as("max_ms"),
+          epochMs(min(col("ts"))).as("min_ms"),
+          epochMs(max(col("ts"))).as("max_ms"),
           sum(col("event_id")).as("sum_ids"))
         .crossJoin(broadcast(s.read.parquet(frag)
           .select(input_file_name().as("f"))

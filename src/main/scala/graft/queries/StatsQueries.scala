@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.epochMs
 import graft.operators.DataQuality
 import graft.operators.DataQuality.Check
 
@@ -161,7 +162,7 @@ object StatsQueries extends QueryCatalog {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
       val sessions = ev
         .withColumn("prev", lag(col("ms"), 1).over(wGap))
         .withColumn("new_s",
@@ -200,7 +201,7 @@ object StatsQueries extends QueryCatalog {
         .orderBy(col("ms"), col("event_id"))
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
         .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
         .filter(col("gap").isNotNull)
         .groupBy(col("event_type"))
@@ -225,7 +226,7 @@ object StatsQueries extends QueryCatalog {
     "q_stats_kaplan_meier" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
       val t0 = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ms")).as("t0"))
       val firstP = ev.filter(col("event_type") === "purchase")
@@ -274,10 +275,10 @@ object StatsQueries extends QueryCatalog {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(
-          min(when(col("event_type") === "signup", unix_millis(col("ts"))))
+          min(when(col("event_type") === "signup", epochMs(col("ts"))))
             .as("first_signup"),
           min(when(col("event_type") === "purchase",
-            unix_millis(col("ts")))).as("first_purchase"))
+            epochMs(col("ts")))).as("first_purchase"))
         .select(
           count(lit(1)).as("n_users"),
           sum(when(col("first_purchase").isNotNull &&
@@ -409,7 +410,7 @@ object StatsQueries extends QueryCatalog {
     "q_stats_ohlc" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"),
-          unix_millis(col("ts")).as("ms"), col("event_id"), col("value"))
+          epochMs(col("ts")).as("ms"), col("event_id"), col("value"))
         .groupBy(col("event_type"), col("day"))
         .agg(
           min(struct(col("ms"), col("event_id"), col("value"))).as("o"),
@@ -436,7 +437,7 @@ object StatsQueries extends QueryCatalog {
     // q_agg_argmax trick), no join-back.
     "q_dq_freshness" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        .select(col("event_type"), epochMs(col("ts")).as("ms"),
           to_date(col("ts")).as("day"))
       val perDay = ev.groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))
@@ -494,7 +495,7 @@ object StatsQueries extends QueryCatalog {
     // FP wiggle can never flip the reported changepoint.
     "q_stats_cusum" -> ((s, dir) => {
       val perDay = Tables.events(s, dir)
-        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .select(expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("x"))
       val tot = perDay.agg(
         sum(col("x")).cast("double").as("sx"),
@@ -553,7 +554,7 @@ object StatsQueries extends QueryCatalog {
     // per-day relation against itself per lag — no window functions.
     "q_stats_crosscorr" -> ((s, dir) => {
       val perDay = Tables.events(s, dir)
-        .select(expr("unix_millis(ts) div 86400000").as("day"),
+        .select(expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"),
           col("event_type"), col("value"))
         .groupBy(col("day"))
         .agg(

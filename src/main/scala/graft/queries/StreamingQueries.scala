@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.epochMs
 import graft.streaming.EventPipelines
 
 import graft.operators.Checkpoints.CutOps
@@ -185,7 +186,7 @@ object StreamingQueries extends QueryCatalog {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
         .withColumn("hwm", max(col("ms")).over(w))
         .withColumn("late",
           col("hwm").isNotNull && col("ms") < col("hwm") - 1800000L)

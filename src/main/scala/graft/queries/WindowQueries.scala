@@ -229,7 +229,7 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("ms"), col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("value"),
-          unix_millis(col("ts")).as("ms"))
+          epochMs(col("ts")).as("ms"))
         .withColumn("dt", lead(col("ms"), 1).over(w) - col("ms"))
         .filter(col("dt").isNotNull)
         .groupBy(col("user_id"))
@@ -281,7 +281,7 @@ object WindowQueries extends QueryCatalog {
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"), col("value"))
+          epochMs(col("ts")).as("ms"), col("value"))
         .withColumn("med7",
           round(expr("percentile(value, 0.5D)").over(w), 6))
         .filter(col("user_id") % 10 === 0)
@@ -342,7 +342,7 @@ object WindowQueries extends QueryCatalog {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") % 25 === 0)
         .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"), col("value"))
+          epochMs(col("ts")).as("ms"), col("value"))
       val lags = (0 to 7).map(k => lag(col("value"), k).over(w).as(s"l$k"))
       val withLags = ev.select(Seq(col("user_id"), col("event_id"),
         col("ms"), col("value")) ++ lags: _*)

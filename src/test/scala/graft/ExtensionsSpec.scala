@@ -107,6 +107,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomJoinInject adds one runtime bloom filter and preserves results") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    // range-backed inputs: a local Seq would be folded to a LocalRelation
+    // (filter and all), erasing the selective-Filter node the rule keys on
+    val probe = spark.range(10000)
+      .select((col("id") % 500).as("k"), col("id").as("v"))
+    val build = spark.range(1, 501).select(col("id").as("bk"))
+      .filter(col("bk") % 50 === 0) // the selective-build heuristic trigger
+    def run() = probe.join(build, col("k") === col("bk"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .orderBy(col("k"))
+    val baseline = run().collect().toSeq // conf off: rule must not fire
+    assert(!run().queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain]))))
+    spark.conf.set("spark.graft.runtimeBloom.enabled", "true")
+    spark.conf.set("spark.graft.runtimeBloom.minSizeRatio", "1")
+    try {
+      val df = run()
+      // fires exactly once — the fixed-point batch re-runs the rule, so
+      // a non-idempotent version would stack a filter per pass
+      val n = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+      }.size
+      assert(n == 1, s"expected exactly one injected bloom filter, got $n:\n" +
+        df.queryExecution.optimizedPlan)
+      assert(df.collect().toSeq == baseline, "rewrite changed the result")
+    } finally {
+      spark.conf.unset("spark.graft.runtimeBloom.enabled")
+      spark.conf.unset("spark.graft.runtimeBloom.minSizeRatio")
+    }
+  }
+
   test("radius theta-join is rewritten to a grid-bucketed equi-join") {
     import spark.implicits._
     val a = (1 to 200).map(i => (i.toLong, (i % 20) / 2.0, (i % 10) / 2.0))
