@@ -10,6 +10,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop join in KNN plan")
   }
 
+  test("q_join_bloom_auto gets exactly one injected runtime bloom filter") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val df = SparkEntry.queries("q_join_bloom_auto")(spark, sf)
+    val blooms = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(blooms.size == 1,
+      s"expected one injected bloom on the parquet probe, got ${blooms.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    // and the probe side it guards is the fact scan, not the dim
+    assert(blooms.head.toString.contains("l_suppkey"),
+      "bloom was not keyed on the probe's join key:\n" + blooms.head)
+  }
+
   test("facet-partitioned read prunes partitions") {
     val df = SparkEntry.queries("q_facet_partitioned")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
