@@ -43,6 +43,45 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("n_nationkey"))
     }),
 
+    // S7 closed natively: the shp2pgsql twin. Two shapefile pairs (a
+    // point layer + a polygon layer with an interior hole — the
+    // reference's sites/postcode shapes) are written as deterministic
+    // binary fixtures, then loaded DISTRIBUTED via sources/Shapefile
+    // (binaryFile → per-file parse → geometry ⋈ .dbf attrs on record
+    // order). The oracle states the expected relation as golden VALUES —
+    // byte-offsets per the public ESRI spec, so a parser regression on
+    // any field (record pairing, ring slicing, attr widths) hash-fails.
+    "q_shp_load" -> ((s, dir) => {
+      import graft.sources.Shapefile
+      import graft.sources.Shapefile.{PointShape, PolygonShape}
+      val base = tmp(s, "shp_fixture")
+      Shapefile.writeShp(s"$base/sites.shp", Seq(
+        PointShape(153.0, -27.5), PointShape(151.25, -33.9),
+        PointShape(145.75, -16.9)))
+      Shapefile.writeDbf(s"$base/sites.dbf",
+        Seq(("NAME", 10), ("CODE", 4)),
+        Seq(Seq("BRISBANE", "4000"), Seq("SYDNEY", "2000"),
+          Seq("CAIRNS", "4870")))
+      Shapefile.writeShp(s"$base/zones.shp", Seq(
+        PolygonShape(Seq(
+          Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)),
+          Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)))),
+        PolygonShape(Seq(
+          Seq((20.0, 0.0), (20.0, 5.0), (25.0, 5.0), (25.0, 0.0), (20.0, 0.0))))))
+      Shapefile.writeDbf(s"$base/zones.dbf",
+        Seq(("NAME", 10), ("CODE", 4)),
+        Seq(Seq("ZONE_A", "Z1"), Seq("ZONE_B", "Z2")))
+      Shapefile.readShapefile(s, s"$base/*.shp", s"$base/*.dbf")
+        .select(
+          regexp_replace(regexp_extract(col("src_file"), "([^/]+)$", 1),
+            "\\.shp$", "").as("layer"),
+          col("record_no"), col("shape_type"),
+          element_at(col("attrs"), "NAME").as("name"),
+          element_at(col("attrs"), "CODE").as("code"),
+          col("wkt"))
+        .orderBy(col("layer"), col("record_no"))
+    }),
+
     // ORC sink → source round-trip with a PUSHED filter on the re-read
     // (the second columnar format: same relational content must survive
     // the format change, and the predicate reaches the ORC scan).
@@ -289,6 +328,20 @@ object SourceSinkQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_shp_load" ->
+      """SELECT * FROM (VALUES
+        |  ('sites', CAST(1 AS INT), CAST(1 AS INT), 'BRISBANE', '4000',
+        |   'POINT (153.0 -27.5)'),
+        |  ('sites', CAST(2 AS INT), CAST(1 AS INT), 'SYDNEY', '2000',
+        |   'POINT (151.25 -33.9)'),
+        |  ('sites', CAST(3 AS INT), CAST(1 AS INT), 'CAIRNS', '4870',
+        |   'POINT (145.75 -16.9)'),
+        |  ('zones', CAST(1 AS INT), CAST(5 AS INT), 'ZONE_A', 'Z1',
+        |   'POLYGON ((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0), (2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))'),
+        |  ('zones', CAST(2 AS INT), CAST(5 AS INT), 'ZONE_B', 'Z2',
+        |   'POLYGON ((20.0 0.0, 20.0 5.0, 25.0 5.0, 25.0 0.0, 20.0 0.0))'))
+        |  AS t(layer, record_no, shape_type, name, code, wkt)
+        |ORDER BY layer, record_no""".stripMargin,
     "q_compact_files" ->
       """SELECT COUNT(*) AS n_rows,
         |  epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms,
