@@ -377,6 +377,42 @@ object DedupQueries extends QueryCatalog {
     // counts drive span excision upstream. Scale shape: positional grams
     // explode ~|words| rows/doc; the repeated-gram set is one
     // partial-aggregable groupBy (countDistinct doc_id > 1) and rides
+    // Cross-corpus SEGMENT (line) dedup — the CCNet/RefinedWeb
+    // boilerplate-removal step: a doc's repeated lines (nav bars, cookie
+    // banners, license headers) are exactly the segments whose DOCUMENT
+    // frequency across the corpus is high. Docs split into fixed 3-token
+    // segments (the corpus has no newlines — the splitter is the honest
+    // proxy; the mechanism is the point), each segment's df counts
+    // DISTINCT docs on an md5 segment key (slim shuffle — at 100 TB the
+    // segment text never shuffles, only its 16-byte hash + doc id), and
+    // docs reassemble ordered with df≥5 segments dropped. Per-doc output
+    // keeps the audit (n_segs, n_dropped) plus the cleaned-text md5 so
+    // the gate hashes reassembly fidelity without hauling document
+    // bodies through the compare.
+    "q_dedup_lines" -> ((s, dir) => {
+      val W = 3
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+            .as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("s0", explode(expr(s"sequence(0, n - 1, $W)")))
+        .select(col("doc_id"), (col("s0") / W).cast("int").as("seg_idx"),
+          concat_ws(" ", expr(s"slice(t, s0 + 1, $W)")).as("seg"))
+        .withColumn("sm", md5(col("seg")))
+      val df = segs.groupBy(col("sm"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(df, Seq("sm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_dropped"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(seg_idx, " +
+              "CASE WHEN df < 5 THEN seg END AS kept))), x -> x.kept)")))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // back on a gram-keyed equi-join — production variants key both
     // sides on a 64-bit gram fingerprint to slim the shuffle; the string
     // key stays here so the DuckDB oracle replays it verbatim.
@@ -476,6 +512,29 @@ object DedupQueries extends QueryCatalog {
        |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q_dedup_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(s // 3 AS INT) AS seg_idx,
+        |    array_to_string(list_slice(t, s + 1, s + 3), ' ') AS seg
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, len(t) - 1, 3)) AS s
+        |        FROM toks)),
+        |df AS (
+        |  SELECT md5(seg) AS sm, COUNT(DISTINCT doc_id) AS df
+        |  FROM segs GROUP BY 1),
+        |j AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg, d.df
+        |  FROM segs s JOIN df d ON md5(s.seg) = d.sm)
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |  CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(string_agg(CASE WHEN df < 5 THEN seg END, ' '
+        |    ORDER BY seg_idx), '')) AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH $wordsCte
          |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keep_id,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.GraftFunctions._
 
@@ -102,6 +103,45 @@ object EventPipelines {
           state.update(seq)
           out.iterator
       }
+  }
+
+  /** [[enrichWithSeq]] on the `transformWithState` API (Spark 4's
+    * arbitrary-state surface, the successor to flatMapGroupsWithState):
+    * typed `ValueState` via a `StatefulProcessor`, TTL-capable, backed by
+    * the RocksDB state store — the API to reach for when per-key state
+    * outgrows the in-memory HDFS-backed store (exactly the 100 TB keyed-
+    * state regime: state lives off-heap/on-disk per partition, snapshots
+    * ship incrementally to the checkpoint). Semantics are identical to
+    * enrichWithSeq — StreamingSpec proves both produce the same sequence
+    * numbers across micro-batches.
+    */
+  class UserSeqProcessor
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var seq: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[(Long, String, Long)] = {
+      var c = if (seq.exists()) seq.get() else 0L
+      val out = rows.map { case (_, eid) =>
+        c += 1
+        (uid, eid, c)
+      }.toList // materialize before the state write
+      seq.update(c)
+      out.iterator
+    }
+  }
+
+  def enrichWithSeqTws(events: DataFrame): Dataset[(Long, String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        col("event_id").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserSeqProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stream-stream INTERVAL join — purchase-to-view attribution: each

@@ -124,6 +124,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState matches flatMapGroupsWithState across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the new API requires the RocksDB state store — per-query conf,
+    // restored so sibling streaming tests keep the default store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF().toDF("user_id", "event_id")
+    val q = EventPipelines.enrichWithSeqTws(events)
+      .toDF("user_id", "event_id", "seq")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "a"), (1L, "b"), (2L, "x"))
+      q.processAllAvailable()
+      in.addData((1L, "c"), (2L, "y")) // ValueState must carry over
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .orderBy("user_id", "seq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // same contract the flatMapGroupsWithState test asserts
+      assert(rows.filter(_._1 == 1L).map(_._3).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.find(r => r._1 == 1L && r._2 == "c").get._3 == 3L)
+      assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L, 2L))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch streams events into the N-Quads parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
