@@ -346,24 +346,16 @@ object AggregationQueries extends QueryCatalog {
     // totals broadcast; `2·cum ≥ total` avoids any division. Exact
     // decimal weight math end to end — no float in the decision.
     "q_agg_weighted_median" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val rows = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("v"),
-          dec2(col("l_quantity")).as("wt"))
-        .groupBy(col("l_returnflag"), col("v"))
-        .agg(sum(col("wt")).as("w"))
-      val tot = rows.groupBy(col("l_returnflag"))
-        .agg(sum(col("w")).as("tw"))
-      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rows
-        .withColumn("cw", sum(col("w")).over(wc))
-        .join(broadcast(tot), Seq("l_returnflag"))
-        .filter(col("cw") * 2 >= col("tw"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("v").cast("double").as("wmedian"))
+      // operators/WeightedQuantile: the cumulative-weight window runs
+      // range-partitioned over the FULL shuffle width with GlobalRank-
+      // style offsets — a key-partitioned window would funnel each
+      // return-flag's whole value domain through one task (parallelism
+      // 3 at any cluster size).
+      graft.operators.WeightedQuantile
+        .weightedMedian(Tables.lineitem(s, dir), col("l_returnflag"),
+          dec2(col("l_extendedprice")), dec2(col("l_quantity")))
+        .select(col("k").as("l_returnflag"),
+          col("quantile").cast("double").as("wmedian"))
         .orderBy(col("l_returnflag"))
     }),
 

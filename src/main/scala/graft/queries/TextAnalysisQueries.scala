@@ -99,24 +99,31 @@ object TextAnalysisQueries extends QueryCatalog {
             "en").when(col("s_de") >= col("s_fr"), "de").otherwise("fr"))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
-      val tp = cells.filter(col("lang") === col("pred"))
-        .select(col("lang").as("cls"), col("n").as("tp"))
-      val predTot = cells.groupBy(col("pred").as("cls"))
-        .agg(sum(col("n")).as("pt"))
-      val actTot = cells.groupBy(col("lang").as("cls"))
-        .agg(sum(col("n")).as("at"))
-      actTot.join(predTot, Seq("cls"), "left").join(tp, Seq("cls"), "left")
-        .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
-          coalesce(col("pt"), lit(0L)).as("predicted"), col("at").as("actual"),
-          round(when(coalesce(col("pt"), lit(0L)) > 0,
-            coalesce(col("tp"), lit(0L)).cast("double") / col("pt"))
+      // Reshape the 9-row cells relation in ONE pass: each cell credits
+      // pred's predicted-total and lang's actual-total (tp when equal).
+      // The previous tp/predTot/actTot 3-way self-join referenced the
+      // cells subtree three times, and Spark planned three full corpus
+      // scans + langScore passes (no cross-branch CSE) — 3× the work for
+      // the same 5 rows. Classes are those with actual > 0, replicating
+      // the old actTot-driven left joins.
+      cells.select(explode(array(
+          struct(col("pred").as("cls"), lit(0L).as("tp"),
+            col("n").as("pt"), lit(0L).as("at")),
+          struct(col("lang").as("cls"),
+            when(col("lang") === col("pred"), col("n")).otherwise(0L)
+              .as("tp"),
+            lit(0L).as("pt"), col("n").as("at")))).as("c"))
+        .groupBy(col("c.cls").as("cls"))
+        .agg(sum(col("c.tp")).as("tp"), sum(col("c.pt")).as("pt"),
+          sum(col("c.at")).as("at"))
+        .filter(col("at") > 0)
+        .select(col("cls"), col("tp"),
+          col("pt").as("predicted"), col("at").as("actual"),
+          round(when(col("pt") > 0, col("tp").cast("double") / col("pt"))
             .otherwise(0.0), 6).as("prec"), // "precision" is a reserved
                                             // type word in the oracle
-
-          round(coalesce(col("tp"), lit(0L)).cast("double") / col("at"), 6)
-            .as("recall"),
-          round(lit(2.0) * coalesce(col("tp"), lit(0L)) /
-            (coalesce(col("pt"), lit(0L)) + col("at")), 6).as("f1"))
+          round(col("tp").cast("double") / col("at"), 6).as("recall"),
+          round(lit(2.0) * col("tp") / (col("pt") + col("at")), 6).as("f1"))
         .orderBy(col("cls"))
     }),
 

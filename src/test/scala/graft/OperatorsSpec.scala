@@ -710,6 +710,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       "distributed rank diverged from the single-partition window rank")
   }
 
+  test("WeightedQuantile equals the key-partitioned window form") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("decimal(18,2)").as("v"),
+        col("l_quantity").cast("decimal(18,2)").as("w"))
+    def windowed(p: Int, q: Int) = {
+      val rows = df.groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy(col("g"))
+      rows.withColumn("cw", sum(col("w")).over(wc))
+        .withColumn("tw", sum(col("w")).over(wa))
+        .filter(col("cw") * q >= col("tw") * p)
+        .groupBy(col("g")).agg(min(col("v")).as("quantile"))
+        .select(col("g").as("k"), col("quantile"))
+    }
+    for ((p, q) <- Seq((1, 2), (3, 4), (1, 10))) {
+      // numPartitions=7 forces several range partitions so the offset
+      // triangular join is actually exercised on the tiny SF
+      val got = graft.operators.WeightedQuantile
+        .weightedQuantile(df, col("g"), col("v"), col("w"), p, q,
+          numPartitions = 7)
+      val exp = windowed(p, q)
+      assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
+        s"distributed $p/$q-quantile diverged from the window form")
+    }
+  }
+
   test("BloomJoin: candidates ⊇ matches, pruned join exact, empty dim safe") {
     import graft.operators.BloomJoin
     val fact = Tables.lineitem(spark, sf).select(col("l_suppkey"))
