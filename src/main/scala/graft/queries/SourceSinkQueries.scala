@@ -324,10 +324,37 @@ object SourceSinkQueries extends QueryCatalog {
       part.agg(count(lit(1)).as("n_rows"),
           asMoney(sum(dec2(col("s_acctbal")))).as("sum_bal"))
         .crossJoin(push.agg(count(lit(1)).as("n_positive")))
+    }),
+
+    // S2b — V2-catalog JDBC scan with AGGREGATE pushdown: the groupBy
+    // below never runs in Spark; `SELECT n_regionkey, COUNT(*),
+    // MAX(n_nationkey) … GROUP BY` ships to Derby (`PushedAggregates`
+    // asserted in PlanAuditSpec) and only 5 aggregated rows cross the
+    // wire. The oracle recomputes from base parquet — the pushed and
+    // local aggregation must agree exactly.
+    "q_jdbc_agg_pushdown" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftaggdb;create=true"
+      // upper-case table name: the V1 writer's unquoted DDL lets Derby
+      // fold the name, while the V2 catalog QUOTES its lookups — the
+      // only spelling both paths agree on is the folded (upper) one
+      Sources.writeJdbc(
+        Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey")),
+        url, "NATION_AGG")
+      Sources.jdbcCatalog(s, "graftdb", url)
+      s.table("graftdb.NATION_AGG")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("n_nationkey")).as("max_key"))
+        .orderBy(col("n_regionkey"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_jdbc_agg_pushdown" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MAX(n_nationkey) AS max_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
     "q_shp_load" ->
       """SELECT * FROM (VALUES
         |  ('sites', CAST(1 AS INT), CAST(1 AS INT), 'BRISBANE', '4000',

