@@ -128,6 +128,49 @@ object VectorSearch {
       .drop("pid", "ce", "cn", "cos_c", "crank", "grank")
   }
 
+  /** Persist the IVF index — centroids + inverted lists — as parquet.
+    * The serving split every ANN deployment needs: corpus assignment
+    * (the N×C term) runs ONCE at build time; later query batches touch
+    * only the index ([[ivfSearchIndex]]), never the corpus — the ANN
+    * sibling of TextDedup's persisted band index (`q_dedup_incremental`).
+    * Lists are repartitioned by `cid` so each inverted list is clustered
+    * in its own files; at scale add `partitionBy` bucketing so probes
+    * prune at the FILE level. */
+  def ivfWriteIndex(v: DataFrame, centroidModulus: Long, path: String): Unit = {
+    val cents = ivfCentroids(v, centroidModulus)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(v, cents, 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Probe a [[ivfWriteIndex]]-persisted index: assign each query to its
+    * `nprobe` nearest stored centroids, equi-join the stored lists on the
+    * list id (the shuffle key), exact re-rank inside. `queries` must be
+    * [[withNorm]]-shaped; results are identical to [[ivfTopK]] over the
+    * original corpus because centroids, list assignment, cosine
+    * expression and (cos desc, id) tie-break all round-trip exactly. */
+  def ivfSearchIndex(s: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int = 2, k: Int = 3): DataFrame = {
+    graft.plans.DotProduct.register(s)
+    val cents = s.read.parquet(s"$path/centroids")
+    val lists = s.read.parquet(s"$path/lists")
+    val probes = ivfAssign(queries, cents, nprobe)
+      .select(col("cid"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val joined = probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nn_id"), col("rank"),
+        round(col("cos"), 9).as("cos"))
+  }
+
   /** IVF-Flat top-k search: build inverted lists (nearest centroid per
     * corpus vector), probe each query's `nprobe` nearest lists, exact
     * re-rank inside the probed lists. The list id is the shuffle key —

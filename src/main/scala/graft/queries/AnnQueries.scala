@@ -214,6 +214,24 @@ object AnnQueries extends QueryCatalog {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The SERVING split of q_ann_ivf_topk: the index (centroids +
+    // inverted lists, i.e. the N×C assignment cost) persists as parquet
+    // ONCE; the query batch probes only the stored index — the ANN
+    // sibling of q_dedup_incremental's persisted band index. Gated by
+    // the SAME oracle as the in-memory IVF: build→persist→search must be
+    // result-identical to the unsplit pipeline.
+    "q_ann_ivf_persisted" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val CM = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val v = vectors(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+        s"${s.sparkContext.applicationId}/ivf_index"
+      graft.operators.VectorSearch.ivfWriteIndex(v, CM, path)
+      graft.operators.VectorSearch
+        .ivfSearchIndex(s, path, v.filter(isQuery), nprobe = 2, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q_dedup_embedding" -> ((s, dir) => {
       val b = bucketed(s, dir)
       // Salted self-join: 16 sign-buckets over the corpus would otherwise
@@ -512,6 +530,7 @@ object AnnQueries extends QueryCatalog {
   override def oracleSql: Map[String, String] = Map(
     "q_ann_ivf_topk" -> ivfOracle,
     "q_ann_ivf_partitioned" -> ivfOracle,
+    "q_ann_ivf_persisted" -> ivfOracle,
     "q_ann_cosine_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -154,6 +154,32 @@ object TextAnalysisQueries extends QueryCatalog {
             (lit(2) * col("np") * col("nn")), 6).as("auc"))
     }),
 
+    // Calibration curve (reliability table) — the companion readout to
+    // q_eval_auc: does a predicted probability MEAN what it says? Scores
+    // bucket into 10 fixed-width bins; each bin reports predicted-mean
+    // vs observed positive rate and the |gap| that an expected-
+    // calibration-error rollup would weight. Parity discipline: the bin
+    // id is pure integer arithmetic ((m·10) div 997 — floors identically
+    // in both engines), and both means are assembled from exact BIGINT
+    // sums with ONE double division at the end, so bin membership and
+    // 6-dp values can never drift cross-engine. Synthetic score m/996
+    // from n_chars, label doc_id % 3 = 0 (same proxy family as the AUC).
+    "q_eval_calibration" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select((col("doc_id") % 3 === 0).cast("long").as("y"),
+          (col("n_chars") % 997).as("m"))
+        .withColumn("bin", expr("(m * 10) div 997").cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+          sum(col("y")).as("p"))
+        .select(col("bin"), col("n"),
+          round(col("sm") / (lit(996.0) * col("n")), 6).as("mean_score"),
+          round(col("p").cast("double") / col("n"), 6).as("frac_pos"),
+          round(abs(round(col("p").cast("double") / col("n"), 6) -
+            round(col("sm") / (lit(996.0) * col("n")), 6)), 6).as("gap"))
+        .orderBy(col("bin"))
+    }),
+
     // Quality scoring: stopword ratio, uniqueness, length saturation,
     // punctuation penalty → composite score and low/medium/high buckets.
     "q_text_quality" -> ((s, dir) => {
@@ -580,6 +606,22 @@ object TextAnalysisQueries extends QueryCatalog {
         |      SUM(p) * (SUM(p) + 1) AS DOUBLE) /
         |    (2 * SUM(p) * SUM(c - p)), 6) AS auc
         |FROM cum""".stripMargin,
+
+    "q_eval_calibration" ->
+      """WITH sc AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |    n_chars % 997 AS m
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST((m * 10) // 997 AS INT) AS bin,
+        |    COUNT(*) AS n, SUM(m) AS sm, SUM(y) AS p
+        |  FROM sc GROUP BY 1)
+        |SELECT bin, n,
+        |  round(sm / (996.0 * n), 6) AS mean_score,
+        |  round(CAST(p AS DOUBLE) / n, 6) AS frac_pos,
+        |  round(abs(round(CAST(p AS DOUBLE) / n, 6) -
+        |    round(sm / (996.0 * n), 6)), 6) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH $duckNorm,
