@@ -82,6 +82,38 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("layer"), col("record_no"))
     }),
 
+    // S5b — error-TOLERANT CSV ingest: malformed rows quarantine into
+    // the corrupt-record column instead of killing the load (PERMISSIVE
+    // mode; the tabular twin of the N-Quads source's `rejects()` path).
+    // A 100 TB ingest always contains garbage lines — the contract is
+    // "load the good rows, count and keep the bad ones for triage", and
+    // this gate pins exactly which rows survive typed parsing and which
+    // quarantine, against a golden oracle over a deterministic fixture.
+    "q_csv_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = tmp(s, "csv_bad")
+      val p = java.nio.file.Paths.get(s"$base/rows.csv")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, String.join("\n",
+        "id,name,val",
+        "1,alpha,1.5",
+        "2,beta,not_a_number", // type failure → quarantined
+        "oops,gamma,3.25",     // bad id → quarantined
+        "4,delta,4.0",
+        "5,epsilon,").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("val", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(s"$base/rows.csv")
+        .select(col("id"), col("name"), col("val"),
+          col("_corrupt_record").isNotNull.as("quarantined"),
+          coalesce(col("_corrupt_record"), lit("")).as("raw_line"))
+        .orderBy(col("name"))
+    }),
+
     // ORC sink → source round-trip with a PUSHED filter on the re-read
     // (the second columnar format: same relational content must survive
     // the format change, and the predicate reaches the ORC scan).
@@ -350,6 +382,21 @@ object SourceSinkQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Golden expectation for the quarantine fixture. Note row 5: a
+    // trailing EMPTY field is a legal null, not a malformed row —
+    // pinning that distinction is half the point of the gate.
+    "q_csv_quarantine" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE), false, ''),
+        |  (CAST(2 AS BIGINT), 'beta', CAST(NULL AS DOUBLE), true,
+        |   '2,beta,not_a_number'),
+        |  (CAST(4 AS BIGINT), 'delta', CAST(4.0 AS DOUBLE), false, ''),
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(NULL AS DOUBLE), false, ''),
+        |  (CAST(NULL AS BIGINT), 'gamma', CAST(3.25 AS DOUBLE), true,
+        |   'oops,gamma,3.25'))
+        |  AS t(id, name, val, quarantined, raw_line)
+        |ORDER BY name""".stripMargin,
+
     "q_jdbc_agg_pushdown" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  MAX(n_nationkey) AS max_key

@@ -160,6 +160,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("foreachBatch applies streaming CDC batches to a JDBC target via MERGE") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the serving-database apply loop: each micro-batch MERGEs into the
+    // warehouse table — latest-wins per key within the batch, upsert
+    // against the store — so replays/duplicates cannot double-apply
+    val url = "jdbc:derby:memory:graftcdc;create=true"
+    val in = MemoryStream[(Long, String, Long)] // (key, value, seq)
+    val q = in.toDF().toDF("k", "v", "seq").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        // collapse the batch to one row per key (highest seq wins)
+        val latest = batch
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+          .filter(col("rn") === 1).drop("rn", "seq")
+        val target =
+          try graft.sources.Sources.readJdbcTable(s, url, "CDC_TGT")
+            .select(col("k"), col("v"))
+          catch { case _: Exception => // first batch: table not yet created
+            Seq.empty[(Long, String)].toDF("k", "v")
+          }
+        val next = graft.operators.Merge.upsert(target, latest, "k")
+          .select(col("k"), col("v"))
+          // materialize BEFORE the overwrite: the merge result lazily
+          // reads the very table the write truncates (a real pipeline
+          // MERGEs in-database or stages + swaps; the eager checkpoint
+          // is the test-scale stand-in for that write barrier)
+          .localCheckpoint(true)
+        graft.sources.Sources.writeJdbc(next, url, "CDC_TGT")
+      }
+      .start()
+    try {
+      in.addData((1L, "a1", 1L), (2L, "b1", 2L), (1L, "a2", 3L))
+      q.processAllAvailable()
+      in.addData((2L, "b2", 4L), (3L, "c1", 5L))
+      q.processAllAvailable()
+      in.addData((2L, "b2", 4L)) // replayed duplicate must be a no-op
+      q.processAllAvailable()
+      val rows = graft.sources.Sources.readJdbcTable(spark, url, "CDC_TGT")
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "a2"), (2L, "b2"), (3L, "c1")))
+    } finally q.stop()
+  }
+
   test("foreachBatch streams events into the N-Quads parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
