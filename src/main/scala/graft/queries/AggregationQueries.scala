@@ -475,6 +475,39 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("exact_cnt").desc, col("k"))
     }),
 
+    // JOIN-CARDINALITY estimation from Count-Min sketches (the AMS
+    // inner-product estimator, Alon–Matias–Szegedy / Cormode–
+    // Muthukrishnan): |A ⋈ₖ B| = Σ_k f_A(k)·f_B(k), and the sketch
+    // estimate is min over rows r of Σ_i cmA[r][i]·cmB[r][i] — the
+    // pre-flight a planner runs BEFORE submitting a join that might
+    // blow up, from two one-pass 32 KB sketches instead of a key-level
+    // frequency join. Collisions only ever ADD, so est ≥ exact; the
+    // upper gate rides the standard e·Nₐ·N_b/Width slack. Both bounds
+    // ride the gate as booleans beside the exact count (the
+    // q_agg_countmin pattern); the oracle rebuilds both sketches
+    // relationally from the same fixed universal-hash coefficients.
+    "q_dq_join_estimate" -> ((s, dir) => {
+      import graft.functions.CountMinAgg
+      val cmsAgg = udaf(CountMinAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      val W = CountMinAgg.Width
+      val a = Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("k"))
+      val b = Tables.lineitem(s, dir).select(col("l_orderkey").cast("long").as("k"))
+      val sa = a.agg(cmsAgg(col("k")).as("ca"), count(lit(1)).as("na"))
+      val sb = b.agg(cmsAgg(col("k")).as("cb"), count(lit(1)).as("nb"))
+      val est = (0 until CountMinAgg.Depth).map { r =>
+        expr(s"""aggregate(sequence(0, ${W - 1}), CAST(0 AS BIGINT),
+                |(acc, i) -> acc + element_at(ca, ${r * W} + i + 1) *
+                |  element_at(cb, ${r * W} + i + 1))""".stripMargin)
+      }.reduce(least(_, _))
+      a.join(b, Seq("k")).agg(count(lit(1)).as("exact_rows"))
+        .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .select(col("exact_rows"), est.as("cm_est"),
+          (est >= col("exact_rows")).as("lower_ok"),
+          (est <= col("exact_rows") +
+            expr(s"(3 * na * nb) div $W")).as("upper_ok"))
+    }),
+
     // Single-pass column profiler (operators/Profiler — the deequ-style
     // pre-ingest data-quality gate): per-column row/null/distinct counts
     // and typed min/max over the events stream, one scan, all metrics
@@ -1122,6 +1155,41 @@ object AggregationQueries extends QueryCatalog {
         |  FROM lineitem GROUP BY 1
         |  ORDER BY exact_cnt DESC, k LIMIT 10)
         |ORDER BY exact_cnt DESC, k""".stripMargin,
+
+    // Full relational replay of BOTH sketches: per-(row, bucket) counts
+    // from the same fixed universal-hash coefficients, AMS inner product
+    // per row, min over rows — cm_est itself is hash-gated, not just the
+    // bound booleans.
+    "q_dq_join_estimate" ->
+      """WITH ka AS (SELECT o_orderkey AS k FROM orders),
+        |kb AS (SELECT l_orderkey AS k FROM lineitem),
+        |coef AS (
+        |  SELECT r,
+        |    CASE r WHEN 0 THEN 92821 WHEN 1 THEN 689287
+        |           WHEN 2 THEN 200087 ELSE 145007 END AS a,
+        |    CASE r WHEN 0 THEN 53987 WHEN 1 THEN 57163
+        |           WHEN 2 THEN 92801 ELSE 121021 END AS b
+        |  FROM (SELECT unnest([0, 1, 2, 3]) AS r)),
+        |pa AS (
+        |  SELECT r, ((a * k + b) % 2147483647) % 1024 AS bkt,
+        |    COUNT(*) AS c
+        |  FROM ka, coef GROUP BY 1, 2),
+        |pb AS (
+        |  SELECT r, ((a * k + b) % 2147483647) % 1024 AS bkt,
+        |    COUNT(*) AS c
+        |  FROM kb, coef GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT pa.r, CAST(SUM(pa.c * pb.c) AS BIGINT) AS prod
+        |  FROM pa JOIN pb ON pa.r = pb.r AND pa.bkt = pb.bkt
+        |  GROUP BY 1),
+        |est AS (SELECT MIN(prod) AS cm_est FROM ip),
+        |ex AS (SELECT COUNT(*) AS exact_rows FROM ka JOIN kb USING (k)),
+        |n AS (SELECT (SELECT COUNT(*) FROM ka) AS na,
+        |             (SELECT COUNT(*) FROM kb) AS nb)
+        |SELECT exact_rows, cm_est,
+        |  cm_est >= exact_rows AS lower_ok,
+        |  cm_est <= exact_rows + (3 * na * nb) // 1024 AS upper_ok
+        |FROM ex, est, n""".stripMargin,
 
     "q_agg_sketch_hll" ->
       """SELECT event_type, exact_users, within_tol FROM (
