@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 import graft.functions.GraftFunctions._
 
@@ -142,6 +143,61 @@ object EventPipelines {
       .groupByKey(_._1)
       .transformWithState(new UserSeqProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Gap-based sessionization with EVENT-TIME TIMERS — the shape the
+    * GroupStateTimeout API could only approximate: each user's session
+    * keeps one registered timer at `last event + gap`, re-armed on every
+    * arrival, and the session summary is emitted by [[StatefulProcessor
+    * .handleExpiredTimer]] exactly when the WATERMARK passes that
+    * instant — closure is driven by event-time progress, not by which
+    * micro-batch happened to see data. State per live session is one
+    * (start, last, count) triple + one timer; both clear on emission,
+    * so state is bounded by concurrent live sessions. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (s0, s1, n) =
+        if (st.exists()) st.get() else (Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { case (_, ms) =>
+        s0 = math.min(s0, ms); s1 = math.max(s1, ms); n += 1
+      }
+      st.update((s0, s1, n))
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(s1 + gapMs) // re-arm the close timer
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val out =
+        if (st.exists()) {
+          val (s0, s1, n) = st.get()
+          Iterator((uid, s0, s1, n))
+        } else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
+  /** (user_id, session_start_ms, session_end_ms, n_events) — emitted only
+    * when the watermark closes the session. */
+  def sessionsWithTimers(events: DataFrame, gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"),
+        unix_millis(col("ts").cast("timestamp")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream INTERVAL join — purchase-to-view attribution: each

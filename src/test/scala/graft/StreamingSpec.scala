@@ -160,6 +160,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = EventPipelines
+      .sessionsWithTimers(events, gapMs = 30 * 60 * 1000L,
+        watermark = "1 minute")
+      .toDF("user_id", "start_ms", "end_ms", "n_events")
+      .writeStream.format("memory").queryName("timer_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart → ONE session
+      in.addData((ts(0), 1L), (new Timestamp(ts(0).getTime + 300000L), 1L))
+      q.processAllAvailable()
+      assert(spark.table("timer_sessions").count() == 0,
+        "session closed before the watermark reached start+gap")
+      // a much later event advances the watermark past user 1's gap;
+      // the timer fires in the FOLLOWING micro-batch
+      in.addData((new Timestamp(ts(0).getTime + 7200000L), 2L))
+      q.processAllAvailable()
+      in.addData((new Timestamp(ts(0).getTime + 7260000L), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("timer_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1L, ts(0).getTime, ts(0).getTime + 300000L, 2L)),
+        s"expected exactly user 1's closed session, got ${rows.toSeq}")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch applies streaming CDC batches to a JDBC target via MERGE") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
