@@ -142,6 +142,41 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // Per-user INTERVAL COVERAGE — union of overlapping intervals, the
+    // total-watch-time / SLA-uptime primitive: each event holds a 15-min
+    // lease, leases merge while they overlap (classic gaps-and-islands:
+    // running max of interval end over PRECEDING rows; a start past that
+    // max opens a new island), and the coverage is the sum of island
+    // lengths — overlap is never double-counted. Scale shape: one
+    // user-keyed window + two partial-aggregable groupBys; parallelism
+    // is the user count, not a global sort. Tie-safety: equal (start,
+    // end) pairs yield the same island count whichever of them the
+    // window orders first, so the unique-tiebreak rule is satisfiable
+    // without an id column.
+    "q_events_coverage" -> ((s, dir) => {
+      val lease = 15 * 60 * 1000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s0"), col("e0"))
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), epochMs(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + lease)
+      iv
+        .withColumn("maxe", max(col("e0")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("maxe").isNull || col("s0") > col("maxe"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s0")).as("is0"), max(col("e0")).as("ie0"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ie0") - col("is0")).as("covered_ms"),
+          max(col("ie0") - col("is0")).as("max_island_ms"))
+        .orderBy(col("user_id"))
+    }),
+
     // Sweep-line CONCURRENCY — peak simultaneous sessions per day, the
     // capacity-planning number (licenses, connection pools, GPU slots).
     // Sessions (30-min idle gap, the q_stream_sessions rule) become
@@ -714,6 +749,29 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_events_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ms(ts) AS s0, epoch_ms(ts) + 900000 AS e0
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s0, e0,
+        |    max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s0, e0,
+        |    SUM(CASE WHEN maxe IS NULL OR s0 > maxe THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s0, e0
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, MIN(s0) AS is0, MAX(e0) AS ie0
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(ie0 - is0) AS BIGINT) AS covered_ms,
+        |  CAST(MAX(ie0 - is0) AS BIGINT) AS max_island_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_concurrency" ->
       """WITH ev AS (
