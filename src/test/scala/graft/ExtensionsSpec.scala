@@ -140,6 +140,40 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomJoinInject stays out of non-qualifying joins") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    def bloomCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+      }.size
+    val probe = spark.range(10000)
+      .select((col("id") % 500).as("k"), col("id").as("v"))
+    spark.conf.set("spark.graft.runtimeBloom.enabled", "true")
+    spark.conf.set("spark.graft.runtimeBloom.minSizeRatio", "1")
+    try {
+      // no selective filter on the build side → nothing made it small →
+      // a bloom would just re-hash the whole key domain; must not fire
+      val unfiltered = spark.range(1, 501).select(col("id").as("bk"))
+      assert(bloomCount(probe.join(unfiltered, col("k") === col("bk"))) == 0)
+      // build side over the creation-size cap → broadcast-scale economics
+      // don't hold; must not fire
+      spark.conf.set("spark.graft.runtimeBloom.maxCreationSideBytes", "1")
+      val filtered = spark.range(1, 501).select(col("id").as("bk"))
+        .filter(col("bk") % 50 === 0)
+      assert(bloomCount(probe.join(filtered, col("k") === col("bk"))) == 0)
+      // left outer joins keep every probe row — a probe filter would be
+      // wrong; must not fire whatever the sizes say
+      spark.conf.unset("spark.graft.runtimeBloom.maxCreationSideBytes")
+      assert(bloomCount(
+        probe.join(filtered, col("k") === col("bk"), "left_outer")) == 0)
+    } finally {
+      spark.conf.unset("spark.graft.runtimeBloom.enabled")
+      spark.conf.unset("spark.graft.runtimeBloom.minSizeRatio")
+      spark.conf.unset("spark.graft.runtimeBloom.maxCreationSideBytes")
+    }
+  }
+
   test("radius theta-join is rewritten to a grid-bucketed equi-join") {
     import spark.implicits._
     val a = (1 to 200).map(i => (i.toLong, (i % 20) / 2.0, (i % 10) / 2.0))

@@ -72,6 +72,39 @@ class ShapefileSpec extends AnyFunSuite with SparkTestBase {
       .select(element_at(col("attrs"), "CODE")).collect()(0).getString(0) == "1")
   }
 
+  test("random polygons round-trip write→parse (deterministic fuzz)") {
+    val rnd = new scala.util.Random(42)
+    def ring(): Seq[(Double, Double)] = {
+      val cx = rnd.nextInt(1000) / 10.0
+      val cy = rnd.nextInt(1000) / 10.0
+      val n = 3 + rnd.nextInt(5)
+      val pts = (0 until n).map { i =>
+        // strictly convex-ish star points; values kept to 2dp so the
+        // WKT text round-trips through Double.toString unambiguously
+        val a = 2 * math.Pi * i / n
+        val r = (5 + rnd.nextInt(20)) / 4.0
+        (math.rint((cx + r * math.cos(a)) * 100) / 100,
+          math.rint((cy + r * math.sin(a)) * 100) / 100)
+      }
+      pts :+ pts.head
+    }
+    val shapes = (1 to 25).map { _ =>
+      PolygonShape((1 to (1 + rnd.nextInt(3))).map(_ => ring()))
+    }
+    val d = dir("fuzz")
+    Shapefile.writeShp(s"$d/fz.shp", shapes)
+    val got = Shapefile.readShp(spark, s"$d/fz.shp")
+      .orderBy(col("record_no")).collect()
+    assert(got.length == shapes.length)
+    got.zip(shapes).foreach { case (row, PolygonShape(rings)) =>
+      val expected = rings
+        .map(r => r.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")"))
+        .mkString("POLYGON (", ", ", ")")
+      assert(row.getString(3) == expected,
+        s"record ${row.getInt(1)} diverged")
+    }
+  }
+
   test("a non-shapefile fails loud on the file-code magic") {
     val d = dir("bad")
     val p = java.nio.file.Paths.get(s"$d/bad.shp")
