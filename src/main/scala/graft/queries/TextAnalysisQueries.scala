@@ -154,6 +154,52 @@ object TextAnalysisQueries extends QueryCatalog {
             (lit(2) * col("np") * col("nn")), 6).as("auc"))
     }),
 
+    // END-TO-END CURATION FUNNEL — the composed pipeline a corpus owner
+    // actually runs, as ONE relational plan: quality gate (the
+    // q_text_quality_gate rules) → exact-dup canonicalization (md5
+    // groupBy, min-id canonical) → benchmark decontamination
+    // (TextDedup.contaminationHits vs the src0 eval split) → keep. The
+    // FIRST failing stage names the drop ("1_" quality beats "2_" dup
+    // beats "3_" contamination), and the output is the per-verdict
+    // funnel every curation run reports. Composition is the point: all
+    // three stages stay partial-aggregable joins over the one corpus
+    // scan family — no stage materializes an intermediate corpus.
+    "q_pipeline_curation" -> ((s, dir) => {
+      import graft.operators.TextDedup
+      val docs = Tables.documents(s, dir).filter(col("source") =!= "src0")
+        .select(col("doc_id"), lower(normalizeWs(col("text"))).as("t"))
+        .repartition(col("doc_id"))
+        .filter(length(col("t")) >= 1)
+      val quality = docs.withColumn("ws", split(col("t"), " "))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("rep_ratio",
+          lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+            col("n_words"))
+        .withColumn("stop_cnt",
+          size(filter(col("ws"), w => w.isin("the", "a"))))
+        .withColumn("q_reason",
+          when(col("n_words") < 5, "1_too_short")
+            .when(col("rep_ratio") > 0.4, "1_repetitive")
+            .when(col("stop_cnt") === 0, "1_no_stopwords"))
+        .select(col("doc_id"), col("t"), col("q_reason"))
+      val canon = docs.groupBy(md5(col("t")).as("h"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      val contaminated = TextDedup.contaminationHits(
+          Tables.documents(s, dir).filter(col("source") =!= "src0"),
+          col("doc_id"), col("text"),
+          Tables.documents(s, dir).filter(col("source") === "src0"),
+          col("doc_id"), col("text"), n = 8)
+        .select(col("doc_id"), lit(true).as("cont"))
+      quality.withColumn("h", md5(col("t")))
+        .join(canon, Seq("h"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("verdict", coalesce(col("q_reason"),
+          when(col("doc_id") =!= col("canon_id"), "2_exact_dup"),
+          when(col("cont"), "3_contaminated"), lit("4_keep")))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("verdict"))
+    }),
+
     // Calibration curve (reliability table) — the companion readout to
     // q_eval_auc: does a predicted probability MEAN what it says? Scores
     // bucket into 10 fixed-width bins; each bin reports predicted-mean
@@ -606,6 +652,55 @@ object TextAnalysisQueries extends QueryCatalog {
         |      SUM(p) * (SUM(p) + 1) AS DOUBLE) /
         |    (2 * SUM(p) * SUM(c - p)), 6) AS auc
         |FROM cum""".stripMargin,
+
+    "q_pipeline_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE source <> 'src0'
+        |    AND length(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |      >= 1),
+        |q AS (
+        |  SELECT doc_id, t,
+        |    len(string_split(t, ' ')) AS n_words,
+        |    1.0 - len(list_distinct(string_split(t, ' ')))::DOUBLE /
+        |      len(string_split(t, ' ')) AS rep_ratio,
+        |    len(list_filter(string_split(t, ' '),
+        |      w -> w IN ('the', 'a'))) AS stop_cnt
+        |  FROM d),
+        |qr AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN n_words < 5 THEN '1_too_short'
+        |         WHEN rep_ratio > 0.4 THEN '1_repetitive'
+        |         WHEN stop_cnt = 0 THEN '1_no_stopwords' END AS q_reason
+        |  FROM q),
+        |canon AS (
+        |  SELECT md5(t) AS h, MIN(doc_id) AS canon_id FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(ws[i:i+7], ' ')
+        |                   for i in range(1, len(ws) - 6)]) AS sh
+        |  FROM w WHERE len(ws) >= 8),
+        |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sh
+        |       WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+        |       WHERE source <> 'src0'),
+        |cont AS (
+        |  SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)),
+        |verdicts AS (
+        |  SELECT qr.doc_id,
+        |    COALESCE(qr.q_reason,
+        |      CASE WHEN c.canon_id <> qr.doc_id THEN '2_exact_dup' END,
+        |      CASE WHEN cont.doc_id IS NOT NULL THEN '3_contaminated' END,
+        |      '4_keep') AS verdict
+        |  FROM qr JOIN canon c ON md5(qr.t) = c.h
+        |  LEFT JOIN cont ON qr.doc_id = cont.doc_id)
+        |SELECT verdict, COUNT(*) AS n_docs
+        |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     "q_eval_calibration" ->
       """WITH sc AS (
