@@ -93,12 +93,22 @@ object MiningQueries extends QueryCatalog {
     // the whole game: the unpruned triple space is |basket|³-ish, while
     // candidates extend the (tiny) frequent-pair relation.
     "q_basket_triples" -> ((s, dir) => {
-      val b = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairInst = b.as("x").join(b.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.o").as("o"), col("x.p").as("pa"), col("y.p").as("pb"))
+      // Lineage cuts: `b` feeds the pair self-join twice plus the
+      // third-item join, and the pair instances feed both L2 and the
+      // frequent-instance semi-join — uncut, each consumer re-runs the
+      // lineitem distinct (and the quadratic pair enumeration) from the
+      // scan.
+      val b = graft.operators.Checkpoints.cut(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(),
+        eager = false)
+      val pairInst = graft.operators.Checkpoints.cut(
+        b.as("x").join(b.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.o").as("o"), col("x.p").as("pa"),
+            col("y.p").as("pb")),
+        eager = false)
       val l2 = pairInst.groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
         .select(col("pa"), col("pb"))
