@@ -67,9 +67,13 @@ object MiningQueries extends QueryCatalog {
     // 6-dp-ROUNDED score with (pa, pb) tie-breaks, so the top-20 cut is
     // engine-deterministic even among near-equal cosines.
     "q_rec_item_cosine" -> ((s, dir) => {
-      val b = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      // cut: `b` feeds the co-occurrence self-join twice plus the
+      // per-item totals — uncut each re-runs the distinct from the scan
+      val b = graft.operators.Checkpoints.cut(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(),
+        eager = false)
       val ni = b.groupBy(col("p")).agg(count(lit(1)).as("n"))
       val co = b.as("x").join(b.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
