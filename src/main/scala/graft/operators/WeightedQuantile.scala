@@ -32,14 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object WeightedQuantile {
 
-  /** Per-key p/q-quantile of `value` under `weight` (median: p=1, q=2):
-    * smallest value whose cumulative weight w(≤v) satisfies
-    * q·w(≤v) ≥ p·total. Output: (key, quantile) with the value's type.
-    */
-  def weightedQuantile(df: DataFrame, key: Column, value: Column,
-      weight: Column, p: Int = 1, q: Int = 2,
-      numPartitions: Int = 0): DataFrame = {
-    require(p > 0 && q > 0 && p <= q, s"need 0 < p/q <= 1, got $p/$q")
+  /** The shared cumulative-weight relation: (k, v, w, _wq_cum, tw) with
+    * global-per-key cumulative weight, computed ONCE — every requested
+    * fraction reads off the same pass. */
+  private def cumulative(df: DataFrame, key: Column, value: Column,
+      weight: Column, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
@@ -67,9 +64,42 @@ object WeightedQuantile {
       .join(broadcast(offs), Seq("_wq_pid", "k"))
       .join(broadcast(tots), Seq("k"))
       .withColumn("_wq_cum", col("off") + sum(col("w")).over(wIn))
+  }
+
+  /** Per-key p/q-quantile of `value` under `weight` (median: p=1, q=2):
+    * smallest value whose cumulative weight w(≤v) satisfies
+    * q·w(≤v) ≥ p·total. Output: (key, quantile) with the value's type.
+    */
+  def weightedQuantile(df: DataFrame, key: Column, value: Column,
+      weight: Column, p: Int = 1, q: Int = 2,
+      numPartitions: Int = 0): DataFrame = {
+    require(p > 0 && q > 0 && p <= q, s"need 0 < p/q <= 1, got $p/$q")
+    cumulative(df, key, value, weight, numPartitions)
       .filter(col("_wq_cum") * q >= col("tw") * p)
       .groupBy(col("k"))
       .agg(min(col("v")).as("quantile"))
+  }
+
+  /** Several fractions off ONE cumulative pass — the quartile-spread /
+    * percentile-band readout without re-scanning per fraction. Output:
+    * (k, p, q, quantile), one row per key × fraction. The cumulative
+    * relation is lineage-cut, so the per-fraction aggregates share its
+    * materialization rather than re-running the range shuffle. */
+  def weightedQuantiles(df: DataFrame, key: Column, value: Column,
+      weight: Column, fracs: Seq[(Int, Int)],
+      numPartitions: Int = 0): DataFrame = {
+    require(fracs.nonEmpty, "need at least one fraction")
+    fracs.foreach { case (p, q) =>
+      require(p > 0 && q > 0 && p <= q, s"need 0 < p/q <= 1, got $p/$q")
+    }
+    val cum = Checkpoints.cut(
+      cumulative(df, key, value, weight, numPartitions), eager = false)
+    fracs.map { case (p, q) =>
+      cum.filter(col("_wq_cum") * q >= col("tw") * p)
+        .groupBy(col("k"))
+        .agg(min(col("v")).as("quantile"))
+        .select(col("k"), lit(p).as("p"), lit(q).as("q"), col("quantile"))
+    }.reduce(_ unionByName _)
   }
 
   /** Smallest value whose cumulative weight reaches half the total. */

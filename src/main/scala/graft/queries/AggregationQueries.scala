@@ -359,6 +359,28 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Weighted QUARTILE band per key — p25/p50/p75 of price under
+    // quantity mass from ONE cumulative pass
+    // (WeightedQuantile.weightedQuantiles: the cumulative relation is
+    // lineage-cut and each fraction reads it back), pivoted to columns.
+    // The spread readout dashboards put next to the median, at the same
+    // full-shuffle-width parallelism as q_agg_weighted_median.
+    "q_agg_weighted_quartiles" -> ((s, dir) => {
+      graft.operators.WeightedQuantile.weightedQuantiles(
+          Tables.lineitem(s, dir), col("l_returnflag"),
+          dec2(col("l_extendedprice")), dec2(col("l_quantity")),
+          Seq((1, 4), (1, 2), (3, 4)))
+        .groupBy(col("k").as("l_returnflag"))
+        .agg(
+          min(when(col("p") === 1 && col("q") === 4, col("quantile")))
+            .cast("double").as("wp25"),
+          min(when(col("p") === 1 && col("q") === 2, col("quantile")))
+            .cast("double").as("wp50"),
+          min(when(col("p") === 3 && col("q") === 4, col("quantile")))
+            .cast("double").as("wp75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Skew diagnostics — the report you run BEFORE picking a join
     // strategy at 100 TB: per-key row-count distribution (p50/p90/p99/
     // max) plus the top hot keys. Feeds the operators/SkewJoin decision
@@ -1155,6 +1177,27 @@ object AggregationQueries extends QueryCatalog {
         |  FROM lineitem GROUP BY 1
         |  ORDER BY exact_cnt DESC, k LIMIT 10)
         |ORDER BY exact_cnt DESC, k""".stripMargin,
+
+    "q_agg_weighted_quartiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS k,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT k, v,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY k) AS tw
+        |  FROM r)
+        |SELECT k AS l_returnflag,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw * 1 THEN v END) AS DOUBLE)
+        |    AS wp25,
+        |  CAST(MIN(CASE WHEN cw * 2 >= tw * 1 THEN v END) AS DOUBLE)
+        |    AS wp50,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS DOUBLE)
+        |    AS wp75
+        |FROM c GROUP BY k ORDER BY l_returnflag""".stripMargin,
 
     // Full relational replay of BOTH sketches: per-(row, bucket) counts
     // from the same fixed universal-hash coefficients, AMS inner product

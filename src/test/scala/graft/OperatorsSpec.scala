@@ -737,6 +737,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
         s"distributed $p/$q-quantile diverged from the window form")
     }
+    // multi-fraction single-pass form must agree with per-fraction calls
+    val multi = graft.operators.WeightedQuantile
+      .weightedQuantiles(df, col("g"), col("v"), col("w"),
+        Seq((1, 2), (3, 4), (1, 10)), numPartitions = 7)
+    for ((p, q) <- Seq((1, 2), (3, 4), (1, 10))) {
+      val got = multi.filter(col("p") === p && col("q") === q)
+        .select(col("k"), col("quantile"))
+      val exp = windowed(p, q)
+      assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
+        s"multi-fraction $p/$q diverged from the window form")
+    }
   }
 
   test("BloomJoin: candidates ⊇ matches, pruned join exact, empty dim safe") {
