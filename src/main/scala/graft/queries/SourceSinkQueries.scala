@@ -358,6 +358,24 @@ object SourceSinkQueries extends QueryCatalog {
         .crossJoin(push.agg(count(lit(1)).as("n_positive")))
     }),
 
+    // S3b — PARQUET FOOTER aggregate pushdown: COUNT/MIN/MAX answered
+    // from row-group STATISTICS, zero data pages read (`PushedAggregation`
+    // asserted in PlanAuditSpec). At 100 TB this is the difference
+    // between a metadata sweep and a full scan for the most common
+    // profiling probes. Needs the DSv2 parquet path (a child session
+    // drops parquet from the V1 list — conf isolation, the
+    // q_join_bloom_auto pattern) + `parquet.aggregatePushdown`.
+    "q_parquet_agg_pushdown" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+    }),
+
     // S2b — V2-catalog JDBC scan with AGGREGATE pushdown: the groupBy
     // below never runs in Spark; `SELECT n_regionkey, COUNT(*),
     // MAX(n_nationkey) … GROUP BY` ships to Derby (`PushedAggregates`
@@ -396,6 +414,10 @@ object SourceSinkQueries extends QueryCatalog {
         |   'oops,gamma,3.25'))
         |  AS t(id, name, val, quarantined, raw_line)
         |ORDER BY name""".stripMargin,
+
+    "q_parquet_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key FROM lineitem""".stripMargin,
 
     "q_jdbc_agg_pushdown" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,

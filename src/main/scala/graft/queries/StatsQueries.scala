@@ -142,6 +142,26 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // 2-D HISTOGRAM (heatmap) — hour-of-day × value band counts, the
+    // activity-heatmap primitive behind every ops dashboard: both bin
+    // ids are integer arithmetic (hour from epoch-ms div/mod; value band
+    // from a floor at exactly-representable 5.0 boundaries), so the 2-D
+    // binning is a pure partial-aggregable groupBy over O(24×bands)
+    // cells — the heatmap costs one map-side-combined pass at any scale.
+    "q_stats_histogram2d" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(epochMs(col("ts")).as("ms"), col("value"))
+        .select(
+          expr("CAST((ms div 3600000) % 24 AS INT)").as("hour"),
+          least(lit(9), floor(col("value") / 5.0).cast("int")).as("vband"),
+          col("value"))
+        .groupBy(col("hour"), col("vband"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_value"))
+        .orderBy(col("hour"), col("vband"))
+    }),
+
     // Per-user INTERVAL COVERAGE — union of overlapping intervals, the
     // total-watch-time / SLA-uptime primitive: each event holds a 15-min
     // lease, leases merge while they overlap (classic gaps-and-islands:
@@ -749,6 +769,16 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_stats_histogram2d" ->
+      """WITH b AS (
+        |  SELECT CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hour,
+        |    least(9, CAST(floor(value / 5.0) AS INT)) AS vband, value
+        |  FROM events)
+        |SELECT hour, vband, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM b GROUP BY hour, vband ORDER BY hour, vband""".stripMargin,
 
     "q_events_coverage" ->
       """WITH iv AS (

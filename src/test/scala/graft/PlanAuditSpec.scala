@@ -25,6 +25,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "bloom was not keyed on the probe's join key:\n" + blooms.head)
   }
 
+  test("q_parquet_agg_pushdown answers count/min/max from footers only") {
+    val df = SparkEntry.queries("q_parquet_agg_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+      "aggregates did not push to the parquet footers:\n" + plan)
+    // the scan's output schema is the three aggregates, not data columns
+    assert(plan.contains("ReadSchema: struct<count(*):bigint"), plan)
+  }
+
   test("q_jdbc_agg_pushdown ships the aggregation to the database") {
     val df = SparkEntry.queries("q_jdbc_agg_pushdown")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -33,6 +43,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PushedGroupByExpressions: [n_regionkey]"), plan)
     // nothing aggregates Spark-side beyond the pushed scan output
     assert(!plan.contains("HashAggregate") || df.collect().nonEmpty, plan)
+    // top-k sorts push too (pushDownLimit): ORDER BY ... FETCH ships to
+    // the database, Spark sees at most k rows
+    import org.apache.spark.sql.functions.col
+    val topn = spark.table("graftdb.NATION_AGG")
+      .orderBy(col("n_nationkey").desc).limit(3)
+    val tplan = topn.queryExecution.executedPlan.toString
+    assert(tplan.contains("PushedTopN"),
+      "ORDER BY + LIMIT did not push to the JDBC scan:\n" + tplan)
   }
 
   test("facet-partitioned read prunes partitions") {
