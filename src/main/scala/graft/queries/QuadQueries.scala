@@ -620,6 +620,26 @@ object QuadQueries extends QueryCatalog {
     // (mod 20) doubled (maxCount) — and the oracle replays the same
     // degradation; a gate over an always-empty relation would prove
     // nothing.
+    // SPARQL BGP serving verb (rdf/Bgp — beside DESCRIBE): the 4-pattern
+    // chain "address → hasPart → ?b typed nationName → ?b value ?nation,
+    // address name ?name" compiles to per-pattern filtered quad scans
+    // equi-joined on the shared variables — the star/chain join shape
+    // Catalyst already optimizes; pattern-order = join-order.
+    "q_quads_bgp" -> ((s, dir) => {
+      import graft.rdf.Bgp
+      import graft.rdf.Bgp.{Const, Pattern, Var}
+      Bgp.select(fullQuads(s, dir), Seq(
+          Pattern(Var("addr"), HasPartP, Var("b")),
+          Pattern(Var("b"), AddTypeP, Const(PartNationT)),
+          Pattern(Var("b"), ValueP, Var("nation")),
+          Pattern(Var("addr"), NameP, Var("name"))))
+        .groupBy(col("nation"))
+        .agg(countDistinct(col("addr")).as("n_addrs"),
+          count(lit(1)).as("n_bindings"),
+          min(col("name")).as("first_name"))
+        .orderBy(col("nation"))
+    }),
+
     "q_shape_validate" -> ((s, dir) => {
       // Lineage-cut the quad relation: the dirty union references it
       // twice and the validator's focus/observed legs re-reference the
@@ -743,6 +763,25 @@ object QuadQueries extends QueryCatalog {
          |    AS BIGINT) AS n_skolem_objects,
          |  TRUE AS roundtrip_ok
          |FROM quads GROUP BY graph ORDER BY graph""".stripMargin,
+
+    "q_quads_bgp" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |vl AS (SELECT subject AS b, objectValue AS nation FROM quads
+         |       WHERE predicate = '$ValueP'),
+         |nm AS (SELECT subject AS addr, objectValue AS name FROM quads
+         |       WHERE predicate = '$NameP'),
+         |bind AS (
+         |  SELECT DISTINCT hp.addr, hp.b, vl.nation, nm.name
+         |  FROM hp JOIN ty USING (b) JOIN vl USING (b)
+         |  JOIN nm USING (addr))
+         |SELECT nation, COUNT(DISTINCT addr) AS n_addrs,
+         |  COUNT(*) AS n_bindings, MIN(name) AS first_name
+         |FROM bind GROUP BY nation ORDER BY nation""".stripMargin,
 
     "q_quads_full_profile" ->
       s"""$fullQuadsCte

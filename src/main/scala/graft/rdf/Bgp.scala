@@ -1,0 +1,65 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Basic-graph-pattern matching over the quad relation — the SPARQL
+  * serving verb next to DESCRIBE (`cam/graphdb.py` serves the emitted
+  * graph through a SPARQL store; `SELECT ?x WHERE { t1 . t2 . … }` is
+  * its query core). A BGP compiles to exactly what a 100 TB engine
+  * wants: one filtered scan of the quad relation per triple pattern,
+  * equi-joined on the shared VARIABLES — the join keys are the variable
+  * bindings, so Catalyst plans the same shuffle/broadcast hash joins it
+  * plans for any star/chain query, and predicate-constant filters push
+  * into the scan.
+  *
+  * Patterns bind `subject` and `objectValue`; predicates are constants
+  * (the common SPARQL case — a variable predicate would union the
+  * per-predicate partitions). Join order follows pattern order; put the
+  * most selective pattern first the way a SPARQL engine's optimizer
+  * would.
+  */
+object Bgp {
+
+  sealed trait Term
+  final case class Var(name: String) extends Term
+  final case class Const(value: String) extends Term
+
+  /** Triple pattern: subject term, constant predicate IRI, object term. */
+  final case class Pattern(s: Term, p: String, o: Term)
+
+  private def bindings(q: DataFrame, pat: Pattern, idx: Int): DataFrame = {
+    var df = q.filter(col("predicate") === pat.p)
+    val cols = Seq.newBuilder[Column]
+    pat.s match {
+      case Const(v) => df = df.filter(col("subject") === v)
+      case Var(n) => cols += col("subject").as(n)
+    }
+    pat.o match {
+      case Const(v) => df = df.filter(col("objectValue") === v)
+      case Var(n) => cols += col("objectValue").as(n)
+    }
+    val out = cols.result()
+    // a pattern with no variables still constrains the match: keep a
+    // 0-or-more-row marker relation joined by cross (1-row semantics)
+    if (out.isEmpty) df.limit(1).select(lit(idx).as(s"_bgp_m$idx"))
+    else df.select(out: _*).distinct()
+  }
+
+  /** Solution mappings for the conjunction of `patterns`: one column per
+    * distinct variable name, one row per binding (set semantics, like
+    * SPARQL SELECT DISTINCT). Shared variables join; disjoint patterns
+    * cross-join their bindings (the SPARQL cartesian semantics — avoid
+    * disconnected patterns at scale just as you would in SPARQL). */
+  def select(quads: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+    require(patterns.nonEmpty, "at least one triple pattern required")
+    patterns.zipWithIndex.map { case (p, i) => bindings(quads, p, i) }
+      .reduce { (acc, nxt) =>
+        val shared = acc.columns.toSet.intersect(nxt.columns.toSet).toSeq
+        if (shared.nonEmpty) acc.join(nxt, shared)
+        else acc.crossJoin(nxt)
+      }
+      .drop(patterns.indices.map(i => s"_bgp_m$i"): _*)
+      .distinct()
+  }
+}
