@@ -640,6 +640,27 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("nation"))
     }),
 
+    // SPARQL OPTIONAL over the same relation: every Place with its name,
+    // left-joined with the lifecycle part group that only SOME addresses
+    // carry (the `lifecycleOn` emission gate) — unmatched solutions keep
+    // NULL bindings, the OPTIONAL semantics exactly.
+    "q_quads_bgp_optional" -> ((s, dir) => {
+      import graft.rdf.Bgp
+      import graft.rdf.Bgp.{Const, Pattern, Var}
+      Bgp.selectOptional(fullQuads(s, dir),
+          Seq(
+            Pattern(Var("addr"), RdfType, Const(PlaceT)),
+            Pattern(Var("addr"), NameP, Var("name"))),
+          Seq(Seq(
+            Pattern(Var("addr"), HasPartP, Var("b")),
+            Pattern(Var("b"), AddTypeP, Const(LifecycleCurrentT)),
+            Pattern(Var("b"), TimeInXsdP, Var("ts")))))
+        .agg(count(lit(1)).as("n_addrs"),
+          sum(when(col("ts").isNotNull, 1L).otherwise(0L))
+            .as("n_with_lifecycle"),
+          min(col("ts")).as("first_ts"))
+    }),
+
     "q_shape_validate" -> ((s, dir) => {
       // Lineage-cut the quad relation: the dirty union references it
       // twice and the validator's focus/observed legs re-reference the
@@ -782,6 +803,30 @@ object QuadQueries extends QueryCatalog {
          |SELECT nation, COUNT(DISTINCT addr) AS n_addrs,
          |  COUNT(*) AS n_bindings, MIN(name) AS first_name
          |FROM bind GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "q_quads_bgp_optional" ->
+      s"""$fullQuadsCte,
+         |ad AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |hp AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$LifecycleCurrentT'),
+         |tv AS (SELECT subject AS b, objectValue AS ts FROM quads
+         |       WHERE predicate = '$TimeInXsdP'),
+         |lf AS (SELECT DISTINCT hp.addr, hp.b, tv.ts
+         |       FROM hp JOIN ty USING (b) JOIN tv USING (b)),
+         |bind AS (
+         |  SELECT ad.addr, nm.name, lf.ts
+         |  FROM ad JOIN nm USING (addr) LEFT JOIN lf USING (addr))
+         |SELECT COUNT(*) AS n_addrs,
+         |  CAST(SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_with_lifecycle,
+         |  MIN(ts) AS first_ts
+         |FROM bind""".stripMargin,
 
     "q_quads_full_profile" ->
       s"""$fullQuadsCte

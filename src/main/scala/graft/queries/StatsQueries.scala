@@ -142,6 +142,31 @@ object StatsQueries extends QueryCatalog {
           count(lit(1)).as("n_pairs"))
     }),
 
+    // BENFORD first-digit audit — the fraud/fabrication screen financial
+    // DQ runs over money columns: naturally-grown amounts follow
+    // P(d) = log10(1+1/d); fabricated or truncated feeds don't. The
+    // digit comes from the DECIMAL's string rendering (exact, no
+    // log-floor boundary risk), counts are one partial-aggregable
+    // groupBy over 9 cells, and the per-digit |observed − expected|
+    // deviation is reported next to both shares (all 6-dp-rounded —
+    // the only doubles are one division and one log10 per digit).
+    "q_dq_benford" -> ((s, dir) => {
+      val d1 = Tables.orders(s, dir)
+        .select(substring(
+          col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+          .as("digit"))
+      val tot = d1.agg(count(lit(1)).as("tot"))
+      d1.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("tot").cast("double"), 6).as("obs_share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("exp_share"))
+        .withColumn("abs_dev",
+          round(abs(col("obs_share") - col("exp_share")), 6))
+        .orderBy(col("digit"))
+    }),
+
     // 2-D HISTOGRAM (heatmap) — hour-of-day × value band counts, the
     // activity-heatmap primitive behind every ops dashboard: both bin
     // ids are integer arithmetic (hour from epoch-ms div/mod; value band
@@ -769,6 +794,22 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_dq_benford" ->
+      """WITH d AS (
+        |  SELECT substring(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |    AS digit
+        |  FROM orders),
+        |t AS (SELECT COUNT(*) AS tot FROM d),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  round(n / CAST(tot AS DOUBLE), 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+        |  round(abs(round(n / CAST(tot AS DOUBLE), 6) -
+        |    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6)
+        |    AS abs_dev
+        |FROM g, t ORDER BY digit""".stripMargin,
 
     "q_stats_histogram2d" ->
       """WITH b AS (

@@ -46,6 +46,21 @@ object Bgp {
     else df.select(out: _*).distinct()
   }
 
+  /** SPARQL OPTIONAL: solutions of `required` left-joined with the
+    * solutions of each optional group on their shared variables —
+    * unmatched rows keep NULL bindings for the group's variables, the
+    * OPTIONAL semantics exactly. Each group is itself a BGP. */
+  def selectOptional(quads: DataFrame, required: Seq[Pattern],
+      optionalGroups: Seq[Seq[Pattern]]): DataFrame =
+    optionalGroups.foldLeft(select(quads, required)) { (acc, group) =>
+      val opt = select(quads, group)
+      val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq
+      require(shared.nonEmpty,
+        "an OPTIONAL group must share at least one variable with the " +
+          "required patterns (a disconnected OPTIONAL is a cross join)")
+      acc.join(opt, shared, "left")
+    }
+
   /** Solution mappings for the conjunction of `patterns`: one column per
     * distinct variable name, one row per binding (set semantics, like
     * SPARQL SELECT DISTINCT). Shared variables join; disjoint patterns
