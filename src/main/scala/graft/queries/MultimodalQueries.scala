@@ -27,6 +27,47 @@ import graft.functions.GraftFunctions._
 object MultimodalQueries extends QueryCatalog {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL image decode (operators/ImageCodec — P6 PPM, pure JVM): each
+    // embedding row becomes an 8×8 RGB image by a deterministic pixel
+    // formula, encodes to REAL PPM bytes, and the pipeline then parses
+    // those bytes back (header grammar, row strides, raster offsets all
+    // exercised), computes exact per-channel sums and a nearest-neighbor
+    // 4×4 thumbnail's sums. The oracle recomputes every number from the
+    // pixel FORMULA alone — it never sees the binary — so any
+    // encode→decode corruption hash-fails. Codec formats (JPEG/PNG)
+    // remain the declared container limitation; the decode TIER is now
+    // real.
+    "q_multimodal_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ImageCodec
+      import graft.operators.ImageCodec.RawImage
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions(_.map { case (id, e) =>
+          val px = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val base = math.floor(math.abs(e(i).toDouble) * 1000).toLong
+            px(i * 3) = (base % 256).toByte
+            px(i * 3 + 1) = ((base + 7) % 256).toByte
+            px(i * 3 + 2) = ((base + 14) % 256).toByte
+            i += 1
+          }
+          (id, ImageCodec.encodePpm(RawImage(8, 8, px))) // the opaque column
+        })
+        .mapPartitions(_.map { case (id, bin) =>
+          val img = ImageCodec.decodePpm(bin) // REAL parse of real bytes
+          val (r, g, b) = ImageCodec.channelSums(img)
+          val (tr, tg, tb) =
+            ImageCodec.channelSums(ImageCodec.resizeNearest(img, 4, 4))
+          (id, img.width, img.height, r, g, b, tr, tg, tb)
+        })
+        .toDF("vec_id", "width", "height", "sum_r", "sum_g", "sum_b",
+          "thumb_r", "thumb_g", "thumb_b")
+        .orderBy(col("vec_id"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text").as("t"),
@@ -190,6 +231,32 @@ object MultimodalQueries extends QueryCatalog {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Recomputes every number from the pixel FORMULA — the binary path
+    // (encodePpm → decodePpm → sums) must land on the same integers.
+    // Thumb indices are the 1-based positions of the even-(row,col)
+    // pixels an 8→4 nearest-neighbor resize samples.
+    "q_multimodal_ppm_decode" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000)
+        |       AS BIGINT) for i in range(1, 65)] AS base
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(list_sum([x % 256 for x in base]) AS BIGINT) AS sum_r,
+        |  CAST(list_sum([(x + 7) % 256 for x in base]) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(list_sum([(x + 14) % 256 for x in base]) AS BIGINT)
+        |    AS sum_b,
+        |  CAST(list_sum([base[i] % 256 for i in
+        |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
+        |    AS thumb_r,
+        |  CAST(list_sum([(base[i] + 7) % 256 for i in
+        |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
+        |    AS thumb_g,
+        |  CAST(list_sum([(base[i] + 14) % 256 for i in
+        |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
+        |    AS thumb_b
+        |FROM b ORDER BY vec_id""".stripMargin,
     "q_multimodal_shard_manifest" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 4 AS shard,

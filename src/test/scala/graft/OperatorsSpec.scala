@@ -710,6 +710,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       "distributed rank diverged from the single-partition window rank")
   }
 
+  test("ImageCodec: PPM round-trip, comment-tolerant header, loud failures") {
+    import graft.operators.ImageCodec
+    import graft.operators.ImageCodec.RawImage
+    val rnd = new scala.util.Random(7)
+    val img = RawImage(5, 3, Array.fill(45)(rnd.nextInt(256).toByte))
+    val rt = ImageCodec.decodePpm(ImageCodec.encodePpm(img))
+    assert(rt.width == 5 && rt.height == 3)
+    assert(rt.pixels.toSeq == img.pixels.toSeq, "raster changed in transit")
+    // header comments are legal Netpbm grammar
+    val withComment =
+      ("P6\n# a comment\n5 3\n# more\n255\n").getBytes("US-ASCII") ++ img.pixels
+    assert(ImageCodec.decodePpm(withComment).pixels.toSeq == img.pixels.toSeq)
+    // nearest-neighbor downsample picks the even rows/cols
+    val up = ImageCodec.resizeNearest(RawImage(2, 2,
+      Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4)), 1, 1)
+    assert(up.pixels.toSeq == Seq[Byte](1, 1, 1))
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodePpm("P5\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0))
+    }
+    intercept[IllegalArgumentException] { // truncated raster must not parse
+      ImageCodec.decodePpm(ImageCodec.encodePpm(img).dropRight(1))
+    }
+  }
+
   test("WeightedQuantile equals the key-partitioned window form") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.lineitem(spark, sf)
