@@ -118,6 +118,14 @@ object QuadQueries extends QueryCatalog {
   private val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
   private val PartNationT = "https://example.org/def/part/nationName"
   private val PartRegionT = "https://example.org/def/part/regionName"
+  private val WithinP = "https://example.org/def/within"
+  private val NationNameP = "https://example.org/def/nationName"
+  private val FlatAddrT = "https://example.org/def/FlattenedAddress"
+  private val AddressPartT = "https://example.org/def/AddressPart"
+  private val LifecycleStageT = "https://example.org/def/LifecycleStage"
+  private val NamePartT = "https://example.org/def/NamePart"
+  private val StructuredValueT = "https://schema.org/StructuredValue"
+  private val ThingT = "https://schema.org/Thing"
   private val PartSegmentT = "https://example.org/def/part/marketSegment"
   private val LifecycleCurrentT = "https://example.org/def/lifecycle/current"
   private val GivenNameT = "https://example.org/def/part/geographicalGivenName"
@@ -661,6 +669,85 @@ object QuadQueries extends QueryCatalog {
           min(col("ts")).as("first_ts"))
     }),
 
+    // SPARQL CONSTRUCT (rdf/Bgp.construct): flatten the 3-quad nation
+    // part group into a direct nationName edge plus a marker type — the
+    // graph-reshaping verb a SPARQL store serves next to SELECT. The
+    // solutions materialize once; each template triple is a projection.
+    "q_quads_construct" -> ((s, dir) => {
+      import graft.rdf.Bgp
+      import graft.rdf.Bgp.{Const, Pattern, Template, Var}
+      Bgp.construct(fullQuads(s, dir),
+          Seq(
+            Pattern(Var("addr"), HasPartP, Var("b")),
+            Pattern(Var("b"), AddTypeP, Const(PartNationT)),
+            Pattern(Var("b"), ValueP, Var("nation"))),
+          Seq(
+            Template(Var("addr"), NationNameP, Var("nation"),
+              graft.model.TermKind.Literal),
+            Template(Var("addr"), RdfType, Const(FlatAddrT))))
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    }),
+
+    // SPARQL property path `within+` (rdf/PropertyPath): BFS semi-naive
+    // closure over the customer→nation→region→world containment chain —
+    // per round ONE equi-join keyed on the hop node + an anti-join
+    // against the known closure (terminates on cycles); rounds = graph
+    // diameter (3 here), lineage cut per round. Oracle is a genuine
+    // WITH RECURSIVE, independent of the iterate-union loop.
+    "q_quads_path_transitive" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      val natIri =
+        concat(lit("https://example.org/nation/"), slugify(col("n_name")))
+      val regIri =
+        concat(lit("https://example.org/region/"), slugify(col("r_name")))
+      val cn = cust
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          concat(lit("https://example.org/customer/"),
+            col("c_custkey").cast("string")).as("subject"),
+          lit(WithinP).as("predicate"), natIri.as("objectValue"))
+      val nr = nat
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(natIri.as("subject"), lit(WithinP).as("predicate"),
+          regIri.as("objectValue"))
+      val rw = reg.select(regIri.as("subject"),
+        lit(WithinP).as("predicate"), lit("urn:world").as("objectValue"))
+      graft.rdf.PropertyPath
+        .transitive(cn.unionByName(nr).unionByName(rw), WithinP)
+        .orderBy(col("subject"), col("ancestor"))
+    }),
+
+    // RDFS entailment (rdf/Inference): rdfs7 subPropertyOf lifting
+    // (additionalType ⊑ rdf:type) + rdfs9 subClassOf type propagation
+    // under a closed part-type ontology. The T-box closes via the same
+    // BFS closure and BROADCASTS; the A-box is touched by exactly two
+    // broadcast joins — no extra shuffle at 100 TB beyond the final
+    // set-semantics distinct. The oracle unrolls the closure to the
+    // ontology's diameter (3), which the engine's BFS provably reaches
+    // (its frontier empties at round 3).
+    "q_quads_rdfs_inference" -> ((s, dir) => {
+      import s.implicits._
+      import graft.rdf.Inference
+      val subProp = Seq((AddTypeP, Inference.RdfType)).toDF("sub", "sup")
+      val subClass = Seq(
+        (PartNationT, AddressPartT), (PartRegionT, AddressPartT),
+        (PartSegmentT, AddressPartT), (LifecycleCurrentT, LifecycleStageT),
+        (GivenNameT, NamePartT), (AddressPartT, StructuredValueT),
+        (LifecycleStageT, StructuredValueT), (NamePartT, StructuredValueT),
+        (StructuredValueT, ThingT), (PlaceT, ThingT)).toDF("sub", "sup")
+      val entailed = Inference.entail(
+        fullQuads(s, dir)
+          .select(col("subject"), col("predicate"), col("objectValue")),
+        Inference.hierarchyClosure(subProp),
+        Inference.hierarchyClosure(subClass))
+      entailed.filter(col("predicate") === Inference.RdfType)
+        .groupBy(col("objectValue").as("cls"))
+        .agg(countDistinct(col("subject")).as("n_instances"))
+        .orderBy(col("cls"))
+    }),
+
     "q_shape_validate" -> ((s, dir) => {
       // Lineage-cut the quad relation: the dirty union references it
       // twice and the validator's focus/observed legs re-reference the
@@ -803,6 +890,87 @@ object QuadQueries extends QueryCatalog {
          |SELECT nation, COUNT(DISTINCT addr) AS n_addrs,
          |  COUNT(*) AS n_bindings, MIN(name) AS first_name
          |FROM bind GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "q_quads_construct" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |vl AS (SELECT subject AS b, objectValue AS nation FROM quads
+         |       WHERE predicate = '$ValueP'),
+         |bind AS (SELECT DISTINCT hp.addr, vl.nation
+         |         FROM hp JOIN ty USING (b) JOIN vl USING (b)),
+         |built AS (
+         |  SELECT addr AS subject, '$NationNameP' AS predicate,
+         |    nation AS objectValue, 'literal' AS objectKind FROM bind
+         |  UNION
+         |  SELECT addr, '$RdfType', '$FlatAddrT', 'iri' FROM bind)
+         |SELECT DISTINCT subject, predicate, objectValue, objectKind
+         |FROM built ORDER BY subject, predicate, objectValue""".stripMargin,
+
+    "q_quads_path_transitive" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT 'https://example.org/customer/'
+         |      || CAST(c_custkey AS VARCHAR) AS src,
+         |    'https://example.org/nation/' ||
+         |      regexp_replace(lower(trim(n_name)), '\\s+', '-', 'g') AS dst
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  UNION ALL
+         |  SELECT 'https://example.org/nation/' ||
+         |      regexp_replace(lower(trim(n_name)), '\\s+', '-', 'g'),
+         |    'https://example.org/region/' ||
+         |      regexp_replace(lower(trim(r_name)), '\\s+', '-', 'g')
+         |  FROM nation JOIN region ON n_regionkey = r_regionkey
+         |  UNION ALL
+         |  SELECT 'https://example.org/region/' ||
+         |      regexp_replace(lower(trim(r_name)), '\\s+', '-', 'g'),
+         |    'urn:world'
+         |  FROM region),
+         |walk(src, dst, dist) AS (
+         |  SELECT src, dst, 1 FROM edges
+         |  UNION
+         |  SELECT w.src, e.dst, w.dist + 1
+         |  FROM walk w JOIN edges e ON w.dst = e.src)
+         |SELECT src AS subject, dst AS ancestor, MIN(dist) AS dist
+         |FROM walk GROUP BY src, dst ORDER BY subject, ancestor""".stripMargin,
+
+    "q_quads_rdfs_inference" ->
+      s"""$fullQuadsCte,
+         |onto(sub, sup) AS (
+         |  SELECT * FROM (VALUES
+         |    ('$PartNationT', '$AddressPartT'),
+         |    ('$PartRegionT', '$AddressPartT'),
+         |    ('$PartSegmentT', '$AddressPartT'),
+         |    ('$LifecycleCurrentT', '$LifecycleStageT'),
+         |    ('$GivenNameT', '$NamePartT'),
+         |    ('$AddressPartT', '$StructuredValueT'),
+         |    ('$LifecycleStageT', '$StructuredValueT'),
+         |    ('$NamePartT', '$StructuredValueT'),
+         |    ('$StructuredValueT', '$ThingT'),
+         |    ('$PlaceT', '$ThingT')) v(sub, sup)),
+         |c2 AS (SELECT a.sub, b.sup FROM onto a JOIN onto b
+         |       ON a.sup = b.sub),
+         |c3 AS (SELECT a.sub, b.sup FROM c2 a JOIN onto b
+         |       ON a.sup = b.sub),
+         |subc AS (SELECT DISTINCT sub, sup FROM (
+         |  SELECT sub, sup FROM onto UNION ALL
+         |  SELECT sub, sup FROM c2 UNION ALL
+         |  SELECT sub, sup FROM c3)),
+         |tt AS (
+         |  SELECT subject, objectValue FROM quads
+         |  WHERE predicate = '$RdfType'
+         |  UNION ALL
+         |  SELECT subject, objectValue FROM quads
+         |  WHERE predicate = '$AddTypeP'),
+         |alltypes AS (
+         |  SELECT subject, objectValue FROM tt
+         |  UNION
+         |  SELECT t.subject, s.sup FROM tt t JOIN subc s
+         |  ON t.objectValue = s.sub)
+         |SELECT objectValue AS cls, COUNT(DISTINCT subject) AS n_instances
+         |FROM alltypes GROUP BY cls ORDER BY cls""".stripMargin,
 
     "q_quads_bgp_optional" ->
       s"""$fullQuadsCte,

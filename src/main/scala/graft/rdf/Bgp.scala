@@ -61,6 +61,35 @@ object Bgp {
       acc.join(opt, shared, "left")
     }
 
+  /** CONSTRUCT template triple: subject/object terms are a solution
+    * variable or a constant; the predicate is constant (as in the WHERE
+    * patterns). `oKind` tags the built object term for downstream
+    * rendering. */
+  final case class Template(s: Term, p: String, o: Term,
+      oKind: String = graft.model.TermKind.Iri)
+
+  /** SPARQL CONSTRUCT: instantiate `template` once per solution of
+    * `where`, producing a new triple relation
+    * `(subject, predicate, objectValue, objectKind)` with set semantics
+    * (CONSTRUCT emits a GRAPH, and graphs are sets). Each template triple
+    * is a projection of the one solution relation — the solutions
+    * materialize once, the union is projection-only, and the final
+    * `distinct` is the single extra shuffle set semantics costs. */
+  def construct(quads: DataFrame, where: Seq[Pattern],
+      template: Seq[Template]): DataFrame = {
+    require(template.nonEmpty, "at least one template triple required")
+    val sol = select(quads, where)
+    def term(t: Term): Column = t match {
+      case Var(n) => col(n)
+      case Const(v) => lit(v)
+    }
+    template.map { t =>
+      sol.select(term(t.s).as("subject"), lit(t.p).as("predicate"),
+          term(t.o).as("objectValue"), lit(t.oKind).as("objectKind"))
+        .filter(col("subject").isNotNull && col("objectValue").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+  }
+
   /** Solution mappings for the conjunction of `patterns`: one column per
     * distinct variable name, one row per binding (set semantics, like
     * SPARQL SELECT DISTINCT). Shared variables join; disjoint patterns

@@ -210,6 +210,73 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     assert(un("plain") == "plain")              // no-op fast path
   }
 
+  test("PropertyPath.closure: min dist on a diamond, terminates on a cycle") {
+    import spark.implicits._
+    import graft.rdf.PropertyPath
+    // diamond a→b→d, a→c→d, plus shortcut a→d: dist(a,d) must be 1
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("a", "d")).toDF("src", "dst")
+    val cl = PropertyPath.closure(diamond).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(cl(("a", "d")) == 1)
+    assert(cl(("b", "d")) == 1 && cl(("a", "b")) == 1)
+    assert(cl.size == 5) // exactly the connected pairs, no dup rows
+    // 3-cycle: closure is all 9 ordered pairs (incl. self at dist 3)
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val ccl = PropertyPath.closure(cyc).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(ccl.size == 9)
+    assert(ccl(("x", "x")) == 3 && ccl(("x", "z")) == 2)
+  }
+
+  test("Inference.entail applies rdfs7 then rdfs9 through the closure") {
+    import spark.implicits._
+    import graft.rdf.Inference
+    val triples = Seq(
+      ("doc1", "urn:p:kind", "urn:c:Report"),
+      ("doc2", Inference.RdfType, "urn:c:Memo")).toDF(
+      "subject", "predicate", "objectValue")
+    val subProp = Inference.hierarchyClosure(
+      Seq(("urn:p:kind", Inference.RdfType)).toDF("sub", "sup"))
+    val subClass = Inference.hierarchyClosure(Seq(
+      ("urn:c:Report", "urn:c:Document"),
+      ("urn:c:Memo", "urn:c:Document"),
+      ("urn:c:Document", "urn:c:Thing")).toDF("sub", "sup"))
+    val got = Inference.entail(triples, subProp, subClass).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // doc1: kind edge lifted to rdf:type, then up the 2-level chain
+    assert(got.contains(("doc1", Inference.RdfType, "urn:c:Report")))
+    assert(got.contains(("doc1", Inference.RdfType, "urn:c:Document")))
+    assert(got.contains(("doc1", Inference.RdfType, "urn:c:Thing")))
+    assert(got.contains(("doc2", Inference.RdfType, "urn:c:Thing")))
+    // original assertion kept, set semantics (no duplicate rows)
+    assert(got.contains(("doc1", "urn:p:kind", "urn:c:Report")))
+    assert(got.size == 7)
+  }
+
+  test("Bgp.construct instantiates templates with set semantics") {
+    import spark.implicits._
+    import graft.rdf.Bgp
+    import graft.rdf.Bgp.{Const, Pattern, Template, Var}
+    val quads = Seq(
+      ("a1", "urn:p:has", "b1"), ("b1", "urn:p:val", "north"),
+      ("a2", "urn:p:has", "b2"), ("b2", "urn:p:val", "north"))
+      .toDF("subject", "predicate", "objectValue")
+    val out = Bgp.construct(quads,
+      Seq(Pattern(Var("a"), "urn:p:has", Var("b")),
+        Pattern(Var("b"), "urn:p:val", Var("v"))),
+      Seq(Template(Var("a"), "urn:p:flat", Var("v"),
+          graft.model.TermKind.Literal),
+        Template(Const("urn:meta"), "urn:p:seen", Var("v"))))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // the shared-object template dedups: ONE (urn:meta, seen, north)
+    assert(rows == Set(
+      ("a1", "urn:p:flat", "north"), ("a2", "urn:p:flat", "north"),
+      ("urn:meta", "urn:p:seen", "north")))
+    assert(out.count() == 3)
+  }
+
   test("flagship entry() produces quads on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
