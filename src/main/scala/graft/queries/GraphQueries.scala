@@ -253,6 +253,33 @@ object GraphQueries extends QueryCatalog {
         .limit(20)
     }),
 
+    // Adamic–Adar link prediction over the same supplier→part bipartite
+    // projection: common neighbors weighted by 1/ln(part degree), so
+    // ubiquitous parts contribute less evidence than rare ones. Same
+    // scale shape as q_graph_jaccard — ONE self-equi-join on the part
+    // key, fan-out bounded by per-part supplier degree — with the part
+    // degree (dimension-sized after the quantity filter) broadcast onto
+    // the pair stream; the AA sum is a map-side-combinable aggregate.
+    "q_graph_adamic_adar" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+        .distinct()
+        .cutLineage(eager = false)
+      // renamed key: pd derives from sp, so an un-renamed `p` would be
+      // expression-id-ambiguous against the self-joined a/b legs
+      val pd = sp.groupBy(col("p").as("pp")).agg(count(lit(1)).as("pd"))
+      sp.as("a")
+        .join(sp.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .join(broadcast(pd), col("a.p") === col("pp"))
+        .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+        .agg(count(lit(1)).as("common"),
+          round(sum(lit(1.0) / log(col("pd"))), 6).as("aa"))
+        .orderBy(col("aa").desc, col("s1"), col("s2"))
+        .limit(20)
+    }),
+
     // Multi-source BFS hop distance over the (cyclic) co-supply graph —
     // frontier iteration with min-dist semantics, the general-graph
     // sibling of HierarchyQueries' DAG traversal. Each round is one
@@ -450,6 +477,19 @@ object GraphQueries extends QueryCatalog {
         |JOIN deg d1 ON d1.sk = com.s1
         |JOIN deg d2 ON d2.sk = com.s2
         |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "q_graph_adamic_adar" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |pd AS (SELECT p, COUNT(*) AS pd FROM sp GROUP BY p)
+        |SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common,
+        |       round(sum(1.0 / ln(pd.pd)), 6) AS aa
+        |FROM sp a
+        |JOIN sp b ON a.p = b.p AND a.sk < b.sk
+        |JOIN pd ON pd.p = a.p
+        |GROUP BY 1, 2
+        |ORDER BY aa DESC, s1, s2 LIMIT 20""".stripMargin,
 
     "q_graph_bfs" ->
       s"""WITH RECURSIVE $edgesCte,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions.epochMs
+import graft.operators.Checkpoints.CutOps
 import graft.operators.DataQuality
 import graft.operators.DataQuality.Check
 
@@ -140,6 +141,59 @@ object StatsQueries extends QueryCatalog {
           round(corr(col("n").cast("double"),
             col("prev_n").cast("double")), 6).as("lag1_autocorr"),
           count(lit(1)).as("n_pairs"))
+    }),
+
+    // Mann–Kendall trend test + Theil–Sen slope per user — the robust
+    // (rank/median-based) trend detector next to the OLS regr_* family:
+    // S is an exact ±1 pair sum, Var(S) carries the tie-correction term,
+    // z applies the continuity correction, and the Sen slope is the
+    // exact median of pairwise per-day slopes. The pairwise work is ONE
+    // self-equi-join keyed on user_id (a single shuffle); the quadratic
+    // blowup is bounded by per-user activity (~20 events), never corpus
+    // size — the same bound as the basket self-join.
+    "q_stats_mann_kendall" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("user_id") % 10 === 0)
+        .select(col("user_id"), epochMs(col("ts")).as("ms"),
+          col("event_id"), col("value"))
+        .cutLineage(eager = false)
+      val pairs = base.as("a").join(base.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          (col("a.ms") < col("b.ms") ||
+            (col("a.ms") === col("b.ms") &&
+              col("a.event_id") < col("b.event_id"))))
+      val pairAgg = pairs
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(
+          sum(when(col("b.value") > col("a.value"), 1L)
+            .when(col("b.value") < col("a.value"), -1L)
+            .otherwise(0L)).as("s_stat"),
+          round(expr(
+            "percentile(CASE WHEN b.ms <> a.ms THEN " +
+              "(b.value - a.value) / (b.ms - a.ms) * 86400000.0 END, 0.5)"),
+            6).as("sen_slope_day"))
+      val counts = base.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val ties = base.groupBy(col("user_id"), col("value"))
+        .agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .groupBy(col("user_id"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+          .as("tie_term"))
+      val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+        coalesce(col("tie_term"), lit(0L))).cast("double") / 18.0
+      pairAgg.join(counts, Seq("user_id"))
+        .join(ties, Seq("user_id"), "left")
+        .select(col("user_id"), col("n"), col("s_stat"),
+          round(varS, 6).as("var_s"),
+          round(
+            when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(varS))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(varS))
+              .otherwise(lit(0.0)), 6).as("z"),
+          col("sen_slope_day"))
+        .orderBy(col("user_id"))
     }),
 
     // BENFORD first-digit audit — the fraud/fabrication screen financial
@@ -784,6 +838,41 @@ object StatsQueries extends QueryCatalog {
         |SELECT dow, round(avg_n, 6) AS avg_events,
         |       round(avg_n / a, 6) AS seasonal_idx
         |FROM byd, tot ORDER BY dow""".stripMargin,
+
+    "q_stats_mann_kendall" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, value
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.user_id, a.ms AS ams, b.ms AS bms,
+        |         a.value AS av, b.value AS bv
+        |  FROM base a JOIN base b ON a.user_id = b.user_id
+        |   AND (a.ms < b.ms OR (a.ms = b.ms AND a.event_id < b.event_id))),
+        |pa AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN bv > av THEN 1 WHEN bv < av THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat,
+        |    round(quantile_cont(CASE WHEN bms <> ams THEN
+        |      (bv - av) / (bms - ams) * 86400000.0 END, 0.5), 6)
+        |      AS sen_slope_day
+        |  FROM pairs GROUP BY user_id),
+        |cnt AS (SELECT user_id, COUNT(*) AS n FROM base GROUP BY user_id),
+        |tie AS (
+        |  SELECT user_id, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+        |  FROM (SELECT user_id, value, COUNT(*) AS t FROM base
+        |        GROUP BY 1, 2) g
+        |  WHERE t > 1 GROUP BY user_id),
+        |v AS (
+        |  SELECT p.user_id, cnt.n, p.s_stat, p.sen_slope_day,
+        |    (cnt.n * (cnt.n - 1) * (2 * cnt.n + 5)
+        |      - coalesce(tie.tie_term, 0)) / 18.0 AS var_s
+        |  FROM pa p JOIN cnt USING (user_id) LEFT JOIN tie USING (user_id))
+        |SELECT user_id, n, s_stat, round(var_s, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |             WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |             ELSE 0.0 END, 6) AS z,
+        |  sen_slope_day
+        |FROM v ORDER BY user_id""".stripMargin,
 
     "q_stats_autocorr" ->
       """WITH daily AS (
