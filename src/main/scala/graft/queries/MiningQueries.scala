@@ -164,6 +164,20 @@ object MiningQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // Logistic-regression quality classifier trained by full-batch GD
+    // (operators/GradientDescent): 3 fixed iterations, lr 2.0, over the
+    // 64-dim embeddings with a binary label split. Per iteration ONE
+    // data pass with a map-side-combinable componentwise gradient; the
+    // driver holds only the dim+1 model vector (the Lloyd discipline).
+    // The oracle replays all three iterations as an unrolled CTE chain.
+    "q_ml_logreg" -> ((s, dir) => {
+      graft.operators.GradientDescent.logistic(
+        Tables.embeddings(s, dir)
+          .select(col("embedding").as("features"),
+            when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
+        iters = 3, lr = 2.0)
+    }),
+
     "q_cluster_kmeans" -> ((s, dir) => {
       graft.operators.Clustering
         .lloyd(Tables.embeddings(s, dir), initModulus = 100L, iters = 2)
@@ -504,6 +518,64 @@ object MiningQueries extends QueryCatalog {
     * `a2` = the final vector×centroid distance matrix ranked per vector —
     * q_cluster_kmeans takes rank 1 (the assignment), q_cluster_silhouette
     * takes ranks 1 and 2 (own vs nearest-other centroid). */
+  /** Unrolled 3-iteration GD replay (see operators/GradientDescent): per
+    * iteration score → componentwise gradient → 9-dp weight update, the
+    * sigmoid rounded per row exactly like the engine; lr 2.0 and the
+    * 64-dim width mirror the q_ml_logreg call site. */
+  private def logregOracle: String = {
+    val dim = 64
+    def dot(wl: String) =
+      s"list_sum([x[i] * $wl[i] for i in range(1, ${dim + 1})])"
+    def grad(i: Int) =
+      s"""g$i AS (
+         |  SELECT i AS pos, sum((p - y) * x[i]) AS g, sum(p - y) AS gb,
+         |    count(*) AS n
+         |  FROM s$i CROSS JOIN range(1, ${dim + 1}) t(i) GROUP BY i)"""
+        .stripMargin
+    s"""WITH d AS (
+       |  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+       |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM embeddings),
+       |s1 AS (SELECT x, y, round(1/(1 + exp(-(0.0))), 9) AS p FROM d),
+       |${grad(1)},
+       |b1 AS (SELECT round(0.0 - 2.0 * gb / n, 9) AS b FROM g1
+       |       WHERE pos = 1),
+       |w1 AS (SELECT pos, round(0.0 - 2.0 * g / n, 9) AS w FROM g1),
+       |wl1 AS (SELECT list(w ORDER BY pos) AS wl FROM w1),
+       |s2 AS (SELECT x, y,
+       |    round(1/(1 + exp(-(b + ${dot("wl")}))), 9) AS p
+       |  FROM d, b1, wl1),
+       |${grad(2)},
+       |b2 AS (SELECT round(b - 2.0 * gb / n, 9) AS b FROM g2, b1
+       |       WHERE pos = 1),
+       |w2 AS (SELECT pos, round(w1.w - 2.0 * g2.g / g2.n, 9) AS w
+       |       FROM g2 JOIN w1 USING (pos)),
+       |wl2 AS (SELECT list(w ORDER BY pos) AS wl FROM w2),
+       |s3 AS (SELECT x, y,
+       |    round(1/(1 + exp(-(b + ${dot("wl")}))), 9) AS p
+       |  FROM d, b2, wl2),
+       |${grad(3)},
+       |b3 AS (SELECT round(b - 2.0 * gb / n, 9) AS b FROM g3, b2
+       |       WHERE pos = 1),
+       |w3 AS (SELECT pos, round(w2.w - 2.0 * g3.g / g3.n, 9) AS w
+       |       FROM g3 JOIN w2 USING (pos)),
+       |wl3 AS (SELECT list(w ORDER BY pos) AS wl FROM w3),
+       |s4 AS (SELECT x, y,
+       |    round(1/(1 + exp(-(b + ${dot("wl")}))), 9) AS p
+       |  FROM d, b3, wl3),
+       |m AS (SELECT count(*) AS n, round(avg(ll), 6) AS log_loss,
+       |    round(avg(CASE WHEN (p >= 0.5) = (y = 1.0)
+       |      THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+       |  FROM (SELECT y, p,
+       |    round(-(y * ln(p) + (1 - y) * ln(1 - p)), 9) AS ll
+       |    FROM s4) q),
+       |co AS (SELECT 0 AS pos, b AS weight FROM b3
+       |       UNION ALL SELECT pos, w FROM w3)
+       |SELECT CAST(co.pos AS INT) AS pos, co.weight, m.n, m.log_loss,
+       |  m.accuracy
+       |FROM co, m ORDER BY pos""".stripMargin
+  }
+
   private val kmeansCtes: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding,
@@ -576,6 +648,8 @@ object MiningQueries extends QueryCatalog {
         |  round(avg(ln((cnt + 1)::DOUBLE / (tt_total + v_size)::DOUBLE)), 6)
         |    AS avg_logprob
         |FROM held, stats GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ml_logreg" -> logregOracle,
 
     "q_cluster_kmeans" ->
       s"""$kmeansCtes

@@ -802,4 +802,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       dim.filter(lit(false)), col("s_suppkey"))
     assert(none.count() == 0L)
   }
+
+  test("GradientDescent.logistic separates a linearly-separable toy set") {
+    import spark.implicits._
+    import graft.operators.GradientDescent
+    val d = Seq(
+      (Array(-2.0), 0.0), (Array(-1.0), 0.0), (Array(-0.5), 0.0),
+      (Array(0.5), 1.0), (Array(1.0), 1.0), (Array(2.0), 1.0))
+      .toDF("features", "y")
+    val out = GradientDescent.logistic(d, iters = 8, lr = 5.0).collect()
+    val byPos = out.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byPos(1) > 0.5, s"weight should be positive, got ${byPos(1)}")
+    val acc = out.head.getDouble(4)
+    val loss = out.head.getDouble(3)
+    assert(acc == 1.0, s"separable set must classify perfectly, got $acc")
+    assert(loss < math.log(2), s"loss must beat the w=0 start, got $loss")
+    // symmetric data: bias stays near zero
+    assert(math.abs(byPos(0)) < 0.2, s"bias drifted: ${byPos(0)}")
+  }
 }
