@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
+import graft.operators.Checkpoints.CutOps
 
 /** Text-analysis operators for the LLM-data-pipeline surface (builder
   * brief): language-ID (character-n-gram heuristic), quality scoring
@@ -487,6 +488,39 @@ object TextAnalysisQueries extends QueryCatalog {
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }),
 
+    // BPE merge APPLICATION (operators/BpeEncode) — the tokenizer-side
+    // twin of the pair mining above: the top-3 mined pairs become an
+    // ordered merge-rule list, each rule is one doc-partitioned window
+    // pass with greedy left-to-right non-overlap inside match runs, and
+    // the result is digested per doc. The rule list is the only
+    // driver-side state (3 rows — the Lloyd/GD discipline).
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+        .toDF("doc_id", "p0", "tok")
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        .cutLineage(eager = false)
+      val rules = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(3)
+        .collect().toSeq.map { r =>
+          val Array(a, b) = r.getString(0).split(" ", 2)
+          (a, b)
+        }
+      graft.operators.BpeEncode.applyMerges(toks, rules)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          md5(concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+              " x -> x.tok)"))).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     // SIGMOD'03 — the MOSS algorithm): k-gram rolling hashes, then keep
     // the MINIMUM hash of every w-length window. Guarantees detection of
@@ -573,6 +607,61 @@ object TextAnalysisQueries extends QueryCatalog {
       |  SELECT doc_id, lang,
       |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
       |  FROM documents WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) >= 1)""".stripMargin
+
+  /** Unrolled 3-rule replay of operators/BpeEncode: identical window
+    * bookkeeping (run starts, running match count, even-offset fuse,
+    * consumed-successor delete) layer by layer. */
+  private def bpeEncodeOracle: String = {
+    val wdef = "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+    val cum = "w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    def ruleApp(i: Int, prev: String): String =
+      s"""x${i}1 AS (SELECT doc_id, pos, tok, lead(tok) OVER w AS nxt
+         |  FROM $prev $wdef),
+         |x${i}2 AS (SELECT doc_id, pos, tok, nxt,
+         |    coalesce(tok = r.a AND nxt = r.b, FALSE) AS m
+         |  FROM x${i}1 CROSS JOIN r$i r),
+         |x${i}3 AS (SELECT doc_id, pos, tok, nxt, m,
+         |    (m AND NOT coalesce(lag(m) OVER w, FALSE)) AS run_start
+         |  FROM x${i}2 $wdef),
+         |x${i}4 AS (SELECT doc_id, pos, tok, nxt, m, run_start,
+         |    sum(CASE WHEN m THEN 1 ELSE 0 END) OVER ($cum) AS rnm
+         |  FROM x${i}3 $wdef),
+         |x${i}5 AS (SELECT doc_id, pos, tok, nxt, m, rnm,
+         |    max(CASE WHEN run_start THEN rnm END) OVER ($cum) AS base
+         |  FROM x${i}4 $wdef),
+         |x${i}6 AS (SELECT doc_id, pos, tok, nxt,
+         |    (m AND (rnm - base) % 2 = 0) AS merged
+         |  FROM x${i}5),
+         |x${i}7 AS (SELECT doc_id, pos, tok, nxt, merged,
+         |    coalesce(lag(merged) OVER w, FALSE) AS del
+         |  FROM x${i}6 $wdef),
+         |e$i AS (SELECT doc_id, row_number() OVER w AS pos,
+         |    CASE WHEN merged THEN tok || ' ' || nxt ELSE tok END AS tok
+         |  FROM x${i}7 WHERE NOT del $wdef)""".stripMargin
+    s"""WITH t0 AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+       |    unnest(ws) AS tok
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |        FROM documents WHERE length(trim(text)) > 0)),
+       |pr AS (SELECT tok || ' ' ||
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair
+       |  FROM t0),
+       |rnk AS (SELECT pair,
+       |    row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+       |  FROM pr WHERE pair IS NOT NULL GROUP BY pair),
+       |r1 AS (SELECT string_split(pair, ' ')[1] AS a,
+       |    string_split(pair, ' ')[2] AS b FROM rnk WHERE rk = 1),
+       |r2 AS (SELECT string_split(pair, ' ')[1] AS a,
+       |    string_split(pair, ' ')[2] AS b FROM rnk WHERE rk = 2),
+       |r3 AS (SELECT string_split(pair, ' ')[1] AS a,
+       |    string_split(pair, ' ')[2] AS b FROM rnk WHERE rk = 3),
+       |${ruleApp(1, "t0")},
+       |${ruleApp(2, "e1")},
+       |${ruleApp(3, "e2")}
+       |SELECT doc_id, count(*) AS n_tok,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+       |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_text_decontaminate" ->
@@ -875,6 +964,8 @@ object TextAnalysisQueries extends QueryCatalog {
         |        FROM w WHERE len(ws) >= 2))
         |SELECT pair, count(*) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q_text_bpe_encode" -> bpeEncodeOracle,
 
     "q_text_winnowing" ->
       s"""WITH $duckNorm,

@@ -803,6 +803,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() == 0L)
   }
 
+  test("BpeEncode.applyMerges: greedy left-to-right non-overlap on runs") {
+    import spark.implicits._
+    import graft.operators.BpeEncode
+    def toks(doc: Long, s: String) =
+      s.split(" ").zipWithIndex.map { case (t, i) => (doc, i + 1, t) }
+    val t = (toks(1L, "a a a a a") ++ toks(2L, "a a b c a a") ++
+      toks(3L, "x y z")).toSeq.toDF("doc_id", "pos", "tok")
+    val out = BpeEncode.applyMerges(t, Seq(("a", "a"), ("a a", "a")))
+      .orderBy(col("doc_id"), col("pos")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(2)).toSeq }
+    // doc1 "a a a a a": rule1 fuses (1,2) and (3,4) greedily -> higher-
+    // order rule2 then fuses ("a a", a) -> ["a a", "a a a"]... wait:
+    // rule1: [aa, aa, a]; rule2 (aa,a): positions (2,3) fuse -> [aa, aa a]
+    assert(out(1L) == Seq("a a", "a a a"))
+    // doc2: rule1 fuses both bigram runs; rule2 finds no (aa,a) adjacency
+    assert(out(2L) == Seq("a a", "b", "c", "a a"))
+    // doc3 untouched, dense renumbering preserved
+    assert(out(3L) == Seq("x", "y", "z"))
+  }
+
   test("GradientDescent.logistic separates a linearly-separable toy set") {
     import spark.implicits._
     import graft.operators.GradientDescent
