@@ -669,6 +669,32 @@ object QuadQueries extends QueryCatalog {
           min(col("ts")).as("first_ts"))
     }),
 
+    // SPARQL UNION + FILTER (rdf/Bgp.selectUnion): the nation-part and
+    // region-part alternatives bind DIFFERENT variables, so each branch
+    // null-pads the other's bindings (the SPARQL unbound semantics) and
+    // a FILTER drops one literal value — exercised end to end through
+    // the aggregate so bound/unbound counts and the filter all hash.
+    "q_quads_bgp_union" -> ((s, dir) => {
+      import graft.rdf.Bgp
+      import graft.rdf.Bgp.{Const, Pattern, Var}
+      Bgp.selectUnion(fullQuads(s, dir), Seq(
+          Seq(
+            Pattern(Var("addr"), HasPartP, Var("b")),
+            Pattern(Var("b"), AddTypeP, Const(PartNationT)),
+            Pattern(Var("b"), ValueP, Var("nation"))),
+          Seq(
+            Pattern(Var("addr"), HasPartP, Var("c")),
+            Pattern(Var("c"), AddTypeP, Const(PartRegionT)),
+            Pattern(Var("c"), ValueP, Var("region")))))
+        .filter(coalesce(col("nation"), lit("")) =!= "CHINA")
+        .agg(count(lit(1)).as("n_solutions"),
+          count(col("nation")).as("n_nation_bound"),
+          count(col("region")).as("n_region_bound"),
+          countDistinct(col("addr")).as("n_addrs"),
+          min(col("nation")).as("min_nation"),
+          max(col("region")).as("max_region"))
+    }),
+
     // SPARQL CONSTRUCT (rdf/Bgp.construct): flatten the 3-quad nation
     // part group into a direct nationName edge plus a marker type — the
     // graph-reshaping verb a SPARQL store serves next to SELECT. The
@@ -890,6 +916,36 @@ object QuadQueries extends QueryCatalog {
          |SELECT nation, COUNT(DISTINCT addr) AS n_addrs,
          |  COUNT(*) AS n_bindings, MIN(name) AS first_name
          |FROM bind GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "q_quads_bgp_union" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT subject AS addr, objectValue AS bn FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |tn AS (SELECT DISTINCT subject AS bn FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |tr AS (SELECT DISTINCT subject AS bn FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartRegionT'),
+         |vl AS (SELECT subject AS bn, objectValue AS v FROM quads
+         |       WHERE predicate = '$ValueP'),
+         |g1 AS (SELECT DISTINCT hp.addr, hp.bn AS b, vl.v AS nation
+         |       FROM hp JOIN tn USING (bn) JOIN vl USING (bn)),
+         |g2 AS (SELECT DISTINCT hp.addr, hp.bn AS c, vl.v AS region
+         |       FROM hp JOIN tr USING (bn) JOIN vl USING (bn)),
+         |u AS (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT addr, b, nation, CAST(NULL AS VARCHAR) AS c,
+         |      CAST(NULL AS VARCHAR) AS region FROM g1
+         |    UNION ALL
+         |    SELECT addr, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |      c, region FROM g2))
+         |SELECT COUNT(*) AS n_solutions,
+         |  COUNT(nation) AS n_nation_bound,
+         |  COUNT(region) AS n_region_bound,
+         |  COUNT(DISTINCT addr) AS n_addrs,
+         |  MIN(nation) AS min_nation, MAX(region) AS max_region
+         |FROM u WHERE coalesce(nation, '') <> 'CHINA'""".stripMargin,
 
     "q_quads_construct" ->
       s"""$fullQuadsCte,

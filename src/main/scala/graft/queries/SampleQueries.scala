@@ -67,6 +67,32 @@ object SampleQueries extends QueryCatalog {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Temperature-scaled mixing (the Gopher/PaLM data-mix rule): source
+    // quotas ∝ cnt^(1/T) with T = 2 (sqrt), flattening the language
+    // skew — rare languages are upweighted relative to proportional
+    // sampling, without the fixed hand-set weights of q_sample_mixture.
+    // The allocation relation is group-cardinality (broadcast); rows
+    // fill quotas in deterministic md5-hash order. The quota share is
+    // 6-dp-rounded BEFORE the floor so the tiny engine-order difference
+    // in the 5-term weight sum can never flip an integer boundary.
+    "q_sample_temperature" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(sqrt(col("cnt").cast("double"))).as("wsum"))
+      val alloc = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), greatest(lit(1L),
+          floor(round(lit(200) * sqrt(col("cnt").cast("double")) /
+            col("wsum"), 6)).cast("long")).as("alloc"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+      docs.join(broadcast(alloc), Seq("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("alloc"))
+        .select(col("lang"), col("doc_id"), col("alloc"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Importance-weighted draw: 50 docs with probability ∝ length
     // (n_chars) via the deterministic exponential race
     // (Sampling.weighted) — the upweight-long-documents mixing knob.
@@ -161,6 +187,23 @@ object SampleQueries extends QueryCatalog {
         |SELECT source, doc_id, CAST(tok AS BIGINT) AS tok,
         |  CAST(floor((cum - tok) / 200.0) AS BIGINT) AS shard
         |FROM r ORDER BY source, doc_id""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(sqrt(cnt::DOUBLE)) AS wsum FROM counts),
+        |alloc AS (
+        |  SELECT lang, greatest(CAST(1 AS BIGINT),
+        |    CAST(floor(round(200 * sqrt(cnt::DOUBLE) / wsum, 6))
+        |      AS BIGINT)) AS alloc
+        |  FROM counts, tot),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id, a.alloc,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN alloc a USING (lang))
+        |SELECT lang, doc_id, alloc FROM ranked WHERE rn <= alloc
+        |ORDER BY lang, doc_id""".stripMargin,
+
     "q_sample_mixture" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,

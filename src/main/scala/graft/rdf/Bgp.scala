@@ -61,6 +61,26 @@ object Bgp {
       acc.join(opt, shared, "left")
     }
 
+  /** SPARQL UNION: the solution sets of alternative groups, each padded
+    * with NULL (SPARQL "unbound") for variables only other branches
+    * bind, then unioned with set semantics. Each branch is an
+    * independent BGP — the relational cost is the branches' own plans
+    * plus one distinct; padding is projection-only. (SPARQL FILTER needs
+    * no dedicated verb: solutions are relations, a FILTER is `.filter`
+    * on the binding columns.) */
+  def selectUnion(quads: DataFrame,
+      groups: Seq[Seq[Pattern]]): DataFrame = {
+    require(groups.nonEmpty, "at least one UNION branch required")
+    val sols = groups.map(select(quads, _))
+    val allVars = sols.flatMap(_.columns).distinct
+    sols.map { s0 =>
+      s0.select(allVars.map { v =>
+        if (s0.columns.contains(v)) col(v)
+        else lit(null).cast("string").as(v)
+      }: _*)
+    }.reduce(_ unionByName _).distinct()
+  }
+
   /** CONSTRUCT template triple: subject/object terms are a solution
     * variable or a constant; the predicate is constant (as in the WHERE
     * patterns). `oKind` tags the built object term for downstream
