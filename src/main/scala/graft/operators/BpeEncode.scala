@@ -40,7 +40,10 @@ object BpeEncode {
       case (t, (a, b)) => applyRule(t, a, b).cutLineage(eager = false)
     }
 
-  private def applyRule(t: DataFrame, a: String, b: String): DataFrame = {
+  /** One rule pass (package-visible so PlanAuditSpec can audit the
+    * pre-checkpoint plan — the public fold cuts lineage per rule). */
+  private[graft] def applyRule(t: DataFrame, a: String,
+      b: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("nxt", lead(col("tok"), 1).over(w))

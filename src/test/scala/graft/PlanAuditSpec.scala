@@ -702,4 +702,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window [row_number()"),
       "unexpected row_number window in the GlobalRank plan")
   }
+
+  test("one BPE rule pass costs exactly one exchange (doc_id-keyed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 7 window columns + renumber, all partitioned on doc_id: Spark must
+    // plan ONE hash exchange and chain the Window operators behind it —
+    // a second exchange would mean a rule pass reshuffles the corpus.
+    val t = (1 to 100).map(i => (i.toLong % 5, i, s"t$i"))
+      .toDF("doc_id", "pos", "tok")
+      .repartition(4) // multi-partition input, as a real scan would be
+    // applyRule directly: the public fold cuts lineage per rule, which
+    // would truncate the visible plan to the checkpoint leaf
+    val plan = graft.operators.BpeEncode.applyRule(t, "t1", "t2")
+      .queryExecution.executedPlan.toString
+    val keyed = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(doc_id"))
+    assert(keyed == 1, s"expected 1 doc_id exchange, got $keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("Inference.entail touches the A-box with broadcast joins only") {
+    import spark.implicits._
+    import graft.rdf.Inference
+    val triples = Seq(("s1", Inference.RdfType, "urn:c:A"))
+      .toDF("subject", "predicate", "objectValue")
+    val cls = Inference.hierarchyClosure(
+      Seq(("urn:c:A", "urn:c:B")).toDF("sub", "sup"))
+    val prp = Inference.hierarchyClosure(
+      Seq(("urn:p:x", "urn:p:y")).toDF("sub", "sup"))
+    val qe = Inference.entail(triples, prp, cls).queryExecution
+    val plan = qe.executedPlan.toString
+    // 3 broadcast joins is the CORRECT tree shape: the rdfs7 leg appears
+    // once unfiltered (union) and once predicate-filtered (types input
+    // to rdfs9) — relational plans are trees, and re-deriving the
+    // filtered slice (filter pushes to the scan) beats materializing the
+    // union at scale. The load-bearing asserts: the A-box never reaches
+    // a shuffle join, and the ONLY shuffle is the set-semantics distinct.
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) == 3,
+      "unexpected join shape:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "A-box reached a shuffle join — T-box must broadcast:\n" + plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1,
+      "more shuffles than the final distinct:\n" + plan)
+  }
 }
