@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nt_escape"),
       new ExpressionInfo(classOf[NtEscape].getName, "graft_nt_escape"),
       NtEscape.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      JaroWinkler.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      NfcNormalize.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
     // Post-operator-batch slot (runs ONCE, after InferFiltersFromConstraints
     // et al.) — the same placement Spark gives its own InjectRuntimeFilter:

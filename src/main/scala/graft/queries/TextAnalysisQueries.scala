@@ -355,6 +355,37 @@ object TextAnalysisQueries extends QueryCatalog {
     // ~4 bits). Per-doc char histogram = one partial-aggregable groupBy;
     // counts are exact integers, so the only engine-order float sum is
     // the ≤|alphabet| -Σp·ln(p) terms, rounded 6 dp.
+    // Unicode NFC canonicalization BEFORE exact dedup — multi-source
+    // corpora mix precomposed (U+00E9) and decomposed (e + U+0301)
+    // encodings of the same text, which are byte-different and so leak
+    // straight past every hash-keyed dedup in this catalog. The scan-time
+    // fix is the native codegen expression plans/NfcNormalize
+    // (java.text.Normalizer, quick-check fast path for already-NFC
+    // ASCII). The testdata is ASCII, so the query PLANTS the hazard:
+    // each doc prefix is emitted once precomposed and once decomposed —
+    // raw distinct counts both variants, NFC-distinct collapses them
+    // (n_nfc = n_raw / 2 by construction, and the digest of the
+    // normalized strings is hash-gated). Oracle independence: DuckDB
+    // normalizes with utf8proc's NFC, a second implementation of TR#15.
+    "q_text_nfc_dedup" -> ((s, dir) => {
+      graft.plans.NfcNormalize.register(s)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          substring(trim(col("text")), 1, 40).as("t"))
+      val pre = d.select(col("doc_id"), col("source"),
+        concat(lit("caf\u00e9 "), col("t")).as("s"))
+      val dec = d.select(col("doc_id"), col("source"),
+        concat(lit("cafe\u0301 "), col("t")).as("s"))
+      pre.unionByName(dec)
+        .withColumn("nfc", expr("graft_nfc(s)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("s")).as("n_raw"),
+          countDistinct(col("nfc")).as("n_nfc"),
+          min(md5(col("nfc"))).as("nfc_digest"))
+        .orderBy(col("source"))
+    }),
+
     "q_text_entropy" -> ((s, dir) => {
       val cnt = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
@@ -879,6 +910,20 @@ object TextAnalysisQueries extends QueryCatalog {
          |       for i in range(1, length(t) + 1)]),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          |FROM norm WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_nfc_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substring(trim(text), 1, 40) AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source, 'caf' || chr(233) || ' ' || t AS s FROM d
+        |  UNION ALL
+        |  SELECT doc_id, source, 'cafe' || chr(769) || ' ' || t AS s FROM d)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT s) AS n_raw,
+        |  COUNT(DISTINCT nfc_normalize(s)) AS n_nfc,
+        |  min(md5(nfc_normalize(s))) AS nfc_digest
+        |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_entropy" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i

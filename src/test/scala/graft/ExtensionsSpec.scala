@@ -107,6 +107,55 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_jaro_winkler matches DuckDB jaro_winkler_similarity goldens") {
+    import spark.implicits._
+    // Golden values fetched from DuckDB 1.0 jaro_winkler_similarity (the
+    // oracle engine for q_join_jaro_winkler) — covers the Winkler boost
+    // (martha), boost-suppressed below 0.7 despite a shared prefix
+    // (abcvwxyz), the >0.7-without-prefix case (CRATE), window-excluded
+    // transposition (ab/ba → 0), empties (DuckDB convention: 0), and an
+    // odd transposition-count pair exercising the integer-floored t/2.
+    val golden = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("aluminium", "aluminum", 0.9777777777777777),
+      ("abcvwxyz", "abcdefgh", 0.5833333333333334),
+      ("ab", "ba", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0),
+      ("same", "same", 1.0),
+      ("goldenrod lavender spring", "goldenrod lavander spring",
+        0.9756666666666667))
+    golden.foreach { case (a, b, w) =>
+      assert(graft.plans.JaroWinkler.compute(a, b) === w,
+        s"JW('$a','$b')")
+      // symmetric by definition
+      assert(graft.plans.JaroWinkler.compute(b, a) === w)
+    }
+    // SQL surface goes through codegen; must agree with the static call
+    val viaSql = golden.toDF("a", "b", "w")
+      .withColumn("jw", expr("graft_jaro_winkler(a, b)"))
+      .collect()
+    viaSql.foreach(r => assert(r.getDouble(3) === r.getDouble(2)))
+  }
+
+  test("graft_nfc composes decomposed input and is identity on NFC text") {
+    import spark.implicits._
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"), // combining acute -> precomposed
+      ("caf\u00e9", "caf\u00e9"), // already NFC: untouched
+      ("A\u030a n\u0303", "\u00c5 \u00f1"), // ring + tilde compose
+      ("plain ascii 123", "plain ascii 123"),
+      ("", "")).toDF("v", "expected")
+    val got = rows.select(expr("graft_nfc(v)").as("n"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // raw forms really were byte-different before normalization
+    assert("cafe\u0301" != "caf\u00e9")
+  }
+
   test("BloomJoinInject adds one runtime bloom filter and preserves results") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     // range-backed inputs: a local Seq would be folded to a LocalRelation
