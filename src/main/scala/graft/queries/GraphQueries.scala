@@ -280,6 +280,42 @@ object GraphQueries extends QueryCatalog {
         .limit(20)
     }),
 
+    // Two-hop neighborhood feature aggregation — the message-passing
+    // primitive of GNN feature pipelines (GraphSAGE-mean without the
+    // learned weights): hop 1 averages each customer's adjacent supplier
+    // balances, hop 2 averages those customer embeddings back onto
+    // suppliers. Each hop is ONE edge-keyed equi-join + one
+    // partial-aggregable mean — the relational shape that scales to any
+    // edge count (no adjacency lists materialize, degree skew lands in
+    // AQE's lap). Feature sums run exact-decimal; the only double
+    // reductions are ≤|neighbors| 6-dp-bounded means (QueryCatalog
+    // parity note).
+    "q_graph_neighbor_agg" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .cutLineage(eager = false)
+      val sf = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      val h1 = edges.join(broadcast(sf), col("sk") === col("s_suppkey"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("deg_c"),
+          round(sum(col("s_acctbal")).cast("double") / count(lit(1)), 6)
+            .as("h1"))
+      edges.join(h1, Seq("c"))
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("deg_s"),
+          round(sum(col("h1")) / count(lit(1)), 6).as("h2"))
+        .join(broadcast(sf), col("sk") === col("s_suppkey"))
+        .select(col("sk").as("suppkey"), col("deg_s"),
+          round(col("s_acctbal").cast("double"), 6).as("own"), col("h2"))
+        .orderBy(col("suppkey"))
+    }),
+
     // Multi-source BFS hop distance over the (cyclic) co-supply graph —
     // frontier iteration with min-dist semantics, the general-graph
     // sibling of HierarchyQueries' DAG traversal. Each round is one
@@ -490,6 +526,24 @@ object GraphQueries extends QueryCatalog {
         |JOIN pd ON pd.p = a.p
         |GROUP BY 1, 2
         |ORDER BY aa DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "q_graph_neighbor_agg" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h1 AS (
+        |  SELECT c, COUNT(*) AS deg_c,
+        |    round(CAST(SUM(s.s_acctbal) AS DOUBLE) / COUNT(*), 6) AS h1
+        |  FROM edges e JOIN supplier s ON e.sk = s.s_suppkey
+        |  GROUP BY c),
+        |h2 AS (
+        |  SELECT sk, COUNT(*) AS deg_s,
+        |    round(SUM(h1) / COUNT(*), 6) AS h2
+        |  FROM edges JOIN h1 USING (c) GROUP BY sk)
+        |SELECT h2.sk AS suppkey, h2.deg_s,
+        |  round(CAST(s.s_acctbal AS DOUBLE), 6) AS own, h2.h2
+        |FROM h2 JOIN supplier s ON h2.sk = s.s_suppkey
+        |ORDER BY suppkey""".stripMargin,
 
     "q_graph_bfs" ->
       s"""WITH RECURSIVE $edgesCte,

@@ -406,6 +406,29 @@ object MiningQueries extends QueryCatalog {
     // collapses to a (type × type)-cardinality count matrix; the
     // normalizing row total joins back by broadcast. Probabilities are
     // exact int/int divisions rounded to 6 dp.
+    // Frequent 3-step behavior paths — the sequential-pattern upgrade of
+    // q_events_transitions' bigrams: which (a → b → c) event chains do
+    // users actually walk (funnel discovery, next-action models feed on
+    // exactly these counts). One user-keyed exchange serves both leads
+    // (consecutive-window semantics, so no self-join blowup: a user with
+    // n events contributes exactly n−2 paths, never O(n³) triples); the
+    // path count is a map-side-combinable aggregate and only the global
+    // top-20 leaves the executors (TakeOrderedAndProject).
+    "q_events_paths3" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     "q_events_transitions" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
@@ -852,6 +875,18 @@ object MiningQueries extends QueryCatalog {
         |  md5(string_agg(event_type || ':' || ms, ';'
         |    ORDER BY ms, event_id)) AS seq_md5
         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_paths3" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "q_events_transitions" ->
       """WITH lagged AS (

@@ -43,6 +43,24 @@ object SampleQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // Stratified k-fold assignment — the cross-validation twin of
+    // q_sample_split: within each language stratum, docs take folds
+    // round-robin in deterministic hash order, so every fold holds
+    // ⌈n/k⌉ or ⌊n/k⌋ docs of EVERY stratum (exact balance, which a
+    // plain hash-mod-k split only approximates) and the assignment is
+    // engine/run/partitioning-invariant. One stratum-keyed window; at
+    // extreme stratum sizes the rank goes range-partitioned via
+    // GlobalRank like every other global ordering in this catalog.
+    "q_sample_kfold" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Shard packing: documents → per-source training shards of ≈200
     // whitespace tokens, deterministic hash order (Sampling.packShards —
     // one running-sum window per source, no driver state).
@@ -174,6 +192,13 @@ object SampleQueries extends QueryCatalog {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_kfold" ->
+      """SELECT doc_id, lang,
+        |  CAST((row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+        |    AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_sample_pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -211,6 +211,48 @@ object TextAnalysisQueries extends QueryCatalog {
     // sums with ONE double division at the end, so bin membership and
     // 6-dp values can never drift cross-engine. Synthetic score m/996
     // from n_chars, label doc_id % 3 = 0 (same proxy family as the AUC).
+    // NDCG@5 — THE graded-relevance ranking metric for retrieval /
+    // recommender eval, next to q_eval_auc (binary ranking) and
+    // q_eval_class_metrics (classification). Each order plays a query:
+    // the "system" ranks its lines by extended price, graded relevance
+    // is the quantity, and NDCG@5 = DCG over the system order ÷ DCG over
+    // the ideal (relevance-sorted) order. Both rankings come from the
+    // SAME per-order window exchange (two sorts, one shuffle); the
+    // per-query metric is O(1) rows after the combine, and the report
+    // groups by result-list length so truncation effects stay visible.
+    // Eval runs on the o_orderkey % 20 hash-sample — eval sets are
+    // samples by nature, and the mod filter pushes into the scan.
+    // Tie discipline: row_number with the line number as tiebreak makes
+    // both engines pick the identical top-5; IDCG is tie-order-invariant
+    // by construction (equal relevance ⇒ equal term at swapped ranks).
+    "q_eval_ndcg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      val rnSys = row_number().over(
+        w.orderBy(col("l_extendedprice").desc, col("l_linenumber")))
+      val rnIdeal = row_number().over(
+        w.orderBy(col("rel").desc, col("l_linenumber")))
+      val per = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("rel"),
+          col("l_extendedprice"))
+        .withColumn("rn_sys", rnSys)
+        .withColumn("rn_ideal", rnIdeal)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("rn_sys") <= 5,
+            col("rel") / log2(col("rn_sys") + 1)).otherwise(0.0))
+            .as("dcg"),
+          sum(when(col("rn_ideal") <= 5,
+            col("rel") / log2(col("rn_ideal") + 1)).otherwise(0.0))
+            .as("idcg"))
+      per.groupBy(col("n_items"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("dcg") / col("idcg")), 6).as("avg_ndcg"))
+        .orderBy(col("n_items"))
+    }),
+
     "q_eval_calibration" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select((col("doc_id") % 3 === 0).cast("long").as("y"),
@@ -821,6 +863,25 @@ object TextAnalysisQueries extends QueryCatalog {
         |  LEFT JOIN cont ON qr.doc_id = cont.doc_id)
         |SELECT verdict, COUNT(*) AS n_docs
         |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    "q_eval_ndcg" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS rel,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn_sys,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_quantity DESC, l_linenumber) AS rn_ideal
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |per AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_items,
+        |    SUM(CASE WHEN rn_sys <= 5
+        |        THEN rel / log2(rn_sys + 1) ELSE 0.0 END) AS dcg,
+        |    SUM(CASE WHEN rn_ideal <= 5
+        |        THEN rel / log2(rn_ideal + 1) ELSE 0.0 END) AS idcg
+        |  FROM ranked GROUP BY l_orderkey)
+        |SELECT n_items, COUNT(*) AS n_queries,
+        |  round(AVG(dcg / idcg), 6) AS avg_ndcg
+        |FROM per GROUP BY n_items ORDER BY n_items""".stripMargin,
 
     "q_eval_calibration" ->
       """WITH sc AS (

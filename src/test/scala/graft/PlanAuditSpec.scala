@@ -747,4 +747,60 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       l.contains("Exchange hashpartitioning")) == 1,
       "more shuffles than the final distinct:\n" + plan)
   }
+
+  test("paths3 runs both leads behind one user exchange plus the path agg") {
+    val df = SparkEntry.queries("q_events_paths3")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // one user_id exchange feeding both lead windows + one (e1,e2,e3)
+    // exchange for the final count; the top-20 is TakeOrdered, no sort
+    // shuffle
+    assert(hashEx.size == 2,
+      s"expected 2 shuffles (window + agg), got ${hashEx.size}:\n$plan")
+    assert(hashEx.exists(_.contains("user_id")), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-20 should be TakeOrderedAndProject:\n" + plan)
+  }
+
+  test("ndcg shares one order exchange; per-query agg adds no shuffle") {
+    val df = SparkEntry.queries("q_eval_ndcg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // both rankings sort behind ONE l_orderkey exchange, and the
+    // per-order aggregate reuses that partitioning outright — only the
+    // tiny n_items rollup re-shuffles
+    assert(hashEx.size == 2,
+      s"expected 2 shuffles (order window reused by agg + n_items rollup), " +
+        s"got ${hashEx.size}:\n$plan")
+    assert(hashEx.count(_.contains("l_orderkey")) == 1, plan)
+  }
+
+  test("neighbor agg broadcasts the feature dim and stays equi-joined") {
+    val df = SparkEntry.queries("q_graph_neighbor_agg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "supplier features should broadcast onto both hops:\n" + plan)
+  }
+
+  test("kfold assignment is one stratum exchange") {
+    val df = SparkEntry.queries("q_sample_kfold")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("lang"),
+      s"expected the single lang window shuffle:\n$plan")
+  }
+
+  test("jaro-winkler join is a blocked equi-join, never a cross product") {
+    val df = SparkEntry.queries("q_join_jaro_winkler")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_jaro_winkler"),
+      "native scorer missing from the physical plan:\n" + plan)
+  }
 }
