@@ -43,6 +43,38 @@ object SampleQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic negative sampling — the training-pair generator of
+    // every two-tower / matrix-factorization recommender: for each
+    // sampled user, mint 8 pseudo-random candidate items from the md5
+    // counter stream (rerun/engine/partitioning-invariant, like every
+    // sample here) and anti-join away true interactions, leaving
+    // verified negatives. Scale shape: candidate generation is a
+    // projection (8 rows per user, no shuffle); the only exchange is
+    // the (user, item)-keyed anti-join against the interaction
+    // relation — the join every negative-sampler needs anyway, and it
+    // stays an equi-join at any corpus size. Item universe rides in as
+    // a broadcast single-row max (TPC-H part keys are dense 1..P).
+    "q_sample_negatives" -> ((s, dir) => {
+      val inter = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
+        .distinct()
+      val np = Tables.part(s, dir).agg(max(col("p_partkey")).as("np"))
+      val users = inter.select(col("u")).distinct()
+        .filter(col("u") % 100 === 0)
+      users.crossJoin(broadcast(np))
+        .withColumn("j", explode(sequence(lit(1), lit(8))))
+        .withColumn("item",
+          (conv(substring(md5(concat_ws(":", col("u"), col("j"))), 1, 8),
+            16, 10).cast("long") % col("np")) + 1)
+        .join(inter, Seq("u", "item"), "left_anti")
+        .select(col("u"), col("j"), col("item"))
+        .orderBy(col("u"), col("j"))
+    }),
+
     // Stratified k-fold assignment — the cross-validation twin of
     // q_sample_split: within each language stratum, docs take folds
     // round-robin in deterministic hash order, so every fold holds
@@ -192,6 +224,23 @@ object SampleQueries extends QueryCatalog {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_negatives" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |np AS (SELECT max(p_partkey) AS np FROM part),
+        |users AS (SELECT DISTINCT u FROM inter WHERE u % 100 = 0),
+        |cand AS (
+        |  SELECT u, CAST(j AS INT) AS j,
+        |    (('0x' || substring(md5(CAST(u AS VARCHAR) || ':' ||
+        |        CAST(j AS VARCHAR)), 1, 8))::BIGINT
+        |      % (SELECT np FROM np)) + 1 AS item
+        |  FROM users, unnest(range(1, 9)) AS t(j))
+        |SELECT u, j, item FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM inter i
+        |                  WHERE i.u = cand.u AND i.item = cand.item)
+        |ORDER BY u, j""".stripMargin,
+
     "q_sample_kfold" ->
       """SELECT doc_id, lang,
         |  CAST((row_number() OVER (PARTITION BY lang

@@ -618,6 +618,41 @@ object StatsQueries extends QueryCatalog {
               (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
     }),
 
+    // Rolling 7-day OLS trend — the windowed sibling of q_agg_regression
+    // and the parametric complement of q_stats_mann_kendall: a local
+    // slope per day answers "is volume trending HERE", not just over the
+    // whole series. Scale shape: events collapse to per-day counts
+    // first, so the frame windows run over the DAY domain; every frame
+    // statistic (k, Σx, Σy, Σxy, Σx²) is an exact BIGINT sum sharing ONE
+    // ordered window spec — a single sort, five accumulators — and the
+    // slope (kΣxy−ΣxΣy)/(kΣx²−(Σx)²) does its only FP work in the final
+    // division. Full 7-day frames only (the warm-up rows have no
+    // defined 7-day trend — and k=1 frames would divide by zero).
+    "q_stats_rolling_slope" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("unix_millis(cast(ts as timestamp)) div 86400000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      // one select, not a withColumn chain: all five frame stats land in
+      // a single Window node (CollapseWindow doesn't always merge
+      // through the interleaved Projects a chain builds)
+      daily
+        .select(col("day"), col("n"),
+          count(lit(1)).over(w).as("k"),
+          sum(col("day")).over(w).as("sx"),
+          sum(col("n")).over(w).as("sy"),
+          sum(col("day") * col("n")).over(w).as("sxy"),
+          sum(col("day") * col("day")).over(w).as("sx2"))
+        .filter(col("k") === 7)
+        .select(col("day"), col("n"),
+          round((col("k") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("k") * col("sx2") - col("sx") * col("sx")), 6)
+            .as("slope7"))
+        .orderBy(col("day"))
+    }),
+
     // CUSUM changepoint detection on the daily event-volume series —
     // "where did the level shift?" for an ingest monitor. CUSUM_t =
     // Σ_{i≤t}(x_i − x̄) peaks at the most likely change location. Scale
@@ -1157,6 +1192,22 @@ object StatsQueries extends QueryCatalog {
         |          (COUNT(*) * CAST(SUM(x) AS DOUBLE)) -
         |        CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
         |FROM r""".stripMargin,
+
+    "q_stats_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY day),
+        |r AS (
+        |  SELECT day, n,
+        |    COUNT(*) OVER w AS k, SUM(day) OVER w AS sx,
+        |    SUM(n) OVER w AS sy, SUM(day * n) OVER w AS sxy,
+        |    SUM(day * day) OVER w AS sx2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n,
+        |  round(CAST(k * sxy - sx * sy AS DOUBLE) /
+        |    (k * sx2 - sx * sx), 6) AS slope7
+        |FROM r WHERE k = 7 ORDER BY day""".stripMargin,
 
     "q_stats_cusum" ->
       """WITH pd AS (

@@ -397,6 +397,43 @@ object TextAnalysisQueries extends QueryCatalog {
     // ~4 bits). Per-doc char histogram = one partial-aggregable groupBy;
     // counts are exact integers, so the only engine-order float sum is
     // the ≤|alphabet| -Σp·ln(p) terms, rounded 6 dp.
+    // Zipf rank-frequency fit — the corpus-health profile a tokenizer /
+    // data-mix pipeline checks first: natural text follows freq ∝
+    // rank^s with s ≈ −1, and a slope far off (or a low R²) flags
+    // synthetic, boilerplate-heavy, or mis-extracted corpora. Token
+    // counts are one map-side-combinable aggregate; the rank is a
+    // window over the VOCABULARY domain (|V| ≪ corpus — at web scale
+    // range-partition it via GlobalRank like every global ordering
+    // here); the OLS of ln(freq) on ln(rank) reduces to six
+    // partial-aggregable sums and does all division in the final
+    // one-row projection.
+    "q_text_zipf" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(expr(
+          """filter(split(lower(regexp_replace(trim(text), '\\s+', ' ')),
+            | ' '), x -> length(x) > 0)""".stripMargin.replace("\n", "")))
+          .as("tok"))
+      val ranked = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+      val sums = ranked
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+        .agg(count(lit(1)).as("v"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+      val num = col("v") * col("sxy") - col("sx") * col("sy")
+      val dx = col("v") * col("sx2") - col("sx") * col("sx")
+      val dy = col("v") * col("sy2") - col("sy") * col("sy")
+      sums.select(col("v").as("vocab"),
+        round(num / dx, 6).as("slope"),
+        round((col("sy") - (num / dx) * col("sx")) / col("v"), 6)
+          .as("intercept"),
+        round(num * num / (dx * dy), 6).as("r2"))
+    }),
+
     // Unicode NFC canonicalization BEFORE exact dedup — multi-source
     // corpora mix precomposed (U+00E9) and decomposed (e + U+0301)
     // encodings of the same text, which are byte-different and so leak
@@ -971,6 +1008,28 @@ object TextAnalysisQueries extends QueryCatalog {
          |       for i in range(1, length(t) + 1)]),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          |FROM norm WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        |       FROM c),
+        |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+        |              ln(CAST(c AS DOUBLE)) AS y FROM rk),
+        |s AS (SELECT COUNT(*) AS v, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+        |      FROM xy)
+        |SELECT v AS vocab,
+        |  round((v * sxy - sx * sy) / (v * sx2 - sx * sx), 6) AS slope,
+        |  round((sy - ((v * sxy - sx * sy) / (v * sx2 - sx * sx)) * sx)
+        |    / v, 6) AS intercept,
+        |  round((v * sxy - sx * sy) * (v * sxy - sx * sy) /
+        |    ((v * sx2 - sx * sx) * (v * sy2 - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
     "q_text_nfc_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, source, substring(trim(text), 1, 40) AS t

@@ -803,4 +803,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("graft_jaro_winkler"),
       "native scorer missing from the physical plan:\n" + plan)
   }
+
+  test("rolling slope computes all five frame stats in one window pass") {
+    val df = SparkEntry.queries("q_stats_rolling_slope")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // one Window node carries k/sx/sy/sxy/sx2 — five accumulators, one
+    // sort — and the only hash exchange is the per-day pre-aggregation
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      "frame stats split across window passes:\n" + plan)
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 1,
+      "expected only the daily-count shuffle:\n" + plan)
+  }
+
+  test("negative sampling anti-joins without a cartesian explosion") {
+    val df = SparkEntry.queries("q_sample_negatives")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftAnti"),
+      "true interactions must be removed by an anti equi-join:\n" + plan)
+  }
 }
