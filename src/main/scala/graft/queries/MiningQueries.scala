@@ -295,11 +295,22 @@ object MiningQueries extends QueryCatalog {
       val probes = p.filter(col("p_partkey") % 100 === 0)
         .select(col("p_partkey").as("probe_key"),
           col("p_name").as("probe_name"), col("blk"))
+      // top-5 per probe, not every pair: TPC-H names draw from a tiny
+      // color vocabulary, so "all pairs over threshold" grows
+      // superlinearly with corpus size — best-k-matches is both the
+      // linkage semantics a resolver wants and the output contract that
+      // stays linear at scale (WindowGroupLimit makes the rank filter a
+      // map-side partial top-k)
       probes.join(p, Seq("blk"))
         .filter(col("probe_key") =!= col("p_partkey"))
         .withColumn("jw", round(
           expr("graft_jaro_winkler(probe_name, p_name)"), 6))
         .filter(col("jw") >= 0.88)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_key"))
+            .orderBy(col("jw").desc, col("p_partkey"))))
+        .filter(col("rk") <= 5)
         .select(col("probe_key"), col("p_partkey").as("match_key"),
           col("jw"))
         .orderBy(col("probe_key"), col("jw").desc, col("match_key"))
@@ -806,12 +817,19 @@ object MiningQueries extends QueryCatalog {
     "q_join_jaro_winkler" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
-        |  FROM part)
-        |SELECT a.p_partkey AS probe_key, b.p_partkey AS match_key,
-        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
-        |WHERE a.p_partkey % 100 = 0
-        |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88
+        |  FROM part),
+        |scored AS (
+        |  SELECT a.p_partkey AS probe_key, b.p_partkey AS match_key,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+        |  WHERE a.p_partkey % 100 = 0
+        |    AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |      >= 0.88)
+        |SELECT probe_key, match_key, jw FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_key
+        |    ORDER BY jw DESC, match_key) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5
         |ORDER BY probe_key, jw DESC, match_key""".stripMargin,
 
     "q_events_anomaly_zscore" ->
