@@ -68,6 +68,45 @@ object MultimodalQueries extends QueryCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // REAL audio decode (operators/AudioCodec — RIFF/WAVE PCM16, pure
+    // JVM): each embedding row becomes a 256-sample mono PCM signal by a
+    // deterministic integer formula, encodes to REAL WAV bytes (RIFF
+    // header, fmt/data chunks, little-endian samples), and the pipeline
+    // parses those bytes back with a real chunk-walking RIFF parser,
+    // then computes the integer VAD feature set per 64-sample frame:
+    // energy Σs², zero crossings, peak. The oracle recomputes every
+    // number from the sample FORMULA alone — it never sees the binary —
+    // so any encode→decode corruption (endianness, chunk offsets,
+    // sign handling) hash-fails. Codec formats (MP3/FLAC/Opus) remain
+    // the declared container limitation; the audio decode TIER is real.
+    "q_multimodal_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.AudioCodec
+      import graft.operators.AudioCodec.RawAudio
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 256
+          val smp = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            smp(i) = ((((id * 31 + i * 7) % 2003) - 1001) * 16).toShort
+            i += 1
+          }
+          (id, AudioCodec.encodeWav(RawAudio(16000, 1, smp)))
+        })
+        .mapPartitions(_.flatMap { case (id, bin) =>
+          val a = AudioCodec.decodeWav(bin) // REAL parse of real bytes
+          AudioCodec.frameFeatures(a, frame = 64).map {
+            case (f, en, zc, pk) => (id, a.sampleRate, f, en, zc, pk)
+          }
+        })
+        .toDF("vec_id", "sample_rate", "frame", "energy", "crossings",
+          "peak")
+        .orderBy(col("vec_id"), col("frame"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text").as("t"),
@@ -257,6 +296,26 @@ object MultimodalQueries extends QueryCatalog {
         |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
         |    AS thumb_b
         |FROM b ORDER BY vec_id""".stripMargin,
+    "q_multimodal_wav_decode" ->
+      """WITH s AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, i,
+        |    CAST((((CAST(vec_id AS BIGINT) * 31 + i * 7) % 2003) - 1001)
+        |      * 16 AS INT) AS smp
+        |  FROM embeddings, unnest(range(0, 256)) AS t(i)),
+        |f AS (
+        |  SELECT vec_id, CAST(i // 64 AS INT) AS frame, smp,
+        |    lag(smp) OVER (PARTITION BY vec_id, i // 64 ORDER BY i)
+        |      AS prev
+        |  FROM s)
+        |SELECT vec_id, CAST(16000 AS INT) AS sample_rate, frame,
+        |  CAST(SUM(CAST(smp AS BIGINT) * smp) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND
+        |      ((prev < 0 AND smp >= 0) OR (prev >= 0 AND smp < 0))
+        |    THEN 1 ELSE 0 END) AS INT) AS crossings,
+        |  CAST(MAX(abs(smp)) AS INT) AS peak
+        |FROM f GROUP BY vec_id, frame
+        |ORDER BY vec_id, frame""".stripMargin,
+
     "q_multimodal_shard_manifest" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 4 AS shard,

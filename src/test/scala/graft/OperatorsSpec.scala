@@ -841,4 +841,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // symmetric data: bias stays near zero
     assert(math.abs(byPos(0)) < 0.2, s"bias drifted: ${byPos(0)}")
   }
+
+  test("AudioCodec: WAV round-trip, chunk walking, loud failures") {
+    import graft.operators.AudioCodec
+    import graft.operators.AudioCodec.RawAudio
+    val smp = Array.tabulate(130)(i => ((i * 997) % 30000 - 15000).toShort)
+    val a = RawAudio(16000, 1, smp)
+    val rt = AudioCodec.decodeWav(AudioCodec.encodeWav(a))
+    assert(rt.sampleRate == 16000 && rt.channels == 1)
+    assert(rt.samples.toSeq == smp.toSeq, "PCM round-trip diverged")
+    // RIFF grammar: an unknown odd-sized chunk between fmt and data must
+    // be skipped with even padding (a canonical-44-byte-offset parser
+    // breaks exactly here)
+    val canonical = AudioCodec.encodeWav(a)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3 bytes + pad
+    val withList = canonical.slice(0, 36) ++ listChunk ++
+      canonical.slice(36, canonical.length)
+    // patch the RIFF size field for the inserted 12 bytes
+    val riffSz = canonical.length - 8 + listChunk.length
+    for (k <- 0 until 4)
+      withList(4 + k) = ((riffSz >> (8 * k)) & 0xff).toByte
+    val rt2 = AudioCodec.decodeWav(withList)
+    assert(rt2.samples.toSeq == smp.toSeq, "LIST chunk broke the walk")
+    // loud failures: bad magic, truncated data chunk, float format tag
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav("RIFX????WAVE".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav(canonical.dropRight(1))
+    }
+    val floatFmt = canonical.clone()
+    floatFmt(20) = 3 // IEEE float format tag
+    intercept[IllegalArgumentException] { AudioCodec.decodeWav(floatFmt) }
+    // frame features: energy/crossings/peak agree with a direct fold
+    val feats = AudioCodec.frameFeatures(a, 64)
+    assert(feats.length == 2, "130 samples at frame 64 = 2 full frames")
+    val f0 = smp.slice(0, 64)
+    assert(feats(0)._2 == f0.map(s => s.toLong * s).sum)
+    assert(feats(0)._4 == f0.map(s => math.abs(s.toInt)).max)
+    val zc = f0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(feats(0)._3 == zc, "zero-crossing count diverged")
+  }
 }
