@@ -669,6 +669,26 @@ object QuadQueries extends QueryCatalog {
           min(col("ts")).as("first_ts"))
     }),
 
+    // SPARQL MINUS (rdf/Bgp.selectMinus): every named Place except those
+    // whose nation part group binds NATION_7 — negation compiled to an anti
+    // equi-join on the shared ?addr binding, completing the BGP algebra
+    // beside OPTIONAL (left), UNION (pad + distinct) and CONSTRUCT.
+    "q_quads_bgp_minus" -> ((s, dir) => {
+      import graft.rdf.Bgp
+      import graft.rdf.Bgp.{Const, Pattern, Var}
+      Bgp.selectMinus(fullQuads(s, dir),
+          Seq(
+            Pattern(Var("addr"), RdfType, Const(PlaceT)),
+            Pattern(Var("addr"), NameP, Var("name"))),
+          Seq(Seq(
+            Pattern(Var("addr"), HasPartP, Var("b")),
+            Pattern(Var("b"), AddTypeP, Const(PartNationT)),
+            Pattern(Var("b"), ValueP, Const("NATION_7")))))
+        .agg(count(lit(1)).as("n_solutions"),
+          countDistinct(col("addr")).as("n_addrs"),
+          min(col("name")).as("min_name"))
+    }),
+
     // SPARQL UNION + FILTER (rdf/Bgp.selectUnion): the nation-part and
     // region-part alternatives bind DIFFERENT variables, so each branch
     // null-pads the other's bindings (the SPARQL unbound semantics) and
@@ -1027,6 +1047,29 @@ object QuadQueries extends QueryCatalog {
          |  ON t.objectValue = s.sub)
          |SELECT objectValue AS cls, COUNT(DISTINCT subject) AS n_instances
          |FROM alltypes GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "q_quads_bgp_minus" ->
+      s"""$fullQuadsCte,
+         |ad AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |hp AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |tv AS (SELECT subject AS b FROM quads
+         |       WHERE predicate = '$ValueP'
+         |         AND objectValue = 'NATION_7'),
+         |china AS (SELECT DISTINCT hp.addr
+         |          FROM hp JOIN ty USING (b) JOIN tv USING (b)),
+         |bind AS (
+         |  SELECT ad.addr, nm.name FROM ad JOIN nm USING (addr)
+         |  WHERE ad.addr NOT IN (SELECT addr FROM china))
+         |SELECT COUNT(*) AS n_solutions,
+         |  COUNT(DISTINCT addr) AS n_addrs, MIN(name) AS min_name
+         |FROM bind""".stripMargin,
 
     "q_quads_bgp_optional" ->
       s"""$fullQuadsCte,

@@ -61,6 +61,28 @@ object Bgp {
       acc.join(opt, shared, "left")
     }
 
+  /** SPARQL MINUS: solutions of `required` with every solution removed
+    * that is compatible with some solution of a MINUS group on their
+    * shared variables — negation as one anti equi-join per group (the
+    * join keys are the shared variable bindings, so Catalyst plans the
+    * same hash anti-join as any NOT EXISTS). Per the SPARQL spec, a
+    * MINUS group sharing NO variable with the required patterns removes
+    * nothing (disjoint domains are never "compatible") — that silent
+    * no-op is almost always an authoring bug, so it is rejected loudly
+    * here instead. */
+  def selectMinus(quads: DataFrame, required: Seq[Pattern],
+      minusGroups: Seq[Seq[Pattern]]): DataFrame =
+    minusGroups.foldLeft(select(quads, required)) { (acc, group) =>
+      val neg = select(quads, group)
+      val shared = acc.columns.toSet.intersect(neg.columns.toSet).toSeq
+      require(shared.nonEmpty,
+        "a MINUS group must share at least one variable with the " +
+          "required patterns (a disjoint-domain MINUS removes nothing " +
+          "per SPARQL semantics — surely not what was meant)")
+      acc.join(neg.select(shared.map(col): _*).distinct(), shared,
+        "left_anti")
+    }
+
   /** SPARQL UNION: the solution sets of alternative groups, each padded
     * with NULL (SPARQL "unbound") for variables only other branches
     * bind, then unioned with set semantics. Each branch is an

@@ -277,6 +277,36 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == 3)
   }
 
+  test("Bgp.selectMinus removes compatible solutions, rejects disjoint") {
+    import spark.implicits._
+    import graft.rdf.Bgp
+    import graft.rdf.Bgp.{Const, Pattern, Var}
+    val quads = Seq(
+      ("a1", "urn:p:name", "n1"), ("a2", "urn:p:name", "n2"),
+      ("a3", "urn:p:name", "n3"),
+      ("a1", "urn:p:flag", "x"), ("a3", "urn:p:flag", "y"),
+      ("a3", "urn:p:keep", "z"))
+      .toDF("subject", "predicate", "objectValue")
+    // remove solutions whose ?a also has a flag — unless it ALSO has the
+    // keep marker pattern in the same group narrowing the negation
+    val out = Bgp.selectMinus(quads,
+      Seq(Pattern(Var("a"), "urn:p:name", Var("n"))),
+      Seq(Seq(Pattern(Var("a"), "urn:p:flag", Var("f")))))
+    assert(out.select("a").as[String].collect().toSet == Set("a2"))
+    val narrowed = Bgp.selectMinus(quads,
+      Seq(Pattern(Var("a"), "urn:p:name", Var("n"))),
+      Seq(Seq(Pattern(Var("a"), "urn:p:flag", Var("f")),
+        Pattern(Var("a"), "urn:p:keep", Var("k")))))
+    assert(narrowed.select("a").as[String].collect().toSet ==
+      Set("a1", "a2"))
+    // disjoint-domain MINUS is a loud error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      Bgp.selectMinus(quads,
+        Seq(Pattern(Var("a"), "urn:p:name", Var("n"))),
+        Seq(Seq(Pattern(Var("other"), "urn:p:flag", Var("f")))))
+    }
+  }
+
   test("flagship entry() produces quads on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
