@@ -126,6 +126,44 @@ object MergeQueries extends QueryCatalog {
         .orderBy(col("event_id"))
     }),
 
+    // Replica reconciliation by bucket digests (the Merkle-tree idea,
+    // one level deep, fully relational): before shipping ANY rows, the
+    // source and the drifted replica each reduce to 256 md5-keyed
+    // bucket summaries — order-independent BIGINT sums of per-row
+    // digests — and one full-outer compare localizes every divergence
+    // to its bucket. That turns a 100 TB "are these in sync?" question
+    // into shuffling 256 rows per side; only dirty buckets ever need a
+    // row-level q_snapshot_diff. Drift is injected deterministically
+    // (delete %1000=7, reprice %997=13) so the oracle replays both
+    // replicas exactly.
+    "q_sync_bucket_digest" -> ((s, dir) => {
+      def digest(df: DataFrame): DataFrame = df
+        .select(substring(md5(col("key").cast("string")), 1, 2)
+            .as("bucket"),
+          conv(substring(md5(concat_ws("|",
+            col("key").cast("string"), col("price").cast("string"),
+            col("status"))), 1, 8), 16, 10).cast("long").as("rd"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("rd")).as("dig"))
+      val src = Tables.orders(s, dir).select(
+        col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val dst = src.filter(col("key") % 1000 =!= 7)
+        .select(col("key"),
+          when(col("key") % 997 === 13, col("price") + 1)
+            .otherwise(col("price")).as("price"), col("status"))
+      digest(src).as("s")
+        .join(digest(dst).as("d"), Seq("bucket"), "full_outer")
+        .filter(coalesce(col("s.dig"), lit(-1)) =!=
+            coalesce(col("d.dig"), lit(-1)) ||
+          coalesce(col("s.cnt"), lit(-1)) =!=
+            coalesce(col("d.cnt"), lit(-1)))
+        .select(col("bucket"),
+          col("s.cnt").as("src_cnt"), col("d.cnt").as("dst_cnt"),
+          col("s.dig").as("src_dig"), col("d.dig").as("dst_dig"))
+        .orderBy(col("bucket"))
+    }),
+
     // CDC applied across SUCCESSIVE batches: two change waves merge
     // sequentially into the target (update → update-again + delete), and
     // the oracle computes the final state directly with last-writer-wins
@@ -254,6 +292,39 @@ object MergeQueries extends QueryCatalog {
         |FROM clicks c ASOF LEFT JOIN hist h
         |  ON c.user_id = h.user_id AND c.ms >= h.ms
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_sync_bucket_digest" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS price,
+        |    o_orderstatus AS status FROM orders),
+        |dst AS (
+        |  SELECT key,
+        |    CASE WHEN key % 997 = 13 THEN price + 1 ELSE price END
+        |      AS price,
+        |    status
+        |  FROM src WHERE key % 1000 <> 7),
+        |ds AS (
+        |  SELECT substring(md5(CAST(key AS VARCHAR)), 1, 2) AS bucket,
+        |    COUNT(*) AS cnt,
+        |    SUM(('0x' || substring(md5(CAST(key AS VARCHAR) || '|' ||
+        |      CAST(price AS VARCHAR) || '|' || status), 1, 8))::BIGINT)
+        |      AS dig
+        |  FROM src GROUP BY bucket),
+        |dd AS (
+        |  SELECT substring(md5(CAST(key AS VARCHAR)), 1, 2) AS bucket,
+        |    COUNT(*) AS cnt,
+        |    SUM(('0x' || substring(md5(CAST(key AS VARCHAR) || '|' ||
+        |      CAST(price AS VARCHAR) || '|' || status), 1, 8))::BIGINT)
+        |      AS dig
+        |  FROM dst GROUP BY bucket)
+        |SELECT COALESCE(ds.bucket, dd.bucket) AS bucket,
+        |  ds.cnt AS src_cnt, dd.cnt AS dst_cnt,
+        |  CAST(ds.dig AS BIGINT) AS src_dig,
+        |  CAST(dd.dig AS BIGINT) AS dst_dig
+        |FROM ds FULL OUTER JOIN dd ON ds.bucket = dd.bucket
+        |WHERE COALESCE(ds.dig, -1) <> COALESCE(dd.dig, -1)
+        |   OR COALESCE(ds.cnt, -1) <> COALESCE(dd.cnt, -1)
+        |ORDER BY bucket""".stripMargin,
 
     "q_merge_cdc_batches" ->
       """SELECT key, CAST(bal AS DOUBLE) AS bal FROM (

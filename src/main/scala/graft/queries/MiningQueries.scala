@@ -243,6 +243,45 @@ object MiningQueries extends QueryCatalog {
         .limit(20)
     }),
 
+    // Association rules from the frequent pairs — the directional
+    // confidence/lift layer over q_basket_pairs' symmetric supports
+    // (each qualifying pair yields a→b and b→a, which score
+    // differently because the antecedent's support is the denominator).
+    // All statistics are exact BIGINT counts; confidence s/supp(a) and
+    // lift s·N/(supp(a)·supp(b)) each do ONE double division at the
+    // end. The item-support relation is dimension-sized (per-part) and
+    // joins onto the rule stream; only the single-row basket total
+    // broadcasts. Top-20 by lift leaves the executors as a
+    // TakeOrderedAndProject.
+    "q_basket_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val item = li.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("sp"))
+      val n = li.agg(countDistinct(col("l_orderkey")).as("n"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2)
+      val directed = pairs
+        .select(col("pa").as("ante"), col("pb").as("cons"), col("s"))
+        .unionByName(pairs
+          .select(col("pb").as("ante"), col("pa").as("cons"), col("s")))
+      directed
+        .join(item.as("ia"), col("ante") === col("ia.p"))
+        .join(item.as("ic"), col("cons") === col("ic.p"))
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"), col("s").as("support"),
+          round(col("s").cast("double") / col("ia.sp"), 6)
+            .as("confidence"),
+          round(col("s").cast("double") * col("n") /
+            (col("ia.sp") * col("ic.sp")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(20)
+    }),
+
     // Dictionary encoding (StringIndexer twin): dense integer codes for
     // a categorical column, assigned in deterministic value order, plus
     // the code table's frequencies. The single-partition window is FINE
@@ -786,6 +825,30 @@ object MiningQueries extends QueryCatalog {
         |SELECT pa, pb, pc, COUNT(*) AS support
         |FROM tri GROUP BY pa, pb, pc HAVING COUNT(*) >= 2
         |ORDER BY pa, pb, pc""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |item AS (
+        |  SELECT l_partkey AS p, COUNT(*) AS sp FROM li GROUP BY p),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS s
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        |directed AS (
+        |  SELECT pa AS ante, pb AS cons, s FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS ante, pa AS cons, s FROM pairs)
+        |SELECT d.ante, d.cons, d.s AS support,
+        |  round(CAST(d.s AS DOUBLE) / ia.sp, 6) AS confidence,
+        |  round(CAST(d.s AS DOUBLE) * (SELECT n FROM n) /
+        |    (ia.sp * ic.sp), 6) AS lift
+        |FROM directed d
+        |JOIN item ia ON d.ante = ia.p
+        |JOIN item ic ON d.cons = ic.p
+        |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin,
 
     "q_basket_pairs" ->
       """SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
