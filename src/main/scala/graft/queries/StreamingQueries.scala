@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.epochMs
+import graft.functions.GraftFunctions.{asMoney, dec2, epochMs}
 import graft.streaming.EventPipelines
 
 import graft.operators.Checkpoints.CutOps
@@ -159,6 +159,26 @@ object StreamingQueries extends QueryCatalog {
         .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
     }),
 
+    // Stream-static enrichment, batch twin (the streaming run with a
+    // MemoryStream joining the parquet-backed dimension per micro-batch
+    // is in StreamingSpec): events decorated with the customer market
+    // segment via a broadcast LEFT join — unknown users surface as
+    // UNKNOWN instead of dropping — then the monitor rollup. Stateless
+    // on the stream side: no watermark, no state store; the static side
+    // re-broadcasts per micro-batch, which is exactly the
+    // reference-data-refresh semantics a dashboard enrichment wants.
+    "q_stream_enrich" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventPipelines.enrichWithDim(Tables.events(s, dir), dim)
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN"))
+            .as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          asMoney(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy(col("segment"), col("event_type"))
+    }),
+
     // ONLINE anomaly detection, batch twin (streaming run with state
     // carried across time-split micro-batches is in StreamingSpec):
     // each event judged against its PREDECESSORS' running Welford stats
@@ -305,6 +325,14 @@ object StreamingQueries extends QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment, e.event_type
+        |ORDER BY segment, e.event_type""".stripMargin,
+
     "q_stream_anomaly" ->
       """WITH w AS (
         |  SELECT event_id, event_type, value,

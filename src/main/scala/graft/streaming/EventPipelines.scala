@@ -82,6 +82,18 @@ object EventPipelines {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id", "ts", "user_id", "event_type")
 
+  /** Stream-static enrichment: each event joins the slowly-changing
+    * customer dimension. Under `readStream` Spark re-plans the static
+    * side per micro-batch as a broadcast hash join — the canonical
+    * "decorate the stream with reference data" pattern, stateless (no
+    * watermark) because the dimension is bounded. `dim` must carry
+    * `c_custkey` + the decoration columns; unmatched events keep NULLs
+    * (left join — a monitor must see events from unknown users, not
+    * silently drop them). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"),
+      "left")
+
   /** Arbitrary-state incremental enrichment — the streaming twin of the
     * reference's resumable tri-state `qrt_found` flag
     * (`etl_lalf_road_qrt_spatial_match.py:96-112`): every event gets the

@@ -38,6 +38,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the parquet dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventPipelines.enrichWithDim(events, dim)
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 exists in the dimension; user -5 cannot
+      in.addData((ts(0), 1L, "view", 1.0), (ts(1), -5L, "view", 2.0))
+      q.processAllAvailable()
+      in.addData((ts(2), 2L, "click", 3.0)) // second micro-batch re-joins
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").orderBy("user_id").collect()
+      assert(rows.length == 3)
+      val bySeg = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(bySeg(-5L) == "UNKNOWN", "unknown user must survive as UNKNOWN")
+      val expected = dim.filter(col("c_custkey").isin(1L, 2L))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(bySeg(1L) == expected(1L) && bySeg(2L) == expected(2L),
+        "streamed enrichment diverged from the static dimension")
+    } finally q.stop()
+  }
+
   test("N-Quads parser runs unchanged on a stream (stateless column exprs)") {
     // the RDF text source composes with readStream for free: the parse
     // is a stateless projection/filter (one native regex pass per line),
