@@ -156,6 +156,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert("cafe\u0301" != "caf\u00e9")
   }
 
+  test("jaro-winkler / nfc properties on deterministic random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'x')).map(_.mkString))
+    val params = Gen.Parameters.default
+    val cases = (1 to 400).flatMap { i =>
+      for (a <- sGen(params, Seed(i.toLong));
+           b <- sGen(params, Seed(i.toLong + 100000))) yield (a, b)
+    }
+    cases.foreach { case (a, b) =>
+      val w = graft.plans.JaroWinkler.compute(a, b)
+      assert(w >= 0.0 && w <= 1.0, s"JW out of range for '$a','$b': $w")
+      assert(w == graft.plans.JaroWinkler.compute(b, a),
+        s"asymmetric on '$a','$b'")
+      if (a.nonEmpty && a == b)
+        assert(w == 1.0, s"identity must score 1 for '$a'")
+    }
+    // NFC: idempotent, and NFD re-composes to the same NFC form
+    import java.text.Normalizer
+    import org.apache.spark.unsafe.types.UTF8String
+    val marks = Gen.oneOf("\u00e9", "e\u0301", "A\u030a",
+      "n\u0303", "plain", " ", "\u00c5")
+    val tGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, marks).map(_.mkString))
+    (1 to 300).flatMap(i => tGen(params, Seed(i.toLong))).foreach { s =>
+      def nfc(x: String): String =
+        graft.plans.NfcNormalize.compute(UTF8String.fromString(x)).toString
+      val once = nfc(s)
+      assert(nfc(once) == once, s"not idempotent on ${s.codePoints.toArray.toSeq}")
+      val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
+      assert(nfc(nfd) == once,
+        s"NFD re-composition diverged on ${s.codePoints.toArray.toSeq}")
+    }
+  }
+
   test("BloomJoinInject adds one runtime bloom filter and preserves results") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     // range-backed inputs: a local Seq would be folded to a LocalRelation
