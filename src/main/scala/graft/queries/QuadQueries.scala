@@ -30,6 +30,7 @@ object QuadQueries extends QueryCatalog {
   private val BalanceP = "https://example.org/def/accountBalance"
   private val SegmentP = "https://example.org/def/marketSegment"
   private val NameP = "https://schema.org/name"
+  private val CustomerP = "https://schema.org/customer"
   private val LabelP = "http://www.w3.org/2000/01/rdf-schema#label"
   private val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
 
@@ -814,6 +815,54 @@ object QuadQueries extends QueryCatalog {
         .unionByName(q.filter(isName && key % 20 === 7))
       graft.rdf.ShapeValidator.violations(dirty, addressShapes)
         .orderBy(col("focus"), col("path"), col("constraint"))
+    }),
+
+    // owl:sameAs closure + canonicalization (rdf/SameAs — the reference's
+    // vocab graphs carry owl:sameAs links, reg-statuses.ttl:76-188): the
+    // multi-source alias scenario. Every customer exists under its modern
+    // IRI and a sameAs-linked legacy IRI; every third also under an alt
+    // IRI linked to the LEGACY alias only, so canonicalization must cross
+    // a 2-hop chain (transitivity, not just pair collapse). Facts are
+    // split across the aliases (name on modern, balance on legacy,
+    // segment on alt) and orders point AT the legacy IRI — so both
+    // subject and object rewriting are exercised, and the smushed graph
+    // unites all facts under the component-min IRI. The oracle replays
+    // the closure with a genuine WITH RECURSIVE reachability — fully
+    // independent of the hash-min propagation loop.
+    "q_quads_sameas_smush" -> ((s, dir) => {
+      import graft.model.TermKind
+      val cust = Tables.customer(s, dir)
+      val ckey = col("c_custkey").cast("string")
+      val modern = concat(lit("https://example.org/customer/"), ckey)
+      val legacy = concat(lit("urn:legacy:cust:"), ckey)
+      val alt = concat(lit("urn:alt:cust:"), ckey)
+      val sameAs = cust.select(legacy.as("a"), modern.as("b"))
+        .unionByName(cust.filter(col("c_custkey") % 3 === 0)
+          .select(alt.as("a"), legacy.as("b")))
+      def fact(subj: Column, pred: String, obj: Column,
+          kind: String): DataFrame => DataFrame = df =>
+        df.select(subj.as("subject"), lit(pred).as("predicate"),
+          obj.as("objectValue"), lit(kind).as("objectKind"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("lang"),
+          lit(graft.model.Graphs.Addresses).as("graph"))
+      val quads =
+        fact(modern, NameP, col("c_name"), TermKind.Literal)(cust)
+          .unionByName(fact(legacy, BalanceP,
+            dec2(col("c_acctbal")).cast("string"), TermKind.Literal)(cust))
+          .unionByName(fact(alt, SegmentP, col("c_mktsegment"),
+            TermKind.Literal)(cust.filter(col("c_custkey") % 3 === 0)))
+          .unionByName(fact(
+            concat(lit("urn:order:"), col("o_orderkey").cast("string")),
+            CustomerP,
+            concat(lit("urn:legacy:cust:"), col("o_custkey").cast("string")),
+            TermKind.Iri)(Tables.orders(s, dir)))
+      val labels = graft.rdf.SameAs.canonicalLabels(sameAs,
+        col("a"), col("b"))
+      graft.rdf.SameAs.smush(quads, labels)
+        .select(col("subject"), col("predicate"), col("objectValue"),
+          col("objectKind"))
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
     })
   )
 
@@ -1266,6 +1315,55 @@ object QuadQueries extends QueryCatalog {
          |  FROM stats WHERE bad_lang > 0)
          |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
          |  expected, actual
-         |FROM viol ORDER BY focus, path, "constraint"""".stripMargin
+         |FROM viol ORDER BY focus, path, "constraint"""".stripMargin,
+
+    "q_quads_sameas_smush" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT 'urn:legacy:cust:' || CAST(c_custkey AS VARCHAR) AS a,
+         |    'https://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS b
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'urn:alt:cust:' || CAST(c_custkey AS VARCHAR),
+         |    'urn:legacy:cust:' || CAST(c_custkey AS VARCHAR)
+         |  FROM customer WHERE c_custkey % 3 = 0),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(node, r) AS (
+         |  SELECT a AS node, a AS r FROM sym
+         |  UNION
+         |  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.node),
+         |canon AS (SELECT node, MIN(r) AS canon FROM reach GROUP BY node),
+         |quads AS (
+         |  SELECT 'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+         |      AS subject,
+         |    '$NameP' AS predicate, c_name AS objectValue,
+         |    'literal' AS objectKind
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'urn:legacy:cust:' || CAST(c_custkey AS VARCHAR),
+         |    '$BalanceP',
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), 'literal'
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'urn:alt:cust:' || CAST(c_custkey AS VARCHAR),
+         |    '$SegmentP', c_mktsegment, 'literal'
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR),
+         |    '$CustomerP',
+         |    'urn:legacy:cust:' || CAST(o_custkey AS VARCHAR), 'iri'
+         |  FROM orders)
+         |SELECT DISTINCT
+         |  COALESCE(cs.canon, q.subject) AS subject,
+         |  q.predicate,
+         |  CASE WHEN q.objectKind = 'iri'
+         |    THEN COALESCE(co.canon, q.objectValue)
+         |    ELSE q.objectValue END AS objectValue,
+         |  q.objectKind
+         |FROM quads q
+         |LEFT JOIN canon cs ON q.subject = cs.node
+         |LEFT JOIN canon co
+         |  ON q.objectKind = 'iri' AND q.objectValue = co.node
+         |ORDER BY subject, predicate, objectValue""".stripMargin
   )
 }

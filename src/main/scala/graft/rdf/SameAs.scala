@@ -1,0 +1,65 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.TermKind
+import graft.operators.ConnectedComponents
+
+/** `owl:sameAs` closure + canonicalization ("smushing") — the RDF-side
+  * twin of dedup-cluster canonical pick. The reference's vocab graphs
+  * link equivalent registry terms with `owl:sameAs`
+  * (`vocabs-import/reg-statuses.ttl:76-188`), and a multi-source ETL
+  * (LALF addresses ⊕ PNDB placenames ⊕ QRT roads) routinely mints two
+  * IRIs for one real-world entity; serving a coherent graph means
+  * rewriting every alias to ONE canonical IRI and collapsing the
+  * now-duplicate statements.
+  *
+  * sameAs is symmetric + transitive, so alias groups are the connected
+  * components of the sameAs edge relation — [[ConnectedComponents]]'s
+  * hash-min propagation labels every alias with its component's minimum
+  * IRI, which doubles as the deterministic canonical choice. Alias
+  * groups in practice are tiny (2-4 IRIs per entity), so the loop
+  * converges in 2-3 rounds.
+  *
+  * Scale shape: the canonical-label relation holds ALIASED nodes only —
+  * orders of magnitude smaller than the corpus — and the rewrite is two
+  * equi-joins of the quad relation against it (keyed on `subject`, then
+  * on `objectValue` restricted to IRI terms), each a plain shuffle (or
+  * broadcast, when the alias table fits) hash join. The final
+  * `dropDuplicates` is the one extra shuffle that set semantics costs —
+  * statements merged from two aliases MUST collapse or the smushed graph
+  * double-counts.
+  */
+object SameAs {
+
+  /** Canonical-IRI labels from a sameAs pair relation: one row per
+    * aliased IRI, `(node, canon)` with `canon` = lexicographic minimum
+    * of the node's sameAs component. */
+  def canonicalLabels(sameAs: DataFrame, a: Column, b: Column,
+      maxRounds: Int = 20): DataFrame =
+    ConnectedComponents.label(sameAs, a, b, maxRounds)
+      .select(col("node"), col("comp").as("canon"))
+
+  /** Rewrite `quads` through the `(node, canon)` label relation:
+    * subjects always, objects only where `objectKind` is IRI (literals
+    * never alias), then collapse statements that became identical. The
+    * quad relation keeps its full term-fidelity columns. */
+  def smush(quads: DataFrame, labels: DataFrame): DataFrame = {
+    val subjL = labels.select(col("node").as("_s_node"),
+      col("canon").as("_s_canon"))
+    val objL = labels.select(col("node").as("_o_node"),
+      col("canon").as("_o_canon"))
+    quads
+      .join(subjL, quads("subject") === subjL("_s_node"), "left")
+      .join(objL,
+        quads("objectKind") === TermKind.Iri &&
+          quads("objectValue") === objL("_o_node"), "left")
+      .select(
+        coalesce(col("_s_canon"), col("subject")).as("subject"),
+        col("predicate"),
+        coalesce(col("_o_canon"), col("objectValue")).as("objectValue"),
+        col("objectKind"), col("datatype"), col("lang"), col("graph"))
+      .dropDuplicates()
+  }
+}

@@ -883,4 +883,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val zc = f0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
     assert(feats(0)._3 == zc, "zero-crossing count diverged")
   }
+
+  test("SameAs.smush: 2-hop chains, object rewrite, duplicate collapse") {
+    import spark.implicits._
+    import graft.model.TermKind
+    // chain c↔b↔a (canonical "a" only reachable transitively from c),
+    // plus an untouched singleton "solo"
+    val sameAs = Seq(("b", "a"), ("c", "b")).toDF("x", "y")
+    val labels = graft.rdf.SameAs.canonicalLabels(sameAs, col("x"), col("y"))
+    assert(labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    val quads = Seq(
+      // same statement stated on two aliases — must collapse to ONE row
+      ("a", "p:name", "N", TermKind.Literal),
+      ("c", "p:name", "N", TermKind.Literal),
+      // IRI object pointing at an alias — must rewrite to "a"
+      ("solo", "p:ref", "b", TermKind.Iri),
+      // literal object that LOOKS like an alias — must NOT rewrite
+      ("solo", "p:note", "b", TermKind.Literal))
+      .toDF("subject", "predicate", "objectValue", "objectKind")
+      .withColumn("datatype", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("graph", lit("g"))
+    val out = graft.rdf.SameAs.smush(quads, labels)
+      .select("subject", "predicate", "objectValue").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("a", "p:name", "N"),
+      ("solo", "p:ref", "a"),
+      ("solo", "p:note", "b")))
+  }
 }
