@@ -410,6 +410,21 @@ object QuadQueries extends QueryCatalog {
           col("graph"))
     }),
 
+    // DSv2 connector roundtrip (graft.sources.nquads): the SAME dump read
+    // through `spark.read.format("nquads")` with a graph equality — the
+    // predicate reaches the connector scan (SupportsPushDownFilters), so
+    // foreign-graph lines die on a substring probe BEFORE the statement
+    // regex; split planning at files.maxPartitionBytes distributes the
+    // parse. The oracle recomputes the one-graph slice relationally —
+    // parse ∘ render = identity, now through the connector tier.
+    "q_nquads_dsv2_pushdown" -> ((s, dir) => {
+      val out = tmp(s, "nquads_dsv2")
+      QuadEmitter.writeNQuads(fullQuads(s, dir), out)
+      s.read.format("nquads").load(out)
+        .filter(col("graph") === GraphG)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    }),
+
     // §2.9 declarative path — the same explosion driven by the pure-data
     // EmitSpec config model (cam/config.py + cam/transform.py twin): the
     // spec references columns by NAME; compilation emits the identical
@@ -925,6 +940,12 @@ object QuadQueries extends QueryCatalog {
       s"""$fullQuadsCte
          |SELECT subject, subjectKind, predicate, objectValue, objectKind,
          |  datatype, lang
+         |FROM quads WHERE graph = '${graft.model.Graphs.GeoNames}'
+         |ORDER BY subject, predicate, objectValue""".stripMargin,
+    "q_nquads_dsv2_pushdown" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
          |FROM quads WHERE graph = '${graft.model.Graphs.GeoNames}'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
     "q_nquads_parse_roundtrip" ->
