@@ -348,6 +348,40 @@ object GraphQueries extends QueryCatalog {
       reached.orderBy(col("node"))
     }),
 
+    // Weighted single-source shortest paths — bounded synchronous
+    // Bellman-Ford: after round k the dist relation holds the exact
+    // minimum over all ≤ k-edge paths from any source, so a fixed round
+    // count is a DECLARED path-length bound, not an approximation cut
+    // short. Each round is ONE dist⋈edges equi-join (shuffle key = the
+    // hop node, same as BFS/pagerank) + a map-side-combinable min —
+    // state is two fixed-width columns regardless of graph size, and no
+    // per-node priority queue exists anywhere (Dijkstra's heap is the
+    // thing that does NOT distribute; synchronous relaxation is the
+    // 1000-executor form). Weights are a deterministic edge function so
+    // the DuckDB oracle can replay them; it enumerates ≤ 4-hop walks
+    // with WITH RECURSIVE and min-collapses — independent of the
+    // relaxation loop.
+    "q_graph_sssp" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      val sym = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v")))
+      val edges = sym
+        .withColumn("w", (col("u") + col("v")) % 5 + lit(1L))
+        .cutLineage(eager = false)
+      var dist = edges.select(col("u").as("node")).distinct()
+        .filter(col("node") % 50 === 0)
+        .withColumn("dist", lit(0L)).cutLineage()
+      for (_ <- 1 to 4) {
+        val relaxed = dist
+          .join(edges, dist("node") === edges("u"))
+          .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .cutLineage()
+      }
+      dist.orderBy(col("node"))
+    }),
+
     // Min-label propagation, two synchronous rounds — the community-
     // detection primitive (and the per-round step of ConnectedComponents,
     // surfaced here as a bounded catalog query the oracle can replay).
@@ -554,6 +588,20 @@ object GraphQueries extends QueryCatalog {
         |  SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.node
         |  WHERE bfs.dist < 3)
         |SELECT node, MIN(dist) AS dist FROM bfs
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_graph_sssp" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |e AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |we AS (SELECT u, v, (u + v) % 5 + 1 AS w FROM e),
+        |walk(node, dist, hops) AS (
+        |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+        |  FROM we WHERE u % 50 = 0
+        |  UNION
+        |  SELECT we.v, walk.dist + we.w, walk.hops + 1
+        |  FROM walk JOIN we ON we.u = walk.node
+        |  WHERE walk.hops < 4)
+        |SELECT node, MIN(dist) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
 
     "q_graph_labelprop" ->
