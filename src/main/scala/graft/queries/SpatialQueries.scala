@@ -355,7 +355,125 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("n_nationkey"))
   }
 
+  // -- Polygon area/centroid + polyline length/sinuosity ----------------
+  // The reference's cadastre domain measures its geometries (parcel
+  // areas, road lengths); these are the measurement scalars over the
+  // same deterministic synthetic rings/lines the join queries use.
+  // Everything is fixed-order add/multiply/sqrt chains GENERATED from
+  // one offset table for both engines — identical association order, so
+  // doubles agree bit-for-bit before the 6-decimal rounding.
+
+  private val PentDx = Seq(1.5, 0.46, -1.21, -1.21, 0.46)
+  private val PentDy = Seq(0.0, 1.43, 0.88, -0.88, -1.43)
+  private val LineDx = Seq(0.0, 0.8, 1.1, 0.35, -0.4)
+  private val LineDy = Seq(0.0, 0.55, -0.3, 0.9, 1.2)
+
+  /** Shoelace area + centroid of the per-nation pentagon, scaled by
+    * 1+(key mod 3) so areas differ across rows. Pure column arithmetic —
+    * whole-stage codegen, no shuffle but the final sort. */
+  private def areaCentroid(s: SparkSession, dir: String): DataFrame = {
+    val n = PentDx.length
+    def xs(i: Int): Column = col("cx") + col("sc") * lit(PentDx(i % n))
+    def ys(i: Int): Column = col("cy") + col("sc") * lit(PentDy(i % n))
+    def cross(i: Int): Column = xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+    val s2 = (0 until n).map(cross).reduce(_ + _)
+    val sx = (0 until n).map(i => (xs(i) + xs(i + 1)) * cross(i)).reduce(_ + _)
+    val sy = (0 until n).map(i => (ys(i) + ys(i + 1)) * cross(i)).reduce(_ + _)
+    Tables.nation(s, dir).select(col("n_nationkey"),
+        coord(col("n_nationkey"), 7919L).as("cx"),
+        coord(col("n_nationkey"), 104729L).as("cy"),
+        (lit(1.0) + (col("n_nationkey") % 3).cast("double")).as("sc"))
+      .select(col("n_nationkey"),
+        round(abs(s2) / 2, 6).as("area"),
+        // + 0.0 collapses IEEE signed zero (-0.0 + 0.0 = +0.0), which
+        // the two engines' rounding can disagree on
+        (round(sx / (s2 * 3), 6) + lit(0.0)).as("cx_centroid"),
+        (round(sy / (s2 * 3), 6) + lit(0.0)).as("cy_centroid"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Per-supplier road polyline: total planar length and sinuosity
+    * (length over straight-line end distance — the standard road-geometry
+    * quality metric). sqrt is IEEE correctly-rounded in both engines, so
+    * unlike trig it is parity-safe. */
+  private def polylineLength(s: SparkSession, dir: String): DataFrame = {
+    val n = LineDx.length
+    def xs(i: Int): Column = col("cx") + col("sc") * lit(LineDx(i))
+    def ys(i: Int): Column = col("cy") + col("sc") * lit(LineDy(i))
+    def seg(i: Int): Column = sqrt(
+      (xs(i + 1) - xs(i)) * (xs(i + 1) - xs(i)) +
+        (ys(i + 1) - ys(i)) * (ys(i + 1) - ys(i)))
+    val len = (0 until n - 1).map(seg).reduce(_ + _)
+    val straight = sqrt(
+      (xs(n - 1) - xs(0)) * (xs(n - 1) - xs(0)) +
+        (ys(n - 1) - ys(0)) * (ys(n - 1) - ys(0)))
+    Tables.supplier(s, dir).select(col("s_suppkey"),
+        coord(col("s_suppkey"), 7919L).as("cx"),
+        coord(col("s_suppkey"), 104729L).as("cy"),
+        (lit(1.0) + (col("s_suppkey") % 4).cast("double")).as("sc"))
+      .select(col("s_suppkey"),
+        round(len, 6).as("length_planar"),
+        round(len / straight, 6).as("sinuosity"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** The oracle twin of [[areaCentroid]]/[[polylineLength]]'s expression
+    * chains, GENERATED from the same offset tables — term order and
+    * association depth are identical by construction. */
+  private def sqlXs(cN: String, offs: Seq[Double])(i: Int): String =
+    s"($cN + sc * (${offs(i % offs.length)}))"
+
+  private def measureOracle: (String, String) = {
+    val n = PentDx.length
+    val xs = sqlXs("cx", PentDx) _
+    val ys = sqlXs("cy", PentDy) _
+    def cross(i: Int) = s"(${xs(i)} * ${ys(i + 1)} - ${xs(i + 1)} * ${ys(i)})"
+    val s2 = (0 until n).map(cross).reduce((a, b) => s"($a + $b)")
+    val sx = (0 until n)
+      .map(i => s"((${xs(i)} + ${xs(i + 1)}) * ${cross(i)})")
+      .reduce((a, b) => s"($a + $b)")
+    val sy = (0 until n)
+      .map(i => s"((${ys(i)} + ${ys(i + 1)}) * ${cross(i)})")
+      .reduce((a, b) => s"($a + $b)")
+    val area =
+      s"""WITH p AS (
+         |  SELECT n_nationkey,
+         |    CAST((n_nationkey * 7919) % 1000 AS DOUBLE) / 100.0 AS cx,
+         |    CAST((n_nationkey * 104729) % 1000 AS DOUBLE) / 100.0 AS cy,
+         |    1.0 + CAST(n_nationkey % 3 AS DOUBLE) AS sc
+         |  FROM nation)
+         |SELECT n_nationkey,
+         |  round(abs($s2) / 2, 6) AS area,
+         |  round($sx / ($s2 * 3), 6) + 0.0 AS cx_centroid,
+         |  round($sy / ($s2 * 3), 6) + 0.0 AS cy_centroid
+         |FROM p ORDER BY n_nationkey""".stripMargin
+    val m = LineDx.length
+    val lx = sqlXs("cx", LineDx) _
+    val ly = sqlXs("cy", LineDy) _
+    def seg(i: Int) =
+      s"sqrt((${lx(i + 1)} - ${lx(i)}) * (${lx(i + 1)} - ${lx(i)}) + " +
+        s"(${ly(i + 1)} - ${ly(i)}) * (${ly(i + 1)} - ${ly(i)}))"
+    val len = (0 until m - 1).map(seg).reduce((a, b) => s"($a + $b)")
+    val straight =
+      s"sqrt((${lx(m - 1)} - ${lx(0)}) * (${lx(m - 1)} - ${lx(0)}) + " +
+        s"(${ly(m - 1)} - ${ly(0)}) * (${ly(m - 1)} - ${ly(0)}))"
+    val line =
+      s"""WITH p AS (
+         |  SELECT s_suppkey,
+         |    CAST((s_suppkey * 7919) % 1000 AS DOUBLE) / 100.0 AS cx,
+         |    CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 100.0 AS cy,
+         |    1.0 + CAST(s_suppkey % 4 AS DOUBLE) AS sc
+         |  FROM supplier)
+         |SELECT s_suppkey,
+         |  round($len, 6) AS length_planar,
+         |  round($len / $straight, 6) AS sinuosity
+         |FROM p ORDER BY s_suppkey""".stripMargin
+    (area, line)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_area_centroid" -> ((s, dir) => areaCentroid(s, dir)),
+    "q_spatial_polyline_length" -> ((s, dir) => polylineLength(s, dir)),
     "q_join_point_in_polygon" -> ((s, dir) => pointInPolygon(s, dir)),
     "q_spatial_cluster_cells" -> ((s, dir) => clusterCells(s, dir)),
     "q_join_knn" -> ((s, dir) => knn(s, dir)),
@@ -370,6 +488,8 @@ object SpatialQueries extends QueryCatalog {
     * oracle scale); the Spark side must produce identical rows from the
     * bucketed plan — that equivalence is exactly what the gate checks. */
   override def oracleSql: Map[String, String] = Map(
+    "q_spatial_area_centroid" -> measureOracle._1,
+    "q_spatial_polyline_length" -> measureOracle._2,
     "q_join_knn" ->
       s"""WITH q AS (
          |  SELECT c_custkey AS qid,
