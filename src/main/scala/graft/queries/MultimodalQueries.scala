@@ -107,6 +107,53 @@ object MultimodalQueries extends QueryCatalog {
         .orderBy(col("vec_id"), col("frame"))
     }),
 
+    // Video frame sampling (operators/VideoContainer): each embedding
+    // row becomes a 6-frame raw video — back-to-back REAL P6 frames,
+    // frame j's pixels a deterministic formula of (embedding, j) — and
+    // the pipeline walks the container byte-exactly (header token walk
+    // computes each frame's length; sampled frames slice out, skipped
+    // frames cost only the walk), keeps every 2nd frame, decodes those
+    // through the real PPM parser and channel-sums them. The oracle
+    // recomputes the sums from the pixel formula for j ∈ {0,2,4} — it
+    // never sees the container — so any length-walk drift (header size,
+    // raster stride, frame boundary) lands on the wrong bytes and
+    // hash-fails.
+    "q_multimodal_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{ImageCodec, VideoContainer}
+      import graft.operators.ImageCodec.RawImage
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions(_.map { case (id, e) =>
+          val frames = (0 until 6).map { j =>
+            val px = new Array[Byte](4 * 4 * 3)
+            var i = 0
+            while (i < 16) {
+              val base =
+                math.floor(math.abs(e(i).toDouble) * 1000).toLong + j * 13
+              px(i * 3) = (base % 256).toByte
+              px(i * 3 + 1) = ((base + 7) % 256).toByte
+              px(i * 3 + 2) = ((base + 14) % 256).toByte
+              i += 1
+            }
+            ImageCodec.encodePpm(RawImage(4, 4, px))
+          }
+          (id, frames.reduce(_ ++ _)) // the opaque video column
+        })
+        .flatMap { case (id, video) =>
+          VideoContainer.sampleFrames(video, everyN = 2).map {
+            case (idx, fb) =>
+              val img = ImageCodec.decodePpm(fb) // REAL parse
+              val (r, g, b) = ImageCodec.channelSums(img)
+              (id, idx, img.width, img.height, r, g, b)
+          }
+        }
+        .toDF("vec_id", "frame_idx", "width", "height", "sum_r", "sum_g",
+          "sum_b")
+        .orderBy(col("vec_id"), col("frame_idx"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text").as("t"),
@@ -296,6 +343,27 @@ object MultimodalQueries extends QueryCatalog {
         |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
         |    AS thumb_b
         |FROM b ORDER BY vec_id""".stripMargin,
+    // Recomputes the sampled frames' channel sums from the pixel
+    // formula for j in {0,2,4}; the binary path (encode → container
+    // walk → frame slice → decode → sums) must land on the same
+    // integers.
+    "q_multimodal_frame_sample" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    [CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000)
+        |       AS BIGINT) for i in range(1, 17)] AS base
+        |  FROM embeddings),
+        |f AS (SELECT unnest([0, 2, 4]) AS frame_idx)
+        |SELECT vec_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(list_sum([(x + frame_idx * 13) % 256 for x in base])
+        |    AS BIGINT) AS sum_r,
+        |  CAST(list_sum([(x + frame_idx * 13 + 7) % 256 for x in base])
+        |    AS BIGINT) AS sum_g,
+        |  CAST(list_sum([(x + frame_idx * 13 + 14) % 256 for x in base])
+        |    AS BIGINT) AS sum_b
+        |FROM b CROSS JOIN f ORDER BY vec_id, frame_idx""".stripMargin,
+
     "q_multimodal_wav_decode" ->
       """WITH s AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, i,

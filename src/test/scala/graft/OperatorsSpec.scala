@@ -884,6 +884,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(feats(0)._3 == zc, "zero-crossing count diverged")
   }
 
+  test("VideoContainer: frame walk, sampling stride, loud failures") {
+    import graft.operators.{ImageCodec, VideoContainer}
+    import graft.operators.ImageCodec.RawImage
+    // mixed frame sizes force a real per-frame length walk
+    val frames = Seq(
+      ImageCodec.encodePpm(RawImage(2, 3, Array.fill(18)(7.toByte))),
+      ImageCodec.encodePpm(RawImage(1, 1, Array.fill(3)(9.toByte))),
+      ImageCodec.encodePpm(RawImage(3, 2, Array.tabulate(18)(_.toByte))))
+    val container = frames.reduce(_ ++ _)
+    val all = VideoContainer.sampleFrames(container, 1)
+    assert(all.map(_._1) == Seq(0, 1, 2))
+    assert(all.map(_._2.toSeq) == frames.map(_.toSeq),
+      "frame slices must be byte-identical to the originals")
+    assert(VideoContainer.sampleFrames(container, 2).map(_._1) == Seq(0, 2))
+    // decoded sampled frame round-trips through the real parser
+    val img = ImageCodec.decodePpm(all(2)._2)
+    assert(img.width == 3 && img.height == 2)
+    intercept[IllegalArgumentException] {
+      VideoContainer.sampleFrames(container.dropRight(1), 1)
+    }
+    intercept[IllegalArgumentException] {
+      VideoContainer.sampleFrames(container ++ Array[Byte]('X'), 1)
+    }
+  }
+
   test("SameAs.smush: 2-hop chains, object rewrite, duplicate collapse") {
     import spark.implicits._
     import graft.model.TermKind
