@@ -317,6 +317,43 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // Nested reshape + higher-order consumption: line items COLLECT into
+    // an ordered array<struct> per order (the document shape a serving
+    // layer or denormalized lake table stores), and every downstream
+    // scalar is computed FROM the nested array with codegen'd HOFs —
+    // no re-explode, no second shuffle after the one collect. Money and
+    // quantity ride as exact integer cents; the argmax key packs
+    // (price_cents, partkey) into one BIGINT so ties resolve identically
+    // everywhere. The oracle computes the same scalars from the FLAT
+    // relation with plain aggregates — nested path and flat path must
+    // agree exactly.
+    "q_nested_reshape" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("price_c"))
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+          col("qty_c"), col("price_c")))).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).as("n_items"),
+          expr("aggregate(items, 0L, (acc, x) -> acc + x.qty_c)")
+            .as("qty_total"),
+          expr("aggregate(items, 0L, (acc, x) -> " +
+            "IF(x.qty_c > acc, x.qty_c, acc))").as("qty_max"),
+          expr("aggregate(items, -1L, (acc, x) -> " +
+            "IF(x.price_c * 10000000 + x.pk > acc, " +
+            "x.price_c * 10000000 + x.pk, acc))").as("k"))
+        .select(col("l_orderkey"), col("n_items"),
+          (col("k") % 10000000).as("top_part"),
+          round(col("qty_max").cast("double") /
+            col("qty_total").cast("double"), 6).as("qty_share"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Deterministic ARG-MAX per group ("which user drove the most
     // value?"): the winner comes from max(struct(total, user_id)) — one
     // partial-aggregable struct-max, so at 100 TB this is two map-side-
@@ -1040,6 +1077,20 @@ object AggregationQueries extends QueryCatalog {
         |  CAST(SUM(n) AS BIGINT) AS n_customers
         |FROM ranked GROUP BY r_name, seg_out
         |ORDER BY r_name, seg_out""".stripMargin,
+    "q_nested_reshape" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS qty_c,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c
+        |  FROM lineitem)
+        |SELECT l_orderkey, CAST(COUNT(*) AS INT) AS n_items,
+        |  MAX(price_c * 10000000 + l_partkey) % 10000000 AS top_part,
+        |  round(CAST(MAX(qty_c) AS DOUBLE) / CAST(SUM(qty_c) AS DOUBLE), 6)
+        |    AS qty_share
+        |FROM li GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
     "q_agg_equidepth" ->
       """WITH v AS (
         |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),

@@ -243,6 +243,34 @@ object SourceSinkQueries extends QueryCatalog {
         .orderBy(col("day"))
     }),
 
+    // Schema evolution across batches — the operational reality of any
+    // long-lived 100 TB table: early batches lack columns later batches
+    // carry. Batch 1 writes (key, name), batch 2 adds the balance
+    // column; the read unifies them with mergeSchema (a FOOTER-only
+    // union — no data rewrite, which is the point: evolving a 100 TB
+    // table by rewriting it is not a plan) and old rows surface NULL
+    // for the new column. The oracle replays the per-batch projection
+    // semantics from the base table.
+    "q_schema_evolution" -> ((s, dir) => {
+      val path = tmp(s, "schema_evo")
+      val cust = Tables.customer(s, dir)
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          dec2(col("c_acctbal")).cast("double").as("bal"))
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"),
+          count(col("bal")).as("n_with_bal"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_bal"),
+          min(col("c_name")).as("min_name"))
+        .orderBy(col("batch"))
+    }),
+
     // JSON-lines sink → source round-trip (S5/S10 sibling format):
     // string escaping, decimal-as-double fidelity and explicit-schema
     // read-back all cross the text boundary; the oracle recomputes the
@@ -453,6 +481,20 @@ object SourceSinkQueries extends QueryCatalog {
         |  CAST(4 AS BIGINT) AS files_total_sorted,
         |  CAST(64 AS BIGINT) AS files_touched_frag,
         |  CAST(64 AS BIGINT) AS files_total_frag""".stripMargin,
+
+    "q_schema_evolution" ->
+      """WITH b AS (
+        |  SELECT 1 AS batch, c_custkey, c_name, CAST(NULL AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, c_custkey, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT batch, COUNT(*) AS n, COUNT(bal) AS n_with_bal,
+        |  round(CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_bal,
+        |  MIN(c_name) AS min_name
+        |FROM b GROUP BY batch ORDER BY batch""".stripMargin,
 
     "q_partition_overwrite_dynamic" ->
       """WITH ev AS (

@@ -823,4 +823,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("LeftAnti"),
       "true interactions must be removed by an anti equi-join:\n" + plan)
   }
+
+  test("sameAs smush rewrites via equi-joins, never a cartesian") {
+    val df = SparkEntry.queries("q_quads_sameas_smush")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "alias rewrite must be keyed joins:\n" + plan)
+  }
+
+  test("SSSP: lineage cut per round keeps the final plan round-free") {
+    val df = SparkEntry.queries("q_graph_sssp")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // per-round cutLineage must truncate the iterative history: the
+    // final plan is scan + output sort, NOT 4 stacked join/agg rounds
+    // (an uncut 100-round loop would compile a 100-deep plan)
+    assert(!plan.contains("HashAggregate"),
+      "relaxation rounds leaked into the final plan — lineage uncut:\n" +
+        plan)
+  }
+
+  test("nested reshape: one shuffle to collect, HOFs add none") {
+    val df = SparkEntry.queries("q_nested_reshape")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one hash exchange (the collect_list groupBy); every
+    // downstream scalar comes from the array in the same stage
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 1,
+      "HOF consumption must not re-shuffle:\n" + plan)
+  }
 }
