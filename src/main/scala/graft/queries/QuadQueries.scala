@@ -425,6 +425,24 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("subject"), col("predicate"), col("objectValue"))
     }),
 
+    // DSv2 connector WRITE → READ roundtrip: the full-fidelity quads go
+    // out through the connector sink (per-task .nq part streaming, temp
+    // rename at task commit) and come back through the connector scan —
+    // parse ∘ render = identity across the connector tier in BOTH
+    // directions; the oracle recomputes the relation and never sees the
+    // text.
+    "q_nquads_dsv2_write_roundtrip" -> ((s, dir) => {
+      val out = tmp(s, "nquads_dsv2_w")
+      fullQuads(s, dir)
+        .select(col("subject"), col("subjectKind"), col("predicate"),
+          col("objectValue"), col("objectKind"), col("datatype"),
+          col("lang"), col("graph"))
+        .write.format("nquads").mode("overwrite").save(out)
+      s.read.format("nquads").load(out)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"),
+          col("graph"))
+    }),
+
     // §2.9 declarative path — the same explosion driven by the pure-data
     // EmitSpec config model (cam/config.py + cam/transform.py twin): the
     // spec references columns by NAME; compilation emits the identical
@@ -781,6 +799,24 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("subject"), col("ancestor"))
     }),
 
+    // Compound SPARQL property path (rdf/PropertyPath.eval): the
+    // `hasPart/(additionalType|value)` sequence+alternation — every
+    // address paired with its parts' types AND values through one
+    // algebraic path expression. Each constructor compiles to the
+    // relational operator Catalyst already optimizes (step = filtered
+    // scan, sequence = hash join on the middle node, alternation =
+    // union-distinct); the oracle replays the same algebra as joins and
+    // unions in SQL. Inverse and one-or-more are pinned by unit tests
+    // and the transitive gate query.
+    "q_quads_path_compound" -> ((s, dir) => {
+      import graft.rdf.PropertyPath._
+      eval(fullQuads(s, dir),
+        Then(Step(HasPartP), Alternative(Step(AddTypeP), Step(ValueP))))
+        .groupBy(col("dst"))
+        .agg(countDistinct(col("src")).as("n_src"))
+        .orderBy(col("dst"))
+    }),
+
     // RDFS entailment (rdf/Inference): rdfs7 subPropertyOf lifting
     // (additionalType ⊑ rdf:type) + rdfs9 subClassOf type propagation
     // under a closed part-type ontology. The T-box closes via the same
@@ -942,6 +978,12 @@ object QuadQueries extends QueryCatalog {
          |  datatype, lang
          |FROM quads WHERE graph = '${graft.model.Graphs.GeoNames}'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
+    "q_nquads_dsv2_write_roundtrip" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
+         |FROM quads
+         |ORDER BY subject, predicate, objectValue, graph""".stripMargin,
     "q_nquads_dsv2_pushdown" ->
       s"""$fullQuadsCte
          |SELECT subject, subjectKind, predicate, objectValue, objectKind,
@@ -1337,6 +1379,22 @@ object QuadQueries extends QueryCatalog {
          |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
          |  expected, actual
          |FROM viol ORDER BY focus, path, "constraint"""".stripMargin,
+
+    "q_quads_path_compound" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT DISTINCT subject AS src, objectValue AS mid
+         |       FROM quads WHERE predicate = '$HasPartP'),
+         |alt AS (
+         |  SELECT subject AS mid, objectValue AS dst
+         |  FROM quads WHERE predicate = '$AddTypeP'
+         |  UNION
+         |  SELECT subject, objectValue
+         |  FROM quads WHERE predicate = '$ValueP'),
+         |pairs AS (
+         |  SELECT DISTINCT hp.src, alt.dst FROM hp
+         |  JOIN alt ON hp.mid = alt.mid)
+         |SELECT dst, COUNT(DISTINCT src) AS n_src
+         |FROM pairs GROUP BY dst ORDER BY dst""".stripMargin,
 
     "q_quads_sameas_smush" ->
       s"""WITH RECURSIVE

@@ -70,4 +70,46 @@ object PropertyPath {
       maxDepth)
       .select(col("src").as("subject"), col("dst").as("ancestor"),
         col("dist"))
+
+  // -- Compound paths ----------------------------------------------------
+  // The full SPARQL 1.1 property-path algebra composes from four
+  // constructors over pair relations: a predicate step, inverse (`^p` —
+  // a projection swap, free), sequence (`a/b` — one equi-join on the
+  // middle node), alternation (`a|b` — union) and one-or-more (`p+` —
+  // the bounded closure above). Every constructor maps to exactly the
+  // relational operator Catalyst already optimizes, so a compound path
+  // plans like any multi-hop star/chain query: per-step filtered scans,
+  // hash joins keyed on the hop nodes, set-semantics distincts.
+
+  sealed trait Path
+  /** `<iri>` — one forward predicate step. */
+  final case class Step(predicate: String) extends Path
+  /** `^p` — the inverse path (object→subject). */
+  final case class Inverse(p: Path) extends Path
+  /** `a/b` — sequence: follow `a`, then `b` from where `a` landed. */
+  final case class Then(a: Path, b: Path) extends Path
+  /** `a|b` — alternation: either branch. */
+  final case class Alternative(a: Path, b: Path) extends Path
+  /** `p+` — one or more repetitions (semi-naive bounded closure). */
+  final case class OneOrMore(p: Path, maxDepth: Int = 32) extends Path
+
+  /** Evaluate a compound path to its `(src, dst)` pair relation with set
+    * semantics (SPARQL path evaluation is over node pairs). */
+  def eval(quads: DataFrame, path: Path): DataFrame = path match {
+    case Step(p) =>
+      quads.filter(col("predicate") === p)
+        .select(col("subject").as("src"), col("objectValue").as("dst"))
+        .distinct()
+    case Inverse(p) =>
+      eval(quads, p).select(col("dst").as("src"), col("src").as("dst"))
+    case Then(a, b) =>
+      eval(quads, a).as("a")
+        .join(eval(quads, b).as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+    case Alternative(a, b) =>
+      eval(quads, a).unionByName(eval(quads, b)).distinct()
+    case OneOrMore(p, maxDepth) =>
+      closure(eval(quads, p), maxDepth).select(col("src"), col("dst"))
+  }
 }

@@ -10,9 +10,10 @@ import org.apache.hadoop.io.{LongWritable, Text}
 import org.apache.hadoop.mapred.{FileSplit, LineRecordReader}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
@@ -77,14 +78,18 @@ object NQuadsTable {
     StructField("graph", StringType, nullable = true)))
 }
 
-class NQuadsTable(path: String) extends Table with SupportsRead {
+class NQuadsTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "nquads source requires a path")
   override def name(): String = s"nquads:$path"
   override def schema(): StructType = NQuadsTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NQuadsScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NQuadsWriteBuilder(path, info.schema())
 }
 
 class NQuadsScanBuilder(path: String) extends ScanBuilder
@@ -280,4 +285,128 @@ class NQuadsPartitionReader(part: NQuadsPartition, columns: Array[String],
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+// ---------------------------------------------------------------------
+// Write side — the connector is a symmetric source+sink: whatever
+// format("nquads") reads, .write.format("nquads") writes back, with the
+// SAME term rendering the expression-tier sink uses (QuadEmitter's line
+// rules: bnode subjects as _:label, literal lang tag before datatype,
+// null graph ⇒ triple line). Each task streams its partition to one
+// .nq part file through an .inprogress temp renamed at task commit, so
+// a failed/speculative task never leaves a half-file visible; job abort
+// deletes the committed parts it knows of.
+// ---------------------------------------------------------------------
+
+class NQuadsWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new NQuadsWrite(path, schema, doTruncate)
+}
+
+class NQuadsWrite(path: String, schema: StructType, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val expected = NQuadsTable.Schema.fieldNames.toSet
+    val got = schema.fieldNames.toSet
+    require(got == expected,
+      s"nquads sink needs the quad schema ${expected.toSeq.sorted
+          .mkString(", ")}; got ${got.toSeq.sorted.mkString(", ")}")
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.endsWith(".nq") ||
+          st.getPath.getName.endsWith(".inprogress"))
+          fs.delete(st.getPath, false)
+      }
+    fs.mkdirs(dir)
+    new NQuadsWriterFactory(path, schema.fieldNames)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case NQuadsCommit(f) =>
+      val p = new Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
+}
+
+case class NQuadsCommit(file: String) extends WriterCommitMessage
+
+class NQuadsWriterFactory(path: String, columns: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new NQuadsDataWriter(path, columns, partitionId, taskId)
+}
+
+class NQuadsDataWriter(path: String, columns: Array[String],
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val finalPath =
+    new Path(path, f"part-$partitionId%05d-$taskId.nq")
+  private val tmpPath =
+    new Path(path, f"part-$partitionId%05d-$taskId.nq.inprogress")
+  private val fs = finalPath.getFileSystem(new Configuration())
+  private val out = fs.create(tmpPath, true)
+
+  // input column position of each quad field (writer sees the df order)
+  private val idx: Array[Int] =
+    NQuadsTable.Schema.fieldNames.map(f => columns.indexOf(f))
+  private val iSubj = idx(0); private val iSubjK = idx(1)
+  private val iPred = idx(2); private val iObj = idx(3)
+  private val iObjK = idx(4); private val iDt = idx(5)
+  private val iLang = idx(6); private val iGraph = idx(7)
+
+  private def str(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(128)
+    val subj = str(row, iSubj)
+    if (str(row, iSubjK) == TermKind.BNode) sb.append("_:").append(subj)
+    else sb.append('<').append(subj).append('>')
+    sb.append(" <").append(str(row, iPred)).append("> ")
+    val obj = str(row, iObj)
+    str(row, iObjK) match {
+      case TermKind.Iri => sb.append('<').append(obj).append('>')
+      case TermKind.BNode => sb.append("_:").append(obj)
+      case _ =>
+        sb.append('"')
+          .append(graft.plans.NtEscape
+            .compute(UTF8String.fromString(obj)).toString)
+          .append('"')
+        val lang = str(row, iLang)
+        val dt = str(row, iDt)
+        if (lang != null) sb.append('@').append(lang)
+        else if (dt != null) sb.append("^^<").append(dt).append('>')
+    }
+    val graph = str(row, iGraph)
+    if (graph != null) sb.append(" <").append(graph).append('>')
+    sb.append(" .\n")
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    require(fs.rename(tmpPath, finalPath),
+      s"could not commit $tmpPath -> $finalPath")
+    NQuadsCommit(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -68,6 +68,24 @@ class NQuadsSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(k, old)
   }
 
+  test("DSv2 write: roundtrip identity, overwrite truncates, term rules") {
+    val out = Files.createTempDirectory("nquads_w").toString + "/sink"
+    val quads = spark.read.format("nquads").load(dir)
+    quads.write.format("nquads").mode("overwrite").save(out)
+    // bnodes, lang tags, typed literals, escapes, null graph all survive
+    assert(spark.read.format("nquads").load(out).collect().toSet ==
+      quads.collect().toSet)
+    // overwrite truncates the previous parts rather than appending
+    quads.filter(col("graph") === "urn:g1")
+      .write.format("nquads").mode("overwrite").save(out)
+    assert(spark.read.format("nquads").load(out).count() == 3)
+    // wrong shape fails loud, not with a garbage file
+    intercept[Exception] {
+      spark.range(3).toDF("subject")
+        .write.format("nquads").mode("overwrite").save(out)
+    }
+  }
+
   test("DSv2 parity on a real emitted dump (sf0.001 full profile)") {
     val out = Files.createTempDirectory("nquads_dump").toString + "/dump"
     graft.rdf.QuadEmitter.writeNQuads(

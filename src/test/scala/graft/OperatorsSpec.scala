@@ -909,6 +909,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PropertyPath.eval: step, inverse, sequence, alternation, closure") {
+    import spark.implicits._
+    import graft.rdf.PropertyPath._
+    val quads = Seq(
+      ("a", "p", "b"), ("b", "p", "c"), ("a", "q", "x"), ("c", "q", "y"))
+      .toDF("subject", "predicate", "objectValue")
+    def pairs(p: Path): Set[(String, String)] =
+      eval(quads, p).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(pairs(Step("p")) == Set("a" -> "b", "b" -> "c"))
+    assert(pairs(Inverse(Step("p"))) == Set("b" -> "a", "c" -> "b"))
+    assert(pairs(Then(Step("p"), Step("q"))) == Set("b" -> "y"))
+    assert(pairs(Alternative(Step("p"), Step("q"))) ==
+      Set("a" -> "b", "b" -> "c", "a" -> "x", "c" -> "y"))
+    assert(pairs(OneOrMore(Step("p"))) ==
+      Set("a" -> "b", "b" -> "c", "a" -> "c"))
+    assert(pairs(Then(OneOrMore(Step("p")), Step("q"))) ==
+      Set("a" -> "y", "b" -> "y"))
+  }
+
   test("SameAs.smush: 2-hop chains, object rewrite, duplicate collapse") {
     import spark.implicits._
     import graft.model.TermKind
