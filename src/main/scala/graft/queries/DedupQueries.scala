@@ -202,6 +202,51 @@ object DedupQueries extends QueryCatalog {
         .orderBy(col("comp"))
     }),
 
+    // Golden-record survivorship — the MDM step AFTER linkage decides
+    // "these source records are one entity": per-FIELD merge rules build
+    // the record that survives. Name/segment follow first-non-null by
+    // source priority (trust order), balance follows latest-by-timestamp
+    // (recency) — the two standard rule families. Every rule compiles to
+    // ONE partial-aggregable min/max over a packed sort key (priority-
+    // prefixed / zero-padded-timestamp-prefixed strings), so the merge
+    // is a single groupBy with map-side combine — no rank windows, no
+    // per-rule join-backs, and NULLs cascade to the next source because
+    // null fields never enter the key. Sources are synthesized from the
+    // customer relation with deterministic conflicts (crm drops every
+    // 5th name; app exists only for even keys and is always newest); the
+    // oracle replays rules and conflicts symmetrically.
+    "q_er_survivorship" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def src(prio: Int, ts: Column, name: Column, seg: Column,
+          bal: Column): DataFrame =
+        c.select(col("c_custkey").as("entity_id"), lit(prio).as("prio"),
+          ts.as("ts"), name.as("name"), seg.as("segment"),
+          bal.cast("string").as("bal"))
+      val recs = src(1, lit(1000) + col("c_custkey") % 50,
+          when(col("c_custkey") % 5 =!= 0, col("c_name")),
+          lit(null).cast("string"), dec2(col("c_acctbal")))
+        .unionByName(src(2, lit(2000) + col("c_custkey") % 77,
+          lit(null).cast("string"), col("c_mktsegment"),
+          dec2(col("c_acctbal") + 50)))
+        .unionByName(src(3, lit(3000) + col("c_custkey") % 31,
+          concat(col("c_name"), lit(" A")),
+          concat(lit("APP-"), col("c_mktsegment")),
+          dec2(col("c_acctbal") - 25))
+          .filter(col("entity_id") % 2 === 0))
+      recs.groupBy(col("entity_id"))
+        .agg(
+          expr("substring(min(CASE WHEN name IS NOT NULL THEN " +
+            "concat(CAST(prio AS STRING), '|', name) END), 3)")
+            .as("name"),
+          expr("substring(min(CASE WHEN segment IS NOT NULL THEN " +
+            "concat(CAST(prio AS STRING), '|', segment) END), 3)")
+            .as("segment"),
+          expr("substring(max(concat(lpad(CAST(ts AS STRING), 6, '0'), " +
+            "'|', bal)), 8)").as("bal_latest"),
+          count(lit(1)).as("n_sources"))
+        .orderBy(col("entity_id"))
+    }),
+
     // SimHash: 8-bit band buckets → pairs → Hamming-distance ≤ 3 verify.
     // Pigeonhole guarantee: ≤3 differing bits can dirty at most 3 of the
     // 4 bands, so every true pair still collides on ≥1 clean band —
@@ -512,6 +557,34 @@ object DedupQueries extends QueryCatalog {
        |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q_er_survivorship" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS entity_id, 1 AS prio,
+        |    1000 + c_custkey % 50 AS ts,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN c_name END AS name,
+        |    CAST(NULL AS VARCHAR) AS segment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 2000 + c_custkey % 77, NULL, c_mktsegment,
+        |    CAST(CAST(c_acctbal + 50 AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 3, 3000 + c_custkey % 31, c_name || ' A',
+        |    'APP-' || c_mktsegment,
+        |    CAST(CAST(c_acctbal - 25 AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT entity_id,
+        |  substring(min(CASE WHEN name IS NOT NULL
+        |    THEN CAST(prio AS VARCHAR) || '|' || name END), 3) AS name,
+        |  substring(min(CASE WHEN segment IS NOT NULL
+        |    THEN CAST(prio AS VARCHAR) || '|' || segment END), 3)
+        |    AS segment,
+        |  substring(max(lpad(CAST(ts AS VARCHAR), 6, '0') || '|' || bal),
+        |    8) AS bal_latest,
+        |  COUNT(*) AS n_sources
+        |FROM recs GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
     "q_dedup_lines" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(

@@ -204,6 +204,45 @@ object WindowQueries extends QueryCatalog {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Largest-remainder integer allocation ("penny allocation"): split
+    // each order's total cents across its lines proportional to
+    // quantity, with the rounding remainder distributed to the largest
+    // fractional parts — the classic proration primitive whose contract
+    // is EXACT conservation: per-order Σalloc == total, no cent created
+    // or lost. All math is integer (cents × quantity-cents fits BIGINT
+    // comfortably); the remainder rank tie-breaks on line number so both
+    // engines pick identical winners; the emitted `delta` column is the
+    // in-band conservation proof (always 0) the oracle hashes too. Shape:
+    // one group shuffle for the per-order sums + one window pass — no
+    // join-back of the totals.
+    "q_window_allocation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val withTot = li
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          (dec2(col("o_totalprice")) * 100).cast("long").as("total_c")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("sum_qty", sum(col("qty_c")).over(w))
+        .withColumn("base",
+          expr("(total_c * qty_c) DIV sum_qty"))
+        .withColumn("frac",
+          expr("(total_c * qty_c) % sum_qty"))
+      val ranked = withTot
+        .withColumn("r", row_number().over(
+          w.orderBy(col("frac").desc, col("l_linenumber"))))
+        .withColumn("rem", col("total_c") - sum(col("base")).over(w))
+        .withColumn("alloc_c",
+          col("base") + when(col("r") <= col("rem"), 1L).otherwise(0L))
+      ranked
+        .withColumn("delta",
+          sum(col("alloc_c")).over(w) - col("total_c"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("alloc_c"),
+          col("delta"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Percent-rank (CDF) normalization: each value's empirical quantile
     // within its event_type — the rank-based score transform that makes
     // heterogeneous signals comparable before mixing. The unique
@@ -447,6 +486,37 @@ object WindowQueries extends QueryCatalog {
     "q_sort_pagination" ->
       """SELECT c_custkey, c_name FROM customer
         |ORDER BY c_custkey LIMIT 25 OFFSET 100""".stripMargin,
+    "q_window_allocation" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS qty_c
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS total_c
+        |  FROM orders),
+        |j AS (
+        |  SELECT li.l_orderkey, li.l_linenumber, li.qty_c, o.total_c,
+        |    SUM(qty_c) OVER (PARTITION BY l_orderkey) AS sum_qty
+        |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+        |b AS (
+        |  SELECT *, CAST((total_c * qty_c) // sum_qty AS BIGINT) AS base,
+        |    (total_c * qty_c) % sum_qty AS frac
+        |  FROM j),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY frac DESC, l_linenumber) AS r,
+        |    total_c - SUM(base) OVER (PARTITION BY l_orderkey) AS rem
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  base + CASE WHEN r <= rem THEN 1 ELSE 0 END AS alloc_c,
+        |  CAST(SUM(base + CASE WHEN r <= rem THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY l_orderkey) - total_c AS BIGINT) AS delta
+        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_window_share" ->
       """WITH rev AS (
         |  SELECT r_name, n_name,
