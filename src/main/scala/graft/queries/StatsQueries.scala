@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.epochMs
+import graft.functions.GraftFunctions.{dec2, epochMs}
 import graft.operators.Checkpoints.CutOps
 import graft.operators.DataQuality
 import graft.operators.DataQuality.Check
@@ -219,6 +219,32 @@ object StatsQueries extends QueryCatalog {
         .withColumn("abs_dev",
           round(abs(col("obs_share") - col("exp_share")), 6))
         .orderBy(col("digit"))
+    }),
+
+    // k-anonymity / l-diversity audit — the privacy-governance twin of
+    // the PII redaction op: group the relation by its quasi-identifier
+    // combination (segment × nation × coarse balance band — the columns
+    // an attacker could link externally) and measure each equivalence
+    // class: fewer than k=5 members means the QI combination
+    // re-identifies, fewer than l=2 distinct sensitive values means the
+    // class leaks the attribute even without re-identification. One
+    // partial-aggregable groupBy (count + distinct-count per class) at
+    // any scale; the flags are in-band so the gate hashes the VERDICTS,
+    // not just the counts.
+    "q_dq_k_anonymity" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation"),
+          floor((dec2(col("c_acctbal")).cast("double") + 1000.0) / 2000.0)
+            .cast("long").as("bal_band"),
+          concat(lit("S"), (col("c_custkey") % 5).cast("string"))
+            .as("sensitive"))
+        .groupBy(col("segment"), col("nation"), col("bal_band"))
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("sensitive")).as("l_distinct"))
+        .withColumn("k_risk", col("k_size") < 5)
+        .withColumn("l_risk", col("l_distinct") < 2)
+        .orderBy(col("segment"), col("nation"), col("bal_band"))
     }),
 
     // 2-D HISTOGRAM (heatmap) — hour-of-day × value band counts, the
@@ -918,6 +944,21 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(corr(n::DOUBLE, prev_n::DOUBLE), 6) AS lag1_autocorr,
         |       COUNT(*) AS n_pairs
         |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
+
+    "q_dq_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |    CAST(floor((CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+        |      + 1000.0) / 2000.0) AS BIGINT) AS bal_band,
+        |    'S' || CAST(c_custkey % 5 AS VARCHAR) AS sensitive
+        |  FROM customer)
+        |SELECT segment, nation, bal_band,
+        |  COUNT(*) AS k_size,
+        |  COUNT(DISTINCT sensitive) AS l_distinct,
+        |  COUNT(*) < 5 AS k_risk,
+        |  COUNT(DISTINCT sensitive) < 2 AS l_risk
+        |FROM q GROUP BY segment, nation, bal_band
+        |ORDER BY segment, nation, bal_band""".stripMargin,
 
     "q_dq_benford" ->
       """WITH d AS (
