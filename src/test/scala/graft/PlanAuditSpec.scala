@@ -824,6 +824,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "true interactions must be removed by an anti equi-join:\n" + plan)
   }
 
+  test("bucketed point filter prunes to a single bucket") {
+    import org.apache.spark.sql.functions.col
+    // materialize the bucketed catalog tables, then probe one key: the
+    // btree-replacement claim (SURVEY §4 Indexing) is only real if a
+    // point filter READS one bucket, not all 8
+    SparkEntry.queries("q_bucket_join_colocated")(spark, sf).collect()
+    val id = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    // autoBucketedScan trades the bucketed layout away for scans with no
+    // join/agg to feed; pin it on so the point probe uses the buckets
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "false")
+      val df = spark.table(s"graft_bkt_orders_$id")
+        .filter(col("o_orderkey") === 7L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        "point filter did not prune buckets:\n" + plan)
+    } finally spark.conf.set(k, old)
+  }
+
   test("sameAs smush rewrites via equi-joins, never a cartesian") {
     val df = SparkEntry.queries("q_quads_sameas_smush")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
