@@ -301,15 +301,19 @@ object GraphQueries extends QueryCatalog {
         .cutLineage(eager = false)
       val sf = Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_acctbal"))
+      // both hop sums run in DECIMAL: a double Σ is summation-order-
+      // dependent and diverges from DuckDB by 1 ulp at the 6-dp rounding
+      // boundary once neighborhoods grow (caught by the sf0.1 gate)
       val h1 = edges.join(broadcast(sf), col("sk") === col("s_suppkey"))
         .groupBy(col("c"))
         .agg(count(lit(1)).as("deg_c"),
-          round(sum(col("s_acctbal")).cast("double") / count(lit(1)), 6)
-            .as("h1"))
+          round(sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 6).as("h1"))
       edges.join(h1, Seq("c"))
         .groupBy(col("sk"))
         .agg(count(lit(1)).as("deg_s"),
-          round(sum(col("h1")) / count(lit(1)), 6).as("h2"))
+          round(sum(col("h1").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)), 6).as("h2"))
         .join(broadcast(sf), col("sk") === col("s_suppkey"))
         .select(col("sk").as("suppkey"), col("deg_s"),
           round(col("s_acctbal").cast("double"), 6).as("own"), col("h2"))
@@ -567,12 +571,14 @@ object GraphQueries extends QueryCatalog {
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
         |h1 AS (
         |  SELECT c, COUNT(*) AS deg_c,
-        |    round(CAST(SUM(s.s_acctbal) AS DOUBLE) / COUNT(*), 6) AS h1
+        |    round(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*), 6) AS h1
         |  FROM edges e JOIN supplier s ON e.sk = s.s_suppkey
         |  GROUP BY c),
         |h2 AS (
         |  SELECT sk, COUNT(*) AS deg_s,
-        |    round(SUM(h1) / COUNT(*), 6) AS h2
+        |    round(CAST(SUM(CAST(h1 AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS h2
         |  FROM edges JOIN h1 USING (c) GROUP BY sk)
         |SELECT h2.sk AS suppkey, h2.deg_s,
         |  round(CAST(s.s_acctbal AS DOUBLE), 6) AS own, h2.h2
