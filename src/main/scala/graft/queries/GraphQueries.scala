@@ -386,6 +386,31 @@ object GraphQueries extends QueryCatalog {
       dist.orderBy(col("node"))
     }),
 
+    // Incremental connected-components maintenance — the streaming-graph
+    // twin of the batch clustering: a persisted (node, comp) labeling
+    // folds in a NEW edge batch via the star trick (old components are
+    // connectivity-equivalent to member→hub stars), so the update cost
+    // is bounded by the new batch's merge depth and the accumulated edge
+    // history is NEVER replayed. The batch deliberately BRIDGES two
+    // pre-existing components (chain {10m..10m+2} ⋈ pair
+    // {10m+4,10m+5}) — every member of both must transitively relabel,
+    // the case a naive "label only the new endpoints" update gets
+    // wrong. The oracle recomputes the full closure over old∪new edges
+    // with WITH RECURSIVE — incremental must equal from-scratch.
+    "q_graph_cc_incremental" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val k = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val e1 = k.filter(col("k") % 10 < 2)
+        .select(col("k").as("u"), (col("k") + 1).as("v"))
+        .unionByName(k.filter(col("k") % 10 === 4)
+          .select(col("k").as("u"), (col("k") + 1).as("v")))
+      val e2 = k.filter(col("k") % 10 === 2)
+        .select(col("k").as("u"), (col("k") + 2).as("v"))
+      val base = ConnectedComponents.label(e1, col("u"), col("v"))
+      ConnectedComponents.incrementalLabel(base, e2, col("u"), col("v"))
+        .orderBy(col("node"))
+    }),
+
     // Min-label propagation, two synchronous rounds — the community-
     // detection primitive (and the per-round step of ConnectedComponents,
     // surfaced here as a bounded catalog query the oracle can replay).
@@ -594,6 +619,21 @@ object GraphQueries extends QueryCatalog {
         |  SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.node
         |  WHERE bfs.dist < 3)
         |SELECT node, MIN(dist) AS dist FROM bfs
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_graph_cc_incremental" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS u, c_custkey + 1 AS v FROM customer
+        |  WHERE c_custkey % 10 < 2 OR c_custkey % 10 = 4
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey + 2 FROM customer
+        |  WHERE c_custkey % 10 = 2),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |reach(node, r) AS (
+        |  SELECT u AS node, u AS r FROM sym
+        |  UNION
+        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node)
+        |SELECT node, MIN(r) AS comp FROM reach
         |GROUP BY node ORDER BY node""".stripMargin,
 
     "q_graph_sssp" ->

@@ -488,4 +488,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         s"streaming emitted $emitted, audit predicted $survivors")
     } finally q.stop()
   }
+
+  test("foreachBatch streams quads out through the nquads DSv2 sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("stream_nq").toString + "/sink"
+    val in = MemoryStream[(String, String, String)]
+    val quads = in.toDF().toDF("subject", "predicate", "objectValue")
+      .withColumn("subjectKind", lit(graft.model.TermKind.Iri))
+      .withColumn("objectKind", lit(graft.model.TermKind.Literal))
+      .withColumn("datatype", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("graph", lit("urn:g:stream"))
+    // each micro-batch appends its own .nq part files via the connector
+    // (append mode — no truncate — so batches accumulate)
+    val q = quads.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("nquads").mode("append").save(out)
+    }.start()
+    try {
+      in.addData(("urn:s1", "urn:p", "v1"))
+      q.processAllAvailable()
+      in.addData(("urn:s2", "urn:p", "v2"), ("urn:s3", "urn:p", "v3"))
+      q.processAllAvailable()
+      val back = spark.read.format("nquads").load(out)
+      assert(back.count() == 3)
+      assert(back.select("subject").as[String].collect().toSet ==
+        Set("urn:s1", "urn:s2", "urn:s3"))
+      assert(back.filter(col("graph") === "urn:g:stream").count() == 3)
+    } finally q.stop()
+  }
 }
