@@ -799,6 +799,27 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("subject"), col("ancestor"))
     }),
 
+    // GRAPH-scoped BGP (SPARQL `GRAPH ?g { … }` — rdf/Bgp Pattern.g):
+    // the reference emits one named graph per job, so graph-aware
+    // queries are the serving norm. A graph VARIABLE shared by both
+    // patterns joins on (bnode, graph) — the same-graph constraint is
+    // just another join key — and the type/value part groups of BOTH
+    // the addresses and the geographical-names graphs bind, grouped per
+    // graph. The oracle replays the scoped join with the graph column
+    // in the join condition.
+    "q_quads_bgp_graph" -> ((s, dir) => {
+      import graft.rdf.Bgp
+      import graft.rdf.Bgp.{Pattern, Var}
+      Bgp.select(fullQuads(s, dir), Seq(
+          Pattern(Var("b"), AddTypeP, Var("t"), Some(Var("g"))),
+          Pattern(Var("b"), ValueP, Var("v"), Some(Var("g")))))
+        .groupBy(col("g"), col("t"))
+        .agg(count(lit(1)).as("n_bindings"),
+          countDistinct(col("b")).as("n_parts"),
+          min(col("v")).as("min_v"))
+        .orderBy(col("g"), col("t"))
+    }),
+
     // Compound SPARQL property path (rdf/PropertyPath.eval): the
     // `hasPart/(additionalType|value)` sequence+alternation — every
     // address paired with its parts' types AND values through one
@@ -1379,6 +1400,18 @@ object QuadQueries extends QueryCatalog {
          |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
          |  expected, actual
          |FROM viol ORDER BY focus, path, "constraint"""".stripMargin,
+
+    "q_quads_bgp_graph" ->
+      s"""$fullQuadsCte,
+         |ty AS (SELECT DISTINCT graph AS g, subject AS b, objectValue AS t
+         |       FROM quads WHERE predicate = '$AddTypeP'),
+         |va AS (SELECT DISTINCT graph AS g, subject AS b, objectValue AS v
+         |       FROM quads WHERE predicate = '$ValueP'),
+         |j AS (SELECT DISTINCT ty.g, ty.b, ty.t, va.v
+         |      FROM ty JOIN va ON ty.b = va.b AND ty.g = va.g)
+         |SELECT g, t, COUNT(*) AS n_bindings,
+         |  COUNT(DISTINCT b) AS n_parts, MIN(v) AS min_v
+         |FROM j GROUP BY g, t ORDER BY g, t""".stripMargin,
 
     "q_quads_path_compound" ->
       s"""$fullQuadsCte,

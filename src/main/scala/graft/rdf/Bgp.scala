@@ -25,12 +25,25 @@ object Bgp {
   final case class Var(name: String) extends Term
   final case class Const(value: String) extends Term
 
-  /** Triple pattern: subject term, constant predicate IRI, object term. */
-  final case class Pattern(s: Term, p: String, o: Term)
+  /** Triple pattern: subject term, constant predicate IRI, object term.
+    * `g` scopes the pattern to a named graph (SPARQL `GRAPH g {…}` —
+    * the reference emits one graph per job, so graph-scoped queries are
+    * the common serving case): `Const` pins the graph (a partition-
+    * prunable filter when the quad relation is laid out by graph),
+    * `Var` BINDS the graph name like any other variable — shared graph
+    * variables join across patterns, giving the same-graph constraint
+    * relationally. `None` matches quads in any graph, ignoring it. */
+  final case class Pattern(s: Term, p: String, o: Term,
+      g: Option[Term] = None)
 
   private def bindings(q: DataFrame, pat: Pattern, idx: Int): DataFrame = {
     var df = q.filter(col("predicate") === pat.p)
     val cols = Seq.newBuilder[Column]
+    pat.g match {
+      case Some(Const(v)) => df = df.filter(col("graph") === v)
+      case Some(Var(n)) => cols += col("graph").as(n)
+      case None => ()
+    }
     pat.s match {
       case Const(v) => df = df.filter(col("subject") === v)
       case Var(n) => cols += col("subject").as(n)
