@@ -799,6 +799,25 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("subject"), col("ancestor"))
     }),
 
+    // Textual SPARQL (rdf/SparqlParser): the serving loop closed — a
+    // literal query STRING parses (recursive descent, no dependencies)
+    // and compiles onto the same Bgp algebra the hand-built queries
+    // use: the 5-pattern star+chain joins on ?addr/?b, the FILTER lands
+    // on the binding column, ORDER/LIMIT are the solution modifiers.
+    // The oracle replays the query relationally from the SQL side — so
+    // the gate checks tokenizer, parser, compiler and executor at once.
+    "q_quads_sparql" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?addr ?name WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr <$NameP> ?name .
+           |  ?addr <$HasPartP> ?b .
+           |  ?b <$AddTypeP> <$PartNationT> .
+           |  ?b <$ValueP> ?nation .
+           |  FILTER(?nation != "CHINA")
+           |} ORDER BY ?addr LIMIT 500""".stripMargin)
+    }),
+
     // GRAPH-scoped BGP (SPARQL `GRAPH ?g { … }` — rdf/Bgp Pattern.g):
     // the reference emits one named graph per job, so graph-aware
     // queries are the serving norm. A graph VARIABLE shared by both
@@ -1400,6 +1419,26 @@ object QuadQueries extends QueryCatalog {
          |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
          |  expected, actual
          |FROM viol ORDER BY focus, path, "constraint"""".stripMargin,
+
+    "q_quads_sparql" ->
+      s"""$fullQuadsCte,
+         |ad AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |hp AS (SELECT DISTINCT subject AS addr, objectValue AS b
+         |       FROM quads WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |va AS (SELECT DISTINCT subject AS b, objectValue AS nation
+         |       FROM quads WHERE predicate = '$ValueP'),
+         |sol AS (SELECT DISTINCT ad.addr, nm.name, hp.b, va.nation
+         |        FROM ad JOIN nm USING (addr) JOIN hp USING (addr)
+         |        JOIN ty USING (b) JOIN va USING (b)
+         |        WHERE va.nation <> 'CHINA')
+         |SELECT addr, name FROM sol
+         |ORDER BY addr LIMIT 500""".stripMargin,
 
     "q_quads_bgp_graph" ->
       s"""$fullQuadsCte,

@@ -1,0 +1,208 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Minimal SPARQL SELECT parser — textual queries compile onto the
+  * [[Bgp]] algebra, closing the serving loop: the reference exposes its
+  * emitted graph through a SPARQL endpoint (`cam/graphdb.py`,
+  * `fuseki/config.ttl`), and its notes drive it with literal query
+  * strings. The subset here is the serving core those notes use:
+  *
+  * {{{
+  * SELECT [DISTINCT] ?v … | *
+  * WHERE {
+  *   [GRAPH ?g|<iri> {] ?s <p> ?o|<iri>|"lit" . … [}]
+  *   [OPTIONAL { triples }]
+  *   [MINUS { triples }]
+  *   [FILTER(?v op "lit"|number [&& …])]
+  * }
+  * [ORDER BY [DESC(]?v[)] …] [LIMIT n]
+  * }}}
+  *
+  * Predicates are constant IRIs (the [[Bgp]] restriction); FILTER
+  * compares a variable against a literal (`= != < > <= >=`, numeric
+  * when the literal is a number), conjoined with `&&`. Parsing is a
+  * ~hundred-line recursive descent over a token list — deliberately no
+  * dependency, no reflection, loud errors with the offending token.
+  * The compiled plan is exactly what hand-built [[Bgp]] calls produce:
+  * per-pattern filtered scans hash-joined on shared variables, Catalyst
+  * optimizing the rest.
+  */
+object SparqlParser {
+
+  final case class Query(
+      distinct: Boolean,
+      projection: Seq[String], // empty = SELECT *
+      patterns: Seq[Bgp.Pattern],
+      optionals: Seq[Seq[Bgp.Pattern]],
+      minuses: Seq[Seq[Bgp.Pattern]],
+      filters: Seq[(String, String, String, Boolean)], // var, op, lit, numeric
+      orderBy: Seq[(String, Boolean)], // var, descending
+      limit: Option[Int])
+
+  // -- tokenizer ---------------------------------------------------------
+
+  private def tokenize(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '<') {
+        val j = s.indexOf('>', i)
+        require(j > 0, s"unterminated IRI at offset $i")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '"') j += 1
+        require(j < s.length, s"unterminated literal at offset $i")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if ("{}().".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (c == '&' && i + 1 < s.length && s.charAt(i + 1) == '&') {
+        out += "&&"; i += 2
+      } else if ("=<>!".indexOf(c) >= 0) {
+        if (i + 1 < s.length && s.charAt(i + 1) == '=') {
+          out += s.substring(i, i + 2); i += 2
+        } else { out += c.toString; i += 1 }
+      } else {
+        var j = i
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          "{}().<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
+        out += s.substring(i, j); i = j
+      }
+    }
+    out.result()
+  }
+
+  // -- recursive descent -------------------------------------------------
+
+  private class P(var ts: List[String]) {
+    def peek: String = ts.headOption.getOrElse("<eof>")
+    def eat(): String = { val h = peek; ts = ts.drop(1); h }
+    def expect(t: String): Unit = {
+      val h = eat()
+      require(h.equalsIgnoreCase(t), s"expected '$t', got '$h'")
+    }
+    def is(t: String): Boolean = peek.equalsIgnoreCase(t)
+  }
+
+  private def term(t: String): Bgp.Term =
+    if (t.startsWith("?")) Bgp.Var(t.substring(1))
+    else if (t.startsWith("<")) Bgp.Const(t.substring(1, t.length - 1))
+    else if (t.startsWith("\"")) Bgp.Const(t.substring(1, t.length - 1))
+    else throw new IllegalArgumentException(s"expected term, got '$t'")
+
+  private def triples(p: P, g: Option[Bgp.Term]): Seq[Bgp.Pattern] = {
+    val out = Seq.newBuilder[Bgp.Pattern]
+    var more = true
+    while (more) {
+      val s = term(p.eat())
+      val pr = p.eat()
+      require(pr.startsWith("<"),
+        s"predicate must be a constant IRI, got '$pr'")
+      val o = term(p.eat())
+      out += Bgp.Pattern(s, pr.substring(1, pr.length - 1), o, g)
+      if (p.is(".")) { p.eat(); more = !p.is("}") && !kw(p) }
+      else more = false
+    }
+    out.result()
+  }
+
+  private def kw(p: P): Boolean =
+    p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") || p.is("GRAPH")
+
+  def parse(q: String): Query = {
+    val p = new P(tokenize(q))
+    p.expect("SELECT")
+    val distinct = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
+    val proj = Seq.newBuilder[String]
+    if (p.is("*")) p.eat()
+    else while (p.peek.startsWith("?")) proj += p.eat().substring(1)
+    p.expect("WHERE"); p.expect("{")
+    val pats = Seq.newBuilder[Bgp.Pattern]
+    val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
+    val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
+    val fils = Seq.newBuilder[(String, String, String, Boolean)]
+    while (!p.is("}")) {
+      if (p.is("GRAPH")) {
+        p.eat()
+        val g = term(p.eat())
+        p.expect("{"); pats ++= triples(p, Some(g)); p.expect("}")
+      } else if (p.is("OPTIONAL")) {
+        p.eat(); p.expect("{"); opts += triples(p, None); p.expect("}")
+      } else if (p.is("MINUS")) {
+        p.eat(); p.expect("{"); mins += triples(p, None); p.expect("}")
+      } else if (p.is("FILTER")) {
+        p.eat(); p.expect("(")
+        var more = true
+        while (more) {
+          val v = p.eat()
+          require(v.startsWith("?"), s"FILTER needs a variable, got '$v'")
+          val op = p.eat()
+          require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+            s"unsupported FILTER operator '$op'")
+          val lit = p.eat()
+          val numeric = !lit.startsWith("\"")
+          val raw = if (numeric) lit else lit.substring(1, lit.length - 1)
+          fils += ((v.substring(1), op, raw, numeric))
+          if (p.is("&&")) p.eat() else more = false
+        }
+        p.expect(")")
+      } else pats ++= triples(p, None)
+    }
+    p.expect("}")
+    val ord = Seq.newBuilder[(String, Boolean)]
+    if (p.is("ORDER")) {
+      p.eat(); p.expect("BY")
+      while (p.peek.startsWith("?") || p.is("DESC") || p.is("ASC")) {
+        if (p.is("DESC") || p.is("ASC")) {
+          val desc = p.eat().equalsIgnoreCase("DESC")
+          p.expect("("); ord += ((p.eat().substring(1), desc)); p.expect(")")
+        } else ord += ((p.eat().substring(1), false))
+      }
+    }
+    val lim = if (p.is("LIMIT")) { p.eat(); Some(p.eat().toInt) } else None
+    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
+    Query(distinct, proj.result(), pats.result(), opts.result(),
+      mins.result(), fils.result(), ord.result(), lim)
+  }
+
+  /** Parse and execute against a quad relation. */
+  def execute(quads: DataFrame, sparql: String): DataFrame = {
+    val q = parse(sparql)
+    var sol =
+      if (q.minuses.nonEmpty)
+        q.optionals.foldLeft(
+          Bgp.selectMinus(quads, q.patterns, q.minuses)) { (acc, g) =>
+          val opt = Bgp.select(quads, g)
+          val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq
+          require(shared.nonEmpty, "disconnected OPTIONAL")
+          acc.join(opt, shared, "left")
+        }
+      else if (q.optionals.nonEmpty)
+        Bgp.selectOptional(quads, q.patterns, q.optionals)
+      else Bgp.select(quads, q.patterns)
+    q.filters.foreach { case (v, op, litv, numeric) =>
+      val c: Column = if (numeric) col(v).cast("double") else col(v)
+      val l: Column = if (numeric) lit(litv.toDouble) else lit(litv)
+      sol = sol.filter(op match {
+        case "=" => c === l
+        case "!=" => c =!= l
+        case "<" => c < l
+        case ">" => c > l
+        case "<=" => c <= l
+        case ">=" => c >= l
+      })
+    }
+    if (q.projection.nonEmpty)
+      sol = sol.select(q.projection.map(col): _*)
+    if (q.distinct) sol = sol.distinct()
+    if (q.orderBy.nonEmpty)
+      sol = sol.orderBy(q.orderBy.map { case (v, desc) =>
+        if (desc) col(v).desc else col(v).asc
+      }: _*)
+    q.limit.foreach(n => sol = sol.limit(n))
+    sol
+  }
+}

@@ -909,6 +909,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlParser: string queries equal hand-built algebra, loud errors") {
+    import spark.implicits._
+    import graft.rdf.{Bgp, SparqlParser}
+    val quads = Seq(
+      ("a", "urn:type", "T", "g1"), ("b", "urn:type", "T", "g2"),
+      ("a", "urn:name", "Alice", "g1"), ("b", "urn:name", "Bob", "g2"),
+      ("a", "urn:score", "7", "g1"), ("b", "urn:score", "3", "g2"))
+      .toDF("subject", "predicate", "objectValue", "graph")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // BGP + FILTER (string and numeric) + ORDER/LIMIT
+    assert(run("""SELECT ?s ?n WHERE {
+        ?s <urn:type> "T" . ?s <urn:name> ?n .
+        ?s <urn:score> ?sc . FILTER(?sc > 5)
+      } ORDER BY ?s LIMIT 10""") == Seq(Seq("a", "Alice")))
+    // GRAPH variable binds and projects
+    assert(run("""SELECT DISTINCT ?g WHERE {
+        GRAPH ?g { ?s <urn:name> ?n }
+      } ORDER BY ?g""") == Seq(Seq("g1"), Seq("g2")))
+    // OPTIONAL keeps unmatched with null binding
+    val opt = run("""SELECT ?s ?x WHERE {
+        ?s <urn:type> "T" .
+        OPTIONAL { ?s <urn:missing> ?x }
+      } ORDER BY ?s""")
+    assert(opt == Seq(Seq("a", null), Seq("b", null)))
+    // equivalence with the hand-built algebra
+    val byHand = Bgp.select(quads, Seq(
+      Bgp.Pattern(Bgp.Var("s"), "urn:name", Bgp.Var("n"))))
+      .orderBy(col("s")).collect().map(_.toSeq).toSeq
+    val byText = SparqlParser
+      .execute(quads, "SELECT ?s ?n WHERE { ?s <urn:name> ?n } ORDER BY ?s")
+      .collect().map(_.toSeq).toSeq
+    assert(byHand == byText)
+    // loud failures: variable predicate, bad operator, junk trailing
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse("SELECT ?s WHERE { ?s ?p ?o }")
+    }
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "SELECT ?s WHERE { ?s <urn:p> ?o . FILTER(?o ~ \"x\") }")
+    }
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse("SELECT ?s WHERE { ?s <urn:p> ?o } garbage")
+    }
+  }
+
   test("PropertyPath.eval: step, inverse, sequence, alternation, closure") {
     import spark.implicits._
     import graft.rdf.PropertyPath._
