@@ -818,6 +818,18 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?addr LIMIT 500""".stripMargin)
     }),
 
+    // Textual SPARQL with AGGREGATES: GROUP BY over graph-scoped
+    // bindings, straight from the string form — the analytics half of
+    // the serving surface (a SPARQL store answers COUNT dashboards as
+    // often as row SELECTs). Compiles to the same Bgp join +
+    // one partial-aggregable groupBy as the hand-built graph query.
+    "q_quads_sparql_agg" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?g ?t (COUNT(?b) AS ?n) (MIN(?v) AS ?minv) WHERE {
+           |  GRAPH ?g { ?b <$AddTypeP> ?t . ?b <$ValueP> ?v }
+           |} GROUP BY ?g ?t ORDER BY ?g ?t""".stripMargin)
+    }),
+
     // GRAPH-scoped BGP (SPARQL `GRAPH ?g { … }` — rdf/Bgp Pattern.g):
     // the reference emits one named graph per job, so graph-aware
     // queries are the serving norm. A graph VARIABLE shared by both
@@ -1419,6 +1431,17 @@ object QuadQueries extends QueryCatalog {
          |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
          |  expected, actual
          |FROM viol ORDER BY focus, path, "constraint"""".stripMargin,
+
+    "q_quads_sparql_agg" ->
+      s"""$fullQuadsCte,
+         |ty AS (SELECT DISTINCT graph AS g, subject AS b, objectValue AS t
+         |       FROM quads WHERE predicate = '$AddTypeP'),
+         |va AS (SELECT DISTINCT graph AS g, subject AS b, objectValue AS v
+         |       FROM quads WHERE predicate = '$ValueP'),
+         |j AS (SELECT DISTINCT ty.g, ty.b, ty.t, va.v
+         |      FROM ty JOIN va ON ty.b = va.b AND ty.g = va.g)
+         |SELECT g, t, COUNT(b) AS n, MIN(v) AS minv
+         |FROM j GROUP BY g, t ORDER BY g, t""".stripMargin,
 
     "q_quads_sparql" ->
       s"""$fullQuadsCte,

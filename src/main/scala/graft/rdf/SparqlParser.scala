@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   * strings. The subset here is the serving core those notes use:
   *
   * {{{
-  * SELECT [DISTINCT] ?v … | *
+  * SELECT [DISTINCT] ?v … | * | ?g … (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
   * WHERE {
   *   [GRAPH ?g|<iri> {] ?s <p> ?o|<iri>|"lit" . … [}]
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
   *   [FILTER(?v op "lit"|number [&& …])]
   * }
-  * [ORDER BY [DESC(]?v[)] …] [LIMIT n]
+  * [GROUP BY ?v …] [ORDER BY [DESC(]?v[)] …] [LIMIT n]
   * }}}
   *
   * Predicates are constant IRIs (the [[Bgp]] restriction); FILTER
@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object SparqlParser {
 
+  /** `(COUNT(?v) AS ?alias)`-style projection aggregate. */
+  final case class Agg(func: String, variable: String, alias: String)
+
   final case class Query(
       distinct: Boolean,
       projection: Seq[String], // empty = SELECT *
+      aggregates: Seq[Agg], // non-empty ⇒ GROUP BY query
+      groupBy: Seq[String],
       patterns: Seq[Bgp.Pattern],
       optionals: Seq[Seq[Bgp.Pattern]],
       minuses: Seq[Seq[Bgp.Pattern]],
@@ -117,8 +122,26 @@ object SparqlParser {
     p.expect("SELECT")
     val distinct = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
     val proj = Seq.newBuilder[String]
+    val aggs = Seq.newBuilder[Agg]
     if (p.is("*")) p.eat()
-    else while (p.peek.startsWith("?")) proj += p.eat().substring(1)
+    else while (p.peek.startsWith("?") || p.is("(")) {
+      if (p.is("(")) { // (FUNC(?v) AS ?alias)
+        p.eat()
+        val f = p.eat().toUpperCase
+        require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
+          s"unsupported aggregate '$f'")
+        p.expect("(")
+        val v = p.eat()
+        require(v.startsWith("?") || v == "*",
+          s"aggregate argument must be a variable or *, got '$v'")
+        p.expect(")"); p.expect("AS")
+        val a = p.eat()
+        require(a.startsWith("?"), s"AS needs a variable, got '$a'")
+        p.expect(")")
+        aggs += Agg(f, if (v == "*") "*" else v.substring(1),
+          a.substring(1))
+      } else proj += p.eat().substring(1)
+    }
     p.expect("WHERE"); p.expect("{")
     val pats = Seq.newBuilder[Bgp.Pattern]
     val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
@@ -152,6 +175,11 @@ object SparqlParser {
       } else pats ++= triples(p, None)
     }
     p.expect("}")
+    val grp = Seq.newBuilder[String]
+    if (p.is("GROUP")) {
+      p.eat(); p.expect("BY")
+      while (p.peek.startsWith("?")) grp += p.eat().substring(1)
+    }
     val ord = Seq.newBuilder[(String, Boolean)]
     if (p.is("ORDER")) {
       p.eat(); p.expect("BY")
@@ -164,8 +192,13 @@ object SparqlParser {
     }
     val lim = if (p.is("LIMIT")) { p.eat(); Some(p.eat().toInt) } else None
     require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
-    Query(distinct, proj.result(), pats.result(), opts.result(),
-      mins.result(), fils.result(), ord.result(), lim)
+    val parsed = Query(distinct, proj.result(), aggs.result(),
+      grp.result(), pats.result(), opts.result(), mins.result(),
+      fils.result(), ord.result(), lim)
+    require(parsed.aggregates.isEmpty ||
+      parsed.projection.toSet == parsed.groupBy.toSet,
+      "with aggregates, every projected variable must be GROUPed BY")
+    parsed
   }
 
   /** Parse and execute against a quad relation. */
@@ -195,9 +228,21 @@ object SparqlParser {
         case ">=" => c >= l
       })
     }
-    if (q.projection.nonEmpty)
+    if (q.aggregates.nonEmpty) {
+      def one(a: Agg): Column = (a.func match {
+        case "COUNT" =>
+          if (a.variable == "*") count(lit(1)) else count(col(a.variable))
+        case "SUM" => sum(col(a.variable).cast("double"))
+        case "MIN" => min(col(a.variable))
+        case "MAX" => max(col(a.variable))
+        case "AVG" => avg(col(a.variable).cast("double"))
+      }).as(a.alias)
+      val exprs = q.aggregates.map(one)
+      sol = sol.groupBy(q.groupBy.map(col): _*)
+        .agg(exprs.head, exprs.tail: _*)
+    } else if (q.projection.nonEmpty)
       sol = sol.select(q.projection.map(col): _*)
-    if (q.distinct) sol = sol.distinct()
+    if (q.distinct && q.aggregates.isEmpty) sol = sol.distinct()
     if (q.orderBy.nonEmpty)
       sol = sol.orderBy(q.orderBy.map { case (v, desc) =>
         if (desc) col(v).desc else col(v).asc
