@@ -86,6 +86,54 @@ class NQuadsSourceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fuzz: DSv2 and expression parse agree on adversarial lines") {
+    val rnd = new scala.util.Random(42)
+    val graphs = Seq("urn:ga", "urn:gb", null)
+    def lit(): String = {
+      val bodies = Seq("plain", "t\\tab", "q\\\"quote", "nl\\nline",
+        "bs\\\\slash", "uni\\u0041B", "", "dot . dot")
+      val b = bodies(rnd.nextInt(bodies.length))
+      val tail = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => "@en-AU"
+        case 2 => "^^<urn:dt>"
+      }
+      "\"" + b + "\"" + tail
+    }
+    def term(): String = rnd.nextInt(3) match {
+      case 0 => s"<urn:s${rnd.nextInt(5)}>"
+      case 1 => s"_:b${rnd.nextInt(5)}"
+      case _ => lit()
+    }
+    val lines = (1 to 200).map { _ =>
+      rnd.nextInt(10) match {
+        case 0 => "# comment " + term()
+        case 1 => ""
+        case 2 => "garbage line without terms"
+        case 3 => s"<urn:s> <urn:p> ${lit()}" // missing dot — malformed
+        case _ =>
+          val subj = if (rnd.nextBoolean()) s"<urn:s${rnd.nextInt(5)}>"
+            else s"_:b${rnd.nextInt(5)}"
+          val g = graphs(rnd.nextInt(graphs.length))
+          val gterm = if (g == null) "" else s" <$g>"
+          s"$subj <urn:p${rnd.nextInt(3)}> ${term()}$gterm ."
+      }
+    }
+    val d = Files.createTempDirectory("nquads_fuzz").toString
+    Files.writeString(Paths.get(d, "fuzz.nq"), lines.mkString("\n"))
+    val dsv2 = spark.read.format("nquads").load(d).collect().toSet
+    val expr = QuadParser.readNQuads(spark, d).collect().toSet
+    assert(dsv2 == expr, "connector and expression parse diverged")
+    assert(dsv2.nonEmpty)
+    // pushdown path agrees with post-filtering on every graph value
+    for (g <- graphs.filter(_ != null)) {
+      val pushed = spark.read.format("nquads").load(d)
+        .filter(col("graph") === g).collect().toSet
+      assert(pushed == expr.filter(r => r.getAs[String]("graph") == g),
+        s"pushdown diverged for graph $g")
+    }
+  }
+
   test("DSv2 parity on a real emitted dump (sf0.001 full profile)") {
     val out = Files.createTempDirectory("nquads_dump").toString + "/dump"
     graft.rdf.QuadEmitter.writeNQuads(

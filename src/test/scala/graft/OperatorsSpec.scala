@@ -956,6 +956,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlParser round-trip property: rendered patterns re-parse") {
+    import graft.rdf.{Bgp, SparqlParser}
+    val rnd = new scala.util.Random(7)
+    def term(): Bgp.Term = rnd.nextInt(3) match {
+      case 0 => Bgp.Var(s"v${rnd.nextInt(4)}")
+      case 1 => Bgp.Const(s"urn:c${rnd.nextInt(4)}")
+      case _ => Bgp.Const(s"lit ${rnd.nextInt(4)}")
+    }
+    def render(t: Bgp.Term, subjectPos: Boolean): String = t match {
+      case Bgp.Var(n) => s"?$n"
+      case Bgp.Const(v) if subjectPos || v.startsWith("urn:") => s"<$v>"
+      case Bgp.Const(v) => "\"" + v + "\""
+    }
+    for (_ <- 1 to 50) {
+      val pats = (1 to 1 + rnd.nextInt(4)).map { _ =>
+        // subjects are IRIs/vars; objects may be literals
+        val s = if (rnd.nextBoolean()) Bgp.Var(s"v${rnd.nextInt(4)}")
+          else Bgp.Const(s"urn:c${rnd.nextInt(4)}")
+        Bgp.Pattern(s, s"urn:p${rnd.nextInt(3)}", term())
+      }
+      val text = "SELECT * WHERE { " + pats.map(p =>
+        s"${render(p.s, subjectPos = true)} <${p.p}> " +
+          s"${render(p.o, subjectPos = false)}").mkString(" . ") + " }"
+      val parsed = SparqlParser.parse(text)
+      assert(parsed.patterns == pats,
+        s"round-trip diverged for: $text\n got ${parsed.patterns}")
+    }
+  }
+
   test("PropertyPath.eval: step, inverse, sequence, alternation, closure") {
     import spark.implicits._
     import graft.rdf.PropertyPath._
