@@ -818,6 +818,22 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?addr LIMIT 500""".stripMargin)
     }),
 
+    // Textual CONSTRUCT: the graph-reshaping verb from its string form,
+    // compiled onto Bgp.construct — same 3-pattern WHERE, same two
+    // template triples as the hand-built q_quads_construct, so the two
+    // must produce the identical reshaped graph (they share the oracle).
+    "q_quads_sparql_construct" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""CONSTRUCT {
+           |  ?addr <$NationNameP> ?nation .
+           |  ?addr <$RdfType> <$FlatAddrT>
+           |} WHERE {
+           |  ?addr <$HasPartP> ?b .
+           |  ?b <$AddTypeP> <$PartNationT> .
+           |  ?b <$ValueP> ?nation
+           |}""".stripMargin)
+    }),
+
     // Textual SPARQL with AGGREGATES: GROUP BY over graph-scoped
     // bindings, straight from the string form — the analytics half of
     // the serving surface (a SPARQL store answers COUNT dashboards as
@@ -1130,6 +1146,27 @@ object QuadQueries extends QueryCatalog {
          |  COUNT(DISTINCT addr) AS n_addrs,
          |  MIN(nation) AS min_nation, MAX(region) AS max_region
          |FROM u WHERE coalesce(nation, '') <> 'CHINA'""".stripMargin,
+
+    // The textual CONSTRUCT compiles to the same plan as the hand-built
+    // one — they share this oracle by construction.
+    "q_quads_sparql_construct" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |vl AS (SELECT subject AS b, objectValue AS nation FROM quads
+         |       WHERE predicate = '$ValueP'),
+         |bind AS (SELECT DISTINCT hp.addr, vl.nation
+         |         FROM hp JOIN ty USING (b) JOIN vl USING (b)),
+         |built AS (
+         |  SELECT addr AS subject, '$NationNameP' AS predicate,
+         |    nation AS objectValue, 'literal' AS objectKind FROM bind
+         |  UNION
+         |  SELECT addr, '$RdfType', '$FlatAddrT', 'iri' FROM bind)
+         |SELECT DISTINCT subject, predicate, objectValue, objectKind
+         |FROM built ORDER BY subject, predicate, objectValue""".stripMargin,
 
     "q_quads_construct" ->
       s"""$fullQuadsCte,

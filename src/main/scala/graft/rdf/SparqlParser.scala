@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * SELECT [DISTINCT] ?v … | * | ?g … (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
+  * | CONSTRUCT { template triples } | ASK
   * WHERE {
   *   [GRAPH ?g|<iri> {] ?s <p> ?o|<iri>|"lit" . … [}]
   *   [OPTIONAL { triples }]
@@ -44,7 +45,9 @@ object SparqlParser {
       minuses: Seq[Seq[Bgp.Pattern]],
       filters: Seq[(String, String, String, Boolean)], // var, op, lit, numeric
       orderBy: Seq[(String, Boolean)], // var, descending
-      limit: Option[Int])
+      limit: Option[Int],
+      verb: String = "select", // select | construct | ask
+      template: Seq[Bgp.Template] = Nil)
 
   // -- tokenizer ---------------------------------------------------------
 
@@ -117,8 +120,66 @@ object SparqlParser {
   private def kw(p: P): Boolean =
     p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") || p.is("GRAPH")
 
+  /** CONSTRUCT template triples: object kind follows the token form —
+    * `<iri>` builds an IRI term, a quoted literal builds a literal, and
+    * a VARIABLE instantiates as a literal (the flatten-a-value case;
+    * use the programmatic [[Bgp.construct]] for IRI-kinded variables). */
+  private def templates(p: P): Seq[Bgp.Template] = {
+    val out = Seq.newBuilder[Bgp.Template]
+    var more = true
+    while (more) {
+      val s = term(p.eat())
+      val pr = p.eat()
+      require(pr.startsWith("<"),
+        s"template predicate must be a constant IRI, got '$pr'")
+      val oTok = p.eat()
+      val (o, kind) =
+        if (oTok.startsWith("?"))
+          (Bgp.Var(oTok.substring(1)), graft.model.TermKind.Literal)
+        else if (oTok.startsWith("<"))
+          (Bgp.Const(oTok.substring(1, oTok.length - 1)),
+            graft.model.TermKind.Iri)
+        else if (oTok.startsWith("\""))
+          (Bgp.Const(oTok.substring(1, oTok.length - 1)),
+            graft.model.TermKind.Literal)
+        else throw new IllegalArgumentException(
+          s"expected template object term, got '$oTok'")
+      out += Bgp.Template(s, pr.substring(1, pr.length - 1), o, kind)
+      if (p.is(".")) { p.eat(); more = !p.is("}") }
+      else more = false
+    }
+    out.result()
+  }
+
   def parse(q: String): Query = {
     val p = new P(tokenize(q))
+    if (p.is("CONSTRUCT")) {
+      p.eat(); p.expect("{")
+      val tpl = templates(p)
+      p.expect("}"); p.expect("WHERE"); p.expect("{")
+      val pats = Seq.newBuilder[Bgp.Pattern]
+      while (!p.is("}")) {
+        if (p.is("GRAPH")) {
+          p.eat(); val g = term(p.eat())
+          p.expect("{"); pats ++= triples(p, Some(g)); p.expect("}")
+        } else pats ++= triples(p, None)
+      }
+      p.expect("}")
+      require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
+      return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
+        Nil, Nil, Nil, None, verb = "construct", template = tpl)
+    }
+    if (p.is("ASK")) {
+      p.eat()
+      if (p.is("WHERE")) p.eat()
+      p.expect("{")
+      val pats = Seq.newBuilder[Bgp.Pattern]
+      while (!p.is("}")) pats ++= triples(p, None)
+      p.expect("}")
+      require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
+      return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
+        Nil, Nil, Nil, None, verb = "ask")
+    }
     p.expect("SELECT")
     val distinct = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
     val proj = Seq.newBuilder[String]
@@ -204,6 +265,13 @@ object SparqlParser {
   /** Parse and execute against a quad relation. */
   def execute(quads: DataFrame, sparql: String): DataFrame = {
     val q = parse(sparql)
+    if (q.verb == "construct")
+      return Bgp.construct(quads, q.patterns, q.template)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    if (q.verb == "ask") {
+      val exists = !Bgp.select(quads, q.patterns).limit(1).isEmpty
+      return quads.sparkSession.sql(s"SELECT $exists AS ask")
+    }
     var sol =
       if (q.minuses.nonEmpty)
         q.optionals.foldLeft(

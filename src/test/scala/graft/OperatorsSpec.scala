@@ -943,6 +943,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .execute(quads, "SELECT ?s ?n WHERE { ?s <urn:name> ?n } ORDER BY ?s")
       .collect().map(_.toSeq).toSeq
     assert(byHand == byText)
+    // ASK: true on a matching pattern, false on an absent one
+    assert(run("""ASK { ?s <urn:name> "Alice" }""") == Seq(Seq("true")))
+    assert(run("""ASK WHERE { ?s <urn:name> "Nobody" }""")
+      == Seq(Seq("false")))
+    // CONSTRUCT: reshape name edges into a new predicate + marker type
+    val built = run("""CONSTRUCT {
+        ?s <urn:label> ?n . ?s <urn:type2> <urn:Thing>
+      } WHERE { ?s <urn:name> ?n }""")
+    assert(built.toSet == Set(
+      Seq("a", "urn:label", "Alice", "literal"),
+      Seq("b", "urn:label", "Bob", "literal"),
+      Seq("a", "urn:type2", "urn:Thing", "iri"),
+      Seq("b", "urn:type2", "urn:Thing", "iri")))
     // loud failures: variable predicate, bad operator, junk trailing
     intercept[IllegalArgumentException] {
       SparqlParser.parse("SELECT ?s WHERE { ?s ?p ?o }")
