@@ -845,6 +845,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(k, old)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // one hot key dominates the left side — the 100 TB failure mode the
+    // engine leans on AQE for (PairJoins' decision rule routes EXTREME
+    // skew to explicit salting; moderate skew is AQE's job). Thresholds
+    // shrink so local-scale data trips the same runtime re-plan.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val left = spark.range(0, 60000)
+        .select((col("id") % 1000).as("pad"),
+          lit(7L).as("k")) // every row the same join key
+        .union(spark.range(0, 300).select(col("id").as("pad"),
+          (col("id") % 100).as("k")))
+      val right = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() would compile a separate one) so the
+      // adaptive plan is final when inspected
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the hot partition as skewed:\n" + finalPlan)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sameAs smush rewrites via equi-joins, never a cartesian") {
     val df = SparkEntry.queries("q_quads_sameas_smush")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
