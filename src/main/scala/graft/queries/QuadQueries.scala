@@ -818,6 +818,20 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?addr LIMIT 500""".stripMargin)
     }),
 
+    // Textual VALUES: the inline-bindings serving shape ("count these
+    // three nations") — the allow-list compiles to isin() on the
+    // binding column, a pushable IN filter, composed with GROUP BY
+    // aggregates from the same string.
+    "q_quads_sparql_values" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?nation (COUNT(?addr) AS ?n) WHERE {
+           |  ?addr <$HasPartP> ?b .
+           |  ?b <$AddTypeP> <$PartNationT> .
+           |  ?b <$ValueP> ?nation .
+           |  VALUES ?nation { "NATION_3" "NATION_7" "NATION_11" }
+           |} GROUP BY ?nation ORDER BY ?nation""".stripMargin)
+    }),
+
     // Textual CONSTRUCT: the graph-reshaping verb from its string form,
     // compiled onto Bgp.construct — same 3-pattern WHERE, same two
     // template triples as the hand-built q_quads_construct, so the two
@@ -1146,6 +1160,21 @@ object QuadQueries extends QueryCatalog {
          |  COUNT(DISTINCT addr) AS n_addrs,
          |  MIN(nation) AS min_nation, MAX(region) AS max_region
          |FROM u WHERE coalesce(nation, '') <> 'CHINA'""".stripMargin,
+
+    "q_quads_sparql_values" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |ty AS (SELECT DISTINCT subject AS b FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |vl AS (SELECT subject AS b, objectValue AS nation FROM quads
+         |       WHERE predicate = '$ValueP'),
+         |sol AS (SELECT DISTINCT hp.addr, hp.b, vl.nation
+         |        FROM hp JOIN ty USING (b) JOIN vl USING (b)
+         |        WHERE vl.nation IN ('NATION_3', 'NATION_7', 'NATION_11'))
+         |SELECT nation, COUNT(addr) AS n
+         |FROM sol GROUP BY nation ORDER BY nation""".stripMargin,
 
     // The textual CONSTRUCT compiles to the same plan as the hand-built
     // one — they share this oracle by construction.

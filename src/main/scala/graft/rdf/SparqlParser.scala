@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
   *   [FILTER(?v op "lit"|number [&& …])]
+  *   [VALUES ?v { "lit" <iri> … }]
   * }
   * [GROUP BY ?v …] [ORDER BY [DESC(]?v[)] …] [LIMIT n]
   * }}}
@@ -47,7 +48,8 @@ object SparqlParser {
       orderBy: Seq[(String, Boolean)], // var, descending
       limit: Option[Int],
       verb: String = "select", // select | construct | ask
-      template: Seq[Bgp.Template] = Nil)
+      template: Seq[Bgp.Template] = Nil,
+      values: Seq[(String, Seq[String])] = Nil) // VALUES ?v { … }
 
   // -- tokenizer ---------------------------------------------------------
 
@@ -118,7 +120,8 @@ object SparqlParser {
   }
 
   private def kw(p: P): Boolean =
-    p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") || p.is("GRAPH")
+    p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") ||
+      p.is("GRAPH") || p.is("VALUES")
 
   /** CONSTRUCT template triples: object kind follows the token form —
     * `<iri>` builds an IRI term, a quoted literal builds a literal, and
@@ -208,6 +211,7 @@ object SparqlParser {
     val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
+    val vals = Seq.newBuilder[(String, Seq[String])]
     while (!p.is("}")) {
       if (p.is("GRAPH")) {
         p.eat()
@@ -217,6 +221,23 @@ object SparqlParser {
         p.eat(); p.expect("{"); opts += triples(p, None); p.expect("}")
       } else if (p.is("MINUS")) {
         p.eat(); p.expect("{"); mins += triples(p, None); p.expect("}")
+      } else if (p.is("VALUES")) {
+        // single-variable VALUES: an inline allow-list of bindings —
+        // compiles to isin() on the binding column, i.e. a pushable
+        // IN filter, the common "these N entities" serving shape
+        p.eat()
+        val v = p.eat()
+        require(v.startsWith("?"), s"VALUES needs a variable, got '$v'")
+        p.expect("{")
+        val vs = Seq.newBuilder[String]
+        while (!p.is("}")) {
+          val t = p.eat()
+          require(t.startsWith("<") || t.startsWith("\""),
+            s"VALUES entries must be IRIs or literals, got '$t'")
+          vs += t.substring(1, t.length - 1)
+        }
+        p.expect("}")
+        vals += ((v.substring(1), vs.result()))
       } else if (p.is("FILTER")) {
         p.eat(); p.expect("(")
         var more = true
@@ -255,7 +276,7 @@ object SparqlParser {
     require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
     val parsed = Query(distinct, proj.result(), aggs.result(),
       grp.result(), pats.result(), opts.result(), mins.result(),
-      fils.result(), ord.result(), lim)
+      fils.result(), ord.result(), lim, values = vals.result())
     require(parsed.aggregates.isEmpty ||
       parsed.projection.toSet == parsed.groupBy.toSet,
       "with aggregates, every projected variable must be GROUPed BY")
@@ -284,6 +305,11 @@ object SparqlParser {
       else if (q.optionals.nonEmpty)
         Bgp.selectOptional(quads, q.patterns, q.optionals)
       else Bgp.select(quads, q.patterns)
+    q.values.foreach { case (v, vs) =>
+      require(sol.columns.contains(v),
+        s"VALUES variable ?$v is not bound by the patterns")
+      sol = sol.filter(col(v).isin(vs: _*))
+    }
     q.filters.foreach { case (v, op, litv, numeric) =>
       val c: Column = if (numeric) col(v).cast("double") else col(v)
       val l: Column = if (numeric) lit(litv.toDouble) else lit(litv)

@@ -943,6 +943,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .execute(quads, "SELECT ?s ?n WHERE { ?s <urn:name> ?n } ORDER BY ?s")
       .collect().map(_.toSeq).toSeq
     assert(byHand == byText)
+    // VALUES restricts a bound variable to an inline allow-list
+    assert(run("""SELECT ?s WHERE {
+        ?s <urn:name> ?n . VALUES ?n { "Alice" "Zed" }
+      } ORDER BY ?s""") == Seq(Seq("a")))
+    intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        """SELECT ?s WHERE { ?s <urn:name> ?n . VALUES ?q { "x" } }""")
+    }
     // ASK: true on a matching pattern, false on an absent one
     assert(run("""ASK { ?s <urn:name> "Alice" }""") == Seq(Seq("true")))
     assert(run("""ASK WHERE { ?s <urn:name> "Nobody" }""")
