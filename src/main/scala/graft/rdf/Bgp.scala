@@ -41,7 +41,13 @@ object Bgp {
     val cols = Seq.newBuilder[Column]
     pat.g match {
       case Some(Const(v)) => df = df.filter(col("graph") === v)
-      case Some(Var(n)) => cols += col("graph").as(n)
+      case Some(Var(n)) =>
+        // SPARQL `GRAPH ?g` ranges over NAMED graphs only — default-graph
+        // quads (graph = null, the N-Triples case) must not bind a null
+        // ?g (ADVICE r7; multi-pattern queries masked this because null
+        // join keys never match, but a single-pattern GRAPH ?g diverged).
+        df = df.filter(col("graph").isNotNull)
+        cols += col("graph").as(n)
       case None => ()
     }
     pat.s match {

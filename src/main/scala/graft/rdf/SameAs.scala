@@ -44,22 +44,36 @@ object SameAs {
   /** Rewrite `quads` through the `(node, canon)` label relation:
     * subjects always, objects only where `objectKind` is IRI (literals
     * never alias), then collapse statements that became identical. The
-    * quad relation keeps its full term-fidelity columns. */
+    * quad relation keeps its full term-fidelity columns — when the input
+    * carries `subjectKind` (the canonical 8-column [[QuadParser]] shape)
+    * the subject-side rewrite additionally gates on `subjectKind = iri`
+    * (a bnode whose label collides with an aliased IRI must NOT be
+    * canonicalized — labels are document-scoped, not IRIs) and the
+    * column is propagated so the smushed relation still feeds the
+    * nquads sink (ADVICE r7). */
   def smush(quads: DataFrame, labels: DataFrame): DataFrame = {
+    val hasSubjKind = quads.columns.contains("subjectKind")
     val subjL = labels.select(col("node").as("_s_node"),
       col("canon").as("_s_canon"))
     val objL = labels.select(col("node").as("_o_node"),
       col("canon").as("_o_canon"))
+    val subjCond =
+      if (hasSubjKind)
+        quads("subject") === subjL("_s_node") &&
+          quads("subjectKind") === TermKind.Iri
+      else quads("subject") === subjL("_s_node")
+    val outCols: Seq[org.apache.spark.sql.Column] =
+      Seq(coalesce(col("_s_canon"), col("subject")).as("subject")) ++
+        (if (hasSubjKind) Seq(col("subjectKind")) else Nil) ++
+        Seq(col("predicate"),
+          coalesce(col("_o_canon"), col("objectValue")).as("objectValue"),
+          col("objectKind"), col("datatype"), col("lang"), col("graph"))
     quads
-      .join(subjL, quads("subject") === subjL("_s_node"), "left")
+      .join(subjL, subjCond, "left")
       .join(objL,
         quads("objectKind") === TermKind.Iri &&
           quads("objectValue") === objL("_o_node"), "left")
-      .select(
-        coalesce(col("_s_canon"), col("subject")).as("subject"),
-        col("predicate"),
-        coalesce(col("_o_canon"), col("objectValue")).as("objectValue"),
-        col("objectKind"), col("datatype"), col("lang"), col("graph"))
+      .select(outCols: _*)
       .dropDuplicates()
   }
 }

@@ -20,6 +20,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
 import graft.model.TermKind
 import graft.plans.NtUnescape
 import graft.rdf.QuadParser
@@ -86,13 +89,29 @@ class NQuadsTable(path: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The SESSION Hadoop configuration + per-read/write options (ADVICE
+    * r7): a bare `new Configuration()` silently drops every
+    * `spark.hadoop.*` setting — S3A credentials/endpoints, custom
+    * filesystems — so the connector only worked where default-config
+    * filesystem access sufficed. Captured at build time on the driver,
+    * shipped to tasks via [[SerializableConfiguration]]. */
+  private def hadoopConf(
+      options: java.util.Map[String, String]): Configuration = {
+    import scala.jdk.CollectionConverters._
+    SparkSession.active.sessionState
+      .newHadoopConfWithOptions(options.asScala.toMap)
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NQuadsScanBuilder(path)
+    new NQuadsScanBuilder(path, hadoopConf(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new NQuadsWriteBuilder(path, info.schema())
+    new NQuadsWriteBuilder(path, info.schema(),
+      hadoopConf(info.options()))
 }
 
-class NQuadsScanBuilder(path: String) extends ScanBuilder
+class NQuadsScanBuilder(path: String, conf: Configuration)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -115,11 +134,12 @@ class NQuadsScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan =
     new NQuadsScan(path, required,
-      pushed.collect { case EqualTo(a, v: String) => (a, v) })
+      pushed.collect { case EqualTo(a, v: String) => (a, v) }, conf)
 }
 
 class NQuadsScan(path: String, required: StructType,
-    eqFilters: Array[(String, String)]) extends Scan with Batch
+    eqFilters: Array[(String, String)], conf: Configuration)
+    extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -131,7 +151,6 @@ class NQuadsScan(path: String, required: StructType,
     Seq(".gz", ".bz2", ".zst", ".snappy", ".lz4", ".deflate")
 
   private def listFiles(): Seq[FileStatus] = {
-    val conf = new Configuration()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -170,27 +189,29 @@ class NQuadsScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NQuadsReaderFactory(required.fieldNames, eqFilters)
+    new NQuadsReaderFactory(required.fieldNames, eqFilters,
+      new SerializableConfiguration(conf))
 }
 
 case class NQuadsPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 class NQuadsReaderFactory(columns: Array[String],
-    eqFilters: Array[(String, String)]) extends PartitionReaderFactory {
+    eqFilters: Array[(String, String)],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new NQuadsPartitionReader(p.asInstanceOf[NQuadsPartition], columns,
-      eqFilters)
+      eqFilters, conf.value)
 }
 
 /** Per-split reader: Hadoop line reader (split-boundary safe) → substring
   * prefilter from the pushed equalities → one compiled-regex statement
   * parse → exact filter re-check → pruned `InternalRow`. */
 class NQuadsPartitionReader(part: NQuadsPartition, columns: Array[String],
-    eqFilters: Array[(String, String)])
+    eqFilters: Array[(String, String)], conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val reader = new LineRecordReader(new Configuration(),
+  private val reader = new LineRecordReader(conf,
     new FileSplit(new Path(part.file), part.start, part.length,
       Array.empty[String]))
   private val key = new LongWritable()
@@ -298,16 +319,23 @@ class NQuadsPartitionReader(part: NQuadsPartition, columns: Array[String],
 // deletes the committed parts it knows of.
 // ---------------------------------------------------------------------
 
-class NQuadsWriteBuilder(path: String, schema: StructType)
+class NQuadsWriteBuilder(path: String, schema: StructType,
+    conf: Configuration)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new NQuadsWrite(path, schema, doTruncate)
+  override def build(): Write =
+    new NQuadsWrite(path, schema, doTruncate, conf)
 }
 
-class NQuadsWrite(path: String, schema: StructType, truncate: Boolean)
+class NQuadsWrite(path: String, schema: StructType, truncate: Boolean,
+    @transient conf: Configuration)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
+
+  // driver-side lifecycle (truncate/commit/abort) uses the session conf
+  // directly; tasks get it through the serializable wrapper below
+  private val serConf = new SerializableConfiguration(conf)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -316,9 +344,8 @@ class NQuadsWrite(path: String, schema: StructType, truncate: Boolean)
     require(got == expected,
       s"nquads sink needs the quad schema ${expected.toSeq.sorted
           .mkString(", ")}; got ${got.toSeq.sorted.mkString(", ")}")
-    val conf = new Configuration()
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
+    val fs = dir.getFileSystem(serConf.value)
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).foreach { st =>
         if (st.getPath.getName.endsWith(".nq") ||
@@ -326,37 +353,36 @@ class NQuadsWrite(path: String, schema: StructType, truncate: Boolean)
           fs.delete(st.getPath, false)
       }
     fs.mkdirs(dir)
-    new NQuadsWriterFactory(path, schema.fieldNames)
+    new NQuadsWriterFactory(path, schema.fieldNames, serConf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case NQuadsCommit(f) =>
       val p = new Path(f)
-      p.getFileSystem(conf).delete(p, false)
+      p.getFileSystem(serConf.value).delete(p, false)
     }
-  }
 }
 
 case class NQuadsCommit(file: String) extends WriterCommitMessage
 
-class NQuadsWriterFactory(path: String, columns: Array[String])
-    extends DataWriterFactory {
+class NQuadsWriterFactory(path: String, columns: Array[String],
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new NQuadsDataWriter(path, columns, partitionId, taskId)
+    new NQuadsDataWriter(path, columns, partitionId, taskId, conf.value)
 }
 
 class NQuadsDataWriter(path: String, columns: Array[String],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, conf: Configuration)
+    extends DataWriter[InternalRow] {
 
   private val finalPath =
     new Path(path, f"part-$partitionId%05d-$taskId.nq")
   private val tmpPath =
     new Path(path, f"part-$partitionId%05d-$taskId.nq.inprogress")
-  private val fs = finalPath.getFileSystem(new Configuration())
+  private val fs = finalPath.getFileSystem(conf)
   private val out = fs.create(tmpPath, true)
 
   // input column position of each quad field (writer sees the df order)

@@ -1055,4 +1055,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       ("solo", "p:ref", "a"),
       ("solo", "p:note", "b")))
   }
+
+  test("SameAs.smush keeps subjectKind and never rewrites bnode subjects") {
+    import spark.implicits._
+    import graft.model.TermKind
+    val labels = Seq(("b", "a")).toDF("node", "canon")
+    val quads = Seq(
+      // IRI subject "b" aliases to "a" — rewrite fires
+      ("b", TermKind.Iri, "p:name", "N", TermKind.Literal),
+      // BNODE whose label happens to equal the aliased IRI — must NOT
+      // be canonicalized (labels are document-scoped, ADVICE r7)
+      ("b", TermKind.BNode, "p:note", "x", TermKind.Literal))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind")
+      .withColumn("datatype", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("graph", lit("g"))
+    val out = graft.rdf.SameAs.smush(quads, labels)
+    // the 8-column shape survives (the nquads sink requires subjectKind)
+    assert(out.columns.toSeq == Seq("subject", "subjectKind", "predicate",
+      "objectValue", "objectKind", "datatype", "lang", "graph"))
+    val rows = out.select("subject", "subjectKind", "predicate").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("a", TermKind.Iri, "p:name"),
+      ("b", TermKind.BNode, "p:note")))
+  }
+
+  test("Bgp: GRAPH ?g ranges over named graphs only (null graph skipped)") {
+    import spark.implicits._
+    import graft.rdf.Bgp
+    // one named-graph quad, one default-graph (null) quad — the
+    // N-Triples case; SPARQL GRAPH ?g must not bind a null ?g
+    val quads = Seq(("s1", "urn:p", "o1", Some("g1")),
+      ("s2", "urn:p", "o2", None))
+      .toDF("subject", "predicate", "objectValue", "graph")
+    val sol = Bgp.select(quads, Seq(
+      Bgp.Pattern(Bgp.Var("s"), "urn:p", Bgp.Var("o"),
+        Some(Bgp.Var("g")))))
+    assert(sol.collect().map(_.toSeq).toSet ==
+      Set(Seq("g1", "s1", "o1")))
+    // ungraphed patterns still see BOTH quads
+    assert(Bgp.select(quads, Seq(
+      Bgp.Pattern(Bgp.Var("s"), "urn:p", Bgp.Var("o")))).count() == 2)
+  }
 }
