@@ -25,20 +25,37 @@ object Bgp {
   final case class Var(name: String) extends Term
   final case class Const(value: String) extends Term
 
-  /** Triple pattern: subject term, constant predicate IRI, object term.
-    * `g` scopes the pattern to a named graph (SPARQL `GRAPH g {…}` —
-    * the reference emits one graph per job, so graph-scoped queries are
-    * the common serving case): `Const` pins the graph (a partition-
-    * prunable filter when the quad relation is laid out by graph),
-    * `Var` BINDS the graph name like any other variable — shared graph
-    * variables join across patterns, giving the same-graph constraint
-    * relationally. `None` matches quads in any graph, ignoring it. */
-  final case class Pattern(s: Term, p: String, o: Term,
+  /** Triple pattern: subject term, predicate term, object term.
+    * Predicates are usually constant IRIs (the selective case — the
+    * filter pushes into the scan); a `Var` predicate BINDS the predicate
+    * column like any other variable (`SELECT ?p WHERE { <s> ?p ?o }`,
+    * the shape DESCRIBE internally needs and generic SPARQL users
+    * write). `g` scopes the pattern to a named graph (SPARQL
+    * `GRAPH g {…}` — the reference emits one graph per job, so
+    * graph-scoped queries are the common serving case): `Const` pins
+    * the graph (a partition-prunable filter when the quad relation is
+    * laid out by graph), `Var` BINDS the graph name like any other
+    * variable — shared graph variables join across patterns, giving
+    * the same-graph constraint relationally. `None` matches quads in
+    * any graph, ignoring it. */
+  final case class Pattern(s: Term, p: Term, o: Term,
       g: Option[Term] = None)
 
+  object Pattern {
+    /** String-predicate conveniences — the constant-IRI common case. */
+    def apply(s: Term, p: String, o: Term): Pattern =
+      Pattern(s, Const(p), o, None)
+    def apply(s: Term, p: String, o: Term, g: Option[Term]): Pattern =
+      Pattern(s, Const(p), o, g)
+  }
+
   private def bindings(q: DataFrame, pat: Pattern, idx: Int): DataFrame = {
-    var df = q.filter(col("predicate") === pat.p)
+    var df = q
     val cols = Seq.newBuilder[Column]
+    pat.p match {
+      case Const(v) => df = df.filter(col("predicate") === v)
+      case Var(n) => cols += col("predicate").as(n)
+    }
     pat.g match {
       case Some(Const(v)) => df = df.filter(col("graph") === v)
       case Some(Var(n)) =>

@@ -3,17 +3,29 @@ package graft.rdf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Minimal SPARQL SELECT parser — textual queries compile onto the
-  * [[Bgp]] algebra, closing the serving loop: the reference exposes its
-  * emitted graph through a SPARQL endpoint (`cam/graphdb.py`,
-  * `fuseki/config.ttl`), and its notes drive it with literal query
-  * strings. The subset here is the serving core those notes use:
+/** SPARQL parser — textual queries compile onto the [[Bgp]] /
+  * [[PropertyPath]] algebra, closing the serving loop: the reference
+  * exposes its emitted graph through a SPARQL endpoint (`cam/graphdb.py`,
+  * `fuseki/config.ttl`), and its code drives it with literal query
+  * strings. The subset here is the serving surface those call sites use —
+  * the geocode lookup (`cam/web/app.py:49-58`: PREFIX + BIND + BGP), the
+  * compound-name component query (`cam/compound_naming.py:14-22`:
+  * property function with list args), DESCRIBE (`cam/graphdb.py:60-71`),
+  * and the documented getParts / text:query shapes
+  * (`etl-notes-data-loading.md:100,128-149`):
   *
   * {{{
-  * SELECT [DISTINCT] ?v … | * | ?g … (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
-  * | CONSTRUCT { template triples } | ASK
+  * [PREFIX pfx: <iri>]*
+  * SELECT [DISTINCT] ?v … | * | (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
+  * | CONSTRUCT { template triples } | ASK | DESCRIBE <iri>
   * WHERE {
-  *   [GRAPH ?g|<iri> {] ?s <p> ?o|<iri>|"lit" . … [}]
+  *   [GRAPH ?g|<iri> { group }]
+  *   [{ SELECT … }]                          (sub-select, joined on shared vars)
+  *   ?s <p> ?o .                             (predicate may be ?var, or a
+  *    …                                       path: ^p, p1/p2, p1|p2, p+)
+  *   [?s <fn> (?a ?b …) .]                   (property function, registry)
+  *   [(?x ?y) <fn> (args) .]                 (list subject form)
+  *   [BIND(<iri>|"lit" AS ?v)]
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
   *   [FILTER(?v op "lit"|number [&& …])]
@@ -22,19 +34,34 @@ import org.apache.spark.sql.functions._
   * [GROUP BY ?v …] [ORDER BY [DESC(]?v[)] …] [LIMIT n]
   * }}}
   *
-  * Predicates are constant IRIs (the [[Bgp]] restriction); FILTER
-  * compares a variable against a literal (`= != < > <= >=`, numeric
-  * when the literal is a number), conjoined with `&&`. Parsing is a
-  * ~hundred-line recursive descent over a token list — deliberately no
+  * FILTER compares a variable against a literal (`= != < > <= >=`,
+  * numeric when the literal is an integer), conjoined with `&&`.
+  * Parsing is recursive descent over a token list — deliberately no
   * dependency, no reflection, loud errors with the offending token.
   * The compiled plan is exactly what hand-built [[Bgp]] calls produce:
   * per-pattern filtered scans hash-joined on shared variables, Catalyst
-  * optimizing the rest.
+  * optimizing the rest. Disconnected groups (a cross join at scale) are
+  * rejected unless `graft.sparql.allowCartesian=true` — SPARQL's
+  * cartesian semantics made opt-in rather than silent.
   */
 object SparqlParser {
 
   /** `(COUNT(?v) AS ?alias)`-style projection aggregate. */
   final case class Agg(func: String, variable: String, alias: String)
+
+  /** A property-function invocation `subj <fnIri> (args)` — subject
+    * and/or object position may be an RDF list of terms (the Jena
+    * property-function calling convention the reference uses for
+    * `cnf:getParts` and `text:query`). Resolution happens at execute
+    * time against the caller's registry. */
+  final case class PropFnCall(subjects: Seq[Bgp.Term], fnIri: String,
+      objects: Seq[Bgp.Term], graph: Option[Bgp.Term])
+
+  /** A compound-path triple `s path o` (non-trivial paths only; a plain
+    * predicate parses to a [[Bgp.Pattern]]). Graph scope pre-filters the
+    * quad relation when constant. */
+  final case class PathPattern(s: Bgp.Term, path: PropertyPath.Path,
+      o: Bgp.Term, graph: Option[Bgp.Term])
 
   final case class Query(
       distinct: Boolean,
@@ -47,9 +74,21 @@ object SparqlParser {
       filters: Seq[(String, String, String, Boolean)], // var, op, lit, numeric
       orderBy: Seq[(String, Boolean)], // var, descending
       limit: Option[Int],
-      verb: String = "select", // select | construct | ask
+      verb: String = "select", // select | construct | ask | describe
       template: Seq[Bgp.Template] = Nil,
-      values: Seq[(String, Seq[String])] = Nil) // VALUES ?v { … }
+      values: Seq[(String, Seq[String])] = Nil, // VALUES ?v { … }
+      binds: Seq[(String, String, String)] = Nil, // var, value, termKind
+      paths: Seq[PathPattern] = Nil,
+      propFns: Seq[PropFnCall] = Nil,
+      subqueries: Seq[Query] = Nil,
+      describeIri: Option[String] = None,
+      selectOrder: Seq[String] = Nil) // SELECT-list column order
+
+  /** A registered property function: `(quads, subjectTerms, objectTerms)
+    * → solution relation` whose columns are named after the `Var` terms;
+    * `Const` terms are constraints the function must apply itself. */
+  type PropertyFunction =
+    (DataFrame, Seq[Bgp.Term], Seq[Bgp.Term]) => DataFrame
 
   // -- tokenizer ---------------------------------------------------------
 
@@ -60,15 +99,27 @@ object SparqlParser {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '<') {
-        val j = s.indexOf('>', i)
-        require(j > 0, s"unterminated IRI at offset $i")
-        out += s.substring(i, j + 1); i = j + 1
+        // '<' is the FILTER comparator when followed by '=', whitespace
+        // or a number (ADVICE r7 — IRIs never start that way), else an
+        // IRI opener scanned to its '>'
+        val nxt = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+        if (nxt == '=') { out += "<="; i += 2 }
+        else if (nxt.isWhitespace || nxt.isDigit || nxt == '-') {
+          out += "<"; i += 1
+        } else {
+          val j = s.indexOf('>', i)
+          require(j > 0, s"unterminated IRI at offset $i")
+          out += s.substring(i, j + 1); i = j + 1
+        }
       } else if (c == '"') {
+        // backslash-escaped quotes stay inside the literal (ADVICE r7)
         var j = i + 1
-        while (j < s.length && s.charAt(j) != '"') j += 1
+        while (j < s.length && s.charAt(j) != '"') {
+          if (s.charAt(j) == '\\' && j + 1 < s.length) j += 2 else j += 1
+        }
         require(j < s.length, s"unterminated literal at offset $i")
         out += s.substring(i, j + 1); i = j + 1
-      } else if ("{}().".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      } else if ("{}()./|+^".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else if (c == '&' && i + 1 < s.length && s.charAt(i + 1) == '&') {
         out += "&&"; i += 2
       } else if ("=<>!".indexOf(c) >= 0) {
@@ -78,17 +129,56 @@ object SparqlParser {
       } else {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace &&
-          "{}().<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
+          "{}()./|+^<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
         out += s.substring(i, j); i = j
       }
     }
     out.result()
   }
 
+  private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Leading `PREFIX pfx: <iri>` declarations become a token-rewrite
+    * pass: every later `pfx:local` token (and the `a` keyword in
+    * predicate position — handled by the path parser) expands to its
+    * full bracketed IRI before the grammar sees it. String literals are
+    * their own tokens, so their content is never rewritten. */
+  private def applyPrefixes(tokens: List[String]): List[String] = {
+    var ts = tokens
+    val prefixes = Map.newBuilder[String, String]
+    while (ts.headOption.exists(_.equalsIgnoreCase("PREFIX"))) {
+      ts match {
+        case _ :: pfx :: iri :: rest =>
+          require(pfx.endsWith(":"),
+            s"PREFIX needs 'pfx:', got '$pfx'")
+          require(iri.startsWith("<") && iri.endsWith(">"),
+            s"PREFIX needs '<iri>', got '$iri'")
+          prefixes += ((pfx.dropRight(1),
+            iri.substring(1, iri.length - 1)))
+          ts = rest
+        case _ => throw new IllegalArgumentException(
+          "incomplete PREFIX declaration")
+      }
+    }
+    val pfx = prefixes.result()
+    if (pfx.isEmpty) ts
+    else ts.map { t =>
+      val ci = t.indexOf(':')
+      if (ci > 0 && !t.startsWith("<") && !t.startsWith("\"") &&
+        !t.startsWith("?")) {
+        pfx.get(t.substring(0, ci)) match {
+          case Some(base) => "<" + base + t.substring(ci + 1) + ">"
+          case None => t
+        }
+      } else t
+    }
+  }
+
   // -- recursive descent -------------------------------------------------
 
   private class P(var ts: List[String]) {
     def peek: String = ts.headOption.getOrElse("<eof>")
+    def peek2: String = ts.drop(1).headOption.getOrElse("<eof>")
     def eat(): String = { val h = peek; ts = ts.drop(1); h }
     def expect(t: String): Unit = {
       val h = eat()
@@ -97,31 +187,139 @@ object SparqlParser {
     def is(t: String): Boolean = peek.equalsIgnoreCase(t)
   }
 
+  /** Minimal literal unescape for quoted tokens: `\"` and `\\`. */
+  private def unquote(t: String): String =
+    t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+
   private def term(t: String): Bgp.Term =
     if (t.startsWith("?")) Bgp.Var(t.substring(1))
     else if (t.startsWith("<")) Bgp.Const(t.substring(1, t.length - 1))
-    else if (t.startsWith("\"")) Bgp.Const(t.substring(1, t.length - 1))
+    else if (t.startsWith("\"")) Bgp.Const(unquote(t))
+    else if (t.nonEmpty && t.forall(c => c.isDigit)) Bgp.Const(t)
     else throw new IllegalArgumentException(s"expected term, got '$t'")
 
-  private def triples(p: P, g: Option[Bgp.Term]): Seq[Bgp.Pattern] = {
-    val out = Seq.newBuilder[Bgp.Pattern]
+  /** Property-path grammar over the predicate position:
+    * `path := seq ('|' seq)*; seq := elt ('/' elt)*;
+    * elt := '^'? primary '+'?; primary := <iri> | 'a' | '(' path ')'`.
+    * Returns Left(plain predicate IRI) for the trivial single-step case
+    * so it compiles to a [[Bgp.Pattern]] (scan-filter pushdown), else
+    * Right(compound path). */
+  private def path(p: P): Either[String, PropertyPath.Path] = {
+    import PropertyPath._
+    def primary(): Path =
+      if (p.is("(")) { p.eat(); val inner = alt(); p.expect(")"); inner }
+      else {
+        val t = p.eat()
+        if (t == "a") Step(RdfTypeIri)
+        else {
+          require(t.startsWith("<"),
+            s"predicate must be an IRI, a variable, or a path, got '$t'")
+          Step(t.substring(1, t.length - 1))
+        }
+      }
+    def elt(): Path = {
+      val inv = p.is("^")
+      if (inv) p.eat()
+      var e = primary()
+      if (p.is("+")) { p.eat(); e = OneOrMore(e) }
+      if (inv) Inverse(e) else e
+    }
+    def seq(): Path = {
+      var e = elt()
+      while (p.is("/")) { p.eat(); e = Then(e, elt()) }
+      e
+    }
+    def alt(): Path = {
+      var e = seq()
+      while (p.is("|")) { p.eat(); e = Alternative(e, seq()) }
+      e
+    }
+    alt() match {
+      case Step(iri) => Left(iri)
+      case compound => Right(compound)
+    }
+  }
+
+  /** One group's triple-ish statements: plain patterns, variable
+    * predicates, compound paths, and property-function calls (object
+    * and/or subject lists). Appends into the supplied builders. */
+  private def tripleish(p: P, g: Option[Bgp.Term],
+      pats: scala.collection.mutable.Builder[Bgp.Pattern, Seq[Bgp.Pattern]],
+      paths: scala.collection.mutable.Builder[PathPattern, Seq[PathPattern]],
+      fns: scala.collection.mutable.Builder[PropFnCall, Seq[PropFnCall]])
+      : Unit = {
     var more = true
     while (more) {
-      val s = term(p.eat())
-      val pr = p.eat()
-      require(pr.startsWith("<"),
-        s"predicate must be a constant IRI, got '$pr'")
-      val o = term(p.eat())
-      out += Bgp.Pattern(s, pr.substring(1, pr.length - 1), o, g)
+      // subject: a term or an RDF list (property-function result vars)
+      val subjList: Seq[Bgp.Term] =
+        if (p.is("(")) {
+          p.eat()
+          val b = Seq.newBuilder[Bgp.Term]
+          while (!p.is(")")) b += term(p.eat())
+          p.expect(")")
+          b.result()
+        } else Seq(term(p.eat()))
+      // predicate: variable, plain IRI, or compound path
+      val predTok = p.peek
+      if (predTok.startsWith("?")) {
+        p.eat()
+        require(subjList.length == 1,
+          "a list subject needs a property function, not a variable " +
+            "predicate")
+        val o = term(p.eat())
+        pats += Bgp.Pattern(subjList.head, Bgp.Var(predTok.substring(1)),
+          o, g)
+      } else {
+        val parsed = path(p)
+        // object: a term or an argument list (⇒ property function)
+        if (p.is("(")) {
+          p.eat()
+          val b = Seq.newBuilder[Bgp.Term]
+          while (!p.is(")")) b += term(p.eat())
+          p.expect(")")
+          val fnIri = parsed match {
+            case Left(iri) => iri
+            case Right(_) => throw new IllegalArgumentException(
+              "a property-function predicate must be a plain IRI")
+          }
+          fns += PropFnCall(subjList, fnIri, b.result(), g)
+        } else {
+          val o = term(p.eat())
+          require(subjList.length == 1,
+            "a list subject needs a property-function object list")
+          parsed match {
+            case Left(iri) => pats += Bgp.Pattern(subjList.head, iri, o, g)
+            case Right(cp) => paths += PathPattern(subjList.head, cp, o, g)
+          }
+        }
+      }
       if (p.is(".")) { p.eat(); more = !p.is("}") && !kw(p) }
       else more = false
     }
-    out.result()
   }
 
   private def kw(p: P): Boolean =
     p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") ||
-      p.is("GRAPH") || p.is("VALUES")
+      p.is("GRAPH") || p.is("VALUES") || p.is("BIND") ||
+      (p.is("{") && p.peek2.equalsIgnoreCase("SELECT"))
+
+  /** Plain-pattern-only triples (OPTIONAL / MINUS / CONSTRUCT-WHERE
+    * groups keep the r7 grammar: constant or variable predicates, no
+    * paths or functions). */
+  private def triples(p: P, g: Option[Bgp.Term]): Seq[Bgp.Pattern] = {
+    val pats = Seq.newBuilder[Bgp.Pattern]
+    val paths = Seq.newBuilder[PathPattern]
+    val fns = Seq.newBuilder[PropFnCall]
+    var more = true
+    while (more) {
+      tripleish(p, g, pats, paths, fns)
+      more = !p.is("}") && !kw(p) && !p.ts.isEmpty
+    }
+    require(paths.result().isEmpty && fns.result().isEmpty,
+      "property paths / functions are only supported in the required " +
+        "group, not in OPTIONAL/MINUS")
+    pats.result()
+  }
 
   /** CONSTRUCT template triples: object kind follows the token form —
     * `<iri>` builds an IRI term, a quoted literal builds a literal, and
@@ -143,8 +341,7 @@ object SparqlParser {
           (Bgp.Const(oTok.substring(1, oTok.length - 1)),
             graft.model.TermKind.Iri)
         else if (oTok.startsWith("\""))
-          (Bgp.Const(oTok.substring(1, oTok.length - 1)),
-            graft.model.TermKind.Literal)
+          (Bgp.Const(unquote(oTok)), graft.model.TermKind.Literal)
         else throw new IllegalArgumentException(
           s"expected template object term, got '$oTok'")
       out += Bgp.Template(s, pr.substring(1, pr.length - 1), o, kind)
@@ -155,7 +352,13 @@ object SparqlParser {
   }
 
   def parse(q: String): Query = {
-    val p = new P(tokenize(q))
+    val p = new P(applyPrefixes(tokenize(q)))
+    val parsed = parseQuery(p)
+    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
+    parsed
+  }
+
+  private def parseQuery(p: P): Query = {
     if (p.is("CONSTRUCT")) {
       p.eat(); p.expect("{")
       val tpl = templates(p)
@@ -168,7 +371,6 @@ object SparqlParser {
         } else pats ++= triples(p, None)
       }
       p.expect("}")
-      require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
       return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
         Nil, Nil, Nil, None, verb = "construct", template = tpl)
     }
@@ -179,14 +381,24 @@ object SparqlParser {
       val pats = Seq.newBuilder[Bgp.Pattern]
       while (!p.is("}")) pats ++= triples(p, None)
       p.expect("}")
-      require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
       return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
         Nil, Nil, Nil, None, verb = "ask")
+    }
+    if (p.is("DESCRIBE")) {
+      // the reference's exact serving call: `describe <iri>`
+      // (cam/graphdb.py:60-71)
+      p.eat()
+      val t = p.eat()
+      require(t.startsWith("<"), s"DESCRIBE needs an IRI, got '$t'")
+      return Query(distinct = false, Nil, Nil, Nil, Nil, Nil,
+        Nil, Nil, Nil, None, verb = "describe",
+        describeIri = Some(t.substring(1, t.length - 1)))
     }
     p.expect("SELECT")
     val distinct = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
     val proj = Seq.newBuilder[String]
     val aggs = Seq.newBuilder[Agg]
+    val order = Seq.newBuilder[String]
     if (p.is("*")) p.eat()
     else while (p.peek.startsWith("?") || p.is("(")) {
       if (p.is("(")) { // (FUNC(?v) AS ?alias)
@@ -204,58 +416,96 @@ object SparqlParser {
         p.expect(")")
         aggs += Agg(f, if (v == "*") "*" else v.substring(1),
           a.substring(1))
-      } else proj += p.eat().substring(1)
+        order += a.substring(1)
+      } else { val v = p.eat().substring(1); proj += v; order += v }
     }
     p.expect("WHERE"); p.expect("{")
     val pats = Seq.newBuilder[Bgp.Pattern]
+    val pths = Seq.newBuilder[PathPattern]
+    val fns = Seq.newBuilder[PropFnCall]
     val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
     val vals = Seq.newBuilder[(String, Seq[String])]
-    while (!p.is("}")) {
-      if (p.is("GRAPH")) {
-        p.eat()
-        val g = term(p.eat())
-        p.expect("{"); pats ++= triples(p, Some(g)); p.expect("}")
-      } else if (p.is("OPTIONAL")) {
-        p.eat(); p.expect("{"); opts += triples(p, None); p.expect("}")
-      } else if (p.is("MINUS")) {
-        p.eat(); p.expect("{"); mins += triples(p, None); p.expect("}")
-      } else if (p.is("VALUES")) {
-        // single-variable VALUES: an inline allow-list of bindings —
-        // compiles to isin() on the binding column, i.e. a pushable
-        // IN filter, the common "these N entities" serving shape
-        p.eat()
-        val v = p.eat()
-        require(v.startsWith("?"), s"VALUES needs a variable, got '$v'")
-        p.expect("{")
-        val vs = Seq.newBuilder[String]
-        while (!p.is("}")) {
+    val bnds = Seq.newBuilder[(String, String, String)]
+    val subs = Seq.newBuilder[Query]
+
+    def group(g: Option[Bgp.Term]): Unit = {
+      while (!p.is("}")) {
+        if (p.is("GRAPH")) {
+          require(g.isEmpty, "nested GRAPH blocks are not supported")
+          p.eat()
+          val gg = term(p.eat())
+          p.expect("{"); group(Some(gg)); p.expect("}")
+        } else if (p.is("{") && p.peek2.equalsIgnoreCase("SELECT")) {
+          // sub-select: an independent query joined on shared variables
+          // (the reference's documented getParts shape nests
+          // `{ SELECT ?address … LIMIT 1 }` inside GRAPH,
+          // etl-notes-data-loading.md:128-149)
+          p.eat()
+          subs += parseQuery(p)
+          p.expect("}")
+        } else if (p.is("OPTIONAL")) {
+          p.eat(); p.expect("{"); opts += triples(p, g); p.expect("}")
+        } else if (p.is("MINUS")) {
+          p.eat(); p.expect("{"); mins += triples(p, g); p.expect("}")
+        } else if (p.is("BIND")) {
+          // BIND of a constant term — the reference's serving queries
+          // pin the entity IRI this way (cam/web/app.py:53,
+          // cam/compound_naming.py:18); the variable becomes a literal
+          // column AND a constant constraint in every pattern using it
+          p.eat(); p.expect("(")
           val t = p.eat()
-          require(t.startsWith("<") || t.startsWith("\""),
-            s"VALUES entries must be IRIs or literals, got '$t'")
-          vs += t.substring(1, t.length - 1)
-        }
-        p.expect("}")
-        vals += ((v.substring(1), vs.result()))
-      } else if (p.is("FILTER")) {
-        p.eat(); p.expect("(")
-        var more = true
-        while (more) {
+          val (v, kind) =
+            if (t.startsWith("<"))
+              (t.substring(1, t.length - 1), graft.model.TermKind.Iri)
+            else if (t.startsWith("\""))
+              (unquote(t), graft.model.TermKind.Literal)
+            else throw new IllegalArgumentException(
+              s"BIND supports constant terms, got '$t'")
+          p.expect("AS")
+          val a = p.eat()
+          require(a.startsWith("?"), s"BIND AS needs a variable, got '$a'")
+          p.expect(")")
+          bnds += ((a.substring(1), v, kind))
+        } else if (p.is("VALUES")) {
+          // single-variable VALUES: an inline allow-list of bindings —
+          // compiles to isin() on the binding column, i.e. a pushable
+          // IN filter, the common "these N entities" serving shape
+          p.eat()
           val v = p.eat()
-          require(v.startsWith("?"), s"FILTER needs a variable, got '$v'")
-          val op = p.eat()
-          require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
-            s"unsupported FILTER operator '$op'")
-          val lit = p.eat()
-          val numeric = !lit.startsWith("\"")
-          val raw = if (numeric) lit else lit.substring(1, lit.length - 1)
-          fils += ((v.substring(1), op, raw, numeric))
-          if (p.is("&&")) p.eat() else more = false
-        }
-        p.expect(")")
-      } else pats ++= triples(p, None)
+          require(v.startsWith("?"), s"VALUES needs a variable, got '$v'")
+          p.expect("{")
+          val vs = Seq.newBuilder[String]
+          while (!p.is("}")) {
+            val t = p.eat()
+            require(t.startsWith("<") || t.startsWith("\""),
+              s"VALUES entries must be IRIs or literals, got '$t'")
+            vs += (if (t.startsWith("\"")) unquote(t)
+              else t.substring(1, t.length - 1))
+          }
+          p.expect("}")
+          vals += ((v.substring(1), vs.result()))
+        } else if (p.is("FILTER")) {
+          p.eat(); p.expect("(")
+          var more = true
+          while (more) {
+            val v = p.eat()
+            require(v.startsWith("?"), s"FILTER needs a variable, got '$v'")
+            val op = p.eat()
+            require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+              s"unsupported FILTER operator '$op'")
+            val lit = p.eat()
+            val numeric = !lit.startsWith("\"")
+            val raw = if (numeric) lit else unquote(lit)
+            fils += ((v.substring(1), op, raw, numeric))
+            if (p.is("&&")) p.eat() else more = false
+          }
+          p.expect(")")
+        } else tripleish(p, g, pats, pths, fns)
+      }
     }
+    group(None)
     p.expect("}")
     val grp = Seq.newBuilder[String]
     if (p.is("GROUP")) {
@@ -273,38 +523,209 @@ object SparqlParser {
       }
     }
     val lim = if (p.is("LIMIT")) { p.eat(); Some(p.eat().toInt) } else None
-    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.mkString(" ")}")
     val parsed = Query(distinct, proj.result(), aggs.result(),
       grp.result(), pats.result(), opts.result(), mins.result(),
-      fils.result(), ord.result(), lim, values = vals.result())
+      fils.result(), ord.result(), lim, values = vals.result(),
+      binds = bnds.result(), paths = pths.result(),
+      propFns = fns.result(), subqueries = subs.result(),
+      selectOrder = order.result())
+    // with aggregates, projected plain variables must be grouped
+    // (projection ⊆ groupBy — SPARQL allows grouping by a variable
+    // without projecting it, ADVICE r7)
     require(parsed.aggregates.isEmpty ||
-      parsed.projection.toSet == parsed.groupBy.toSet,
+      parsed.projection.toSet.subsetOf(parsed.groupBy.toSet),
       "with aggregates, every projected variable must be GROUPed BY")
     parsed
   }
 
-  /** Parse and execute against a quad relation. */
-  def execute(quads: DataFrame, sparql: String): DataFrame = {
-    val q = parse(sparql)
-    if (q.verb == "construct")
-      return Bgp.construct(quads, q.patterns, q.template)
+  // -- execution ---------------------------------------------------------
+
+  private def substitute(t: Bgp.Term,
+      binds: Map[String, String]): Bgp.Term = t match {
+    case Bgp.Var(n) if binds.contains(n) => Bgp.Const(binds(n))
+    case other => other
+  }
+
+  private def termVars(t: Bgp.Term): Set[String] = t match {
+    case Bgp.Var(n) => Set(n)
+    case _ => Set.empty
+  }
+
+  /** Evaluate one compound-path triple to its solution relation. */
+  private def evalPath(quads: DataFrame, pp: PathPattern): DataFrame = {
+    val scoped = pp.graph match {
+      case Some(Bgp.Const(g)) => quads.filter(col("graph") === g)
+      case Some(Bgp.Var(_)) => throw new IllegalArgumentException(
+        "a GRAPH variable cannot scope a property path")
+      case None => quads
+    }
+    var df = PropertyPath.eval(scoped, pp.path)
+    val cols = Seq.newBuilder[Column]
+    pp.s match {
+      case Bgp.Const(v) => df = df.filter(col("src") === v)
+      case Bgp.Var(n) => cols += col("src").as(n)
+    }
+    pp.o match {
+      case Bgp.Const(v) => df = df.filter(col("dst") === v)
+      case Bgp.Var(n) => cols += col("dst").as(n)
+    }
+    val out = cols.result()
+    require(out.nonEmpty, "a path triple needs at least one variable")
+    df.select(out: _*).distinct()
+  }
+
+  /** Join a set of solution components on their shared columns, greedily
+    * picking a connected component each step. Disconnected remainders
+    * (a cross join — the SPARQL cartesian) require
+    * `graft.sparql.allowCartesian=true`. */
+  private def joinComponents(parts: Seq[DataFrame],
+      allowCartesian: Boolean): DataFrame = {
+    require(parts.nonEmpty, "WHERE clause binds nothing")
+    var acc = parts.head
+    var rest = parts.tail
+    while (rest.nonEmpty) {
+      val accCols = acc.columns.toSet
+      rest.indexWhere(df =>
+        df.columns.exists(accCols.contains)) match {
+        case -1 =>
+          require(allowCartesian,
+            "disconnected patterns cross-join (the SPARQL cartesian) — " +
+              "set graft.sparql.allowCartesian=true to allow")
+          acc = acc.crossJoin(rest.head)
+          rest = rest.tail
+        case i =>
+          val nxt = rest(i)
+          val shared = acc.columns.toSet
+            .intersect(nxt.columns.toSet).toSeq
+          acc = acc.join(nxt, shared)
+          rest = rest.patch(i, Nil, 1)
+      }
+    }
+    acc
+  }
+
+  /** Parse and execute against a quad relation. `functions` resolves
+    * property-function IRIs (`cnf:getParts`, `text:query`-style) to
+    * their relational implementations — see [[PropertyFunctions]]. */
+  def execute(quads: DataFrame, sparql: String,
+      functions: Map[String, PropertyFunction] = Map.empty): DataFrame =
+    executeQuery(quads, parse(sparql), functions)
+
+  private def executeQuery(quads: DataFrame, q0: Query,
+      functions: Map[String, PropertyFunction]): DataFrame = {
+    if (q0.verb == "construct")
+      return Bgp.construct(quads, q0.patterns, q0.template)
         .orderBy(col("subject"), col("predicate"), col("objectValue"))
-    if (q.verb == "ask") {
-      val exists = !Bgp.select(quads, q.patterns).limit(1).isEmpty
+    if (q0.verb == "ask") {
+      val exists = !Bgp.select(quads, q0.patterns).limit(1).isEmpty
       return quads.sparkSession.sql(s"SELECT $exists AS ask")
     }
-    var sol =
-      if (q.minuses.nonEmpty)
-        q.optionals.foldLeft(
-          Bgp.selectMinus(quads, q.patterns, q.minuses)) { (acc, g) =>
-          val opt = Bgp.select(quads, g)
+    if (q0.verb == "describe")
+      return QuadEmitter.describe(quads, q0.describeIri.get)
+
+    // constant BINDs substitute into every pattern (the constant pushes
+    // into the scan filter — Catalyst can't see through a join key the
+    // way it sees through a filter) and come back as literal columns
+    val bindMap = q0.binds.map { case (v, value, _) => v -> value }.toMap
+    val q = q0.copy(
+      patterns = q0.patterns.map(pt => pt.copy(
+        s = substitute(pt.s, bindMap),
+        p = substitute(pt.p, bindMap),
+        o = substitute(pt.o, bindMap))),
+      paths = q0.paths.map(pp => pp.copy(
+        s = substitute(pp.s, bindMap), o = substitute(pp.o, bindMap))),
+      propFns = q0.propFns.map(fc => fc.copy(
+        subjects = fc.subjects.map(substitute(_, bindMap)),
+        objects = fc.objects.map(substitute(_, bindMap)))))
+
+    val allowCartesian = quads.sparkSession.conf
+      .getOption("graft.sparql.allowCartesian").contains("true")
+
+    // assemble solution components: the BGP (patterns joined inside
+    // Bgp.select — its own connectivity is checked here first), each
+    // compound path, each property function, each sub-select
+    val patternVarSets: Seq[Set[String]] =
+      q.patterns.map(pt => termVars(pt.s) ++ termVars(pt.p) ++
+        termVars(pt.o) ++ pt.g.toSeq.flatMap(termVars)) ++
+        q.paths.map(pp => termVars(pp.s) ++ termVars(pp.o)) ++
+        q.propFns.map(fc =>
+          (fc.subjects ++ fc.objects).flatMap(termVars).toSet) ++
+        q.subqueries.map(sq =>
+          if (sq.aggregates.nonEmpty)
+            (sq.projection ++ sq.aggregates.map(_.alias)).toSet
+          else if (sq.projection.nonEmpty) sq.projection.toSet
+          else Set.empty[String])
+    if (!allowCartesian) {
+      // union-find connectivity over shared variables: every pattern
+      // with variables must reach every other (var-free patterns are
+      // 1-row markers, exempt)
+      val withVars = patternVarSets.filter(_.nonEmpty)
+      if (withVars.length > 1) {
+        var groups = withVars.map(identity)
+        var merged = true
+        while (merged) {
+          merged = false
+          var i = 0
+          while (i < groups.length && !merged) {
+            var j = i + 1
+            while (j < groups.length && !merged) {
+              if (groups(i).intersect(groups(j)).nonEmpty) {
+                groups = groups.patch(j, Nil, 1)
+                  .updated(i, groups(i) ++ groups(j))
+                merged = true
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        require(groups.length == 1,
+          "disconnected patterns cross-join (the SPARQL cartesian) — " +
+            s"variable groups: ${groups.map(_.toSeq.sorted.mkString("?", " ?", ""))
+                .mkString("{", "} {", "}")}; " +
+            "set graft.sparql.allowCartesian=true to allow")
+      }
+    }
+
+    val components = Seq.newBuilder[DataFrame]
+    if (q.patterns.nonEmpty) {
+      val base =
+        if (q.minuses.nonEmpty) Bgp.selectMinus(quads, q.patterns, q.minuses)
+        else if (q.optionals.nonEmpty)
+          Bgp.selectOptional(quads, q.patterns, q.optionals)
+        else Bgp.select(quads, q.patterns)
+      components += (if (q.minuses.nonEmpty && q.optionals.nonEmpty)
+        q.optionals.foldLeft(base) { (acc, gp) =>
+          val opt = Bgp.select(quads, gp)
           val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq
           require(shared.nonEmpty, "disconnected OPTIONAL")
           acc.join(opt, shared, "left")
         }
-      else if (q.optionals.nonEmpty)
-        Bgp.selectOptional(quads, q.patterns, q.optionals)
-      else Bgp.select(quads, q.patterns)
+      else base)
+    } else require(q.optionals.isEmpty && q.minuses.isEmpty,
+      "OPTIONAL/MINUS need required patterns")
+    q.paths.foreach(pp => components += evalPath(quads, pp))
+    q.propFns.foreach { fc =>
+      val fn = functions.getOrElse(fc.fnIri,
+        throw new IllegalArgumentException(
+          s"unregistered property function <${fc.fnIri}>" +
+            (if (functions.isEmpty) "" else
+              s"; registered: ${functions.keys.toSeq.sorted.mkString(", ")}")))
+      val scoped = fc.graph match {
+        case Some(Bgp.Const(g)) => quads.filter(col("graph") === g)
+        case Some(Bgp.Var(_)) => throw new IllegalArgumentException(
+          "a GRAPH variable cannot scope a property function")
+        case None => quads
+      }
+      components += fn(scoped, fc.subjects, fc.objects)
+    }
+    q.subqueries.foreach(sq =>
+      components += executeQuery(quads, sq, functions))
+
+    var sol = joinComponents(components.result(), allowCartesian)
+    q.binds.foreach { case (v, value, _) =>
+      sol = sol.withColumn(v, lit(value))
+    }
     q.values.foreach { case (v, vs) =>
       require(sol.columns.contains(v),
         s"VALUES variable ?$v is not bound by the patterns")
@@ -334,6 +755,11 @@ object SparqlParser {
       val exprs = q.aggregates.map(one)
       sol = sol.groupBy(q.groupBy.map(col): _*)
         .agg(exprs.head, exprs.tail: _*)
+      // emit columns in the written SELECT-list order (projected
+      // variables and aggregate aliases interleaved as authored —
+      // ADVICE r7; grouped-but-unprojected variables drop here)
+      if (q.selectOrder.nonEmpty)
+        sol = sol.select(q.selectOrder.map(col): _*)
     } else if (q.projection.nonEmpty)
       sol = sol.select(q.projection.map(col): _*)
     if (q.distinct && q.aggregates.isEmpty) sol = sol.distinct()

@@ -964,10 +964,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       Seq("b", "urn:label", "Bob", "literal"),
       Seq("a", "urn:type2", "urn:Thing", "iri"),
       Seq("b", "urn:type2", "urn:Thing", "iri")))
-    // loud failures: variable predicate, bad operator, junk trailing
-    intercept[IllegalArgumentException] {
-      SparqlParser.parse("SELECT ?s WHERE { ?s ?p ?o }")
-    }
+    // variable predicates bind the predicate column (r8)
+    assert(run("""SELECT ?p ?o WHERE { <a> ?p ?o } ORDER BY ?p ?o""")
+      == Seq(Seq("urn:name", "Alice"), Seq("urn:score", "7"),
+        Seq("urn:type", "T")))
+    // loud failures: bad operator, junk trailing
     intercept[IllegalArgumentException] {
       SparqlParser.parse(
         "SELECT ?s WHERE { ?s <urn:p> ?o . FILTER(?o ~ \"x\") }")
@@ -998,12 +999,149 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         Bgp.Pattern(s, s"urn:p${rnd.nextInt(3)}", term())
       }
       val text = "SELECT * WHERE { " + pats.map(p =>
-        s"${render(p.s, subjectPos = true)} <${p.p}> " +
+        s"${render(p.s, subjectPos = true)} " +
+          s"<${p.p.asInstanceOf[Bgp.Const].value}> " +
           s"${render(p.o, subjectPos = false)}").mkString(" . ") + " }"
       val parsed = SparqlParser.parse(text)
       assert(parsed.patterns == pats,
         s"round-trip diverged for: $text\n got ${parsed.patterns}")
     }
+  }
+
+  test("SparqlParser r8: PREFIX, BIND, FILTER < and <=, escaped quotes") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:name", "Alice"), ("b", "urn:name", "Bo\"b"),
+      ("a", "urn:score", "7"), ("b", "urn:score", "3"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // PREFIX expands prefixed names before the grammar sees them
+    assert(run("""PREFIX u: <urn:>
+        SELECT ?n WHERE { ?s u:name ?n . ?s u:score ?sc .
+          FILTER(?sc < 5) }""") == Seq(Seq("Bo\"b")))
+    // '<=' and '<' both tokenize as comparators (ADVICE r7)
+    assert(run("""SELECT ?s WHERE { ?s <urn:score> ?sc .
+        FILTER(?sc <= 3) } ORDER BY ?s""") == Seq(Seq("b")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:score> ?sc .
+        FILTER(?sc < 7 && ?sc > 1) }""") == Seq(Seq("b")))
+    // backslash-escaped quote inside a literal (ADVICE r7)
+    assert(run("SELECT ?s WHERE { ?s <urn:name> \"Bo\\\"b\" }")
+      == Seq(Seq("b")))
+    // BIND pins a constant; the variable comes back as a column
+    assert(run("""SELECT * WHERE {
+        BIND(<a> AS ?who)
+        ?who <urn:name> ?n
+      }""") == Seq(Seq("Alice", "a")))
+    // aggregate: grouped-but-unprojected variables allowed; SELECT-list
+    // order respected (alias before the grouped var)
+    assert(SparqlParser.execute(quads,
+      """SELECT (COUNT(?s) AS ?n) WHERE { ?s <urn:name> ?o }
+         GROUP BY ?o""").columns.toSeq == Seq("n"))
+    val agg = SparqlParser.execute(quads,
+      """SELECT (COUNT(?o) AS ?n) ?s WHERE { ?s ?p ?o }
+         GROUP BY ?s ORDER BY ?s""")
+    assert(agg.columns.toSeq == Seq("n", "s"))
+    assert(agg.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(2L, "a"), Seq(2L, "b")))
+  }
+
+  test("SparqlParser r8: textual property paths, DESCRIBE, sub-select") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "iri", "urn:p", "b", "bnode"),
+      ("b", "bnode", "urn:p", "c", "iri"),
+      ("a", "iri", "urn:q", "x", "literal"),
+      ("c", "iri", "urn:q", "y", "literal"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind")
+      .withColumn("datatype", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("graph", lit(null).cast("string"))
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // p+ closure
+    assert(run("""SELECT ?d WHERE { <a> <urn:p>+ ?d } ORDER BY ?d""")
+      == Seq(Seq("b"), Seq("c")))
+    // sequence + alternation with parens; inverse
+    assert(run("""SELECT ?d WHERE { <a> <urn:p>/<urn:p> ?d }""")
+      == Seq(Seq("c")))
+    assert(run("""SELECT ?d WHERE { <a> <urn:p>+/(<urn:q>|<urn:p>) ?d }
+        ORDER BY ?d""") == Seq(Seq("c"), Seq("y")))
+    assert(run("""SELECT ?s WHERE { <c> ^<urn:p> ?s }""")
+      == Seq(Seq("b")))
+    // textual DESCRIBE: entity quads + bnode closure, the graphdb.py verb
+    val desc = SparqlParser.execute(quads, "DESCRIBE <a>")
+    assert(desc.select("subject").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "a", "b"))
+    // lowercase works too (the reference templates `describe <{{iri}}>`)
+    assert(SparqlParser.execute(quads, "describe <a>").count() == 3)
+    // sub-select joins on shared variables
+    assert(run("""SELECT ?s ?d WHERE {
+        { SELECT ?s WHERE { ?s <urn:q> "x" } }
+        ?s <urn:p> ?d
+      }""") == Seq(Seq("a", "b")))
+  }
+
+  test("SparqlParser r8: property functions and the cartesian guard") {
+    import spark.implicits._
+    import graft.rdf.{Bgp, PropertyFunctions, SparqlParser}
+    val quads = Seq(
+      ("addr1", "urn:hasPart", "p1"), ("addr1", "urn:hasPart", "p2"),
+      ("p1", "urn:type", "T1"), ("p2", "urn:type", "T2"),
+      ("p1", "urn:value", "V1"), ("p2", "urn:value", "V2"),
+      ("addr1", "urn:name", "Main St"), ("addr2", "urn:name", "Maple Av"))
+      .toDF("subject", "predicate", "objectValue")
+    val fns: Map[String, SparqlParser.PropertyFunction] = Map(
+      "urn:fn:getParts" ->
+        PropertyFunctions.getParts("urn:hasPart", "urn:type", "urn:value"),
+      "urn:fn:getLiteralComponents" -> PropertyFunctions
+        .getLiteralComponents("urn:hasPart", "urn:type", "urn:value"),
+      "http://jena.apache.org/text#query" -> PropertyFunctions.textQuery)
+    def run(q: String): Set[Seq[String]] =
+      SparqlParser.execute(quads, q, fns).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSet
+    // 4-arg getParts with a BIND-pinned subject (the compound_naming.py
+    // calling shape)
+    assert(run("""SELECT * WHERE {
+        BIND(<addr1> AS ?a)
+        ?a <urn:fn:getParts> (?pid ?ptype ?pvp ?pval) .
+      }""") == Set(
+      Seq("p1", "T1", "urn:value", "V1", "addr1"),
+      Seq("p2", "T2", "urn:value", "V2", "addr1")))
+    // 2-arg getLiteralComponents, variable subject joined with a pattern
+    assert(run("""SELECT ?n ?ct ?cv WHERE {
+        ?a <urn:name> ?n .
+        ?a <urn:fn:getLiteralComponents> (?ct ?cv) .
+      }""") == Set(
+      Seq("Main St", "T1", "V1"), Seq("Main St", "T2", "V2")))
+    // text:query list-subject form with prefix wildcard + limit
+    assert(run("""SELECT ?iri ?value WHERE {
+        (?iri ?score ?value) <http://jena.apache.org/text#query>
+          (<urn:name> "Ma*" 10) .
+      }""") == Set(
+      Seq("addr1", "Main St"), Seq("addr2", "Maple Av")))
+    // unregistered function fails loudly
+    intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        "SELECT * WHERE { ?a <urn:fn:nope> (?x) . }", fns)
+    }
+    // disconnected patterns are rejected…
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        """SELECT * WHERE { ?a <urn:name> ?n . ?p <urn:type> ?t }""")
+    }
+    assert(e.getMessage.contains("allowCartesian"))
+    // …unless the conf opts in
+    spark.conf.set("graft.sparql.allowCartesian", "true")
+    try assert(SparqlParser.execute(quads,
+      """SELECT * WHERE { ?a <urn:name> ?n . ?p <urn:type> ?t }""")
+      .count() == 4)
+    finally spark.conf.unset("graft.sparql.allowCartesian")
   }
 
   test("PropertyPath.eval: step, inverse, sequence, alternation, closure") {
