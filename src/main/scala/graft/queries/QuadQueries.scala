@@ -209,6 +209,53 @@ object QuadQueries extends QueryCatalog {
   private def fullQuads(s: SparkSession, dir: String): DataFrame =
     QuadEmitter.explodeQuadsFull(joinedFull(s, dir), fullEmits)
 
+  // --------------------------------------------------------------------
+  // Serving-layer registry + geocode profile for the REFERENCE-VERBATIM
+  // SPARQL queries (r8): the reference's Python serving code issues
+  // literal query strings (cam/web/app.py:49-58,
+  // cam/compound_naming.py:14-22, cam/graphdb.py:60-71,
+  // etl-notes-data-loading.md:100,128-149); these run through
+  // SparqlParser.execute unmodified, with the property functions its
+  // Fuseki config registers (fuseki/config.ttl:33) resolved
+  // relationally.
+  // --------------------------------------------------------------------
+
+  private val HasGeocodeP = "https://w3id.org/profile/anz-address/hasGeocode"
+  private val HasGeometryP = "http://www.opengis.net/ont/geosparql#hasGeometry"
+  private val AsWktP = "http://www.opengis.net/ont/geosparql#asWKT"
+  private val CnFunc = "https://linked.data.gov.au/def/cn/func/"
+  private val TextQueryP = "http://jena.apache.org/text#query"
+
+  private def servingFunctions
+      : Map[String, graft.rdf.SparqlParser.PropertyFunction] = Map(
+    (CnFunc + "getParts") ->
+      graft.rdf.PropertyFunctions.getParts(HasPartP, AddTypeP, ValueP),
+    (CnFunc + "getLiteralComponents") ->
+      graft.rdf.PropertyFunctions
+        .getLiteralComponents(HasPartP, AddTypeP, ValueP),
+    TextQueryP -> graft.rdf.PropertyFunctions.textQuery)
+
+  /** The geocode chain the reference's map UI walks (addr → geocode →
+    * geometry → WKT, `cam/web/app.py:54-56`), emitted for every
+    * customer with integer-grid coordinates — integer string arithmetic
+    * only, so both engines render the WKT identically. */
+  private def geocodeQuads(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val k = col("c_custkey").cast("string")
+    val addr = concat(lit("https://example.org/customer/"), k)
+    val geocode = concat(lit("https://example.org/geocode/"), k)
+    val geo = concat(lit("https://example.org/geometry/"), k)
+    val wkt = concat(lit("POINT("),
+      (lit(140) + col("c_custkey") % 10).cast("string"),
+      lit(" -"), (lit(10) + col("c_custkey") % 5).cast("string"), lit(")"))
+    cust.select(addr.as("subject"), lit(HasGeocodeP).as("predicate"),
+        geocode.as("objectValue"))
+      .unionByName(cust.select(geocode.as("subject"),
+        lit(HasGeometryP).as("predicate"), geo.as("objectValue")))
+      .unionByName(cust.select(geo.as("subject"),
+        lit(AsWktP).as("predicate"), wkt.as("objectValue")))
+  }
+
   /** One DuckDB SELECT per emit, producing the same 8-column quad shape
     * the Spark explosion yields. */
   private def fqSelect(subjSql: String, subjKind: String, pred: String,
@@ -996,6 +1043,122 @@ object QuadQueries extends QueryCatalog {
         .select(col("subject"), col("predicate"), col("objectValue"),
           col("objectKind"))
         .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Reference-VERBATIM serving queries (r8) — the acceptance test the
+    // r7 verdict asked for: the literal query strings the reference's
+    // Python issues run unmodified through the textual layer.
+    // ------------------------------------------------------------------
+
+    // cam/web/app.py:49-58 — the map UI's geocode lookup, verbatim
+    // (PREFIX declarations, constant BIND, SELECT * over a 3-hop BGP;
+    // the {{ iri }} template slot rendered with customer/1 exactly as
+    // Jinja renders it). The BIND constant substitutes into the first
+    // pattern's subject, so the whole chain starts from ONE pushed-down
+    // point lookup — at 100 TB the scan prunes to the entity.
+    "q_quads_sparql_ref_geocode" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(geocodeQuads(s, dir),
+        """PREFIX func: <https://linked.data.gov.au/def/cn/func/>
+          |PREFIX addr: <https://w3id.org/profile/anz-address/>
+          |SELECT *
+          |WHERE {
+          |    BIND(<https://example.org/customer/1> AS ?iri)
+          |
+          |    ?iri addr:hasGeocode ?geocode .
+          |    ?geocode <http://www.opengis.net/ont/geosparql#hasGeometry> ?geo .
+          |    ?geo <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+          |}""".stripMargin)
+    }),
+
+    // cam/compound_naming.py:14-22 — the address-templating component
+    // query, verbatim: BIND pins the compound-name object, and the
+    // func:getLiteralComponents property function (the Jena plugin
+    // fuseki/config.ttl loads) resolves to its relational twin over the
+    // part-group profile.
+    "q_quads_sparql_ref_component" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        """PREFIX func: <https://linked.data.gov.au/def/cn/func/>
+          |SELECT *
+          |WHERE {
+          |    BIND(<https://example.org/customer/1> AS ?compoundNameObject)
+          |
+          |    ?compoundNameObject func:getLiteralComponents (?componentType ?componentValue) .
+          |}""".stripMargin, servingFunctions)
+        .orderBy(col("componentType"))
+    }),
+
+    // cam/graphdb.py:60-71 — `describe <{{ iri }}>`, verbatim including
+    // the lowercase verb, compiling onto QuadEmitter.describe (entity
+    // quads + blank-node closure). Same serving-layer key-pushdown
+    // discipline as q_describe_entity, whose oracle this shares.
+    "q_quads_sparql_describe" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(
+          QuadEmitter.explodeQuadsFull(
+            joinedFull(s, dir).filter(col("c_custkey") === 1L), fullEmits),
+          "describe <https://example.org/customer/1>")
+        .orderBy(col("subject"), col("predicate"), col("objectValue"),
+          coalesce(col("lang"), lit("")), coalesce(col("datatype"), lit("")))
+    }),
+
+    // Textual property path (r8): the hasPart/(additionalType|value)
+    // sequence+alternation from its SPARQL 1.1 string form, lowering
+    // onto PropertyPath.eval — same algebra, same oracle as the
+    // hand-built q_quads_path_compound. COUNT(?src) == COUNT(DISTINCT)
+    // because path evaluation is over node PAIRS (set semantics).
+    "q_quads_sparql_path" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?dst (COUNT(?src) AS ?n_src) WHERE {
+           |  ?src <$HasPartP>/(<$AddTypeP>|<$ValueP>) ?dst
+           |} GROUP BY ?dst ORDER BY ?dst""".stripMargin)
+    }),
+
+    // etl-notes-data-loading.md:128-149 — the documented getParts test
+    // query: PREFIX'd, GRAPH-scoped, a nested `{ SELECT … limit 1 }`
+    // picking one address (ORDER BY added for a deterministic gate;
+    // the reference's bare `limit 1` is store-order), then the 4-column
+    // cnf:getParts explosion on it.
+    "q_quads_sparql_getparts" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX cnf: <https://linked.data.gov.au/def/cn/func/>
+           |SELECT ?address ?partIds ?partTypes ?partValuePredicate ?partValue
+           |WHERE {
+           |  GRAPH <$GraphA> {
+           |    {
+           |      SELECT ?address
+           |      WHERE {
+           |        ?address a <$PlaceT>
+           |      }
+           |      ORDER BY ?address limit 1
+           |    }
+           |    ?address cnf:getParts (?partIds ?partTypes ?partValuePredicate ?partValue) .
+           |  }
+           |}""".stripMargin, servingFunctions)
+        .orderBy(col("partIds"))
+    }),
+
+    // etl-notes-data-loading.md:100 — the full-text smoke query shape:
+    // list-subject text:query with (predicate, wildcard, result cap)
+    // args, ORDER BY DESC(?score) LIMIT 10 (+ ?iri tiebreak for the
+    // cross-engine gate; scores are deterministic prefix coverage).
+    "q_quads_sparql_textquery" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT * WHERE { GRAPH <$GraphA> {
+           |  (?iri ?score ?value) <$TextQueryP>
+           |    (<$NameP> "Customer#00000014*" 1000) .
+           |} } ORDER BY DESC(?score) ?iri LIMIT 10""".stripMargin,
+        servingFunctions)
+    }),
+
+    // Variable-predicate BGP (r8 — the constant-IRI restriction
+    // lifted): `SELECT ?p … { <s> ?p ?o }`, the shape DESCRIBE
+    // internally needs and generic SPARQL users write. The constant
+    // subject pushes into the scan; the predicate column binds.
+    "q_quads_var_predicate" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        """SELECT ?p (COUNT(?o) AS ?n) WHERE {
+          |  <https://example.org/customer/1> ?p ?o
+          |} GROUP BY ?p ORDER BY ?p""".stripMargin)
     })
   )
 
@@ -1604,6 +1767,106 @@ object QuadQueries extends QueryCatalog {
          |LEFT JOIN canon cs ON q.subject = cs.node
          |LEFT JOIN canon co
          |  ON q.objectKind = 'iri' AND q.objectValue = co.node
-         |ORDER BY subject, predicate, objectValue""".stripMargin
+         |ORDER BY subject, predicate, objectValue""".stripMargin,
+
+    // r8 reference-verbatim serving queries. The oracles recompute the
+    // answers straight from the base tables / the quads CTE — fully
+    // independent of the parser, the BIND substitution and the
+    // property-function compilation they verify.
+    "q_quads_sparql_ref_geocode" ->
+      """SELECT
+        |  'https://example.org/geocode/' || CAST(c_custkey AS VARCHAR)
+        |    AS geocode,
+        |  'https://example.org/geometry/' || CAST(c_custkey AS VARCHAR)
+        |    AS geo,
+        |  'POINT(' || CAST(140 + c_custkey % 10 AS VARCHAR) || ' -'
+        |    || CAST(10 + c_custkey % 5 AS VARCHAR) || ')' AS wkt,
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS iri
+        |FROM customer WHERE c_custkey = 1""".stripMargin,
+
+    "q_quads_sparql_ref_component" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT objectValue AS b FROM quads
+         |       WHERE predicate = '$HasPartP'
+         |         AND subject = 'https://example.org/customer/1'),
+         |ty AS (SELECT subject AS b, objectValue AS t FROM quads
+         |       WHERE predicate = '$AddTypeP'),
+         |vl AS (SELECT subject AS b, objectValue AS v FROM quads
+         |       WHERE predicate = '$ValueP')
+         |SELECT DISTINCT ty.t AS "componentType", vl.v AS "componentValue",
+         |  'https://example.org/customer/1' AS "compoundNameObject"
+         |FROM hp JOIN ty USING (b) JOIN vl USING (b)
+         |ORDER BY "componentType"""".stripMargin,
+
+    // shares q_describe_entity's closure oracle by construction
+    "q_quads_sparql_describe" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
+         |FROM quads
+         |WHERE (subject = 'https://example.org/customer/1'
+         |       AND subjectKind = 'iri')
+         |   OR (subjectKind = 'bnode' AND subject IN (
+         |        SELECT objectValue FROM quads
+         |        WHERE subject = 'https://example.org/customer/1'
+         |          AND subjectKind = 'iri' AND objectKind = 'bnode'))
+         |ORDER BY subject, predicate, objectValue,
+         |  coalesce(lang, ''), coalesce(datatype, '')""".stripMargin,
+
+    // the textual path compiles onto the same pair algebra as the
+    // hand-built q_quads_path_compound — same oracle
+    "q_quads_sparql_path" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT DISTINCT subject AS src, objectValue AS mid
+         |       FROM quads WHERE predicate = '$HasPartP'),
+         |alt AS (
+         |  SELECT subject AS mid, objectValue AS dst
+         |  FROM quads WHERE predicate = '$AddTypeP'
+         |  UNION
+         |  SELECT subject, objectValue
+         |  FROM quads WHERE predicate = '$ValueP'),
+         |pairs AS (
+         |  SELECT DISTINCT hp.src, alt.dst FROM hp
+         |  JOIN alt ON hp.mid = alt.mid)
+         |SELECT dst, COUNT(DISTINCT src) AS n_src
+         |FROM pairs GROUP BY dst ORDER BY dst""".stripMargin,
+
+    "q_quads_sparql_getparts" ->
+      s"""$fullQuadsCte,
+         |firstaddr AS (
+         |  SELECT MIN(subject) AS address FROM quads
+         |  WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |hp AS (SELECT subject AS address, objectValue AS pid FROM quads
+         |       WHERE predicate = '$HasPartP' AND graph = '$GraphA'),
+         |ty AS (SELECT subject AS pid, objectValue AS pt FROM quads
+         |       WHERE predicate = '$AddTypeP' AND graph = '$GraphA'),
+         |vl AS (SELECT subject AS pid, objectValue AS pv FROM quads
+         |       WHERE predicate = '$ValueP' AND graph = '$GraphA')
+         |SELECT DISTINCT f.address, hp.pid AS "partIds",
+         |  ty.pt AS "partTypes", '$ValueP' AS "partValuePredicate",
+         |  vl.pv AS "partValue"
+         |FROM firstaddr f
+         |JOIN hp ON hp.address = f.address
+         |JOIN ty USING (pid) JOIN vl USING (pid)
+         |ORDER BY "partIds"""".stripMargin,
+
+    "q_quads_sparql_textquery" ->
+      """SELECT
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS iri,
+        |  ROUND(CAST(17 AS DOUBLE) / length(c_name), 6) AS score,
+        |  c_name AS "value"
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#00000014%'
+        |ORDER BY score DESC, iri LIMIT 10""".stripMargin,
+
+    "q_quads_var_predicate" ->
+      s"""$fullQuadsCte
+         |SELECT predicate AS p, COUNT(DISTINCT objectValue) AS n
+         |FROM quads
+         |WHERE subject = 'https://example.org/customer/1'
+         |  AND subjectKind = 'iri'
+         |GROUP BY p ORDER BY p""".stripMargin
   )
 }
