@@ -471,7 +471,29 @@ object StatsQueries extends QueryCatalog {
         (name, f.count(_.severity == "error").toLong,
           f.count(_.severity == "info").toLong)
       }
-      Seq(counts("bad_cross_join", bad), counts("good_broadcast_agg", good))
+      // A disconnected textual SPARQL query (r8): rejected by default —
+      // the parser's cartesian guard — and, when the conf opts in, the
+      // compiled plan still carries the condition-less Join the linter
+      // flags. Parser guard and plan linter agree on the same hazard.
+      val sparqlQ = """SELECT * WHERE {
+        ?a <urn:name> ?n . ?p <urn:type> ?t }"""
+      val quads = Tables.nation(s, dir)
+        .select(col("n_name").as("subject"),
+          when(col("n_nationkey") % 2 === 0, "urn:name")
+            .otherwise("urn:type").as("predicate"),
+          col("n_name").as("objectValue"))
+      val guarded =
+        try { graft.rdf.SparqlParser.execute(quads, sparqlQ); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("allowCartesian") }
+      s.conf.set("graft.sparql.allowCartesian", "true")
+      val cartesian =
+        try counts("sparql_cartesian_optin",
+          graft.rdf.SparqlParser.execute(quads, sparqlQ))
+        finally s.conf.unset("graft.sparql.allowCartesian")
+      require(guarded, "the SPARQL cartesian guard did not fire")
+      Seq(counts("bad_cross_join", bad), counts("good_broadcast_agg", good),
+        cartesian)
         .toDF("plan", "n_errors", "n_infos")
         .orderBy(col("plan"))
     }),
@@ -1119,7 +1141,8 @@ object StatsQueries extends QueryCatalog {
     "q_dq_plan_lint" ->
       """SELECT * FROM (VALUES
         |  ('bad_cross_join', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('good_broadcast_agg', CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |  ('good_broadcast_agg', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('sparql_cartesian_optin', CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
         |  AS t(plan, n_errors, n_infos)
         |ORDER BY plan""".stripMargin,
 
