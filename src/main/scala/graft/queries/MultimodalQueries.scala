@@ -68,6 +68,90 @@ object MultimodalQueries extends QueryCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // REAL PNG decode (r8 — operators/ImageCodec.decodePng, pure JVM:
+    // JDK-core zlib + the five scanline filters + CRC chunk walk). Same
+    // oracle discipline as the PPM tier: pixels come from a
+    // deterministic formula, encode to REAL PNG bytes — each row
+    // encoded with filter type vec_id % 5, so ALL FIVE unfilter paths
+    // (None/Sub/Up/Average/Paeth) run through the gate — and the
+    // pipeline decodes the bytes back and computes exact channel +
+    // thumbnail sums. The oracle recomputes every number from the
+    // formula alone; any zlib/filter/CRC corruption hash-fails. This
+    // closes the long-declared PNG limitation; JPEG below gates by
+    // tolerance (lossy).
+    "q_multimodal_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ImageCodec
+      import graft.operators.ImageCodec.RawImage
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions(_.map { case (id, e) =>
+          val px = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val base = math.floor(math.abs(e(i).toDouble) * 1000).toLong
+            px(i * 3) = (base % 256).toByte
+            px(i * 3 + 1) = ((base + 7) % 256).toByte
+            px(i * 3 + 2) = ((base + 14) % 256).toByte
+            i += 1
+          }
+          (id, ImageCodec.encodePng(RawImage(8, 8, px),
+            filterType = (id % 5).toInt))
+        })
+        .mapPartitions(_.map { case (id, bin) =>
+          val img = ImageCodec.decodePng(bin) // REAL zlib+filter decode
+          val (r, g, b) = ImageCodec.channelSums(img)
+          val (tr, tg, tb) =
+            ImageCodec.channelSums(ImageCodec.resizeNearest(img, 4, 4))
+          (id, img.width, img.height, r, g, b, tr, tg, tb)
+        })
+        .toDF("vec_id", "width", "height", "sum_r", "sum_g", "sum_b",
+          "thumb_r", "thumb_g", "thumb_b")
+        .orderBy(col("vec_id"))
+    }),
+
+    // JPEG decode (r8 — JDK javax.imageio, no native lib): LOSSY, so
+    // the gate is a self-validating tolerance check, not bit parity —
+    // a smooth low-frequency pattern encodes, decodes, and must come
+    // back with exact dimensions and mean absolute error ≤ 8/255 per
+    // channel (one 8×8 MCU of near-grey content; typical MAE ~1-2).
+    // The oracle pins dimensions and the ok verdict per row. Determinism
+    // caveat documented on ImageCodec: stable within one JVM run, which
+    // is what the gate measures.
+    "q_multimodal_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ImageCodec
+      import graft.operators.ImageCodec.RawImage
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val px = new Array[Byte](8 * 8 * 3)
+          // per-image base varies by row; the gradient inside one image
+          // stays monotone (no wrap) so the content is genuinely smooth
+          val base = (id * 3) % 150 + 20
+          var i = 0
+          while (i < 64) {
+            val v = (base + (i % 8) * 2 + (i / 8) * 2).toByte
+            px(i * 3) = v; px(i * 3 + 1) = v; px(i * 3 + 2) = v
+            i += 1
+          }
+          val dec = ImageCodec.decodeJpeg(
+            ImageCodec.encodeJpeg(RawImage(8, 8, px)))
+          var errSum = 0L
+          var j = 0
+          while (j < px.length) {
+            errSum += math.abs((dec.pixels(j) & 0xff) - (px(j) & 0xff))
+            j += 1
+          }
+          val mae = errSum.toDouble / px.length
+          (id, dec.width, dec.height, mae <= 8.0)
+        })
+        .toDF("vec_id", "width", "height", "ok")
+        .orderBy(col("vec_id"))
+    }),
+
     // REAL audio decode (operators/AudioCodec — RIFF/WAVE PCM16, pure
     // JVM): each embedding row becomes a 256-sample mono PCM signal by a
     // deterministic integer formula, encodes to REAL WAV bytes (RIFF
@@ -343,6 +427,40 @@ object MultimodalQueries extends QueryCatalog {
         |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
         |    AS thumb_b
         |FROM b ORDER BY vec_id""".stripMargin,
+    // Identical formula oracle as the PPM tier — the PNG path (filter →
+    // deflate → chunk/CRC framing → inflate → unfilter → sums) must
+    // land on the same integers for every filter type.
+    "q_multimodal_png_decode" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000)
+        |       AS BIGINT) for i in range(1, 65)] AS base
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(list_sum([x % 256 for x in base]) AS BIGINT) AS sum_r,
+        |  CAST(list_sum([(x + 7) % 256 for x in base]) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(list_sum([(x + 14) % 256 for x in base]) AS BIGINT)
+        |    AS sum_b,
+        |  CAST(list_sum([base[i] % 256 for i in
+        |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
+        |    AS thumb_r,
+        |  CAST(list_sum([(base[i] + 7) % 256 for i in
+        |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
+        |    AS thumb_g,
+        |  CAST(list_sum([(base[i] + 14) % 256 for i in
+        |    [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]]) AS BIGINT)
+        |    AS thumb_b
+        |FROM b ORDER BY vec_id""".stripMargin,
+
+    // JPEG is lossy: the oracle pins dimensions and the per-row
+    // tolerance verdict (the engine computes the MAE; the gate fails if
+    // ANY row's decode drifted past the bound or lost its shape).
+    "q_multimodal_jpeg_decode" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, TRUE AS ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     // Recomputes the sampled frames' channel sums from the pixel
     // formula for j in {0,2,4}; the binary path (encode → container
     // walk → frame slice → decode → sums) must land on the same

@@ -734,6 +734,84 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ImageCodec PNG: all five filters round-trip, color types, CRC") {
+    import graft.operators.ImageCodec
+    import graft.operators.ImageCodec.RawImage
+    val rnd = new scala.util.Random(11)
+    val img = RawImage(7, 5, Array.fill(105)(rnd.nextInt(256).toByte))
+    // every filter type must invert exactly (None/Sub/Up/Average/Paeth)
+    for (ft <- 0 to 4) {
+      val rt = ImageCodec.decodePng(ImageCodec.encodePng(img, ft))
+      assert(rt.width == 7 && rt.height == 5)
+      assert(rt.pixels.toSeq == img.pixels.toSeq,
+        s"filter $ft did not round-trip")
+    }
+    // greyscale (colorType 0) replicates to RGB — hand-built image:
+    // 2x2 grey values with filter 0
+    def handPng(colorType: Int, channels: Int,
+        pix: Array[Byte]): Array[Byte] = {
+      val w = 2; val h = 2
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        raw(y * (stride + 1)) = 0
+        System.arraycopy(pix, y * stride, raw, y * (stride + 1) + 1, stride)
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](4096)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def chunk(t: String, data: Array[Byte]) = {
+        val tb = t.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+        be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+      }
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", be32(w) ++ be32(h) ++
+          Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+        chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    }
+    val grey = ImageCodec.decodePng(
+      handPng(0, 1, Array[Byte](10, 20, 30, 40)))
+    assert(grey.pixels.toSeq ==
+      Seq[Byte](10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40))
+    // RGBA (colorType 6) drops alpha
+    val rgba = ImageCodec.decodePng(handPng(6, 4,
+      Array[Byte](1, 2, 3, -1, 4, 5, 6, -1, 7, 8, 9, -1, 10, 11, 12, -1)))
+    assert(rgba.pixels.toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    // corrupted CRC must not decode quietly
+    val good = ImageCodec.encodePng(img)
+    val bad = good.clone()
+    bad(20) = (bad(20) ^ 0x01).toByte // inside IHDR payload
+    intercept[IllegalArgumentException] { ImageCodec.decodePng(bad) }
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodePng("nope".getBytes("US-ASCII"))
+    }
+  }
+
+  test("ImageCodec JPEG (javax.imageio): shape exact, smooth MAE small") {
+    import graft.operators.ImageCodec
+    import graft.operators.ImageCodec.RawImage
+    val px = new Array[Byte](8 * 8 * 3)
+    for (i <- 0 until 64) {
+      val v = ((i % 8) * 2 + (i / 8) * 2 + 100).toByte
+      px(i * 3) = v; px(i * 3 + 1) = v; px(i * 3 + 2) = v
+    }
+    val dec = ImageCodec.decodeJpeg(ImageCodec.encodeJpeg(RawImage(8, 8, px)))
+    assert(dec.width == 8 && dec.height == 8)
+    val mae = px.indices.map(i =>
+      math.abs((dec.pixels(i) & 0xff) - (px(i) & 0xff))).sum.toDouble /
+      px.length
+    assert(mae <= 8.0, s"JPEG decode drifted: MAE $mae")
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeJpeg(Array[Byte](1, 2, 3))
+    }
+  }
+
   test("WeightedQuantile equals the key-partitioned window form") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.lineitem(spark, sf)
