@@ -1150,6 +1150,77 @@ object QuadQueries extends QueryCatalog {
         servingFunctions)
     }),
 
+    // The reference's §5.3 acceptance method as ONE engine artifact
+    // (r8): etl-queries.md pairs a source-side SQL count with a
+    // graph-side SPARQL count and requires them equal (the 66 300
+    // property-names golden, etl-queries.md:76-101; etl-notes.md:263-285
+    // count parity). Here each check row computes the source count from
+    // the BASE TABLES and the graph count through the TEXTUAL SPARQL
+    // layer over the emitted quads — bracket/semicolon syntax verbatim
+    // from the reference's golden query (etl-queries.md:47-58) — and
+    // ok must be true for every row. The quad relation is lineage-cut
+    // once so five SPARQL queries don't re-derive the 25-emit explosion
+    // five times.
+    "q_quads_goldens" -> ((s, dir) => {
+      import graft.rdf.SparqlParser
+      val q = graft.operators.Checkpoints.cut(fullQuads(s, dir),
+        eager = false)
+      def check(name: String, source: Column, sourceIn: DataFrame,
+          sparql: String): DataFrame =
+        sourceIn.agg(source.cast("long").as("source_count"))
+          .crossJoin(SparqlParser.execute(q, sparql)
+            .select(col("count").cast("long").as("graph_count")))
+          .select(lit(name).as("check"), col("source_count"),
+            col("graph_count"),
+            (col("source_count") === col("graph_count")).as("ok"))
+      val base = joined(s, dir)
+      val baseFull = joinedFull(s, dir)
+      Seq(
+        check("part_nation_matched",
+          countDistinct(col("c_custkey")),
+          base.filter(length(trim(col("n_name"))) > 0),
+          s"""PREFIX sdo: <https://schema.org/>
+             |SELECT (COUNT(DISTINCT ?addr) AS ?count)
+             |WHERE {
+             |    GRAPH <$GraphA> {
+             |        ?addr sdo:hasPart [
+             |            sdo:additionalType <$PartNationT> ;
+             |            sdo:value ?propertyName
+             |        ]
+             |    }
+             |}""".stripMargin),
+        check("places_total", count(lit(1)), base,
+          s"""PREFIX sdo: <https://schema.org/>
+             |SELECT (COUNT(?s) AS ?count) WHERE { ?s a sdo:Place }"""
+            .stripMargin),
+        check("geo_name_parts", count(lit(1)) * 2,
+          base.filter(length(trim(col("c_name"))) > 0),
+          s"""PREFIX sdo: <https://schema.org/>
+             |select (count(?s) as ?count)
+             |where {
+             |    graph <$GraphG> {
+             |        ?s sdo:additionalType <$GivenNameT> ;
+             |           sdo:value ?v
+             |    }
+             |}""".stripMargin),
+        check("lifecycle_groups", count(lit(1)),
+          baseFull.filter(col("first_iso").isNotNull),
+          s"""PREFIX sdo: <https://schema.org/>
+             |SELECT (COUNT(?b) AS ?count)
+             |WHERE { GRAPH <$GraphA> {
+             |  ?b sdo:additionalType <$LifecycleCurrentT> } }"""
+            .stripMargin),
+        check("segment_values", countDistinct(col("c_mktsegment")),
+          base.filter(length(trim(col("c_mktsegment"))) > 0),
+          s"""PREFIX sdo: <https://schema.org/>
+             |SELECT (COUNT(DISTINCT ?v) AS ?count)
+             |WHERE { GRAPH <$GraphA> {
+             |  ?b sdo:additionalType <$PartSegmentT> ;
+             |     sdo:value ?v } }""".stripMargin))
+        .reduce(_ unionByName _)
+        .orderBy(col("check"))
+    }),
+
     // Variable-predicate BGP (r8 — the constant-IRI restriction
     // lifted): `SELECT ?p … { <s> ?p ?o }`, the shape DESCRIBE
     // internally needs and generic SPARQL users write. The constant
@@ -1867,6 +1938,82 @@ object QuadQueries extends QueryCatalog {
          |FROM quads
          |WHERE subject = 'https://example.org/customer/1'
          |  AND subjectKind = 'iri'
-         |GROUP BY p ORDER BY p""".stripMargin
+         |GROUP BY p ORDER BY p""".stripMargin,
+
+    // both sides recomputed independently: source counts from the base
+    // tables, graph counts from the quads CTE — never through the
+    // parser/BGP compilation under test
+    "q_quads_goldens" ->
+      s"""$fullQuadsCte,
+         |src AS (SELECT
+         |  (SELECT COUNT(DISTINCT c_custkey) FROM customer c
+         |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |     JOIN region r ON n.n_regionkey = r.r_regionkey
+         |     WHERE length(trim(n.n_name)) > 0) AS part_nation,
+         |  (SELECT COUNT(*) FROM customer c
+         |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |     JOIN region r ON n.n_regionkey = r.r_regionkey) AS places,
+         |  (SELECT 2 * COUNT(*) FROM customer c
+         |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |     JOIN region r ON n.n_regionkey = r.r_regionkey
+         |     WHERE length(trim(c.c_name)) > 0) AS geo_parts,
+         |  (SELECT COUNT(*) FROM customer c
+         |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |     JOIN region r ON n.n_regionkey = r.r_regionkey
+         |     JOIN (SELECT DISTINCT o_custkey FROM orders) o
+         |       ON o.o_custkey = c.c_custkey) AS lifecycle,
+         |  (SELECT COUNT(DISTINCT c_mktsegment) FROM customer c
+         |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |     JOIN region r ON n.n_regionkey = r.r_regionkey
+         |     WHERE length(trim(c.c_mktsegment)) > 0) AS segs),
+         |gc AS (SELECT
+         |  (SELECT COUNT(DISTINCT hp.subject) FROM quads hp
+         |     JOIN quads ty ON ty.subject = hp.objectValue
+         |       AND ty.predicate = '$AddTypeP'
+         |       AND ty.objectValue = '$PartNationT' AND ty.graph = '$GraphA'
+         |     JOIN quads vl ON vl.subject = hp.objectValue
+         |       AND vl.predicate = '$ValueP' AND vl.graph = '$GraphA'
+         |     WHERE hp.predicate = '$HasPartP' AND hp.graph = '$GraphA')
+         |    AS part_nation,
+         |  (SELECT COUNT(DISTINCT subject) FROM quads
+         |     WHERE predicate = '$RdfType' AND objectValue = '$PlaceT')
+         |    AS places,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT DISTINCT ty.subject, vl.objectValue FROM quads ty
+         |     JOIN quads vl ON vl.subject = ty.subject
+         |       AND vl.predicate = '$ValueP' AND vl.graph = '$GraphG'
+         |     WHERE ty.predicate = '$AddTypeP'
+         |       AND ty.objectValue = '$GivenNameT'
+         |       AND ty.graph = '$GraphG') t) AS geo_parts,
+         |  (SELECT COUNT(DISTINCT subject) FROM quads
+         |     WHERE predicate = '$AddTypeP'
+         |       AND objectValue = '$LifecycleCurrentT'
+         |       AND graph = '$GraphA') AS lifecycle,
+         |  (SELECT COUNT(DISTINCT vl.objectValue) FROM quads ty
+         |     JOIN quads vl ON vl.subject = ty.subject
+         |       AND vl.predicate = '$ValueP' AND vl.graph = '$GraphA'
+         |     WHERE ty.predicate = '$AddTypeP'
+         |       AND ty.objectValue = '$PartSegmentT'
+         |       AND ty.graph = '$GraphA') AS segs)
+         |SELECT * FROM (
+         |  SELECT 'geo_name_parts' AS "check",
+         |    CAST(src.geo_parts AS BIGINT) AS source_count,
+         |    CAST(gc.geo_parts AS BIGINT) AS graph_count,
+         |    src.geo_parts = gc.geo_parts AS ok FROM src, gc
+         |  UNION ALL
+         |  SELECT 'lifecycle_groups', CAST(src.lifecycle AS BIGINT),
+         |    CAST(gc.lifecycle AS BIGINT),
+         |    src.lifecycle = gc.lifecycle FROM src, gc
+         |  UNION ALL
+         |  SELECT 'part_nation_matched', CAST(src.part_nation AS BIGINT),
+         |    CAST(gc.part_nation AS BIGINT),
+         |    src.part_nation = gc.part_nation FROM src, gc
+         |  UNION ALL
+         |  SELECT 'places_total', CAST(src.places AS BIGINT),
+         |    CAST(gc.places AS BIGINT), src.places = gc.places FROM src, gc
+         |  UNION ALL
+         |  SELECT 'segment_values', CAST(src.segs AS BIGINT),
+         |    CAST(gc.segs AS BIGINT), src.segs = gc.segs FROM src, gc)
+         |ORDER BY "check"""".stripMargin
   )
 }

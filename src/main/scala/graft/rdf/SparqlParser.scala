@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   [{ SELECT … }]                          (sub-select, joined on shared vars)
   *   ?s <p> ?o .                             (predicate may be ?var, or a
   *    …                                       path: ^p, p1/p2, p1|p2, p+)
+  *   ?s <p1> ?a ; <p2> [ <p3> ?b ; … ] .     (predicate lists + anonymous
+  *                                            blank-node groups;
+  *                                            COUNT(DISTINCT ?v) supported)
   *   [?s <fn> (?a ?b …) .]                   (property function, registry)
   *   [(?x ?y) <fn> (args) .]                 (list subject form)
   *   [BIND(<iri>|"lit" AS ?v)]
@@ -46,8 +49,9 @@ import org.apache.spark.sql.functions._
   */
 object SparqlParser {
 
-  /** `(COUNT(?v) AS ?alias)`-style projection aggregate. */
-  final case class Agg(func: String, variable: String, alias: String)
+  /** `(COUNT([DISTINCT] ?v) AS ?alias)`-style projection aggregate. */
+  final case class Agg(func: String, variable: String, alias: String,
+      distinct: Boolean = false)
 
   /** A property-function invocation `subj <fnIri> (args)` — subject
     * and/or object position may be an RDF list of terms (the Jena
@@ -119,7 +123,7 @@ object SparqlParser {
         }
         require(j < s.length, s"unterminated literal at offset $i")
         out += s.substring(i, j + 1); i = j + 1
-      } else if ("{}()./|+^".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      } else if ("{}()./|+^[];".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else if (c == '&' && i + 1 < s.length && s.charAt(i + 1) == '&') {
         out += "&&"; i += 2
       } else if ("=<>!".indexOf(c) >= 0) {
@@ -129,7 +133,7 @@ object SparqlParser {
       } else {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace &&
-          "{}()./|+^<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
+          "{}()./|+^[];<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
         out += s.substring(i, j); i = j
       }
     }
@@ -185,6 +189,9 @@ object SparqlParser {
       require(h.equalsIgnoreCase(t), s"expected '$t', got '$h'")
     }
     def is(t: String): Boolean = peek.equalsIgnoreCase(t)
+    // fresh anonymous-bnode variable names for `[ … ]` object groups
+    private var anonN = 0
+    def freshAnon(): String = { anonN += 1; s"_anon$anonN" }
   }
 
   /** Minimal literal unescape for quoted tokens: `\"` and `\\`. */
@@ -241,58 +248,82 @@ object SparqlParser {
   }
 
   /** One group's triple-ish statements: plain patterns, variable
-    * predicates, compound paths, and property-function calls (object
-    * and/or subject lists). Appends into the supplied builders. */
+    * predicates, compound paths, property-function calls (object and/or
+    * subject lists), `;` predicate-object lists, and `[ … ]` anonymous
+    * blank-node groups (the Turtle-in-SPARQL syntax the reference's
+    * golden queries use, `etl-queries.md:47-58`). Appends into the
+    * supplied builders. */
   private def tripleish(p: P, g: Option[Bgp.Term],
       pats: scala.collection.mutable.Builder[Bgp.Pattern, Seq[Bgp.Pattern]],
       paths: scala.collection.mutable.Builder[PathPattern, Seq[PathPattern]],
       fns: scala.collection.mutable.Builder[PropFnCall, Seq[PropFnCall]])
       : Unit = {
+
+    // object position: a term, or `[ predObjList ]` binding a fresh
+    // anonymous variable (SPARQL treats a bnode label as a variable that
+    // cannot be projected — a fresh name no user query can collide with)
+    def objTerm(): Bgp.Term =
+      if (p.is("[")) {
+        p.eat()
+        val anon = Bgp.Var(p.freshAnon())
+        predObjList(anon)
+        p.expect("]")
+        anon
+      } else term(p.eat())
+
+    // `pred obj (';' pred obj)*` with a fixed subject
+    def predObjList(subj: Bgp.Term): Unit = {
+      var more = true
+      while (more) {
+        val predTok = p.peek
+        if (predTok.startsWith("?")) {
+          p.eat()
+          pats += Bgp.Pattern(subj, Bgp.Var(predTok.substring(1)),
+            objTerm(), g)
+        } else {
+          val parsed = path(p)
+          // an argument list in object position ⇒ property function
+          if (p.is("(")) {
+            p.eat()
+            val b = Seq.newBuilder[Bgp.Term]
+            while (!p.is(")")) b += term(p.eat())
+            p.expect(")")
+            val fnIri = parsed match {
+              case Left(iri) => iri
+              case Right(_) => throw new IllegalArgumentException(
+                "a property-function predicate must be a plain IRI")
+            }
+            fns += PropFnCall(Seq(subj), fnIri, b.result(), g)
+          } else parsed match {
+            case Left(iri) => pats += Bgp.Pattern(subj, iri, objTerm(), g)
+            case Right(cp) =>
+              val o = term(p.eat())
+              paths += PathPattern(subj, cp, o, g)
+          }
+        }
+        if (p.is(";")) p.eat() else more = false
+      }
+    }
+
     var more = true
     while (more) {
       // subject: a term or an RDF list (property-function result vars)
-      val subjList: Seq[Bgp.Term] =
-        if (p.is("(")) {
-          p.eat()
-          val b = Seq.newBuilder[Bgp.Term]
-          while (!p.is(")")) b += term(p.eat())
-          p.expect(")")
-          b.result()
-        } else Seq(term(p.eat()))
-      // predicate: variable, plain IRI, or compound path
-      val predTok = p.peek
-      if (predTok.startsWith("?")) {
+      if (p.is("(")) {
         p.eat()
-        require(subjList.length == 1,
-          "a list subject needs a property function, not a variable " +
-            "predicate")
-        val o = term(p.eat())
-        pats += Bgp.Pattern(subjList.head, Bgp.Var(predTok.substring(1)),
-          o, g)
-      } else {
-        val parsed = path(p)
-        // object: a term or an argument list (⇒ property function)
-        if (p.is("(")) {
-          p.eat()
-          val b = Seq.newBuilder[Bgp.Term]
-          while (!p.is(")")) b += term(p.eat())
-          p.expect(")")
-          val fnIri = parsed match {
-            case Left(iri) => iri
-            case Right(_) => throw new IllegalArgumentException(
-              "a property-function predicate must be a plain IRI")
-          }
-          fns += PropFnCall(subjList, fnIri, b.result(), g)
-        } else {
-          val o = term(p.eat())
-          require(subjList.length == 1,
-            "a list subject needs a property-function object list")
-          parsed match {
-            case Left(iri) => pats += Bgp.Pattern(subjList.head, iri, o, g)
-            case Right(cp) => paths += PathPattern(subjList.head, cp, o, g)
-          }
-        }
-      }
+        val b = Seq.newBuilder[Bgp.Term]
+        while (!p.is(")")) b += term(p.eat())
+        p.expect(")")
+        val subjList = b.result()
+        val predTok = p.eat()
+        require(predTok.startsWith("<"),
+          s"a list subject needs a property-function IRI, got '$predTok'")
+        p.expect("(")
+        val args = Seq.newBuilder[Bgp.Term]
+        while (!p.is(")")) args += term(p.eat())
+        p.expect(")")
+        fns += PropFnCall(subjList,
+          predTok.substring(1, predTok.length - 1), args.result(), g)
+      } else predObjList(term(p.eat()))
       if (p.is(".")) { p.eat(); more = !p.is("}") && !kw(p) }
       else more = false
     }
@@ -407,6 +438,8 @@ object SparqlParser {
         require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
           s"unsupported aggregate '$f'")
         p.expect("(")
+        val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
+        require(!dist || f == "COUNT", "DISTINCT only supported in COUNT")
         val v = p.eat()
         require(v.startsWith("?") || v == "*",
           s"aggregate argument must be a variable or *, got '$v'")
@@ -415,7 +448,7 @@ object SparqlParser {
         require(a.startsWith("?"), s"AS needs a variable, got '$a'")
         p.expect(")")
         aggs += Agg(f, if (v == "*") "*" else v.substring(1),
-          a.substring(1))
+          a.substring(1), distinct = dist)
         order += a.substring(1)
       } else { val v = p.eat().substring(1); proj += v; order += v }
     }
@@ -723,6 +756,12 @@ object SparqlParser {
       components += executeQuery(quads, sq, functions))
 
     var sol = joinComponents(components.result(), allowCartesian)
+    // anonymous `[ … ]` variables are not projectable (SPARQL bnode
+    // scoping) — SELECT * must not leak them
+    if (q.projection.isEmpty && q.aggregates.isEmpty) {
+      val anon = sol.columns.filter(_.startsWith("_anon"))
+      if (anon.nonEmpty) sol = sol.drop(anon.toSeq: _*).distinct()
+    }
     q.binds.foreach { case (v, value, _) =>
       sol = sol.withColumn(v, lit(value))
     }
@@ -746,7 +785,9 @@ object SparqlParser {
     if (q.aggregates.nonEmpty) {
       def one(a: Agg): Column = (a.func match {
         case "COUNT" =>
-          if (a.variable == "*") count(lit(1)) else count(col(a.variable))
+          if (a.variable == "*") count(lit(1))
+          else if (a.distinct) countDistinct(col(a.variable))
+          else count(col(a.variable))
         case "SUM" => sum(col(a.variable).cast("double"))
         case "MIN" => min(col(a.variable))
         case "MAX" => max(col(a.variable))

@@ -1165,6 +1165,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       }""") == Seq(Seq("a", "b")))
   }
 
+  test("SparqlParser r8: ';' lists, '[…]' bnode groups, COUNT(DISTINCT)") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a1", "urn:hasPart", "b1"), ("a1", "urn:hasPart", "b2"),
+      ("a2", "urn:hasPart", "b3"),
+      ("b1", "urn:additionalType", "T"), ("b3", "urn:additionalType", "T"),
+      ("b1", "urn:value", "V1"), ("b2", "urn:value", "V2"),
+      ("b3", "urn:value", "V1"),
+      ("a1", "urn:type", "Addr"), ("a2", "urn:type", "Addr"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // the reference's golden-query shape (etl-queries.md:47-58):
+    // bracketed bnode group with a ';' list inside
+    assert(run("""PREFIX u: <urn:>
+        SELECT (COUNT(DISTINCT ?addr) AS ?count)
+        WHERE {
+            ?addr u:hasPart [
+                u:additionalType "T" ;
+                u:value ?v
+            ]
+        }""") == Seq(Seq("2")))
+    // ';' list on a top-level subject
+    assert(run("""SELECT ?s WHERE {
+        ?s <urn:type> "Addr" ; <urn:hasPart> ?b .
+        ?b <urn:value> "V2"
+      }""") == Seq(Seq("a1")))
+    // COUNT(DISTINCT) vs COUNT over the same bindings
+    assert(run("""SELECT (COUNT(?v) AS ?n) (COUNT(DISTINCT ?v) AS ?d)
+        WHERE { ?b <urn:value> ?v }""") == Seq(Seq("3", "2")))
+    // anonymous variables never leak through SELECT *
+    val star = SparqlParser.execute(quads,
+      """SELECT * WHERE { ?addr <urn:hasPart> [ <urn:value> ?v ] }""")
+    assert(star.columns.toSeq.sorted == Seq("addr", "v"))
+  }
+
   test("SparqlParser r8: property functions and the cartesian guard") {
     import spark.implicits._
     import graft.rdf.{Bgp, PropertyFunctions, SparqlParser}
