@@ -519,4 +519,67 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(back.filter(col("graph") === "urn:g:stream").count() == 3)
     } finally q.stop()
   }
+
+  test("end-to-end streaming ETL: file source → EmitSpec explosion → " +
+      "nquads DSv2 sink equals the batch twin") {
+    // The etl-notes.md:9 middleware-sync requirement composed entirely
+    // from shipped parts: address rows ARRIVE as files (the reference's
+    // nightly extract drop), a declarative EmitSpec compiles each
+    // micro-batch to quads (the same array+explode plan as batch), and
+    // the DSv2 nquads connector writes with its temp-rename task commit
+    // (exactly-once visible parts). The stream's accumulated output must
+    // equal a one-shot batch run of the identical spec.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream_etl")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    new java.io.File(inDir).mkdirs()
+    val spec = graft.rdf.EntitySpec(
+      graph = graft.model.Graphs.Addresses,
+      subjectTemplate = "https://example.org/address/{addr_id}",
+      types = Seq("https://schema.org/Place"),
+      properties = Seq(
+        graft.rdf.PropertySpec("https://schema.org/name",
+          graft.rdf.LiteralCol("name")),
+        graft.rdf.PropertySpec("https://example.org/def/locality",
+          graft.rdf.IriTemplate("https://example.org/locality/{locality}"))))
+    val schema = "addr_id LONG, name STRING, locality STRING"
+    def drop(n: Int, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("addr_id", "name", "locality").coalesce(1)
+        .write.mode("overwrite").json(s"$inDir/batch$n")
+    // first file present before the stream starts; more arrive later
+    val batch1 = Seq((1L, "Main St 1", "north"), (2L, "High St 2", "south"))
+    val batch2 = Seq((3L, "Low Rd 3", "north"))
+    drop(1, batch1)
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").json(inDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.rdf.EmitCompiler.compile(batch, spec)
+          .withColumn("subjectKind", lit(graft.model.TermKind.Iri))
+          .write.format("nquads").mode("append").save(outDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      drop(2, batch2)
+      q.processAllAvailable()
+      // no half-written parts: the rename commit leaves only committed
+      // .nq files visible (dot-files are local-FS checksum sidecars the
+      // reader skips; .inprogress remnants would mean a broken commit)
+      val files = new java.io.File(outDir).listFiles().map(_.getName)
+        .filterNot(_.startsWith("."))
+      assert(files.nonEmpty && files.forall(_.endsWith(".nq")), files.toSeq)
+      val streamed = spark.read.format("nquads").load(outDir)
+      val batchTwin = graft.rdf.EmitCompiler.compile(
+          (batch1 ++ batch2).toDF("addr_id", "name", "locality"), spec)
+        .withColumn("subjectKind", lit(graft.model.TermKind.Iri))
+        .select(streamed.columns.map(col): _*)
+      assert(streamed.count() == 9) // 3 rows × (type + name + locality)
+      assert(streamed.except(batchTwin).count() == 0 &&
+        batchTwin.except(streamed).count() == 0,
+        "streamed quads diverged from the batch twin")
+    } finally q.stop()
+  }
 }
