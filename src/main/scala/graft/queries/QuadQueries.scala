@@ -1221,6 +1221,30 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("check"))
     }),
 
+    // Textual UNION (r8): `{ … } UNION { … }` from its string form,
+    // compiled onto Bgp.selectUnion — branches bind DIFFERENT variables
+    // (nation vs region parts), each padded with SPARQL-unbound NULLs,
+    // with the full aggregate battery (COUNT(*), bound-counts,
+    // COUNT(DISTINCT), MIN/MAX) computed in SPARQL itself.
+    "q_quads_sparql_union" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT (COUNT(*) AS ?n_solutions)
+           |  (COUNT(?nation) AS ?n_nation_bound)
+           |  (COUNT(?region) AS ?n_region_bound)
+           |  (COUNT(DISTINCT ?addr) AS ?n_addrs)
+           |  (MIN(?nation) AS ?min_nation) (MAX(?region) AS ?max_region)
+           |WHERE {
+           |  { ?addr sdo:hasPart ?b .
+           |    ?b sdo:additionalType <$PartNationT> .
+           |    ?b sdo:value ?nation }
+           |  UNION
+           |  { ?addr sdo:hasPart ?c .
+           |    ?c sdo:additionalType <$PartRegionT> .
+           |    ?c sdo:value ?region }
+           |}""".stripMargin)
+    }),
+
     // Variable-predicate BGP (r8 — the constant-IRI restriction
     // lifted): `SELECT ?p … { <s> ?p ?o }`, the shape DESCRIBE
     // internally needs and generic SPARQL users write. The constant
@@ -1939,6 +1963,36 @@ object QuadQueries extends QueryCatalog {
          |WHERE subject = 'https://example.org/customer/1'
          |  AND subjectKind = 'iri'
          |GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_quads_sparql_union" ->
+      s"""$fullQuadsCte,
+         |hp AS (SELECT subject AS addr, objectValue AS bn FROM quads
+         |       WHERE predicate = '$HasPartP'),
+         |tn AS (SELECT DISTINCT subject AS bn FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |tr AS (SELECT DISTINCT subject AS bn FROM quads
+         |       WHERE predicate = '$AddTypeP'
+         |         AND objectValue = '$PartRegionT'),
+         |vl AS (SELECT subject AS bn, objectValue AS v FROM quads
+         |       WHERE predicate = '$ValueP'),
+         |g1 AS (SELECT DISTINCT hp.addr, hp.bn AS b, vl.v AS nation
+         |       FROM hp JOIN tn USING (bn) JOIN vl USING (bn)),
+         |g2 AS (SELECT DISTINCT hp.addr, hp.bn AS c, vl.v AS region
+         |       FROM hp JOIN tr USING (bn) JOIN vl USING (bn)),
+         |u AS (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT addr, b, nation, CAST(NULL AS VARCHAR) AS c,
+         |      CAST(NULL AS VARCHAR) AS region FROM g1
+         |    UNION ALL
+         |    SELECT addr, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |      c, region FROM g2))
+         |SELECT COUNT(*) AS n_solutions,
+         |  COUNT(nation) AS n_nation_bound,
+         |  COUNT(region) AS n_region_bound,
+         |  COUNT(DISTINCT addr) AS n_addrs,
+         |  MIN(nation) AS min_nation, MAX(region) AS max_region
+         |FROM u""".stripMargin,
 
     // both sides recomputed independently: source counts from the base
     // tables, graph counts from the quads CTE — never through the

@@ -85,8 +85,10 @@ object SparqlParser {
       paths: Seq[PathPattern] = Nil,
       propFns: Seq[PropFnCall] = Nil,
       subqueries: Seq[Query] = Nil,
+      unions: Seq[Seq[Seq[Bgp.Pattern]]] = Nil, // each: ≥2 branches
       describeIri: Option[String] = None,
-      selectOrder: Seq[String] = Nil) // SELECT-list column order
+      selectOrder: Seq[String] = Nil, // SELECT-list column order
+      offset: Option[Int] = None)
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -332,7 +334,7 @@ object SparqlParser {
   private def kw(p: P): Boolean =
     p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") ||
       p.is("GRAPH") || p.is("VALUES") || p.is("BIND") ||
-      (p.is("{") && p.peek2.equalsIgnoreCase("SELECT"))
+      p.is("{") // sub-select or UNION group
 
   /** Plain-pattern-only triples (OPTIONAL / MINUS / CONSTRUCT-WHERE
     * groups keep the r7 grammar: constant or variable predicates, no
@@ -462,6 +464,7 @@ object SparqlParser {
     val vals = Seq.newBuilder[(String, Seq[String])]
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
+    val unis = Seq.newBuilder[Seq[Seq[Bgp.Pattern]]]
 
     def group(g: Option[Bgp.Term]): Unit = {
       while (!p.is("}")) {
@@ -478,6 +481,23 @@ object SparqlParser {
           p.eat()
           subs += parseQuery(p)
           p.expect("}")
+        } else if (p.is("{")) {
+          // `{ … } UNION { … }` alternative groups (each branch a plain
+          // BGP, padded with NULL for the other branches' variables —
+          // Bgp.selectUnion); a lone braced group is just grouping
+          p.eat()
+          val first = triples(p, g)
+          p.expect("}")
+          if (p.is("UNION")) {
+            val branches = Seq.newBuilder[Seq[Bgp.Pattern]]
+            branches += first
+            while (p.is("UNION")) {
+              p.eat(); p.expect("{")
+              branches += triples(p, g)
+              p.expect("}")
+            }
+            unis += branches.result()
+          } else pats ++= first
         } else if (p.is("OPTIONAL")) {
           p.eat(); p.expect("{"); opts += triples(p, g); p.expect("}")
         } else if (p.is("MINUS")) {
@@ -555,13 +575,23 @@ object SparqlParser {
         } else ord += ((p.eat().substring(1), false))
       }
     }
-    val lim = if (p.is("LIMIT")) { p.eat(); Some(p.eat().toInt) } else None
+    // LIMIT and OFFSET in either order (both are legal SPARQL)
+    var lim: Option[Int] = None
+    var off: Option[Int] = None
+    var modifiers = true
+    while (modifiers) {
+      if (p.is("LIMIT") && lim.isEmpty) { p.eat(); lim = Some(p.eat().toInt) }
+      else if (p.is("OFFSET") && off.isEmpty) {
+        p.eat(); off = Some(p.eat().toInt)
+      } else modifiers = false
+    }
     val parsed = Query(distinct, proj.result(), aggs.result(),
       grp.result(), pats.result(), opts.result(), mins.result(),
       fils.result(), ord.result(), lim, values = vals.result(),
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
-      selectOrder = order.result())
+      unions = unis.result(), selectOrder = order.result(),
+      offset = off)
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -660,16 +690,18 @@ object SparqlParser {
     // into the scan filter — Catalyst can't see through a join key the
     // way it sees through a filter) and come back as literal columns
     val bindMap = q0.binds.map { case (v, value, _) => v -> value }.toMap
+    def subPat(pt: Bgp.Pattern): Bgp.Pattern = pt.copy(
+      s = substitute(pt.s, bindMap),
+      p = substitute(pt.p, bindMap),
+      o = substitute(pt.o, bindMap))
     val q = q0.copy(
-      patterns = q0.patterns.map(pt => pt.copy(
-        s = substitute(pt.s, bindMap),
-        p = substitute(pt.p, bindMap),
-        o = substitute(pt.o, bindMap))),
+      patterns = q0.patterns.map(subPat),
       paths = q0.paths.map(pp => pp.copy(
         s = substitute(pp.s, bindMap), o = substitute(pp.o, bindMap))),
       propFns = q0.propFns.map(fc => fc.copy(
         subjects = fc.subjects.map(substitute(_, bindMap)),
-        objects = fc.objects.map(substitute(_, bindMap)))))
+        objects = fc.objects.map(substitute(_, bindMap)))),
+      unions = q0.unions.map(_.map(_.map(subPat))))
 
     val allowCartesian = quads.sparkSession.conf
       .getOption("graft.sparql.allowCartesian").contains("true")
@@ -687,7 +719,10 @@ object SparqlParser {
           if (sq.aggregates.nonEmpty)
             (sq.projection ++ sq.aggregates.map(_.alias)).toSet
           else if (sq.projection.nonEmpty) sq.projection.toSet
-          else Set.empty[String])
+          else Set.empty[String]) ++
+        q.unions.map(_.flatten.flatMap(pt => termVars(pt.s) ++
+          termVars(pt.p) ++ termVars(pt.o) ++
+          pt.g.toSeq.flatMap(termVars)).toSet)
     if (!allowCartesian) {
       // union-find connectivity over shared variables: every pattern
       // with variables must reach every other (var-free patterns are
@@ -754,6 +789,8 @@ object SparqlParser {
     }
     q.subqueries.foreach(sq =>
       components += executeQuery(quads, sq, functions))
+    q.unions.foreach(branches =>
+      components += Bgp.selectUnion(quads, branches))
 
     var sol = joinComponents(components.result(), allowCartesian)
     // anonymous `[ … ]` variables are not projectable (SPARQL bnode
@@ -808,6 +845,7 @@ object SparqlParser {
       sol = sol.orderBy(q.orderBy.map { case (v, desc) =>
         if (desc) col(v).desc else col(v).asc
       }: _*)
+    q.offset.foreach(n => sol = sol.offset(n))
     q.limit.foreach(n => sol = sol.limit(n))
     sol
   }

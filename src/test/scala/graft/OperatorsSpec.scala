@@ -1203,6 +1203,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(star.columns.toSeq.sorted == Seq("addr", "v"))
   }
 
+  test("SparqlParser r8: textual UNION and OFFSET") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:cat", "x"), ("b", "urn:dog", "y"), ("c", "urn:cat", "z"),
+      ("a", "urn:name", "A"), ("b", "urn:name", "B"), ("c", "urn:name", "C"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // branches bind different variables; each pads the other with NULL
+    assert(run("""SELECT ?s ?cat ?dog WHERE {
+        { ?s <urn:cat> ?cat } UNION { ?s <urn:dog> ?dog }
+      } ORDER BY ?s""") == Seq(
+      Seq("a", "x", null), Seq("b", null, "y"), Seq("c", "z", null)))
+    // a UNION block joins other patterns on shared variables
+    assert(run("""SELECT ?s ?n WHERE {
+        { ?s <urn:cat> ?v } UNION { ?s <urn:dog> ?v }
+        ?s <urn:name> ?n .
+      } ORDER BY ?s""") == Seq(
+      Seq("a", "A"), Seq("b", "B"), Seq("c", "C")))
+    // a lone braced group is just grouping
+    assert(run("""SELECT ?s WHERE { { ?s <urn:cat> ?v } } ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("c")))
+    // OFFSET pages past the first row; LIMIT composes (either order)
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n }
+        ORDER BY ?s LIMIT 1 OFFSET 1""") == Seq(Seq("b")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n }
+        ORDER BY ?s OFFSET 2 LIMIT 5""") == Seq(Seq("c")))
+  }
+
   test("SparqlParser r8: property functions and the cartesian guard") {
     import spark.implicits._
     import graft.rdf.{Bgp, PropertyFunctions, SparqlParser}
