@@ -151,11 +151,21 @@ object TextDedup {
     * while only ~2/(w+1) of all hashes are stored. Pure HOF SQL — the
     * same expression replays in DuckDB for the oracle. */
   def winnowSql(t: String, k: Int = 8, w: Int = 4): String =
+    winnowSelectSql(winnowHashesSql(t, k), w)
+
+  /** Window-minimum selection over an ALREADY-COMPUTED hash-array
+    * expression/column. Split out of [[winnowSql]] (r8): inlining the
+    * hash array into the per-window lambda makes every window position
+    * re-derive the whole O(len·k) array — O(len²·k) per document, a
+    * measured hang at sf0.1 — and Catalyst's project collapsing
+    * re-inlines a plain withColumn split, so callers must pin the hash
+    * column behind a lineage cut (see q_text_winnowing) before applying
+    * this. */
+  def winnowSelectSql(hs: String, w: Int = 4): String =
     s"""array_sort(array_distinct(transform(
-       | sequence(1, size(_winnow_hs) - ${w - 1}),
-       | i -> array_min(slice(_winnow_hs, i, $w)))))"""
+       | sequence(1, size($hs) - ${w - 1}),
+       | i -> array_min(slice($hs, i, $w)))))"""
       .stripMargin.replace("\n", "")
-      .replace("_winnow_hs", winnowHashesSql(t, k))
 
   /** The k-gram polynomial rolling-hash array behind [[winnowSql]]. */
   def winnowHashesSql(t: String, k: Int = 8): String =

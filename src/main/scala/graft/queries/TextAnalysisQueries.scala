@@ -641,10 +641,21 @@ object TextAnalysisQueries extends QueryCatalog {
     // gated projection.
     "q_text_winnowing" -> ((s, dir) => {
       val K = 8; val W = 4
-      normText(s, dir)
-        .filter(length(col("t")) >= K + W - 1 && col("doc_id") % 10 === 0)
+      // The O(len·k) rolling-hash ARRAY materializes once per document
+      // behind a lineage cut; without the cut, project collapsing
+      // inlines it into the per-window lambda AND the size/digest
+      // references — O(len²·k) per document, a measured hang at sf0.1
+      // (bench's count() hid it by pruning the column away).
+      val hashed = graft.operators.Checkpoints.cut(
+        normText(s, dir)
+          .filter(length(col("t")) >= K + W - 1 && col("doc_id") % 10 === 0)
+          .withColumn("hs",
+            expr(graft.operators.TextDedup.winnowHashesSql("t", K)))
+          .select(col("doc_id"), col("hs")),
+        eager = false)
+      hashed
         .withColumn("fps",
-          expr(graft.operators.TextDedup.winnowSql("t", K, W)))
+          expr(graft.operators.TextDedup.winnowSelectSql("hs", W)))
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
           md5(concat_ws(",",
             expr("transform(fps, x -> cast(x as string))")))
