@@ -1245,6 +1245,21 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // SPARQL 1.1 FILTER string functions (r8): REGEX (partial-match,
+    // flags), STRSTARTS, CONTAINS, conjoined — the filter surface
+    // generic SPARQL users write most. The oracle replays the same
+    // predicate battery straight on the customer table.
+    "q_quads_sparql_filter_fns" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?name WHERE {
+           |  ?s sdo:name ?name .
+           |  FILTER(REGEX(?name, "er#0000000[1-3]") &&
+           |         STRSTARTS(?name, "Customer") &&
+           |         CONTAINS(?name, "#"))
+           |} ORDER BY ?name""".stripMargin)
+    }),
+
     // Variable-predicate BGP (r8 — the constant-IRI restriction
     // lifted): `SELECT ?p … { <s> ?p ?o }`, the shape DESCRIBE
     // internally needs and generic SPARQL users write. The constant
@@ -1963,6 +1978,14 @@ object QuadQueries extends QueryCatalog {
          |WHERE subject = 'https://example.org/customer/1'
          |  AND subjectKind = 'iri'
          |GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_quads_sparql_filter_fns" ->
+      """SELECT c_name AS name FROM customer
+        |WHERE regexp_matches(c_name, 'er#0000000[1-3]')
+        |  AND c_name LIKE 'Customer%'
+        |  AND contains(c_name, '#')
+        |  AND c_name IS NOT NULL AND length(trim(c_name)) > 0
+        |ORDER BY name""".stripMargin,
 
     "q_quads_sparql_union" ->
       s"""$fullQuadsCte,

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   *   [BIND(<iri>|"lit" AS ?v)]
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
-  *   [FILTER(?v op "lit"|number [&& …])]
+  *   [FILTER(?v op "lit"|<iri>|number [&& …])]
+  *   [FILTER(REGEX(?v, "pat" [, "i"]) | STRSTARTS(?v, "s")
+  *           | CONTAINS(?v, "s") [&& …])]
   *   [VALUES ?v { "lit" <iri> … }]
   * }
   * [GROUP BY ?v …] [ORDER BY [DESC(]?v[)] …] [LIMIT n]
@@ -88,7 +90,9 @@ object SparqlParser {
       unions: Seq[Seq[Seq[Bgp.Pattern]]] = Nil, // each: ≥2 branches
       describeIri: Option[String] = None,
       selectOrder: Seq[String] = Nil, // SELECT-list column order
-      offset: Option[Int] = None)
+      offset: Option[Int] = None,
+      filterFns: Seq[(String, String, String, String)] = Nil)
+      // (func, var, arg, flags): REGEX | STRSTARTS | CONTAINS
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -125,7 +129,7 @@ object SparqlParser {
         }
         require(j < s.length, s"unterminated literal at offset $i")
         out += s.substring(i, j + 1); i = j + 1
-      } else if ("{}()./|+^[];".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      } else if ("{}()./|+^[];,".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else if (c == '&' && i + 1 < s.length && s.charAt(i + 1) == '&') {
         out += "&&"; i += 2
       } else if ("=<>!".indexOf(c) >= 0) {
@@ -135,7 +139,7 @@ object SparqlParser {
       } else {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace &&
-          "{}()./|+^[];<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
+          "{}()./|+^[];,<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
         out += s.substring(i, j); i = j
       }
     }
@@ -461,6 +465,7 @@ object SparqlParser {
     val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
+    val fnFils = Seq.newBuilder[(String, String, String, String)]
     val vals = Seq.newBuilder[(String, Seq[String])]
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
@@ -543,15 +548,44 @@ object SparqlParser {
           p.eat(); p.expect("(")
           var more = true
           while (more) {
-            val v = p.eat()
-            require(v.startsWith("?"), s"FILTER needs a variable, got '$v'")
-            val op = p.eat()
-            require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
-              s"unsupported FILTER operator '$op'")
-            val lit = p.eat()
-            val numeric = !lit.startsWith("\"")
-            val raw = if (numeric) lit else unquote(lit)
-            fils += ((v.substring(1), op, raw, numeric))
+            if (p.is("REGEX") || p.is("STRSTARTS") || p.is("CONTAINS")) {
+              // SPARQL 1.1 string tests: REGEX(?v, "pat" [, "flags"]),
+              // STRSTARTS(?v, "s"), CONTAINS(?v, "s")
+              val fn = p.eat().toUpperCase
+              p.expect("(")
+              val v = p.eat()
+              require(v.startsWith("?"),
+                s"$fn needs a variable, got '$v'")
+              p.expect(",")
+              val arg = p.eat()
+              require(arg.startsWith("\""),
+                s"$fn needs a string literal, got '$arg'")
+              var flags = ""
+              if (p.is(",")) {
+                p.eat()
+                val f = p.eat()
+                require(fn == "REGEX" && f.startsWith("\""),
+                  "only REGEX takes a flags argument")
+                flags = unquote(f)
+              }
+              p.expect(")")
+              fnFils += ((fn, v.substring(1), unquote(arg), flags))
+            } else {
+              val v = p.eat()
+              require(v.startsWith("?"),
+                s"FILTER needs a variable, got '$v'")
+              val op = p.eat()
+              require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+                s"unsupported FILTER operator '$op'")
+              val lit = p.eat()
+              val numeric = !lit.startsWith("\"") && !lit.startsWith("<")
+              val raw =
+                if (lit.startsWith("\"")) unquote(lit)
+                else if (lit.startsWith("<")) // IRI comparate
+                  lit.substring(1, lit.length - 1)
+                else lit
+              fils += ((v.substring(1), op, raw, numeric))
+            }
             if (p.is("&&")) p.eat() else more = false
           }
           p.expect(")")
@@ -591,7 +625,7 @@ object SparqlParser {
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), selectOrder = order.result(),
-      offset = off)
+      offset = off, filterFns = fnFils.result())
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -817,6 +851,17 @@ object SparqlParser {
         case ">" => c > l
         case "<=" => c <= l
         case ">=" => c >= l
+      })
+    }
+    q.filterFns.foreach { case (fn, v, arg, flags) =>
+      sol = sol.filter(fn match {
+        // SPARQL REGEX is a partial match (like Java find/RLIKE);
+        // flags ride as an inline group, the "i" case-insensitivity
+        // being the one users actually write
+        case "REGEX" =>
+          col(v).rlike(if (flags.isEmpty) arg else s"(?$flags)$arg")
+        case "STRSTARTS" => col(v).startsWith(arg)
+        case "CONTAINS" => col(v).contains(arg)
       })
     }
     if (q.aggregates.nonEmpty) {

@@ -1203,6 +1203,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(star.columns.toSeq.sorted == Seq("addr", "v"))
   }
 
+  test("SparqlParser r8: FILTER string functions and IRI comparates") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:name", "Alpha One"), ("b", "urn:name", "beta two"),
+      ("c", "urn:name", "Alpha Two"), ("a", "urn:ref", "urn:target"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(REGEX(?n, "^Alpha .*") && CONTAINS(?n, "Two"))
+      } ORDER BY ?s""") == Seq(Seq("c")))
+    // flags: case-insensitive regex
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(REGEX(?n, "^ALPHA", "i")) } ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("c")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(STRSTARTS(?n, "beta")) }""") == Seq(Seq("b")))
+    // IRI comparate in a plain comparison
+    assert(run("""SELECT ?s WHERE { ?s <urn:ref> ?r .
+        FILTER(?r = <urn:target>) }""") == Seq(Seq("a")))
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        """SELECT ?s WHERE { ?s <urn:name> ?n . FILTER(STRSTARTS(?n)) }""")
+    }
+  }
+
   test("SparqlParser r8: textual UNION and OFFSET") {
     import spark.implicits._
     import graft.rdf.SparqlParser
