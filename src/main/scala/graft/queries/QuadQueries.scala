@@ -1245,6 +1245,27 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // SPARQL UPDATE (r8 — the write half of the serving protocol,
+    // cam/graphdb.py:52-58 posts update strings to /statements): an
+    // INSERT DATA (provenance statements, the store-side pattern the
+    // reference's loads leave behind) then a DELETE WHERE (retract every
+    // segment part type) applied as ONE sequence to the quad relation;
+    // the gate profiles the updated graph per (graph, predicate). The
+    // oracle replays insert + retraction as plain set algebra in SQL.
+    "q_quads_sparql_update" -> ((s, dir) => {
+      val updated = graft.rdf.SparqlUpdate.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |INSERT DATA { GRAPH <$GraphA> {
+           |  <urn:prov:job-42> <$RdfType> <https://schema.org/Action> .
+           |  <urn:prov:job-42> sdo:name "nightly-load" } } ;
+           |DELETE WHERE { GRAPH <$GraphA> {
+           |  ?b sdo:additionalType <$PartSegmentT> } }""".stripMargin)
+      updated.groupBy(col("graph"), col("predicate"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subj"))
+        .orderBy(col("graph"), col("predicate"))
+    }),
+
     // SPARQL 1.1 FILTER string functions (r8): REGEX (partial-match,
     // flags), STRSTARTS, CONTAINS, conjoined — the filter surface
     // generic SPARQL users write most. The oracle replays the same
@@ -1978,6 +1999,21 @@ object QuadQueries extends QueryCatalog {
          |WHERE subject = 'https://example.org/customer/1'
          |  AND subjectKind = 'iri'
          |GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_quads_sparql_update" ->
+      s"""$fullQuadsCte,
+         |updated AS (
+         |  SELECT subject, predicate, graph FROM quads
+         |  WHERE NOT (graph = '$GraphA' AND predicate = '$AddTypeP'
+         |             AND objectValue = '$PartSegmentT')
+         |  UNION ALL
+         |  SELECT 'urn:prov:job-42', '$RdfType', '$GraphA'
+         |  UNION ALL
+         |  SELECT 'urn:prov:job-42', 'https://schema.org/name', '$GraphA')
+         |SELECT graph, predicate, COUNT(*) AS n,
+         |  COUNT(DISTINCT subject) AS n_subj
+         |FROM updated GROUP BY graph, predicate
+         |ORDER BY graph, predicate""".stripMargin,
 
     "q_quads_sparql_filter_fns" ->
       """SELECT c_name AS name FROM customer

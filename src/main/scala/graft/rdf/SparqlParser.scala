@@ -102,7 +102,7 @@ object SparqlParser {
 
   // -- tokenizer ---------------------------------------------------------
 
-  private def tokenize(s: String): List[String] = {
+  private[rdf] def tokenize(s: String): List[String] = {
     val out = List.newBuilder[String]
     var i = 0
     while (i < s.length) {
@@ -153,7 +153,7 @@ object SparqlParser {
     * predicate position — handled by the path parser) expands to its
     * full bracketed IRI before the grammar sees it. String literals are
     * their own tokens, so their content is never rewritten. */
-  private def applyPrefixes(tokens: List[String]): List[String] = {
+  private[rdf] def applyPrefixes(tokens: List[String]): List[String] = {
     var ts = tokens
     val prefixes = Map.newBuilder[String, String]
     while (ts.headOption.exists(_.equalsIgnoreCase("PREFIX"))) {
@@ -201,10 +201,10 @@ object SparqlParser {
   }
 
   /** Minimal literal unescape for quoted tokens: `\"` and `\\`. */
-  private def unquote(t: String): String =
+  private[rdf] def unquote(t: String): String =
     t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
 
-  private def term(t: String): Bgp.Term =
+  private[rdf] def term(t: String): Bgp.Term =
     if (t.startsWith("?")) Bgp.Var(t.substring(1))
     else if (t.startsWith("<")) Bgp.Const(t.substring(1, t.length - 1))
     else if (t.startsWith("\"")) Bgp.Const(unquote(t))

@@ -1,0 +1,217 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.model.TermKind
+
+/** SPARQL UPDATE — the write half of the serving protocol
+  * (`cam/graphdb.py:52-58` posts update strings to the store's
+  * `/statements` endpoint). The engine's graph is an immutable
+  * RELATION, so an update is a transform: `execute(quads, update)`
+  * returns the updated quad relation; callers persist it with any sink
+  * (parquet, the nquads DSv2 connector). Supported operations, `;`
+  * separable, with leading PREFIX declarations:
+  *
+  * {{{
+  * INSERT DATA { [GRAPH <g> {] s p o . … [}] }
+  * DELETE DATA { [GRAPH <g> {] s p o . … [}] }
+  * DELETE WHERE { [GRAPH <g> {] patterns [}] }
+  * }}}
+  *
+  * Scale shape: INSERT/DELETE DATA carry CONSTANT triples — the insert
+  * is a union with a literal relation, the delete an anti-join against
+  * a broadcast-sized constant set. DELETE WHERE compiles its pattern
+  * match through [[Bgp.select]] (the same filtered-scan joins as
+  * queries), instantiates each pattern over the solutions, and removes
+  * by one anti-join per pattern — never a driver-side row loop.
+  */
+object SparqlUpdate {
+
+  private case class ConstQuad(s: String, sKind: String, p: String,
+      o: String, oKind: String, g: Option[String])
+
+  private def constTerm(t: String): (String, String) =
+    if (t.startsWith("<")) (t.substring(1, t.length - 1), TermKind.Iri)
+    else if (t.startsWith("\"")) (SparqlParser.unquote(t), TermKind.Literal)
+    else if (t.startsWith("_:")) (t.substring(2), TermKind.BNode)
+    else if (t.nonEmpty && t.forall(_.isDigit)) (t, TermKind.Literal)
+    else throw new IllegalArgumentException(
+      s"expected a constant term, got '$t'")
+
+  /** Align a constant-quad set to the input relation's columns: any of
+    * the canonical 8 columns the input carries are populated, others
+    * dropped; columns the input has beyond the canon are nulled. */
+  private def constRelation(like: DataFrame,
+      rows: Seq[ConstQuad]): DataFrame = {
+    val values: Map[String, ConstQuad => Any] = Map(
+      "subject" -> (_.s), "subjectKind" -> (_.sKind),
+      "predicate" -> (_.p), "objectValue" -> (_.o),
+      "objectKind" -> (_.oKind), "datatype" -> (_ => null),
+      "lang" -> (_ => null), "graph" -> (_.g.orNull))
+    val schema = StructType(like.columns.map(c =>
+      StructField(c, StringType, nullable = true)))
+    val data = rows.map(q => Row.fromSeq(like.columns.toSeq.map(c =>
+      values.get(c).map(_(q)).orNull)))
+    like.sparkSession.createDataFrame(
+      like.sparkSession.sparkContext.parallelize(data, 1), schema)
+  }
+
+  private def nullSafe(a: Column, b: Column): Column = a <=> b
+
+  /** One parsed operation. */
+  private sealed trait Op
+  private case class InsertData(rows: Seq[ConstQuad]) extends Op
+  private case class DeleteData(rows: Seq[ConstQuad]) extends Op
+  private case class DeleteWhere(pats: Seq[Bgp.Pattern]) extends Op
+
+  private def parse(update: String): Seq[Op] = {
+    var ts = SparqlParser.applyPrefixes(SparqlParser.tokenize(update))
+    def eat(): String = {
+      val h = ts.headOption.getOrElse(
+        throw new IllegalArgumentException("unexpected end of update"))
+      ts = ts.tail; h
+    }
+    def peek: String = ts.headOption.getOrElse("<eof>")
+    def is(t: String): Boolean = peek.equalsIgnoreCase(t)
+    def expect(t: String): Unit = {
+      val h = eat()
+      require(h.equalsIgnoreCase(t), s"expected '$t', got '$h'")
+    }
+
+    def constBlock(): Seq[ConstQuad] = {
+      expect("{")
+      val out = Seq.newBuilder[ConstQuad]
+      def triplesIn(g: Option[String]): Unit = {
+        var more = true
+        while (more && !is("}")) {
+          val (s, sk) = constTerm(eat())
+          val pTok = eat()
+          require(pTok.startsWith("<"),
+            s"update data predicates must be IRIs, got '$pTok'")
+          val (o, ok) = constTerm(eat())
+          out += ConstQuad(s, sk, pTok.substring(1, pTok.length - 1),
+            o, ok, g)
+          if (is(".")) { eat(); more = !is("}") } else more = false
+        }
+      }
+      while (!is("}")) {
+        if (is("GRAPH")) {
+          eat()
+          val gTok = eat()
+          require(gTok.startsWith("<"),
+            s"GRAPH needs a constant IRI, got '$gTok'")
+          expect("{")
+          triplesIn(Some(gTok.substring(1, gTok.length - 1)))
+          expect("}")
+        } else triplesIn(None)
+      }
+      expect("}")
+      out.result()
+    }
+
+    def patternBlock(): Seq[Bgp.Pattern] = {
+      expect("{")
+      val out = Seq.newBuilder[Bgp.Pattern]
+      def pattsIn(g: Option[Bgp.Term]): Unit = {
+        var more = true
+        while (more && !is("}")) {
+          val s = SparqlParser.term(eat())
+          val pTok = eat()
+          val p: Bgp.Term =
+            if (pTok.startsWith("?")) Bgp.Var(pTok.substring(1))
+            else if (pTok.startsWith("<"))
+              Bgp.Const(pTok.substring(1, pTok.length - 1))
+            else if (pTok == "a") Bgp.Const(
+              "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+            else throw new IllegalArgumentException(
+              s"expected a predicate, got '$pTok'")
+          val o = SparqlParser.term(eat())
+          out += Bgp.Pattern(s, p, o, g)
+          if (is(".")) { eat(); more = !is("}") } else more = false
+        }
+      }
+      while (!is("}")) {
+        if (is("GRAPH")) {
+          eat()
+          val g = SparqlParser.term(eat())
+          expect("{"); pattsIn(Some(g)); expect("}")
+        } else pattsIn(None)
+      }
+      expect("}")
+      out.result()
+    }
+
+    val ops = Seq.newBuilder[Op]
+    var more = true
+    while (more) {
+      if (is("INSERT")) {
+        eat(); expect("DATA"); ops += InsertData(constBlock())
+      } else if (is("DELETE")) {
+        eat()
+        if (is("DATA")) { eat(); ops += DeleteData(constBlock()) }
+        else { expect("WHERE"); ops += DeleteWhere(patternBlock()) }
+      } else throw new IllegalArgumentException(
+        s"unsupported update operation '$peek'")
+      if (is(";")) { eat(); more = ts.nonEmpty } else more = false
+    }
+    require(ts.isEmpty, s"trailing tokens: ${ts.mkString(" ")}")
+    ops.result()
+  }
+
+  /** The quad key used for removal matching — the term columns the
+    * input relation actually carries (graph null-safe: an update outside
+    * GRAPH addresses the default graph). */
+  private def removalJoin(quads: DataFrame, removal: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val r = keys.foldLeft(removal)((df, k) =>
+      df.withColumnRenamed(k, s"_rm_$k")).distinct()
+    val cond = keys.map(k => nullSafe(quads(k), r(s"_rm_$k")))
+      .reduce(_ && _)
+    quads.join(broadcast(r), cond, "left_anti")
+  }
+
+  /** Apply `update` to the quad relation, returning the updated
+    * relation (set semantics — INSERT DATA of an existing statement is
+    * a no-op, per SPARQL Update). */
+  def execute(quads: DataFrame, update: String): DataFrame = {
+    val hasGraph = quads.columns.contains("graph")
+    val dataKeys =
+      Seq("subject", "predicate", "objectValue") ++
+        (if (hasGraph) Seq("graph") else Nil)
+    parse(update).foldLeft(quads) { (acc, op) =>
+      op match {
+        case InsertData(rows) =>
+          acc.unionByName(constRelation(acc, rows)).dropDuplicates()
+        case DeleteData(rows) =>
+          removalJoin(acc, constRelation(acc, rows)
+            .select(dataKeys.map(col): _*), dataKeys)
+        case DeleteWhere(pats) =>
+          val sol = Bgp.select(acc, pats)
+          // instantiate each pattern over the solutions → the quads to
+          // remove; constants project as literals, variables from their
+          // binding columns
+          def inst(t: Bgp.Term): Column = t match {
+            case Bgp.Var(n) => sol(n)
+            case Bgp.Const(v) => lit(v)
+          }
+          pats.foldLeft(acc) { (cur, pt) =>
+            val keyCols = Seq(inst(pt.s).as("subject"),
+              inst(pt.p).as("predicate"), inst(pt.o).as("objectValue")) ++
+              (if (hasGraph) Seq(pt.g match {
+                case Some(t) => inst(t).as("graph")
+                case None => lit(null).cast("string").as("graph")
+              }) else Nil)
+            // a pattern outside GRAPH matches ANY graph in Bgp.select;
+            // removal must likewise ignore the graph column then
+            val keys =
+              if (hasGraph && pt.g.isEmpty) dataKeys.dropRight(1)
+              else dataKeys
+            removalJoin(cur,
+              sol.select(keyCols.take(keys.length).map(c => c): _*), keys)
+          }
+      }
+    }
+  }
+}

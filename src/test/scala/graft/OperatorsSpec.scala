@@ -1231,6 +1231,45 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
+    import spark.implicits._
+    import graft.rdf.SparqlUpdate
+    val quads = Seq(
+      ("a", "iri", "urn:name", "A", "literal", "g1"),
+      ("b", "iri", "urn:name", "B", "literal", "g1"),
+      ("a", "iri", "urn:tag", "x", "literal", "g2"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "graph")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subject", "predicate", "objectValue", "graph").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+    // INSERT DATA with GRAPH + set semantics (re-inserting is a no-op)
+    val ins = SparqlUpdate.execute(quads,
+      """PREFIX u: <urn:>
+        |INSERT DATA { GRAPH <g1> { <c> u:name "C" . <a> u:name "A" } }"""
+        .stripMargin)
+    assert(rows(ins) == rows(quads) + (("c", "urn:name", "C", "g1")))
+    // DELETE DATA removes the exact statement only
+    val del = SparqlUpdate.execute(ins,
+      """DELETE DATA { GRAPH <g1> { <b> <urn:name> "B" } }""")
+    assert(rows(del) == rows(quads) - (("b", "urn:name", "B", "g1")) +
+      (("c", "urn:name", "C", "g1")))
+    // DELETE WHERE with a variable pattern, graph-agnostic
+    val delW = SparqlUpdate.execute(quads,
+      """DELETE WHERE { ?s <urn:name> ?n }""")
+    assert(rows(delW) == Set(("a", "urn:tag", "x", "g2")))
+    // sequence: insert then delete-where in one update string
+    val seqd = SparqlUpdate.execute(quads,
+      """INSERT DATA { GRAPH <g2> { <d> <urn:tag> "y" } } ;
+        |DELETE WHERE { GRAPH <g2> { ?s <urn:tag> ?v } }""".stripMargin)
+    assert(rows(seqd) == Set(("a", "urn:name", "A", "g1"),
+      ("b", "urn:name", "B", "g1")))
+    intercept[IllegalArgumentException] {
+      SparqlUpdate.execute(quads, "LOAD <urn:file>")
+    }
+  }
+
   test("SparqlParser r8: textual UNION and OFFSET") {
     import spark.implicits._
     import graft.rdf.SparqlParser
