@@ -1259,7 +1259,13 @@ object QuadQueries extends QueryCatalog {
            |  <urn:prov:job-42> <$RdfType> <https://schema.org/Action> .
            |  <urn:prov:job-42> sdo:name "nightly-load" } } ;
            |DELETE WHERE { GRAPH <$GraphA> {
-           |  ?b sdo:additionalType <$PartSegmentT> } }""".stripMargin)
+           |  ?b sdo:additionalType <$PartSegmentT> } } ;
+           |DELETE { ?b sdo:value ?v }
+           |INSERT { GRAPH <$GraphA> { ?addr <$NationNameP> ?v } }
+           |WHERE { GRAPH <$GraphA> {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType <$PartNationT> .
+           |  ?b sdo:value ?v } }""".stripMargin)
       updated.groupBy(col("graph"), col("predicate"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("subject")).as("n_subj"))
@@ -2002,14 +2008,28 @@ object QuadQueries extends QueryCatalog {
 
     "q_quads_sparql_update" ->
       s"""$fullQuadsCte,
+         |natpart AS (
+         |  SELECT DISTINCT hp.subject AS addr, hp.objectValue AS b,
+         |    vl.objectValue AS v
+         |  FROM quads hp
+         |  JOIN quads ty ON ty.subject = hp.objectValue
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND ty.objectValue = '$PartNationT' AND ty.graph = '$GraphA'
+         |  JOIN quads vl ON vl.subject = hp.objectValue
+         |    AND vl.predicate = '$ValueP' AND vl.graph = '$GraphA'
+         |  WHERE hp.predicate = '$HasPartP' AND hp.graph = '$GraphA'),
          |updated AS (
          |  SELECT subject, predicate, graph FROM quads
          |  WHERE NOT (graph = '$GraphA' AND predicate = '$AddTypeP'
          |             AND objectValue = '$PartSegmentT')
+         |    AND NOT (predicate = '$ValueP'
+         |             AND subject IN (SELECT b FROM natpart))
          |  UNION ALL
          |  SELECT 'urn:prov:job-42', '$RdfType', '$GraphA'
          |  UNION ALL
-         |  SELECT 'urn:prov:job-42', 'https://schema.org/name', '$GraphA')
+         |  SELECT 'urn:prov:job-42', 'https://schema.org/name', '$GraphA'
+         |  UNION ALL
+         |  SELECT DISTINCT addr, '$NationNameP', '$GraphA' FROM natpart)
          |SELECT graph, predicate, COUNT(*) AS n,
          |  COUNT(DISTINCT subject) AS n_subj
          |FROM updated GROUP BY graph, predicate

@@ -18,7 +18,16 @@ import graft.model.TermKind
   * INSERT DATA { [GRAPH <g> {] s p o . … [}] }
   * DELETE DATA { [GRAPH <g> {] s p o . … [}] }
   * DELETE WHERE { [GRAPH <g> {] patterns [}] }
+  * [DELETE { templates }] [INSERT { templates }] WHERE { patterns }
   * }}}
+  *
+  * The modify form instantiates its templates once per WHERE solution
+  * (CONSTRUCT-style: template variables bind from the solution;
+  * variable objects instantiate as literals, `<iri>` objects as IRIs —
+  * [[Bgp.Template]]'s documented convention). A graph-less DELETE
+  * template retracts the statement from EVERY graph (our corpora are
+  * all named graphs; the spec's default-graph reading would silently
+  * retract nothing), a `GRAPH <g>` wrapping pins insert/delete to `g`.
   *
   * Scale shape: INSERT/DELETE DATA carry CONSTANT triples — the insert
   * is a union with a literal relation, the delete an anti-join against
@@ -65,6 +74,12 @@ object SparqlUpdate {
   private case class InsertData(rows: Seq[ConstQuad]) extends Op
   private case class DeleteData(rows: Seq[ConstQuad]) extends Op
   private case class DeleteWhere(pats: Seq[Bgp.Pattern]) extends Op
+
+  /** A modify-form template quad: terms may be solution variables. */
+  private case class TmplQuad(s: Bgp.Term, p: String, o: Bgp.Term,
+      oKind: String, g: Option[String])
+  private case class Modify(deletes: Seq[TmplQuad], inserts: Seq[TmplQuad],
+      where: Seq[Bgp.Pattern]) extends Op
 
   private def parse(update: String): Seq[Op] = {
     var ts = SparqlParser.applyPrefixes(SparqlParser.tokenize(update))
@@ -143,15 +158,64 @@ object SparqlUpdate {
       out.result()
     }
 
+    def templateBlock(): Seq[TmplQuad] = {
+      expect("{")
+      val out = Seq.newBuilder[TmplQuad]
+      def tmplsIn(g: Option[String]): Unit = {
+        var more = true
+        while (more && !is("}")) {
+          val s = SparqlParser.term(eat())
+          val pTok = eat()
+          require(pTok.startsWith("<"),
+            s"template predicates must be IRIs, got '$pTok'")
+          val oTok = eat()
+          val (o, kind) =
+            if (oTok.startsWith("?"))
+              (Bgp.Var(oTok.substring(1)), TermKind.Literal)
+            else if (oTok.startsWith("<"))
+              (Bgp.Const(oTok.substring(1, oTok.length - 1)), TermKind.Iri)
+            else (Bgp.Const(SparqlParser.unquote(oTok)), TermKind.Literal)
+          out += TmplQuad(s, pTok.substring(1, pTok.length - 1), o, kind, g)
+          if (is(".")) { eat(); more = !is("}") } else more = false
+        }
+      }
+      while (!is("}")) {
+        if (is("GRAPH")) {
+          eat()
+          val gTok = eat()
+          require(gTok.startsWith("<"),
+            s"GRAPH needs a constant IRI, got '$gTok'")
+          expect("{")
+          tmplsIn(Some(gTok.substring(1, gTok.length - 1)))
+          expect("}")
+        } else tmplsIn(None)
+      }
+      expect("}")
+      out.result()
+    }
+
     val ops = Seq.newBuilder[Op]
     var more = true
     while (more) {
       if (is("INSERT")) {
-        eat(); expect("DATA"); ops += InsertData(constBlock())
+        eat()
+        if (is("DATA")) { eat(); ops += InsertData(constBlock()) }
+        else { // INSERT { tmpl } WHERE { patterns }
+          val ins = templateBlock()
+          expect("WHERE")
+          ops += Modify(Nil, ins, patternBlock())
+        }
       } else if (is("DELETE")) {
         eat()
         if (is("DATA")) { eat(); ops += DeleteData(constBlock()) }
-        else { expect("WHERE"); ops += DeleteWhere(patternBlock()) }
+        else if (is("WHERE")) { eat(); ops += DeleteWhere(patternBlock()) }
+        else { // DELETE { tmpl } [INSERT { tmpl }] WHERE { patterns }
+          val del = templateBlock()
+          val ins =
+            if (is("INSERT")) { eat(); templateBlock() } else Nil
+          expect("WHERE")
+          ops += Modify(del, ins, patternBlock())
+        }
       } else throw new IllegalArgumentException(
         s"unsupported update operation '$peek'")
       if (is(";")) { eat(); more = ts.nonEmpty } else more = false
@@ -187,6 +251,43 @@ object SparqlUpdate {
         case DeleteData(rows) =>
           removalJoin(acc, constRelation(acc, rows)
             .select(dataKeys.map(col): _*), dataKeys)
+        case Modify(dels, inss, where) =>
+          // WHERE evaluates against the PRE-update state (SPARQL
+          // modify semantics); deletes apply before inserts
+          val sol = Bgp.select(acc, where)
+          def inst(t: Bgp.Term): Column = t match {
+            case Bgp.Var(n) => sol(n)
+            case Bgp.Const(v) => lit(v)
+          }
+          val afterDel = dels.foldLeft(acc) { (cur, tq) =>
+            val graphAgnostic = hasGraph && tq.g.isEmpty
+            val keys = if (graphAgnostic) dataKeys.dropRight(1) else dataKeys
+            val keyCols = Seq(inst(tq.s).as("subject"),
+              lit(tq.p).as("predicate"),
+              inst(tq.o).as("objectValue")) ++
+              (if (hasGraph && !graphAgnostic)
+                Seq(lit(tq.g.get).as("graph")) else Nil)
+            removalJoin(cur, sol.select(keyCols: _*), keys)
+          }
+          if (inss.isEmpty) afterDel
+          else {
+            val inserted = inss.map { tq =>
+              val colFor: Map[String, Column] = Map(
+                "subject" -> inst(tq.s),
+                "subjectKind" -> lit(TermKind.Iri),
+                "predicate" -> lit(tq.p),
+                "objectValue" -> inst(tq.o),
+                "objectKind" -> lit(tq.oKind),
+                "graph" -> tq.g.map(lit(_)).getOrElse(lit(null))
+                  .cast("string"))
+              sol.select(acc.columns.toSeq.map(c =>
+                colFor.getOrElse(c, lit(null).cast("string")).as(c)): _*)
+                .filter(col("subject").isNotNull &&
+                  col("objectValue").isNotNull)
+                .distinct()
+            }.reduce(_ unionByName _)
+            afterDel.unionByName(inserted).dropDuplicates()
+          }
         case DeleteWhere(pats) =>
           val sol = Bgp.select(acc, pats)
           // instantiate each pattern over the solutions → the quads to

@@ -1268,6 +1268,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       SparqlUpdate.execute(quads, "LOAD <urn:file>")
     }
+    // modify form: DELETE { } INSERT { } WHERE { } renames a predicate
+    val mod = SparqlUpdate.execute(quads,
+      """PREFIX u: <urn:>
+        |DELETE { ?s <urn:name> ?n }
+        |INSERT { GRAPH <g1> { ?s <urn:label> ?n } }
+        |WHERE { ?s u:name ?n }""".stripMargin)
+    assert(rows(mod) == Set(
+      ("a", "urn:label", "A", "g1"), ("b", "urn:label", "B", "g1"),
+      ("a", "urn:tag", "x", "g2")))
+    // INSERT … WHERE alone materializes a derived statement per solution
+    val insW = SparqlUpdate.execute(quads,
+      """INSERT { GRAPH <g1> { ?s <urn:known> "yes" } }
+        |WHERE { ?s <urn:name> ?n }""".stripMargin)
+    assert(rows(insW) == rows(quads) +
+      (("a", "urn:known", "yes", "g1")) + (("b", "urn:known", "yes", "g1")))
   }
 
   test("SparqlParser r8: textual UNION and OFFSET") {
