@@ -912,4 +912,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       .count(_.contains("Exchange hashpartitioning")) == 1,
       "HOF consumption must not re-shuffle:\n" + plan)
   }
+
+  test("BIND substitution compiles to a pre-join point filter (r8)") {
+    // cam/web/app.py's geocode query: BIND(<iri>) must become a
+    // constant FILTER under each pattern scan — a point lookup — NOT a
+    // join against a one-row bound relation, and never a cartesian
+    val df = SparkEntry.queries("q_quads_sparql_ref_geocode")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross") &&
+      !df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "BIND produced a cartesian:\n" + plan)
+    assert(plan.contains("https://example.org/customer/1"),
+      "the BIND constant never reached a filter:\n" + plan)
+    // the constant lands in a Filter (scan-adjacent), so the first hop
+    // prunes to one entity before any join
+    val filters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("customer/1") => f
+    }
+    assert(filters.nonEmpty, "no pushed point filter:\n" + plan)
+  }
+
+  test("text:query caps inside the function: TakeOrdered, no global sort") {
+    val df = SparkEntry.queries("q_quads_sparql_textquery")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // both the function's internal cap and the outer LIMIT 10 compile
+    // to TakeOrderedAndProject — never a full range-exchange sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      "result cap did not fuse with its ordering:\n" + plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "full sort exchange for a top-10 serving query:\n" + plan)
+  }
+
+  test("goldens pack: quad relation derives once behind the cut") {
+    // five SPARQL passes over the 25-emit explosion must reuse ONE
+    // materialized quad relation — the per-check plans may re-reference
+    // it, but none may re-derive the customer⋈nation⋈region explosion
+    // (spot-checked by the absence of repeated base-table scans beyond
+    // the source-count legs: ≤ 3 customer scans per check row pair)
+    val df = SparkEntry.queries("q_quads_goldens")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") || {
+      // the 1-row × 1-row crossJoins (source_count × graph_count) are
+      // broadcast single-row aggregates — allowed; anything joining a
+      // data-sized relation cartesian-style is not
+      val lines = plan.linesIterator.filter(_.contains("CartesianProduct"))
+      lines.isEmpty
+    }, plan)
+    val customerScans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("customer"))
+    assert(customerScans <= 12,
+      s"goldens re-derives the explosion per check ($customerScans " +
+        "customer scans):\n")
+  }
 }
