@@ -1296,6 +1296,71 @@ object QuadQueries extends QueryCatalog {
         """SELECT ?p (COUNT(?o) AS ?n) WHERE {
           |  <https://example.org/customer/1> ?p ?o
           |} GROUP BY ?p ORDER BY ?p""".stripMargin)
+    }),
+
+    // FILTER [NOT] EXISTS (r8): the correlated-pattern test compiled to
+    // a semi/anti equi-join on the shared variable — the addresses in
+    // nation NATION_3 (EXISTS keeps 1/25) that are NOT in the FURNITURE
+    // market segment (NOT EXISTS drops ~1/5), both tested through the
+    // part-group shape rather than the flat predicates so the groups
+    // are real multi-pattern BGPs. At scale both are plain hash
+    // semi/anti joins keyed on the address IRI; no new shuffle shape.
+    "q_quads_sparql_exists" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?name WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr sdo:name ?name .
+           |  FILTER EXISTS {
+           |    ?addr sdo:hasPart ?b .
+           |    ?b sdo:additionalType <$PartNationT> .
+           |    ?b sdo:value "NATION_3"
+           |  }
+           |  FILTER NOT EXISTS {
+           |    ?addr sdo:hasPart ?c .
+           |    ?c sdo:value "FURNITURE"
+           |  }
+           |} ORDER BY ?addr ?name""".stripMargin)
+    }),
+
+    // FILTER expression battery (r8): var-vs-var lexical comparison,
+    // IN allow-list, STR() forced string compare, and BOUND over an
+    // OPTIONAL — each filter independently bites (the var compare keeps
+    // F/H/M segments, IN narrows to two, STR drops one, BOUND keeps
+    // only customers whose lifecycle group exists). All land on the
+    // solution relation's binding columns — pure row filters plus one
+    // left join, nothing new at scale.
+    "q_quads_sparql_filter_expr" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?name ?seg WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr sdo:name ?name .
+           |  ?addr <$SegmentP> ?seg .
+           |  OPTIONAL { ?addr sdo:hasPart ?lc .
+           |             ?lc <$TimeInXsdP> ?dt }
+           |  FILTER(?name < ?seg)
+           |  FILTER(?seg IN ("FURNITURE", "MACHINERY"))
+           |  FILTER(STR(?seg) != "MACHINERY")
+           |  FILTER(BOUND(?dt))
+           |} ORDER BY ?addr""".stripMargin)
+    }),
+
+    // GROUP_CONCAT + SAMPLE (r8): the SPARQL list-building aggregates.
+    // Both are implementation-defined in the spec (concat order,
+    // sample pick); this engine pins them deterministic — sorted
+    // concatenation, minimum — so the DuckDB oracle (string_agg …
+    // ORDER BY) agrees bit-for-bit. Partial-aggregable: collect_list
+    // merges per-partition lists, one shuffle on the group key.
+    "q_quads_sparql_groupconcat" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr (GROUP_CONCAT(?t; SEPARATOR="|") AS ?types)
+           |       (SAMPLE(?v) AS ?firstv) (COUNT(?b) AS ?n) WHERE {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType ?t .
+           |  ?b sdo:value ?v
+           |} GROUP BY ?addr ORDER BY ?addr LIMIT 600""".stripMargin)
     })
   )
 
@@ -2042,6 +2107,63 @@ object QuadQueries extends QueryCatalog {
         |  AND contains(c_name, '#')
         |  AND c_name IS NOT NULL AND length(trim(c_name)) > 0
         |ORDER BY name""".stripMargin,
+
+    "q_quads_sparql_exists" ->
+      s"""$fullQuadsCte,
+         |ad AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |n3 AS (SELECT DISTINCT hp.subject AS addr FROM quads hp
+         |       JOIN quads ty ON hp.objectValue = ty.subject
+         |       JOIN quads va ON hp.objectValue = va.subject
+         |       WHERE hp.predicate = '$HasPartP'
+         |         AND ty.predicate = '$AddTypeP'
+         |         AND ty.objectValue = '$PartNationT'
+         |         AND va.predicate = '$ValueP'
+         |         AND va.objectValue = 'NATION_3'),
+         |fu AS (SELECT DISTINCT hp2.subject AS addr FROM quads hp2
+         |       JOIN quads va2 ON hp2.objectValue = va2.subject
+         |       WHERE hp2.predicate = '$HasPartP'
+         |         AND va2.predicate = '$ValueP'
+         |         AND va2.objectValue = 'FURNITURE')
+         |SELECT addr, name FROM ad JOIN nm USING (addr)
+         |WHERE addr IN (SELECT addr FROM n3)
+         |  AND addr NOT IN (SELECT addr FROM fu)
+         |ORDER BY addr, name""".stripMargin,
+
+    "q_quads_sparql_filter_expr" ->
+      s"""$fullQuadsCte,
+         |ad AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |sg AS (SELECT DISTINCT subject AS addr, objectValue AS seg
+         |       FROM quads WHERE predicate = '$SegmentP'),
+         |dt AS (SELECT DISTINCT hp.subject AS addr FROM quads hp
+         |       JOIN quads t ON hp.objectValue = t.subject
+         |       WHERE hp.predicate = '$HasPartP'
+         |         AND t.predicate = '$TimeInXsdP')
+         |SELECT addr, name, seg
+         |FROM ad JOIN nm USING (addr) JOIN sg USING (addr)
+         |WHERE name < seg AND seg IN ('FURNITURE', 'MACHINERY')
+         |  AND seg <> 'MACHINERY'
+         |  AND addr IN (SELECT addr FROM dt)
+         |ORDER BY addr""".stripMargin,
+
+    "q_quads_sparql_groupconcat" ->
+      s"""$fullQuadsCte,
+         |sol AS (SELECT DISTINCT hp.subject AS addr,
+         |    hp.objectValue AS b, ty.objectValue AS t, va.objectValue AS v
+         |  FROM quads hp
+         |  JOIN quads ty ON hp.objectValue = ty.subject
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND va.predicate = '$ValueP')
+         |SELECT addr, string_agg(t, '|' ORDER BY t) AS types,
+         |  MIN(v) AS firstv, COUNT(b) AS n
+         |FROM sol GROUP BY addr ORDER BY addr LIMIT 600""".stripMargin,
 
     "q_quads_sparql_union" ->
       s"""$fullQuadsCte,

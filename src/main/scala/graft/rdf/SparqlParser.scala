@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * [PREFIX pfx: <iri>]*
   * SELECT [DISTINCT] ?v … | * | (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
+  * | (GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?a) | (SAMPLE(?v) AS ?a)
   * | CONSTRUCT { template triples } | ASK | DESCRIBE <iri>
   * WHERE {
   *   [GRAPH ?g|<iri> { group }]
@@ -31,9 +32,12 @@ import org.apache.spark.sql.functions._
   *   [BIND(<iri>|"lit" AS ?v)]
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
-  *   [FILTER(?v op "lit"|<iri>|number [&& …])]
+  *   [FILTER(?v op "lit"|<iri>|number|?w [&& …])]     (op on two vars =
+  *                                                     lexical compare)
   *   [FILTER(REGEX(?v, "pat" [, "i"]) | STRSTARTS(?v, "s")
-  *           | CONTAINS(?v, "s") [&& …])]
+  *           | CONTAINS(?v, "s") | [!]BOUND(?v)
+  *           | STR(?v) op "lit" | ?v [NOT] IN ("lit", <iri>, …) [&& …])]
+  *   [FILTER [NOT] EXISTS { triples }]
   *   [VALUES ?v { "lit" <iri> … }]
   * }
   * [GROUP BY ?v …] [ORDER BY [DESC(]?v[)] …] [LIMIT n]
@@ -51,9 +55,10 @@ import org.apache.spark.sql.functions._
   */
 object SparqlParser {
 
-  /** `(COUNT([DISTINCT] ?v) AS ?alias)`-style projection aggregate. */
+  /** `(COUNT([DISTINCT] ?v) AS ?alias)`-style projection aggregate.
+    * `sep` is GROUP_CONCAT's SEPARATOR (SPARQL default: one space). */
   final case class Agg(func: String, variable: String, alias: String,
-      distinct: Boolean = false)
+      distinct: Boolean = false, sep: String = " ")
 
   /** A property-function invocation `subj <fnIri> (args)` — subject
     * and/or object position may be an RDF list of terms (the Jena
@@ -91,8 +96,13 @@ object SparqlParser {
       describeIri: Option[String] = None,
       selectOrder: Seq[String] = Nil, // SELECT-list column order
       offset: Option[Int] = None,
-      filterFns: Seq[(String, String, String, String)] = Nil)
+      filterFns: Seq[(String, String, String, String)] = Nil,
       // (func, var, arg, flags): REGEX | STRSTARTS | CONTAINS
+      varFilters: Seq[(String, String, String)] = Nil, // ?a op ?b
+      inFilters: Seq[(String, Boolean, Seq[String])] = Nil, // v, NOT?, list
+      boundFilters: Seq[(String, Boolean)] = Nil, // v, negated (!BOUND)
+      existsFilters: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil)
+      // (negated, group): FILTER [NOT] EXISTS { … }
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -441,7 +451,8 @@ object SparqlParser {
       if (p.is("(")) { // (FUNC(?v) AS ?alias)
         p.eat()
         val f = p.eat().toUpperCase
-        require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
+        require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
+            "GROUP_CONCAT", "SAMPLE").contains(f),
           s"unsupported aggregate '$f'")
         p.expect("(")
         val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
@@ -449,12 +460,22 @@ object SparqlParser {
         val v = p.eat()
         require(v.startsWith("?") || v == "*",
           s"aggregate argument must be a variable or *, got '$v'")
+        // GROUP_CONCAT(?v; SEPARATOR="…") — SPARQL's one parameterized
+        // aggregate; default separator is a single space per the spec
+        var sep = " "
+        if (f == "GROUP_CONCAT" && p.is(";")) {
+          p.eat(); p.expect("SEPARATOR"); p.expect("=")
+          val st = p.eat()
+          require(st.startsWith("\""),
+            s"SEPARATOR needs a string literal, got '$st'")
+          sep = unquote(st)
+        }
         p.expect(")"); p.expect("AS")
         val a = p.eat()
         require(a.startsWith("?"), s"AS needs a variable, got '$a'")
         p.expect(")")
         aggs += Agg(f, if (v == "*") "*" else v.substring(1),
-          a.substring(1), distinct = dist)
+          a.substring(1), distinct = dist, sep = sep)
         order += a.substring(1)
       } else { val v = p.eat().substring(1); proj += v; order += v }
     }
@@ -466,6 +487,10 @@ object SparqlParser {
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
     val fnFils = Seq.newBuilder[(String, String, String, String)]
+    val varFils = Seq.newBuilder[(String, String, String)]
+    val inFils = Seq.newBuilder[(String, Boolean, Seq[String])]
+    val bndFils = Seq.newBuilder[(String, Boolean)]
+    val exFils = Seq.newBuilder[(Boolean, Seq[Bgp.Pattern])]
     val vals = Seq.newBuilder[(String, Seq[String])]
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
@@ -544,6 +569,17 @@ object SparqlParser {
           }
           p.expect("}")
           vals += ((v.substring(1), vs.result()))
+        } else if (p.is("FILTER") &&
+            (p.peek2.equalsIgnoreCase("EXISTS") ||
+              p.peek2.equalsIgnoreCase("NOT"))) {
+          // FILTER [NOT] EXISTS { … } — the correlated-pattern test,
+          // compiled to a (anti-)semi equi-join on the shared variables
+          p.eat()
+          val neg = p.is("NOT")
+          if (neg) { p.eat(); p.expect("EXISTS") } else p.expect("EXISTS")
+          p.expect("{")
+          exFils += ((neg, triples(p, g)))
+          p.expect("}")
         } else if (p.is("FILTER")) {
           p.eat(); p.expect("(")
           var more = true
@@ -570,21 +606,64 @@ object SparqlParser {
               }
               p.expect(")")
               fnFils += ((fn, v.substring(1), unquote(arg), flags))
+            } else if (p.is("BOUND") || p.is("!")) {
+              // [!]BOUND(?v) — the OPTIONAL-negation idiom; compiles to
+              // an IS [NOT] NULL test on the binding column
+              val neg = p.is("!")
+              if (neg) p.eat()
+              p.expect("BOUND"); p.expect("(")
+              val v = p.eat()
+              require(v.startsWith("?"),
+                s"BOUND needs a variable, got '$v'")
+              p.expect(")")
+              bndFils += ((v.substring(1), neg))
             } else {
+              // STR(?v) casts the comparison to the lexical form — on
+              // this engine's string-valued binding columns that means
+              // forcing the string (not numeric) comparison path
+              val strWrapped = p.is("STR")
+              if (strWrapped) { p.eat(); p.expect("(") }
               val v = p.eat()
               require(v.startsWith("?"),
                 s"FILTER needs a variable, got '$v'")
-              val op = p.eat()
-              require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
-                s"unsupported FILTER operator '$op'")
-              val lit = p.eat()
-              val numeric = !lit.startsWith("\"") && !lit.startsWith("<")
-              val raw =
-                if (lit.startsWith("\"")) unquote(lit)
-                else if (lit.startsWith("<")) // IRI comparate
-                  lit.substring(1, lit.length - 1)
-                else lit
-              fils += ((v.substring(1), op, raw, numeric))
+              if (strWrapped) p.expect(")")
+              if (p.is("IN") || p.is("NOT")) {
+                // ?v [NOT] IN ("lit", <iri>, …) — an inline allow/deny
+                // list, compiled to isin() on the binding column
+                val neg = p.is("NOT")
+                if (neg) { p.eat(); p.expect("IN") } else p.expect("IN")
+                p.expect("(")
+                val vs = Seq.newBuilder[String]
+                while (!p.is(")")) {
+                  val t = p.eat()
+                  if (t != ",") vs += (
+                    if (t.startsWith("\"")) unquote(t)
+                    else if (t.startsWith("<")) t.substring(1, t.length - 1)
+                    else t)
+                }
+                p.expect(")")
+                inFils += ((v.substring(1), neg, vs.result()))
+              } else {
+                val op = p.eat()
+                require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+                  s"unsupported FILTER operator '$op'")
+                if (p.peek.startsWith("?")) {
+                  // var-vs-var comparison — lexical (string) ordering on
+                  // the two binding columns, matching the oracle's
+                  // VARCHAR comparison semantics
+                  varFils += ((v.substring(1), op, p.eat().substring(1)))
+                } else {
+                  val lit = p.eat()
+                  val numeric = !strWrapped &&
+                    !lit.startsWith("\"") && !lit.startsWith("<")
+                  val raw =
+                    if (lit.startsWith("\"")) unquote(lit)
+                    else if (lit.startsWith("<")) // IRI comparate
+                      lit.substring(1, lit.length - 1)
+                    else lit
+                  fils += ((v.substring(1), op, raw, numeric))
+                }
+              }
             }
             if (p.is("&&")) p.eat() else more = false
           }
@@ -625,7 +704,9 @@ object SparqlParser {
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), selectOrder = order.result(),
-      offset = off, filterFns = fnFils.result())
+      offset = off, filterFns = fnFils.result(),
+      varFilters = varFils.result(), inFilters = inFils.result(),
+      boundFilters = bndFils.result(), existsFilters = exFils.result())
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -853,6 +934,36 @@ object SparqlParser {
         case ">=" => c >= l
       })
     }
+    q.varFilters.foreach { case (v1, op, v2) =>
+      val (c, l) = (col(v1), col(v2))
+      sol = sol.filter(op match {
+        case "=" => c === l
+        case "!=" => c =!= l
+        case "<" => c < l
+        case ">" => c > l
+        case "<=" => c <= l
+        case ">=" => c >= l
+      })
+    }
+    q.inFilters.foreach { case (v, neg, vs) =>
+      val in = col(v).isin(vs: _*)
+      sol = sol.filter(if (neg) !in else in)
+    }
+    q.boundFilters.foreach { case (v, neg) =>
+      require(sol.columns.contains(v),
+        s"BOUND(?$v): variable is not bound by any pattern")
+      sol = sol.filter(if (neg) col(v).isNull else col(v).isNotNull)
+    }
+    q.existsFilters.foreach { case (neg, group) =>
+      val ex = Bgp.select(quads, group)
+      val shared = sol.columns.toSet.intersect(ex.columns.toSet).toSeq
+      require(shared.nonEmpty,
+        "a FILTER [NOT] EXISTS group must share at least one variable " +
+          "with the outer patterns (an uncorrelated EXISTS is a " +
+          "cartesian test)")
+      sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
+        if (neg) "left_anti" else "left_semi")
+    }
     q.filterFns.foreach { case (fn, v, arg, flags) =>
       sol = sol.filter(fn match {
         // SPARQL REGEX is a partial match (like Java find/RLIKE);
@@ -874,6 +985,12 @@ object SparqlParser {
         case "MIN" => min(col(a.variable))
         case "MAX" => max(col(a.variable))
         case "AVG" => avg(col(a.variable).cast("double"))
+        // SPARQL leaves GROUP_CONCAT order and SAMPLE's pick
+        // implementation-defined; this engine pins both deterministic
+        // (sorted concatenation, minimum) for cross-engine parity
+        case "GROUP_CONCAT" =>
+          array_join(sort_array(collect_list(col(a.variable))), a.sep)
+        case "SAMPLE" => min(col(a.variable))
       }).as(a.alias)
       val exprs = q.aggregates.map(one)
       sol = sol.groupBy(q.groupBy.map(col): _*)

@@ -1126,6 +1126,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       Seq(Seq(2L, "a"), Seq(2L, "b")))
   }
 
+  test("SparqlParser r8: EXISTS, BOUND, IN, var-vs-var, GROUP_CONCAT") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:type", "T"), ("b", "urn:type", "T"),
+      ("c", "urn:type", "T"),
+      ("a", "urn:name", "Alice"), ("b", "urn:name", "Bob"),
+      ("a", "urn:tag", "x"), ("a", "urn:tag", "y"), ("b", "urn:tag", "z"),
+      ("a", "urn:lo", "Al"), ("b", "urn:lo", "bob"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // FILTER EXISTS keeps only subjects with a name edge
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        FILTER EXISTS { ?s <urn:name> ?n } } ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("b")))
+    // FILTER NOT EXISTS is the anti-join
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        FILTER NOT EXISTS { ?s <urn:name> ?n } }""") == Seq(Seq("c")))
+    // BOUND / !BOUND over an OPTIONAL: the negation idiom
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        OPTIONAL { ?s <urn:name> ?n } FILTER(!BOUND(?n)) }""")
+      == Seq(Seq("c")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        OPTIONAL { ?s <urn:name> ?n } FILTER(BOUND(?n)) }
+        ORDER BY ?s""") == Seq(Seq("a"), Seq("b")))
+    // IN / NOT IN inline lists
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(?n IN ("Alice", "Zed")) }""") == Seq(Seq("a")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(?n NOT IN ("Alice")) }""") == Seq(Seq("b")))
+    // var-vs-var comparison is lexical
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        ?s <urn:lo> ?l . FILTER(?l < ?n) }""") == Seq(Seq("a")))
+    // STR() forces the string comparison path
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(STR(?n) = "Bob") }""") == Seq(Seq("b")))
+    // GROUP_CONCAT with separator (sorted = deterministic) and SAMPLE
+    assert(run("""SELECT ?s (GROUP_CONCAT(?t; SEPARATOR="|") AS ?ts)
+        WHERE { ?s <urn:tag> ?t } GROUP BY ?s ORDER BY ?s""")
+      == Seq(Seq("a", "x|y"), Seq("b", "z")))
+    assert(run("""SELECT (GROUP_CONCAT(?t) AS ?ts) (SAMPLE(?n) AS ?one)
+        WHERE { ?s <urn:tag> ?t . ?s <urn:name> ?n }""")
+      == Seq(Seq("x y z", "Alice")))
+    // loud: uncorrelated EXISTS, BOUND of an unbound variable
+    intercept[IllegalArgumentException] {
+      run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+          FILTER NOT EXISTS { ?q <urn:other> ?r } }""")
+    }
+    intercept[IllegalArgumentException] {
+      run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+          FILTER(BOUND(?nope)) }""")
+    }
+  }
+
   test("SparqlParser r8: textual property paths, DESCRIBE, sub-select") {
     import spark.implicits._
     import graft.rdf.SparqlParser
