@@ -1298,6 +1298,28 @@ object QuadQueries extends QueryCatalog {
           |} GROUP BY ?p ORDER BY ?p""".stripMargin)
     }),
 
+    // SPARQL UPDATE graph management (r8): COPY / ADD / MOVE / DROP
+    // over the two named corpus graphs — a backup graph built from
+    // both, the geo-names graph renamed, the addresses graph dropped.
+    // Every verb is a graph-column filter + projection-only relabel
+    // (partition-prunable when the relation is laid out by graph — no
+    // join anywhere), so the sequence costs one scan at any scale. The
+    // oracle rebuilds the final state declaratively from the same CTE.
+    "q_quads_graph_mgmt" -> ((s, dir) => {
+      val updated = graft.rdf.SparqlUpdate.execute(fullQuads(s, dir),
+        s"""COPY GRAPH <$GraphG> TO GRAPH <urn:graft:backup> ;
+           |ADD GRAPH <$GraphA> TO GRAPH <urn:graft:backup> ;
+           |MOVE GRAPH <$GraphG> TO GRAPH <urn:graft:names> ;
+           |DROP SILENT GRAPH <$GraphA>""".stripMargin)
+      updated.select(col("graph"), col("subject"), col("predicate"),
+          col("objectValue")).distinct()
+        .groupBy(col("graph"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subj"),
+          countDistinct(col("predicate")).as("n_pred"))
+        .orderBy(col("graph"))
+    }),
+
     // FILTER [NOT] EXISTS (r8): the correlated-pattern test compiled to
     // a semi/anti equi-join on the shared variable — the addresses in
     // nation NATION_3 (EXISTS keeps 1/25) that are NOT in the FURNITURE
@@ -2107,6 +2129,21 @@ object QuadQueries extends QueryCatalog {
         |  AND contains(c_name, '#')
         |  AND c_name IS NOT NULL AND length(trim(c_name)) > 0
         |ORDER BY name""".stripMargin,
+
+    "q_quads_graph_mgmt" ->
+      s"""$fullQuadsCte,
+         |mgmt AS (
+         |  SELECT 'urn:graft:backup' AS graph, subject, predicate,
+         |    objectValue
+         |  FROM quads WHERE graph IN ('$GraphG', '$GraphA')
+         |  UNION
+         |  SELECT 'urn:graft:names', subject, predicate, objectValue
+         |  FROM quads WHERE graph = '$GraphG')
+         |SELECT graph, COUNT(*) AS n, COUNT(DISTINCT subject) AS n_subj,
+         |  COUNT(DISTINCT predicate) AS n_pred
+         |FROM (SELECT DISTINCT graph, subject, predicate, objectValue
+         |      FROM mgmt)
+         |GROUP BY graph ORDER BY graph""".stripMargin,
 
     "q_quads_sparql_exists" ->
       s"""$fullQuadsCte,

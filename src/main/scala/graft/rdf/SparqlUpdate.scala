@@ -19,7 +19,18 @@ import graft.model.TermKind
   * DELETE DATA { [GRAPH <g> {] s p o . … [}] }
   * DELETE WHERE { [GRAPH <g> {] patterns [}] }
   * [DELETE { templates }] [INSERT { templates }] WHERE { patterns }
+  * CLEAR|DROP [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)
+  * COPY|MOVE|ADD [SILENT] ([GRAPH] <g> | DEFAULT) TO ([GRAPH] <g> | DEFAULT)
   * }}}
+  *
+  * Graph management (SPARQL 1.1 Update §3.2): on a quad RELATION a
+  * graph exists exactly while it has quads, so DROP and CLEAR coincide
+  * (both remove the graph's quads) and SILENT is accepted and ignored
+  * (clearing an absent graph is already a no-op). COPY replaces the
+  * destination graph with the source's quads, MOVE additionally removes
+  * the source, ADD unions source into destination (set semantics). All
+  * compile to partition-prunable graph-column filters + projection-only
+  * relabels — no joins at all.
   *
   * The modify form instantiates its templates once per WHERE solution
   * (CONSTRUCT-style: template variables bind from the solution;
@@ -80,6 +91,17 @@ object SparqlUpdate {
       oKind: String, g: Option[String])
   private case class Modify(deletes: Seq[TmplQuad], inserts: Seq[TmplQuad],
       where: Seq[Bgp.Pattern]) extends Op
+
+  /** Graph designator for the management verbs: a named graph or the
+    * default graph (`graph IS NULL` in the relation). */
+  private sealed trait GraphRef
+  private case object DefaultG extends GraphRef
+  private case class NamedG(iri: String) extends GraphRef
+  /** CLEAR/DROP target scope. */
+  private case class ClearOp(scope: String, // graph | default | named | all
+      iri: Option[String]) extends Op
+  private case class GraphOp(verb: String, // copy | move | add
+      from: GraphRef, to: GraphRef) extends Op
 
   private def parse(update: String): Seq[Op] = {
     var ts = SparqlParser.applyPrefixes(SparqlParser.tokenize(update))
@@ -216,6 +238,36 @@ object SparqlUpdate {
           expect("WHERE")
           ops += Modify(del, ins, patternBlock())
         }
+      } else if (is("CLEAR") || is("DROP")) {
+        eat()
+        if (is("SILENT")) eat()
+        if (is("GRAPH")) {
+          eat()
+          val gTok = eat()
+          require(gTok.startsWith("<"),
+            s"CLEAR/DROP GRAPH needs a constant IRI, got '$gTok'")
+          ops += ClearOp("graph", Some(gTok.substring(1, gTok.length - 1)))
+        } else if (is("DEFAULT")) { eat(); ops += ClearOp("default", None) }
+        else if (is("NAMED")) { eat(); ops += ClearOp("named", None) }
+        else if (is("ALL")) { eat(); ops += ClearOp("all", None) }
+        else throw new IllegalArgumentException(
+          s"CLEAR/DROP needs GRAPH <iri> | DEFAULT | NAMED | ALL, " +
+            s"got '$peek'")
+      } else if (is("COPY") || is("MOVE") || is("ADD")) {
+        val verb = eat().toLowerCase
+        if (is("SILENT")) eat()
+        def graphRef(): GraphRef =
+          if (is("DEFAULT")) { eat(); DefaultG }
+          else {
+            if (is("GRAPH")) eat()
+            val gTok = eat()
+            require(gTok.startsWith("<"),
+              s"$verb needs [GRAPH] <iri> or DEFAULT, got '$gTok'")
+            NamedG(gTok.substring(1, gTok.length - 1))
+          }
+        val from = graphRef()
+        expect("TO")
+        ops += GraphOp(verb, from, graphRef())
       } else throw new IllegalArgumentException(
         s"unsupported update operation '$peek'")
       if (is(";")) { eat(); more = ts.nonEmpty } else more = false
@@ -287,6 +339,48 @@ object SparqlUpdate {
                 .distinct()
             }.reduce(_ unionByName _)
             afterDel.unionByName(inserted).dropDuplicates()
+          }
+        case ClearOp(scope, iri) =>
+          require(hasGraph || scope == "default" || scope == "all",
+            "graph management needs a quad relation with a graph column")
+          scope match {
+            case "graph" => acc.filter(!(col("graph") <=> iri.get))
+            case "default" =>
+              if (hasGraph) acc.filter(col("graph").isNotNull)
+              else acc.limit(0)
+            case "named" =>
+              if (hasGraph) acc.filter(col("graph").isNull) else acc
+            case "all" => acc.limit(0)
+          }
+        case GraphOp(verb, from, to) =>
+          require(hasGraph,
+            "graph management needs a quad relation with a graph column")
+          if (from == to) acc // spec: same-graph COPY/MOVE/ADD is a no-op
+          else {
+            def matches(r: GraphRef): Column = r match {
+              case DefaultG => col("graph").isNull
+              case NamedG(g) => col("graph") <=> g
+            }
+            // negation must be null-safe: `graph === g` is NULL (not
+            // false) on default-graph rows and a plain ! would drop them
+            def keeps(r: GraphRef): Column = r match {
+              case DefaultG => col("graph").isNotNull
+              case NamedG(g) => !(col("graph") <=> g)
+            }
+            val toLit: Column = to match {
+              case DefaultG => lit(null).cast("string")
+              case NamedG(g) => lit(g)
+            }
+            val relabeled = acc.filter(matches(from))
+              .withColumn("graph", toLit)
+            verb match {
+              case "add" => acc.unionByName(relabeled).dropDuplicates()
+              case "copy" =>
+                acc.filter(keeps(to)).unionByName(relabeled)
+              case "move" =>
+                acc.filter(keeps(to) && keeps(from))
+                  .unionByName(relabeled)
+            }
           }
         case DeleteWhere(pats) =>
           val sol = Bgp.select(acc, pats)

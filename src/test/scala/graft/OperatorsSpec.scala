@@ -1287,6 +1287,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlUpdate r8: CLEAR/DROP, COPY, MOVE, ADD graph management") {
+    import spark.implicits._
+    import graft.rdf.SparqlUpdate
+    val quads = Seq(
+      ("a", "iri", "urn:name", "A", "literal", "g1"),
+      ("b", "iri", "urn:name", "B", "literal", "g2"),
+      ("c", "iri", "urn:name", "C", "literal", null))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "graph")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subject", "graph").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // CLEAR GRAPH drops exactly that graph's quads (default kept)
+    assert(rows(SparqlUpdate.execute(quads, "CLEAR GRAPH <g1>"))
+      == Set(("b", "g2"), ("c", null)))
+    // DROP ≡ CLEAR on a relation; SILENT accepted
+    assert(rows(SparqlUpdate.execute(quads, "DROP SILENT GRAPH <g2>"))
+      == Set(("a", "g1"), ("c", null)))
+    assert(rows(SparqlUpdate.execute(quads, "CLEAR DEFAULT"))
+      == Set(("a", "g1"), ("b", "g2")))
+    assert(rows(SparqlUpdate.execute(quads, "CLEAR NAMED"))
+      == Set(("c", null)))
+    assert(SparqlUpdate.execute(quads, "CLEAR ALL").count() == 0)
+    // COPY replaces the destination with the source's quads
+    assert(rows(SparqlUpdate.execute(quads, "COPY GRAPH <g1> TO <g2>"))
+      == Set(("a", "g1"), ("a", "g2"), ("c", null)))
+    // MOVE also removes the source; DEFAULT works as a designator
+    assert(rows(SparqlUpdate.execute(quads, "MOVE <g1> TO DEFAULT"))
+      == Set(("a", null), ("b", "g2")))
+    // ADD unions (destination keeps its own quads)
+    assert(rows(SparqlUpdate.execute(quads, "ADD DEFAULT TO GRAPH <g1>"))
+      == Set(("a", "g1"), ("c", "g1"), ("b", "g2"), ("c", null)))
+    // same-graph MOVE is a spec'd no-op; sequences compose
+    assert(rows(SparqlUpdate.execute(quads, "MOVE <g1> TO <g1>"))
+      == rows(quads))
+    assert(rows(SparqlUpdate.execute(quads,
+      "COPY <g1> TO <g3> ; CLEAR GRAPH <g1> ; ADD <g2> TO <g3>"))
+      == Set(("a", "g3"), ("b", "g3"), ("b", "g2"), ("c", null)))
+    // loud: missing TO, bad designator
+    intercept[IllegalArgumentException] {
+      SparqlUpdate.execute(quads, "COPY <g1> <g2>")
+    }
+    intercept[IllegalArgumentException] {
+      SparqlUpdate.execute(quads, "CLEAR SOMETHING")
+    }
+  }
+
   test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
