@@ -363,6 +363,43 @@ object QuadQueries extends QueryCatalog {
       """ '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),""" +
       """ chr(9), '\t')"""
 
+  /** DuckDB twin of `JsonLd.renderNodes`: the nodes CTE chain (terms →
+    * per-key entries → node objects), parameterized on the final SELECT
+    * so the per-node and whole-document oracles share one derivation. */
+  private def jsonldNodesSql(finalSelect: String,
+      extraCte: Boolean = false): String =
+    s"""$fullQuadsCte,
+       |jterms AS (
+       |  SELECT DISTINCT graph,
+       |    CASE WHEN subjectKind = 'bnode' THEN '_:' || subject
+       |         ELSE subject END AS sid,
+       |    CASE WHEN predicate = '$RdfType' AND objectKind = 'iri'
+       |         THEN '@type' ELSE predicate END AS k,
+       |    CASE WHEN predicate = '$RdfType' AND objectKind = 'iri'
+       |         THEN '"' || objectValue || '"'
+       |         WHEN objectKind = 'iri'
+       |         THEN '{"@id":"' || objectValue || '"}'
+       |         WHEN objectKind = 'bnode'
+       |         THEN '{"@id":"_:' || objectValue || '"}'
+       |         ELSE '{"@value":"' || ${escSql("objectValue")} || '"' ||
+       |           CASE WHEN lang IS NOT NULL
+       |                THEN ',"@language":"' || lang || '"'
+       |                WHEN datatype IS NOT NULL
+       |                THEN ',"@type":"' || datatype || '"'
+       |                ELSE '' END || '}'
+       |    END AS oj
+       |  FROM quads),
+       |jentries AS (
+       |  SELECT graph, sid,
+       |    '"' || k || '":[' || string_agg(oj, ',' ORDER BY oj) || ']'
+       |      AS entry
+       |  FROM jterms GROUP BY graph, sid, k),
+       |nodes AS (
+       |  SELECT graph, sid, '{"@id":"' || sid || '",' ||
+       |    string_agg(entry, ',' ORDER BY entry) || '}' AS value
+       |  FROM jentries GROUP BY graph, sid)${if (extraCte) "," else ""}
+       |$finalSelect""".stripMargin
+
   /** The rendered-line SQL over the full quads CTE — `_:label` subjects,
     * `@lang` and `^^<dt>` suffixes spelled out so the oracle verifies
     * N-Quads term syntax independently of the Scala renderer. */
@@ -1298,6 +1335,39 @@ object QuadQueries extends QueryCatalog {
           |} GROUP BY ?p ORDER BY ?p""".stripMargin)
     }),
 
+    // TriG sink (r8): the named-graph Turtle document — one `<g> { … }`
+    // section per corpus graph over the full 25-emit profile, subject
+    // blocks pretty-printed exactly like the Turtle sink (same one
+    // shuffle keyed by (graph, subject)). The oracle re-renders every
+    // LINE of the document in SQL — prefix compaction, the `a` keyword,
+    // `;` continuation indentation, block terminators, braces and
+    // headers — so the whole text surface is verified, not just counts.
+    "q_trig_render" -> ((s, dir) => {
+      val out = tmp(s, "trig_doc")
+      QuadEmitter.writeTrig(fullQuads(s, dir), out)
+      s.read.text(out).orderBy(col("value"))
+    }),
+
+    // JSON-LD expanded nodes (r8): one node object per (graph, subject)
+    // — the NDJSON shape an indexer consumes; `@type` keyword arrays,
+    // `@value`/`@language`/`@type` literal objects, `_:` ids, all
+    // arrays sorted. Two map-side-combinable aggregations keyed by
+    // subject — the 100 TB-safe serialization (no document assembly).
+    // The oracle rebuilds every node string with nested ORDER BY
+    // string_aggs.
+    "q_jsonld_nodes" -> ((s, dir) => {
+      graft.rdf.JsonLd.renderNodes(fullQuads(s, dir))
+        .orderBy(col("graph"), col("value"))
+    }),
+
+    // JSON-LD single document (r8): the flattened corpus —
+    // `[{"@id":g,"@graph":[…]}…]` as ONE row; a hash match here pins
+    // the entire document byte-for-byte against the oracle's
+    // independently nested aggregation.
+    "q_jsonld_document" -> ((s, dir) => {
+      graft.rdf.JsonLd.renderDocument(fullQuads(s, dir))
+    }),
+
     // SPARQL UPDATE graph management (r8): COPY / ADD / MOVE / DROP
     // over the two named corpus graphs — a backup graph built from
     // both, the geo-names graph renamed, the addresses graph dropped.
@@ -2129,6 +2199,66 @@ object QuadQueries extends QueryCatalog {
         |  AND contains(c_name, '#')
         |  AND c_name IS NOT NULL AND length(trim(c_name)) > 0
         |ORDER BY name""".stripMargin,
+
+    "q_trig_render" -> {
+      val localOk = "^[A-Za-z]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
+      def compact(c: String) = QuadEmitter.DefaultPrefixes
+        .map { case (p, ns) =>
+          s"""WHEN $c LIKE '$ns%' AND regexp_matches(
+             |    substring($c, ${ns.length + 1}), '$localOk')
+             |  THEN '$p:' || substring($c, ${ns.length + 1})""".stripMargin
+        }
+        .mkString("CASE ", "\n", s"\n  ELSE '<' || $c || '>' END")
+      val headerRows = QuadEmitter.DefaultPrefixes
+        .map { case (p, ns) => s"SELECT '@prefix $p: <$ns> .' AS value" }
+        .mkString("\nUNION ALL\n")
+      s"""$fullQuadsCte,
+         |terms AS (
+         |  SELECT graph,
+         |    CASE WHEN subjectKind = 'bnode' THEN '_:' || subject
+         |         ELSE ${compact("subject")} END AS st,
+         |    CASE WHEN predicate =
+         |        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' THEN 'a'
+         |         ELSE ${compact("predicate")} END AS pt,
+         |    CASE WHEN objectKind = 'iri' THEN ${compact("objectValue")}
+         |         WHEN objectKind = 'bnode' THEN '_:' || objectValue
+         |         ELSE '"' || ${escSql("objectValue")} || '"' ||
+         |           CASE WHEN lang IS NOT NULL THEN '@' || lang
+         |                WHEN datatype IS NOT NULL
+         |                  THEN '^^' || ${compact("datatype")}
+         |                ELSE '' END
+         |    END AS ot
+         |  FROM quads),
+         |numbered AS (
+         |  SELECT graph, st, pt, ot,
+         |    row_number() OVER (PARTITION BY graph, st ORDER BY pt, ot)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY graph, st) AS cnt
+         |  FROM terms)
+         |SELECT value FROM (
+         |  $headerRows
+         |  UNION ALL
+         |  SELECT DISTINCT '<' || graph || '> {' FROM quads
+         |  UNION ALL
+         |  SELECT '}' FROM (SELECT DISTINCT graph FROM quads)
+         |  UNION ALL
+         |  SELECT CASE WHEN rn = 1 THEN '  ' || st || ' ' ELSE '    ' END
+         |    || pt || ' ' || ot
+         |    || CASE WHEN rn = cnt THEN ' .' ELSE ' ;' END AS value
+         |  FROM numbered)
+         |ORDER BY value""".stripMargin
+    },
+
+    "q_jsonld_nodes" -> jsonldNodesSql(
+      "SELECT graph, value FROM nodes ORDER BY graph, value"),
+
+    "q_jsonld_document" -> jsonldNodesSql(
+      """gobjs AS (
+        |  SELECT '{"@id":"' || graph || '","@graph":[' ||
+        |    string_agg(value, ',' ORDER BY value) || ']}' AS gobj
+        |  FROM nodes GROUP BY graph)
+        |SELECT '[' || string_agg(gobj, ',' ORDER BY gobj) || ']' AS value
+        |FROM gobjs""".stripMargin, extraCte = true),
 
     "q_quads_graph_mgmt" ->
       s"""$fullQuadsCte,

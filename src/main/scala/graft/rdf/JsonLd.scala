@@ -1,0 +1,103 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.TermKind
+
+/** JSON-LD serialization of the quad relation (W3C JSON-LD 1.1,
+  * expanded/flattened form) — the third RDF interchange syntax next to
+  * the N-Quads and Turtle sinks. The reference's ecosystem is
+  * JSON-LD-adjacent (schema.org vocabularies are published as JSON-LD;
+  * `cam/etl/namespaces.py` binds the same namespaces), and a JSON
+  * rendering is what a downstream indexer or web API consumes directly.
+  *
+  * Shapes:
+  *  - [[renderNodes]] — one EXPANDED NODE OBJECT per (graph, subject):
+  *    `{"@id":…,"@type":[…],"<pred>":[{"@value"|"@id":…}…]}` — an
+  *    NDJSON relation, the 100 TB-safe form (two map-side-combinable
+  *    aggregations keyed by subject, no document assembly).
+  *  - [[renderDocument]] — the corpus as ONE flattened JSON-LD document
+  *    `[{"@id":g,"@graph":[nodes]}…]`, the small-data contract (same
+  *    discipline as `QuadEmitter.writeTurtle`).
+  *
+  * Determinism: predicate entries, value arrays and graph objects are
+  * all sorted; duplicate quads collapse (a graph is a set, collect_set).
+  * Literal escaping reuses the native `graft_nt_escape` expression —
+  * N-Triples and JSON escape the same characters the same way
+  * (backslash, quote, LF, CR, tab), so one codegen'd walk serves both
+  * serializers. rdf:type edges with IRI objects render as `"@type"`
+  * keyword arrays of bare IRI strings, the JSON-LD convention.
+  */
+object JsonLd {
+
+  private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** One expanded node object per (graph, subject); columns
+    * `(graph, value)`. Blank-node subjects keep their `_:label` ids. */
+  def renderNodes(quads: DataFrame): DataFrame = {
+    graft.plans.NtEscape.register(quads.sparkSession)
+    def esc(c: Column) = call_function("graft_nt_escape", c)
+    val g: Column =
+      if (quads.columns.contains("graph")) col("graph")
+      else lit(null).cast("string")
+    val sKind: Column =
+      if (quads.columns.contains("subjectKind")) col("subjectKind")
+      else lit(TermKind.Iri)
+    val sid = when(sKind === TermKind.BNode,
+      concat(lit("_:"), col("subject"))).otherwise(col("subject"))
+    val isType = col("predicate") === RdfTypeIri &&
+      col("objectKind") === TermKind.Iri
+    val key = when(isType, lit("@type")).otherwise(col("predicate"))
+    val objJson = when(isType,
+        concat(lit("\""), col("objectValue"), lit("\"")))
+      .when(col("objectKind") === TermKind.Iri,
+        concat(lit("{\"@id\":\""), col("objectValue"), lit("\"}")))
+      .when(col("objectKind") === TermKind.BNode,
+        concat(lit("{\"@id\":\"_:"), col("objectValue"), lit("\"}")))
+      .otherwise(concat(
+        lit("{\"@value\":\""), esc(col("objectValue")), lit("\""),
+        when(col("lang").isNotNull,
+          concat(lit(",\"@language\":\""), col("lang"), lit("\"")))
+          .when(col("datatype").isNotNull,
+            concat(lit(",\"@type\":\""), col("datatype"), lit("\"")))
+          .otherwise(lit("")),
+        lit("}")))
+    quads
+      .select(g.as("graph"), sid.as("sid"), key.as("k"), objJson.as("oj"))
+      .groupBy(col("graph"), col("sid"), col("k"))
+      .agg(sort_array(collect_set(col("oj"))).as("ojs"))
+      .select(col("graph"), col("sid"),
+        concat(lit("\""), col("k"), lit("\":["),
+          array_join(col("ojs"), ","), lit("]")).as("entry"))
+      .groupBy(col("graph"), col("sid"))
+      .agg(sort_array(collect_list(col("entry"))).as("entries"))
+      .select(col("graph"),
+        concat(lit("{\"@id\":\""), col("sid"), lit("\","),
+          array_join(col("entries"), ","), lit("}")).as("value"))
+  }
+
+  /** The corpus as one flattened JSON-LD document string: a top-level
+    * array of named-graph objects (`{"@id":g,"@graph":[…]}`), plus a
+    * bare `{"@graph":[…]}` object for default-graph nodes; everything
+    * sorted. Single-row result — the small-document contract. */
+  def renderDocument(quads: DataFrame): DataFrame = {
+    val nodes = renderNodes(quads)
+    val graphObjs = nodes.groupBy(col("graph"))
+      .agg(sort_array(collect_list(col("value"))).as("ns"))
+      .select(when(col("graph").isNotNull,
+          concat(lit("{\"@id\":\""), col("graph"),
+            lit("\",\"@graph\":["), array_join(col("ns"), ","), lit("]}")))
+        .otherwise(concat(lit("{\"@graph\":["),
+          array_join(col("ns"), ","), lit("]}")))
+        .as("gobj"))
+    graphObjs.agg(concat(lit("["),
+      array_join(sort_array(collect_list(col("gobj"))), ","),
+      lit("]")).as("value"))
+  }
+
+  /** Single-document JSON-LD sink (small-data contract; the scale path
+    * is [[renderNodes]] written as NDJSON, e.g. partitioned by graph). */
+  def writeJsonLd(quads: DataFrame, path: String): Unit =
+    renderDocument(quads).coalesce(1).write.mode("overwrite").text(path)
+}

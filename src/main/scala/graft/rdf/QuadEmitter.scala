@@ -254,8 +254,10 @@ object QuadEmitter {
     * aggregation, and this is its map-side-combinable Spark shape.
     * Returns one row per subject block (multi-line `value`), header not
     * included — see [[turtleHeader]] / [[writeTurtle]]. */
-  def renderTurtleBlocks(quads: DataFrame,
-      prefixes: Seq[(String, String)] = DefaultPrefixes): DataFrame = {
+  /** The three Turtle-syntax term columns (subject, predicate, object)
+    * shared by the Turtle and TriG renderers. */
+  private def turtleTerms(quads: DataFrame,
+      prefixes: Seq[(String, String)]): (Column, Column, Column) = {
     val v = col("objectValue")
     graft.plans.NtEscape.register(quads.sparkSession)
     val escaped = call_function("graft_nt_escape", v)
@@ -279,6 +281,12 @@ object QuadEmitter {
         col("predicate") === "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
         lit("a")) // the Turtle keyword for rdf:type
       .otherwise(compactIri(col("predicate"), prefixes))
+    (subjectTerm, predTerm, objectTerm)
+  }
+
+  def renderTurtleBlocks(quads: DataFrame,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): DataFrame = {
+    val (subjectTerm, predTerm, objectTerm) = turtleTerms(quads, prefixes)
     quads
       .select(subjectTerm.as("st"),
         struct(predTerm.as("p"), objectTerm.as("o")).as("po"))
@@ -309,6 +317,70 @@ object QuadEmitter {
     header.unionByName(
         renderTurtleBlocks(quads, prefixes).withColumn("ord", lit(1)))
       .orderBy(col("ord"), col("value"))
+      .select(col("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** TriG subject blocks (the named-graph Turtle, W3C TriG): Turtle
+    * pretty-printing per (graph, subject) — the same one-shuffle
+    * group-and-render as [[renderTurtleBlocks]], keyed by the pair, each
+    * block pre-indented for its graph brace. Blocks of the DEFAULT graph
+    * (null) render unindented at top level, which TriG allows. Returns
+    * `(graph, value)` so callers can assemble or partition by graph. */
+  def renderTrigBlocks(quads: DataFrame,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): DataFrame = {
+    val (subjectTerm, predTerm, objectTerm) = turtleTerms(quads, prefixes)
+    val g: Column =
+      if (quads.columns.contains("graph")) col("graph")
+      else lit(null).cast("string")
+    val named = col("g").isNotNull
+    quads
+      .select(g.as("g"), subjectTerm.as("st"),
+        struct(predTerm.as("p"), objectTerm.as("o")).as("po"))
+      .groupBy(col("g"), col("st"))
+      .agg(sort_array(collect_list(col("po"))).as("pos"))
+      .select(col("g").as("graph"), {
+        val joined = transform(col("pos"),
+          x => concat(x.getField("p"), lit(" "), x.getField("o")))
+        when(named,
+          concat(lit("  "), col("st"), lit(" "),
+            array_join(joined, " ;\n    "), lit(" .")))
+          .otherwise(concat(col("st"), lit(" "),
+            array_join(joined, " ;\n  "), lit(" .")))
+          .as("value")
+      })
+  }
+
+  /** Single-document TriG sink: `@prefix` header, top-level blocks for
+    * default-graph quads, then one `<g> { … }` section per named graph,
+    * everything deterministically ordered. Like [[writeTurtle]] this is
+    * the SMALL-data contract (one readable document); the 100 TB path
+    * stays [[writeNQuadsByGraph]], whose layout TriG's graph sections
+    * mirror one-to-one. */
+  def writeTrig(quads: DataFrame, path: String,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): Unit = {
+    val s = quads.sparkSession
+    import s.implicits._
+    // sort key: (graph section, phase, text) — header first (phase -1
+    // on the empty graph key), default-graph blocks under the empty
+    // key, then per-graph open-brace / blocks / close-brace
+    val header = turtleHeader(prefixes).toDS().toDF("value")
+      .select(lit("").as("gk"), lit(-1).as("ord"), col("value"))
+    val blocks = renderTrigBlocks(quads, prefixes)
+      .select(coalesce(col("graph"), lit("")).as("gk"), lit(1).as("ord"),
+        col("value"))
+    val opens =
+      if (quads.columns.contains("graph"))
+        quads.select(col("graph").as("gk"))
+          .filter(col("gk").isNotNull).distinct()
+          .select(col("gk"), lit(0).as("ord"),
+            concat(lit("<"), col("gk"), lit("> {")).as("value"))
+      else header.limit(0)
+    val closes = opens.select(col("gk"), lit(2).as("ord"),
+      lit("}").as("value"))
+    header.unionByName(blocks).unionByName(opens).unionByName(closes)
+      .orderBy(col("gk"), col("ord"), col("value"))
       .select(col("value"))
       .coalesce(1)
       .write.mode("overwrite").text(path)

@@ -307,6 +307,67 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("writeTrig emits a structured named-graph document") {
+    import spark.implicits._
+    val quads = Seq(
+      ("urn:s1", "iri", "https://schema.org/name", "Al", "literal",
+        null, null, "urn:g1"),
+      ("urn:s1", "iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "https://schema.org/Place", "iri", null, null, "urn:g1"),
+      ("urn:s2", "iri", "https://schema.org/name", "Bo", "literal",
+        null, "en", "urn:g2"),
+      ("urn:top", "iri", "https://schema.org/name", "Def", "literal",
+        null, null, null))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    val dir = java.nio.file.Files
+      .createTempDirectory("trig").toString + "/doc"
+    graft.rdf.QuadEmitter.writeTrig(quads, dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).toList
+    val text = lines.mkString("\n")
+    // default-graph block at top level, then graph sections in order
+    val gi1 = text.indexOf("<urn:g1> {")
+    val gi2 = text.indexOf("<urn:g2> {")
+    assert(text.indexOf("<urn:top> sdo:name \"Def\" .") < gi1)
+    assert(gi1 >= 0 && gi2 > gi1)
+    // block inside braces is indented, `a` keyword and `;` grouping used
+    assert(text.contains("  <urn:s1> a sdo:Place ;\n    sdo:name \"Al\" ."))
+    assert(text.contains("  <urn:s2> sdo:name \"Bo\"@en ."))
+    // braces balance
+    assert(lines.count(_ == "}") == 2)
+    // headers first
+    assert(lines.head.startsWith("@prefix"))
+  }
+
+  test("JsonLd renders sorted expanded nodes and a flat document") {
+    import spark.implicits._
+    val quads = Seq(
+      ("urn:s1", "iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "urn:T", "iri", null, null, "urn:g1"),
+      ("urn:s1", "iri", "urn:p", "v\"x", "literal", null, null, "urn:g1"),
+      ("urn:s1", "iri", "urn:p", "b2", "bnode", null, null, "urn:g1"),
+      ("urn:s1", "iri", "urn:q", "5", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g1"),
+      ("b2", "bnode", "urn:p", "w", "literal", null, "en", "urn:g1"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    val nodes = graft.rdf.JsonLd.renderNodes(quads)
+      .orderBy(col("value")).collect().map(_.getString(1))
+    assert(nodes.length == 2)
+    // @type sorts first; literal escaping is JSON-safe; bnode ids _:
+    assert(nodes(0) ==
+      """{"@id":"_:b2","urn:p":[{"@value":"w","@language":"en"}]}""")
+    assert(nodes(1) ==
+      """{"@id":"urn:s1","@type":["urn:T"],""" +
+        """"urn:p":[{"@id":"_:b2"},{"@value":"v\"x"}],""" +
+        """"urn:q":[{"@value":"5",""" +
+        """"@type":"http://www.w3.org/2001/XMLSchema#integer"}]}""")
+    val doc = graft.rdf.JsonLd.renderDocument(quads)
+      .collect()(0).getString(0)
+    assert(doc.startsWith("""[{"@id":"urn:g1","@graph":[{"@id":"_:b2""""))
+    assert(doc.endsWith("]}]"))
+  }
+
   test("flagship entry() produces quads on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
