@@ -168,19 +168,69 @@ object Bgp {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** Selectivity rank of one pattern — the classic SPARQL BGP heuristic
+    * (Stocker et al., "SPARQL Basic Graph Pattern Optimization Using
+    * Selectivity Estimation", WWW'08): a bound subject narrows hardest,
+    * then a bound object, then predicate/graph. Patterns with more (and
+    * stronger) constants produce the smallest binding relations, so
+    * they should seed and steer the join order. */
+  private def selectivity(p: Pattern): Int = {
+    def bound(t: Term): Boolean = t match {
+      case Const(_) => true
+      case _ => false
+    }
+    (if (bound(p.s)) 4 else 0) + (if (bound(p.o)) 2 else 0) +
+      (if (bound(p.p)) 1 else 0) +
+      (if (p.g.exists(bound)) 1 else 0)
+  }
+
+  private def patternVars(p: Pattern): Set[String] =
+    (Seq(p.s, p.p, p.o) ++ p.g.toSeq).collect {
+      case Var(n) => n
+    }.toSet
+
   /** Solution mappings for the conjunction of `patterns`: one column per
     * distinct variable name, one row per binding (set semantics, like
     * SPARQL SELECT DISTINCT). Shared variables join; disjoint patterns
     * cross-join their bindings (the SPARQL cartesian semantics — avoid
-    * disconnected patterns at scale just as you would in SPARQL). */
+    * disconnected patterns at scale just as you would in SPARQL).
+    *
+    * Join ORDER is optimized, not taken as written: patterns are ranked
+    * by [[selectivity]], the most selective seeds the join, and each
+    * step greedily joins the most selective remaining pattern that
+    * SHARES a variable with the accumulated bindings — so a query
+    * written star-last never pays an intermediate cartesian the way a
+    * literal left-to-right fold would, and the smallest relations drive
+    * every hash join's build side. Variable-free patterns (1-row
+    * existence markers) apply last — each is one broadcast-able row.
+    * Results are order-independent (joins commute; the final `distinct`
+    * fixes set semantics), so this is purely a plan-shape choice. */
   def select(quads: DataFrame, patterns: Seq[Pattern]): DataFrame = {
     require(patterns.nonEmpty, "at least one triple pattern required")
-    patterns.zipWithIndex.map { case (p, i) => bindings(quads, p, i) }
-      .reduce { (acc, nxt) =>
-        val shared = acc.columns.toSet.intersect(nxt.columns.toSet).toSeq
-        if (shared.nonEmpty) acc.join(nxt, shared)
-        else acc.crossJoin(nxt)
+    val items = patterns.zipWithIndex.map { case (p, i) =>
+      (bindings(quads, p, i), patternVars(p), selectivity(p))
+    }
+    val (varful, markers) = items.partition(_._2.nonEmpty)
+    val joined: DataFrame =
+      if (varful.isEmpty) markers.map(_._1).reduce(_ crossJoin _)
+      else {
+        val ordered = varful.sortBy(-_._3)
+        var acc = ordered.head._1
+        var accVars = ordered.head._2
+        var rest = ordered.tail
+        while (rest.nonEmpty) {
+          val i = rest.indexWhere(_._2.intersect(accVars).nonEmpty)
+          val pick = if (i >= 0) i else 0 // disconnected: SPARQL cartesian
+          val (df, vs, _) = rest(pick)
+          val shared = accVars.intersect(vs).toSeq
+          acc = if (shared.nonEmpty) acc.join(df, shared)
+            else acc.crossJoin(df)
+          accVars ++= vs
+          rest = rest.patch(pick, Nil, 1)
+        }
+        markers.map(_._1).foldLeft(acc)(_ crossJoin _)
       }
+    joined
       .drop(patterns.indices.map(i => s"_bgp_m$i"): _*)
       .distinct()
   }

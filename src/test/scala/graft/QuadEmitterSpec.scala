@@ -307,6 +307,40 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Bgp.select join order: star-last query plans no cartesian") {
+    import spark.implicits._
+    import graft.rdf.Bgp
+    import graft.rdf.Bgp.{Pattern, Var, Const}
+    val quads = Seq(
+      ("a", "urn:name", "Al"), ("b", "urn:name", "Bo"),
+      ("a", "urn:knows", "b"), ("b", "urn:knows", "a"),
+      ("a", "urn:type", "T"))
+      .toDF("subject", "predicate", "objectValue")
+    // written order is pathological: patterns 1 and 2 share nothing —
+    // a literal left-to-right fold would cross-join them before the
+    // connecting third pattern arrives; the selectivity-greedy order
+    // must avoid any cartesian/nested-loop join
+    val pats = Seq(
+      Pattern(Var("x"), "urn:name", Var("nx")),
+      Pattern(Var("y"), "urn:type", Const("T")),
+      Pattern(Var("x"), "urn:knows", Var("y")))
+    val sol = Bgp.select(quads, pats)
+    val plan = sol.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"unexpected cartesian in:\n$plan")
+    assert(sol.select("x", "nx", "y").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("b", "Bo", "a")))
+    // disconnected patterns still cross-join (SPARQL semantics)
+    assert(Bgp.select(quads, Seq(
+      Pattern(Var("x"), "urn:type", Const("T")),
+      Pattern(Var("y"), "urn:knows", Const("a")))).count() == 1)
+    // var-free marker patterns still gate (empty marker → empty result)
+    assert(Bgp.select(quads, Seq(
+      Pattern(Var("x"), "urn:name", Var("nx")),
+      Pattern(Const("zzz"), "urn:type", Const("T")))).count() == 0)
+  }
+
   test("writeTrig emits a structured named-graph document") {
     import spark.implicits._
     val quads = Seq(
