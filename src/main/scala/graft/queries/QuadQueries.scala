@@ -1368,6 +1368,58 @@ object QuadQueries extends QueryCatalog {
       graft.rdf.JsonLd.renderDocument(fullQuads(s, dir))
     }),
 
+    // SPARQL results CSV wire format (r8, W3C sparql-results+csv): the
+    // serving protocol's response document. The solution column carries
+    // a GROUP_CONCAT list whose separator is a COMMA, so RFC 4180
+    // quoting genuinely bites on every row (field wrapped, interior
+    // quotes doubled — here none, the wrap is the test). Header line at
+    // ord 0. The oracle replays solution + quoting rules in SQL.
+    "q_sparql_results_csv" -> ((s, dir) => {
+      val sol = graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr (GROUP_CONCAT(?t; SEPARATOR=",") AS ?types)
+           |WHERE {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType ?t
+           |} GROUP BY ?addr ORDER BY ?addr LIMIT 400""".stripMargin)
+      graft.rdf.SparqlResults.csv(sol).orderBy(col("ord"), col("value"))
+    }),
+
+    // SPARQL results TSV (r8): full term syntax per the TSV spec —
+    // `<iri>` for uri-kinded variables, quoted literals otherwise; the
+    // kind map comes from the caller (solution relations are untyped by
+    // construction, and guessing from value shape would be silently
+    // wrong — declared, not inferred).
+    "q_sparql_results_tsv" -> ((s, dir) => {
+      val sol = graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?nation WHERE {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType <$PartNationT> .
+           |  ?b sdo:value ?nation
+           |} ORDER BY ?addr LIMIT 400""".stripMargin)
+      graft.rdf.SparqlResults
+        .tsv(sol, Map("addr" -> "uri", "nation" -> "literal"))
+        .orderBy(col("ord"), col("value"))
+    }),
+
+    // SPARQL results JSON document (r8, W3C sparql-results+json — what
+    // the reference's sparqlwrapper client actually parses,
+    // cam/graphdb.py:34-58): head/vars + sorted bindings as ONE row,
+    // hash-pinned byte-for-byte against an independently nested
+    // string_agg oracle.
+    "q_sparql_results_json" -> ((s, dir) => {
+      val sol = graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?nation WHERE {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType <$PartNationT> .
+           |  ?b sdo:value ?nation
+           |} ORDER BY ?addr LIMIT 400""".stripMargin)
+      graft.rdf.SparqlResults
+        .json(sol, Map("addr" -> "uri", "nation" -> "literal"))
+    }),
+
     // SPARQL UPDATE graph management (r8): COPY / ADD / MOVE / DROP
     // over the two named corpus graphs — a backup graph built from
     // both, the geo-names graph renamed, the addresses graph dropped.
@@ -2259,6 +2311,68 @@ object QuadQueries extends QueryCatalog {
         |  FROM nodes GROUP BY graph)
         |SELECT '[' || string_agg(gobj, ',' ORDER BY gobj) || ']' AS value
         |FROM gobjs""".stripMargin, extraCte = true),
+
+    "q_sparql_results_csv" -> {
+      def q(c: String) =
+        s"""CASE WHEN regexp_matches($c, '[",\n\r]')
+           |  THEN '"' || replace($c, '"', '""') || '"' ELSE $c END"""
+          .stripMargin
+      s"""$fullQuadsCte,
+         |sol AS (
+         |  SELECT addr, string_agg(t, ',' ORDER BY t) AS types FROM (
+         |    SELECT DISTINCT hp.subject AS addr, hp.objectValue AS b,
+         |      ty.objectValue AS t
+         |    FROM quads hp JOIN quads ty ON hp.objectValue = ty.subject
+         |    WHERE hp.predicate = '$HasPartP'
+         |      AND ty.predicate = '$AddTypeP')
+         |  GROUP BY addr ORDER BY addr LIMIT 400)
+         |SELECT ord, value FROM (
+         |  SELECT 0 AS ord, 'addr,types' AS value
+         |  UNION ALL
+         |  SELECT 1, ${q("addr")} || ',' || ${q("types")} FROM sol)
+         |ORDER BY ord, value""".stripMargin
+    },
+
+    "q_sparql_results_tsv" ->
+      s"""$fullQuadsCte,
+         |sol AS (
+         |  SELECT DISTINCT hp.subject AS addr, va.objectValue AS nation
+         |  FROM quads hp
+         |  JOIN quads ty ON hp.objectValue = ty.subject
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND ty.objectValue = '$PartNationT'
+         |    AND va.predicate = '$ValueP'
+         |  ORDER BY addr LIMIT 400)
+         |SELECT ord, value FROM (
+         |  SELECT 0 AS ord, '?addr' || chr(9) || '?nation' AS value
+         |  UNION ALL
+         |  SELECT 1, '<' || addr || '>' || chr(9) ||
+         |    '"' || ${escSql("nation")} || '"' FROM sol)
+         |ORDER BY ord, value""".stripMargin,
+
+    "q_sparql_results_json" ->
+      s"""$fullQuadsCte,
+         |sol AS (
+         |  SELECT DISTINCT hp.subject AS addr, va.objectValue AS nation
+         |  FROM quads hp
+         |  JOIN quads ty ON hp.objectValue = ty.subject
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND ty.objectValue = '$PartNationT'
+         |    AND va.predicate = '$ValueP'
+         |  ORDER BY addr LIMIT 400),
+         |bindings AS (
+         |  SELECT '{"addr":{"type":"uri","value":"' || ${escSql("addr")}
+         |    || '"},"nation":{"type":"literal","value":"'
+         |    || ${escSql("nation")} || '"}}' AS b
+         |  FROM sol)
+         |SELECT '{"head":{"vars":["addr","nation"]},' ||
+         |  '"results":{"bindings":[' ||
+         |  string_agg(b, ',' ORDER BY b) || ']}}' AS value
+         |FROM bindings""".stripMargin,
 
     "q_quads_graph_mgmt" ->
       s"""$fullQuadsCte,

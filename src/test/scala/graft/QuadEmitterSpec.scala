@@ -402,6 +402,36 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     assert(doc.endsWith("]}]"))
   }
 
+  test("SparqlResults: RFC4180 quoting, TSV terms, JSON unbound omitted") {
+    import spark.implicits._
+    import graft.rdf.SparqlResults
+    val sol = Seq(
+      ("urn:a", "plain"),
+      ("urn:b", "has,comma"),
+      ("urn:c", "has\"quote"),
+      ("urn:d", null))
+      .toDF("s", "v")
+    val csv = SparqlResults.csv(sol).orderBy(col("ord"), col("value"))
+      .collect().map(_.getString(1)).toList
+    assert(csv == List("s,v", "urn:a,plain", "urn:b,\"has,comma\"",
+      "urn:c,\"has\"\"quote\"", "urn:d,"))
+    val tsv = SparqlResults.tsv(sol, Map("s" -> "uri"))
+      .orderBy(col("ord"), col("value"))
+      .collect().map(_.getString(1)).toList
+    assert(tsv.head == "?s\t?v")
+    assert(tsv.contains("<urn:a>\t\"plain\""))
+    assert(tsv.contains("<urn:c>\t\"has\\\"quote\""))
+    assert(tsv.contains("<urn:d>\t")) // unbound: empty field
+    val json = SparqlResults.json(sol, Map("s" -> "uri"))
+      .collect()(0).getString(0)
+    assert(json.startsWith("{\"head\":{\"vars\":[\"s\",\"v\"]}," +
+      "\"results\":{\"bindings\":["))
+    // unbound binding omitted entirely from the solution object
+    assert(json.contains("{\"s\":{\"type\":\"uri\",\"value\":\"urn:d\"}}"))
+    assert(json.contains("\"v\":{\"type\":\"literal\"," +
+      "\"value\":\"has\\\"quote\"}"))
+  }
+
   test("flagship entry() produces quads on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
