@@ -1368,6 +1368,30 @@ object QuadQueries extends QueryCatalog {
       graft.rdf.JsonLd.renderDocument(fullQuads(s, dir))
     }),
 
+    // HAVING (r8): group filters over aggregate values — the direct
+    // aggregate form computes as a hidden column in the SAME aggregation
+    // pass (no second shuffle), then filters and drops. The oracle is
+    // fully independent: it never sees the quad explosion, counting
+    // straight off customer⋈nation with SQL HAVING.
+    "q_quads_sparql_having" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?nation (COUNT(?addr) AS ?n) WHERE {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType <$PartNationT> .
+           |  ?b sdo:value ?nation
+           |} GROUP BY ?nation HAVING(COUNT(?addr) > 60)
+           |ORDER BY ?nation""".stripMargin)
+    }),
+
+    // CONSTRUCT WHERE shortcut (r8, SPARQL 1.1 §10.2.2): the matched
+    // statements re-emitted as the template — one pattern scan, one
+    // projection, set semantics.
+    "q_quads_construct_where" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""CONSTRUCT WHERE { ?b <$AddTypeP> ?t }""")
+    }),
+
     // SPARQL results CSV wire format (r8, W3C sparql-results+csv): the
     // serving protocol's response document. The solution column carries
     // a GROUP_CONCAT list whose separator is a COMMA, so RFC 4180
@@ -2311,6 +2335,19 @@ object QuadQueries extends QueryCatalog {
         |  FROM nodes GROUP BY graph)
         |SELECT '[' || string_agg(gobj, ',' ORDER BY gobj) || ']' AS value
         |FROM gobjs""".stripMargin, extraCte = true),
+
+    "q_quads_sparql_having" ->
+      """SELECT n.n_name AS nation, COUNT(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name HAVING COUNT(*) > 60
+        |ORDER BY nation""".stripMargin,
+
+    "q_quads_construct_where" ->
+      s"""$fullQuadsCte
+         |SELECT DISTINCT subject, predicate, objectValue,
+         |  'literal' AS objectKind
+         |FROM quads WHERE predicate = '$AddTypeP'
+         |ORDER BY subject, predicate, objectValue""".stripMargin,
 
     "q_sparql_results_csv" -> {
       def q(c: String) =

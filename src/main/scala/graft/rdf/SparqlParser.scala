@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * [PREFIX pfx: <iri>]*
   * SELECT [DISTINCT] ?v … | * | (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
   * | (GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?a) | (SAMPLE(?v) AS ?a)
-  * | CONSTRUCT { template triples } | ASK | DESCRIBE <iri>
+  * | CONSTRUCT { template triples } | CONSTRUCT WHERE { … }
+  * | ASK | DESCRIBE <iri>
   * WHERE {
   *   [GRAPH ?g|<iri> { group }]
   *   [{ SELECT … }]                          (sub-select, joined on shared vars)
@@ -40,7 +41,8 @@ import org.apache.spark.sql.functions._
   *   [FILTER [NOT] EXISTS { triples }]
   *   [VALUES ?v { "lit" <iri> … }]
   * }
-  * [GROUP BY ?v …] [ORDER BY [DESC(]?v[)] …] [LIMIT n]
+  * [GROUP BY ?v …] [HAVING(AGG(?v|*) op n | ?alias op n [&& …])]
+  * [ORDER BY [DESC(]?v[)] …] [LIMIT n] [OFFSET n]
   * }}}
   *
   * FILTER compares a variable against a literal (`= != < > <= >=`,
@@ -96,6 +98,8 @@ object SparqlParser {
       describeIri: Option[String] = None,
       selectOrder: Seq[String] = Nil, // SELECT-list column order
       offset: Option[Int] = None,
+      having: Seq[(Option[String], String, String, Double)] = Nil,
+      // (aggFunc?, var-or-alias, op, threshold): HAVING clauses
       filterFns: Seq[(String, String, String, String)] = Nil,
       // (func, var, arg, flags): REGEX | STRSTARTS | CONTAINS
       varFilters: Seq[(String, String, String)] = Nil, // ?a op ?b
@@ -407,7 +411,32 @@ object SparqlParser {
 
   private def parseQuery(p: P): Query = {
     if (p.is("CONSTRUCT")) {
-      p.eat(); p.expect("{")
+      p.eat()
+      if (p.is("WHERE")) {
+        // CONSTRUCT WHERE { … } shortcut (SPARQL 1.1 §10.2.2): the
+        // template IS the pattern set — matched statements re-emitted.
+        // Variable objects instantiate as literals (the textual
+        // template convention documented at [[templates]]).
+        p.eat(); p.expect("{")
+        val pats = triples(p, None)
+        p.expect("}")
+        val tpl = pats.map { pt =>
+          val pred = pt.p match {
+            case Bgp.Const(v) => v
+            case Bgp.Var(_) => throw new IllegalArgumentException(
+              "CONSTRUCT WHERE needs constant predicates")
+          }
+          val kind = pt.o match {
+            case Bgp.Const(v) if v.startsWith("http") || v.startsWith("urn:")
+              => graft.model.TermKind.Iri
+            case _ => graft.model.TermKind.Literal
+          }
+          Bgp.Template(pt.s, pred, pt.o, kind)
+        }
+        return Query(distinct = false, Nil, Nil, Nil, pats, Nil,
+          Nil, Nil, Nil, None, verb = "construct", template = tpl)
+      }
+      p.expect("{")
       val tpl = templates(p)
       p.expect("}"); p.expect("WHERE"); p.expect("{")
       val pats = Seq.newBuilder[Bgp.Pattern]
@@ -678,6 +707,35 @@ object SparqlParser {
       p.eat(); p.expect("BY")
       while (p.peek.startsWith("?")) grp += p.eat().substring(1)
     }
+    val hav = Seq.newBuilder[(Option[String], String, String, Double)]
+    if (p.is("HAVING")) {
+      // HAVING ((COUNT|SUM|…)(?v|*) op n | ?alias op n [&& …]) —
+      // group filters over aggregate values, numeric comparates
+      p.eat(); p.expect("(")
+      var more = true
+      while (more) {
+        val (fn, v) =
+          if (p.peek.startsWith("?")) (None, p.eat().substring(1))
+          else {
+            val f = p.eat().toUpperCase
+            require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
+              s"unsupported HAVING aggregate '$f'")
+            p.expect("(")
+            val arg = p.eat()
+            require(arg.startsWith("?") || arg == "*",
+              s"HAVING aggregate needs a variable or *, got '$arg'")
+            p.expect(")")
+            (Some(f), if (arg == "*") "*" else arg.substring(1))
+          }
+        val op = p.eat()
+        require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+          s"unsupported HAVING operator '$op'")
+        val n = p.eat()
+        hav += ((fn, v, op, n.toDouble))
+        if (p.is("&&")) p.eat() else more = false
+      }
+      p.expect(")")
+    }
     val ord = Seq.newBuilder[(String, Boolean)]
     if (p.is("ORDER")) {
       p.eat(); p.expect("BY")
@@ -704,7 +762,7 @@ object SparqlParser {
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), selectOrder = order.result(),
-      offset = off, filterFns = fnFils.result(),
+      offset = off, having = hav.result(), filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
       boundFilters = bndFils.result(), existsFilters = exFils.result())
     // with aggregates, projected plain variables must be grouped
@@ -713,6 +771,8 @@ object SparqlParser {
     require(parsed.aggregates.isEmpty ||
       parsed.projection.toSet.subsetOf(parsed.groupBy.toSet),
       "with aggregates, every projected variable must be GROUPed BY")
+    require(parsed.having.isEmpty || parsed.aggregates.nonEmpty,
+      "HAVING requires an aggregating SELECT")
     parsed
   }
 
@@ -992,9 +1052,29 @@ object SparqlParser {
           array_join(sort_array(collect_list(col(a.variable))), a.sep)
         case "SAMPLE" => min(col(a.variable))
       }).as(a.alias)
-      val exprs = q.aggregates.map(one)
+      // HAVING entries that name an aggregate directly compute as
+      // hidden columns in the same pass (one aggregation, no re-shuffle)
+      val havingAggs = q.having.zipWithIndex.collect {
+        case ((Some(f), v, _, _), i) => Agg(f, v, s"_having_$i")
+      }
+      val exprs = (q.aggregates ++ havingAggs).map(one)
       sol = sol.groupBy(q.groupBy.map(col): _*)
         .agg(exprs.head, exprs.tail: _*)
+      q.having.zipWithIndex.foreach { case ((fn, v, op, n), i) =>
+        val c = (if (fn.isDefined) col(s"_having_$i") else col(v))
+          .cast("double")
+        val l = lit(n)
+        sol = sol.filter(op match {
+          case "=" => c === l
+          case "!=" => c =!= l
+          case "<" => c < l
+          case ">" => c > l
+          case "<=" => c <= l
+          case ">=" => c >= l
+        })
+      }
+      if (havingAggs.nonEmpty)
+        sol = sol.drop(havingAggs.map(_.alias): _*)
       // emit columns in the written SELECT-list order (projected
       // variables and aggregate aliases interleaved as authored —
       // ADVICE r7; grouped-but-unprojected variables drop here)

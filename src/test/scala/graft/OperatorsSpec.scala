@@ -1182,6 +1182,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlParser r8: HAVING and CONSTRUCT WHERE") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:tag", "x"), ("a", "urn:tag", "y"), ("a", "urn:tag", "z"),
+      ("b", "urn:tag", "x"), ("b", "urn:tag", "y"), ("c", "urn:tag", "x"),
+      ("a", "urn:name", "Al"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // HAVING over a direct aggregate (hidden column, same aggregation)
+    assert(run("""SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <urn:tag> ?t }
+        GROUP BY ?s HAVING(COUNT(?t) >= 2) ORDER BY ?s""")
+      == Seq(Seq("a", "3"), Seq("b", "2")))
+    // HAVING over a projected alias, conjoined
+    assert(run("""SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <urn:tag> ?t }
+        GROUP BY ?s HAVING(?n >= 2 && ?n < 3)""")
+      == Seq(Seq("b", "2")))
+    // HAVING without aggregates is rejected loudly
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "SELECT ?s WHERE { ?s <urn:tag> ?t } HAVING(?t > 1)")
+    }
+    // CONSTRUCT WHERE re-emits the matched statements
+    val built = run("""CONSTRUCT WHERE { ?s <urn:name> ?o }""")
+    assert(built == Seq(Seq("a", "urn:name", "Al", "literal")))
+  }
+
   test("SparqlParser r8: textual property paths, DESCRIBE, sub-select") {
     import spark.implicits._
     import graft.rdf.SparqlParser
