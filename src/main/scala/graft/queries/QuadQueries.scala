@@ -1368,6 +1368,21 @@ object QuadQueries extends QueryCatalog {
       graft.rdf.JsonLd.renderDocument(fullQuads(s, dir))
     }),
 
+    // TriG SOURCE roundtrip (r8): the written named-graph document
+    // comes back through TurtleParser's graph-section state — parse ∘
+    // render = identity INCLUDING the graph column (the one thing plain
+    // Turtle cannot carry). Prefix compaction, `a`, `;` grouping, both
+    // indent levels and the braces all cross the text boundary; the
+    // oracle recomputes the quads relationally, never seeing the
+    // document.
+    "q_trig_parse_roundtrip" -> ((s, dir) => {
+      val out = tmp(s, "trig_parse")
+      QuadEmitter.writeTrig(fullQuads(s, dir), out)
+      graft.rdf.TurtleParser.readTrig(s, out)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"),
+          col("graph"))
+    }),
+
     // HAVING (r8): group filters over aggregate values — the direct
     // aggregate form computes as a hidden column in the SAME aggregation
     // pass (no second shuffle), then filters and drops. The oracle is
@@ -2335,6 +2350,13 @@ object QuadQueries extends QueryCatalog {
         |  FROM nodes GROUP BY graph)
         |SELECT '[' || string_agg(gobj, ',' ORDER BY gobj) || ']' AS value
         |FROM gobjs""".stripMargin, extraCte = true),
+
+    "q_trig_parse_roundtrip" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
+         |FROM quads
+         |ORDER BY subject, predicate, objectValue, graph""".stripMargin,
 
     "q_quads_sparql_having" ->
       """SELECT n.n_name AS nation, COUNT(*) AS n

@@ -69,12 +69,16 @@ object TurtleParser {
   private def fail(msg: String, line: String): Nothing =
     throw new IllegalArgumentException(s"turtle parse: $msg in line: $line")
 
-  /** Parse one Turtle document's lines. Single pass, constant state
-    * (prefix table + current subject) — streams blocks without holding
-    * the document's quads in memory. */
+  /** Parse one Turtle (or TriG) document's lines. Single pass, constant
+    * state (prefix table + current graph + current subject) — streams
+    * blocks without holding the document's quads in memory. TriG graph
+    * sections (`<g> {` … `}`, the `writeTrig` layout) set the graph for
+    * their blocks; top-level blocks keep a null graph, which is also
+    * the plain-Turtle case. */
   def parseLines(lines: Iterator[String]): Iterator[TurtleQuad] = {
     var prefixes = Map.empty[String, String]
     var subject: (String, String) = null
+    var graph: String = null
     lines.flatMap { line =>
       val t = line.trim
       if (t.isEmpty || t.startsWith("#")) Iterator.empty
@@ -83,6 +87,21 @@ object TurtleParser {
           case PrefixLine(p, ns) => prefixes += (p -> ns); Iterator.empty
           case _ => fail("malformed @prefix", line)
         }
+      } else if (t.endsWith("{")) {
+        // TriG graph open: `<g> {` — statements end in ; or . so the
+        // brace cannot be statement content
+        if (graph != null) fail("nested graph section", line)
+        val g = t.dropRight(1).trim
+        if (!(g.startsWith("<") && g.endsWith(">")))
+          fail("graph section needs a constant IRI", line)
+        graph = g.substring(1, g.length - 1)
+        subject = null
+        Iterator.empty
+      } else if (t == "}") {
+        if (graph == null) fail("unmatched '}'", line)
+        graph = null
+        subject = null
+        Iterator.empty
       } else {
         // the renderer terminates every statement line with " ;" (block
         // continues) or " ." (block ends); both strip the SAME way and
@@ -92,17 +111,21 @@ object TurtleParser {
           if (t.endsWith(" ;")) t.dropRight(2)
           else if (t.endsWith(" .")) t.dropRight(2)
           else fail("missing statement terminator", line)
-        // a block's first line starts at column 0 and carries the
-        // subject; continuation lines are indented
+        // a block's first line starts at the section's base indent (0
+        // top-level, 2 inside a graph brace) and carries the subject;
+        // deeper-indented lines are predicate continuations
+        val indent = line.takeWhile(c => c == ' ' || c == '\t').length
+        val base = if (graph == null) 0 else 2
         val rest =
-          if (line.startsWith(" ") || line.startsWith("\t")) {
+          if (indent > base) {
             if (subject == null) fail("continuation before any subject", line)
             stmt.trim
           } else {
-            val sp = stmt.indexOf(' ')
+            val first = stmt.trim
+            val sp = first.indexOf(' ')
             if (sp < 0) fail("subject without predicate", line)
-            subject = resource(stmt.take(sp), prefixes, line)
-            stmt.drop(sp + 1)
+            subject = resource(first.take(sp), prefixes, line)
+            first.drop(sp + 1)
           }
         val sp = rest.indexOf(' ')
         if (sp < 0) fail("predicate without object", line)
@@ -133,7 +156,7 @@ object TurtleParser {
             (v, k, null, null)
           }
         Iterator.single(TurtleQuad(subject._1, subject._2, pred, ov, ok,
-          dt, lang, null))
+          dt, lang, graph))
       }
     }
   }
@@ -147,4 +170,8 @@ object TurtleParser {
       .flatMap(doc => parseLines(doc.linesIterator))
       .toDF()
   }
+
+  /** TriG source — same parser, graph sections populate the `graph`
+    * column (inverse of [[QuadEmitter.writeTrig]]). */
+  def readTrig(s: SparkSession, path: String): DataFrame = readTurtle(s, path)
 }
