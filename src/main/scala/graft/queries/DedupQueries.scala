@@ -479,6 +479,23 @@ object DedupQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ExactSubstr span REMOVAL (operators/ExactSubstrDedup — Lee et
+    // al. ACL'22): every 32-char span occurring in >1 document is cut
+    // from all of them, keeping each document's unique remainder — the
+    // suffix-array dedup of the paper as four relational stages
+    // (window explode → repeat set → interval merge → span
+    // subtraction). Output pins the CLEANED TEXT byte-for-byte via md5
+    // against the oracle's independent window/island/string_agg replay.
+    "q_dedup_exact_substr" -> ((s, dir) => {
+      graft.operators.ExactSubstrDedup
+        .dedup(Tables.documents(s, dir), "doc_id", "text", 32)
+        .select(col("id").as("doc_id"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"),
+          col("n_spans"), col("chars_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Probabilistic record linkage (operators/EntityResolution, the
     // Fellegi–Sunter accumulate-evidence shape): blocking on
     // (nation, coarse balance bucket) bounds the pair space, then three
@@ -796,6 +813,51 @@ object DedupQueries extends QueryCatalog {
          |       count(DISTINCT g.gram) AS n_grams
          |FROM g JOIN rep ON g.gram = rep.gram
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_dedup_exact_substr" ->
+      """WITH w AS (
+        |  SELECT doc_id, g AS s, g + 31 AS e,
+        |    substring(text, g, 32) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1,
+        |            greatest(length(text) - 31, 0))) AS g
+        |        FROM documents)),
+        |rep AS (SELECT win FROM w GROUP BY win
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |pos AS (SELECT doc_id, s, e FROM w JOIN rep USING (win)),
+        |m AS (SELECT doc_id, s, e,
+        |        MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM pos),
+        |isl AS (SELECT doc_id, s, e,
+        |        SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY s
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM m),
+        |spans AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        |          FROM isl GROUP BY doc_id, island),
+        |segs AS (SELECT doc_id, s, e,
+        |    coalesce(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |      AS ks
+        |  FROM spans),
+        |cln AS (
+        |  SELECT sg.doc_id,
+        |    coalesce(string_agg(
+        |      CASE WHEN sg.s > sg.ks
+        |           THEN substring(dd.text, sg.ks, sg.s - sg.ks)
+        |           ELSE '' END, '' ORDER BY sg.s), '')
+        |      || substring(dd.text, MAX(sg.e) + 1) AS clean,
+        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(sg.e - sg.s + 1) AS BIGINT) AS chars_removed
+        |  FROM segs sg JOIN documents dd USING (doc_id)
+        |  GROUP BY sg.doc_id, dd.text)
+        |SELECT d.doc_id,
+        |  CAST(length(coalesce(c.clean, d.text)) AS BIGINT) AS clean_len,
+        |  md5(coalesce(c.clean, d.text)) AS clean_md5,
+        |  coalesce(c.n_spans, 0) AS n_spans,
+        |  coalesce(c.chars_removed, 0) AS chars_removed
+        |FROM documents d LEFT JOIN cln c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_er_link" ->
       """WITH c AS (

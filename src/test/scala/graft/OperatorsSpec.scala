@@ -1316,6 +1316,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ExactSubstrDedup cuts merged cross-doc spans, keeps unique text") {
+    import spark.implicits._
+    val boiler = "0123456789ABCDEFGHIJ" // 20 chars, W=8 windows cover it
+    val docs = Seq(
+      (1L, s"aaa${boiler}bbb${boiler}ccc"), // two separate spans
+      (2L, s"xx$boiler"), // span at end
+      (3L, s"${boiler}yy"), // span at start
+      (4L, "totally unique text with no repeats at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.ExactSubstrDedup
+      .dedup(docs, "doc_id", "text", 8)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // overlapping windows merge to ONE span per boilerplate occurrence
+    assert(out(0) == ((1L, "aaabbbccc", 2L, 40L)))
+    assert(out(1) == ((2L, "xx", 1L, 20L)))
+    assert(out(2) == ((3L, "yy", 1L, 20L)))
+    assert(out(3) == ((4L,
+      "totally unique text with no repeats at all", 0L, 0L)))
+    // spans shorter than W survive even if duplicated
+    val short = Seq((1L, "abcdef common"), (2L, "common ghijkl"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.ExactSubstrDedup
+      .dedup(short, "doc_id", "text", 8)
+      .select("clean").collect().map(_.getString(0)).toSet
+    assert(kept == Set("abcdef common", "common ghijkl"))
+  }
+
   test("SparqlUpdate r8: CLEAR/DROP, COPY, MOVE, ADD graph management") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
