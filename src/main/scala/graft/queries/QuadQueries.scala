@@ -1342,9 +1342,15 @@ object QuadQueries extends QueryCatalog {
     // LINE of the document in SQL — prefix compaction, the `a` keyword,
     // `;` continuation indentation, block terminators, braces and
     // headers — so the whole text surface is verified, not just counts.
+    // Scoped to the geo-names graph — TriG is the SMALL-document
+    // contract (one readable file, like writeTurtle; bulk serialization
+    // is the per-graph N-Quads path), so the gate matches the contract
+    // scale; multi-graph + default-graph document structure is pinned
+    // by the QuadEmitterSpec unit test.
     "q_trig_render" -> ((s, dir) => {
       val out = tmp(s, "trig_doc")
-      QuadEmitter.writeTrig(fullQuads(s, dir), out)
+      QuadEmitter.writeTrig(
+        fullQuads(s, dir).where(col("graph") === lit(GraphG)), out)
       s.read.text(out).orderBy(col("value"))
     }),
 
@@ -1377,7 +1383,8 @@ object QuadQueries extends QueryCatalog {
     // document.
     "q_trig_parse_roundtrip" -> ((s, dir) => {
       val out = tmp(s, "trig_parse")
-      QuadEmitter.writeTrig(fullQuads(s, dir), out)
+      QuadEmitter.writeTrig(
+        fullQuads(s, dir).where(col("graph") === lit(GraphG)), out)
       graft.rdf.TurtleParser.readTrig(s, out)
         .orderBy(col("subject"), col("predicate"), col("objectValue"),
           col("graph"))
@@ -2304,6 +2311,7 @@ object QuadQueries extends QueryCatalog {
         .map { case (p, ns) => s"SELECT '@prefix $p: <$ns> .' AS value" }
         .mkString("\nUNION ALL\n")
       s"""$fullQuadsCte,
+         |gq AS (SELECT * FROM quads WHERE graph = '$GraphG'),
          |terms AS (
          |  SELECT graph,
          |    CASE WHEN subjectKind = 'bnode' THEN '_:' || subject
@@ -2319,7 +2327,7 @@ object QuadQueries extends QueryCatalog {
          |                  THEN '^^' || ${compact("datatype")}
          |                ELSE '' END
          |    END AS ot
-         |  FROM quads),
+         |  FROM gq),
          |numbered AS (
          |  SELECT graph, st, pt, ot,
          |    row_number() OVER (PARTITION BY graph, st ORDER BY pt, ot)
@@ -2329,9 +2337,9 @@ object QuadQueries extends QueryCatalog {
          |SELECT value FROM (
          |  $headerRows
          |  UNION ALL
-         |  SELECT DISTINCT '<' || graph || '> {' FROM quads
+         |  SELECT DISTINCT '<' || graph || '> {' FROM gq
          |  UNION ALL
-         |  SELECT '}' FROM (SELECT DISTINCT graph FROM quads)
+         |  SELECT '}' FROM (SELECT DISTINCT graph FROM gq)
          |  UNION ALL
          |  SELECT CASE WHEN rn = 1 THEN '  ' || st || ' ' ELSE '    ' END
          |    || pt || ' ' || ot
@@ -2355,7 +2363,7 @@ object QuadQueries extends QueryCatalog {
       s"""$fullQuadsCte
          |SELECT subject, subjectKind, predicate, objectValue, objectKind,
          |  datatype, lang, graph
-         |FROM quads
+         |FROM quads WHERE graph = '$GraphG'
          |ORDER BY subject, predicate, objectValue, graph""".stripMargin,
 
     "q_quads_sparql_having" ->

@@ -367,6 +367,11 @@ object QuadEmitter {
     // key, then per-graph open-brace / blocks / close-brace
     val header = turtleHeader(prefixes).toDS().toDF("value")
       .select(lit("").as("gk"), lit(-1).as("ord"), col("value"))
+    // the brace lines need only DISTINCT graph — that branch re-reads
+    // `quads` (cheap: the graph column prunes to the scan) rather than
+    // paying a checkpoint of the rendered blocks (measured slower);
+    // callers rendering an expensive derived relation should persist it
+    // before passing it in
     val blocks = renderTrigBlocks(quads, prefixes)
       .select(coalesce(col("graph"), lit("")).as("gk"), lit(1).as("ord"),
         col("value"))
