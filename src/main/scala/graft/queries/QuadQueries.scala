@@ -1150,6 +1150,27 @@ object QuadQueries extends QueryCatalog {
            |} GROUP BY ?dst ORDER BY ?dst""".stripMargin)
     }),
 
+    // Zero-or-more path (r8, SPARQL 1.1 §9.3): `<hasPart>*` = the
+    // zero-length path (every graph node self-paired) plus the
+    // closure — counted whole-graph, so the gate pins the node-set
+    // semantics exactly (nodes = subjects ∪ objects).
+    "q_quads_sparql_path_star" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT (COUNT(?src) AS ?n_pairs) WHERE {
+           |  ?src <$HasPartP>* ?dst
+           |}""".stripMargin)
+    }),
+
+    // Zero-or-one path (r8): `(hasPart/value)?` from one constant
+    // subject — the entity itself (zero-length) plus its part values.
+    "q_quads_sparql_path_opt" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?v WHERE {
+           |  <https://example.org/customer/1> (sdo:hasPart/sdo:value)? ?v
+           |} ORDER BY ?v""".stripMargin)
+    }),
+
     // etl-notes-data-loading.md:128-149 — the documented getParts test
     // query: PREFIX'd, GRAPH-scoped, a nested `{ SELECT … limit 1 }`
     // picking one address (ORDER BY added for a deterministic gate;
@@ -1412,6 +1433,20 @@ object QuadQueries extends QueryCatalog {
     "q_quads_construct_where" -> ((s, dir) => {
       graft.rdf.SparqlParser.execute(fullQuads(s, dir),
         s"""CONSTRUCT WHERE { ?b <$AddTypeP> ?t }""")
+    }),
+
+    // FILTER || disjunction (r8): mixed atom kinds (equality, string
+    // prefix, IN) disjoined in one clause — compiles to one OR'd row
+    // filter. The oracle tests the same disjunction directly on the
+    // customer table, never seeing the quads.
+    "q_quads_sparql_or" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?addr ?seg WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr <$SegmentP> ?seg .
+           |  FILTER(?seg = "FURNITURE" || STRSTARTS(?seg, "AUTO")
+           |         || ?seg IN ("BUILDING"))
+           |} ORDER BY ?addr""".stripMargin)
     }),
 
     // SPARQL results CSV wire format (r8, W3C sparql-results+csv): the
@@ -2224,6 +2259,29 @@ object QuadQueries extends QueryCatalog {
          |SELECT dst, COUNT(DISTINCT src) AS n_src
          |FROM pairs GROUP BY dst ORDER BY dst""".stripMargin,
 
+    "q_quads_sparql_path_star" ->
+      s"""$fullQuadsCte,
+         |nodes AS (SELECT DISTINCT n FROM (
+         |  SELECT subject AS n FROM quads
+         |  UNION SELECT objectValue FROM quads)),
+         |hp AS (SELECT DISTINCT subject AS src, objectValue AS dst
+         |       FROM quads WHERE predicate = '$HasPartP')
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+         |  SELECT n AS src, n AS dst FROM nodes
+         |  UNION SELECT src, dst FROM hp)""".stripMargin,
+
+    "q_quads_sparql_path_opt" ->
+      s"""$fullQuadsCte
+         |SELECT v FROM (
+         |  SELECT 'https://example.org/customer/1' AS v
+         |  UNION
+         |  SELECT DISTINCT va.objectValue FROM quads hp
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND va.predicate = '$ValueP'
+         |    AND hp.subject = 'https://example.org/customer/1')
+         |ORDER BY v""".stripMargin,
+
     "q_quads_sparql_getparts" ->
       s"""$fullQuadsCte,
          |firstaddr AS (
@@ -2378,6 +2436,16 @@ object QuadQueries extends QueryCatalog {
          |  'literal' AS objectKind
          |FROM quads WHERE predicate = '$AddTypeP'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
+
+    "q_quads_sparql_or" ->
+      """SELECT 'https://example.org/customer/' ||
+        |    CAST(c_custkey AS VARCHAR) AS addr,
+        |  c_mktsegment AS seg
+        |FROM customer
+        |WHERE c_mktsegment = 'FURNITURE'
+        |   OR c_mktsegment LIKE 'AUTO%'
+        |   OR c_mktsegment IN ('BUILDING')
+        |ORDER BY addr""".stripMargin,
 
     "q_sparql_results_csv" -> {
       def q(c: String) =

@@ -92,6 +92,20 @@ object PropertyPath {
   final case class Alternative(a: Path, b: Path) extends Path
   /** `p+` — one or more repetitions (semi-naive bounded closure). */
   final case class OneOrMore(p: Path, maxDepth: Int = 32) extends Path
+  /** `p*` — zero or more: the closure plus the zero-length path, which
+    * per SPARQL 1.1 §9.3 connects every graph node to itself (nodes =
+    * subjects ∪ objects; a CONSTANT endpoint that never occurs in the
+    * graph therefore has no zero-length match — documented subset). */
+  final case class ZeroOrMore(p: Path, maxDepth: Int = 32) extends Path
+  /** `p?` — zero or one: the path's pairs plus the zero-length path. */
+  final case class ZeroOrOne(p: Path) extends Path
+
+  /** All graph nodes self-paired — the zero-length path relation. */
+  private def zeroLength(quads: DataFrame): DataFrame =
+    quads.select(col("subject").as("n"))
+      .unionByName(quads.select(col("objectValue").as("n")))
+      .distinct()
+      .select(col("n").as("src"), col("n").as("dst"))
 
   /** Evaluate a compound path to its `(src, dst)` pair relation with set
     * semantics (SPARQL path evaluation is over node pairs). */
@@ -111,5 +125,12 @@ object PropertyPath {
       eval(quads, a).unionByName(eval(quads, b)).distinct()
     case OneOrMore(p, maxDepth) =>
       closure(eval(quads, p), maxDepth).select(col("src"), col("dst"))
+    case ZeroOrMore(p, maxDepth) =>
+      zeroLength(quads)
+        .unionByName(closure(eval(quads, p), maxDepth)
+          .select(col("src"), col("dst")))
+        .distinct()
+    case ZeroOrOne(p) =>
+      zeroLength(quads).unionByName(eval(quads, p)).distinct()
   }
 }

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *   [GRAPH ?g|<iri> { group }]
   *   [{ SELECT … }]                          (sub-select, joined on shared vars)
   *   ?s <p> ?o .                             (predicate may be ?var, or a
-  *    …                                       path: ^p, p1/p2, p1|p2, p+)
+  *    …                                       path: ^p, p1/p2, p1|p2,
+  *                                            p+, p*, p?)
   *   ?s <p1> ?a ; <p2> [ <p3> ?b ; … ] .     (predicate lists + anonymous
   *                                            blank-node groups;
   *                                            COUNT(DISTINCT ?v) supported)
@@ -33,11 +34,14 @@ import org.apache.spark.sql.functions._
   *   [BIND(<iri>|"lit" AS ?v)]
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
-  *   [FILTER(?v op "lit"|<iri>|number|?w [&& …])]     (op on two vars =
-  *                                                     lexical compare)
+  *   [FILTER(?v op "lit"|<iri>|number|?w [&&|'||' …])]  (op on two vars
+  *                                                     = lexical compare;
+  *                                                     one connector kind
+  *                                                     per FILTER)
   *   [FILTER(REGEX(?v, "pat" [, "i"]) | STRSTARTS(?v, "s")
   *           | CONTAINS(?v, "s") | [!]BOUND(?v)
-  *           | STR(?v) op "lit" | ?v [NOT] IN ("lit", <iri>, …) [&& …])]
+  *           | STR(?v) op "lit" | ?v [NOT] IN ("lit", <iri>, …)
+  *           [&&|'||' …])]
   *   [FILTER [NOT] EXISTS { triples }]
   *   [VALUES ?v { "lit" <iri> … }]
   * }
@@ -105,14 +109,28 @@ object SparqlParser {
       varFilters: Seq[(String, String, String)] = Nil, // ?a op ?b
       inFilters: Seq[(String, Boolean, Seq[String])] = Nil, // v, NOT?, list
       boundFilters: Seq[(String, Boolean)] = Nil, // v, negated (!BOUND)
-      existsFilters: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil)
+      existsFilters: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil,
       // (negated, group): FILTER [NOT] EXISTS { … }
+      orFilters: Seq[Seq[FilterAtom]] = Nil) // ||-joined atom groups
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
     * `Const` terms are constraints the function must apply itself. */
   type PropertyFunction =
     (DataFrame, Seq[Bgp.Term], Seq[Bgp.Term]) => DataFrame
+
+  /** One atomic FILTER test — the unit both the conjunctive lists and
+    * `||` disjunction groups compose from. */
+  sealed trait FilterAtom
+  final case class CmpLit(v: String, op: String, value: String,
+      numeric: Boolean) extends FilterAtom
+  final case class CmpVar(v1: String, op: String, v2: String)
+      extends FilterAtom
+  final case class InList(v: String, neg: Boolean, vals: Seq[String])
+      extends FilterAtom
+  final case class BoundTest(v: String, neg: Boolean) extends FilterAtom
+  final case class StrFn(fn: String, v: String, arg: String, flags: String)
+      extends FilterAtom
 
   // -- tokenizer ---------------------------------------------------------
 
@@ -143,6 +161,8 @@ object SparqlParser {
         }
         require(j < s.length, s"unterminated literal at offset $i")
         out += s.substring(i, j + 1); i = j + 1
+      } else if (c == '|' && i + 1 < s.length && s.charAt(i + 1) == '|') {
+        out += "||"; i += 2 // FILTER disjunction (path alternation is one |)
       } else if ("{}()./|+^[];,".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else if (c == '&' && i + 1 < s.length && s.charAt(i + 1) == '&') {
         out += "&&"; i += 2
@@ -227,7 +247,8 @@ object SparqlParser {
 
   /** Property-path grammar over the predicate position:
     * `path := seq ('|' seq)*; seq := elt ('/' elt)*;
-    * elt := '^'? primary '+'?; primary := <iri> | 'a' | '(' path ')'`.
+    * elt := '^'? primary ('+'|'*'|'?')?;
+    * primary := <iri> | 'a' | '(' path ')'`.
     * Returns Left(plain predicate IRI) for the trivial single-step case
     * so it compiles to a [[Bgp.Pattern]] (scan-filter pushdown), else
     * Right(compound path). */
@@ -249,6 +270,8 @@ object SparqlParser {
       if (inv) p.eat()
       var e = primary()
       if (p.is("+")) { p.eat(); e = OneOrMore(e) }
+      else if (p.is("*")) { p.eat(); e = ZeroOrMore(e) }
+      else if (p.is("?")) { p.eat(); e = ZeroOrOne(e) }
       if (inv) Inverse(e) else e
     }
     def seq(): Path = {
@@ -520,6 +543,7 @@ object SparqlParser {
     val inFils = Seq.newBuilder[(String, Boolean, Seq[String])]
     val bndFils = Seq.newBuilder[(String, Boolean)]
     val exFils = Seq.newBuilder[(Boolean, Seq[Bgp.Pattern])]
+    val orFils = Seq.newBuilder[Seq[FilterAtom]]
     val vals = Seq.newBuilder[(String, Seq[String])]
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
@@ -611,6 +635,8 @@ object SparqlParser {
           p.expect("}")
         } else if (p.is("FILTER")) {
           p.eat(); p.expect("(")
+          val atoms = Seq.newBuilder[FilterAtom]
+          var connector = "" // "", "&&" or "||"
           var more = true
           while (more) {
             if (p.is("REGEX") || p.is("STRSTARTS") || p.is("CONTAINS")) {
@@ -634,7 +660,7 @@ object SparqlParser {
                 flags = unquote(f)
               }
               p.expect(")")
-              fnFils += ((fn, v.substring(1), unquote(arg), flags))
+              atoms += StrFn(fn, v.substring(1), unquote(arg), flags)
             } else if (p.is("BOUND") || p.is("!")) {
               // [!]BOUND(?v) — the OPTIONAL-negation idiom; compiles to
               // an IS [NOT] NULL test on the binding column
@@ -645,7 +671,7 @@ object SparqlParser {
               require(v.startsWith("?"),
                 s"BOUND needs a variable, got '$v'")
               p.expect(")")
-              bndFils += ((v.substring(1), neg))
+              atoms += BoundTest(v.substring(1), neg)
             } else {
               // STR(?v) casts the comparison to the lexical form — on
               // this engine's string-valued binding columns that means
@@ -671,7 +697,7 @@ object SparqlParser {
                     else t)
                 }
                 p.expect(")")
-                inFils += ((v.substring(1), neg, vs.result()))
+                atoms += InList(v.substring(1), neg, vs.result())
               } else {
                 val op = p.eat()
                 require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
@@ -680,7 +706,7 @@ object SparqlParser {
                   // var-vs-var comparison — lexical (string) ordering on
                   // the two binding columns, matching the oracle's
                   // VARCHAR comparison semantics
-                  varFils += ((v.substring(1), op, p.eat().substring(1)))
+                  atoms += CmpVar(v.substring(1), op, p.eat().substring(1))
                 } else {
                   val lit = p.eat()
                   val numeric = !strWrapped &&
@@ -690,13 +716,31 @@ object SparqlParser {
                     else if (lit.startsWith("<")) // IRI comparate
                       lit.substring(1, lit.length - 1)
                     else lit
-                  fils += ((v.substring(1), op, raw, numeric))
+                  atoms += CmpLit(v.substring(1), op, raw, numeric)
                 }
               }
             }
-            if (p.is("&&")) p.eat() else more = false
+            if (p.is("&&") || p.is("||")) {
+              // SPARQL gives && higher precedence than || — a mix in one
+              // FILTER would need an expression tree; split into two
+              // FILTERs (conjunction is implicit across FILTER clauses)
+              val c = p.eat()
+              require(connector.isEmpty || connector == c,
+                "mixed && and || in one FILTER — split into separate " +
+                  "FILTER clauses (FILTERs conjoin)")
+              connector = c
+            } else more = false
           }
           p.expect(")")
+          val group = atoms.result()
+          if (connector == "||" && group.length > 1) orFils += group
+          else group.foreach {
+            case CmpLit(v, op, value, num) => fils += ((v, op, value, num))
+            case CmpVar(a, op, b) => varFils += ((a, op, b))
+            case InList(v, n, vs) => inFils += ((v, n, vs))
+            case BoundTest(v, n) => bndFils += ((v, n))
+            case StrFn(f, v, a, fl) => fnFils += ((f, v, a, fl))
+          }
         } else tripleish(p, g, pats, pths, fns)
       }
     }
@@ -764,7 +808,8 @@ object SparqlParser {
       unions = unis.result(), selectOrder = order.result(),
       offset = off, having = hav.result(), filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
-      boundFilters = bndFils.result(), existsFilters = exFils.result())
+      boundFilters = bndFils.result(), existsFilters = exFils.result(),
+      orFilters = orFils.result())
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -777,6 +822,15 @@ object SparqlParser {
   }
 
   // -- execution ---------------------------------------------------------
+
+  private def cmp(c: Column, op: String, l: Column): Column = op match {
+    case "=" => c === l
+    case "!=" => c =!= l
+    case "<" => c < l
+    case ">" => c > l
+    case "<=" => c <= l
+    case ">=" => c >= l
+  }
 
   private def substitute(t: Bgp.Term,
       binds: Map[String, String]): Bgp.Term = t match {
@@ -985,25 +1039,10 @@ object SparqlParser {
     q.filters.foreach { case (v, op, litv, numeric) =>
       val c: Column = if (numeric) col(v).cast("double") else col(v)
       val l: Column = if (numeric) lit(litv.toDouble) else lit(litv)
-      sol = sol.filter(op match {
-        case "=" => c === l
-        case "!=" => c =!= l
-        case "<" => c < l
-        case ">" => c > l
-        case "<=" => c <= l
-        case ">=" => c >= l
-      })
+      sol = sol.filter(cmp(c, op, l))
     }
     q.varFilters.foreach { case (v1, op, v2) =>
-      val (c, l) = (col(v1), col(v2))
-      sol = sol.filter(op match {
-        case "=" => c === l
-        case "!=" => c =!= l
-        case "<" => c < l
-        case ">" => c > l
-        case "<=" => c <= l
-        case ">=" => c >= l
-      })
+      sol = sol.filter(cmp(col(v1), op, col(v2)))
     }
     q.inFilters.foreach { case (v, neg, vs) =>
       val in = col(v).isin(vs: _*)
@@ -1023,6 +1062,29 @@ object SparqlParser {
           "cartesian test)")
       sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
         if (neg) "left_anti" else "left_semi")
+    }
+    // ||-joined groups: compile each atom to its Column and disjoin —
+    // one row filter per FILTER clause, same as the conjunctive path
+    def atomCol(a: FilterAtom): Column = a match {
+      case CmpLit(v, op, value, numeric) =>
+        val c: Column = if (numeric) col(v).cast("double") else col(v)
+        val l: Column = if (numeric) lit(value.toDouble) else lit(value)
+        cmp(c, op, l)
+      case CmpVar(v1, op, v2) => cmp(col(v1), op, col(v2))
+      case InList(v, neg, vs) =>
+        val in = col(v).isin(vs: _*)
+        if (neg) !in else in
+      case BoundTest(v, neg) =>
+        if (neg) col(v).isNull else col(v).isNotNull
+      case StrFn(fn, v, arg, flags) => fn match {
+        case "REGEX" =>
+          col(v).rlike(if (flags.isEmpty) arg else s"(?$flags)$arg")
+        case "STRSTARTS" => col(v).startsWith(arg)
+        case "CONTAINS" => col(v).contains(arg)
+      }
+    }
+    q.orFilters.foreach { group =>
+      sol = sol.filter(group.map(atomCol).reduce(_ || _))
     }
     q.filterFns.foreach { case (fn, v, arg, flags) =>
       sol = sol.filter(fn match {

@@ -1171,6 +1171,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(run("""SELECT (GROUP_CONCAT(?t) AS ?ts) (SAMPLE(?n) AS ?one)
         WHERE { ?s <urn:tag> ?t . ?s <urn:name> ?n }""")
       == Seq(Seq("x y z", "Alice")))
+    // || disjunction groups (one connector kind per FILTER)
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(?n = "Alice" || ?n = "Bob") } ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("b")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(STRSTARTS(?n, "Al") || ?n IN ("Zed")) }""")
+      == Seq(Seq("a")))
+    intercept[IllegalArgumentException] {
+      run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+          FILTER(?n = "A" && ?n = "B" || ?n = "C") }""")
+    }
     // loud: uncorrelated EXISTS, BOUND of an unbound variable
     intercept[IllegalArgumentException] {
       run("""SELECT ?s WHERE { ?s <urn:type> "T" .
@@ -1237,6 +1248,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         ORDER BY ?d""") == Seq(Seq("c"), Seq("y")))
     assert(run("""SELECT ?s WHERE { <c> ^<urn:p> ?s }""")
       == Seq(Seq("b")))
+    // zero-or-more includes the zero-length self pair; zero-or-one too
+    assert(run("""SELECT ?d WHERE { <a> <urn:p>* ?d } ORDER BY ?d""")
+      == Seq(Seq("a"), Seq("b"), Seq("c")))
+    assert(run("""SELECT ?d WHERE { <a> <urn:q>? ?d } ORDER BY ?d""")
+      == Seq(Seq("a"), Seq("x")))
     // textual DESCRIBE: entity quads + bnode closure, the graphdb.py verb
     val desc = SparqlParser.execute(quads, "DESCRIBE <a>")
     assert(desc.select("subject").collect().map(_.getString(0)).sorted
