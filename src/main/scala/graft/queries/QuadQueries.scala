@@ -1435,6 +1435,30 @@ object QuadQueries extends QueryCatalog {
         s"""CONSTRUCT WHERE { ?b <$AddTypeP> ?t }""")
     }),
 
+    // WITH-scoped modify + LOAD (r8): the rest of the SPARQL 1.1
+    // UPDATE surface — WITH <g> pins a graph-less modify form to one
+    // graph (here: nation-part values re-predicated inside the
+    // addresses graph only), and LOAD pulls a serialized N-Quads file
+    // back into the store under a target graph (line-parallel parse +
+    // one union). The oracle recomputes both halves relationally.
+    "q_quads_update_with_load" -> ((s, dir) => {
+      val src = tmp(s, "upd_load_src")
+      QuadEmitter.writeNQuads(
+        fullQuads(s, dir).where(col("graph") === lit(GraphG)), src)
+      val updated = graft.rdf.SparqlUpdate.execute(
+        fullQuads(s, dir).where(col("graph") === lit(GraphA)),
+        s"""WITH <$GraphA>
+           |DELETE { ?b <$ValueP> ?v }
+           |INSERT { ?b <$NationNameP> ?v }
+           |WHERE { ?b <$AddTypeP> <$PartNationT> . ?b <$ValueP> ?v } ;
+           |LOAD <file://$src> INTO GRAPH <urn:graft:loaded>"""
+          .stripMargin)
+      updated.groupBy(col("graph"), col("predicate"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("subject")).as("n_subj"))
+        .orderBy(col("graph"), col("predicate"))
+    }),
+
     // FILTER || disjunction (r8): mixed atom kinds (equality, string
     // prefix, IN) disjoined in one clause — compiles to one OR'd row
     // filter. The oracle tests the same disjunction directly on the
@@ -2436,6 +2460,29 @@ object QuadQueries extends QueryCatalog {
          |  'literal' AS objectKind
          |FROM quads WHERE predicate = '$AddTypeP'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
+
+    "q_quads_update_with_load" ->
+      s"""$fullQuadsCte,
+         |a AS (SELECT subject, predicate FROM quads
+         |      WHERE graph = '$GraphA'),
+         |nb AS (SELECT DISTINCT subject FROM quads
+         |       WHERE graph = '$GraphA' AND predicate = '$AddTypeP'
+         |         AND objectValue = '$PartNationT'),
+         |upd AS (
+         |  SELECT CASE WHEN predicate = '$ValueP'
+         |           AND subject IN (SELECT subject FROM nb)
+         |         THEN '$NationNameP' ELSE predicate END AS predicate,
+         |    subject
+         |  FROM a),
+         |gl AS (SELECT predicate, subject FROM quads
+         |       WHERE graph = '$GraphG')
+         |SELECT graph, predicate, COUNT(*) AS n,
+         |  COUNT(DISTINCT subject) AS n_subj
+         |FROM (
+         |  SELECT '$GraphA' AS graph, predicate, subject FROM upd
+         |  UNION ALL
+         |  SELECT 'urn:graft:loaded', predicate, subject FROM gl)
+         |GROUP BY graph, predicate ORDER BY graph, predicate""".stripMargin,
 
     "q_quads_sparql_or" ->
       """SELECT 'https://example.org/customer/' ||

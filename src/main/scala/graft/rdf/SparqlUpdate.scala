@@ -18,10 +18,18 @@ import graft.model.TermKind
   * INSERT DATA { [GRAPH <g> {] s p o . … [}] }
   * DELETE DATA { [GRAPH <g> {] s p o . … [}] }
   * DELETE WHERE { [GRAPH <g> {] patterns [}] }
-  * [DELETE { templates }] [INSERT { templates }] WHERE { patterns }
+  * [WITH <g>] [DELETE { templates }] [INSERT { templates }]
+  *   WHERE { patterns }
   * CLEAR|DROP [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)
   * COPY|MOVE|ADD [SILENT] ([GRAPH] <g> | DEFAULT) TO ([GRAPH] <g> | DEFAULT)
+  * LOAD <url> [INTO GRAPH <g>]      (execute overload takes the loader;
+  *                                   default: .nq/.nt line-parallel,
+  *                                   .ttl/.trig per-document)
   * }}}
+  *
+  * `WITH <g>` (SPARQL 1.1 §3.1.3) scopes a modify form: WHERE patterns
+  * without an explicit GRAPH match only `g`, and graph-less
+  * DELETE/INSERT templates target `g` instead of every/default graph.
   *
   * Graph management (SPARQL 1.1 Update §3.2): on a quad RELATION a
   * graph exists exactly while it has quads, so DROP and CLEAR coincide
@@ -91,6 +99,8 @@ object SparqlUpdate {
       oKind: String, g: Option[String])
   private case class Modify(deletes: Seq[TmplQuad], inserts: Seq[TmplQuad],
       where: Seq[Bgp.Pattern]) extends Op
+  /** LOAD <url> [INTO GRAPH <g>] — resolved by the caller's loader. */
+  private case class LoadOp(url: String, graph: Option[String]) extends Op
 
   /** Graph designator for the management verbs: a named graph or the
     * default graph (`graph IS NULL` in the relation). */
@@ -216,10 +226,45 @@ object SparqlUpdate {
       out.result()
     }
 
+    // WITH <g>: rewrite the modify form's graph-less parts to target g
+    def scopeWith(m: Modify, g: String): Modify = Modify(
+      m.deletes.map(t => t.copy(g = t.g.orElse(Some(g)))),
+      m.inserts.map(t => t.copy(g = t.g.orElse(Some(g)))),
+      m.where.map(pt =>
+        if (pt.g.isEmpty) pt.copy(g = Some(Bgp.Const(g))) else pt))
+
     val ops = Seq.newBuilder[Op]
     var more = true
     while (more) {
-      if (is("INSERT")) {
+      if (is("WITH")) {
+        eat()
+        val gTok = eat()
+        require(gTok.startsWith("<"),
+          s"WITH needs a constant graph IRI, got '$gTok'")
+        val g = gTok.substring(1, gTok.length - 1)
+        val del =
+          if (is("DELETE")) { eat(); templateBlock() } else Nil
+        val ins =
+          if (is("INSERT")) { eat(); templateBlock() } else Nil
+        require(del.nonEmpty || ins.nonEmpty,
+          "WITH needs a DELETE and/or INSERT modify form")
+        expect("WHERE")
+        ops += scopeWith(Modify(del, ins, patternBlock()), g)
+      } else if (is("LOAD")) {
+        eat()
+        val uTok = eat()
+        require(uTok.startsWith("<"),
+          s"LOAD needs a <url>, got '$uTok'")
+        var g: Option[String] = None
+        if (is("INTO")) {
+          eat(); expect("GRAPH")
+          val gTok = eat()
+          require(gTok.startsWith("<"),
+            s"INTO GRAPH needs a constant IRI, got '$gTok'")
+          g = Some(gTok.substring(1, gTok.length - 1))
+        }
+        ops += LoadOp(uTok.substring(1, uTok.length - 1), g)
+      } else if (is("INSERT")) {
         eat()
         if (is("DATA")) { eat(); ops += InsertData(constBlock()) }
         else { // INSERT { tmpl } WHERE { patterns }
@@ -288,10 +333,25 @@ object SparqlUpdate {
     quads.join(broadcast(r), cond, "left_anti")
   }
 
+  /** LOAD resolver by file extension: Turtle/TriG documents parse
+    * per-file, N-Quads/N-Triples parse line-parallel. */
+  def defaultLoader(s: org.apache.spark.sql.SparkSession)
+      : String => DataFrame = url => {
+    val path = if (url.startsWith("file://")) url.substring(7) else url
+    if (path.endsWith(".ttl") || path.endsWith(".trig"))
+      TurtleParser.readTrig(s, path)
+    else QuadParser.readNQuads(s, path)
+  }
+
   /** Apply `update` to the quad relation, returning the updated
     * relation (set semantics — INSERT DATA of an existing statement is
     * a no-op, per SPARQL Update). */
-  def execute(quads: DataFrame, update: String): DataFrame = {
+  def execute(quads: DataFrame, update: String): DataFrame =
+    execute(quads, update, defaultLoader(quads.sparkSession))
+
+  /** As [[execute]], with an explicit LOAD url resolver. */
+  def execute(quads: DataFrame, update: String,
+      loader: String => DataFrame): DataFrame = {
     val hasGraph = quads.columns.contains("graph")
     val dataKeys =
       Seq("subject", "predicate", "objectValue") ++
@@ -340,6 +400,16 @@ object SparqlUpdate {
             }.reduce(_ unionByName _)
             afterDel.unionByName(inserted).dropDuplicates()
           }
+        case LoadOp(url, g) =>
+          val loaded = g match {
+            case Some(gi) => loader(url).withColumn("graph", lit(gi))
+            case None => loader(url)
+          }
+          // align the loaded relation to the accumulator's column set
+          val aligned = loaded.select(acc.columns.toSeq.map(c =>
+            (if (loaded.columns.contains(c)) col(c)
+            else lit(null).cast("string")).as(c)): _*)
+          acc.unionByName(aligned).dropDuplicates()
         case ClearOp(scope, iri) =>
           require(hasGraph || scope == "default" || scope == "all",
             "graph management needs a quad relation with a graph column")

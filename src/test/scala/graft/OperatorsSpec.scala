@@ -1408,6 +1408,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlUpdate r8: WITH scopes modify forms; LOAD pulls a file") {
+    import spark.implicits._
+    import graft.rdf.SparqlUpdate
+    val quads = Seq(
+      ("a", "iri", "urn:name", "A", "literal", "g1"),
+      ("b", "iri", "urn:name", "B", "literal", "g2"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "graph")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subject", "predicate", "objectValue", "graph").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+    // WITH <g1>: rename applies ONLY inside g1 (g2's name untouched)
+    val renamed = SparqlUpdate.execute(quads,
+      """WITH <g1>
+        |DELETE { ?s <urn:name> ?n }
+        |INSERT { ?s <urn:alias> ?n }
+        |WHERE { ?s <urn:name> ?n }""".stripMargin)
+    assert(rows(renamed) == Set(
+      ("a", "urn:alias", "A", "g1"),
+      ("b", "urn:name", "B", "g2")))
+    // LOAD INTO GRAPH unions the parsed file under the target graph
+    val dir = java.nio.file.Files
+      .createTempDirectory("load").toString + "/data"
+    graft.rdf.QuadEmitter.writeNQuads(
+      Seq(("x", "iri", "urn:p", "1", "literal", null, null, "gsrc"))
+        .toDF("subject", "subjectKind", "predicate", "objectValue",
+          "objectKind", "datatype", "lang", "graph"),
+      dir)
+    val loaded = SparqlUpdate.execute(quads,
+      s"LOAD <file://$dir> INTO GRAPH <g3>")
+    assert(rows(loaded) == rows(quads) + (("x", "urn:p", "1", "g3")))
+    // loud: LOAD without INTO keeps the file's own graph term
+    val kept = SparqlUpdate.execute(quads, s"LOAD <file://$dir>")
+    assert(rows(kept) == rows(quads) + (("x", "urn:p", "1", "gsrc")))
+  }
+
   test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
