@@ -1435,6 +1435,25 @@ object QuadQueries extends QueryCatalog {
         s"""CONSTRUCT WHERE { ?b <$AddTypeP> ?t }""")
     }),
 
+    // Expression BIND (r8): computed projection columns from the query
+    // text — string builders over binding columns plus arithmetic on
+    // the decimal balance (cast to double both sides). Compiles to a
+    // plain withColumn projection; Catalyst folds it into the same
+    // codegen stage as the joins.
+    "q_quads_sparql_bind_expr" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?tag ?bal2 WHERE {
+           |  ?addr sdo:name ?name .
+           |  ?addr <$SegmentP> ?seg .
+           |  ?addr <$BalanceP> ?bal .
+           |  BIND(CONCAT(LCASE(?seg), ":", SUBSTR(?name, 10, 8))
+           |       AS ?tag)
+           |  BIND(?bal * 2 + 1 AS ?bal2)
+           |  FILTER(?bal2 > 5000)
+           |} ORDER BY ?addr LIMIT 400""".stripMargin)
+    }),
+
     // WITH-scoped modify + LOAD (r8): the rest of the SPARQL 1.1
     // UPDATE surface — WITH <g> pins a graph-less modify form to one
     // graph (here: nation-part values re-predicated inside the
@@ -2460,6 +2479,18 @@ object QuadQueries extends QueryCatalog {
          |  'literal' AS objectKind
          |FROM quads WHERE predicate = '$AddTypeP'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
+
+    "q_quads_sparql_bind_expr" ->
+      """SELECT 'https://example.org/customer/' ||
+        |    CAST(c_custkey AS VARCHAR) AS addr,
+        |  lower(c_mktsegment) || ':' || substring(c_name, 10, 8) AS tag,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) * 2 + 1
+        |    AS bal2
+        |FROM customer
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) * 2 + 1
+        |      > 5000
+        |  AND c_name IS NOT NULL AND length(trim(c_name)) > 0
+        |ORDER BY addr LIMIT 400""".stripMargin,
 
     "q_quads_update_with_load" ->
       s"""$fullQuadsCte,

@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *                                            COUNT(DISTINCT ?v) supported)
   *   [?s <fn> (?a ?b …) .]                   (property function, registry)
   *   [(?x ?y) <fn> (args) .]                 (list subject form)
-  *   [BIND(<iri>|"lit" AS ?v)]
+  *   [BIND(<iri>|"lit" AS ?v)]              (constant → pushed to scans)
+  *   [BIND(expr AS ?v)]                      (CONCAT/STR/STRLEN/UCASE/
+  *                                            LCASE/SUBSTR/REPLACE,
+  *                                            + - * / on ?v/ints)
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
   *   [FILTER(?v op "lit"|<iri>|number|?w [&&|'||' …])]  (op on two vars
@@ -111,13 +114,30 @@ object SparqlParser {
       boundFilters: Seq[(String, Boolean)] = Nil, // v, negated (!BOUND)
       existsFilters: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil,
       // (negated, group): FILTER [NOT] EXISTS { … }
-      orFilters: Seq[Seq[FilterAtom]] = Nil) // ||-joined atom groups
+      orFilters: Seq[Seq[FilterAtom]] = Nil, // ||-joined atom groups
+      exprBinds: Seq[(String, BindExpr)] = Nil) // BIND(expr AS ?v)
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
     * `Const` terms are constraints the function must apply itself. */
   type PropertyFunction =
     (DataFrame, Seq[Bgp.Term], Seq[Bgp.Term]) => DataFrame
+
+  /** BIND expression AST — the projection-expression subset SPARQL's
+    * BIND/SELECT expressions need most: string builders (CONCAT, STR,
+    * STRLEN, UCASE, LCASE, SUBSTR, REPLACE) and `+ - * /` arithmetic
+    * (operands cast to double; integer literals only — the tokenizer
+    * reserves '.' for the triple terminator). */
+  sealed trait BindExpr
+  final case class BVar(n: String) extends BindExpr
+  final case class BStr(v: String) extends BindExpr
+  final case class BNum(v: Double) extends BindExpr
+  final case class BCall(fn: String, args: Seq[BindExpr]) extends BindExpr
+  final case class BArith(op: String, l: BindExpr, r: BindExpr)
+      extends BindExpr
+
+  private val BindFns =
+    Seq("CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE")
 
   /** One atomic FILTER test — the unit both the conjunctive lists and
     * `||` disjunction groups compose from. */
@@ -372,6 +392,71 @@ object SparqlParser {
     }
   }
 
+  /** `expr := atom (('+'|'-'|'*'|'/') atom)*` (left-assoc, one
+    * precedence level); `atom := ?v | "lit" | <iri> | int | FN(args)
+    * | '(' expr ')'`. */
+  private def bindExpr(p: P): BindExpr = {
+    def atom(): BindExpr =
+      if (p.is("(")) { p.eat(); val e = full(); p.expect(")"); e }
+      else if (BindFns.exists(p.is)) {
+        val fn = p.eat().toUpperCase
+        p.expect("(")
+        val args = Seq.newBuilder[BindExpr]
+        args += full()
+        while (p.is(",")) { p.eat(); args += full() }
+        p.expect(")")
+        BCall(fn, args.result())
+      } else {
+        val tok = p.eat()
+        if (tok.startsWith("?")) BVar(tok.substring(1))
+        else if (tok.startsWith("\"")) BStr(unquote(tok))
+        else if (tok.startsWith("<")) BStr(tok.substring(1, tok.length - 1))
+        else BNum(tok.toDouble)
+      }
+    def full(): BindExpr = {
+      var e = atom()
+      while (p.is("+") || p.is("-") || p.is("*") || p.is("/")) {
+        val op = p.eat()
+        e = BArith(op, e, atom())
+      }
+      e
+    }
+    full()
+  }
+
+  /** Compile a BIND expression onto the solution's binding columns. */
+  private def bindCol(e: BindExpr): Column = e match {
+    case BVar(n) => col(n)
+    case BStr(v) => lit(v)
+    case BNum(v) => lit(v)
+    case BCall("CONCAT", args) =>
+      concat(args.map(a => bindCol(a).cast("string")): _*)
+    case BCall("STR", Seq(a)) => bindCol(a).cast("string")
+    case BCall("STRLEN", Seq(a)) =>
+      length(bindCol(a).cast("string")).cast("long")
+    case BCall("UCASE", Seq(a)) => upper(bindCol(a).cast("string"))
+    case BCall("LCASE", Seq(a)) => lower(bindCol(a).cast("string"))
+    case BCall("SUBSTR", Seq(a, st)) =>
+      val s = bindCol(a).cast("string")
+      s.substr(bindCol(st).cast("int"), length(s))
+    case BCall("SUBSTR", Seq(a, st, ln)) =>
+      bindCol(a).cast("string")
+        .substr(bindCol(st).cast("int"), bindCol(ln).cast("int"))
+    case BCall("REPLACE", Seq(a, pat, rep)) =>
+      regexp_replace(bindCol(a).cast("string"),
+        bindCol(pat).cast("string"), bindCol(rep).cast("string"))
+    case BCall(f, args) => throw new IllegalArgumentException(
+      s"$f does not take ${args.length} argument(s)")
+    case BArith(op, l, r) =>
+      val (a, b) = (bindCol(l).cast("double"), bindCol(r).cast("double"))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+      }
+  }
+
   private def kw(p: P): Boolean =
     p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") ||
       p.is("GRAPH") || p.is("VALUES") || p.is("BIND") ||
@@ -544,6 +629,7 @@ object SparqlParser {
     val bndFils = Seq.newBuilder[(String, Boolean)]
     val exFils = Seq.newBuilder[(Boolean, Seq[Bgp.Pattern])]
     val orFils = Seq.newBuilder[Seq[FilterAtom]]
+    val eBnds = Seq.newBuilder[(String, BindExpr)]
     val vals = Seq.newBuilder[(String, Seq[String])]
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
@@ -586,24 +672,36 @@ object SparqlParser {
         } else if (p.is("MINUS")) {
           p.eat(); p.expect("{"); mins += triples(p, g); p.expect("}")
         } else if (p.is("BIND")) {
-          // BIND of a constant term — the reference's serving queries
-          // pin the entity IRI this way (cam/web/app.py:53,
-          // cam/compound_naming.py:18); the variable becomes a literal
-          // column AND a constant constraint in every pattern using it
           p.eat(); p.expect("(")
-          val t = p.eat()
-          val (v, kind) =
-            if (t.startsWith("<"))
-              (t.substring(1, t.length - 1), graft.model.TermKind.Iri)
-            else if (t.startsWith("\""))
-              (unquote(t), graft.model.TermKind.Literal)
-            else throw new IllegalArgumentException(
-              s"BIND supports constant terms, got '$t'")
-          p.expect("AS")
-          val a = p.eat()
-          require(a.startsWith("?"), s"BIND AS needs a variable, got '$a'")
-          p.expect(")")
-          bnds += ((a.substring(1), v, kind))
+          if ((p.peek.startsWith("<") || p.peek.startsWith("\"")) &&
+            p.peek2.equalsIgnoreCase("AS")) {
+            // BIND of a constant term — the reference's serving queries
+            // pin the entity IRI this way (cam/web/app.py:53,
+            // cam/compound_naming.py:18); the variable becomes a
+            // literal column AND a constant constraint pushed into
+            // every pattern's scan filter
+            val t = p.eat()
+            val (v, kind) =
+              if (t.startsWith("<"))
+                (t.substring(1, t.length - 1), graft.model.TermKind.Iri)
+              else (unquote(t), graft.model.TermKind.Literal)
+            p.expect("AS")
+            val a = p.eat()
+            require(a.startsWith("?"),
+              s"BIND AS needs a variable, got '$a'")
+            p.expect(")")
+            bnds += ((a.substring(1), v, kind))
+          } else {
+            // expression BIND — compiles to a projection column over
+            // the solution relation (r8)
+            val e = bindExpr(p)
+            p.expect("AS")
+            val a = p.eat()
+            require(a.startsWith("?"),
+              s"BIND AS needs a variable, got '$a'")
+            p.expect(")")
+            eBnds += ((a.substring(1), e))
+          }
         } else if (p.is("VALUES")) {
           // single-variable VALUES: an inline allow-list of bindings —
           // compiles to isin() on the binding column, i.e. a pushable
@@ -809,7 +907,7 @@ object SparqlParser {
       offset = off, having = hav.result(), filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
       boundFilters = bndFils.result(), existsFilters = exFils.result(),
-      orFilters = orFils.result())
+      orFilters = orFils.result(), exprBinds = eBnds.result())
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -1030,6 +1128,9 @@ object SparqlParser {
     }
     q.binds.foreach { case (v, value, _) =>
       sol = sol.withColumn(v, lit(value))
+    }
+    q.exprBinds.foreach { case (v, e) =>
+      sol = sol.withColumn(v, bindCol(e))
     }
     q.values.foreach { case (v, vs) =>
       require(sol.columns.contains(v),

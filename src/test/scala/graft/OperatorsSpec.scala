@@ -1193,6 +1193,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SparqlParser r8: expression BIND") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:name", "Alice"), ("a", "urn:score", "7"),
+      ("b", "urn:name", "Bob"), ("b", "urn:score", "3"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Seq[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSeq
+    // string builders + nesting
+    assert(run("""SELECT ?tag WHERE { ?s <urn:name> ?n .
+        BIND(CONCAT(UCASE(?n), "-", STR(STRLEN(?n))) AS ?tag)
+      } ORDER BY ?tag""")
+      == Seq(Seq("ALICE-5"), Seq("BOB-3")))
+    // arithmetic casts to double; filters see the bound column
+    assert(run("""SELECT ?s ?dbl WHERE { ?s <urn:score> ?sc .
+        BIND(?sc * 2 + 1 AS ?dbl) FILTER(?dbl > 10) }""")
+      == Seq(Seq("a", "15.0")))
+    // SUBSTR and REPLACE
+    assert(run("""SELECT ?x WHERE { <a> <urn:name> ?n .
+        BIND(SUBSTR(?n, 1, 3) AS ?x) }""") == Seq(Seq("Ali")))
+    assert(run("""SELECT ?x WHERE { <a> <urn:name> ?n .
+        BIND(REPLACE(?n, "li", "LI") AS ?x) }""") == Seq(Seq("ALIce")))
+    // the constant fast path still substitutes into scans
+    assert(run("""SELECT ?n WHERE { BIND(<a> AS ?s) ?s <urn:name> ?n }""")
+      == Seq(Seq("Alice")))
+  }
+
   test("SparqlParser r8: HAVING and CONSTRUCT WHERE") {
     import spark.implicits._
     import graft.rdf.SparqlParser
