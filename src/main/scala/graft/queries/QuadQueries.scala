@@ -1454,6 +1454,18 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?addr LIMIT 400""".stripMargin)
     }),
 
+    // SELECT-clause expressions (r8): computed projection directly in
+    // the SELECT list — same compilation as expression BIND.
+    "q_quads_sparql_select_expr" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr (CONCAT(LCASE(?seg), "#", STR(STRLEN(?name)))
+           |              AS ?tag) WHERE {
+           |  ?addr sdo:name ?name .
+           |  ?addr <$SegmentP> ?seg
+           |} ORDER BY ?addr LIMIT 400""".stripMargin)
+    }),
+
     // WITH-scoped modify + LOAD (r8): the rest of the SPARQL 1.1
     // UPDATE surface — WITH <g> pins a graph-less modify form to one
     // graph (here: nation-part values re-predicated inside the
@@ -2490,6 +2502,15 @@ object QuadQueries extends QueryCatalog {
         |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) * 2 + 1
         |      > 5000
         |  AND c_name IS NOT NULL AND length(trim(c_name)) > 0
+        |ORDER BY addr LIMIT 400""".stripMargin,
+
+    "q_quads_sparql_select_expr" ->
+      """SELECT 'https://example.org/customer/' ||
+        |    CAST(c_custkey AS VARCHAR) AS addr,
+        |  lower(c_mktsegment) || '#' ||
+        |    CAST(length(c_name) AS VARCHAR) AS tag
+        |FROM customer
+        |WHERE c_name IS NOT NULL AND length(trim(c_name)) > 0
         |ORDER BY addr LIMIT 400""".stripMargin,
 
     "q_quads_update_with_load" ->

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * [PREFIX pfx: <iri>]*
   * SELECT [DISTINCT] ?v … | * | (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
   * | (GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?a) | (SAMPLE(?v) AS ?a)
+  * | (expr AS ?a)                       (SELECT expression, no aggregates)
   * | CONSTRUCT { template triples } | CONSTRUCT WHERE { … }
   * | ASK | DESCRIBE <iri>
   * WHERE {
@@ -583,9 +584,25 @@ object SparqlParser {
     val proj = Seq.newBuilder[String]
     val aggs = Seq.newBuilder[Agg]
     val order = Seq.newBuilder[String]
+    val selExprs = Seq.newBuilder[(String, BindExpr)]
     if (p.is("*")) p.eat()
     else while (p.peek.startsWith("?") || p.is("(")) {
-      if (p.is("(")) { // (FUNC(?v) AS ?alias)
+      if (p.is("(") && !Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
+          "GROUP_CONCAT", "SAMPLE").exists(p.peek2.equalsIgnoreCase)) {
+        // (expr AS ?alias) — SELECT-clause expression, compiled exactly
+        // like an expression BIND (a projection column); rejected with
+        // aggregates by the projection ⊆ GROUP BY check below
+        p.eat()
+        val e = bindExpr(p)
+        p.expect("AS")
+        val a = p.eat()
+        require(a.startsWith("?"),
+          s"AS needs a variable, got '$a'")
+        p.expect(")")
+        selExprs += ((a.substring(1), e))
+        proj += a.substring(1)
+        order += a.substring(1)
+      } else if (p.is("(")) { // (FUNC(?v) AS ?alias)
         p.eat()
         val f = p.eat().toUpperCase
         require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
@@ -907,7 +924,9 @@ object SparqlParser {
       offset = off, having = hav.result(), filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
       boundFilters = bndFils.result(), existsFilters = exFils.result(),
-      orFilters = orFils.result(), exprBinds = eBnds.result())
+      orFilters = orFils.result(),
+      // WHERE-clause BINDs first: a SELECT expression may reference them
+      exprBinds = eBnds.result() ++ selExprs.result())
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)

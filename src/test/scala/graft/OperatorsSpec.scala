@@ -1220,6 +1220,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // the constant fast path still substitutes into scans
     assert(run("""SELECT ?n WHERE { BIND(<a> AS ?s) ?s <urn:name> ?n }""")
       == Seq(Seq("Alice")))
+    // SELECT-clause expressions project like BIND, SELECT-list order
+    assert(run("""SELECT (UCASE(?n) AS ?u) ?s WHERE { ?s <urn:name> ?n }
+        ORDER BY ?s""")
+      == Seq(Seq("ALICE", "a"), Seq("BOB", "b")))
+    // a SELECT expression may reference a WHERE-clause BIND
+    assert(run("""SELECT (CONCAT(?h, "!") AS ?x) WHERE {
+        <a> <urn:name> ?n . BIND(LCASE(?n) AS ?h) }""")
+      == Seq(Seq("alice!")))
+    // SELECT expressions with aggregates are rejected loudly
+    intercept[IllegalArgumentException] {
+      run("""SELECT (UCASE(?n) AS ?u) (COUNT(?s) AS ?c)
+          WHERE { ?s <urn:name> ?n } GROUP BY ?n""")
+    }
   }
 
   test("SparqlParser r8: HAVING and CONSTRUCT WHERE") {
