@@ -965,4 +965,62 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"goldens re-derives the explosion per check ($customerScans " +
         "customer scans):\n")
   }
+
+  test("exact-substr dedup: no cartesian, window explode scans once") {
+    // the repeat-set probe must be a hash equi-join on the window text
+    // (never a cartesian), and the exploded window relation must sit
+    // behind the lineage cut (exactly one documents scan feeds it —
+    // the O(corpus·W) stage materializes once, not per consumer)
+    val df = SparkEntry.queries("q_dedup_exact_substr")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "cartesian in exact-substr plan:\n" + plan)
+    val docScans = plan.linesIterator
+      .count(l => l.contains("Scan") && l.contains("documents"))
+    assert(docScans <= 2, // one for windows (behind the cut), one base
+      s"window explosion recomputed ($docScans documents scans):\n$plan")
+  }
+
+  test("jsonld nodes: two partial-mergeable aggregations, no extra sort") {
+    // both grouping levels must be hash-style aggregations keyed by
+    // (graph, sid[, k]) — collect_list/set partials merge map-side
+    // (ObjectHashAggregate); a SortAggregate would mean a per-group
+    // sort at every scale-up
+    val df = SparkEntry.queries("q_jsonld_nodes")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "collect aggregation not object-hash:\n" + plan)
+    assert(!plan.contains("SortAggregate"),
+      "sort-based aggregation in the jsonld plan:\n" + plan)
+  }
+
+  test("sparql OR filter compiles to one relational OR predicate") {
+    // the ||-disjunction must land as a single Filter condition in the
+    // optimized plan (a plain row predicate Catalyst can push and
+    // codegen), and the BGP's joins stay equi-joins
+    val df = SparkEntry.queries("q_quads_sparql_or")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    assert(plan.contains(" OR "),
+      "|| did not compile to a relational OR predicate:\n" + plan)
+  }
+
+  test("graph management: filter/relabel branches only, no new joins") {
+    // CLEAR/COPY/MOVE/ADD are graph-column filters + relabels — the
+    // plan is a union of filter branches over the source relation and
+    // must introduce NO joins of its own. The source here is the
+    // 25-emit explosion (3 joins: customer⋈nation⋈region + orders
+    // agg), re-derived per union branch (4 branches — against a real
+    // TABLE each branch is a partition-prunable scan), so the budget
+    // is branches × source joins; anything higher means a verb joined.
+    val df = SparkEntry.queries("q_quads_graph_mgmt")(spark, sf)
+    val planned = df.queryExecution.executedPlan.toString
+    assert(!planned.contains("CartesianProduct"), planned)
+    val joins = planned.linesIterator.count(l =>
+      l.contains("MergeJoin") || l.contains("HashJoin"))
+    assert(joins <= 12,
+      s"graph management introduced joins beyond the source " +
+        s"re-derivation ($joins):\n$planned")
+  }
 }
