@@ -66,6 +66,29 @@ object AggregationQueries extends QueryCatalog {
             col("exact_parts") <= 0.02).as("parts_within_tol"))
     }),
 
+    // KMV distinct sketch (functions/KmvDistinctAgg — Bar-Yossef et
+    // al. RANDOM'02): bottom-k of a 48-bit md5 prefix, estimate
+    // (k-1)/U_k. Unlike the HLL row above (tolerance-gated), this
+    // sketch is deterministic md5, so the DuckDB oracle rebuilds the
+    // identical sketch with a window function and the gate pins the
+    // ESTIMATE bit-for-bit — a mergeable sketch whose exactness of
+    // replay is itself verified. State ≤ k longs per group, partials
+    // combine map-side.
+    "q_agg_kmv_distinct" -> ((s, dir) => {
+      val kmv = udaf(new graft.functions.KmvDistinctAgg(32),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("c_name"),
+          expr("cast(conv(substring(md5(c_name), 1, 12), 16, 10) " +
+            "as bigint)").as("h"))
+        .groupBy(col("nation"))
+        .agg(kmv(col("h")).as("kmv_est"),
+          countDistinct(col("c_name")).as("n_exact"))
+        .orderBy(col("nation"))
+    }),
+
     // A3: GROUP BY + HAVING — duplicate detection (etl-notes.md:488-497:
     // "group by pl_name, locality having count(*) > 1").
     "q_agg_having_dups" -> ((s, dir) => {
@@ -969,6 +992,30 @@ object AggregationQueries extends QueryCatalog {
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  true AS orders_within_tol, true AS parts_within_tol
         |FROM lineitem""".stripMargin,
+    "q_agg_kmv_distinct" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT n.n_name AS nation,
+        |    ('0x' || substring(md5(c.c_name), 1, 12))::BIGINT AS h
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |ranked AS (
+        |  SELECT nation, h,
+        |    row_number() OVER (PARTITION BY nation ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY nation) AS cnt
+        |  FROM hs),
+        |est AS (
+        |  SELECT nation,
+        |    CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
+        |         ELSE 31 * 281474976710656.0 / h END AS kmv_est
+        |  FROM ranked
+        |  WHERE rn = CASE WHEN cnt < 32 THEN cnt ELSE 32 END),
+        |ex AS (
+        |  SELECT n.n_name AS nation,
+        |    COUNT(DISTINCT c.c_name) AS n_exact
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT nation, kmv_est, n_exact
+        |FROM est JOIN ex USING (nation) ORDER BY nation""".stripMargin,
+
     "q_agg_having_dups" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
