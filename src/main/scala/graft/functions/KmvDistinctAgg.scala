@@ -31,7 +31,33 @@ class KmvDistinctAgg(k: Int)
 
   override def zero: Array[Long] = Array.empty[Long]
 
-  private def insert(b: Array[Long], h: Long): Array[Long] =
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    KmvDistinctAgg.insert(b, h, k)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(KmvDistinctAgg.insert(_, _, k))
+
+  /** Exact below k distinct; `(k-1)/U_k` past it. */
+  override def finish(r: Array[Long]): Double =
+    if (r.length < k) r.length.toDouble
+    else (k - 1) * KmvDistinctAgg.HashSpace / r(k - 1).toDouble
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object KmvDistinctAgg {
+  /** 2^48 — the hash space of a 12-hex-char md5 prefix. */
+  val HashSpace: Double = 281474976710656.0
+  /** Same, as the exact long (θ of a not-yet-full sketch). */
+  val HashSpaceLong: Long = 281474976710656L
+
+  /** Sorted-insert of `h` into sketch `b`, keeping the k smallest
+    * distinct hashes. Shared by the estimator and sketch aggregators.
+    */
+  private[functions] def insert(b: Array[Long], h: Long,
+      k: Int): Array[Long] =
     if (b.length == k && h >= b(k - 1)) b
     else {
       val idx = java.util.Arrays.binarySearch(b, h)
@@ -49,23 +75,35 @@ class KmvDistinctAgg(k: Int)
         }
       }
     }
+}
 
-  override def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+/** The sketch-emitting sibling of [[KmvDistinctAgg]] — returns the
+  * sorted k-minimum-values array itself rather than the estimate, so
+  * downstream SET OPERATIONS can combine sketches of different
+  * relations (the theta-sketch construction, Dasgupta et al.
+  * "Theta-sketch framework"): with θ = min over inputs of each
+  * sketch's k-th minimum (or the full hash space when a sketch holds
+  * fewer than k), the entries below θ are a uniform sample of each
+  * set, so `|A∪B| ≈ |union of retained entries| · 2^48/θ` and
+  * `|A∩B| ≈ |retained in both| · 2^48/θ` — distinct-count union,
+  * intersection, and difference WITHOUT rescanning either input.
+  * Combination is pure codegen array algebra (`filter`,
+  * `array_intersect`, `array_except`, `array_distinct`) over ≤ k-long
+  * arrays — see `q_agg_kmv_set_ops`.
+  */
+class KmvSketchAgg(k: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k >= 2, "KMV needs k >= 2")
 
+  override def zero: Array[Long] = Array.empty[Long]
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    KmvDistinctAgg.insert(b, h, k)
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(insert)
-
-  /** Exact below k distinct; `(k-1)/U_k` past it. */
-  override def finish(r: Array[Long]): Double =
-    if (r.length < k) r.length.toDouble
-    else (k - 1) * KmvDistinctAgg.HashSpace / r(k - 1).toDouble
+    b.foldLeft(a)(KmvDistinctAgg.insert(_, _, k))
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
 
   override def bufferEncoder: Encoder[Array[Long]] =
     Encoders.kryo[Array[Long]]
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-}
-
-object KmvDistinctAgg {
-  /** 2^48 — the hash space of a 12-hex-char md5 prefix. */
-  val HashSpace: Double = 281474976710656.0
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

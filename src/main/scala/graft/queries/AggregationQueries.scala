@@ -89,6 +89,61 @@ object AggregationQueries extends QueryCatalog {
         .orderBy(col("nation"))
     }),
 
+    // Theta-sketch set operations over KMV sketches
+    // (functions/KmvSketchAgg): estimate |A∪B|, |A∩B|, |A\B| of the
+    // URGENT- vs HIGH-priority customer sets from two k=64 sketches —
+    // never rescanning either input — via codegen array algebra with
+    // θ = min of the two sketches' 64th minima. Deterministic md5
+    // hashing again lets DuckDB rebuild both sketches and the gate
+    // pin every ESTIMATE bit-for-bit; exact counts ride along to show
+    // the error. At 100 TB: per-partition sketches merge map-side,
+    // the combination is O(k) on ≤512-byte arrays, and sketches of
+    // disjoint corpora (days, shards) union losslessly first.
+    "q_agg_kmv_set_ops" -> ((s, dir) => {
+      val sk = udaf(new graft.functions.KmvSketchAgg(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val orders = Tables.orders(s, dir)
+      def sketchOf(prio: String, alias: String) = orders
+        .filter(col("o_orderpriority") === prio)
+        .select(expr("cast(conv(substring(md5(cast(o_custkey as " +
+          "string)), 1, 12), 16, 10) as bigint)").as("h"))
+        .agg(sk(col("h")).as(alias))
+      // exact counterparts (one aggregation pass + a tiny self-join
+      // on the per-customer flags) to expose the sketch error
+      val exact = orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_orderpriority") === "1-URGENT", 1)
+            .otherwise(0)).as("in_a"),
+          max(when(col("o_orderpriority") === "2-HIGH", 1)
+            .otherwise(0)).as("in_b"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("exact_inter"))
+      sketchOf("1-URGENT", "ska").crossJoin(sketchOf("2-HIGH", "skb"))
+        .crossJoin(exact)
+        .withColumn("theta",
+          least(
+            when(size(col("ska")) === 64, element_at(col("ska"), 64))
+              .otherwise(lit(graft.functions.KmvDistinctAgg.HashSpaceLong)),
+            when(size(col("skb")) === 64, element_at(col("skb"), 64))
+              .otherwise(lit(graft.functions.KmvDistinctAgg.HashSpaceLong))))
+        .withColumn("ra", expr("filter(ska, x -> x < theta)"))
+        .withColumn("rb", expr("filter(skb, x -> x < theta)"))
+        .select(
+          (expr("size(array_distinct(concat(ra, rb)))").cast("double")
+            * lit(graft.functions.KmvDistinctAgg.HashSpace)
+            / col("theta").cast("double")).as("est_union"),
+          (expr("size(array_intersect(ra, rb))").cast("double")
+            * lit(graft.functions.KmvDistinctAgg.HashSpace)
+            / col("theta").cast("double")).as("est_inter"),
+          (expr("size(array_except(ra, rb))").cast("double")
+            * lit(graft.functions.KmvDistinctAgg.HashSpace)
+            / col("theta").cast("double")).as("est_diff_a"),
+          col("exact_union"), col("exact_inter"))
+    }),
+
     // A3: GROUP BY + HAVING — duplicate detection (etl-notes.md:488-497:
     // "group by pl_name, locality having count(*) > 1").
     "q_agg_having_dups" -> ((s, dir) => {
@@ -1015,6 +1070,44 @@ object AggregationQueries extends QueryCatalog {
         |  GROUP BY n.n_name)
         |SELECT nation, kmv_est, n_exact
         |FROM est JOIN ex USING (nation) ORDER BY nation""".stripMargin,
+
+    "q_agg_kmv_set_ops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |ra0 AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS cnt FROM ha),
+        |rb0 AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS cnt FROM hb),
+        |ska AS (SELECT h FROM ra0 WHERE rn <= 64),
+        |skb AS (SELECT h FROM rb0 WHERE rn <= 64),
+        |th AS (
+        |  SELECT least(
+        |    (SELECT CASE WHEN max(cnt) >= 64 THEN max(CASE WHEN rn = 64 THEN h END)
+        |            ELSE 281474976710656 END FROM ra0),
+        |    (SELECT CASE WHEN max(cnt) >= 64 THEN max(CASE WHEN rn = 64 THEN h END)
+        |            ELSE 281474976710656 END FROM rb0)) AS theta),
+        |ra AS (SELECT h FROM ska, th WHERE h < theta),
+        |rb AS (SELECT h FROM skb, th WHERE h < theta),
+        |u AS (SELECT COUNT(*) AS u_cnt FROM (SELECT h FROM ra UNION SELECT h FROM rb)),
+        |i AS (SELECT COUNT(*) AS i_cnt FROM ra WHERE h IN (SELECT h FROM rb)),
+        |d AS (SELECT COUNT(*) AS d_cnt FROM ra WHERE h NOT IN (SELECT h FROM rb)),
+        |flags AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS in_b
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY o_custkey),
+        |ex AS (SELECT COUNT(*) AS exact_union,
+        |         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+        |       FROM flags)
+        |SELECT
+        |  CAST(u_cnt AS DOUBLE) * 281474976710656.0 / CAST(theta AS DOUBLE) AS est_union,
+        |  CAST(i_cnt AS DOUBLE) * 281474976710656.0 / CAST(theta AS DOUBLE) AS est_inter,
+        |  CAST(d_cnt AS DOUBLE) * 281474976710656.0 / CAST(theta AS DOUBLE) AS est_diff_a,
+        |  exact_union, exact_inter
+        |FROM u, i, d, th, ex""".stripMargin,
 
     "q_agg_having_dups" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
