@@ -209,6 +209,32 @@ object QuadQueries extends QueryCatalog {
   private def fullQuads(s: SparkSession, dir: String): DataFrame =
     QuadEmitter.explodeQuadsFull(joinedFull(s, dir), fullEmits)
 
+  /** The geographic containment chain as `within` quads — customer →
+    * nation → region → `urn:world`, a genuinely multi-level edge relation
+    * (diameter 3) for the transitive/quantified path gates. */
+  private def withinQuads(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    val natIri =
+      concat(lit("https://example.org/nation/"), slugify(col("n_name")))
+    val regIri =
+      concat(lit("https://example.org/region/"), slugify(col("r_name")))
+    val cn = cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("https://example.org/customer/"),
+          col("c_custkey").cast("string")).as("subject"),
+        lit(WithinP).as("predicate"), natIri.as("objectValue"))
+    val nr = nat
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(natIri.as("subject"), lit(WithinP).as("predicate"),
+        regIri.as("objectValue"))
+    val rw = reg.select(regIri.as("subject"),
+      lit(WithinP).as("predicate"), lit("urn:world").as("objectValue"))
+    cn.unionByName(nr).unionByName(rw)
+  }
+
   // --------------------------------------------------------------------
   // Serving-layer registry + geocode profile for the REFERENCE-VERBATIM
   // SPARQL queries (r8): the reference's Python serving code issues
@@ -859,27 +885,8 @@ object QuadQueries extends QueryCatalog {
     // diameter (3 here), lineage cut per round. Oracle is a genuine
     // WITH RECURSIVE, independent of the iterate-union loop.
     "q_quads_path_transitive" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir)
-      val nat = Tables.nation(s, dir)
-      val reg = Tables.region(s, dir)
-      val natIri =
-        concat(lit("https://example.org/nation/"), slugify(col("n_name")))
-      val regIri =
-        concat(lit("https://example.org/region/"), slugify(col("r_name")))
-      val cn = cust
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .select(
-          concat(lit("https://example.org/customer/"),
-            col("c_custkey").cast("string")).as("subject"),
-          lit(WithinP).as("predicate"), natIri.as("objectValue"))
-      val nr = nat
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-        .select(natIri.as("subject"), lit(WithinP).as("predicate"),
-          regIri.as("objectValue"))
-      val rw = reg.select(regIri.as("subject"),
-        lit(WithinP).as("predicate"), lit("urn:world").as("objectValue"))
       graft.rdf.PropertyPath
-        .transitive(cn.unionByName(nr).unionByName(rw), WithinP)
+        .transitive(withinQuads(s, dir), WithinP)
         .orderBy(col("subject"), col("ancestor"))
     }),
 
@@ -1169,6 +1176,33 @@ object QuadQueries extends QueryCatalog {
            |SELECT ?v WHERE {
            |  <https://example.org/customer/1> (sdo:hasPart/sdo:value)? ?v
            |} ORDER BY ?v""".stripMargin)
+    }),
+
+    // Quantified path (r8): `within{2,3}` over the customer→nation→
+    // region→world containment chain — exactly the 2- and 3-hop pairs,
+    // no closure fixpoint (bounded by construction: the hop relation
+    // composes max-1 times, each level ONE equi-join on the hop node).
+    // The {n,m} form is the widely-implemented store extension (Jena,
+    // Virtuoso, Stardog); the oracle replays the exact-2 and exact-3
+    // hop joins and unions them with set semantics.
+    "q_quads_sparql_path_repeat" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(withinQuads(s, dir),
+        s"""SELECT ?src ?dst WHERE {
+           |  ?src <$WithinP>{2,3} ?dst
+           |} ORDER BY ?src ?dst""".stripMargin)
+    }),
+
+    // Negated property set (r8, SPARQL 1.1 §9.1): `!(<p>|^<q>)` — every
+    // neighbor pair EXCEPT via the excluded predicates, per direction.
+    // Compiles to one scan-level NOT IN filter per direction (never an
+    // enumeration of the predicate vocabulary — the exclusion list is
+    // what pushes to the source at 100 TB), reversed pairs unioned in
+    // with set semantics. The oracle replays both directional filters.
+    "q_quads_sparql_path_negated" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?src (COUNT(?dst) AS ?n) WHERE {
+           |  ?src !(<$AddTypeP>|<$RdfType>|^<$ValueP>) ?dst
+           |} GROUP BY ?src ORDER BY ?src""".stripMargin)
     }),
 
     // etl-notes-data-loading.md:128-149 — the documented getParts test
@@ -2336,6 +2370,45 @@ object QuadQueries extends QueryCatalog {
          |    AND va.predicate = '$ValueP'
          |    AND hp.subject = 'https://example.org/customer/1')
          |ORDER BY v""".stripMargin,
+
+    // the within-chain replayed from the base tables; h2/h3 are the
+    // exact-2 and exact-3 hop compositions the quantifier unions
+    "q_quads_sparql_path_repeat" ->
+      s"""WITH edges AS (
+         |  SELECT 'https://example.org/customer/'
+         |      || CAST(c_custkey AS VARCHAR) AS src,
+         |    'https://example.org/nation/' ||
+         |      regexp_replace(lower(trim(n_name)), '\\s+', '-', 'g') AS dst
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  UNION ALL
+         |  SELECT 'https://example.org/nation/' ||
+         |      regexp_replace(lower(trim(n_name)), '\\s+', '-', 'g'),
+         |    'https://example.org/region/' ||
+         |      regexp_replace(lower(trim(r_name)), '\\s+', '-', 'g')
+         |  FROM nation JOIN region ON n_regionkey = r_regionkey
+         |  UNION ALL
+         |  SELECT 'https://example.org/region/' ||
+         |      regexp_replace(lower(trim(r_name)), '\\s+', '-', 'g'),
+         |    'urn:world'
+         |  FROM region),
+         |h2 AS (SELECT a.src, b.dst FROM edges a
+         |       JOIN edges b ON a.dst = b.src),
+         |h3 AS (SELECT a.src, b.dst FROM h2 a
+         |       JOIN edges b ON a.dst = b.src)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM h2 UNION SELECT src, dst FROM h3)
+         |ORDER BY src, dst""".stripMargin,
+
+    "q_quads_sparql_path_negated" ->
+      s"""$fullQuadsCte,
+         |fwd AS (SELECT subject AS src, objectValue AS dst FROM quads
+         |        WHERE predicate NOT IN ('$AddTypeP', '$RdfType')),
+         |rev AS (SELECT objectValue AS src, subject AS dst FROM quads
+         |        WHERE predicate <> '$ValueP'),
+         |pairs AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM fwd UNION ALL SELECT src, dst FROM rev))
+         |SELECT src, CAST(COUNT(dst) AS BIGINT) AS n FROM pairs
+         |GROUP BY src ORDER BY src""".stripMargin,
 
     "q_quads_sparql_getparts" ->
       s"""$fullQuadsCte,

@@ -99,6 +99,22 @@ object PropertyPath {
   final case class ZeroOrMore(p: Path, maxDepth: Int = 32) extends Path
   /** `p?` — zero or one: the path's pairs plus the zero-length path. */
   final case class ZeroOrOne(p: Path) extends Path
+  /** `p{n,m}` — between n and m repetitions inclusive (`p{n}` = both
+    * n). Dropped from the final SPARQL 1.1 REC grammar but kept as the
+    * widely-implemented store extension (Jena, Virtuoso, Stardog);
+    * n = 0 includes the zero-length relation. Bounded by construction
+    * — m composes the hop relation m-1 times, no fixpoint needed. */
+  final case class Repeat(p: Path, min: Int, max: Int) extends Path
+  /** `!(<a>|<b>|^<c>)` — SPARQL 1.1 §9.1 negated property set. Forward
+    * triples whose predicate is NOT in `fwd` (direction present only
+    * when the set had a forward member — or no members in that
+    * direction at all means `!^c` excludes nothing forward and the
+    * forward direction is absent), unioned with REVERSED triples whose
+    * predicate is not in `inv` (present only when a `^` member
+    * occurred). A scan-level NOT IN filter — never an enumeration of
+    * the predicate vocabulary, so it pushes to the source at 100 TB. */
+  final case class Negated(fwd: Option[Seq[String]],
+      inv: Option[Seq[String]] = None) extends Path
 
   /** All graph nodes self-paired — the zero-length path relation. */
   private def zeroLength(quads: DataFrame): DataFrame =
@@ -132,5 +148,36 @@ object PropertyPath {
         .distinct()
     case ZeroOrOne(p) =>
       zeroLength(quads).unionByName(eval(quads, p)).distinct()
+    case Repeat(p, mn, mx) =>
+      require(mn >= 0 && mx >= mn,
+        s"path quantifier needs 0 <= min <= max, got {$mn,$mx}")
+      require(mx <= 32, s"path quantifier bound $mx exceeds 32 — use p+ " +
+        "or p* (bounded fixpoint) for effectively-unbounded repetition")
+      // hop is referenced up to `mx` times — cut once so each level is
+      // one join, not a re-derivation of the inner path per level
+      val hop = eval(quads, p).cutLineage()
+      var acc: DataFrame = if (mn == 0) zeroLength(quads) else null
+      var cur = hop
+      for (k <- 1 to mx) {
+        if (k >= math.max(mn, 1))
+          acc = if (acc == null) cur else acc.unionByName(cur)
+        if (k < mx) cur = cur.as("a")
+          .join(hop.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .distinct().cutLineage()
+      }
+      if (acc == null) zeroLength(quads).limit(0) else acc.distinct()
+    case Negated(fwd, inv) =>
+      require(fwd.nonEmpty || inv.nonEmpty,
+        "negated property set needs at least one member")
+      def notIn(ex: Seq[String]) =
+        if (ex.isEmpty) lit(true) else !col("predicate").isin(ex: _*)
+      val legs = Seq(
+        fwd.map(ex => quads.filter(notIn(ex))
+          .select(col("subject").as("src"), col("objectValue").as("dst"))),
+        inv.map(ex => quads.filter(notIn(ex))
+          .select(col("objectValue").as("src"), col("subject").as("dst"))))
+        .flatten
+      legs.reduce(_ unionByName _).distinct()
   }
 }

@@ -268,24 +268,57 @@ object SparqlParser {
 
   /** Property-path grammar over the predicate position:
     * `path := seq ('|' seq)*; seq := elt ('/' elt)*;
-    * elt := '^'? primary ('+'|'*'|'?')?;
-    * primary := <iri> | 'a' | '(' path ')'`.
+    * elt := '^'? primary ('+'|'*'|'?'|'{'n(','m)?'}')?;
+    * primary := <iri> | 'a' | '(' path ')' | '!' negatedSet;
+    * negatedSet := setElt | '(' setElt ('|' setElt)* ')';
+    * setElt := '^'? (<iri> | 'a')`.
     * Returns Left(plain predicate IRI) for the trivial single-step case
     * so it compiles to a [[Bgp.Pattern]] (scan-filter pushdown), else
     * Right(compound path). */
   private def path(p: P): Either[String, PropertyPath.Path] = {
     import PropertyPath._
+    def stepIri(): String = {
+      val t = p.eat()
+      if (t == "a") RdfTypeIri
+      else {
+        require(t.startsWith("<"),
+          s"predicate must be an IRI, a variable, or a path, got '$t'")
+        t.substring(1, t.length - 1)
+      }
+    }
+    // SPARQL 1.1 §9.1 negated property set: `!setElt` or
+    // `!(setElt|setElt|…)` where a `^` member negates the REVERSE
+    // direction. Compiles to PropertyPath.Negated — a scan-level NOT IN
+    // per direction, never an enumeration of the predicate vocabulary.
+    def negatedSet(): Path = {
+      val fwd = Seq.newBuilder[String]
+      val inv = Seq.newBuilder[String]
+      var sawFwd = false; var sawInv = false
+      def setElt(): Unit = {
+        val isInv = p.is("^")
+        if (isInv) p.eat()
+        val iri = stepIri()
+        if (isInv) { inv += iri; sawInv = true }
+        else { fwd += iri; sawFwd = true }
+      }
+      if (p.is("(")) {
+        p.eat(); setElt()
+        while (p.is("|")) { p.eat(); setElt() }
+        p.expect(")")
+      } else setElt()
+      Negated(if (sawFwd) Some(fwd.result()) else None,
+        if (sawInv) Some(inv.result()) else None)
+    }
+    def quantInt(): Int = {
+      val t = p.eat()
+      require(t.nonEmpty && t.forall(_.isDigit),
+        s"path quantifier bound must be a non-negative integer, got '$t'")
+      t.toInt
+    }
     def primary(): Path =
       if (p.is("(")) { p.eat(); val inner = alt(); p.expect(")"); inner }
-      else {
-        val t = p.eat()
-        if (t == "a") Step(RdfTypeIri)
-        else {
-          require(t.startsWith("<"),
-            s"predicate must be an IRI, a variable, or a path, got '$t'")
-          Step(t.substring(1, t.length - 1))
-        }
-      }
+      else if (p.is("!")) { p.eat(); negatedSet() }
+      else Step(stepIri())
     def elt(): Path = {
       val inv = p.is("^")
       if (inv) p.eat()
@@ -293,6 +326,16 @@ object SparqlParser {
       if (p.is("+")) { p.eat(); e = OneOrMore(e) }
       else if (p.is("*")) { p.eat(); e = ZeroOrMore(e) }
       else if (p.is("?")) { p.eat(); e = ZeroOrOne(e) }
+      else if (p.is("{")) {
+        // `p{n}` / `p{n,m}` / `p{,m}` — the bounded-repetition store
+        // extension (Jena/Virtuoso/Stardog); `{n,}` (unbounded above)
+        // is rejected: use `p{n,k}/p*` for that shape.
+        p.eat()
+        val mn = if (p.is(",")) 0 else quantInt()
+        val mx = if (p.is(",")) { p.eat(); quantInt() } else mn
+        p.expect("}")
+        e = Repeat(e, mn, mx)
+      }
       if (inv) Inverse(e) else e
     }
     def seq(): Path = {

@@ -1649,6 +1649,60 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       Set("a" -> "y", "b" -> "y"))
   }
 
+  test("PropertyPath.eval: quantified repetition and negated sets") {
+    import spark.implicits._
+    import graft.rdf.PropertyPath._
+    // chain a→b→c→d on p, plus one q edge off the chain
+    val quads = Seq(
+      ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("a", "q", "x"))
+      .toDF("subject", "predicate", "objectValue")
+    def pairs(p: Path): Set[(String, String)] =
+      eval(quads, p).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(pairs(Repeat(Step("p"), 2, 3)) ==
+      Set("a" -> "c", "b" -> "d", "a" -> "d"))
+    assert(pairs(Repeat(Step("p"), 2, 2)) == Set("a" -> "c", "b" -> "d"))
+    // n = 0 includes the zero-length relation (all 6 graph nodes)
+    assert(pairs(Repeat(Step("p"), 0, 1)) ==
+      Set("a", "b", "c", "d", "x").map(n => n -> n) +
+        ("a" -> "b") + ("b" -> "c") + ("c" -> "d"))
+    intercept[IllegalArgumentException](pairs(Repeat(Step("p"), 3, 2)))
+    // forward-only exclusion: every forward pair except via p
+    assert(pairs(Negated(Some(Seq("p")))) == Set("a" -> "x"))
+    // inverse-only exclusion: every REVERSED pair except via q
+    assert(pairs(Negated(None, Some(Seq("q")))) ==
+      Set("b" -> "a", "c" -> "b", "d" -> "c"))
+    // mixed: forward non-q ∪ reversed non-p
+    assert(pairs(Negated(Some(Seq("q")), Some(Seq("p")))) ==
+      Set("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "a"))
+    intercept[IllegalArgumentException](pairs(Negated(None, None)))
+  }
+
+  test("SparqlParser r8: path quantifiers {n,m} and negated sets") {
+    import spark.implicits._
+    val quads = Seq(
+      ("a", "urn:p", "b"), ("b", "urn:p", "c"), ("c", "urn:p", "d"),
+      ("a", "urn:q", "x"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Set[(String, String)] =
+      graft.rdf.SparqlParser.execute(quads, q).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(run("SELECT ?s ?o WHERE { ?s <urn:p>{2,3} ?o }") ==
+      Set("a" -> "c", "b" -> "d", "a" -> "d"))
+    assert(run("SELECT ?s ?o WHERE { ?s <urn:p>{2} ?o }") ==
+      Set("a" -> "c", "b" -> "d"))
+    // {,m} is {0,m}; constant subject keeps it small
+    assert(run("SELECT ?s ?o WHERE { ?s <urn:p>{,2} ?o . " +
+      "FILTER(?s = \"a\") }") ==
+      Set("a" -> "a", "a" -> "b", "a" -> "c"))
+    assert(run("SELECT ?s ?o WHERE { ?s !<urn:p> ?o }") == Set("a" -> "x"))
+    assert(run("SELECT ?s ?o WHERE { ?s !(<urn:q>|^<urn:p>) ?o }") ==
+      Set("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "a"))
+    // unbounded-above quantifier is rejected loudly
+    intercept[IllegalArgumentException](
+      run("SELECT ?s ?o WHERE { ?s <urn:p>{2,} ?o }"))
+  }
+
   test("SameAs.smush: 2-hop chains, object rewrite, duplicate collapse") {
     import spark.implicits._
     import graft.model.TermKind
