@@ -115,6 +115,40 @@ object TextDedup {
         .select(col("doc_id"), col("sig")),
       bands, rowsPerBand)
 
+  /** One ingest batch deduped against a persisted band index — the
+    * foreachBatch step of streaming near-dup dedup: batch bands
+    * equi-join the index on (band, band_key), and only the CANDIDATE
+    * history docs are re-shingled (semi-join into the doc store before
+    * sketching) for exact-Jaccard verification. Cost scales with the
+    * batch and its candidate set, never the corpus — the index side is
+    * band-key-partitioned, the batch side is small, and the history
+    * text is touched only where a band collided.
+    * Returns `(new_doc, seen_doc, jaccard)` at or above `threshold`. */
+  def dedupAgainstIndex(batch: DataFrame, batchId: Column,
+      batchText: Column, index: DataFrame, seen: DataFrame, seenId: Column,
+      seenText: Column, threshold: Double = 0.8, n: Int = 3,
+      seeds: Int = 2, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val cand =
+      bandIndex(batch, batchId, batchText, n, seeds, bands, rowsPerBand)
+        .as("b")
+        .join(index.as("c"), col("b.band") === col("c.band") &&
+          col("b.band_key") === col("c.band_key"))
+        .select(col("b.doc_id").as("new_doc"),
+          col("c.doc_id").as("seen_doc"))
+        .distinct()
+    val shB = wordShingles(batch, batchId, batchText, n)
+    val candSeen = seen.select(seenId.as("doc_id"), seenText.as("text"))
+      .join(cand.select(col("seen_doc").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+    val shC = wordShingles(candSeen, col("doc_id"), col("text"), n)
+    cand
+      .join(shB.as("sb"), col("new_doc") === col("sb.doc_id"))
+      .join(shC.as("sc"), col("seen_doc") === col("sc.doc_id"))
+      .select(col("new_doc"), col("seen_doc"),
+        jaccard(col("sb.shingles"), col("sc.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash sketch over a token-set column: bit i = majority vote of
     * md5-nibble-i high bits (md5 has exactly 32 nibbles → 32 bits). */
   def simhash(tokensCol: String): Column =

@@ -160,6 +160,38 @@ object DedupQueries extends QueryCatalog {
         .orderBy(col("batch_doc"), col("corpus_doc"))
     }),
 
+    // STREAMING near-dup dedup — the foreachBatch twin of
+    // q_dedup_incremental: documents ARRIVE in 3 micro-batches (arrival
+    // order = doc_id % 3); each batch dedups against the band-index
+    // partitions of all earlier batches (TextDedup.dedupAgainstIndex —
+    // only band-colliding history docs re-shingle), then appends its own
+    // partition. One immutable partition per batch means each round's
+    // index read is a fixed file snapshot — no read-own-append race
+    // under lazy evaluation — and is the production layout (daily index
+    // partitions). StreamingSpec runs the same loop as a genuine
+    // foreachBatch stream; the oracle replays the sketches with the
+    // arrival-order condition.
+    "q_dedup_streaming" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxRoot = tmp(s, "stream_band_index")
+      var out: DataFrame = null
+      for (k <- 0 to 2) {
+        val batch = docs.filter(col("doc_id") % 3 === k)
+        if (k > 0) {
+          val idx = s.read.parquet(
+            (0 until k).map(j => s"$idxRoot/batch=$j"): _*)
+          val seen = docs.filter(col("doc_id") % 3 < k)
+          val verified = TextDedup.dedupAgainstIndex(
+            batch, col("doc_id"), col("text"),
+            idx, seen, col("doc_id"), col("text"))
+          out = if (out == null) verified else out.unionByName(verified)
+        }
+        TextDedup.bandIndex(batch, col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$idxRoot/batch=$k")
+      }
+      out.orderBy(col("new_doc"), col("seen_doc"))
+    }),
+
     // Pair detection is only half a dedup pipeline: "a~b, b~c" must
     // become ONE cluster {a,b,c} with one survivor before anything is
     // dropped, or transitive groups lose extra members (a kept, b
@@ -664,6 +696,37 @@ object DedupQueries extends QueryCatalog {
          |WHERE CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
          |    len(list_distinct(list_concat(sb.shingles, sc.shingles))) >= 0.8
          |ORDER BY batch_doc, corpus_doc""".stripMargin,
+    // Same sketch replay as q_dedup_incremental, with the candidate
+    // condition on ARRIVAL order (doc_id % 3) instead of the batch/corpus
+    // split — the micro-batch loop and partitioned index layout are
+    // invisible to the oracle.
+    "q_dedup_streaming" ->
+      s"""WITH $shinglesCte,
+         |mh AS (
+         |  SELECT doc_id, shingles,
+         |    [CASE WHEN h < 4
+         |       THEN list_min([substring(md5(s), 8 * h + 1, 8) for s in shingles])
+         |       ELSE list_min([substring(md5('x' || s), 8 * (h - 4) + 1, 8) for s in shingles])
+         |     END for h in range(0, 8)] AS sig
+         |  FROM sh),
+         |buckets AS (
+         |  SELECT doc_id, band, md5(sig[2*band+1] || sig[2*band+2]) AS band_key
+         |  FROM mh, (SELECT unnest(range(0, 4)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS new_doc, c.doc_id AS seen_doc
+         |  FROM buckets b JOIN buckets c
+         |    ON b.band = c.band AND b.band_key = c.band_key
+         |   AND b.doc_id % 3 > c.doc_id % 3)
+         |SELECT new_doc, seen_doc,
+         |  CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sb.shingles, sc.shingles))) AS jaccard
+         |FROM cand
+         |JOIN sh sb ON cand.new_doc = sb.doc_id
+         |JOIN sh sc ON cand.seen_doc = sc.doc_id
+         |WHERE CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sb.shingles, sc.shingles))) >= 0.8
+         |ORDER BY new_doc, seen_doc""".stripMargin,
+
     // Transitive closure as the independent oracle for the iterative
     // label-propagation loop (same independence pattern as the
     // WITH RECURSIVE twin of q_recursive_hierarchy): reach(node, m)

@@ -347,6 +347,79 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup against a growing band index " +
+      "equals the batch twin") {
+    // The genuinely-streaming run of q_dedup_streaming's loop: documents
+    // arrive over three micro-batches; each foreachBatch call dedups the
+    // batch against the band-index partitions of all EARLIER batches
+    // (TextDedup.dedupAgainstIndex), then appends its own partition.
+    // Doc 22 repeats doc 1 verbatim (guaranteed band collision across
+    // two batch boundaries); doc 11 is a one-word edit of doc 1
+    // (word-3-shingle Jaccard 9/11 ≈ 0.82, just over the 0.8 bar).
+    import spark.implicits._
+    import graft.operators.TextDedup
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = "the quick brown fox jumps over the lazy dog every " +
+      "single morning"
+    val d1near = d1.replace("morning", "evening")
+    val other1 = "completely unrelated text about distributed query " +
+      "engines and shuffle plans"
+    val other2 = "yet another filler document mentioning parquet " +
+      "files and broadcast joins"
+    val batches = Seq(
+      Seq(1L -> d1, 2L -> other1),
+      Seq(11L -> d1near, 12L -> other2),
+      Seq(22L -> d1))
+
+    // batch twin: the same splits through the same operator, no stream
+    val expected = (1 to 2).flatMap { k =>
+      val all = batches.take(k + 1).flatten.toDF("doc_id", "text")
+      val batch = batches(k).toDF("doc_id", "text")
+      val seen = batches.take(k).flatten.toDF("doc_id", "text")
+      TextDedup.dedupAgainstIndex(
+          batch, col("doc_id"), col("text"),
+          TextDedup.bandIndex(seen, col("doc_id"), col("text")),
+          seen, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(expected.map(p => (p._1, p._2)) ==
+      Set(11L -> 1L, 22L -> 1L, 22L -> 11L), expected.toString)
+
+    val root = java.nio.file.Files.createTempDirectory("stream_dedup")
+      .toString
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var k = 0
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (k > 0) {
+            val idx = spark.read.parquet(
+              (0 until k).map(j => s"$root/idx/batch=$j"): _*)
+            val seen = spark.read.parquet(
+              (0 until k).map(j => s"$root/seen/batch=$j"): _*)
+            got ++= TextDedup.dedupAgainstIndex(
+                batch, col("doc_id"), col("text"), idx,
+                seen, col("doc_id"), col("text"))
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
+          TextDedup.bandIndex(batch, col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$root/idx/batch=$k")
+          batch.select("doc_id", "text")
+            .write.mode("overwrite").parquet(s"$root/seen/batch=$k")
+          k += 1
+        }
+      }
+      .start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      assert(got.toSet == expected,
+        s"streaming pairs ${got.toSet} != batch twin $expected")
+    } finally q.stop()
+  }
+
   test("windowed top-k ranks each micro-batch output via foreachBatch") {
     // rank-over-aggregate isn't expressible mid-stream, so the streaming
     // form of topKPerWindow applies the rank to each complete-mode
