@@ -356,7 +356,19 @@ object SparqlUpdate {
     val dataKeys =
       Seq("subject", "predicate", "objectValue") ++
         (if (hasGraph) Seq("graph") else Nil)
-    parse(update).foldLeft(quads) { (acc, op) =>
+    parse(update).foldLeft(quads) { (acc0, op) =>
+      // Modify / DeleteWhere / GraphOp read the accumulated state several
+      // times (one filtered scan per WHERE pattern + the removal
+      // anti-joins); without a lineage cut each read re-derives the whole
+      // upstream chain — after two chained ops that's the base relation
+      // re-computed ~10× (the shape_validate trap, PERF.md). A lazy cut
+      // materializes each op's input once. Single-read ops pass through
+      // so a lone CLEAR/INSERT keeps its scan pushdown.
+      val acc = op match {
+        case _: Modify | _: DeleteWhere | _: GraphOp =>
+          graft.operators.Checkpoints.cut(acc0, eager = false)
+        case _ => acc0
+      }
       op match {
         case InsertData(rows) =>
           acc.unionByName(constRelation(acc, rows)).dropDuplicates()

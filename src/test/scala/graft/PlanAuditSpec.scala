@@ -1023,4 +1023,62 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"graph management introduced joins beyond the source " +
         s"re-derivation ($joins):\n$planned")
   }
+
+  test("sparql update sequence: each op reads a cut, not the chain") {
+    // three chained UPDATE ops (INSERT DATA → DELETE WHERE → modify):
+    // without the per-op lineage cut, every WHERE pattern and removal
+    // anti-join re-derives the whole upstream chain — ~10 explosion
+    // derivations for this sequence. With the cut, the final plan reads
+    // the previous op's materialized RDD (Scan ExistingRDD) and the
+    // 25-emit explosion never appears more than once.
+    val df = SparkEntry.queries("q_quads_sparql_update")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "no lineage cut between UPDATE ops:\n" + plan)
+    val customerScans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("customer"))
+    assert(customerScans <= 1,
+      s"UPDATE sequence re-derives the explosion ($customerScans " +
+        s"customer scans):\n$plan")
+  }
+
+  test("negated property set pushes its NOT IN exclusion to the scan") {
+    // !(p|^q) must compile to per-direction predicate filters on the
+    // quad scan — the exclusion list travels INTO the parquet reader
+    // (PushedFilters Not(In(predicate…))), never an enumeration of the
+    // predicate vocabulary and never a join
+    import org.apache.spark.sql.functions.col
+    import graft.rdf.PropertyPath
+    val dir = java.nio.file.Files.createTempDirectory("negated_audit")
+      .toString
+    import spark.implicits._
+    Seq(("s1", "urn:p", "o1"), ("s2", "urn:q", "o2"))
+      .toDF("subject", "predicate", "objectValue")
+      .write.mode("overwrite").parquet(dir)
+    val quads = spark.read.parquet(dir)
+    val df = PropertyPath.eval(quads,
+      PropertyPath.Negated(Some(Seq("urn:p", "urn:r")),
+        Some(Seq("urn:q", "urn:r"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("Not(In(predicate"),
+      "exclusion did not push to the parquet scan:\n" + plan)
+    assert(!plan.contains("Join"), "negated set planned a join:\n" + plan)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set("s2" -> "o2", "o1" -> "s1"))
+  }
+
+  test("streaming dedup batch: semi-join gates the history re-shingle") {
+    // dedupAgainstIndex must (a) generate candidates via the
+    // (band, band_key) equi-join — no cartesian — and (b) re-shingle
+    // only candidate history docs: the seen-docs scan sits behind a
+    // LeftSemi against the candidate set, so history text cost scales
+    // with collisions, not the corpus
+    val df = SparkEntry.queries("q_dedup_streaming")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "cartesian in streaming dedup plan:\n" + plan)
+    assert(plan.contains("LeftSemi"),
+      "history re-shingle is not candidate-gated:\n" + plan)
+  }
 }
