@@ -750,6 +750,27 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("subject"), col("predicate"), col("objectValue"))
     }),
 
+    // JSON-LD source (r8 — the read half of the third interchange
+    // syntax, closing its round-trip like Turtle/N-Quads): the expanded
+    // node NDJSON written by renderNodes loads back through
+    // `spark.read.json` + JsonLd.parseNodes — schema-driven (the
+    // predicate vocabulary IS the inferred column set), ONE
+    // scan/parse/explode pass (per-predicate transforms flatten into a
+    // single quad-struct array; PlanAuditSpec pins the single scan).
+    // Full term fidelity: bnode subjects AND objects, language-tagged
+    // literals ("en"/"aus"), @type keywords — same oracle as the
+    // Turtle round-trip by construction.
+    "q_jsonld_parse_roundtrip" -> ((s, dir) => {
+      val out = tmp(s, "jsonld_parse")
+      graft.rdf.JsonLd
+        .renderNodes(fullQuads(s, dir).where(col("graph") === lit(GraphG)))
+        .select(col("value"))
+        .write.mode("overwrite").text(out)
+      graft.rdf.JsonLd.parseNodes(s.read.json(out), lit(GraphG))
+        .drop("graph")
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    }),
+
     // §5.1 pre-validation — referential completeness BEFORE the main job
     // (etl_pndb_pre_validate.py:18-61): every customer nation key must
     // resolve against the nation vocab; the anti-join of codes minus
@@ -1734,6 +1755,15 @@ object QuadQueries extends QueryCatalog {
     // The parser roundtrip oracles recompute the quads RELATIONALLY (no
     // text form anywhere in the SQL): parse(render(q)) must equal q.
     "q_turtle_parse_roundtrip" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang
+         |FROM quads WHERE graph = '${graft.model.Graphs.GeoNames}'
+         |ORDER BY subject, predicate, objectValue""".stripMargin,
+    // the node objects dedupe per (graph, subject, predicate) via
+    // collect_set, so the parsed relation is exactly the (duplicate-free)
+    // graph subset — same oracle as the Turtle round-trip
+    "q_jsonld_parse_roundtrip" ->
       s"""$fullQuadsCte
          |SELECT subject, subjectKind, predicate, objectValue, objectKind,
          |  datatype, lang

@@ -100,4 +100,74 @@ object JsonLd {
     * is [[renderNodes]] written as NDJSON, e.g. partitioned by graph). */
   def writeJsonLd(quads: DataFrame, path: String): Unit =
     renderDocument(quads).coalesce(1).write.mode("overwrite").text(path)
+
+  /** Inverse of [[renderNodes]] — expanded JSON-LD node objects (the
+    * NDJSON relation `spark.read.json` yields from that sink) back to
+    * the quad relation. SCHEMA-DRIVEN: after JSON load the predicate
+    * vocabulary IS the column set, so the plan compiles one `transform`
+    * lambda per predicate column and performs ONE scan/parse/explode
+    * pass — predicates × objects flatten into a single array of quad
+    * structs per node, never one scan per predicate. JSON string
+    * unescaping inverts the sink's `graft_nt_escape` exactly (both
+    * escape the same five characters the same way — object doc above).
+    * At 100 TB pass an explicit schema (or `samplingRatio`) to
+    * `spark.read.json` — inference is a full extra pass.
+    *
+    * @param nodes `spark.read.json` result over renderNodes NDJSON
+    * @param graph constant graph column for the parsed quads (the sink
+    *              partitions by graph, so the caller knows it) */
+  def parseNodes(nodes: DataFrame,
+      graph: Column = lit(null).cast("string")): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val sid = col("`@id`")
+    val subject = when(sid.startsWith("_:"), sid.substr(lit(3), length(sid)))
+      .otherwise(sid)
+    val subjectKind = when(sid.startsWith("_:"), lit(TermKind.BNode))
+      .otherwise(lit(TermKind.Iri))
+    val nullStr = lit(null).cast("string")
+    def quadStruct(pred: Column, value: Column, kind: Column,
+        datatype: Column, lang: Column): Column =
+      struct(pred.as("predicate"), value.as("objectValue"),
+        kind.as("objectKind"), datatype.as("datatype"), lang.as("lang"))
+    val legs: Seq[Column] = nodes.schema.fields.toSeq.collect {
+      case f if f.name == "@type" =>
+        // node-level @type keyword: bare IRI strings → rdf:type edges
+        transform(coalesce(col("`@type`"), array().cast(f.dataType)),
+          t => quadStruct(lit(RdfTypeIri), t, lit(TermKind.Iri),
+            nullStr, nullStr))
+      case f if f.name != "@id" &&
+          f.dataType.isInstanceOf[ArrayType] &&
+          f.dataType.asInstanceOf[ArrayType].elementType
+            .isInstanceOf[StructType] =>
+        val st = f.dataType.asInstanceOf[ArrayType].elementType
+          .asInstanceOf[StructType]
+        def fld(o: Column, n: String): Column =
+          if (st.fieldNames.contains(n)) o.getField(n) else nullStr
+        transform(coalesce(col(s"`${f.name}`"), array().cast(f.dataType)),
+          o => {
+          val oid = fld(o, "@id")
+          quadStruct(
+            lit(f.name),
+            when(oid.isNotNull && oid.startsWith("_:"),
+                oid.substr(lit(3), length(oid)))
+              .otherwise(coalesce(oid, fld(o, "@value"))),
+            when(oid.isNotNull && oid.startsWith("_:"),
+                lit(TermKind.BNode))
+              .when(oid.isNotNull, lit(TermKind.Iri))
+              .otherwise(lit(TermKind.Literal)),
+            fld(o, "@type"), fld(o, "@language"))
+        })
+    }
+    require(legs.nonEmpty,
+      "no predicate columns — not an expanded JSON-LD node relation")
+    nodes
+      .select(subject.as("subject"), subjectKind.as("subjectKind"),
+        explode(flatten(array(legs: _*))).as("q"))
+      .select(col("subject"), col("subjectKind"),
+        col("q.predicate").as("predicate"),
+        col("q.objectValue").as("objectValue"),
+        col("q.objectKind").as("objectKind"),
+        col("q.datatype").as("datatype"), col("q.lang").as("lang"),
+        graph.as("graph"))
+  }
 }

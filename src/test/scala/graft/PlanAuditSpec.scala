@@ -1067,6 +1067,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Set("s2" -> "o2", "o1" -> "s1"))
   }
 
+  test("jsonld parse: one scan, one explode — never a scan per predicate") {
+    // parseNodes compiles the per-predicate transforms into a single
+    // flattened quad-struct array: the NDJSON relation must be scanned
+    // (and its lines JSON-parsed) exactly once, with exactly one
+    // Generate for the explode — a per-predicate union would re-parse
+    // the corpus |vocabulary| times
+    val df = SparkEntry.queries("q_jsonld_parse_roundtrip")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val jsonScans = plan.linesIterator.count(l =>
+      l.contains("FileScan json"))
+    assert(jsonScans == 1, s"$jsonScans json scans:\n$plan")
+    val explodes = plan.linesIterator.count(_.contains("Generate"))
+    assert(explodes == 1, s"$explodes Generates:\n$plan")
+  }
+
   test("streaming dedup batch: semi-join gates the history re-shingle") {
     // dedupAgainstIndex must (a) generate candidates via the
     // (band, band_key) equi-join — no cartesian — and (b) re-shingle

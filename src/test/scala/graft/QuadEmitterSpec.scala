@@ -402,6 +402,37 @@ class QuadEmitterSpec extends AnyFunSuite with SparkTestBase {
     assert(doc.endsWith("]}]"))
   }
 
+  test("JsonLd.parseNodes inverts renderNodes with full term fidelity") {
+    import spark.implicits._
+    // the render fixture above plus nothing — every term class at once:
+    // @type keyword, bnode subject AND object, escaped quote in a
+    // literal, typed literal, language-tagged literal
+    val quads = Seq(
+      ("urn:s1", "iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "urn:T", "iri", null, null, "urn:g1"),
+      ("urn:s1", "iri", "urn:p", "v\"x", "literal", null, null, "urn:g1"),
+      ("urn:s1", "iri", "urn:p", "b2", "bnode", null, null, "urn:g1"),
+      ("urn:s1", "iri", "urn:q", "5", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g1"),
+      ("b2", "bnode", "urn:p", "w", "literal", null, "en", "urn:g1"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    val dir = java.nio.file.Files.createTempDirectory("jsonld_rt").toString
+    graft.rdf.JsonLd.renderNodes(quads).select(col("value"))
+      .write.mode("overwrite").text(dir)
+    val back = graft.rdf.JsonLd
+      .parseNodes(spark.read.json(dir), lit("urn:g1"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+        r.getString(7))).toSet
+    val expected = quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+        r.getString(7))).toSet
+    assert(back == expected, s"parsed $back")
+  }
+
   test("SparqlResults: RFC4180 quoting, TSV terms, JSON unbound omitted") {
     import spark.implicits._
     import graft.rdf.SparqlResults
