@@ -104,6 +104,39 @@ object StatsQueries extends QueryCatalog {
           c, col("c_custkey"))))
     }),
 
+    // One-pass column profiler — the "what's in this table" report every
+    // ingest runs before writing expectations (null rates, cardinality,
+    // value ranges per column). ONE aggregation over the data: all
+    // per-column stats land in a single agg (the multi-COUNT-DISTINCT
+    // plans through one Expand pass), then the 1-row result melts to a
+    // row per column driver-side-free (explode of a literal struct
+    // array). At 100 TB swap the exact distincts for
+    // approx_count_distinct / the HLL aggregator and the Expand
+    // disappears — the gate pins the exact variant. min/max strings are
+    // truncated to 32 chars on BOTH engines (byte-wise collation
+    // agrees: Spark UTF8String binary order = DuckDB byte order).
+    "q_dq_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        substring(min(col(c)).cast("string"), 1, 32).as(s"${c}__mn"),
+        substring(max(col(c)).cast("string"), 1, 32).as(s"${c}__mx")) }
+      val row = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val entries = cols.map(c => struct(lit(c).as("col_name"),
+        col(s"${c}__nn").as("n_non_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s")))
+      row.select(col("n_rows"), explode(array(entries: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("n_rows"),
+          col("p.n_non_null").as("n_non_null"),
+          (col("n_rows") - col("p.n_non_null")).as("n_nulls"),
+          col("p.n_distinct").as("n_distinct"),
+          col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
+        .orderBy(col("col_name"))
+    }),
+
     // Day-of-week seasonal index — the volume baseline a monitoring
     // pipeline divides out before alerting (Monday traffic ≠ Sunday
     // traffic is seasonality, not drift). Two partial-aggregable
@@ -874,6 +907,19 @@ object StatsQueries extends QueryCatalog {
         |SELECT round(sum((o - r*c/n) * (o - r*c/n) / (r*c/n)), 6) AS chi2,
         |       count(*) AS cells
         |FROM m""".stripMargin,
+
+    "q_dq_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      "WITH p AS (" + cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_non_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  substring(CAST(MIN($c) AS VARCHAR), 1, 32) AS min_s,
+           |  substring(CAST(MAX($c) AS VARCHAR), 1, 32) AS max_s
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n") +
+        ")\nSELECT col_name, n_rows, n_non_null, " +
+        "n_rows - n_non_null AS n_nulls, n_distinct, min_s, max_s " +
+        "FROM p ORDER BY col_name"
+    },
 
     "q_dq_rules" ->
       """SELECT rule_id, violations FROM (

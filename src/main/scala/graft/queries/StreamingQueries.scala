@@ -159,6 +159,20 @@ object StreamingQueries extends QueryCatalog {
         .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
     }),
 
+    // LEFT OUTER stream-stream join, batch twin (the watermark-gated
+    // null emission is proven live in StreamingSpec): attribution
+    // including the MISSES — purchases with no view in the 30-minute
+    // lookback keep a row with view_id = -1, the "conversion without a
+    // touchpoint" rows an attribution dashboard needs most. Same
+    // bounded-state interval-join shape as q_stream_join.
+    "q_stream_join_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventPipelines.attributeViewsOuter(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+    }),
+
     // Stream-static enrichment, batch twin (the streaming run with a
     // MemoryStream joining the parquet-backed dimension per micro-batch
     // is in StreamingSpec): events decorated with the customer market
@@ -303,6 +317,17 @@ object StreamingQueries extends QueryCatalog {
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  COALESCE(v.event_id, -1) AS view_id,
+        |  epoch_ms(p.ts) AS purchase_ms,
+        |  COALESCE(epoch_ms(v.ts), -1) AS view_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+
     // Session reconstruction via the gap rule: a new session starts when
     // the inter-event gap is >= 30 minutes (session_window's end bound is
     // exclusive); end = last event + gap.

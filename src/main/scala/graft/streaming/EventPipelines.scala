@@ -240,6 +240,40 @@ object EventPipelines {
         epochMs(col("view_ts")).as("view_ms"))
   }
 
+  /** LEFT OUTER stream-stream interval join — attribution INCLUDING the
+    * misses: a purchase with no qualifying view in its 30-minute
+    * lookback emits a null-extended row. Under `readStream` Spark
+    * requires exactly this shape for outer stream-stream joins (both
+    * watermarks + a two-sided event-time bound): the null side of a
+    * purchase can only be decided once the VIEW watermark passes
+    * `purchase_ts` — no earlier view can still arrive — so unmatched
+    * rows surface when both watermarks advance, and state stays bounded
+    * as in [[attributeViews]]. In batch the same plan is a plain left
+    * outer equi-join on user with the time band as a residual. */
+  def attributeViewsOuter(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user"))
+      .withWatermark("view_ts", "10 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("view_ts") <= col("purchase_ts"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        // nulls normalized to -1: cross-engine null ORDERING diverges
+        // (Spark ASC = nulls first, DuckDB = NULLS LAST), and the gate
+        // sorts on these columns
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        epochMs(col("purchase_ts")).as("purchase_ms"),
+        coalesce(epochMs(col("view_ts")), lit(-1L)).as("view_ms"))
+  }
+
   /** 30-minute-gap session windows per user: start, end, event count,
     * exact value sum. */
   def sessions(events: DataFrame): DataFrame =

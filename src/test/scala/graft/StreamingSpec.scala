@@ -114,6 +114,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched purchases only after " +
+      "the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def m(min: Int) = new Timestamp(1704103200000L + min * 60000L)
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventPipelines.attributeViewsOuter(
+        views.toDF().toDF("ts", "event_id", "user_id"),
+        purchases.toDF().toDF("ts", "event_id", "user_id"))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1's purchase has a view 10 min back → attributed in-batch;
+      // user 2's purchase has NO view — its null row is only decidable
+      // once the VIEW watermark passes the purchase time (no earlier
+      // view can still arrive), so it must NOT surface yet
+      views.addData((m(50), 101L, 1L))
+      purchases.addData((m(60), 201L, 1L), (m(60), 202L, 2L))
+      q.processAllAvailable()
+      val early = spark.table("attr_outer_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(early == Set(201L -> 101L),
+        s"wrong pre-watermark emission: $early")
+      // flush both sides an hour ahead → both watermarks pass m(60)
+      views.addData((m(120), 900L, 99L))
+      purchases.addData((m(120), 901L, 99L))
+      q.processAllAvailable()
+      val late = spark.table("attr_outer_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(late.contains(202L -> -1L),
+        s"unmatched purchase never emitted: $late")
+      assert(late.contains(201L -> 101L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
