@@ -1400,6 +1400,21 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?name""".stripMargin)
     }),
 
+    // SPARQL expression FILTERs (r8): the BIND expression grammar on
+    // both sides of a comparison — numeric arithmetic over a parsed
+    // literal (?bal * 2 >= 19000, SPARQL's numeric operator mapping)
+    // plus a string-function compare (SUBSTR(?bal, 2, 1) = "7"),
+    // conjoined across FILTER clauses. Both compile to plain row
+    // predicates Catalyst pushes below the BGP join.
+    "q_quads_sparql_filter_expr" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?s ?bal WHERE {
+           |  ?s <$BalanceP> ?bal .
+           |  FILTER(?bal * 2 >= 19000)
+           |  FILTER(SUBSTR(?bal, 2, 1) = "7")
+           |} ORDER BY ?s""".stripMargin)
+    }),
+
     // Variable-predicate BGP (r8 — the constant-IRI restriction
     // lifted): `SELECT ?p … { <s> ?p ?o }`, the shape DESCRIBE
     // internally needs and generic SPARQL users write. The constant
@@ -2468,6 +2483,14 @@ object QuadQueries extends QueryCatalog {
         |FROM customer
         |WHERE c_name LIKE 'Customer#00000014%'
         |ORDER BY score DESC, iri LIMIT 10""".stripMargin,
+
+    "q_quads_sparql_filter_expr" ->
+      s"""$fullQuadsCte
+         |SELECT subject AS s, objectValue AS bal FROM quads
+         |WHERE predicate = '$BalanceP'
+         |  AND CAST(objectValue AS DOUBLE) * 2 >= 19000
+         |  AND substring(objectValue, 2, 1) = '7'
+         |ORDER BY s""".stripMargin,
 
     "q_quads_var_predicate" ->
       s"""$fullQuadsCte

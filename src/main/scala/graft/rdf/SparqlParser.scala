@@ -46,7 +46,10 @@ import org.apache.spark.sql.functions._
   *           | CONTAINS(?v, "s") | [!]BOUND(?v)
   *           | STR(?v) op "lit" | ?v [NOT] IN ("lit", <iri>, …)
   *           [&&|'||' …])]
-  *   [FILTER [NOT] EXISTS { triples }]
+  *   [FILTER(expr op expr)]                  (BIND expression grammar on
+ *                                            both sides; numeric unless
+ *                                            both sides string-typed)
+ *   [FILTER [NOT] EXISTS { triples }]
   *   [VALUES ?v { "lit" <iri> … }]
   * }
   * [GROUP BY ?v …] [HAVING(AGG(?v|*) op n | ?alias op n [&& …])]
@@ -116,7 +119,9 @@ object SparqlParser {
       existsFilters: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil,
       // (negated, group): FILTER [NOT] EXISTS { … }
       orFilters: Seq[Seq[FilterAtom]] = Nil, // ||-joined atom groups
-      exprBinds: Seq[(String, BindExpr)] = Nil) // BIND(expr AS ?v)
+      exprBinds: Seq[(String, BindExpr)] = Nil, // BIND(expr AS ?v)
+      exprFilters: Seq[(BindExpr, String, BindExpr)] = Nil)
+      // FILTER(expr op expr)
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -151,6 +156,11 @@ object SparqlParser {
       extends FilterAtom
   final case class BoundTest(v: String, neg: Boolean) extends FilterAtom
   final case class StrFn(fn: String, v: String, arg: String, flags: String)
+      extends FilterAtom
+  /** `FILTER(expr op expr)` over the BIND expression grammar — e.g.
+    * `FILTER(?bal * 2 >= 19000)`, `FILTER(SUBSTR(?v, 2, 1) = "7")`.
+    * Compared numerically (double) unless both sides are string-typed. */
+  final case class ExprCmp(l: BindExpr, op: String, r: BindExpr)
       extends FilterAtom
 
   // -- tokenizer ---------------------------------------------------------
@@ -501,6 +511,38 @@ object SparqlParser {
       }
   }
 
+  /** Compile a `FILTER(expr op expr)` comparison: numeric (double) when
+    * either side is arithmetic/numeric-typed, lexical (string)
+    * otherwise — SPARQL's operator-mapping dichotomy over this engine's
+    * string-valued binding columns. */
+  private def exprCmpCol(l: BindExpr, op: String, r: BindExpr): Column = {
+    def stringy(e: BindExpr): Option[Boolean] = e match {
+      case BStr(_) => Some(true)
+      case BNum(_) => Some(false)
+      case BArith(_, _, _) => Some(false)
+      case BCall("STRLEN", _) => Some(false)
+      case BCall(_, _) => Some(true)
+      case BVar(_) => None
+    }
+    val isStr = (stringy(l), stringy(r)) match {
+      case (Some(a), Some(b)) => a && b
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => true // two bare vars: lexical, like CmpVar
+    }
+    val (a, b) =
+      if (isStr) (bindCol(l).cast("string"), bindCol(r).cast("string"))
+      else (bindCol(l).cast("double"), bindCol(r).cast("double"))
+    op match {
+      case "=" => a === b
+      case "!=" => a =!= b
+      case "<" => a < b
+      case ">" => a > b
+      case "<=" => a <= b
+      case ">=" => a >= b
+    }
+  }
+
   private def kw(p: P): Boolean =
     p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") ||
       p.is("GRAPH") || p.is("VALUES") || p.is("BIND") ||
@@ -684,6 +726,7 @@ object SparqlParser {
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
     val fnFils = Seq.newBuilder[(String, String, String, String)]
+    val eFils = Seq.newBuilder[(BindExpr, String, BindExpr)]
     val varFils = Seq.newBuilder[(String, String, String)]
     val inFils = Seq.newBuilder[(String, Boolean, Seq[String])]
     val bndFils = Seq.newBuilder[(String, Boolean)]
@@ -830,6 +873,18 @@ object SparqlParser {
                 s"BOUND needs a variable, got '$v'")
               p.expect(")")
               atoms += BoundTest(v.substring(1), neg)
+            } else if ((BindFns.exists(p.is) && !p.is("STR")) ||
+                p.is("(") || p.peek.headOption.exists(_.isDigit) ||
+                (p.peek.startsWith("?") &&
+                  Seq("+", "-", "*", "/").contains(p.peek2))) {
+              // FILTER(expr op expr) — both sides through the BIND
+              // expression grammar (arithmetic, string builders). STR
+              // stays on the legacy lexical-compare path below.
+              val l = bindExpr(p)
+              val op = p.eat()
+              require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+                s"unsupported FILTER operator '$op'")
+              atoms += ExprCmp(l, op, bindExpr(p))
             } else {
               // STR(?v) casts the comparison to the lexical form — on
               // this engine's string-valued binding columns that means
@@ -898,6 +953,7 @@ object SparqlParser {
             case InList(v, n, vs) => inFils += ((v, n, vs))
             case BoundTest(v, n) => bndFils += ((v, n))
             case StrFn(f, v, a, fl) => fnFils += ((f, v, a, fl))
+            case ExprCmp(l, o, r) => eFils += ((l, o, r))
           }
         } else tripleish(p, g, pats, pths, fns)
       }
@@ -969,7 +1025,8 @@ object SparqlParser {
       boundFilters = bndFils.result(), existsFilters = exFils.result(),
       orFilters = orFils.result(),
       // WHERE-clause BINDs first: a SELECT expression may reference them
-      exprBinds = eBnds.result() ++ selExprs.result())
+      exprBinds = eBnds.result() ++ selExprs.result(),
+      exprFilters = eFils.result())
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -1245,9 +1302,13 @@ object SparqlParser {
         case "STRSTARTS" => col(v).startsWith(arg)
         case "CONTAINS" => col(v).contains(arg)
       }
+      case ExprCmp(l, op, r) => exprCmpCol(l, op, r)
     }
     q.orFilters.foreach { group =>
       sol = sol.filter(group.map(atomCol).reduce(_ || _))
+    }
+    q.exprFilters.foreach { case (l, op, r) =>
+      sol = sol.filter(exprCmpCol(l, op, r))
     }
     q.filterFns.foreach { case (fn, v, arg, flags) =>
       sol = sol.filter(fn match {

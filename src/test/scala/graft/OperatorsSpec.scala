@@ -1703,6 +1703,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       run("SELECT ?s ?o WHERE { ?s <urn:p>{2,} ?o }"))
   }
 
+  test("SparqlParser r8: expression FILTERs — arithmetic and string fns") {
+    import spark.implicits._
+    val quads = Seq(
+      ("a", "urn:p", "xx"), ("b", "urn:p", "xyzw"), ("c", "urn:p", "7q"),
+      ("d", "urn:n", "3"), ("e", "urn:n", "1"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String): Set[(String, String)] =
+      graft.rdf.SparqlParser.execute(quads, q).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+    // STRLEN inside arithmetic → numeric compare
+    assert(run("SELECT ?s ?o WHERE { ?s <urn:p> ?o . " +
+      "FILTER(STRLEN(?o) - 1 >= 2) }") == Set("b" -> "xyzw"))
+    // string-function compare stays lexical
+    assert(run("SELECT ?s ?o WHERE { ?s <urn:p> ?o . " +
+      "FILTER(SUBSTR(?o, 1, 1) = \"7\") }") == Set("c" -> "7q"))
+    // var arithmetic on a numeric literal binding
+    assert(run("SELECT ?s ?v WHERE { ?s <urn:n> ?v . " +
+      "FILTER(?v * 2 >= 4) }") == Set("d" -> "3"))
+    // parenthesized expression with a conjoined legacy atom
+    assert(run("SELECT ?s ?v WHERE { ?s <urn:n> ?v . " +
+      "FILTER((?v + 1) / 2 >= 1 && ?v != \"3\") }") == Set("e" -> "1"))
+  }
+
   test("SameAs.smush: 2-hop chains, object rewrite, duplicate collapse") {
     import spark.implicits._
     import graft.model.TermKind
