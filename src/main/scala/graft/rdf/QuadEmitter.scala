@@ -398,6 +398,34 @@ object QuadEmitter {
     * The bnode hop is a self-join on the quad relation keyed by label;
     * with the quad set partitioned/bucketed by subject this is the
     * serving-path point lookup. */
+  /** DESCRIBE over a SET of focus IRIs — the `DESCRIBE ?v WHERE { … }`
+    * form: the same CBD contract as [[describe]] (direct statements plus
+    * one blank-node hop), with the focus set joined in as a relation —
+    * never iterated driver-side. Serving DESCRIBE sets are small
+    * (bounded by the WHERE's solutions), so both the focus and the
+    * bnode-label joins broadcast; a bulk export of millions of focuses
+    * should drop the hint and let the (subject-keyed) shuffle join run.
+    * @param iris single-column relation of focus IRIs (any column name)
+    */
+  def describeAll(quads: DataFrame, iris: DataFrame): DataFrame = {
+    val subjectKind: Column =
+      if (quads.columns.contains("subjectKind")) col("subjectKind")
+      else lit(graft.model.TermKind.Iri)
+    val focus = iris.toDF("describe_iri").distinct()
+    val direct = quads
+      .filter(subjectKind === graft.model.TermKind.Iri)
+      .join(broadcast(focus), col("subject") === col("describe_iri"))
+      .drop("describe_iri")
+    val bnodeLabels = direct
+      .filter(col("objectKind") === graft.model.TermKind.BNode)
+      .select(col("objectValue").as("bn_label")).distinct()
+    val hop = quads
+      .filter(subjectKind === graft.model.TermKind.BNode)
+      .join(broadcast(bnodeLabels), col("subject") === col("bn_label"))
+      .drop("bn_label")
+    direct.unionByName(hop)
+  }
+
   def describe(quads: DataFrame, iri: String): DataFrame = {
     val subjectKind: Column =
       if (quads.columns.contains("subjectKind")) col("subjectKind")

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * | (GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?a) | (SAMPLE(?v) AS ?a)
   * | (expr AS ?a)                       (SELECT expression, no aggregates)
   * | CONSTRUCT { template triples } | CONSTRUCT WHERE { … }
-  * | ASK | DESCRIBE <iri>
+  * | ASK | DESCRIBE <iri> | DESCRIBE ?v WHERE { … }  (CBD per solution)
   * WHERE {
   *   [GRAPH ?g|<iri> { group }]
   *   [{ SELECT … }]                          (sub-select, joined on shared vars)
@@ -107,6 +107,7 @@ object SparqlParser {
       subqueries: Seq[Query] = Nil,
       unions: Seq[Seq[Seq[Bgp.Pattern]]] = Nil, // each: ≥2 branches
       describeIri: Option[String] = None,
+      describeVar: Option[String] = None, // DESCRIBE ?v WHERE { … }
       selectOrder: Seq[String] = Nil, // SELECT-list column order
       offset: Option[Int] = None,
       having: Seq[(Option[String], String, String, Double)] = Nil,
@@ -654,7 +655,7 @@ object SparqlParser {
       return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
         Nil, Nil, Nil, None, verb = "ask")
     }
-    if (p.is("DESCRIBE")) {
+    if (p.is("DESCRIBE") && !p.peek2.startsWith("?")) {
       // the reference's exact serving call: `describe <iri>`
       // (cam/graphdb.py:60-71)
       p.eat()
@@ -664,13 +665,20 @@ object SparqlParser {
         Nil, Nil, Nil, None, verb = "describe",
         describeIri = Some(t.substring(1, t.length - 1)))
     }
-    p.expect("SELECT")
+    // DESCRIBE ?v WHERE { … } — the generic form: parse the body exactly
+    // like SELECT ?v (full WHERE grammar, modifiers), describe the
+    // distinct solutions
+    val descVar: Option[String] =
+      if (p.is("DESCRIBE")) { p.eat(); Some(p.eat().substring(1)) }
+      else { p.expect("SELECT"); None }
     val distinct = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
     val proj = Seq.newBuilder[String]
     val aggs = Seq.newBuilder[Agg]
     val order = Seq.newBuilder[String]
     val selExprs = Seq.newBuilder[(String, BindExpr)]
-    if (p.is("*")) p.eat()
+    descVar.foreach(proj += _)
+    if (descVar.isDefined) () // projection fixed: the described variable
+    else if (p.is("*")) p.eat()
     else while (p.peek.startsWith("?") || p.is("(")) {
       if (p.is("(") && !Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
           "GROUP_CONCAT", "SAMPLE").exists(p.peek2.equalsIgnoreCase)) {
@@ -1026,7 +1034,9 @@ object SparqlParser {
       orFilters = orFils.result(),
       // WHERE-clause BINDs first: a SELECT expression may reference them
       exprBinds = eBnds.result() ++ selExprs.result(),
-      exprFilters = eFils.result())
+      exprFilters = eFils.result(),
+      verb = if (descVar.isDefined) "describe" else "select",
+      describeVar = descVar)
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
@@ -1130,7 +1140,16 @@ object SparqlParser {
       return quads.sparkSession.sql(s"SELECT $exists AS ask")
     }
     if (q0.verb == "describe")
-      return QuadEmitter.describe(quads, q0.describeIri.get)
+      return q0.describeVar match {
+        case Some(v) =>
+          // solve the WHERE exactly as SELECT ?v would, then CBD every
+          // distinct focus — one relation-valued describe, no driver loop
+          val focus = executeQuery(quads,
+            q0.copy(verb = "select", distinct = true), functions)
+            .select(col(v))
+          QuadEmitter.describeAll(quads, focus)
+        case None => QuadEmitter.describe(quads, q0.describeIri.get)
+      }
 
     // constant BINDs substitute into every pattern (the constant pushes
     // into the scan filter — Catalyst can't see through a join key the
