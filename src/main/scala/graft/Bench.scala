@@ -52,7 +52,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=<regex> times just the
+    // matching queries (the driver never sets it, so round benches are
+    // always the full catalog).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val maxPasses = math.max(1, envInt("SPARK_GRAFT_BENCH_RUNS", 3))
     // Default budget sized against observed harness behavior: the r05
     // driver run completed at ~2 600 s wall without being killed, and the

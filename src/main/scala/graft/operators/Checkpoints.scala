@@ -33,6 +33,38 @@ object Checkpoints {
       df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
+  /** True when `df` is store-like: a prior cut (`LogicalRDD`), a cached
+    * relation, or a SOURCE SCAN (DSv2 / file relation) — possibly under
+    * cheap Project/Filter shells — so re-scanning it per consumer is the
+    * plan one WANTS (pushed filters + pruned columns reach the source),
+    * and a further cut would only copy blocks while destroying pushdown.
+    * Anything with joins/generates/aggregates in the lineage is NOT
+    * store-like: each rescan would recompute the derivation. Class-name
+    * match keeps this independent of Spark's private planner API. */
+  def isMaterialized(df: DataFrame): Boolean = {
+    val scanLike = Set("LogicalRDD", "InMemoryRelation",
+      "DataSourceV2Relation", "DataSourceV2ScanRelation", "LogicalRelation",
+      "LocalRelation", "Range", "OneRowRelation")
+    val shell = Set("Project", "Filter", "SubqueryAlias", "ResolvedHint",
+      "UnresolvedHint", "GlobalLimit", "LocalLimit")
+    def cheap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = {
+      val n = p.getClass.getSimpleName
+      if (scanLike.contains(n)) true
+      else if (shell.contains(n)) p.children.forall(cheap)
+      else false
+    }
+    cheap(df.queryExecution.analyzed)
+  }
+
+  /** Idempotent cut: materialize unless the plan root already is. The
+    * serving layer calls this on every entry (SPARQL execute/update), so
+    * a gate that hands it the session-preloaded quad store pays nothing,
+    * while a caller with raw ETL lineage pays the explosion exactly once
+    * per query instead of once per pattern scan. */
+  def cutOnce(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (isMaterialized(df)) df else cut(df, eager)
+
   /** Chainable form: `df.cutLineage()` reads like the `localCheckpoint`
     * it replaces at every loop call site. */
   implicit final class CutOps(private val df: DataFrame) extends AnyVal {

@@ -37,9 +37,17 @@ object Bgp {
     * laid out by graph), `Var` BINDS the graph name like any other
     * variable — shared graph variables join across patterns, giving
     * the same-graph constraint relationally. `None` matches quads in
-    * any graph, ignoring it. */
+    * any graph, ignoring it.
+    * `scanFilter` carries an extra quad-column predicate into the
+    * pattern's scan — the compilation target for SPARQL term-accessor
+    * FILTERs (LANG/DATATYPE/isIRI/isLiteral/isBlank): the lang /
+    * datatype / kind columns exist on the QUAD relation, not on the
+    * solution relation, so the test must land where those columns are
+    * — and a scan-level predicate is also exactly where a 100 TB store
+    * wants it (pushed into the source next to the predicate-constant
+    * filter, never a post-join residual). */
   final case class Pattern(s: Term, p: Term, o: Term,
-      g: Option[Term] = None)
+      g: Option[Term] = None, scanFilter: Option[Column] = None)
 
   object Pattern {
     /** String-predicate conveniences — the constant-IRI common case. */
@@ -51,6 +59,7 @@ object Bgp {
 
   private def bindings(q: DataFrame, pat: Pattern, idx: Int): DataFrame = {
     var df = q
+    pat.scanFilter.foreach(f => df = df.filter(f))
     val cols = Seq.newBuilder[Column]
     pat.p match {
       case Const(v) => df = df.filter(col("predicate") === v)
@@ -87,9 +96,11 @@ object Bgp {
     * unmatched rows keep NULL bindings for the group's variables, the
     * OPTIONAL semantics exactly. Each group is itself a BGP. */
   def selectOptional(quads: DataFrame, required: Seq[Pattern],
-      optionalGroups: Seq[Seq[Pattern]]): DataFrame =
-    optionalGroups.foldLeft(select(quads, required)) { (acc, group) =>
-      val opt = select(quads, group)
+      optionalGroups: Seq[Seq[Pattern]],
+      dedup: Boolean = true): DataFrame =
+    optionalGroups.foldLeft(select(quads, required, dedup)) {
+      (acc, group) =>
+      val opt = select(quads, group, dedup)
       val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq
       require(shared.nonEmpty,
         "an OPTIONAL group must share at least one variable with the " +
@@ -107,8 +118,8 @@ object Bgp {
     * no-op is almost always an authoring bug, so it is rejected loudly
     * here instead. */
   def selectMinus(quads: DataFrame, required: Seq[Pattern],
-      minusGroups: Seq[Seq[Pattern]]): DataFrame =
-    minusGroups.foldLeft(select(quads, required)) { (acc, group) =>
+      minusGroups: Seq[Seq[Pattern]], dedup: Boolean = true): DataFrame =
+    minusGroups.foldLeft(select(quads, required, dedup)) { (acc, group) =>
       val neg = select(quads, group)
       val shared = acc.columns.toSet.intersect(neg.columns.toSet).toSeq
       require(shared.nonEmpty,
@@ -121,22 +132,26 @@ object Bgp {
 
   /** SPARQL UNION: the solution sets of alternative groups, each padded
     * with NULL (SPARQL "unbound") for variables only other branches
-    * bind, then unioned with set semantics. Each branch is an
-    * independent BGP — the relational cost is the branches' own plans
-    * plus one distinct; padding is projection-only. (SPARQL FILTER needs
-    * no dedicated verb: solutions are relations, a FILTER is `.filter`
-    * on the binding columns.) */
+    * bind, then unioned. Each branch is an independent BGP — the
+    * relational cost is the branches' own plans; padding is
+    * projection-only. `dedup = true` (the hand-built default) adds a
+    * final distinct; the textual layer passes `false` — SPARQL UNION is
+    * bag-additive per spec, a solution in both branches appears twice
+    * unless the query says DISTINCT. (SPARQL FILTER needs no dedicated
+    * verb: solutions are relations, a FILTER is `.filter` on the
+    * binding columns.) */
   def selectUnion(quads: DataFrame,
-      groups: Seq[Seq[Pattern]]): DataFrame = {
+      groups: Seq[Seq[Pattern]], dedup: Boolean = true): DataFrame = {
     require(groups.nonEmpty, "at least one UNION branch required")
-    val sols = groups.map(select(quads, _))
+    val sols = groups.map(select(quads, _, dedup))
     val allVars = sols.flatMap(_.columns).distinct
-    sols.map { s0 =>
+    val padded = sols.map { s0 =>
       s0.select(allVars.map { v =>
         if (s0.columns.contains(v)) col(v)
         else lit(null).cast("string").as(v)
       }: _*)
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _)
+    if (dedup) padded.distinct() else padded
   }
 
   /** CONSTRUCT template triple: subject/object terms are a solution
@@ -149,14 +164,26 @@ object Bgp {
   /** SPARQL CONSTRUCT: instantiate `template` once per solution of
     * `where`, producing a new triple relation
     * `(subject, predicate, objectValue, objectKind)` with set semantics
-    * (CONSTRUCT emits a GRAPH, and graphs are sets). Each template triple
-    * is a projection of the one solution relation — the solutions
-    * materialize once, the union is projection-only, and the final
-    * `distinct` is the single extra shuffle set semantics costs. */
+    * (CONSTRUCT emits a GRAPH, and graphs are sets). The solution
+    * relation is lineage-cut before the template fan-out — DataFrames
+    * are lazy, so without the cut each of T template triples would
+    * re-execute the K-pattern WHERE join (T×K corpus scans, the r8
+    * plan-shape defect); cut, the union really is projection-only over
+    * one materialized solution set, and the final `distinct` is the
+    * single extra shuffle set semantics costs. A single-triple template
+    * consumes the solutions once and skips the cut, keeping scan
+    * pushdown for the simple reshaping case. */
   def construct(quads: DataFrame, where: Seq[Pattern],
       template: Seq[Template]): DataFrame = {
     require(template.nonEmpty, "at least one template triple required")
-    val sol = select(quads, where)
+    // dedup=false: the final distinct below already enforces the
+    // graph-is-a-set contract; deduping solutions first would only add
+    // a shuffle
+    val sol0 = select(quads, where, dedup = false)
+    val sol =
+      if (template.sizeIs > 1)
+        graft.operators.Checkpoints.cut(sol0, eager = false)
+      else sol0
     def term(t: Term): Column = t match {
       case Var(n) => col(n)
       case Const(v) => lit(v)
@@ -190,8 +217,18 @@ object Bgp {
     }.toSet
 
   /** Solution mappings for the conjunction of `patterns`: one column per
-    * distinct variable name, one row per binding (set semantics, like
-    * SPARQL SELECT DISTINCT). Shared variables join; disjoint patterns
+    * distinct variable name, one row per binding. Pattern MATCHING is
+    * set-of-triples semantics either way (each pattern relation is
+    * distinct — RDF graphs are sets, and the SPARQL default graph is a
+    * set union); since equi-joins of distinct relations are distinct,
+    * the full-width solution set carries no duplicates, so `dedup`
+    * only controls whether a final (semantically almost-always no-op)
+    * `distinct` shuffle runs. The TEXTUAL layer passes `dedup = false`
+    * — SPARQL SELECT is bag semantics, duplicates arise from
+    * PROJECTION, and the parser applies `DISTINCT` after projecting
+    * only when the query says so. The default stays `true` for
+    * hand-built callers authored against set semantics.
+    * Shared variables join; disjoint patterns
     * cross-join their bindings (the SPARQL cartesian semantics — avoid
     * disconnected patterns at scale just as you would in SPARQL).
     *
@@ -205,7 +242,8 @@ object Bgp {
     * existence markers) apply last — each is one broadcast-able row.
     * Results are order-independent (joins commute; the final `distinct`
     * fixes set semantics), so this is purely a plan-shape choice. */
-  def select(quads: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+  def select(quads: DataFrame, patterns: Seq[Pattern],
+      dedup: Boolean = true): DataFrame = {
     require(patterns.nonEmpty, "at least one triple pattern required")
     val items = patterns.zipWithIndex.map { case (p, i) =>
       (bindings(quads, p, i), patternVars(p), selectivity(p))
@@ -230,8 +268,8 @@ object Bgp {
         }
         markers.map(_._1).foldLeft(acc)(_ crossJoin _)
       }
-    joined
+    val projected = joined
       .drop(patterns.indices.map(i => s"_bgp_m$i"): _*)
-      .distinct()
+    if (dedup) projected.distinct() else projected
   }
 }

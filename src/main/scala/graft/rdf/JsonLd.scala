@@ -44,23 +44,28 @@ object JsonLd {
     val sKind: Column =
       if (quads.columns.contains("subjectKind")) col("subjectKind")
       else lit(TermKind.Iri)
-    val sid = when(sKind === TermKind.BNode,
-      concat(lit("_:"), col("subject"))).otherwise(col("subject"))
+    // EVERY term lands inside a JSON string — @id subjects, predicate
+    // keys, @type IRIs, language tags, datatypes, not just literal
+    // @value — so every one goes through the escape walk (a quote or
+    // backslash anywhere would otherwise yield an invalid document; the
+    // JSON reader in parseNodes unescapes them all back identically).
+    val sid = esc(when(sKind === TermKind.BNode,
+      concat(lit("_:"), col("subject"))).otherwise(col("subject")))
     val isType = col("predicate") === RdfTypeIri &&
       col("objectKind") === TermKind.Iri
-    val key = when(isType, lit("@type")).otherwise(col("predicate"))
+    val key = when(isType, lit("@type")).otherwise(esc(col("predicate")))
     val objJson = when(isType,
-        concat(lit("\""), col("objectValue"), lit("\"")))
+        concat(lit("\""), esc(col("objectValue")), lit("\"")))
       .when(col("objectKind") === TermKind.Iri,
-        concat(lit("{\"@id\":\""), col("objectValue"), lit("\"}")))
+        concat(lit("{\"@id\":\""), esc(col("objectValue")), lit("\"}")))
       .when(col("objectKind") === TermKind.BNode,
-        concat(lit("{\"@id\":\"_:"), col("objectValue"), lit("\"}")))
+        concat(lit("{\"@id\":\"_:"), esc(col("objectValue")), lit("\"}")))
       .otherwise(concat(
         lit("{\"@value\":\""), esc(col("objectValue")), lit("\""),
         when(col("lang").isNotNull,
-          concat(lit(",\"@language\":\""), col("lang"), lit("\"")))
+          concat(lit(",\"@language\":\""), esc(col("lang")), lit("\"")))
           .when(col("datatype").isNotNull,
-            concat(lit(",\"@type\":\""), col("datatype"), lit("\"")))
+            concat(lit(",\"@type\":\""), esc(col("datatype")), lit("\"")))
           .otherwise(lit("")),
         lit("}")))
     quads
@@ -82,11 +87,13 @@ object JsonLd {
     * bare `{"@graph":[…]}` object for default-graph nodes; everything
     * sorted. Single-row result — the small-document contract. */
   def renderDocument(quads: DataFrame): DataFrame = {
+    graft.plans.NtEscape.register(quads.sparkSession)
     val nodes = renderNodes(quads)
     val graphObjs = nodes.groupBy(col("graph"))
       .agg(sort_array(collect_list(col("value"))).as("ns"))
       .select(when(col("graph").isNotNull,
-          concat(lit("{\"@id\":\""), col("graph"),
+          concat(lit("{\"@id\":\""),
+            call_function("graft_nt_escape", col("graph")),
             lit("\",\"@graph\":["), array_join(col("ns"), ","), lit("]}")))
         .otherwise(concat(lit("{\"@graph\":["),
           array_join(col("ns"), ","), lit("]}")))

@@ -81,14 +81,16 @@ object PropertyFunctions {
     sol.select(outCols.result(): _*).distinct()
   }
 
-  /** `text:query`: `(?iri ?score ?value) text:query (<pred> "pat*" N)` —
+  /** `text:query`: `(?iri ?score ?value) text:query (<pred> "pat" N)` —
     * the Jena full-text calling convention
-    * (`etl-notes-data-loading.md:100`). Prefix-wildcard match over the
-    * given predicate's literal values; the score is DETERMINISTIC
-    * (prefix coverage of the matched value, 6 dp) so results gate
-    * cross-engine, and the result cap orders by (score desc, iri,
-    * value) before limiting — a Lucene engine's internal ranking made
-    * reproducible. */
+    * (`etl-notes-data-loading.md:100`). Two pattern forms, dispatched
+    * like Lucene's query parser: a trailing `*` is a prefix-wildcard
+    * match scored by DETERMINISTIC prefix coverage (6 dp); otherwise
+    * the pattern is a whitespace-split TERM query scored by BM25 over
+    * the predicate's literal corpus (k1=1.2, b=0.75 — Lucene's default
+    * similarity, made reproducible by exact relational df/dl/avgdl).
+    * Either way the result cap orders by (score desc, iri, value)
+    * before limiting — an engine-internal ranking made gateable. */
   def textQuery: SparqlParser.PropertyFunction =
     (quads, subjects, objects) => {
       require(subjects.length == 3,
@@ -104,17 +106,63 @@ object PropertyFunctions {
       val pattern = const(objects(1), "pattern")
       val cap = objects.drop(2).headOption
         .map(t => const(t, "limit").toInt)
-      require(pattern.endsWith("*"),
-        "text:query supports prefix-wildcard patterns (\"abc*\")")
-      val prefix = pattern.dropRight(1)
-      var sol = quads
-        .filter(col("predicate") === predIri &&
-          col("objectValue").startsWith(prefix))
-        .select(col("subject").as("_iri"),
-          round(lit(prefix.length).cast("double") /
-            length(col("objectValue")), 6).as("_score"),
-          col("objectValue").as("_value"))
-        .distinct()
+      var sol =
+        if (pattern.endsWith("*")) {
+          // prefix-wildcard: deterministic prefix-coverage score
+          val prefix = pattern.dropRight(1)
+          quads
+            .filter(col("predicate") === predIri &&
+              col("objectValue").startsWith(prefix))
+            .select(col("subject").as("_iri"),
+              round(lit(prefix.length).cast("double") /
+                length(col("objectValue")), 6).as("_score"),
+              col("objectValue").as("_value"))
+            .distinct()
+        } else {
+          // term query: BM25 over the predicate's literal corpus — the
+          // scoring Jena's Lucene text index applies
+          // (etl-notes-data-loading.md:100 scores by TF-IDF; BM25 is
+          // Lucene's default similarity since 6.0), computed
+          // relationally so results gate cross-engine. Each distinct
+          // (subject, value) literal is a document; whitespace
+          // tokenization, k1=1.2, b=0.75, Robertson-idf (+1 inside the
+          // log, Lucene's sloppy-df variant). Only the tiny (n, avgdl)
+          // row and the per-term df relation broadcast; tf/dl are
+          // token-/doc-keyed partial-aggregable groupBys — the same
+          // inverted-index shape as the relational q_search_bm25.
+          val terms = pattern.toLowerCase.split("\\s+")
+            .filter(_.nonEmpty).toSeq
+          require(terms.nonEmpty, "text:query needs at least one term")
+          val docs = quads.filter(col("predicate") === predIri)
+            .select(col("subject").as("_iri"),
+              col("objectValue").as("_value"))
+            .distinct()
+          val toks = docs.select(col("_iri"), col("_value"),
+              explode(split(lower(col("_value")), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0)
+          val dl = toks.groupBy(col("_iri"), col("_value"))
+            .agg(count(lit(1)).as("dlen"))
+          val stats = dl.agg(
+            (sum(col("dlen")).cast("double") / count(lit(1))).as("ad"),
+            count(lit(1)).as("n"))
+          val tf = toks.filter(col("tok").isin(terms: _*))
+            .groupBy(col("_iri"), col("_value"), col("tok"))
+            .agg(count(lit(1)).as("tf"))
+          val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          tf.join(broadcast(idf), Seq("tok"))
+            .join(dl, Seq("_iri", "_value"))
+            .crossJoin(broadcast(stats))
+            .withColumn("w",
+              log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+                col("tf") * lit(2.2) / // literal 2.2, not k1+1 —
+                  // cross-engine float parity (q_search_bm25)
+                (col("tf") + lit(1.2) *
+                  (lit(1) - lit(0.75) +
+                    lit(0.75) * col("dlen") / col("ad"))))
+            .groupBy(col("_iri"), col("_value"))
+            .agg(round(sum(col("w")), 6).as("_score"))
+            .select(col("_iri"), col("_score"), col("_value"))
+        }
       cap.foreach { n =>
         sol = sol.orderBy(col("_score").desc, col("_iri"), col("_value"))
           .limit(n)

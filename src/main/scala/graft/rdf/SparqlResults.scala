@@ -40,15 +40,29 @@ object SparqlResults {
       .otherwise(v)
   }
 
+  /** Data-row `ord`: a real per-solution sequence number when the
+    * caller supplies the query's ORDER BY keys (an ordered/paged query's
+    * solution sequence is part of the results document per the W3C
+    * formats — shuffles would otherwise discard it), constant 1
+    * otherwise (unordered query: any row order is a valid document).
+    * The sequence is a single-partition window — fine by the serving
+    * contract (result sets are LIMIT-bounded pages, not corpora). */
+  private def dataOrd(orderBy: Seq[Column]): Column =
+    if (orderBy.isEmpty) lit(1)
+    else row_number().over(org.apache.spark.sql.expressions.Window
+      .orderBy(orderBy: _*))
+
   /** The results as CSV lines: `(ord, value)` with the header at
-    * ord 0, data rows at ord 1 — write `orderBy(ord).select(value)`
-    * for the document, or compare the relation directly. */
-  def csv(solutions: DataFrame): DataFrame = {
+    * ord 0, data rows following — write `orderBy(ord).select(value)`
+    * for the document, or compare the relation directly. Pass the
+    * query's ORDER BY keys as `orderBy` to preserve solution sequence
+    * (see [[dataOrd]]). */
+  def csv(solutions: DataFrame, orderBy: Seq[Column] = Nil): DataFrame = {
     val cols = solutions.columns.toSeq
     val header = solutions.sparkSession.range(1)
       .select(lit(0).as("ord"), lit(cols.mkString(",")).as("value"))
     header.unionByName(
-      solutions.select(lit(1).as("ord"),
+      solutions.select(dataOrd(orderBy).as("ord"),
         concat_ws(",", cols.map(n => csvField(col(n))): _*).as("value")))
   }
 
@@ -56,7 +70,8 @@ object SparqlResults {
     * `uri` | `literal` (default literal). Tabs/newlines in literals are
     * escaped N-Triples-style, as the TSV spec requires. */
   def tsv(solutions: DataFrame,
-      kinds: Map[String, String] = Map.empty): DataFrame = {
+      kinds: Map[String, String] = Map.empty,
+      orderBy: Seq[Column] = Nil): DataFrame = {
     graft.plans.NtEscape.register(solutions.sparkSession)
     val cols = solutions.columns.toSeq
     def term(n: String): Column = {
@@ -72,15 +87,20 @@ object SparqlResults {
       .select(lit(0).as("ord"),
         lit(cols.map("?" + _).mkString("\t")).as("value"))
     header.unionByName(
-      solutions.select(lit(1).as("ord"),
+      solutions.select(dataOrd(orderBy).as("ord"),
         concat_ws("\t", cols.map(term): _*).as("value")))
   }
 
   /** The W3C JSON results document as one row. `kinds` maps variables
-    * to `uri` | `literal` (default literal); bindings sort by their
-    * serialized form so the document is deterministic. */
+    * to `uri` | `literal` (default literal). With `orderBy` keys the
+    * bindings array preserves the query's solution sequence (the W3C
+    * results document for an ORDER BY/LIMIT-paged query must — the
+    * collected structs sort by the keys, then project back to the
+    * serialized binding); without, bindings sort by their serialized
+    * form so the document is at least deterministic. */
   def json(solutions: DataFrame,
-      kinds: Map[String, String] = Map.empty): DataFrame = {
+      kinds: Map[String, String] = Map.empty,
+      orderBy: Seq[Column] = Nil): DataFrame = {
     graft.plans.NtEscape.register(solutions.sparkSession)
     def esc(c: Column) = call_function("graft_nt_escape", c)
     val cols = solutions.columns.toSeq
@@ -94,8 +114,16 @@ object SparqlResults {
           esc(col(n).cast("string")), lit("\"}")))
     }
     val binding = concat(lit("{"), concat_ws(",", entries: _*), lit("}"))
-    solutions.select(binding.as("b"))
-      .agg(sort_array(collect_list(col("b"))).as("bs"))
+    val sortedBindings =
+      if (orderBy.isEmpty)
+        solutions.select(binding.as("b"))
+          .agg(sort_array(collect_list(col("b"))).as("bs"))
+      else
+        solutions
+          .select(struct(orderBy :+ binding.as("_b"): _*).as("kb"))
+          .agg(sort_array(collect_list(col("kb"))).as("kbs"))
+          .select(transform(col("kbs"), x => x.getField("_b")).as("bs"))
+    sortedBindings
       .select(concat(
         lit("{\"head\":{\"vars\":[" + headVars + "]},"),
         lit("\"results\":{\"bindings\":["),

@@ -323,14 +323,20 @@ object SparqlUpdate {
 
   /** The quad key used for removal matching — the term columns the
     * input relation actually carries (graph null-safe: an update outside
-    * GRAPH addresses the default graph). */
+    * GRAPH addresses the default graph). `broadcastRemoval` is set only
+    * for CONSTANT removal sets (DELETE DATA — a handful of parsed rows);
+    * solution-derived removals (DELETE WHERE, modify-form) scale with
+    * the corpus (`DELETE WHERE { ?s ?p ?o }` is the whole store), so the
+    * planner picks the join strategy there — AQE still broadcasts the
+    * genuinely small ones at runtime. */
   private def removalJoin(quads: DataFrame, removal: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], broadcastRemoval: Boolean): DataFrame = {
     val r = keys.foldLeft(removal)((df, k) =>
       df.withColumnRenamed(k, s"_rm_$k")).distinct()
-    val cond = keys.map(k => nullSafe(quads(k), r(s"_rm_$k")))
+    val rh = if (broadcastRemoval) broadcast(r) else r
+    val cond = keys.map(k => nullSafe(quads(k), rh(s"_rm_$k")))
       .reduce(_ && _)
-    quads.join(broadcast(r), cond, "left_anti")
+    quads.join(rh, cond, "left_anti")
   }
 
   /** LOAD resolver by file extension: Turtle/TriG documents parse
@@ -356,6 +362,19 @@ object SparqlUpdate {
     val dataKeys =
       Seq("subject", "predicate", "objectValue") ++
         (if (hasGraph) Seq("graph") else Nil)
+    // SPARQL Update removes by TERM equality, not lexical form —
+    // DELETE DATA { <s> <p> "x" } must not remove <s> <p> <x> (IRI
+    // object, same lexical form) nor "x"@en / "x"^^dt variants. The
+    // removal key therefore includes every object-term column the
+    // relation carries; a constant row populates objectKind from its
+    // parsed token and datatype/lang as null (the plain-literal term).
+    // Solution-bound VARIABLE objects in modify-form/DELETE WHERE
+    // templates match on value only — BGP solutions bind lexical forms,
+    // so the kind columns are unavailable there (documented deviation;
+    // over-deletes only when one lexical form names terms of different
+    // kinds in the same s/p/g slot).
+    val termKeys = Seq("objectKind", "datatype", "lang")
+      .filter(quads.columns.contains)
     parse(update).foldLeft(quads) { (acc0, op) =>
       // Modify / DeleteWhere / GraphOp read the accumulated state several
       // times (one filtered scan per WHERE pattern + the removal
@@ -366,15 +385,18 @@ object SparqlUpdate {
       // so a lone CLEAR/INSERT keeps its scan pushdown.
       val acc = op match {
         case _: Modify | _: DeleteWhere | _: GraphOp =>
-          graft.operators.Checkpoints.cut(acc0, eager = false)
+          // idempotent: the session-preloaded store (or a source scan)
+          // arrives materialized — only derived accumulated state cuts.
+          graft.operators.Checkpoints.cutOnce(acc0, eager = false)
         case _ => acc0
       }
       op match {
         case InsertData(rows) =>
           acc.unionByName(constRelation(acc, rows)).dropDuplicates()
         case DeleteData(rows) =>
+          val keys = dataKeys ++ termKeys
           removalJoin(acc, constRelation(acc, rows)
-            .select(dataKeys.map(col): _*), dataKeys)
+            .select(keys.map(col): _*), keys, broadcastRemoval = true)
         case Modify(dels, inss, where) =>
           // WHERE evaluates against the PRE-update state (SPARQL
           // modify semantics); deletes apply before inserts
@@ -385,17 +407,29 @@ object SparqlUpdate {
           }
           val afterDel = dels.foldLeft(acc) { (cur, tq) =>
             val graphAgnostic = hasGraph && tq.g.isEmpty
-            val keys = if (graphAgnostic) dataKeys.dropRight(1) else dataKeys
+            // a CONSTANT object term carries its parsed kind — match it
+            // (term equality); a variable object matches on value (see
+            // termKeys note above)
+            val kindKey = tq.o match {
+              case Bgp.Const(_) if termKeys.contains("objectKind") =>
+                Seq("objectKind")
+              case _ => Nil
+            }
+            val keys =
+              (if (graphAgnostic) dataKeys.dropRight(1) else dataKeys) ++
+                kindKey
             val keyCols = Seq(inst(tq.s).as("subject"),
               lit(tq.p).as("predicate"),
               inst(tq.o).as("objectValue")) ++
               (if (hasGraph && !graphAgnostic)
-                Seq(lit(tq.g.get).as("graph")) else Nil)
-            removalJoin(cur, sol.select(keyCols: _*), keys)
+                Seq(lit(tq.g.get).as("graph")) else Nil) ++
+              kindKey.map(_ => lit(tq.oKind).as("objectKind"))
+            removalJoin(cur, sol.select(keyCols: _*), keys,
+              broadcastRemoval = false)
           }
           if (inss.isEmpty) afterDel
           else {
-            val inserted = inss.map { tq =>
+            val inserted0 = inss.map { tq =>
               val colFor: Map[String, Column] = Map(
                 "subject" -> inst(tq.s),
                 "subjectKind" -> lit(TermKind.Iri),
@@ -410,6 +444,25 @@ object SparqlUpdate {
                   col("objectValue").isNotNull)
                 .distinct()
             }.reduce(_ unionByName _)
+            // a template subject VARIABLE can bind blank-node solutions;
+            // hardcoding Iri would corrupt kind-gated consumers (sameAs
+            // smush, describe, N-Quads rendering). The bound subject's
+            // kind is recovered from the pre-update state (every bound
+            // subject exists there); genuinely new constant subjects are
+            // IRIs by the template grammar.
+            val inserted =
+              if (acc.columns.contains("subjectKind") &&
+                  inss.exists(_.s.isInstanceOf[Bgp.Var])) {
+                val kinds = acc
+                  .groupBy(col("subject").as("_sk_s"))
+                  .agg(min(col("subjectKind")).as("_sk_kind"))
+                inserted0.join(kinds,
+                    inserted0("subject") === col("_sk_s"), "left")
+                  .withColumn("subjectKind",
+                    coalesce(col("_sk_kind"), lit(TermKind.Iri)))
+                  .drop("_sk_s", "_sk_kind")
+                  .select(acc.columns.toSeq.map(col): _*)
+              } else inserted0
             afterDel.unionByName(inserted).dropDuplicates()
           }
         case LoadOp(url, g) =>
@@ -486,7 +539,8 @@ object SparqlUpdate {
               if (hasGraph && pt.g.isEmpty) dataKeys.dropRight(1)
               else dataKeys
             removalJoin(cur,
-              sol.select(keyCols.take(keys.length).map(c => c): _*), keys)
+              sol.select(keyCols.take(keys.length).map(c => c): _*), keys,
+              broadcastRemoval = false)
           }
       }
     }

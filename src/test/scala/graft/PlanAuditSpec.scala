@@ -933,6 +933,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(filters.nonEmpty, "no pushed point filter:\n" + plan)
   }
 
+  test("q_quads_sparql_stored: per-pattern predicates push into the " +
+      "N-Quads store scan, no lineage cut") {
+    val df = SparkEntry.queries("q_quads_sparql_stored")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // each BGP pattern compiles to a DSv2 store scan whose constant
+    // pushed into the source (NQuadsScan.description prints `pushed=`)
+    assert(plan.contains("pushed=(predicate,"),
+      "no pushed predicate filter on an nquads store scan:\n" + plan)
+    // SparqlParser.execute must leave the scan-rooted relation UNCUT —
+    // a checkpoint here would destroy pushdown (Checkpoints.isMaterialized)
+    assert(!plan.contains("Scan ExistingRDD"),
+      "store-served query was checkpointed — pushdown lost:\n" + plan)
+  }
+
   test("text:query caps inside the function: TakeOrdered, no global sort") {
     val df = SparkEntry.queries("q_quads_sparql_textquery")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
