@@ -1487,6 +1487,92 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(kept) == rows(quads) + (("x", "urn:p", "1", "gsrc")))
   }
 
+  test("SparqlParser r9: term accessors (LANG/DATATYPE/is*), bag default") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "iri", "urn:label", "hello", "literal", null, "en", "g"),
+      ("a", "iri", "urn:label", "bonjour", "literal", null, "fr-CA", "g"),
+      ("a", "iri", "urn:label", "plain", "literal", null, null, "g"),
+      ("a", "iri", "urn:when", "2020-01-01", "literal",
+        "http://www.w3.org/2001/XMLSchema#dateTime", null, "g"),
+      ("a", "iri", "urn:link", "urn:x", "iri", null, null, "g"),
+      ("bn1", "bnode", "urn:label", "blank-owned", "literal", null, null,
+        "g"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    def vals(q: String): Seq[String] =
+      SparqlParser.execute(quads, q).collect().map(_.getString(0)).toSeq
+    // LANG equality is case-insensitive; "" means plain literal
+    assert(vals("""SELECT ?v WHERE { <a> <urn:label> ?v .
+      FILTER(LANG(?v) = "EN") }""") == Seq("hello"))
+    assert(vals("""SELECT ?v WHERE { <a> <urn:label> ?v .
+      FILTER(LANG(?v) = "") } ORDER BY ?v""") == Seq("plain"))
+    // != keeps plain literals (LANG = "") and other tags, drops the match
+    assert(vals("""SELECT ?v WHERE { <a> <urn:label> ?v .
+      FILTER(LANG(?v) != "en") } ORDER BY ?v""")
+      == Seq("bonjour", "plain"))
+    // LANGMATCHES ranges: base tag matches regional variants; * = tagged
+    assert(vals("""SELECT ?v WHERE { <a> <urn:label> ?v .
+      FILTER(LANGMATCHES(LANG(?v), "fr")) }""") == Seq("bonjour"))
+    assert(vals("""SELECT ?v WHERE { <a> <urn:label> ?v .
+      FILTER(LANGMATCHES(LANG(?v), "*")) } ORDER BY ?v""")
+      == Seq("bonjour", "hello"))
+    // DATATYPE: typed → its IRI; plain → xsd:string; tagged → langString
+    assert(vals("""SELECT ?v WHERE { ?s ?p ?v . FILTER(DATATYPE(?v) =
+      <http://www.w3.org/2001/XMLSchema#dateTime>) }""")
+      == Seq("2020-01-01"))
+    assert(vals("""SELECT ?v WHERE { <a> <urn:label> ?v .
+      FILTER(DATATYPE(?v) =
+        <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }
+      ORDER BY ?v""") == Seq("bonjour", "hello"))
+    // kind tests, object and subject position, with negation
+    assert(vals("""SELECT ?o WHERE { <a> ?p ?o . FILTER(isIRI(?o)) }""")
+      == Seq("urn:x"))
+    assert(vals("""SELECT ?v WHERE { ?s <urn:label> ?v .
+      FILTER(isBlank(?s)) }""") == Seq("blank-owned"))
+    assert(vals("""SELECT ?o WHERE { <a> ?p ?o .
+      FILTER(!isLiteral(?o)) }""") == Seq("urn:x"))
+    // term test on a variable no pattern binds in a usable position: loud
+    intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        """SELECT ?s WHERE { ?s <urn:label> ?v . FILTER(LANG(?s) = "en") }""")
+    }
+    // BAG semantics: projection keeps duplicates; DISTINCT collapses;
+    // identical UNION branches are additive
+    assert(vals("""SELECT ?p WHERE { <a> <urn:label> ?o .
+      <a> ?p ?o }""").length == 3) // one solution per label value
+    val union2 = SparqlParser.execute(quads,
+      """SELECT ?o WHERE { { <a> <urn:link> ?o } UNION
+        |{ <a> <urn:link> ?o } }""".stripMargin).collect()
+    assert(union2.length == 2 && union2.forall(_.getString(0) == "urn:x"))
+    assert(vals("""SELECT DISTINCT ?o WHERE { { <a> <urn:link> ?o } UNION
+      { <a> <urn:link> ?o } }""") == Seq("urn:x"))
+  }
+
+  test("SparqlUpdate r9: DELETE DATA matches by TERM, not lexical form") {
+    import spark.implicits._
+    import graft.rdf.SparqlUpdate
+    val quads = Seq(
+      // same lexical form "x" as plain literal, IRI, and tagged literal
+      ("s", "iri", "urn:p", "x", "literal", null, null, null),
+      ("s", "iri", "urn:p", "x", "iri", null, null, null),
+      ("s", "iri", "urn:p", "x", "literal", null, "en", null))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    def shapes(df: org.apache.spark.sql.DataFrame) =
+      df.select("objectKind", "lang").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // deleting the PLAIN LITERAL "x" keeps the IRI and the @en literal
+    val del = SparqlUpdate.execute(quads,
+      """DELETE DATA { <s> <urn:p> "x" }""")
+    assert(shapes(del) == Set(("iri", null), ("literal", "en")))
+    // deleting the IRI <x> keeps both literals
+    val delIri = SparqlUpdate.execute(quads,
+      """DELETE DATA { <s> <urn:p> <x> }""")
+    assert(shapes(delIri) == Set(("literal", null), ("literal", "en")))
+  }
+
   test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
