@@ -1498,7 +1498,7 @@ object QuadQueries extends QueryCatalog {
     // plus a string-function compare (SUBSTR(?bal, 2, 1) = "7"),
     // conjoined across FILTER clauses. Both compile to plain row
     // predicates Catalyst pushes below the BGP join.
-    "q_quads_sparql_filter_expr" -> ((s, dir) => {
+    "q_quads_sparql_filter_arith" -> ((s, dir) => {
       graft.rdf.SparqlParser.execute(fullQuads(s, dir),
         s"""SELECT ?s ?bal WHERE {
            |  ?s <$BalanceP> ?bal .
@@ -2742,7 +2742,7 @@ object QuadQueries extends QueryCatalog {
          |SELECT iri, score, v FROM sc
          |ORDER BY score DESC, iri, v LIMIT 10""".stripMargin,
 
-    "q_quads_sparql_filter_expr" ->
+    "q_quads_sparql_filter_arith" ->
       s"""$fullQuadsCte
          |SELECT subject AS s, objectValue AS bal FROM quads
          |WHERE predicate = '$BalanceP'
