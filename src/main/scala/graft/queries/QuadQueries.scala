@@ -1605,6 +1605,98 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?b""".stripMargin)
     }),
 
+    // SPARQL MIN/MAX aggregates (r9 — VERDICT r8 stretch #9): the
+    // remaining two of the six SPARQL 1.1 set functions, over the
+    // part-value domain. Comparison is LEXICAL (codepoint order) —
+    // solutions bind lexical forms, and SPARQL's ORDER/compare for
+    // plain literals is codepoint order, so the string min/max is the
+    // spec behavior for this untyped domain (numeric-typed MIN would
+    // need term-typed solutions; SUM/AVG cast explicitly instead).
+    "q_quads_sparql_minmax" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?addr (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+           |  (COUNT(?v) AS ?n) WHERE {
+           |  ?addr <$HasPartP> ?b .
+           |  ?b <$ValueP> ?v
+           |} GROUP BY ?addr ORDER BY ?addr LIMIT 500""".stripMargin)
+    }),
+
+    // IF + COALESCE (r9): SPARQL's conditional and null-switch
+    // functions in BIND — IF's condition reuses the expression-FILTER
+    // comparison compiler (numeric here: the balance doubles), COALESCE
+    // lands on an OPTIONAL-group variable, the canonical unbound case.
+    // Both compile to plain projection columns (when/otherwise,
+    // coalesce) inside the same codegen stage as the joins.
+    "q_quads_sparql_if_coalesce" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT DISTINCT ?addr ?tier ?whenv WHERE {
+           |  ?addr <$BalanceP> ?bal .
+           |  OPTIONAL { ?addr sdo:hasPart ?lc .
+           |             ?lc <$TimeInXsdP> ?dt }
+           |  BIND(IF(?bal >= 5000, "high", "low") AS ?tier)
+           |  BIND(COALESCE(?dt, "missing") AS ?whenv)
+           |} ORDER BY ?addr ?whenv LIMIT 400""".stripMargin)
+    }),
+
+    // Typed-literal CONSTRUCT templates (r9): `"premium"@en` and
+    // `"true"^^xsd:boolean` template objects carry their term metadata
+    // into the built quads' lang/datatype columns — CONSTRUCT output
+    // now round-trips through the N-Quads sink with full fidelity (the
+    // reference's corpora need exactly this: lang-tagged names,
+    // etl_pndb.py:240, and 7 custom datatypes, cam/etl/namespaces.py).
+    "q_quads_construct_typed" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""CONSTRUCT {
+           |  ?addr <urn:graft:flag> "premium"@en .
+           |  ?addr <urn:graft:flagged>
+           |    "true"^^<http://www.w3.org/2001/XMLSchema#boolean>
+           |} WHERE { ?addr <$SegmentP> "BUILDING" }"""
+          .stripMargin)
+        .orderBy(col("subject"), col("predicate"))
+    }),
+
+    // Typed-literal UPDATE data (r9): INSERT DATA lands `@lang` /
+    // `^^dt` terms with their metadata, and DELETE DATA removes by FULL
+    // term equality — retracting the @fr and ^^integer terms leaves the
+    // @en and plain twins of the same lexical form untouched. The
+    // oracle replays the end state as constants.
+    "q_quads_update_typed" -> ((s, dir) => {
+      val updated = graft.rdf.SparqlUpdate.execute(fullQuads(s, dir),
+        s"""INSERT DATA { GRAPH <$GraphA> {
+           |  <urn:graft:s1> <urn:graft:p> "chair"@en .
+           |  <urn:graft:s1> <urn:graft:p> "chair" .
+           |  <urn:graft:s1> <urn:graft:p> "chair"@fr .
+           |  <urn:graft:s1> <urn:graft:p>
+           |    "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+           |  <urn:graft:s2> <urn:graft:p> "chair"@en } } ;
+           |DELETE DATA { GRAPH <$GraphA> {
+           |  <urn:graft:s1> <urn:graft:p> "chair"@fr .
+           |  <urn:graft:s1> <urn:graft:p>
+           |    "1"^^<http://www.w3.org/2001/XMLSchema#integer> } }"""
+          .stripMargin)
+      updated.filter(col("predicate") === "urn:graft:p")
+        .select(col("subject"), col("objectValue"), col("objectKind"),
+          col("datatype"), col("lang"))
+        .orderBy(col("subject"), col("objectValue"))
+    }),
+
+    // Typed-literal PATTERN matching (r9): a constant `"chair"@en`
+    // object compiles to a scan-level term predicate (objectKind +
+    // lang, case-insensitive per BCP 47) — only the @en rows match,
+    // never the plain / @fr / ^^integer twins of the same lexical form.
+    "q_quads_sparql_lang_match" -> ((s, dir) => {
+      val updated = graft.rdf.SparqlUpdate.execute(fullQuads(s, dir),
+        s"""INSERT DATA { GRAPH <$GraphA> {
+           |  <urn:graft:s1> <urn:graft:p> "chair"@en .
+           |  <urn:graft:s1> <urn:graft:p> "chair" .
+           |  <urn:graft:s1> <urn:graft:p> "chair"@fr .
+           |  <urn:graft:s2> <urn:graft:p> "chair"@EN } }""".stripMargin)
+      graft.rdf.SparqlParser.execute(updated,
+        """SELECT ?s WHERE { ?s <urn:graft:p> "chair"@en }
+          |ORDER BY ?s""".stripMargin)
+    }),
+
     // Variable-predicate BGP (r8 — the constant-IRI restriction
     // lifted): `SELECT ?p … { <s> ?p ?o }`, the shape DESCRIBE
     // internally needs and generic SPARQL users write. The constant
@@ -1814,6 +1906,24 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?addr LIMIT 400""".stripMargin)
       graft.rdf.SparqlResults
         .json(sol, Map("addr" -> "uri", "nation" -> "literal"))
+    }),
+
+    // W3C SPARQL XML results document (r9): the third standard results
+    // serialization (the format SPARQLWrapper's XML mode consumes) —
+    // same page query as the JSON gate, same distribution shape (escape
+    // + concat per row, one sorted global aggregation); the oracle
+    // rebuilds the whole document with an independent string_agg and
+    // its own XML entity escapes.
+    "q_sparql_results_xml" -> ((s, dir) => {
+      val sol = graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?nation WHERE {
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType <$PartNationT> .
+           |  ?b sdo:value ?nation
+           |} ORDER BY ?addr LIMIT 400""".stripMargin)
+      graft.rdf.SparqlResults
+        .xml(sol, Map("addr" -> "uri", "nation" -> "literal"))
     }),
 
     // SPARQL UPDATE graph management (r8): COPY / ADD / MOVE / DROP
@@ -2108,7 +2218,8 @@ object QuadQueries extends QueryCatalog {
          |    nation AS objectValue, 'literal' AS objectKind FROM bind
          |  UNION
          |  SELECT addr, '$RdfType', '$FlatAddrT', 'iri' FROM bind)
-         |SELECT DISTINCT subject, predicate, objectValue, objectKind
+         |SELECT DISTINCT subject, predicate, objectValue, objectKind,
+         |  CAST(NULL AS VARCHAR) AS datatype, CAST(NULL AS VARCHAR) AS lang
          |FROM built ORDER BY subject, predicate, objectValue""".stripMargin,
 
     "q_quads_construct" ->
@@ -2127,7 +2238,8 @@ object QuadQueries extends QueryCatalog {
          |    nation AS objectValue, 'literal' AS objectKind FROM bind
          |  UNION
          |  SELECT addr, '$RdfType', '$FlatAddrT', 'iri' FROM bind)
-         |SELECT DISTINCT subject, predicate, objectValue, objectKind
+         |SELECT DISTINCT subject, predicate, objectValue, objectKind,
+         |  CAST(NULL AS VARCHAR) AS datatype, CAST(NULL AS VARCHAR) AS lang
          |FROM built ORDER BY subject, predicate, objectValue""".stripMargin,
 
     "q_quads_path_transitive" ->
@@ -2939,7 +3051,8 @@ object QuadQueries extends QueryCatalog {
     "q_quads_construct_where" ->
       s"""$fullQuadsCte
          |SELECT DISTINCT subject, predicate, objectValue,
-         |  'literal' AS objectKind
+         |  'literal' AS objectKind,
+         |  CAST(NULL AS VARCHAR) AS datatype, CAST(NULL AS VARCHAR) AS lang
          |FROM quads WHERE predicate = '$AddTypeP'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
 
@@ -3058,6 +3171,92 @@ object QuadQueries extends QueryCatalog {
          |  '"results":{"bindings":[' ||
          |  string_agg(b, ',' ORDER BY b) || ']}}' AS value
          |FROM bindings""".stripMargin,
+
+    "q_sparql_results_xml" ->
+      s"""$fullQuadsCte,
+         |sol AS (
+         |  SELECT DISTINCT hp.subject AS addr, va.objectValue AS nation
+         |  FROM quads hp
+         |  JOIN quads ty ON hp.objectValue = ty.subject
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND ty.objectValue = '$PartNationT'
+         |    AND va.predicate = '$ValueP'
+         |  ORDER BY addr LIMIT 400),
+         |results AS (
+         |  SELECT '<result><binding name="addr"><uri>'
+         |    || replace(replace(replace(addr, '&', '&amp;'),
+         |         '<', '&lt;'), '>', '&gt;')
+         |    || '</uri></binding><binding name="nation"><literal>'
+         |    || replace(replace(replace(nation, '&', '&amp;'),
+         |         '<', '&lt;'), '>', '&gt;')
+         |    || '</literal></binding></result>' AS r
+         |  FROM sol)
+         |SELECT '<?xml version="1.0"?>' ||
+         |  '<sparql xmlns="http://www.w3.org/2005/sparql-results#">' ||
+         |  '<head><variable name="addr"/><variable name="nation"/>' ||
+         |  '</head><results>' || string_agg(r, '' ORDER BY r) ||
+         |  '</results></sparql>' AS value
+         |FROM results""".stripMargin,
+
+    "q_quads_sparql_minmax" ->
+      s"""$fullQuadsCte,
+         |sol AS (SELECT DISTINCT hp.subject AS addr,
+         |    hp.objectValue AS b, vl.objectValue AS v
+         |  FROM quads hp
+         |  JOIN quads vl ON vl.subject = hp.objectValue
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND vl.predicate = '$ValueP')
+         |SELECT addr, min(v) AS lo, max(v) AS hi,
+         |  CAST(count(v) AS BIGINT) AS n
+         |FROM sol GROUP BY addr ORDER BY addr LIMIT 500""".stripMargin,
+
+    "q_quads_sparql_if_coalesce" ->
+      s"""$fullQuadsCte,
+         |bal AS (SELECT DISTINCT subject AS addr, objectValue AS bal
+         |        FROM quads WHERE predicate = '$BalanceP'),
+         |dt AS (SELECT DISTINCT hp.subject AS addr, t.objectValue AS dt
+         |       FROM quads hp
+         |       JOIN quads t ON hp.objectValue = t.subject
+         |       WHERE hp.predicate = '$HasPartP'
+         |         AND t.predicate = '$TimeInXsdP')
+         |SELECT DISTINCT b.addr,
+         |  CASE WHEN CAST(b.bal AS DOUBLE) >= 5000
+         |       THEN 'high' ELSE 'low' END AS tier,
+         |  COALESCE(d.dt, 'missing') AS whenv
+         |FROM bal b LEFT JOIN dt d ON b.addr = d.addr
+         |ORDER BY b.addr, whenv LIMIT 400""".stripMargin,
+
+    "q_quads_construct_typed" ->
+      s"""$fullQuadsCte,
+         |rich AS (SELECT DISTINCT subject AS addr FROM quads
+         |  WHERE predicate = '$SegmentP'
+         |    AND objectValue = 'BUILDING'),
+         |built AS (
+         |  SELECT addr AS subject, 'urn:graft:flag' AS predicate,
+         |    'premium' AS objectValue, 'literal' AS objectKind,
+         |    CAST(NULL AS VARCHAR) AS datatype, 'en' AS lang FROM rich
+         |  UNION ALL
+         |  SELECT addr, 'urn:graft:flagged', 'true', 'literal',
+         |    'http://www.w3.org/2001/XMLSchema#boolean',
+         |    CAST(NULL AS VARCHAR) FROM rich)
+         |SELECT * FROM built ORDER BY subject, predicate""".stripMargin,
+
+    "q_quads_update_typed" ->
+      """SELECT * FROM (VALUES
+        |  ('urn:graft:s1', 'chair', 'literal',
+        |     CAST(NULL AS VARCHAR), 'en'),
+        |  ('urn:graft:s1', 'chair', 'literal',
+        |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('urn:graft:s2', 'chair', 'literal',
+        |     CAST(NULL AS VARCHAR), 'en'))
+        |  AS t(subject, objectValue, objectKind, datatype, lang)
+        |ORDER BY subject, objectValue""".stripMargin,
+
+    "q_quads_sparql_lang_match" ->
+      """SELECT * FROM (VALUES ('urn:graft:s1'), ('urn:graft:s2'))
+        |  AS t(s) ORDER BY s""".stripMargin,
 
     "q_quads_graph_mgmt" ->
       s"""$fullQuadsCte,

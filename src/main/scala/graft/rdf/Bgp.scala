@@ -157,13 +157,19 @@ object Bgp {
   /** CONSTRUCT template triple: subject/object terms are a solution
     * variable or a constant; the predicate is constant (as in the WHERE
     * patterns). `oKind` tags the built object term for downstream
-    * rendering. */
+    * rendering; a constant literal object may carry a language tag or a
+    * datatype IRI (`"x"@en` / `"1"^^<xsd:integer>` in the textual
+    * layer — the reference's corpora use both: lang-tagged names and 7
+    * custom datatypes). */
   final case class Template(s: Term, p: String, o: Term,
-      oKind: String = graft.model.TermKind.Iri)
+      oKind: String = graft.model.TermKind.Iri,
+      lang: Option[String] = None, datatype: Option[String] = None)
 
   /** SPARQL CONSTRUCT: instantiate `template` once per solution of
     * `where`, producing a new triple relation
-    * `(subject, predicate, objectValue, objectKind)` with set semantics
+    * `(subject, predicate, objectValue, objectKind, datatype, lang)`
+    * — full term fidelity, so the output round-trips through the
+    * N-Quads sink — with set semantics
     * (CONSTRUCT emits a GRAPH, and graphs are sets). The solution
     * relation is lineage-cut before the template fan-out — DataFrames
     * are lazy, so without the cut each of T template triples would
@@ -190,7 +196,9 @@ object Bgp {
     }
     template.map { t =>
       sol.select(term(t.s).as("subject"), lit(t.p).as("predicate"),
-          term(t.o).as("objectValue"), lit(t.oKind).as("objectKind"))
+          term(t.o).as("objectValue"), lit(t.oKind).as("objectKind"),
+          lit(t.datatype.orNull).cast("string").as("datatype"),
+          lit(t.lang.orNull).cast("string").as("lang"))
         .filter(col("subject").isNotNull && col("objectValue").isNotNull)
     }.reduce(_ unionByName _).distinct()
   }

@@ -144,9 +144,16 @@ object SparqlParser {
   final case class BCall(fn: String, args: Seq[BindExpr]) extends BindExpr
   final case class BArith(op: String, l: BindExpr, r: BindExpr)
       extends BindExpr
+  /** SPARQL `IF(cond, then, else)` — the condition is one comparison
+    * over this grammar (the effective-boolean-value subset FILTERs
+    * already speak); both branches render as strings (the solution
+    * relation's lexical-form column type). */
+  final case class BIf(l: BindExpr, op: String, r: BindExpr,
+      t: BindExpr, f: BindExpr) extends BindExpr
 
   private val BindFns =
-    Seq("CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE")
+    Seq("CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
+      "COALESCE", "IF")
 
   /** One atomic FILTER test — the unit both the conjunctive lists and
     * `||` disjunction groups compose from. */
@@ -290,6 +297,39 @@ object SparqlParser {
     else if (t.nonEmpty && t.forall(c => c.isDigit)) Bgp.Const(t)
     else throw new IllegalArgumentException(s"expected term, got '$t'")
 
+  /** Optional typed-literal suffix after a quoted token: `@tag`
+    * (language) or `^^<iri>` (datatype; the tokenizer splits `^^` into
+    * two caret tokens, and a prefixed datatype like `xsd:integer` is
+    * already IRI-expanded by [[applyPrefixes]]). Returns
+    * `(lang, datatype)` — at most one is set, per RDF's literal
+    * taxonomy. */
+  private def literalSuffix(p: P): (Option[String], Option[String]) =
+    if (p.peek.startsWith("@") && p.peek.length > 1)
+      (Some(p.eat().substring(1)), None)
+    else if (p.is("^") && p.peek2 == "^") {
+      p.eat(); p.eat()
+      val dt = p.eat()
+      require(dt.startsWith("<"),
+        s"a datatype must be an IRI (after prefix expansion), got '$dt'")
+      (None, Some(dt.substring(1, dt.length - 1)))
+    } else (None, None)
+
+  /** Compile a parsed literal suffix into the quad-scan term predicate
+    * for a constant-object pattern: `"x"@en` matches only the
+    * lang-tagged literal (tags compare case-insensitively per BCP 47),
+    * `"1"^^<dt>` only the dt-typed literal. A bare `"x"` keeps the
+    * engine's documented lenient value-match. */
+  private def suffixFilter(lang: Option[String], dt: Option[String])
+      : Option[Column] = (lang, dt) match {
+    case (Some(tag), _) => Some(
+      col("objectKind") === graft.model.TermKind.Literal &&
+        lower(col("lang")) === tag.toLowerCase)
+    case (_, Some(d)) => Some(
+      col("objectKind") === graft.model.TermKind.Literal &&
+        col("datatype") === d)
+    case _ => None
+  }
+
   /** Property-path grammar over the predicate position:
     * `path := seq ('|' seq)*; seq := elt ('/' elt)*;
     * elt := '^'? primary ('+'|'*'|'?'|'{'n(','m)?'}')?;
@@ -392,15 +432,25 @@ object SparqlParser {
 
     // object position: a term, or `[ predObjList ]` binding a fresh
     // anonymous variable (SPARQL treats a bnode label as a variable that
-    // cannot be projected — a fresh name no user query can collide with)
-    def objTerm(): Bgp.Term =
+    // cannot be projected — a fresh name no user query can collide with).
+    // A constant literal object may carry `@tag`/`^^<dt>` — compiled to
+    // a scan-level term predicate on the pattern (suffixFilter), so the
+    // typed match pushes into the store scan like every other constant.
+    def objTerm(): (Bgp.Term, Option[Column]) =
       if (p.is("[")) {
         p.eat()
         val anon = Bgp.Var(p.freshAnon())
         predObjList(anon)
         p.expect("]")
-        anon
-      } else term(p.eat())
+        (anon, None)
+      } else {
+        val tok = p.eat()
+        val t = term(tok)
+        if (tok.startsWith("\"")) {
+          val (lang, dt) = literalSuffix(p)
+          (t, suffixFilter(lang, dt))
+        } else (t, None)
+      }
 
     // `pred obj (';' pred obj)*` with a fixed subject
     def predObjList(subj: Bgp.Term): Unit = {
@@ -409,8 +459,9 @@ object SparqlParser {
         val predTok = p.peek
         if (predTok.startsWith("?")) {
           p.eat()
+          val (o, sf) = objTerm()
           pats += Bgp.Pattern(subj, Bgp.Var(predTok.substring(1)),
-            objTerm(), g)
+            o, g, sf)
         } else {
           val parsed = path(p)
           // an argument list in object position ⇒ property function
@@ -426,7 +477,9 @@ object SparqlParser {
             }
             fns += PropFnCall(Seq(subj), fnIri, b.result(), g)
           } else parsed match {
-            case Left(iri) => pats += Bgp.Pattern(subj, iri, objTerm(), g)
+            case Left(iri) =>
+              val (o, sf) = objTerm()
+              pats += Bgp.Pattern(subj, Bgp.Const(iri), o, g, sf)
             case Right(cp) =>
               val o = term(p.eat())
               paths += PathPattern(subj, cp, o, g)
@@ -466,7 +519,22 @@ object SparqlParser {
   private def bindExpr(p: P): BindExpr = {
     def atom(): BindExpr =
       if (p.is("(")) { p.eat(); val e = full(); p.expect(")"); e }
-      else if (BindFns.exists(p.is)) {
+      else if (p.is("IF")) {
+        // IF(expr op expr, then, else) — the condition grammar is the
+        // expression-FILTER comparison, reusing its compiler
+        p.eat(); p.expect("(")
+        val l = full()
+        val op = p.eat()
+        require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+          s"IF needs a comparison condition, got operator '$op'")
+        val r = full()
+        p.expect(",")
+        val t = full()
+        p.expect(",")
+        val f = full()
+        p.expect(")")
+        BIf(l, op, r, t, f)
+      } else if (BindFns.exists(p.is)) {
         val fn = p.eat().toUpperCase
         p.expect("(")
         val args = Seq.newBuilder[BindExpr]
@@ -513,8 +581,15 @@ object SparqlParser {
     case BCall("REPLACE", Seq(a, pat, rep)) =>
       regexp_replace(bindCol(a).cast("string"),
         bindCol(pat).cast("string"), bindCol(rep).cast("string"))
+    // COALESCE over unbound (null) bindings — OPTIONAL-group variables
+    // are the canonical argument; null-skipping is exactly Spark's
+    case BCall("COALESCE", args) if args.nonEmpty =>
+      coalesce(args.map(a => bindCol(a).cast("string")): _*)
     case BCall(f, args) => throw new IllegalArgumentException(
       s"$f does not take ${args.length} argument(s)")
+    case BIf(l, op, r, t, f) =>
+      when(exprCmpCol(l, op, r), bindCol(t).cast("string"))
+        .otherwise(bindCol(f).cast("string"))
     case BArith(op, l, r) =>
       val (a, b) = (bindCol(l).cast("double"), bindCol(r).cast("double"))
       op match {
@@ -536,6 +611,7 @@ object SparqlParser {
       case BArith(_, _, _) => Some(false)
       case BCall("STRLEN", _) => Some(false)
       case BCall(_, _) => Some(true)
+      case BIf(_, _, _, _, _) => Some(true)
       case BVar(_) => None
     }
     val isStr = (stringy(l), stringy(r)) match {
@@ -603,7 +679,13 @@ object SparqlParser {
           (Bgp.Const(unquote(oTok)), graft.model.TermKind.Literal)
         else throw new IllegalArgumentException(
           s"expected template object term, got '$oTok'")
-      out += Bgp.Template(s, pr.substring(1, pr.length - 1), o, kind)
+      // constant-literal objects may carry @tag / ^^<dt> — the built
+      // quad gets the term metadata, so CONSTRUCT output keeps full
+      // fidelity through the N-Quads sink
+      val (lang, dt) =
+        if (oTok.startsWith("\"")) literalSuffix(p) else (None, None)
+      out += Bgp.Template(s, pr.substring(1, pr.length - 1), o, kind,
+        lang = lang, datatype = dt)
       if (p.is(".")) { p.eat(); more = !p.is("}") }
       else more = false
     }
@@ -1478,6 +1560,13 @@ object SparqlParser {
         case "CONTAINS" => col(v).contains(arg)
       }
       case ExprCmp(l, op, r) => exprCmpCol(l, op, r)
+      // term accessors read quad-relation columns (lang/datatype/kind)
+      // that only exist at the SCAN, not on the solution relation — a
+      // disjunction would need them post-join, so reject loudly rather
+      // than bind the wrong thing
+      case TermTest(v, fn, _, _) => throw new IllegalArgumentException(
+        s"$fn(?$v) is not supported inside a || disjunction: term " +
+          "accessors compile to per-pattern scan predicates")
     }
     q.orFilters.foreach { group =>
       sol = sol.filter(group.map(atomCol).reduce(_ || _))

@@ -91,6 +91,54 @@ object SparqlResults {
         concat_ws("\t", cols.map(term): _*).as("value")))
   }
 
+  /** XML content escape — the five predefined entities' three that
+    * matter in content position (& first, then < and >). */
+  private def xmlEsc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** The W3C "SPARQL Query Results XML Format" document as one row:
+    * `<sparql><head><variable name=…/></head><results><result>
+    * <binding name=…><uri|literal>…` — the third standard results
+    * serialization next to [[csv]]/[[tsv]]/[[json]] (the format
+    * SPARQLWrapper's XML mode consumes). `kinds` maps variables to
+    * `uri` | `literal` (default literal); unbound bindings are omitted
+    * from their result element per spec. Same distribution shape as
+    * [[json]]: an escape + concat projection per row, then one sorted
+    * global aggregation (results documents are LIMIT-bounded pages). */
+  def xml(solutions: DataFrame,
+      kinds: Map[String, String] = Map.empty,
+      orderBy: Seq[Column] = Nil): DataFrame = {
+    val cols = solutions.columns.toSeq
+    val head = cols.map(v => s"""<variable name="$v"/>""").mkString
+    val entries = cols.map { n =>
+      val t = kinds.getOrElse(n, "literal") match {
+        case "uri" => "uri"
+        case _ => "literal"
+      }
+      when(col(n).isNotNull,
+        concat(lit(s"""<binding name="$n"><$t>"""),
+          xmlEsc(col(n)), lit(s"</$t></binding>")))
+    }
+    val result = concat(lit("<result>"), concat_ws("", entries: _*),
+      lit("</result>"))
+    val sorted =
+      if (orderBy.isEmpty)
+        solutions.select(result.as("b"))
+          .agg(sort_array(collect_list(col("b"))).as("bs"))
+      else
+        solutions
+          .select(struct(orderBy :+ result.as("_b"): _*).as("kb"))
+          .agg(sort_array(collect_list(col("kb"))).as("kbs"))
+          .select(transform(col("kbs"), x => x.getField("_b")).as("bs"))
+    sorted.select(concat(
+      lit("<?xml version=\"1.0\"?>" +
+        "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+        s"<head>$head</head><results>"),
+      array_join(col("bs"), ""),
+      lit("</results></sparql>")).as("value"))
+  }
+
   /** The W3C JSON results document as one row. `kinds` maps variables
     * to `uri` | `literal` (default literal). With `orderBy` keys the
     * bindings array preserves the query's solution sequence (the W3C

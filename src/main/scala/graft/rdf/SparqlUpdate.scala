@@ -58,7 +58,8 @@ import graft.model.TermKind
 object SparqlUpdate {
 
   private case class ConstQuad(s: String, sKind: String, p: String,
-      o: String, oKind: String, g: Option[String])
+      o: String, oKind: String, g: Option[String],
+      lang: Option[String] = None, dt: Option[String] = None)
 
   private def constTerm(t: String): (String, String) =
     if (t.startsWith("<")) (t.substring(1, t.length - 1), TermKind.Iri)
@@ -76,8 +77,8 @@ object SparqlUpdate {
     val values: Map[String, ConstQuad => Any] = Map(
       "subject" -> (_.s), "subjectKind" -> (_.sKind),
       "predicate" -> (_.p), "objectValue" -> (_.o),
-      "objectKind" -> (_.oKind), "datatype" -> (_ => null),
-      "lang" -> (_ => null), "graph" -> (_.g.orNull))
+      "objectKind" -> (_.oKind), "datatype" -> (_.dt.orNull),
+      "lang" -> (_.lang.orNull), "graph" -> (_.g.orNull))
     val schema = StructType(like.columns.map(c =>
       StructField(c, StringType, nullable = true)))
     val data = rows.map(q => Row.fromSeq(like.columns.toSeq.map(c =>
@@ -96,7 +97,8 @@ object SparqlUpdate {
 
   /** A modify-form template quad: terms may be solution variables. */
   private case class TmplQuad(s: Bgp.Term, p: String, o: Bgp.Term,
-      oKind: String, g: Option[String])
+      oKind: String, g: Option[String],
+      lang: Option[String] = None, dt: Option[String] = None)
   private case class Modify(deletes: Seq[TmplQuad], inserts: Seq[TmplQuad],
       where: Seq[Bgp.Pattern]) extends Op
   /** LOAD <url> [INTO GRAPH <g>] — resolved by the caller's loader. */
@@ -127,6 +129,20 @@ object SparqlUpdate {
       require(h.equalsIgnoreCase(t), s"expected '$t', got '$h'")
     }
 
+    // `@tag` / `^^<iri>` after a quoted literal token (the tokenizer
+    // splits `^^` into two carets; prefixed datatypes arrive
+    // IRI-expanded) — the data/template grammars' typed-literal suffix.
+    def litSuffix(): (Option[String], Option[String]) =
+      if (peek.startsWith("@") && peek.length > 1)
+        (Some(eat().substring(1)), None)
+      else if (is("^") && ts.drop(1).headOption.contains("^")) {
+        eat(); eat()
+        val dtTok = eat()
+        require(dtTok.startsWith("<"),
+          s"a datatype must be an IRI, got '$dtTok'")
+        (None, Some(dtTok.substring(1, dtTok.length - 1)))
+      } else (None, None)
+
     def constBlock(): Seq[ConstQuad] = {
       expect("{")
       val out = Seq.newBuilder[ConstQuad]
@@ -137,9 +153,12 @@ object SparqlUpdate {
           val pTok = eat()
           require(pTok.startsWith("<"),
             s"update data predicates must be IRIs, got '$pTok'")
-          val (o, ok) = constTerm(eat())
+          val oTok = eat()
+          val (o, ok) = constTerm(oTok)
+          val (lg, dt) =
+            if (oTok.startsWith("\"")) litSuffix() else (None, None)
           out += ConstQuad(s, sk, pTok.substring(1, pTok.length - 1),
-            o, ok, g)
+            o, ok, g, lg, dt)
           if (is(".")) { eat(); more = !is("}") } else more = false
         }
       }
@@ -207,7 +226,10 @@ object SparqlUpdate {
             else if (oTok.startsWith("<"))
               (Bgp.Const(oTok.substring(1, oTok.length - 1)), TermKind.Iri)
             else (Bgp.Const(SparqlParser.unquote(oTok)), TermKind.Literal)
-          out += TmplQuad(s, pTok.substring(1, pTok.length - 1), o, kind, g)
+          val (lg, dt) =
+            if (oTok.startsWith("\"")) litSuffix() else (None, None)
+          out += TmplQuad(s, pTok.substring(1, pTok.length - 1), o, kind,
+            g, lg, dt)
           if (is(".")) { eat(); more = !is("}") } else more = false
         }
       }
@@ -407,23 +429,28 @@ object SparqlUpdate {
           }
           val afterDel = dels.foldLeft(acc) { (cur, tq) =>
             val graphAgnostic = hasGraph && tq.g.isEmpty
-            // a CONSTANT object term carries its parsed kind — match it
-            // (term equality); a variable object matches on value (see
-            // termKeys note above)
-            val kindKey = tq.o match {
-              case Bgp.Const(_) if termKeys.contains("objectKind") =>
-                Seq("objectKind")
+            // a CONSTANT object term carries its parsed kind — and, for
+            // literals, its lang/datatype — so the removal matches by
+            // full TERM equality ("x" keeps "x"@en and "x"^^dt); a
+            // variable object matches on value (see termKeys note above)
+            val termKeyCols: Seq[(String, Column)] = tq.o match {
+              case Bgp.Const(_) => termKeys.map {
+                case "objectKind" => "objectKind" -> lit(tq.oKind)
+                case "datatype" =>
+                  "datatype" -> lit(tq.dt.orNull).cast("string")
+                case "lang" => "lang" -> lit(tq.lang.orNull).cast("string")
+              }
               case _ => Nil
             }
             val keys =
               (if (graphAgnostic) dataKeys.dropRight(1) else dataKeys) ++
-                kindKey
+                termKeyCols.map(_._1)
             val keyCols = Seq(inst(tq.s).as("subject"),
               lit(tq.p).as("predicate"),
               inst(tq.o).as("objectValue")) ++
               (if (hasGraph && !graphAgnostic)
                 Seq(lit(tq.g.get).as("graph")) else Nil) ++
-              kindKey.map(_ => lit(tq.oKind).as("objectKind"))
+              termKeyCols.map { case (n, c) => c.as(n) }
             removalJoin(cur, sol.select(keyCols: _*), keys,
               broadcastRemoval = false)
           }
@@ -436,6 +463,8 @@ object SparqlUpdate {
                 "predicate" -> lit(tq.p),
                 "objectValue" -> inst(tq.o),
                 "objectKind" -> lit(tq.oKind),
+                "datatype" -> lit(tq.dt.orNull).cast("string"),
+                "lang" -> lit(tq.lang.orNull).cast("string"),
                 "graph" -> tq.g.map(lit(_)).getOrElse(lit(null))
                   .cast("string"))
               sol.select(acc.columns.toSeq.map(c =>

@@ -1038,10 +1038,10 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         ?s <urn:label> ?n . ?s <urn:type2> <urn:Thing>
       } WHERE { ?s <urn:name> ?n }""")
     assert(built.toSet == Set(
-      Seq("a", "urn:label", "Alice", "literal"),
-      Seq("b", "urn:label", "Bob", "literal"),
-      Seq("a", "urn:type2", "urn:Thing", "iri"),
-      Seq("b", "urn:type2", "urn:Thing", "iri")))
+      Seq("a", "urn:label", "Alice", "literal", null, null),
+      Seq("b", "urn:label", "Bob", "literal", null, null),
+      Seq("a", "urn:type2", "urn:Thing", "iri", null, null),
+      Seq("b", "urn:type2", "urn:Thing", "iri", null, null)))
     // variable predicates bind the predicate column (r8)
     assert(run("""SELECT ?p ?o WHERE { <a> ?p ?o } ORDER BY ?p ?o""")
       == Seq(Seq("urn:name", "Alice"), Seq("urn:score", "7"),
@@ -1261,7 +1261,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
     // CONSTRUCT WHERE re-emits the matched statements
     val built = run("""CONSTRUCT WHERE { ?s <urn:name> ?o }""")
-    assert(built == Seq(Seq("a", "urn:name", "Al", "literal")))
+    assert(built == Seq(Seq("a", "urn:name", "Al", "literal", null, null)))
   }
 
   test("SparqlParser r8: textual property paths, DESCRIBE, sub-select") {
