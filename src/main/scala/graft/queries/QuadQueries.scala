@@ -1656,6 +1656,24 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("subject"), col("predicate"))
     }),
 
+    // CONSTRUCT over the full solution pipeline (r9): the WHERE is a
+    // complete group graph pattern — a numeric FILTER narrows the
+    // solutions and a BIND(IF…) computes a template-referenced column —
+    // so CONSTRUCT templates instantiate over exactly the solutions
+    // SELECT * would produce (previously patterns-only; FILTER in
+    // CONSTRUCT was a loud parse error).
+    "q_quads_construct_filter" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""CONSTRUCT {
+           |  ?addr <urn:graft:tier> ?tier .
+           |  ?addr <urn:graft:rich> "y"
+           |} WHERE {
+           |  ?addr <$BalanceP> ?bal .
+           |  FILTER(?bal > 9000)
+           |  BIND(IF(?bal >= 9500, "top", "upper") AS ?tier)
+           |}""".stripMargin)
+    }),
+
     // Typed-literal UPDATE data (r9): INSERT DATA lands `@lang` /
     // `^^dt` terms with their metadata, and DELETE DATA removes by FULL
     // term equality — retracting the @fr and ^^integer terms leaves the
@@ -3242,6 +3260,24 @@ object QuadQueries extends QueryCatalog {
          |    'http://www.w3.org/2001/XMLSchema#boolean',
          |    CAST(NULL AS VARCHAR) FROM rich)
          |SELECT * FROM built ORDER BY subject, predicate""".stripMargin,
+
+    "q_quads_construct_filter" ->
+      s"""$fullQuadsCte,
+         |rich AS (SELECT DISTINCT subject AS addr,
+         |    CAST(objectValue AS DOUBLE) AS bal
+         |  FROM quads WHERE predicate = '$BalanceP'
+         |    AND CAST(objectValue AS DOUBLE) > 9000),
+         |built AS (
+         |  SELECT addr AS subject, 'urn:graft:tier' AS predicate,
+         |    CASE WHEN bal >= 9500 THEN 'top' ELSE 'upper' END
+         |      AS objectValue,
+         |    'literal' AS objectKind, CAST(NULL AS VARCHAR) AS datatype,
+         |    CAST(NULL AS VARCHAR) AS lang FROM rich
+         |  UNION
+         |  SELECT addr, 'urn:graft:rich', 'y', 'literal',
+         |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM rich)
+         |SELECT DISTINCT * FROM built
+         |ORDER BY subject, predicate""".stripMargin,
 
     "q_quads_update_typed" ->
       """SELECT * FROM (VALUES

@@ -180,12 +180,20 @@ object Bgp {
     * consumes the solutions once and skips the cut, keeping scan
     * pushdown for the simple reshaping case. */
   def construct(quads: DataFrame, where: Seq[Pattern],
+      template: Seq[Template]): DataFrame =
+    // dedup=false: constructFromSolutions' final distinct already
+    // enforces the graph-is-a-set contract; deduping solutions first
+    // would only add a shuffle
+    constructFromSolutions(select(quads, where, dedup = false), template)
+
+  /** Template instantiation over an ALREADY-SOLVED solution relation —
+    * the textual layer lands here after its full pipeline (filters,
+    * OPTIONAL, BINDs, solution modifiers), [[construct]] after a plain
+    * BGP. Cut/instantiate/union semantics as documented on
+    * [[construct]]. */
+  def constructFromSolutions(sol0: DataFrame,
       template: Seq[Template]): DataFrame = {
     require(template.nonEmpty, "at least one template triple required")
-    // dedup=false: the final distinct below already enforces the
-    // graph-is-a-set contract; deduping solutions first would only add
-    // a shuffle
-    val sol0 = select(quads, where, dedup = false)
     val sol =
       if (template.sizeIs > 1)
         graft.operators.Checkpoints.cut(sol0, eager = false)

@@ -700,6 +700,7 @@ object SparqlParser {
   }
 
   private def parseQuery(p: P): Query = {
+    var constructTpl: Seq[Bgp.Template] = Nil
     if (p.is("CONSTRUCT")) {
       p.eat()
       if (p.is("WHERE")) {
@@ -727,18 +728,13 @@ object SparqlParser {
           Nil, Nil, Nil, None, verb = "construct", template = tpl)
       }
       p.expect("{")
-      val tpl = templates(p)
-      p.expect("}"); p.expect("WHERE"); p.expect("{")
-      val pats = Seq.newBuilder[Bgp.Pattern]
-      while (!p.is("}")) {
-        if (p.is("GRAPH")) {
-          p.eat(); val g = term(p.eat())
-          p.expect("{"); pats ++= triples(p, Some(g)); p.expect("}")
-        } else pats ++= triples(p, None)
-      }
+      constructTpl = templates(p)
       p.expect("}")
-      return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
-        Nil, Nil, Nil, None, verb = "construct", template = tpl)
+      // fall through (r9): CONSTRUCT's WHERE parses with the FULL
+      // group-graph-pattern grammar — FILTER, OPTIONAL, MINUS, BIND,
+      // VALUES, UNION, paths, GRAPH — exactly as SELECT's; the template
+      // then instantiates over the same solution pipeline. (Previously
+      // a plain-triples body: FILTER in CONSTRUCT rejected loudly.)
     }
     if (p.is("ASK")) {
       p.eat()
@@ -764,7 +760,8 @@ object SparqlParser {
     // like SELECT ?v (full WHERE grammar, modifiers), describe the
     // distinct solutions
     val descVar: Option[String] =
-      if (p.is("DESCRIBE")) { p.eat(); Some(p.eat().substring(1)) }
+      if (constructTpl.nonEmpty) None // head already parsed (template)
+      else if (p.is("DESCRIBE")) { p.eat(); Some(p.eat().substring(1)) }
       else { p.expect("SELECT"); None }
     // REDUCED permits (without requiring) duplicate elimination — this
     // engine eliminates, the cheapest conforming choice at scale
@@ -1185,7 +1182,9 @@ object SparqlParser {
       exprBinds = eBnds.result() ++ selExprs.result(),
       exprFilters = eFils.result(),
       termFilters = tFils.result(),
-      verb = if (descVar.isDefined) "describe" else "select",
+      verb = if (constructTpl.nonEmpty) "construct"
+        else if (descVar.isDefined) "describe" else "select",
+      template = constructTpl,
       describeVar = descVar)
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
@@ -1363,9 +1362,10 @@ object SparqlParser {
 
   private def executeQuery(quads: DataFrame, q0: Query,
       functions: Map[String, PropertyFunction]): DataFrame = {
-    if (q0.verb == "construct")
-      return Bgp.construct(quads, q0.patterns, q0.template)
-        .orderBy(col("subject"), col("predicate"), col("objectValue"))
+    // CONSTRUCT dispatches AFTER the solution pipeline below — its
+    // WHERE is a full group graph pattern (filters, OPTIONAL, BIND…),
+    // so the template instantiates over exactly the solutions SELECT *
+    // would produce (r9; was a patterns-only early return).
     if (q0.verb == "ask") {
       val exists = !Bgp.select(quads, q0.patterns).limit(1).isEmpty
       return quads.sparkSession.sql(s"SELECT $exists AS ask")
@@ -1584,6 +1584,20 @@ object SparqlParser {
         case "STRSTARTS" => col(v).startsWith(arg)
         case "CONTAINS" => col(v).contains(arg)
       })
+    }
+    if (q.verb == "construct") {
+      // solution modifiers bind the solution SEQUENCE per spec — only
+      // observable through LIMIT/OFFSET (the built graph is a set), so
+      // they apply before instantiation
+      var s2 = sol
+      if (q.orderBy.nonEmpty)
+        s2 = s2.orderBy(q.orderBy.map { case (v, desc) =>
+          if (desc) col(v).desc else col(v).asc
+        }: _*)
+      q.offset.foreach(n => s2 = s2.offset(n))
+      q.limit.foreach(n => s2 = s2.limit(n))
+      return Bgp.constructFromSolutions(s2, q.template)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"))
     }
     if (q.aggregates.nonEmpty) {
       def one(a: Agg): Column = (a.func match {
