@@ -1926,6 +1926,45 @@ object QuadQueries extends QueryCatalog {
         .json(sol, Map("addr" -> "uri", "nation" -> "literal"))
     }),
 
+    // ASK results documents (r9): the boolean JSON/XML forms —
+    // `{"head":{},"boolean":b}` and `<head/><boolean>b</boolean>` —
+    // completing the results protocol for the ASK verb (a SPARQL
+    // client's existence probe). One true and one false probe, both
+    // serializations each; the oracle recomputes the booleans with its
+    // own EXISTS and rebuilds the four documents.
+    "q_sparql_results_ask" -> ((s, dir) => {
+      import graft.rdf.{SparqlParser, SparqlResults}
+      val askT = SparqlParser.execute(fullQuads(s, dir),
+        s"""ASK { ?b <$AddTypeP> <$PartNationT> }""")
+      val askF = SparqlParser.execute(fullQuads(s, dir),
+        """ASK { ?s <urn:graft:nosuch> ?o }""")
+      SparqlResults.askJson(askT)
+        .unionByName(SparqlResults.askXml(askT))
+        .unionByName(SparqlResults.askJson(askF))
+        .unionByName(SparqlResults.askXml(askF))
+        .orderBy(col("value"))
+    }),
+
+    // Multi-variable VALUES (r9): `VALUES (?seg ?nation) { (… …) (…
+    // UNDEF) }` — each row constrains its DEFINED columns (UNDEF leaves
+    // the variable free, SPARQL's compatible-solution semantics), rows
+    // disjoin; inline data is small by construction so it compiles to a
+    // pushable row predicate, never a join.
+    "q_quads_sparql_values_multi" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?seg ?nation WHERE {
+           |  ?addr <$SegmentP> ?seg .
+           |  ?addr sdo:hasPart ?b .
+           |  ?b sdo:additionalType <$PartNationT> .
+           |  ?b sdo:value ?nation .
+           |  VALUES (?seg ?nation) {
+           |    ("FURNITURE" "CHINA")
+           |    ("MACHINERY" UNDEF)
+           |  }
+           |} ORDER BY ?addr""".stripMargin)
+    }),
+
     // W3C SPARQL XML results document (r9): the third standard results
     // serialization (the format SPARQLWrapper's XML mode consumes) —
     // same page query as the JSON gate, same distribution shape (escape
@@ -3189,6 +3228,50 @@ object QuadQueries extends QueryCatalog {
          |  '"results":{"bindings":[' ||
          |  string_agg(b, ',' ORDER BY b) || ']}}' AS value
          |FROM bindings""".stripMargin,
+
+    "q_sparql_results_ask" ->
+      s"""$fullQuadsCte,
+         |t AS (SELECT EXISTS(SELECT 1 FROM quads
+         |  WHERE predicate = '$AddTypeP'
+         |    AND objectValue = '$PartNationT') AS b),
+         |f AS (SELECT EXISTS(SELECT 1 FROM quads
+         |  WHERE predicate = 'urn:graft:nosuch') AS b),
+         |docs AS (
+         |  SELECT '{"head":{},"boolean":' || CAST(b AS VARCHAR) || '}'
+         |    AS value FROM t
+         |  UNION ALL
+         |  SELECT '<?xml version="1.0"?>' ||
+         |    '<sparql xmlns="http://www.w3.org/2005/sparql-results#">' ||
+         |    '<head/><boolean>' || CAST(b AS VARCHAR) ||
+         |    '</boolean></sparql>' FROM t
+         |  UNION ALL
+         |  SELECT '{"head":{},"boolean":' || CAST(b AS VARCHAR) || '}'
+         |  FROM f
+         |  UNION ALL
+         |  SELECT '<?xml version="1.0"?>' ||
+         |    '<sparql xmlns="http://www.w3.org/2005/sparql-results#">' ||
+         |    '<head/><boolean>' || CAST(b AS VARCHAR) ||
+         |    '</boolean></sparql>' FROM f)
+         |SELECT value FROM docs ORDER BY value""".stripMargin,
+
+    "q_quads_sparql_values_multi" ->
+      s"""$fullQuadsCte,
+         |sol AS (
+         |  SELECT DISTINCT sg.subject AS addr, sg.objectValue AS seg,
+         |    va.objectValue AS nation
+         |  FROM quads sg
+         |  JOIN quads hp ON hp.subject = sg.subject
+         |  JOIN quads ty ON hp.objectValue = ty.subject
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |  WHERE sg.predicate = '$SegmentP'
+         |    AND hp.predicate = '$HasPartP'
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND ty.objectValue = '$PartNationT'
+         |    AND va.predicate = '$ValueP')
+         |SELECT addr, seg, nation FROM sol
+         |WHERE (seg = 'FURNITURE' AND nation = 'CHINA')
+         |   OR (seg = 'MACHINERY')
+         |ORDER BY addr""".stripMargin,
 
     "q_sparql_results_xml" ->
       s"""$fullQuadsCte,

@@ -465,6 +465,50 @@ object TextAnalysisQueries extends QueryCatalog {
         .orderBy(col("source"))
     }),
 
+    // URL canonicalization + dedup (r9): the web-corpus ingest step
+    // every crawl pipeline runs before exact dedup — scheme/host
+    // lowercasing, `www.` strip, default-port drop, fragment drop,
+    // tracking-param (`utm_*`) removal, query-param sort, trailing-
+    // slash strip — then a hash-groupBy on the canonical form. Messy
+    // URLs are synthesized deterministically from doc_id (both engines
+    // build the identical input string); each side then canonicalizes
+    // with its OWN machinery — Spark's native parse_url expression +
+    // higher-order filter/sort_array here, regexp_extract + list
+    // lambdas in the oracle — so the normalization logic is genuinely
+    // independently implemented. Pure projection + one groupBy shuffle:
+    // canonical-URL dedup at crawl scale is exactly this shape.
+    "q_text_url_canonicalize" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val messy = d.withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+        lit("WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/Api/V"), (col("doc_id") % 4).cast("string"), lit("/items"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1&utm_campaign=x"),
+        lit("#frag"), (col("doc_id") % 7).cast("string")))
+      val parsed = messy
+        .withColumn("scheme", lower(expr("parse_url(url, 'PROTOCOL')")))
+        .withColumn("host", regexp_replace(
+          lower(expr("parse_url(url, 'HOST')")), "^www\\.", ""))
+        .withColumn("path0", expr("parse_url(url, 'PATH')"))
+        .withColumn("path", when(col("path0") === "/", col("path0"))
+          .otherwise(regexp_replace(col("path0"), "/$", "")))
+        .withColumn("qs", array_join(sort_array(
+          expr("filter(split(parse_url(url, 'QUERY'), '&')," +
+            " p -> NOT startswith(p, 'utm_'))")), "&"))
+      parsed
+        .withColumn("canon", concat(col("scheme"), lit("://"),
+          col("host"), col("path"),
+          when(col("qs") === "" || col("qs").isNull, lit(""))
+            .otherwise(concat(lit("?"), col("qs")))))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canon"))
+    }),
+
     "q_text_entropy" -> ((s, dir) => {
       val cnt = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
@@ -1040,6 +1084,45 @@ object TextAnalysisQueries extends QueryCatalog {
         |  round((v * sxy - sx * sy) * (v * sxy - sx * sy) /
         |    ((v * sx2 - sx * sx) * (v * sy2 - sy * sy)), 6) AS r2
         |FROM s""".stripMargin,
+
+    "q_text_url_canonicalize" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END
+        |    || 'WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+        |    || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+        |    || '/Api/V' || CAST(doc_id % 4 AS VARCHAR) || '/items'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |    || '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '&a=1&utm_campaign=x'
+        |    || '#frag' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents),
+        |nofrag AS (
+        |  SELECT doc_id, str_split(url, '#')[1] AS u FROM base),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(
+        |      regexp_extract(u, '^[A-Za-z]+://([^/?#:]+)', 1)),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)
+        |      AS path0,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS query0
+        |  FROM nofrag),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    CASE WHEN path0 = '/' THEN '/'
+        |         ELSE regexp_replace(path0, '/$', '') END ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon
+        |  FROM (SELECT doc_id, scheme, host, path0,
+        |    array_to_string(list_sort(list_filter(
+        |      str_split(query0, '&'),
+        |      x -> NOT starts_with(x, 'utm_'))), '&') AS qs
+        |    FROM parts))
+        |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS first_doc
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
 
     "q_text_nfc_dedup" ->
       """WITH d AS (

@@ -123,8 +123,10 @@ object SparqlParser {
       exprBinds: Seq[(String, BindExpr)] = Nil, // BIND(expr AS ?v)
       exprFilters: Seq[(BindExpr, String, BindExpr)] = Nil,
       // FILTER(expr op expr)
-      termFilters: Seq[TermTest] = Nil)
+      termFilters: Seq[TermTest] = Nil,
       // LANG/LANGMATCHES/DATATYPE/isIRI/isLiteral/isBlank
+      valuesMulti: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil)
+      // VALUES (?a ?b) { (x y) (x UNDEF) … }: vars + rows, None = UNDEF
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -839,6 +841,8 @@ object SparqlParser {
     val tFils = Seq.newBuilder[TermTest]
     val eBnds = Seq.newBuilder[(String, BindExpr)]
     val vals = Seq.newBuilder[(String, Seq[String])]
+    val valsMulti =
+      Seq.newBuilder[(Seq[String], Seq[Seq[Option[String]]])]
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
     val unis = Seq.newBuilder[Seq[Seq[Bgp.Pattern]]]
@@ -915,6 +919,49 @@ object SparqlParser {
           // compiles to isin() on the binding column, i.e. a pushable
           // IN filter, the common "these N entities" serving shape
           p.eat()
+          if (p.is("(")) {
+            // multi-variable form: VALUES (?a ?b) { (x y) (x UNDEF) }
+            // — each row is a conjunction over its DEFINED columns
+            // (UNDEF leaves the variable unconstrained, SPARQL's
+            // compatible-solution semantics), rows disjoin. Inline data
+            // blocks are small by construction, so the disjunctive row
+            // predicate stays a pushable filter — never a join.
+            p.eat()
+            val mv = Seq.newBuilder[String]
+            while (!p.is(")")) {
+              val t = p.eat()
+              require(t.startsWith("?"),
+                s"VALUES needs variables, got '$t'")
+              mv += t.substring(1)
+            }
+            p.expect(")")
+            val mvars = mv.result()
+            require(mvars.nonEmpty, "VALUES () needs at least one variable")
+            p.expect("{")
+            val rows = Seq.newBuilder[Seq[Option[String]]]
+            while (!p.is("}")) {
+              p.expect("(")
+              val row = Seq.newBuilder[Option[String]]
+              while (!p.is(")")) {
+                val t = p.eat()
+                row += (if (t.equalsIgnoreCase("UNDEF")) None
+                  else if (t.startsWith("\"")) Some(unquote(t))
+                  else if (t.startsWith("<"))
+                    Some(t.substring(1, t.length - 1))
+                  else if (t.nonEmpty && t.forall(_.isDigit)) Some(t)
+                  else throw new IllegalArgumentException(
+                    s"VALUES entries must be IRIs, literals or UNDEF, " +
+                      s"got '$t'"))
+              }
+              p.expect(")")
+              val r = row.result()
+              require(r.length == mvars.length,
+                s"VALUES row arity ${r.length} != ${mvars.length} variables")
+              rows += r
+            }
+            p.expect("}")
+            valsMulti += ((mvars, rows.result()))
+          } else {
           val v = p.eat()
           require(v.startsWith("?"), s"VALUES needs a variable, got '$v'")
           p.expect("{")
@@ -928,6 +975,7 @@ object SparqlParser {
           }
           p.expect("}")
           vals += ((v.substring(1), vs.result()))
+          }
         } else if (p.is("FILTER") &&
             (p.peek2.equalsIgnoreCase("EXISTS") ||
               p.peek2.equalsIgnoreCase("NOT"))) {
@@ -1171,6 +1219,7 @@ object SparqlParser {
     val parsed = Query(distinct, proj.result(), aggs.result(),
       grp.result(), pats.result(), opts.result(), mins.result(),
       fils.result(), ord.result(), lim, values = vals.result(),
+      valuesMulti = valsMulti.result(),
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), selectOrder = order.result(),
@@ -1512,6 +1561,18 @@ object SparqlParser {
       require(sol.columns.contains(v),
         s"VALUES variable ?$v is not bound by the patterns")
       sol = sol.filter(col(v).isin(vs: _*))
+    }
+    q.valuesMulti.foreach { case (mvars, rows) =>
+      mvars.foreach(v => require(sol.columns.contains(v),
+        s"VALUES variable ?$v is not bound by the patterns"))
+      // row = conjunction over defined columns (UNDEF unconstrained),
+      // rows disjoin — a pushable predicate, inline data is small
+      val pred = rows.map { row =>
+        mvars.zip(row).collect { case (v, Some(value)) =>
+          col(v) === lit(value)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      }.reduce(_ || _)
+      sol = sol.filter(pred)
     }
     q.filters.foreach { case (v, op, litv, numeric) =>
       val c: Column = if (numeric) col(v).cast("double") else col(v)

@@ -91,6 +91,23 @@ object SparqlResults {
         concat_ws("\t", cols.map(term): _*).as("value")))
   }
 
+  /** The W3C JSON results document for an ASK query:
+    * `{"head":{},"boolean":b}` — `ask` is the 1-row boolean relation
+    * the parser's ASK verb returns. */
+  def askJson(ask: DataFrame): DataFrame =
+    ask.select(concat(lit("{\"head\":{},\"boolean\":"),
+      col("ask").cast("string"), lit("}")).as("value"))
+
+  /** The XML results document for an ASK query:
+    * `<sparql…><head/><boolean>b</boolean></sparql>`. */
+  def askXml(ask: DataFrame): DataFrame =
+    ask.select(concat(
+      lit("<?xml version=\"1.0\"?>" +
+        "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+        "<head/><boolean>"),
+      col("ask").cast("string"),
+      lit("</boolean></sparql>")).as("value"))
+
   /** XML content escape — the five predefined entities' three that
     * matter in content position (& first, then < and >). */
   private def xmlEsc(c: Column): Column =
