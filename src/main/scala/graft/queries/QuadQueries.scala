@@ -231,8 +231,11 @@ object QuadQueries extends QueryCatalog {
       val perDir = quadStore.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty)
       perDir.getOrElseUpdate(dir,
-        graft.operators.Checkpoints.cut(
-          QuadEmitter.explodeQuadsFull(joinedFull(s, dir), fullEmits)))
+        // preload = materialize (cut) + collect store statistics — the
+        // two things a store's bulk loader does; QuadStats feeds the
+        // BGP join-order tie-break (rarest predicate seeds the join)
+        graft.rdf.QuadStats.register(graft.operators.Checkpoints.cut(
+          QuadEmitter.explodeQuadsFull(joinedFull(s, dir), fullEmits))))
     }
 
   /** The geographic containment chain as `within` quads — customer →
@@ -1637,6 +1640,24 @@ object QuadQueries extends QueryCatalog {
            |  BIND(IF(?bal >= 5000, "high", "low") AS ?tier)
            |  BIND(COALESCE(?dt, "missing") AS ?whenv)
            |} ORDER BY ?addr ?whenv LIMIT 400""".stripMargin)
+    }),
+
+    // OPTIONAL-scoped FILTER (r9): the left-join-with-condition
+    // semantics — `OPTIONAL { … FILTER(?dt >= "1998") }` constrains
+    // what MATCHES (solutions whose lifecycle is older keep their NULL
+    // ?dt), unlike the same FILTER outside the group, which would DROP
+    // those solutions. The oracle puts the condition inside the left
+    // join's right side, the relational twin.
+    "q_quads_sparql_optional_filter" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT DISTINCT ?addr ?dt WHERE {
+           |  ?addr sdo:name ?name .
+           |  ?addr <$SegmentP> ?seg .
+           |  OPTIONAL { ?addr sdo:hasPart ?lc .
+           |             ?lc <$TimeInXsdP> ?dt
+           |             FILTER(?dt >= "1998") }
+           |} ORDER BY ?addr ?dt""".stripMargin)
     }),
 
     // Typed-literal CONSTRUCT templates (r9): `"premium"@en` and
@@ -3328,6 +3349,21 @@ object QuadQueries extends QueryCatalog {
          |  COALESCE(d.dt, 'missing') AS whenv
          |FROM bal b LEFT JOIN dt d ON b.addr = d.addr
          |ORDER BY b.addr, whenv LIMIT 400""".stripMargin,
+
+    "q_quads_sparql_optional_filter" ->
+      s"""$fullQuadsCte,
+         |nm AS (SELECT DISTINCT nq.subject AS addr FROM quads nq
+         |  JOIN quads sg ON sg.subject = nq.subject
+         |  WHERE nq.predicate = '$NameP'
+         |    AND sg.predicate = '$SegmentP'),
+         |dt AS (SELECT DISTINCT hp.subject AS addr, t.objectValue AS dt
+         |  FROM quads hp JOIN quads t ON hp.objectValue = t.subject
+         |  WHERE hp.predicate = '$HasPartP'
+         |    AND t.predicate = '$TimeInXsdP'
+         |    AND t.objectValue >= '1998')
+         |SELECT DISTINCT nm.addr, d.dt
+         |FROM nm LEFT JOIN dt d ON nm.addr = d.addr
+         |ORDER BY nm.addr, d.dt""".stripMargin,
 
     "q_quads_construct_typed" ->
       s"""$fullQuadsCte,

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Bgp {
 
+  /** Pattern relations whose stats-estimated row count is at or below
+    * this hint broadcast (RDF pattern rows are 2-4 short strings —
+    * 50 k rows ≈ a few MB, far under any executor's broadcast budget). */
+  private val BroadcastEstRows = 50000L
+
   sealed trait Term
   final case class Var(name: String) extends Term
   final case class Const(value: String) extends Term
@@ -261,18 +266,30 @@ object Bgp {
   def select(quads: DataFrame, patterns: Seq[Pattern],
       dedup: Boolean = true): DataFrame = {
     require(patterns.nonEmpty, "at least one triple pattern required")
+    val stats = QuadStats.lookup(quads)
     val items = patterns.zipWithIndex.map { case (p, i) =>
-      (bindings(quads, p, i), patternVars(p), selectivity(p))
+      val df0 = bindings(quads, p, i)
+      // a pattern whose predicate the store stats bound to a small
+      // partition is a genuine dimension: hint broadcast so its joins
+      // skip the shuffle entirely (the store relation is a lineage-cut
+      // RDD whose size Catalyst can't estimate, so AQE alone would
+      // shuffle first and only localize post-hoc)
+      val df = if (rankKey(p, stats)._2 <= BroadcastEstRows &&
+          stats.isDefined) broadcast(df0) else df0
+      (df, patternVars(p), rankKey(p, stats))
     }
     val (varful, markers) = items.partition(_._2.nonEmpty)
     val joined: DataFrame =
       if (varful.isEmpty) markers.map(_._1).reduce(_ crossJoin _)
       else {
-        val ordered = varful.sortBy(-_._3)
+        val ordered = varful.sortBy(_._3)
         var acc = ordered.head._1
         var accVars = ordered.head._2
         var rest = ordered.tail
         while (rest.nonEmpty) {
+          // among patterns sharing a variable with the accumulated
+          // bindings, the best-ranked one joins next (rest is sorted,
+          // so the first connected hit IS the best-ranked connected)
           val i = rest.indexWhere(_._2.intersect(accVars).nonEmpty)
           val pick = if (i >= 0) i else 0 // disconnected: SPARQL cartesian
           val (df, vs, _) = rest(pick)
@@ -287,5 +304,26 @@ object Bgp {
     val projected = joined
       .drop(patterns.indices.map(i => s"_bgp_m$i"): _*)
     if (dedup) projected.distinct() else projected
+  }
+
+  /** Pattern join-order rank (ascending = joins earlier): primary key
+    * is the NEGATED structural [[selectivity]] (bound terms narrow
+    * hardest — the Stocker WWW'08 heuristic); the tie-break is the
+    * store's actual predicate cardinality from [[QuadStats]] when the
+    * relation has registered statistics, so equal-shape patterns order
+    * rarest-predicate-first (an absent predicate estimates 0 rows — the
+    * best possible seed: the join short-circuits empty). Without stats
+    * every tie-break is equal and the sort's stability preserves the
+    * pure-heuristic order. */
+  private[graft] def rankKey(p: Pattern,
+      stats: Option[Map[String, Long]]): (Int, Long) = {
+    val est = stats match {
+      case Some(m) => p.p match {
+        case Const(v) => m.getOrElse(v, 0L)
+        case Var(_) => m.values.sum // unbound predicate scans the store
+      }
+      case None => 0L
+    }
+    (-selectivity(p), est)
   }
 }

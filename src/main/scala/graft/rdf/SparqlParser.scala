@@ -125,8 +125,13 @@ object SparqlParser {
       // FILTER(expr op expr)
       termFilters: Seq[TermTest] = Nil,
       // LANG/LANGMATCHES/DATATYPE/isIRI/isLiteral/isBlank
-      valuesMulti: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil)
+      valuesMulti: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
       // VALUES (?a ?b) { (x y) (x UNDEF) … }: vars + rows, None = UNDEF
+      optionalFilters: Seq[Seq[(BindExpr, String, BindExpr)]] = Nil)
+      // index-aligned with `optionals`: FILTERs scoped INSIDE the
+      // OPTIONAL group (they constrain the group's MATCH — unmatched
+      // rows keep their NULLs — unlike an outer FILTER, which drops
+      // unmatched solutions; the left-join-with-condition semantics)
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -829,6 +834,7 @@ object SparqlParser {
     val pths = Seq.newBuilder[PathPattern]
     val fns = Seq.newBuilder[PropFnCall]
     val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
+    val optFils = Seq.newBuilder[Seq[(BindExpr, String, BindExpr)]]
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
     val fnFils = Seq.newBuilder[(String, String, String, String)]
@@ -880,7 +886,29 @@ object SparqlParser {
             unis += branches.result()
           } else pats ++= first
         } else if (p.is("OPTIONAL")) {
-          p.eat(); p.expect("{"); opts += triples(p, g); p.expect("}")
+          // group body: triples plus FILTERs SCOPED to the group (the
+          // expression-comparison subset) — a scoped filter constrains
+          // what MATCHES (left-join-with-condition), it never drops
+          // unmatched solutions the way an outer FILTER on the same
+          // variable would
+          p.eat(); p.expect("{")
+          val gp = Seq.newBuilder[Bgp.Pattern]
+          val gf = Seq.newBuilder[(BindExpr, String, BindExpr)]
+          while (!p.is("}")) {
+            if (p.is("FILTER")) {
+              p.eat(); p.expect("(")
+              val l = bindExpr(p)
+              val op = p.eat()
+              require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+                s"OPTIONAL-scoped FILTER supports comparisons, got '$op'")
+              val r = bindExpr(p)
+              p.expect(")")
+              gf += ((l, op, r))
+            } else gp ++= triples(p, g)
+          }
+          p.expect("}")
+          opts += gp.result()
+          optFils += gf.result()
         } else if (p.is("MINUS")) {
           p.eat(); p.expect("{"); mins += triples(p, g); p.expect("}")
         } else if (p.is("BIND")) {
@@ -1220,6 +1248,7 @@ object SparqlParser {
       grp.result(), pats.result(), opts.result(), mins.result(),
       fils.result(), ord.result(), lim, values = vals.result(),
       valuesMulti = valsMulti.result(),
+      optionalFilters = optFils.result(),
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), selectOrder = order.result(),
@@ -1511,17 +1540,23 @@ object SparqlParser {
       val base =
         if (q.minuses.nonEmpty)
           Bgp.selectMinus(quads, q.patterns, q.minuses, dedup = false)
-        else if (q.optionals.nonEmpty)
-          Bgp.selectOptional(quads, q.patterns, q.optionals, dedup = false)
         else Bgp.select(quads, q.patterns, dedup = false)
-      components += (if (q.minuses.nonEmpty && q.optionals.nonEmpty)
-        q.optionals.foldLeft(base) { (acc, gp) =>
-          val opt = Bgp.select(quads, gp, dedup = false)
+      // each OPTIONAL group left-joins with its SCOPED filters applied
+      // to the group's solutions first (left-join-with-condition —
+      // unmatched rows keep NULLs; an outer FILTER would drop them)
+      components += q.optionals.zipAll(q.optionalFilters, Nil, Nil)
+        .foldLeft(base) { case (acc, (gp, gf)) =>
+          var opt = Bgp.select(quads, gp, dedup = false)
+          gf.foreach { case (l, op, r) =>
+            opt = opt.filter(exprCmpCol(l, op, r))
+          }
           val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq
-          require(shared.nonEmpty, "disconnected OPTIONAL")
+          require(shared.nonEmpty,
+            "an OPTIONAL group must share at least one variable with " +
+              "the required patterns (a disconnected OPTIONAL is a " +
+              "cross join)")
           acc.join(opt, shared, "left")
         }
-      else base)
     } else require(q.optionals.isEmpty && q.minuses.isEmpty,
       "OPTIONAL/MINUS need required patterns")
     q.paths.foreach(pp => components += evalPath(quads, pp))

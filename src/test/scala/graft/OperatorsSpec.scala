@@ -1550,6 +1550,58 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       { <a> <urn:link> ?o } }""") == Seq("urn:x"))
   }
 
+  test("SparqlParser r9: OPTIONAL-scoped FILTER keeps unmatched rows") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:name", "A"), ("b", "urn:name", "B"), ("c", "urn:name", "C"),
+      ("a", "urn:val", "5"), ("b", "urn:val", "1"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String) = SparqlParser.execute(quads, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // scoped: the filter constrains the MATCH — b (val too small) and
+    // c (no val) both keep a NULL binding
+    assert(run("""SELECT ?s ?v WHERE { ?s <urn:name> ?n .
+        OPTIONAL { ?s <urn:val> ?v FILTER(?v >= 3) } }""")
+      == Set(("a", Some("5")), ("b", None), ("c", None)))
+    // outer: the same filter DROPS unmatched solutions (unbound
+    // comparison is never true)
+    assert(run("""SELECT ?s ?v WHERE { ?s <urn:name> ?n .
+        OPTIONAL { ?s <urn:val> ?v } FILTER(?v >= 3) }""")
+      == Set(("a", Some("5"))))
+  }
+
+  test("Bgp r9: predicate statistics refine join order, results invariant") {
+    import spark.implicits._
+    import graft.rdf.{Bgp, QuadStats}
+    import graft.rdf.Bgp.{Pattern, Var}
+    val quads = ((1 to 200).map(i => (s"s$i", "urn:common", s"x$i")) ++
+      Seq(("s3", "urn:rare", "y3"), ("s7", "urn:rare", "y7")))
+      .toDF("subject", "predicate", "objectValue")
+    val a = Pattern(Var("s"), "urn:common", Var("x"))
+    val b = Pattern(Var("s"), "urn:rare", Var("y"))
+    // identical structural shape → the heuristic alone ties
+    assert(Bgp.rankKey(a, None) == Bgp.rankKey(b, None))
+    // with stats the rare predicate ranks earlier (smaller est)
+    val st = Some(Map("urn:common" -> 200L, "urn:rare" -> 2L))
+    assert(Bgp.rankKey(b, st)._2 < Bgp.rankKey(a, st)._2)
+    // an absent predicate estimates 0 — the best possible seed
+    assert(Bgp.rankKey(Pattern(Var("s"), "urn:nosuch", Var("z")), st)
+      ._2 == 0L)
+    // register on the live relation; ordering is plan-shape only —
+    // the solution set is identical with and without stats
+    // (column ORDER may differ once stats re-seed the join — project)
+    val before = Bgp.select(quads, Seq(a, b)).select("s", "x", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    QuadStats.register(quads)
+    assert(QuadStats.lookup(quads).exists(_("urn:rare") == 2L))
+    val after = Bgp.select(quads, Seq(a, b)).select("s", "x", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before && after.size == 2)
+  }
+
   test("SparqlUpdate r9: DELETE DATA matches by TERM, not lexical form") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate

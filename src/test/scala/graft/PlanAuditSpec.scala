@@ -25,6 +25,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "bloom was not keyed on the probe's join key:\n" + blooms.head)
   }
 
+  test("stats-hinted BGP: rare-predicate pattern joins as broadcast") {
+    import spark.implicits._
+    import graft.rdf.{Bgp, QuadStats}
+    import graft.rdf.Bgp.{Pattern, Var}
+    val quads = graft.operators.Checkpoints.cut(
+      ((1 to 5000).map(i => (s"s$i", "urn:common", s"x$i")) ++
+        Seq(("s3", "urn:rare", "y3")))
+        .toDF("subject", "predicate", "objectValue"))
+    val pats = Seq(
+      Pattern(Var("s"), "urn:common", Var("x")),
+      Pattern(Var("s"), "urn:rare", Var("y")))
+    // with Catalyst's own size-estimate broadcasting DISABLED, only an
+    // explicit hint can produce a broadcast join — exactly the regime
+    // the hint is for (relations whose estimates are absent or blown,
+    // e.g. behind joins/generates where conservative stats explode)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val before = Bgp.select(quads, pats)
+        .queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        "auto-broadcast disabled and no hint — expected shuffle join:\n"
+          + before)
+      QuadStats.register(quads)
+      val after = Bgp.select(quads, pats)
+        .queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        "stats-estimated small pattern should broadcast via the hint:\n"
+          + after)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_parquet_agg_pushdown answers count/min/max from footers only") {
     val df = SparkEntry.queries("q_parquet_agg_pushdown")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
