@@ -1194,6 +1194,104 @@ object QuadQueries extends QueryCatalog {
           |}""".stripMargin)
     }),
 
+    // GeoSPARQL geof:distance (r9) — the reference emits geocode
+    // geometry exactly as geo:asWKT POINT wktLiterals
+    // (etl_lalf_geocode.py:72-74) and serves them from GraphDB, whose
+    // GeoSPARQL plugin answers geof: FILTERs; here the function
+    // compiles to the pinned haversine Column composition, and the
+    // radius FILTER plus the FLOOR distance-band BIND ride the same
+    // row-predicate/projection path as any expression — pushed below
+    // the BGP join, no UDF. Radius search + banding in one query.
+    "q_quads_sparql_geof_distance" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(geocodeQuads(s, dir),
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |PREFIX uom: <${graft.rdf.GeoFunctions.UomNs}>
+           |PREFIX addr: <https://w3id.org/profile/anz-address/>
+           |SELECT ?iri ?band WHERE {
+           |  ?iri addr:hasGeocode ?geocode .
+           |  ?geocode <http://www.opengis.net/ont/geosparql#hasGeometry> ?geo .
+           |  ?geo <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  BIND(geof:distance(?wkt, "POINT(143 -12)"^^<http://www.opengis.net/ont/geosparql#wktLiteral>, uom:metre) AS ?d)
+           |  BIND(FLOOR(?d / 100000) AS ?band)
+           |  FILTER(?d < 400000)
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
+    // GeoSPARQL geof:sfWithin (r9) — point-in-polygon as a bare
+    // boolean FILTER over the wktLiteral column: an even-odd ray cast
+    // in native HOFs (GeoFunctions.within), per-row, shuffle-free.
+    // The polygon is a convex diamond chosen OFF the integer geocode
+    // lattice so the open-interior semantics are unambiguous; the
+    // oracle states the same diamond as its |dx|/a + |dy|/b < 1
+    // inequality — two independent formulations of one region.
+    "q_quads_sparql_geof_within" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(geocodeQuads(s, dir),
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |PREFIX addr: <https://w3id.org/profile/anz-address/>
+           |SELECT ?iri ?wkt WHERE {
+           |  ?iri addr:hasGeocode ?geocode .
+           |  ?geocode <http://www.opengis.net/ont/geosparql#hasGeometry> ?geo .
+           |  ?geo <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  FILTER(geof:sfWithin(?wkt, "POLYGON((141.3 -12.3, 144.5 -9.7, 147.7 -12.3, 144.5 -14.9, 141.3 -12.3))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
+    // SPARQL dataset clause (r9): FROM <g> declares the query's
+    // default graph — the discriminating case is a predicate that
+    // lives in BOTH graphs (sdo:hasPart carries the nation/region/
+    // segment part groups in the addresses graph AND the given-name
+    // groups in geographical-names); the clause compiles into each
+    // pattern's scan filter, so the restriction pushes into the store
+    // scan with the predicate constant.
+    "q_quads_sparql_from" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?s ?b
+           |FROM <$GraphG>
+           |WHERE {
+           |  ?s <$HasPartP> ?b .
+           |} ORDER BY ?s ?b""".stripMargin)
+    }),
+
+    // The meilisearch indexer's download query shape (r9) — the LAST
+    // reference serving text not yet run through the engine
+    // (meili/download_addr_iris.py:13-19): CONSTRUCT re-emitting typed
+    // entities `?iri a addr:Address` FROM one declared graph, lowercase
+    // `where` included; type/graph names are this corpus's
+    // (sdo:Place, urn:qali:graph:addresses). `a` now parses in
+    // TEMPLATE position too, as in patterns.
+    "q_quads_sparql_from_construct" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |CONSTRUCT {
+           |    ?iri a sdo:Place .
+           |}
+           |FROM <$GraphA>
+           |where {
+           |  ?iri sdo:hasPart ?b .
+           |}""".stripMargin)
+    }),
+
+    // SPARQL 1.1 builtin pack (r9): §17.4.3 STRBEFORE/STRAFTER and
+    // ENCODE_FOR_URI, §17.4.4 CEIL (+ABS in the FILTER), §17.4.6
+    // MD5/SHA256 — all in one solution pipeline over the preloaded
+    // store, each compiling to a codegen'd native function (instr/
+    // substring/url_encode/ceil/md5/sha2), no UDFs. The oracle
+    // recomputes every column independently in DuckDB.
+    "q_quads_sparql_builtins" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?s ?b4 ?af ?enc ?kb ?h ?sh WHERE {
+           |  ?s <$NameP> ?name .
+           |  ?s <$BalanceP> ?bal .
+           |  BIND(STRBEFORE(?name, "#") AS ?b4)
+           |  BIND(STRAFTER(?name, "#") AS ?af)
+           |  BIND(ENCODE_FOR_URI(?name) AS ?enc)
+           |  BIND(CEIL(?bal / 1000) AS ?kb)
+           |  BIND(MD5(?name) AS ?h)
+           |  BIND(SHA256(?name) AS ?sh)
+           |  FILTER(ABS(?bal - 1000) > 6000)
+           |} ORDER BY ?s""".stripMargin)
+    }),
+
     // cam/compound_naming.py:14-22 — the address-templating component
     // query, verbatim: BIND pins the compound-name object, and the
     // func:getLiteralComponents property function (the Jena plugin
@@ -2747,6 +2845,73 @@ object QuadQueries extends QueryCatalog {
         |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
         |    AS iri
         |FROM customer WHERE c_custkey = 1""".stripMargin,
+
+    "q_quads_sparql_from" ->
+      s"""$fullQuadsCte
+         |SELECT subject AS s, objectValue AS b FROM quads
+         |WHERE graph = '$GraphG' AND predicate = '$HasPartP'
+         |ORDER BY s, b""".stripMargin,
+
+    "q_quads_sparql_from_construct" ->
+      s"""$fullQuadsCte,
+         |iris AS (SELECT DISTINCT subject FROM quads
+         |  WHERE graph = '$GraphA' AND predicate = '$HasPartP')
+         |SELECT subject, '$RdfType' AS predicate,
+         |  '$PlaceT' AS objectValue, 'iri' AS objectKind,
+         |  CAST(NULL AS VARCHAR) AS datatype, CAST(NULL AS VARCHAR) AS lang
+         |FROM iris ORDER BY subject""".stripMargin,
+
+    // haversine term order mirrors GraftFunctions.haversineKm exactly
+    // (2*R first, then *1000 for uom:metre) so both engines associate
+    // the multiplications identically
+    "q_quads_sparql_geof_distance" ->
+      """WITH pts AS (
+        |  SELECT 'https://example.org/customer/' ||
+        |      CAST(c_custkey AS VARCHAR) AS iri,
+        |    CAST(140 + c_custkey % 10 AS DOUBLE) AS lon,
+        |    CAST(-(10 + c_custkey % 5) AS DOUBLE) AS lat
+        |  FROM customer),
+        |d AS (
+        |  SELECT iri, 2 * 6371.0088 * asin(sqrt(
+        |    pow(sin(radians(-12 - lat) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(-12)) *
+        |    pow(sin(radians(143 - lon) / 2), 2))) * 1000 AS d
+        |  FROM pts)
+        |SELECT iri, CAST(FLOOR(d / 100000) AS BIGINT) AS band
+        |FROM d WHERE d < 400000 ORDER BY iri""".stripMargin,
+
+    // the engine ray-casts the diamond's ring; the oracle states the
+    // same open region as the taxicab inequality — no lattice point
+    // lies on the boundary (26·dx + 32·dy = 83.2 has no solution over
+    // the half-integer offsets), so both classifications agree exactly
+    "q_quads_sparql_geof_within" ->
+      """SELECT
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS iri,
+        |  'POINT(' || CAST(140 + c_custkey % 10 AS VARCHAR) || ' -'
+        |    || CAST(10 + c_custkey % 5 AS VARCHAR) || ')' AS wkt
+        |FROM customer
+        |WHERE abs(CAST(140 + c_custkey % 10 AS DOUBLE) - 144.5) / 3.2
+        |    + abs(CAST(-(10 + c_custkey % 5) AS DOUBLE) + 12.3) / 2.6 < 1
+        |ORDER BY iri""".stripMargin,
+
+    "q_quads_sparql_builtins" ->
+      """WITH c AS (
+        |  SELECT 'https://example.org/customer/' ||
+        |      CAST(c_custkey AS VARCHAR) AS s,
+        |    c_name AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |  FROM customer)
+        |SELECT s,
+        |  CASE WHEN strpos(name, '#') > 0
+        |    THEN substr(name, 1, strpos(name, '#') - 1) ELSE '' END AS b4,
+        |  CASE WHEN strpos(name, '#') > 0
+        |    THEN substr(name, strpos(name, '#') + 1) ELSE '' END AS af,
+        |  replace(name, '#', '%23') AS enc,
+        |  CAST(CEIL(bal / 1000) AS BIGINT) AS kb,
+        |  md5(name) AS h,
+        |  sha256(name) AS sh
+        |FROM c WHERE abs(bal - 1000) > 6000 ORDER BY s""".stripMargin,
 
     "q_quads_sparql_ref_component" ->
       s"""$fullQuadsCte,

@@ -316,6 +316,40 @@ object TextAnalysisQueries extends QueryCatalog {
         .orderBy(col("lang"))
     }),
 
+    // Sequence packing (r9): the concat-and-chunk example packer that
+    // sits between the cleaned corpus and the trainer in every
+    // pretraining pipeline — documents concatenated in deterministic
+    // order and sliced into fixed context-length chunks (the packing
+    // T5/GPT-style dataloaders ship, as opposed to first-fit bin
+    // packing, which is inherently sequential). Per SHARD (the unit a
+    // downstream dataloader owns) docs order by doc_id; ONE window
+    // cumsum maps each doc to its token span [cum−toks, cum), so the
+    // chunk ids it touches are pure integer arithmetic — no stateful
+    // packer, no driver loop. Gate emits per-shard packing stats:
+    // chunk count, chunk-boundary-straddling docs, tail padding waste
+    // — all exact integers. 100 TB shape: shards are the parallelism
+    // unit (8 here, O(10^5) in prod); each per-shard window sorts only
+    // its own docs, and the stats combine map-side.
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      normText(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("t"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("first_chunk", expr("(cum - toks) div 512"))
+        .withColumn("last_chunk", expr("(cum - 1) div 512"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_toks"),
+          sum(when(col("first_chunk") =!= col("last_chunk"), 1L)
+            .otherwise(0L)).as("straddlers"))
+        .withColumn("n_chunks", expr("(total_toks - 1) div 512 + 1"))
+        .withColumn("waste", expr("n_chunks * 512 - total_toks"))
+        .select(col("shard"), col("n_docs"), col("total_toks"),
+          col("n_chunks"), col("straddlers"), col("waste"))
+        .orderBy(col("shard"))
+    }),
+
     // Intra-document repetition signals (the Gopher-style quality rules
     // that catch boilerplate/keyword-stuffed docs DEDUP can't — dedup
     // compares across docs, these measure repetition WITHIN one):
@@ -1023,6 +1057,23 @@ object TextAnalysisQueries extends QueryCatalog {
          |  CAST(SUM(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
          |  round(CAST(SUM(len(string_split(t, ' '))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
          |FROM norm GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH $duckNorm,
+         |toks AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len(string_split(t, ' ')) AS BIGINT) AS toks
+         |  FROM norm),
+         |spans AS (SELECT shard, doc_id, toks,
+         |    SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM toks)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_toks,
+         |  CAST((SUM(toks) - 1) // 512 + 1 AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN (cum - toks) // 512 != (cum - 1) // 512
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS straddlers,
+         |  CAST(((SUM(toks) - 1) // 512 + 1) * 512 - SUM(toks) AS BIGINT)
+         |    AS waste
+         |FROM spans GROUP BY shard ORDER BY shard""".stripMargin,
     "q_text_repetition" ->
       s"""WITH $duckNorm,
          |d AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),

@@ -1,0 +1,95 @@
+package graft.rdf
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** GeoSPARQL filter/bind functions over `geo:wktLiteral` columns
+  * (OGC GeoSPARQL 1.0 §8.7, the `geof:` function namespace).
+  *
+  * The reference emits exactly this shape — geocode geometries as
+  * `geo:asWKT "POINT (lon lat)"^^geo:wktLiteral`
+  * (`etl_lalf_geocode.py:72-74`) — and serves them from GraphDB, whose
+  * GeoSPARQL plugin answers `geof:distance`/`geof:sfWithin` FILTERs.
+  * Here the same functions compile to plain Column expressions over the
+  * quad relation's lexical WKT forms, so Catalyst pushes them like any
+  * other row predicate: point extraction is one regexp per coordinate,
+  * distance reuses the haversine composition every spatial oracle
+  * already pins ([[graft.functions.GraftFunctions.haversineKm]]), and
+  * the within test is a native-HOF ray cast over the polygon ring —
+  * no UDFs, no driver state, scale-independent.
+  */
+object GeoFunctions {
+
+  /** `geof:` function namespace (GeoSPARQL 1.0 Req 28-30). */
+  val Ns = "http://www.opengis.net/def/function/geosparql/"
+  /** OGC units-of-measure namespace for the distance units argument. */
+  val UomNs = "http://www.opengis.net/def/uom/OGC/1.0/"
+
+  val DistanceFn: String = Ns + "distance"
+  val SfWithinFn: String = Ns + "sfWithin"
+  val SfContainsFn: String = Ns + "sfContains"
+
+  private val Num = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+  private val PointRe = s"POINT\\s*\\(\\s*$Num\\s+$Num\\s*\\)"
+
+  /** Longitude (x) of a WKT POINT lexical form; null for non-points. */
+  def pointX(wkt: Column): Column = {
+    val m = regexp_extract(wkt.cast("string"), PointRe, 1)
+    when(m =!= "", m.cast("double"))
+  }
+
+  /** Latitude (y) of a WKT POINT lexical form; null for non-points. */
+  def pointY(wkt: Column): Column = {
+    val m = regexp_extract(wkt.cast("string"), PointRe, 2)
+    when(m =!= "", m.cast("double"))
+  }
+
+  /** `geof:distance(g1, g2, units)` between two POINT literals.
+    * Units: uom:metre (the form the GeoSPARQL spec's own examples use)
+    * or uom:kilometre/kilometer; anything else rejects loudly rather
+    * than silently guessing a unit. Great-circle (haversine) distance —
+    * the same op-ordered composition the codegen expression and every
+    * DuckDB spatial oracle pin, so both engines agree bit-for-bit. */
+  def distance(g1: Column, g2: Column, unitsIri: String): Column = {
+    val km = graft.functions.GraftFunctions
+      .haversineKm(pointX(g1), pointY(g1), pointX(g2), pointY(g2))
+    unitsIri match {
+      case s if s == UomNs + "metre" || s == UomNs + "meter" => km * 1000d
+      case s if s == UomNs + "kilometre" || s == UomNs + "kilometer" => km
+      case other => throw new IllegalArgumentException(
+        s"geof:distance units must be <${UomNs}metre> or " +
+          s"<${UomNs}kilometre>, got <$other>")
+    }
+  }
+
+  /** `geof:sfWithin(point, polygon)` — POINT strictly inside a simple
+    * (single-ring, no-holes) WKT POLYGON. Even-odd ray cast: count the
+    * ring edges a horizontal ray from the point crosses; odd = inside.
+    * Pure native HOFs (`transform`/`filter`/`size`) over the split ring
+    * text — evaluated per row with no shuffle, so the predicate
+    * composes with the BGP scan filters like any comparison. Points on
+    * an edge are boundary cases the even-odd rule does not define;
+    * callers choose polygons off the data lattice (as the gate does). */
+  def within(pointWkt: Column, polygonWkt: Column): Column = {
+    val px = pointX(pointWkt)
+    val py = pointY(pointWkt)
+    val ring = regexp_extract(polygonWkt.cast("string"),
+      "POLYGON\\s*\\(\\(([^)]*)\\)\\)", 1)
+    val pts = transform(split(ring, ","), s => {
+      val xy = split(trim(s), "\\s+")
+      struct(element_at(xy, 1).cast("double").as("x"),
+        element_at(xy, 2).cast("double").as("y"))
+    })
+    // WKT rings are closed (last vertex repeats the first), so edges
+    // are (i, i+1) for i in 1..n-1 over the 1-based array
+    val crossed = filter(sequence(lit(1), size(pts) - 1), i => {
+      val a = element_at(pts, i)
+      val b = element_at(pts, i + lit(1))
+      val ax = a.getField("x"); val ay = a.getField("y")
+      val bx = b.getField("x"); val by = b.getField("y")
+      ((ay > py) =!= (by > py)) &&
+        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+    })
+    ring =!= "" && px.isNotNull && size(crossed) % 2 === 1
+  }
+}

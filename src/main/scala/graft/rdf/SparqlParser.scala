@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   * | (expr AS ?a)                       (SELECT expression, no aggregates)
   * | CONSTRUCT { template triples } | CONSTRUCT WHERE { … }
   * | ASK | DESCRIBE <iri> | DESCRIBE ?v WHERE { … }  (CBD per solution)
+  * [FROM <g>]* [FROM NAMED <g>]*         (§13.2 dataset clause — declared
+  *                                        default-graph union / GRAPH set)
   * WHERE {
   *   [GRAPH ?g|<iri> { group }]
   *   [{ SELECT … }]                          (sub-select, joined on shared vars)
@@ -34,7 +36,11 @@ import org.apache.spark.sql.functions._
   *   [(?x ?y) <fn> (args) .]                 (list subject form)
   *   [BIND(<iri>|"lit" AS ?v)]              (constant → pushed to scans)
   *   [BIND(expr AS ?v)]                      (CONCAT/STR/STRLEN/UCASE/
-  *                                            LCASE/SUBSTR/REPLACE,
+  *                                            LCASE/SUBSTR/REPLACE/
+  *                                            STRBEFORE/STRAFTER/
+  *                                            ENCODE_FOR_URI/ABS/CEIL/
+  *                                            FLOOR/ROUND/MD5/SHA1/
+  *                                            SHA256/geof:distance,
   *                                            + - * / on ?v/ints)
   *   [OPTIONAL { triples }]
   *   [MINUS { triples }]
@@ -49,6 +55,10 @@ import org.apache.spark.sql.functions._
   *   [FILTER(expr op expr)]                  (BIND expression grammar on
  *                                            both sides; numeric unless
  *                                            both sides string-typed)
+ *   [FILTER(geof:sfWithin(?w, "POLYGON…") | geof:sfContains(…))]
+ *                                           (bare boolean calls — the
+ *                                            GeoSPARQL point-in-polygon
+ *                                            tests, native-HOF ray cast)
  *   [FILTER [NOT] EXISTS { triples }]
   *   [VALUES ?v { "lit" <iri> … }]
   * }
@@ -127,7 +137,11 @@ object SparqlParser {
       // LANG/LANGMATCHES/DATATYPE/isIRI/isLiteral/isBlank
       valuesMulti: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
       // VALUES (?a ?b) { (x y) (x UNDEF) … }: vars + rows, None = UNDEF
-      optionalFilters: Seq[Seq[(BindExpr, String, BindExpr)]] = Nil)
+      optionalFilters: Seq[Seq[(BindExpr, String, BindExpr)]] = Nil,
+      boolFilters: Seq[BindExpr] = Nil,
+      // FILTER(boolFn(args)) — bare boolean calls (geof:sfWithin …)
+      fromGraphs: Seq[String] = Nil, // FROM <g> — default-graph union
+      fromNamed: Seq[String] = Nil) // FROM NAMED <g> — GRAPH-visible set
       // index-aligned with `optionals`: FILTERs scoped INSIDE the
       // OPTIONAL group (they constrain the group's MATCH — unmatched
       // rows keep their NULLs — unlike an outer FILTER, which drops
@@ -160,7 +174,11 @@ object SparqlParser {
 
   private val BindFns =
     Seq("CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
-      "COALESCE", "IF")
+      "COALESCE", "IF",
+      // r9 builtins: SPARQL 1.1 §17.4.3 string accessors, RFC 3986
+      // encoding, §17.4.4 numerics, §17.4.6 hashes
+      "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
+      "ABS", "CEIL", "FLOOR", "ROUND", "MD5", "SHA1", "SHA256")
 
   /** One atomic FILTER test — the unit both the conjunctive lists and
     * `||` disjunction groups compose from. */
@@ -179,6 +197,11 @@ object SparqlParser {
     * Compared numerically (double) unless both sides are string-typed. */
   final case class ExprCmp(l: BindExpr, op: String, r: BindExpr)
       extends FilterAtom
+  /** A bare boolean-valued function call in FILTER position — the
+    * GeoSPARQL simple-feature tests (`FILTER(geof:sfWithin(?wkt,
+    * "POLYGON(…)"))`) are the registered vocabulary; compiled by
+    * [[bindBool]] to a Column predicate like any comparison. */
+  final case class ExprBool(e: BindExpr) extends FilterAtom
   /** SPARQL term-accessor test — `LANG(?v) = "en"`,
     * `LANGMATCHES(LANG(?v), "en")`, `DATATYPE(?v) = <xsd:dateTime>`,
     * `[!]isIRI/isLiteral/isBlank(?v)`. These read the TERM columns
@@ -541,8 +564,15 @@ object SparqlParser {
         val f = full()
         p.expect(")")
         BIf(l, op, r, t, f)
-      } else if (BindFns.exists(p.is)) {
-        val fn = p.eat().toUpperCase
+      } else if (BindFns.exists(p.is) ||
+          (p.peek.startsWith("<") && p.peek2 == "(")) {
+        // a bare name from BindFns, or an IRI-named extension function
+        // (prefixed names are already IRI-expanded) — GeoSPARQL's geof:
+        // vocabulary arrives this way
+        val t = p.eat()
+        val fn =
+          if (t.startsWith("<")) t.substring(1, t.length - 1)
+          else t.toUpperCase
         p.expect("(")
         val args = Seq.newBuilder[BindExpr]
         args += full()
@@ -552,8 +582,13 @@ object SparqlParser {
       } else {
         val tok = p.eat()
         if (tok.startsWith("?")) BVar(tok.substring(1))
-        else if (tok.startsWith("\"")) BStr(unquote(tok))
-        else if (tok.startsWith("<")) BStr(tok.substring(1, tok.length - 1))
+        else if (tok.startsWith("\"")) {
+          // expressions operate on the lexical form — a typed-literal
+          // suffix ("…"^^geo:wktLiteral / @tag) parses and drops
+          literalSuffix(p)
+          BStr(unquote(tok))
+        } else if (tok.startsWith("<"))
+          BStr(tok.substring(1, tok.length - 1))
         else BNum(tok.toDouble)
       }
     def full(): BindExpr = {
@@ -588,6 +623,36 @@ object SparqlParser {
     case BCall("REPLACE", Seq(a, pat, rep)) =>
       regexp_replace(bindCol(a).cast("string"),
         bindCol(pat).cast("string"), bindCol(rep).cast("string"))
+    // SPARQL 1.1 §17.4.3.13/.14: substring before/after the FIRST
+    // occurrence of the delimiter; no occurrence → "" per spec
+    case BCall("STRBEFORE", Seq(a, b)) =>
+      val (s, d) = (bindCol(a).cast("string"), bindCol(b).cast("string"))
+      when(instr(s, d) > 0, substring(s, lit(1), instr(s, d) - 1))
+        .otherwise("")
+    case BCall("STRAFTER", Seq(a, b)) =>
+      val (s, d) = (bindCol(a).cast("string"), bindCol(b).cast("string"))
+      when(instr(s, d) > 0,
+        substr(s, instr(s, d) + length(d), length(s))).otherwise("")
+    // §17.4.2.8: percent-encode everything but RFC 3986 unreserved;
+    // url_encode is form-encoding (space → '+'), so re-map to %20
+    case BCall("ENCODE_FOR_URI", Seq(a)) =>
+      regexp_replace(url_encode(bindCol(a).cast("string")), "\\+", "%20")
+    // §17.4.4 numerics — CEIL/FLOOR/ROUND surface as integer lexical
+    // forms (the engine's solution columns are strings; "7", not "7.0")
+    case BCall("ABS", Seq(a)) => abs(bindCol(a).cast("double"))
+    case BCall("CEIL", Seq(a)) =>
+      ceil(bindCol(a).cast("double")).cast("long")
+    case BCall("FLOOR", Seq(a)) =>
+      floor(bindCol(a).cast("double")).cast("long")
+    case BCall("ROUND", Seq(a)) =>
+      round(bindCol(a).cast("double"), 0).cast("long")
+    // §17.4.6 hash functions — lowercase hex, same as every store
+    case BCall("MD5", Seq(a)) => md5(bindCol(a).cast("string"))
+    case BCall("SHA1", Seq(a)) => sha1(bindCol(a).cast("string"))
+    case BCall("SHA256", Seq(a)) => sha2(bindCol(a).cast("string"), 256)
+    // GeoSPARQL geof:distance over POINT wktLiterals (GeoFunctions)
+    case BCall(GeoFunctions.DistanceFn, Seq(g1, g2, BStr(units))) =>
+      GeoFunctions.distance(bindCol(g1), bindCol(g2), units)
     // COALESCE over unbound (null) bindings — OPTIONAL-group variables
     // are the canonical argument; null-skipping is exactly Spark's
     case BCall("COALESCE", args) if args.nonEmpty =>
@@ -607,6 +672,19 @@ object SparqlParser {
       }
   }
 
+  /** Compile a bare boolean FILTER call — the GeoSPARQL simple-feature
+    * predicates. `sfContains(poly, point)` is `sfWithin` with the
+    * arguments swapped (OGC simple-feature relation inverses). */
+  private def bindBool(e: BindExpr): Column = e match {
+    case BCall(GeoFunctions.SfWithinFn, Seq(g1, g2)) =>
+      GeoFunctions.within(bindCol(g1), bindCol(g2))
+    case BCall(GeoFunctions.SfContainsFn, Seq(g1, g2)) =>
+      GeoFunctions.within(bindCol(g2), bindCol(g1))
+    case other => throw new IllegalArgumentException(
+      s"not a boolean FILTER function: $other (supported: " +
+        s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>)")
+  }
+
   /** Compile a `FILTER(expr op expr)` comparison: numeric (double) when
     * either side is arithmetic/numeric-typed, lexical (string)
     * otherwise — SPARQL's operator-mapping dichotomy over this engine's
@@ -617,6 +695,9 @@ object SparqlParser {
       case BNum(_) => Some(false)
       case BArith(_, _, _) => Some(false)
       case BCall("STRLEN", _) => Some(false)
+      case BCall(f, _)
+        if Seq("ABS", "CEIL", "FLOOR", "ROUND",
+          GeoFunctions.DistanceFn).contains(f) => Some(false)
       case BCall(_, _) => Some(true)
       case BIf(_, _, _, _, _) => Some(true)
       case BVar(_) => None
@@ -672,7 +753,11 @@ object SparqlParser {
     var more = true
     while (more) {
       val s = term(p.eat())
-      val pr = p.eat()
+      val pr0 = p.eat()
+      // `a` is rdf:type in predicate position, in templates as in
+      // patterns (the reference's meili CONSTRUCT template uses it)
+      val pr =
+        if (pr0 == "a") "<" + RdfTypeIri + ">" else pr0
       require(pr.startsWith("<"),
         s"template predicate must be a constant IRI, got '$pr'")
       val oTok = p.eat()
@@ -829,6 +914,22 @@ object SparqlParser {
         order += a.substring(1)
       } else { val v = p.eat().substring(1); proj += v; order += v }
     }
+    // SPARQL dataset clause (§13.2): FROM <g> composes the query's
+    // default graph (union of the named dumps), FROM NAMED <g> the set
+    // GRAPH patterns may select from. The reference's meilisearch
+    // export uses exactly this form — `CONSTRUCT { ?iri a addr:Address }
+    // FROM <urn:ladb:graph:addresses> where { … }`
+    // (meili/download_addr_iris.py:13-19).
+    val fromG = Seq.newBuilder[String]
+    val fromN = Seq.newBuilder[String]
+    while (p.is("FROM")) {
+      p.eat()
+      val named = p.is("NAMED"); if (named) p.eat()
+      val t = p.eat()
+      require(t.startsWith("<"), s"FROM needs an IRI, got '$t'")
+      val iri = t.substring(1, t.length - 1)
+      if (named) fromN += iri else fromG += iri
+    }
     p.expect("WHERE"); p.expect("{")
     val pats = Seq.newBuilder[Bgp.Pattern]
     val pths = Seq.newBuilder[PathPattern]
@@ -839,6 +940,7 @@ object SparqlParser {
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
     val fnFils = Seq.newBuilder[(String, String, String, String)]
     val eFils = Seq.newBuilder[(BindExpr, String, BindExpr)]
+    val bFils = Seq.newBuilder[BindExpr]
     val varFils = Seq.newBuilder[(String, String, String)]
     val inFils = Seq.newBuilder[(String, Boolean, Seq[String])]
     val bndFils = Seq.newBuilder[(String, Boolean)]
@@ -1099,16 +1201,19 @@ object SparqlParser {
                 if (neg) "!=" else "=", "")
             } else if ((BindFns.exists(p.is) && !p.is("STR")) ||
                 p.is("(") || p.peek.headOption.exists(_.isDigit) ||
+                (p.peek.startsWith("<") && p.peek2 == "(") ||
                 (p.peek.startsWith("?") &&
                   Seq("+", "-", "*", "/").contains(p.peek2))) {
               // FILTER(expr op expr) — both sides through the BIND
-              // expression grammar (arithmetic, string builders). STR
-              // stays on the legacy lexical-compare path below.
+              // expression grammar (arithmetic, string builders,
+              // IRI-named extension functions). STR stays on the
+              // legacy lexical-compare path below. A call with no
+              // comparison is a bare boolean test (geof:sfWithin).
               val l = bindExpr(p)
-              val op = p.eat()
-              require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
-                s"unsupported FILTER operator '$op'")
-              atoms += ExprCmp(l, op, bindExpr(p))
+              if (Seq("=", "!=", "<", ">", "<=", ">=").exists(p.is)) {
+                val op = p.eat()
+                atoms += ExprCmp(l, op, bindExpr(p))
+              } else atoms += ExprBool(l)
             } else {
               // STR(?v) casts the comparison to the lexical form — on
               // this engine's string-valued binding columns that means
@@ -1183,6 +1288,7 @@ object SparqlParser {
             case BoundTest(v, n) => bndFils += ((v, n))
             case StrFn(f, v, a, fl) => fnFils += ((f, v, a, fl))
             case ExprCmp(l, o, r) => eFils += ((l, o, r))
+            case ExprBool(e) => bFils += e
             case t: TermTest => tFils += t
           }
         } else tripleish(p, g, pats, pths, fns)
@@ -1259,6 +1365,9 @@ object SparqlParser {
       // WHERE-clause BINDs first: a SELECT expression may reference them
       exprBinds = eBnds.result() ++ selExprs.result(),
       exprFilters = eFils.result(),
+      boolFilters = bFils.result(),
+      fromGraphs = fromG.result(),
+      fromNamed = fromN.result(),
       termFilters = tFils.result(),
       verb = if (constructTpl.nonEmpty) "construct"
         else if (descVar.isDefined) "describe" else "select",
@@ -1438,6 +1547,48 @@ object SparqlParser {
     }
   }
 
+  /** §13.2 dataset-clause semantics: when any FROM/FROM NAMED is
+    * declared, the dataset is exactly what's declared — unscoped
+    * patterns see the UNION of the FROM graphs, GRAPH-scoped patterns
+    * only the FROM NAMED set (an absent set ⇒ no matches, per spec).
+    * Compiles to per-pattern scan predicates conjoined into
+    * [[Bgp.Pattern.scanFilter]], so the graph restriction pushes into
+    * the store scan with the rest; subqueries inherit the outer
+    * dataset (they cannot declare their own). Paths and property
+    * functions are scoped at their evaluation sites via
+    * [[datasetFilter]]. */
+  private def applyDataset(q: Query): Query = {
+    if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) return q
+    def f(inGraphBlock: Boolean): Column = {
+      val set = if (inGraphBlock) q.fromNamed else q.fromGraphs
+      if (set.isEmpty) lit(false) else col("graph").isin(set: _*)
+    }
+    def sp(p: Bgp.Pattern): Bgp.Pattern = {
+      val g = f(p.g.isDefined)
+      p.copy(scanFilter = Some(p.scanFilter.map(_ && g).getOrElse(g)))
+    }
+    q.copy(
+      patterns = q.patterns.map(sp),
+      optionals = q.optionals.map(_.map(sp)),
+      minuses = q.minuses.map(_.map(sp)),
+      unions = q.unions.map(_.map(_.map(sp))),
+      existsFilters = q.existsFilters.map { case (n, g) => (n, g.map(sp)) },
+      subqueries = q.subqueries.map(s =>
+        s.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed)))
+  }
+
+  /** Dataset restriction for the relation-level access paths (paths,
+    * property functions) — same set logic as [[applyDataset]]'s
+    * per-pattern predicate. */
+  private def datasetFilter(q: Query, quads: DataFrame,
+      inGraphBlock: Boolean): DataFrame =
+    if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) quads
+    else {
+      val set = if (inGraphBlock) q.fromNamed else q.fromGraphs
+      if (set.isEmpty) quads.filter(lit(false))
+      else quads.filter(col("graph").isin(set: _*))
+    }
+
   private def executeQuery(quads: DataFrame, q0: Query,
       functions: Map[String, PropertyFunction]): DataFrame = {
     // CONSTRUCT dispatches AFTER the solution pipeline below — its
@@ -1476,7 +1627,7 @@ object SparqlParser {
         subjects = fc.subjects.map(substitute(_, bindMap)),
         objects = fc.objects.map(substitute(_, bindMap)))),
       unions = q0.unions.map(_.map(_.map(subPat))))
-    val q = q1.copy(patterns = attachTermFilters(q1))
+    val q = applyDataset(q1.copy(patterns = attachTermFilters(q1)))
 
     val allowCartesian = quads.sparkSession.conf
       .getOption("graft.sparql.allowCartesian").contains("true")
@@ -1559,7 +1710,8 @@ object SparqlParser {
         }
     } else require(q.optionals.isEmpty && q.minuses.isEmpty,
       "OPTIONAL/MINUS need required patterns")
-    q.paths.foreach(pp => components += evalPath(quads, pp))
+    q.paths.foreach(pp => components +=
+      evalPath(datasetFilter(q, quads, pp.graph.isDefined), pp))
     q.propFns.foreach { fc =>
       val fn = functions.getOrElse(fc.fnIri,
         throw new IllegalArgumentException(
@@ -1567,10 +1719,12 @@ object SparqlParser {
             (if (functions.isEmpty) "" else
               s"; registered: ${functions.keys.toSeq.sorted.mkString(", ")}")))
       val scoped = fc.graph match {
-        case Some(Bgp.Const(g)) => quads.filter(col("graph") === g)
+        case Some(Bgp.Const(g)) =>
+          datasetFilter(q, quads, inGraphBlock = true)
+            .filter(col("graph") === g)
         case Some(Bgp.Var(_)) => throw new IllegalArgumentException(
           "a GRAPH variable cannot scope a property function")
-        case None => quads
+        case None => datasetFilter(q, quads, inGraphBlock = false)
       }
       components += fn(scoped, fc.subjects, fc.objects)
     }
@@ -1656,6 +1810,7 @@ object SparqlParser {
         case "CONTAINS" => col(v).contains(arg)
       }
       case ExprCmp(l, op, r) => exprCmpCol(l, op, r)
+      case ExprBool(e) => bindBool(e)
       // term accessors read quad-relation columns (lang/datatype/kind)
       // that only exist at the SCAN, not on the solution relation — a
       // disjunction would need them post-join, so reject loudly rather
@@ -1670,6 +1825,7 @@ object SparqlParser {
     q.exprFilters.foreach { case (l, op, r) =>
       sol = sol.filter(exprCmpCol(l, op, r))
     }
+    q.boolFilters.foreach(e => sol = sol.filter(bindBool(e)))
     q.filterFns.foreach { case (fn, v, arg, flags) =>
       sol = sol.filter(fn match {
         // SPARQL REGEX is a partial match (like Java find/RLIKE);

@@ -1550,6 +1550,120 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       { <a> <urn:link> ?o } }""") == Seq("urn:x"))
   }
 
+  test("SparqlParser r9: FROM / FROM NAMED dataset clause") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:p", "1", "g1"), ("b", "urn:p", "2", "g2"),
+      ("c", "urn:p", "3", "g3"))
+      .toDF("subject", "predicate", "objectValue", "graph")
+    def vals(q: String): Seq[String] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.getString(0)).toSeq.sorted
+    // no dataset clause: union default graph (all three)
+    assert(vals("SELECT ?s WHERE { ?s <urn:p> ?o }") == Seq("a", "b", "c"))
+    // FROM union: exactly the declared graphs
+    assert(vals("""SELECT ?s FROM <g1> WHERE { ?s <urn:p> ?o }""")
+      == Seq("a"))
+    assert(vals("""SELECT ?s FROM <g1> FROM <g3>
+      WHERE { ?s <urn:p> ?o }""") == Seq("a", "c"))
+    // GRAPH sees only FROM NAMED; with a dataset declared but no FROM
+    // NAMED, the named set is EMPTY per §13.2 — GRAPH matches nothing
+    assert(vals("""SELECT ?s FROM <g1> FROM NAMED <g2>
+      WHERE { GRAPH <g2> { ?s <urn:p> ?o } }""") == Seq("b"))
+    assert(vals("""SELECT ?s FROM <g1>
+      WHERE { GRAPH <g2> { ?s <urn:p> ?o } }""") == Seq())
+    // FROM NAMED alone: default graph is empty, GRAPH ?g enumerates
+    // only the named set
+    assert(vals("""SELECT ?s FROM NAMED <g2> FROM NAMED <g3>
+      WHERE { GRAPH ?g { ?s <urn:p> ?o } }""") == Seq("b", "c"))
+    assert(vals("""SELECT ?s FROM NAMED <g2>
+      WHERE { ?s <urn:p> ?o }""") == Seq())
+  }
+
+  test("SparqlParser r9: GeoSPARQL geof functions + builtin pack") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val geofD = "http://www.opengis.net/def/function/geosparql/distance"
+    val geofW = "http://www.opengis.net/def/function/geosparql/sfWithin"
+    val geofC = "http://www.opengis.net/def/function/geosparql/sfContains"
+    val m = "http://www.opengis.net/def/uom/OGC/1.0/metre"
+    val km = "http://www.opengis.net/def/uom/OGC/1.0/kilometre"
+    val quads = Seq(
+      ("p1", "urn:wkt", "POINT(1 1)"),
+      ("p2", "urn:wkt", "POINT(5 5)"),
+      ("p3", "urn:wkt", "POINT(2.5 -1)"),
+      ("n1", "urn:name", "alpha#beta"),
+      ("n1", "urn:num", "-2.6"))
+      .toDF("subject", "predicate", "objectValue")
+    def vals(q: String): Seq[String] =
+      SparqlParser.execute(quads, q).collect()
+        .map(r => String.valueOf(r.get(0))).toSeq
+    // distance from the origin: (1,1) ≈ 157 km, (2.5,-1) ≈ 299 km,
+    // (5,5) ≈ 785 km — metre and kilometre units agree on the cut
+    assert(vals(s"""SELECT ?s WHERE { ?s <urn:wkt> ?w .
+      FILTER(<$geofD>(?w, "POINT(0 0)", <$m>) < 200000) }""") == Seq("p1"))
+    assert(vals(s"""SELECT ?s WHERE { ?s <urn:wkt> ?w .
+      FILTER(<$geofD>(?w, "POINT(0 0)", <$km>) < 400) } ORDER BY ?s""")
+      == Seq("p1", "p3"))
+    // sfWithin ray-casts a CONCAVE ring (L-shape): (1,1) and the
+    // notch-adjacent interior survive, the notch itself does not —
+    // a bounding-box shortcut would get this wrong
+    val ell = "POLYGON((0 0, 4 0, 4 4, 2 4, 2 2, 0 2, 0 0))"
+    val pts = Seq(("i1", "urn:g", "POINT(1 1)"), ("i2", "urn:g", "POINT(3 3)"),
+      ("o1", "urn:g", "POINT(1 3)"), ("o2", "urn:g", "POINT(5 1)"))
+      .toDF("subject", "predicate", "objectValue")
+    def pvals(q: String): Seq[String] =
+      SparqlParser.execute(pts, q).collect().map(_.getString(0)).toSeq
+    assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
+      FILTER(<$geofW>(?w, "$ell")) } ORDER BY ?s""") == Seq("i1", "i2"))
+    // sfContains is sfWithin with the roles swapped
+    assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
+      FILTER(<$geofC>("$ell", ?w)) } ORDER BY ?s""") == Seq("i1", "i2"))
+    // builtin pack: STRBEFORE/STRAFTER ("" when absent per spec),
+    // ENCODE_FOR_URI (%23, space → %20 not '+'), numerics, hashes
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .
+      BIND(STRBEFORE(?v, "#") AS ?x) }""") == Seq("alpha"))
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .
+      BIND(STRAFTER(?v, "#") AS ?x) }""") == Seq("beta"))
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .
+      BIND(STRBEFORE(?v, "@") AS ?x) }""") == Seq(""))
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .
+      BIND(ENCODE_FOR_URI(CONCAT(?v, " c")) AS ?x) }""")
+      == Seq("alpha%23beta%20c"))
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:num> ?v .
+      BIND(CEIL(?v) AS ?x) }""") == Seq("-2"))
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:num> ?v .
+      BIND(FLOOR(0 - ?v) AS ?x) }""") == Seq("2"))
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:num> ?v .
+      BIND(ROUND(0 - ?v) AS ?x) }""") == Seq("3"))
+    // ABS is numeric-typed in comparisons (the stringy() dichotomy)
+    assert(vals("""SELECT ?s WHERE { ?s <urn:num> ?v .
+      FILTER(ABS(?v) > 2) }""") == Seq("n1"))
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha#beta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .
+      BIND(MD5(?v) AS ?x) }""") == Seq(exp))
+    val exp256 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("alpha#beta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .
+      BIND(SHA256(?v) AS ?x) }""") == Seq(exp256))
+    // unknown IRI functions and bad units reject loudly
+    intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        """SELECT ?s WHERE { ?s <urn:wkt> ?w .
+          FILTER(<urn:no-such-fn>(?w)) }""").collect()
+    }
+    intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        s"""SELECT ?s WHERE { ?s <urn:wkt> ?w .
+          FILTER(<$geofD>(?w, "POINT(0 0)", <urn:uom:furlong>) < 1) }""")
+        .collect()
+    }
+  }
+
   test("SparqlParser r9: OPTIONAL-scoped FILTER keeps unmatched rows") {
     import spark.implicits._
     import graft.rdf.SparqlParser
