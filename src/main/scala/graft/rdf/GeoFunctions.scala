@@ -70,9 +70,43 @@ object GeoFunctions {
     * composes with the BGP scan filters like any comparison. Points on
     * an edge are boundary cases the even-odd rule does not define;
     * callers choose polygons off the data lattice (as the gate does). */
+  /** Constant-polygon fast path: FILTER polygons are query literals,
+    * so the ring parses ONCE on the driver and ships as a literal
+    * edge array — the per-row work drops to the two point regexes
+    * plus four arithmetic edge tests (the accumulator trick below
+    * keeps the point parse at once per row too). */
+  def withinConst(pointWkt: Column, polygonWkt: String): Column = {
+    val m = java.util.regex.Pattern
+      .compile("POLYGON\\s*\\(\\(([^)]*)\\)\\)").matcher(polygonWkt)
+    require(m.find(), s"not a simple WKT POLYGON: $polygonWkt")
+    val verts = m.group(1).split(",").toSeq.map { s =>
+      val xy = s.trim.split("\\s+")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+    require(verts.length >= 4 && verts.head == verts.last,
+      s"WKT polygon ring must be closed: $polygonWkt")
+    val edges = array(verts.zip(verts.tail).map {
+      case ((ax, ay), (bx, by)) =>
+        struct(lit(ax).as("ax"), lit(ay).as("ay"),
+          lit(bx).as("bx"), lit(by).as("by"))
+    }: _*)
+    val init = struct(pointX(pointWkt).as("px"),
+      pointY(pointWkt).as("py"), lit(0).as("c"))
+    aggregate(edges, init,
+      (acc, e) => {
+        val px = acc.getField("px"); val py = acc.getField("py")
+        val ax = e.getField("ax"); val ay = e.getField("ay")
+        val bx = e.getField("bx"); val by = e.getField("by")
+        val crossed = ((ay > py) =!= (by > py)) &&
+          (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+        struct(px.as("px"), py.as("py"),
+          (acc.getField("c") + when(crossed, 1).otherwise(0)).as("c"))
+      },
+      acc => acc.getField("px").isNotNull &&
+        acc.getField("c") % 2 === 1)
+  }
+
   def within(pointWkt: Column, polygonWkt: Column): Column = {
-    val px = pointX(pointWkt)
-    val py = pointY(pointWkt)
     val ring = regexp_extract(polygonWkt.cast("string"),
       "POLYGON\\s*\\(\\(([^)]*)\\)\\)", 1)
     val pts = transform(split(ring, ","), s => {
@@ -81,15 +115,34 @@ object GeoFunctions {
         element_at(xy, 2).cast("double").as("y"))
     })
     // WKT rings are closed (last vertex repeats the first), so edges
-    // are (i, i+1) for i in 1..n-1 over the 1-based array
-    val crossed = filter(sequence(lit(1), size(pts) - 1), i => {
-      val a = element_at(pts, i)
-      val b = element_at(pts, i + lit(1))
-      val ax = a.getField("x"); val ay = a.getField("y")
-      val bx = b.getField("x"); val by = b.getField("y")
-      ((ay > py) =!= (by > py)) &&
-        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
-    })
-    ring =!= "" && px.isNotNull && size(crossed) % 2 === 1
+    // pair consecutive vertices; zip_with pads the shorter slice with
+    // null and the null edge contributes 0 crossings via the when().
+    val edges = zip_with(slice(pts, lit(1), size(pts) - 1),
+      slice(pts, lit(2), size(pts) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+    // ONE aggregate pass with the parsed point carried in the
+    // ACCUMULATOR: Column-composed HOF expressions re-inline every
+    // referenced subexpression into each lambda position (the
+    // PERF.md #17 trap), so an element_at(pts, i) / pointX(…) written
+    // inside the lambda re-runs the vertex parse and the point regexes
+    // per reference per edge (~100x per row measured, 3.9 s for a 45 k
+    // row scan). Threading them through the accumulator makes each a
+    // cheap struct-field read; the regexes run once per row.
+    val init = struct(pointX(pointWkt).as("px"),
+      pointY(pointWkt).as("py"), lit(0).as("c"))
+    val res = aggregate(edges, init,
+      (acc, e) => {
+        val px = acc.getField("px"); val py = acc.getField("py")
+        val a = e.getField("a"); val b = e.getField("b")
+        val ax = a.getField("x"); val ay = a.getField("y")
+        val bx = b.getField("x"); val by = b.getField("y")
+        val crossed = ((ay > py) =!= (by > py)) &&
+          (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+        struct(px.as("px"), py.as("py"),
+          (acc.getField("c") + when(crossed, 1).otherwise(0)).as("c"))
+      },
+      acc => acc.getField("px").isNotNull &&
+        acc.getField("c") % 2 === 1)
+    ring =!= "" && res
   }
 }

@@ -676,6 +676,13 @@ object SparqlParser {
     * predicates. `sfContains(poly, point)` is `sfWithin` with the
     * arguments swapped (OGC simple-feature relation inverses). */
   private def bindBool(e: BindExpr): Column = e match {
+    // constant polygons (the FILTER norm) parse once on the driver
+    case BCall(GeoFunctions.SfWithinFn, Seq(g1, BStr(poly)))
+        if poly.toUpperCase.startsWith("POLYGON") =>
+      GeoFunctions.withinConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfContainsFn, Seq(BStr(poly), g2))
+        if poly.toUpperCase.startsWith("POLYGON") =>
+      GeoFunctions.withinConst(bindCol(g2), poly)
     case BCall(GeoFunctions.SfWithinFn, Seq(g1, g2)) =>
       GeoFunctions.within(bindCol(g1), bindCol(g2))
     case BCall(GeoFunctions.SfContainsFn, Seq(g1, g2)) =>

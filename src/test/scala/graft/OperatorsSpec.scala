@@ -1620,6 +1620,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // sfContains is sfWithin with the roles swapped
     assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
       FILTER(<$geofC>("$ell", ?w)) } ORDER BY ?s""") == Seq("i1", "i2"))
+    // the general (variable-polygon) path must agree with the
+    // constant-polygon fast path the FILTER grammar dispatches to
+    val viaCol = pts
+      .filter(graft.rdf.GeoFunctions.within(
+        org.apache.spark.sql.functions.col("objectValue"),
+        org.apache.spark.sql.functions.lit(ell)))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(viaCol == Seq("i1", "i2"))
     // builtin pack: STRBEFORE/STRAFTER ("" when absent per spec),
     // ENCODE_FOR_URI (%23, space → %20 not '+'), numerics, hashes
     assert(vals("""SELECT ?x WHERE { <n1> <urn:name> ?v .

@@ -1143,4 +1143,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("LeftSemi"),
       "history re-shingle is not candidate-gated:\n" + plan)
   }
+
+  test("dataset clause and geof FILTERs evaluate below the BGP join") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    // cut to an ExistingRDD scan — a LocalRelation would be folded
+    // whole and leave no Filter to audit
+    val quads = graft.operators.Checkpoints.cut(
+      ((1 to 200).map(i => (s"s$i", "urn:wkt", s"POINT($i 0)",
+        "g1")) ++ (1 to 200).map(i => (s"s$i", "urn:name", s"n$i", "g1")) ++
+        (1 to 200).map(i => (s"t$i", "urn:wkt", "POINT(0 0)", "g2")))
+        .toDF("subject", "predicate", "objectValue", "graph"))
+    // FROM <g1>: the graph restriction conjoins the pattern's scan
+    // filter — ONE Filter node per scan carrying predicate AND graph,
+    // never a residual above the join
+    val from = SparqlParser.execute(quads,
+      """SELECT ?s ?w FROM <g1> WHERE { ?s <urn:wkt> ?w }""")
+    val fPlan = from.queryExecution.optimizedPlan.toString
+    val filterLines = fPlan.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.size == 1 &&
+      filterLines.head.contains("urn:wkt") && filterLines.head.contains("g1"),
+      "dataset clause should land in the single scan Filter:\n" + fPlan)
+    // geof:distance FILTER references only pattern-1 columns, so
+    // Catalyst pushes it below the 2-pattern join: some join INPUT
+    // subtree must contain the haversine (ASIN) predicate
+    val geo = SparqlParser.execute(quads,
+      """SELECT ?s ?n WHERE {
+        |  ?s <urn:wkt> ?w . ?s <urn:name> ?n .
+        |  FILTER(<http://www.opengis.net/def/function/geosparql/distance>(
+        |    ?w, "POINT(0 0)",
+        |    <http://www.opengis.net/def/uom/OGC/1.0/kilometre>) < 500)
+        |}""".stripMargin)
+    // the tree prints parents before children (AQE's root hides its
+    // inner plan from collect()), so "join line precedes the ASIN
+    // Filter line" means the haversine predicate sits BELOW the join
+    val planStr = geo.queryExecution.executedPlan.toString
+    val joinIdx = planStr.indexOf("HashJoin")
+    val asinLine = planStr.linesIterator
+      .find(_.contains("ASIN")).getOrElse("")
+    assert(joinIdx >= 0, "expected a join:\n" + planStr)
+    assert(asinLine.contains("Filter") &&
+      planStr.indexOf("ASIN") > joinIdx,
+      "geof distance FILTER should sit below the join:\n" + planStr)
+  }
 }
