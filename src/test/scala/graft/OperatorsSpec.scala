@@ -1550,6 +1550,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       { <a> <urn:link> ?o } }""") == Seq("urn:x"))
   }
 
+  test("GeoFunctions.within property: ray cast = convex half-plane test") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // random convex polygons (vertices on a circle, angles sorted →
+    // counterclockwise ring) and random probe points; the even-odd ray
+    // cast must agree with the exact all-positive-cross-products
+    // interior test on every point that is not borderline (the ray
+    // cast's boundary behavior is undefined by design — see scaladoc)
+    val rnd = new scala.util.Random(7)
+    def cross(a: (Double, Double), b: (Double, Double),
+        p: (Double, Double)): Double =
+      (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1)
+    var trials = 0
+    (1 to 25).foreach { t =>
+      val k = 3 + rnd.nextInt(6)
+      val cx = rnd.nextDouble() * 100 - 50
+      val cy = rnd.nextDouble() * 100 - 50
+      val r = 1 + rnd.nextDouble() * 29
+      val angles = Seq.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      if (angles.zip(angles.tail).forall { case (a, b) => b - a > 0.05 }) {
+        trials += 1
+        val verts =
+          angles.map(a => (cx + r * math.cos(a), cy + r * math.sin(a)))
+        val ring = (verts :+ verts.head)
+          .map { case (x, y) => s"$x $y" }
+          .mkString("POLYGON((", ", ", "))")
+        val edges = verts.zip(verts.tail :+ verts.head)
+        val pts = Seq.fill(60)((cx + (rnd.nextDouble() * 4 - 2) * r,
+          cy + (rnd.nextDouble() * 4 - 2) * r))
+          .filter(p => edges.forall(e =>
+            math.abs(cross(e._1, e._2, p)) > 1e-4 * r))
+        val expected =
+          pts.map(p => edges.forall(e => cross(e._1, e._2, p) > 0))
+        val got = pts.map { case (x, y) => s"POINT($x $y)" }.toDF("w")
+          .select(graft.rdf.GeoFunctions.withinConst(col("w"), ring))
+          .collect().map(_.getBoolean(0)).toSeq
+        assert(got == expected, s"trial $t disagrees for ring $ring")
+      }
+    }
+    assert(trials >= 15, s"too many degenerate polygons skipped: $trials")
+  }
+
   test("SparqlParser r9: FROM / FROM NAMED dataset clause") {
     import spark.implicits._
     import graft.rdf.SparqlParser
