@@ -306,8 +306,13 @@ object QuadQueries extends QueryCatalog {
         graft.operators.Checkpoints.cut(geocodeQuadsRaw(s, dir)))
     }
 
-  private def geocodeQuadsRaw(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir)
+  private def geocodeQuadsRaw(s: SparkSession, dir: String): DataFrame =
+    geocodeChain(Tables.customer(s, dir))
+
+  /** Chain builder over an arbitrary customer relation — shared with
+    * the scale-ladder tool so 10×-replicated runs exercise the exact
+    * serving formulas. */
+  private[graft] def geocodeChain(cust: DataFrame): DataFrame = {
     val k = col("c_custkey").cast("string")
     val addr = concat(lit("https://example.org/customer/"), k)
     val geocode = concat(lit("https://example.org/geocode/"), k)
@@ -1768,6 +1773,24 @@ object QuadQueries extends QueryCatalog {
            |             ?lc <$TimeInXsdP> ?dt
            |             FILTER(?dt >= "1998") }
            |} ORDER BY ?addr ?dt""".stripMargin)
+    }),
+
+    // Nested OPTIONAL (r9 — §18.2.2.6): the inner group left-joins
+    // onto ITS enclosing group before the enclosing group joins
+    // outward — LeftJoin(A, LeftJoin(B, C)). The chain here: every
+    // address, optionally its part bnodes, optionally each part's
+    // lifecycle timestamp — ?t binds only on the lifecycle part of
+    // customers WITH orders, ?b is NULL only if an address had no
+    // parts at all (none here — the join shape is what's gated; the
+    // timestamp nullability is the observable).
+    "q_quads_sparql_optional_nested" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |SELECT ?addr ?b ?t WHERE {
+           |  ?addr sdo:name ?name .
+           |  OPTIONAL { ?addr sdo:hasPart ?b
+           |             OPTIONAL { ?b <$TimeInXsdP> ?t } }
+           |} ORDER BY ?addr ?b ?t""".stripMargin)
     }),
 
     // Typed-literal CONSTRUCT templates (r9): `"premium"@en` and
@@ -3541,6 +3564,23 @@ object QuadQueries extends QueryCatalog {
          |SELECT DISTINCT nm.addr, d.dt
          |FROM nm LEFT JOIN dt d ON nm.addr = d.addr
          |ORDER BY nm.addr, d.dt""".stripMargin,
+
+    // LeftJoin(names, LeftJoin(parts, times)) — the nested group
+    // composes FIRST (parts LEFT JOIN times), then joins the base
+    "q_quads_sparql_optional_nested" ->
+      s"""$fullQuadsCte,
+         |nm AS (SELECT subject AS addr FROM quads
+         |  WHERE predicate = '$NameP'),
+         |pt AS (SELECT subject AS addr, objectValue AS b FROM quads
+         |  WHERE predicate = '$HasPartP'),
+         |tm AS (SELECT subject AS b, objectValue AS t FROM quads
+         |  WHERE predicate = '$TimeInXsdP')
+         |SELECT nm.addr, g.b, g.t
+         |FROM nm LEFT JOIN (
+         |  SELECT pt.addr, pt.b, tm.t
+         |  FROM pt LEFT JOIN tm ON pt.b = tm.b) g
+         |ON nm.addr = g.addr
+         |ORDER BY nm.addr, g.b, g.t""".stripMargin,
 
     "q_quads_construct_typed" ->
       s"""$fullQuadsCte,

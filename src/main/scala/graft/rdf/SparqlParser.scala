@@ -103,7 +103,7 @@ object SparqlParser {
       aggregates: Seq[Agg], // non-empty ⇒ GROUP BY query
       groupBy: Seq[String],
       patterns: Seq[Bgp.Pattern],
-      optionals: Seq[Seq[Bgp.Pattern]],
+      optionals: Seq[OptGroup],
       minuses: Seq[Seq[Bgp.Pattern]],
       filters: Seq[(String, String, String, Boolean)], // var, op, lit, numeric
       orderBy: Seq[(String, Boolean)], // var, descending
@@ -137,15 +137,21 @@ object SparqlParser {
       // LANG/LANGMATCHES/DATATYPE/isIRI/isLiteral/isBlank
       valuesMulti: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
       // VALUES (?a ?b) { (x y) (x UNDEF) … }: vars + rows, None = UNDEF
-      optionalFilters: Seq[Seq[(BindExpr, String, BindExpr)]] = Nil,
       boolFilters: Seq[BindExpr] = Nil,
       // FILTER(boolFn(args)) — bare boolean calls (geof:sfWithin …)
       fromGraphs: Seq[String] = Nil, // FROM <g> — default-graph union
       fromNamed: Seq[String] = Nil) // FROM NAMED <g> — GRAPH-visible set
-      // index-aligned with `optionals`: FILTERs scoped INSIDE the
-      // OPTIONAL group (they constrain the group's MATCH — unmatched
-      // rows keep their NULLs — unlike an outer FILTER, which drops
-      // unmatched solutions; the left-join-with-condition semantics)
+
+  /** One OPTIONAL group: its patterns, the FILTERs scoped INSIDE the
+    * group (they constrain the group's MATCH — unmatched rows keep
+    * their NULLs, unlike an outer FILTER, which drops unmatched
+    * solutions; the left-join-with-condition semantics), and any
+    * NESTED OPTIONAL groups — `A OPTIONAL { B OPTIONAL { C } }`
+    * evaluates as LeftJoin(A, LeftJoin(B, C)) per SPARQL §18.2.2.6,
+    * with group filters applied over the group's own join result. */
+  final case class OptGroup(patterns: Seq[Bgp.Pattern],
+      filters: Seq[(BindExpr, String, BindExpr)] = Nil,
+      nested: Seq[OptGroup] = Nil)
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -941,8 +947,7 @@ object SparqlParser {
     val pats = Seq.newBuilder[Bgp.Pattern]
     val pths = Seq.newBuilder[PathPattern]
     val fns = Seq.newBuilder[PropFnCall]
-    val opts = Seq.newBuilder[Seq[Bgp.Pattern]]
-    val optFils = Seq.newBuilder[Seq[(BindExpr, String, BindExpr)]]
+    val opts = Seq.newBuilder[OptGroup]
     val mins = Seq.newBuilder[Seq[Bgp.Pattern]]
     val fils = Seq.newBuilder[(String, String, String, Boolean)]
     val fnFils = Seq.newBuilder[(String, String, String, String)]
@@ -995,29 +1000,38 @@ object SparqlParser {
             unis += branches.result()
           } else pats ++= first
         } else if (p.is("OPTIONAL")) {
-          // group body: triples plus FILTERs SCOPED to the group (the
-          // expression-comparison subset) — a scoped filter constrains
-          // what MATCHES (left-join-with-condition), it never drops
-          // unmatched solutions the way an outer FILTER on the same
-          // variable would
-          p.eat(); p.expect("{")
-          val gp = Seq.newBuilder[Bgp.Pattern]
-          val gf = Seq.newBuilder[(BindExpr, String, BindExpr)]
-          while (!p.is("}")) {
-            if (p.is("FILTER")) {
-              p.eat(); p.expect("(")
-              val l = bindExpr(p)
-              val op = p.eat()
-              require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
-                s"OPTIONAL-scoped FILTER supports comparisons, got '$op'")
-              val r = bindExpr(p)
-              p.expect(")")
-              gf += ((l, op, r))
-            } else gp ++= triples(p, g)
+          // group body: triples, FILTERs SCOPED to the group (the
+          // expression-comparison subset — a scoped filter constrains
+          // what MATCHES, left-join-with-condition, never dropping
+          // unmatched solutions the way an outer FILTER would), and
+          // NESTED OPTIONAL groups (recursively; each nested group
+          // left-joins onto ITS enclosing group's solutions before the
+          // enclosing group left-joins outward — §18.2.2.6)
+          def optGroup(): OptGroup = {
+            p.expect("{")
+            val gp = Seq.newBuilder[Bgp.Pattern]
+            val gf = Seq.newBuilder[(BindExpr, String, BindExpr)]
+            val gn = Seq.newBuilder[OptGroup]
+            while (!p.is("}")) {
+              if (p.is("OPTIONAL")) {
+                p.eat()
+                gn += optGroup()
+              } else if (p.is("FILTER")) {
+                p.eat(); p.expect("(")
+                val l = bindExpr(p)
+                val op = p.eat()
+                require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
+                  s"OPTIONAL-scoped FILTER supports comparisons, got '$op'")
+                val r = bindExpr(p)
+                p.expect(")")
+                gf += ((l, op, r))
+              } else gp ++= triples(p, g)
+            }
+            p.expect("}")
+            OptGroup(gp.result(), gf.result(), gn.result())
           }
-          p.expect("}")
-          opts += gp.result()
-          optFils += gf.result()
+          p.eat()
+          opts += optGroup()
         } else if (p.is("MINUS")) {
           p.eat(); p.expect("{"); mins += triples(p, g); p.expect("}")
         } else if (p.is("BIND")) {
@@ -1361,7 +1375,6 @@ object SparqlParser {
       grp.result(), pats.result(), opts.result(), mins.result(),
       fils.result(), ord.result(), lim, values = vals.result(),
       valuesMulti = valsMulti.result(),
-      optionalFilters = optFils.result(),
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), selectOrder = order.result(),
@@ -1576,7 +1589,11 @@ object SparqlParser {
     }
     q.copy(
       patterns = q.patterns.map(sp),
-      optionals = q.optionals.map(_.map(sp)),
+      optionals = {
+        def so(og: OptGroup): OptGroup = og.copy(
+          patterns = og.patterns.map(sp), nested = og.nested.map(so))
+        q.optionals.map(so)
+      },
       minuses = q.minuses.map(_.map(sp)),
       unions = q.unions.map(_.map(_.map(sp))),
       existsFilters = q.existsFilters.map { case (n, g) => (n, g.map(sp)) },
@@ -1702,12 +1719,29 @@ object SparqlParser {
       // each OPTIONAL group left-joins with its SCOPED filters applied
       // to the group's solutions first (left-join-with-condition —
       // unmatched rows keep NULLs; an outer FILTER would drop them)
-      components += q.optionals.zipAll(q.optionalFilters, Nil, Nil)
-        .foldLeft(base) { case (acc, (gp, gf)) =>
-          var opt = Bgp.select(quads, gp, dedup = false)
-          gf.foreach { case (l, op, r) =>
-            opt = opt.filter(exprCmpCol(l, op, r))
-          }
+      // a group's solutions: its own BGP, then nested OPTIONALs
+      // left-joined onto IT, then its scoped filters over that result
+      // (§18.2.2.6 — the nested LeftJoin happens inside the group
+      // before the group joins outward)
+      def optSolutions(og: OptGroup): DataFrame = {
+        var opt = Bgp.select(quads, og.patterns, dedup = false)
+        og.nested.foreach { ng =>
+          val sub = optSolutions(ng)
+          val sh = opt.columns.toSet.intersect(sub.columns.toSet).toSeq
+          require(sh.nonEmpty,
+            "a nested OPTIONAL must share at least one variable with " +
+              "its enclosing group (a disconnected OPTIONAL is a " +
+              "cross join)")
+          opt = opt.join(sub, sh, "left")
+        }
+        og.filters.foreach { case (l, op, r) =>
+          opt = opt.filter(exprCmpCol(l, op, r))
+        }
+        opt
+      }
+      components += q.optionals
+        .foldLeft(base) { case (acc, og) =>
+          val opt = optSolutions(og)
           val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq
           require(shared.nonEmpty,
             "an OPTIONAL group must share at least one variable with " +

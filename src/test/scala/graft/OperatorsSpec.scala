@@ -1735,6 +1735,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       == Set(("a", Some("5"))))
   }
 
+  test("SparqlParser r9: nested OPTIONAL groups (§18.2.2.6)") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:name", "A"), ("b", "urn:name", "B"), ("c", "urn:name", "C"),
+      ("a", "urn:val", "5"), ("b", "urn:val", "1"),
+      ("a", "urn:unit", "kg"), ("c", "urn:unit", "kg"))
+      .toDF("subject", "predicate", "objectValue")
+    def run(q: String) = SparqlParser.execute(quads, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSet
+    // NESTED: the inner OPTIONAL lives inside the outer group, so c
+    // (no val) gets NULL for BOTH — LeftJoin(A, LeftJoin(B, C)) never
+    // sees c's unit because the enclosing group didn't match
+    assert(run("""SELECT ?s ?v ?u WHERE { ?s <urn:name> ?n .
+        OPTIONAL { ?s <urn:val> ?v OPTIONAL { ?s <urn:unit> ?u } } }""")
+      == Set(("a", Some("5"), Some("kg")), ("b", Some("1"), None),
+        ("c", None, None)))
+    // FLAT twin: two sibling OPTIONALs both join the base — c's unit
+    // binds even though its val doesn't. The two forms MUST differ;
+    // this is the distinction nesting exists for.
+    assert(run("""SELECT ?s ?v ?u WHERE { ?s <urn:name> ?n .
+        OPTIONAL { ?s <urn:val> ?v } OPTIONAL { ?s <urn:unit> ?u } }""")
+      == Set(("a", Some("5"), Some("kg")), ("b", Some("1"), None),
+        ("c", None, Some("kg"))))
+    // scoped FILTER applies over the group's own join result —
+    // including nested bindings
+    assert(run("""SELECT ?s ?v ?u WHERE { ?s <urn:name> ?n .
+        OPTIONAL { ?s <urn:val> ?v OPTIONAL { ?s <urn:unit> ?u }
+          FILTER(?v >= 3) } }""")
+      == Set(("a", Some("5"), Some("kg")), ("b", None, None),
+        ("c", None, None)))
+  }
+
   test("Bgp r9: predicate statistics refine join order, results invariant") {
     import spark.implicits._
     import graft.rdf.{Bgp, QuadStats}
