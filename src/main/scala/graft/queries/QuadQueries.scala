@@ -1288,6 +1288,58 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // The meili indexer's batched download query SHAPE (r9 —
+    // meili/index_addr.py:32-78): a VALUES batch of address IRIs, a
+    // multi-predicate `;`-list CONSTRUCT template, and the FROM
+    // dataset clause, all in one verbatim-form query. At 100 TB this
+    // is the indexing contract: each batch resolves through pushed
+    // point filters on the store, the template fans out
+    // projection-only (the solutions materialize once — Bgp.construct
+    // cuts before the fan-out).
+    "q_quads_sparql_indexer" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |CONSTRUCT {
+           |?iri a sdo:Place ;
+           |    sdo:name ?name ;
+           |    <$SegmentP> ?seg ;
+           |    <$BalanceP> ?bal .
+           |}
+           |FROM <$GraphA>
+           |where {
+           |    VALUES ?iri {
+           |        <https://example.org/customer/1>
+           |        <https://example.org/customer/2>
+           |        <https://example.org/customer/3>
+           |    }
+           |
+           |    ?iri a sdo:Place ;
+           |        sdo:name ?name ;
+           |        <$SegmentP> ?seg ;
+           |        <$BalanceP> ?bal .
+           |}""".stripMargin)
+    }),
+
+    // Search-document assembly (r9): the indexer's per-IRI
+    // graph.value() loop (meili/index_addr.py:115-140) done
+    // relationally — ONE groupBy(subject).pivot(predicate) over the
+    // store builds every document in a single pass (map-side
+    // combinable max per predicate), instead of a driver loop per
+    // document. The document columns mirror the reference's
+    // label/status/identifier fields on this corpus's profile.
+    "q_index_documents" -> ((s, dir) => {
+      fullQuads(s, dir)
+        .filter(col("graph") === GraphA &&
+          col("predicate").isin(NameP, SegmentP, BalanceP))
+        .groupBy(col("subject"))
+        .pivot("predicate", Seq(NameP, SegmentP, BalanceP))
+        .agg(max(col("objectValue")))
+        .withColumnRenamed(NameP, "name")
+        .withColumnRenamed(SegmentP, "segment")
+        .withColumnRenamed(BalanceP, "balance")
+        .orderBy(col("subject"))
+    }),
+
     // SPARQL 1.1 builtin pack (r9): §17.4.3 STRBEFORE/STRAFTER and
     // ENCODE_FOR_URI, §17.4.4 CEIL (+ABS in the FILTER), §17.4.6
     // MD5/SHA256 — all in one solution pipeline over the preloaded
@@ -2886,6 +2938,36 @@ object QuadQueries extends QueryCatalog {
          |SELECT subject AS s, objectValue AS b FROM quads
          |WHERE graph = '$GraphG' AND predicate = '$HasPartP'
          |ORDER BY s, b""".stripMargin,
+
+    // one row per (customer 1-3) x (type/name/segment/balance);
+    // template variables instantiate as plain literals, `a sdo:Place`
+    // as the constant IRI object
+    "q_quads_sparql_indexer" ->
+      s"""WITH c AS (
+         |  SELECT 'https://example.org/customer/' ||
+         |      CAST(c_custkey AS VARCHAR) AS iri,
+         |    c_name, c_mktsegment,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+         |  FROM customer WHERE c_custkey IN (1, 2, 3)),
+         |built AS (
+         |  SELECT iri AS subject, '$RdfType' AS predicate,
+         |    '$PlaceT' AS objectValue, 'iri' AS objectKind FROM c
+         |  UNION ALL
+         |  SELECT iri, '$NameP', c_name, 'literal' FROM c
+         |  UNION ALL
+         |  SELECT iri, '$SegmentP', c_mktsegment, 'literal' FROM c
+         |  UNION ALL
+         |  SELECT iri, '$BalanceP', bal, 'literal' FROM c)
+         |SELECT DISTINCT subject, predicate, objectValue, objectKind,
+         |  CAST(NULL AS VARCHAR) AS datatype, CAST(NULL AS VARCHAR) AS lang
+         |FROM built ORDER BY subject, predicate, objectValue""".stripMargin,
+
+    "q_index_documents" ->
+      s"""SELECT 'https://example.org/customer/' ||
+         |    CAST(c_custkey AS VARCHAR) AS subject,
+         |  c_name AS name, c_mktsegment AS segment,
+         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS balance
+         |FROM customer ORDER BY subject""".stripMargin,
 
     "q_quads_sparql_from_construct" ->
       s"""$fullQuadsCte,

@@ -766,31 +766,41 @@ object SparqlParser {
     var more = true
     while (more) {
       val s = term(p.eat())
-      val pr0 = p.eat()
-      // `a` is rdf:type in predicate position, in templates as in
-      // patterns (the reference's meili CONSTRUCT template uses it)
-      val pr =
-        if (pr0 == "a") "<" + RdfTypeIri + ">" else pr0
-      require(pr.startsWith("<"),
-        s"template predicate must be a constant IRI, got '$pr'")
-      val oTok = p.eat()
-      val (o, kind) =
-        if (oTok.startsWith("?"))
-          (Bgp.Var(oTok.substring(1)), graft.model.TermKind.Literal)
-        else if (oTok.startsWith("<"))
-          (Bgp.Const(oTok.substring(1, oTok.length - 1)),
-            graft.model.TermKind.Iri)
-        else if (oTok.startsWith("\""))
-          (Bgp.Const(unquote(oTok)), graft.model.TermKind.Literal)
-        else throw new IllegalArgumentException(
-          s"expected template object term, got '$oTok'")
-      // constant-literal objects may carry @tag / ^^<dt> — the built
-      // quad gets the term metadata, so CONSTRUCT output keeps full
-      // fidelity through the N-Quads sink
-      val (lang, dt) =
-        if (oTok.startsWith("\"")) literalSuffix(p) else (None, None)
-      out += Bgp.Template(s, pr.substring(1, pr.length - 1), o, kind,
-        lang = lang, datatype = dt)
+      // `;` predicate lists share the subject — the reference's meili
+      // indexer template is written exactly this way
+      // (meili/index_addr.py:43-56)
+      var moreProps = true
+      while (moreProps) {
+        val pr0 = p.eat()
+        // `a` is rdf:type in predicate position, in templates as in
+        // patterns (the reference's meili CONSTRUCT template uses it)
+        val pr =
+          if (pr0 == "a") "<" + RdfTypeIri + ">" else pr0
+        require(pr.startsWith("<"),
+          s"template predicate must be a constant IRI, got '$pr'")
+        val oTok = p.eat()
+        val (o, kind) =
+          if (oTok.startsWith("?"))
+            (Bgp.Var(oTok.substring(1)), graft.model.TermKind.Literal)
+          else if (oTok.startsWith("<"))
+            (Bgp.Const(oTok.substring(1, oTok.length - 1)),
+              graft.model.TermKind.Iri)
+          else if (oTok.startsWith("\""))
+            (Bgp.Const(unquote(oTok)), graft.model.TermKind.Literal)
+          else throw new IllegalArgumentException(
+            s"expected template object term, got '$oTok'")
+        // constant-literal objects may carry @tag / ^^<dt> — the built
+        // quad gets the term metadata, so CONSTRUCT output keeps full
+        // fidelity through the N-Quads sink
+        val (lang, dt) =
+          if (oTok.startsWith("\"")) literalSuffix(p) else (None, None)
+        out += Bgp.Template(s, pr.substring(1, pr.length - 1), o, kind,
+          lang = lang, datatype = dt)
+        if (p.is(";")) {
+          p.eat()
+          moreProps = !p.is(".") && !p.is("}") // trailing `;` is legal
+        } else moreProps = false
+      }
       if (p.is(".")) { p.eat(); more = !p.is("}") }
       else more = false
     }
