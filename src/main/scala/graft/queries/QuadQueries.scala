@@ -303,7 +303,8 @@ object QuadQueries extends QueryCatalog {
       val perDir = quadStore.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty)
       perDir.getOrElseUpdate("geocode:" + dir,
-        graft.operators.Checkpoints.cut(geocodeQuadsRaw(s, dir)))
+        graft.rdf.QuadStats.register(
+          graft.operators.Checkpoints.cut(geocodeQuadsRaw(s, dir))))
     }
 
   private def geocodeQuadsRaw(s: SparkSession, dir: String): DataFrame =
