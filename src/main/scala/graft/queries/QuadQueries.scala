@@ -1289,6 +1289,25 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // ASK over the full solution pipeline (r9; was plain triples):
+    // one true probe (an account above 9000 exists in the declared
+    // graph) and one false probe (a balance above the domain maximum),
+    // each ASK running filters + the dataset clause exactly as
+    // SELECT * would; the oracle computes both EXISTS tests in SQL.
+    "q_quads_sparql_ask_filter" -> ((s, dir) => {
+      val t = graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""ASK FROM <$GraphA> {
+           |  ?s <$BalanceP> ?bal .
+           |  FILTER(?bal > 9000)
+           |}""".stripMargin).withColumnRenamed("ask", "ask_hi")
+      val f = graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""ASK WHERE {
+           |  ?s <$BalanceP> ?bal .
+           |  FILTER(?bal > 1000000)
+           |}""".stripMargin).withColumnRenamed("ask", "ask_none")
+      t.crossJoin(f)
+    }),
+
     // The meili indexer's batched download query SHAPE (r9 —
     // meili/index_addr.py:32-78): a VALUES batch of address IRIs, a
     // multi-predicate `;`-list CONSTRUCT template, and the FROM
@@ -2939,6 +2958,15 @@ object QuadQueries extends QueryCatalog {
          |SELECT subject AS s, objectValue AS b FROM quads
          |WHERE graph = '$GraphG' AND predicate = '$HasPartP'
          |ORDER BY s, b""".stripMargin,
+
+    "q_quads_sparql_ask_filter" ->
+      """SELECT
+        |  EXISTS(SELECT 1 FROM customer
+        |    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+        |      > 9000) AS ask_hi,
+        |  EXISTS(SELECT 1 FROM customer
+        |    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+        |      > 1000000) AS ask_none""".stripMargin,
 
     // one row per (customer 1-3) x (type/name/segment/balance);
     // template variables instantiate as plain literals, `a sdo:Place`

@@ -851,16 +851,11 @@ object SparqlParser {
       // then instantiates over the same solution pipeline. (Previously
       // a plain-triples body: FILTER in CONSTRUCT rejected loudly.)
     }
-    if (p.is("ASK")) {
-      p.eat()
-      if (p.is("WHERE")) p.eat()
-      p.expect("{")
-      val pats = Seq.newBuilder[Bgp.Pattern]
-      while (!p.is("}")) pats ++= triples(p, None)
-      p.expect("}")
-      return Query(distinct = false, Nil, Nil, Nil, pats.result(), Nil,
-        Nil, Nil, Nil, None, verb = "ask")
-    }
+    // ASK parses with the FULL group-graph-pattern grammar (r9; was a
+    // plain-triples body) — the boolean test runs the same solution
+    // pipeline as SELECT * and checks non-emptiness
+    val isAsk = constructTpl.isEmpty && p.is("ASK")
+    if (isAsk) p.eat()
     if (p.is("DESCRIBE") && !p.peek2.startsWith("?")) {
       // the reference's exact serving call: `describe <iri>`
       // (cam/graphdb.py:60-71)
@@ -875,20 +870,21 @@ object SparqlParser {
     // like SELECT ?v (full WHERE grammar, modifiers), describe the
     // distinct solutions
     val descVar: Option[String] =
-      if (constructTpl.nonEmpty) None // head already parsed (template)
+      if (constructTpl.nonEmpty || isAsk) None // head already parsed
       else if (p.is("DESCRIBE")) { p.eat(); Some(p.eat().substring(1)) }
       else { p.expect("SELECT"); None }
     // REDUCED permits (without requiring) duplicate elimination — this
     // engine eliminates, the cheapest conforming choice at scale
     val distinct = {
-      val d = p.is("DISTINCT") || p.is("REDUCED"); if (d) p.eat(); d
+      val d = !isAsk &&
+        (p.is("DISTINCT") || p.is("REDUCED")); if (d) p.eat(); d
     }
     val proj = Seq.newBuilder[String]
     val aggs = Seq.newBuilder[Agg]
     val order = Seq.newBuilder[String]
     val selExprs = Seq.newBuilder[(String, BindExpr)]
     descVar.foreach(proj += _)
-    if (descVar.isDefined) () // projection fixed: the described variable
+    if (descVar.isDefined || isAsk) () // no SELECT list to parse
     else if (p.is("*")) p.eat()
     else while (p.peek.startsWith("?") || p.is("(")) {
       if (p.is("(") && !Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
@@ -953,7 +949,8 @@ object SparqlParser {
       val iri = t.substring(1, t.length - 1)
       if (named) fromN += iri else fromG += iri
     }
-    p.expect("WHERE"); p.expect("{")
+    if (p.is("WHERE")) p.eat() // WHERE is optional before the group
+    p.expect("{")
     val pats = Seq.newBuilder[Bgp.Pattern]
     val pths = Seq.newBuilder[PathPattern]
     val fns = Seq.newBuilder[PropFnCall]
@@ -1400,6 +1397,7 @@ object SparqlParser {
       fromNamed = fromN.result(),
       termFilters = tFils.result(),
       verb = if (constructTpl.nonEmpty) "construct"
+        else if (isAsk) "ask"
         else if (descVar.isDefined) "describe" else "select",
       template = constructTpl,
       describeVar = descVar)
@@ -1630,7 +1628,10 @@ object SparqlParser {
     // so the template instantiates over exactly the solutions SELECT *
     // would produce (r9; was a patterns-only early return).
     if (q0.verb == "ask") {
-      val exists = !Bgp.select(quads, q0.patterns).limit(1).isEmpty
+      // the boolean is non-emptiness of the FULL solution pipeline
+      // (filters, OPTIONAL, paths, VALUES… — everything SELECT * sees)
+      val sol = executeQuery(quads, q0.copy(verb = "select"), functions)
+      val exists = !sol.limit(1).isEmpty
       return quads.sparkSession.sql(s"SELECT $exists AS ask")
     }
     if (q0.verb == "describe")
