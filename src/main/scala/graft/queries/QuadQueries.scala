@@ -1411,6 +1411,20 @@ object QuadQueries extends QueryCatalog {
           coalesce(col("lang"), lit("")), coalesce(col("datatype"), lit("")))
     }),
 
+    // Multi-IRI DESCRIBE (r9): `describe <a> <b>` unions the concise
+    // bounded descriptions in ONE describeAll pass (the focus set
+    // broadcasts; one job, not one per IRI) — the batch form a serving
+    // client uses to hydrate a result page of entities.
+    "q_quads_sparql_describe_multi" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(
+          QuadEmitter.explodeQuadsFull(
+            joinedFull(s, dir).filter(col("c_custkey") <= 2L), fullEmits),
+          """describe <https://example.org/customer/1>
+            | <https://example.org/customer/2>""".stripMargin)
+        .orderBy(col("subject"), col("predicate"), col("objectValue"),
+          coalesce(col("lang"), lit("")), coalesce(col("datatype"), lit("")))
+    }),
+
     // Textual property path (r8): the hasPart/(additionalType|value)
     // sequence+alternation from its SPARQL 1.1 string form, lowering
     // onto PropertyPath.eval — same algebra, same oracle as the
@@ -3084,6 +3098,22 @@ object QuadQueries extends QueryCatalog {
          |   OR (subjectKind = 'bnode' AND subject IN (
          |        SELECT objectValue FROM quads
          |        WHERE subject = 'https://example.org/customer/1'
+         |          AND subjectKind = 'iri' AND objectKind = 'bnode'))
+         |ORDER BY subject, predicate, objectValue,
+         |  coalesce(lang, ''), coalesce(datatype, '')""".stripMargin,
+
+    "q_quads_sparql_describe_multi" ->
+      s"""$fullQuadsCte
+         |SELECT subject, subjectKind, predicate, objectValue, objectKind,
+         |  datatype, lang, graph
+         |FROM quads
+         |WHERE (subjectKind = 'iri' AND subject IN (
+         |        'https://example.org/customer/1',
+         |        'https://example.org/customer/2'))
+         |   OR (subjectKind = 'bnode' AND subject IN (
+         |        SELECT objectValue FROM quads
+         |        WHERE subject IN ('https://example.org/customer/1',
+         |                          'https://example.org/customer/2')
          |          AND subjectKind = 'iri' AND objectKind = 'bnode'))
          |ORDER BY subject, predicate, objectValue,
          |  coalesce(lang, ''), coalesce(datatype, '')""".stripMargin,

@@ -411,13 +411,17 @@ object QuadEmitter {
     val subjectKind: Column =
       if (quads.columns.contains("subjectKind")) col("subjectKind")
       else lit(graft.model.TermKind.Iri)
+    // kind-less triple relations have no bnode closure to walk
+    val objectKind: Column =
+      if (quads.columns.contains("objectKind")) col("objectKind")
+      else lit(graft.model.TermKind.Iri)
     val focus = iris.toDF("describe_iri").distinct()
     val direct = quads
       .filter(subjectKind === graft.model.TermKind.Iri)
       .join(broadcast(focus), col("subject") === col("describe_iri"))
       .drop("describe_iri")
     val bnodeLabels = direct
-      .filter(col("objectKind") === graft.model.TermKind.BNode)
+      .filter(objectKind === graft.model.TermKind.BNode)
       .select(col("objectValue").as("bn_label")).distinct()
     val hop = quads
       .filter(subjectKind === graft.model.TermKind.BNode)
@@ -430,10 +434,14 @@ object QuadEmitter {
     val subjectKind: Column =
       if (quads.columns.contains("subjectKind")) col("subjectKind")
       else lit(graft.model.TermKind.Iri)
+    // kind-less triple relations have no bnode closure to walk
+    val objectKind: Column =
+      if (quads.columns.contains("objectKind")) col("objectKind")
+      else lit(graft.model.TermKind.Iri)
     val direct = quads.filter(col("subject") === iri &&
       subjectKind === graft.model.TermKind.Iri)
     val bnodeLabels = direct
-      .filter(col("objectKind") === graft.model.TermKind.BNode)
+      .filter(objectKind === graft.model.TermKind.BNode)
       .select(col("objectValue").as("bn_label")).distinct()
     val hop = quads
       .filter(subjectKind === graft.model.TermKind.BNode)

@@ -117,6 +117,7 @@ object SparqlParser {
       subqueries: Seq[Query] = Nil,
       unions: Seq[Seq[Seq[Bgp.Pattern]]] = Nil, // each: ≥2 branches
       describeIri: Option[String] = None,
+      describeIris: Seq[String] = Nil, // extra IRIs: DESCRIBE <a> <b>
       describeVar: Option[String] = None, // DESCRIBE ?v WHERE { … }
       selectOrder: Seq[String] = Nil, // SELECT-list column order
       offset: Option[Int] = None,
@@ -858,13 +859,18 @@ object SparqlParser {
     if (isAsk) p.eat()
     if (p.is("DESCRIBE") && !p.peek2.startsWith("?")) {
       // the reference's exact serving call: `describe <iri>`
-      // (cam/graphdb.py:60-71)
+      // (cam/graphdb.py:60-71); multiple IRIs union their CBDs (r9)
       p.eat()
       val t = p.eat()
       require(t.startsWith("<"), s"DESCRIBE needs an IRI, got '$t'")
+      val more = Seq.newBuilder[String]
+      // ts.nonEmpty guard: peek's "<eof>" sentinel also starts with '<'
+      while (p.ts.nonEmpty && p.peek.startsWith("<"))
+        { val x = p.eat(); more += x.substring(1, x.length - 1) }
       return Query(distinct = false, Nil, Nil, Nil, Nil, Nil,
         Nil, Nil, Nil, None, verb = "describe",
-        describeIri = Some(t.substring(1, t.length - 1)))
+        describeIri = Some(t.substring(1, t.length - 1)),
+        describeIris = more.result())
     }
     // DESCRIBE ?v WHERE { … } — the generic form: parse the body exactly
     // like SELECT ?v (full WHERE grammar, modifiers), describe the
@@ -1643,7 +1649,16 @@ object SparqlParser {
             q0.copy(verb = "select", distinct = true), functions)
             .select(col(v))
           QuadEmitter.describeAll(quads, focus)
-        case None => QuadEmitter.describe(quads, q0.describeIri.get)
+        case None =>
+          // multiple IRIs: one relation-valued CBD over the union of
+          // foci (a single describeAll pass, not one job per IRI)
+          if (q0.describeIris.isEmpty)
+            QuadEmitter.describe(quads, q0.describeIri.get)
+          else {
+            import quads.sparkSession.implicits._
+            QuadEmitter.describeAll(quads,
+              (q0.describeIri.get +: q0.describeIris).toDF("iri"))
+          }
       }
 
     // constant BINDs substitute into every pattern (the constant pushes

@@ -1029,10 +1029,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       SparqlParser.execute(quads,
         """SELECT ?s WHERE { ?s <urn:name> ?n . VALUES ?q { "x" } }""")
     }
-    // ASK: true on a matching pattern, false on an absent one
+    // ASK: true on a matching pattern, false on an absent one;
+    // full-grammar bodies (FILTER) evaluate too (r9)
     assert(run("""ASK { ?s <urn:name> "Alice" }""") == Seq(Seq("true")))
     assert(run("""ASK WHERE { ?s <urn:name> "Nobody" }""")
       == Seq(Seq("false")))
+    assert(run("""ASK { ?s <urn:name> ?n FILTER(STRLEN(?n) > 100) }""")
+      == Seq(Seq("false")))
+    // multi-IRI DESCRIBE unions the CBDs; the trailing-IRI loop must
+    // stop at end-of-input (the "<eof>" sentinel also starts with '<')
+    assert(SparqlParser.execute(quads, "describe <a> <b>")
+      .select("subject").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
     // CONSTRUCT: reshape name edges into a new predicate + marker type
     val built = run("""CONSTRUCT {
         ?s <urn:label> ?n . ?s <urn:type2> <urn:Thing>
