@@ -1289,6 +1289,20 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // Mixed &&/|| FILTER trees (r9; was single-connector with a
+    // split-your-FILTERs rejection): && binds tighter than || per the
+    // SPARQL grammar, so the clause compiles to DNF — a disjunction of
+    // conjunction groups — in ONE row predicate. High balance in a
+    // B-segment, OR deeply negative balance.
+    "q_quads_sparql_filter_mixed" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?s ?bal ?seg WHERE {
+           |  ?s <$BalanceP> ?bal .
+           |  ?s <$SegmentP> ?seg .
+           |  FILTER(?bal > 9000 && STRSTARTS(?seg, "B") || ?bal < -900)
+           |} ORDER BY ?s""".stripMargin)
+    }),
+
     // ASK over the full solution pipeline (r9; was plain triples):
     // one true probe (an account above 9000 exists in the declared
     // graph) and one false probe (a balance above the domain maximum),
@@ -2972,6 +2986,18 @@ object QuadQueries extends QueryCatalog {
          |SELECT subject AS s, objectValue AS b FROM quads
          |WHERE graph = '$GraphG' AND predicate = '$HasPartP'
          |ORDER BY s, b""".stripMargin,
+
+    "q_quads_sparql_filter_mixed" ->
+      """WITH c AS (
+        |  SELECT 'https://example.org/customer/' ||
+        |      CAST(c_custkey AS VARCHAR) AS s,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS baln,
+        |    c_mktsegment AS seg
+        |  FROM customer)
+        |SELECT s, bal, seg FROM c
+        |WHERE (baln > 9000 AND seg LIKE 'B%') OR baln < -900
+        |ORDER BY s""".stripMargin,
 
     "q_quads_sparql_ask_filter" ->
       """SELECT

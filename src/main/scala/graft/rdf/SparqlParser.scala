@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * SELECT [DISTINCT] ?v … | * | (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a) …
   * | (GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?a) | (SAMPLE(?v) AS ?a)
   * | (expr AS ?a)                       (SELECT expression, no aggregates)
-  * | CONSTRUCT { template triples } | CONSTRUCT WHERE { … }
-  * | ASK | DESCRIBE <iri> | DESCRIBE ?v WHERE { … }  (CBD per solution)
+  * | CONSTRUCT { template triples (`;` lists) } | CONSTRUCT WHERE { … }
+  * | ASK (full-grammar body)
+  * | DESCRIBE <iri> [<iri> …] | DESCRIBE ?v WHERE { … } (CBD/solution)
   * [FROM <g>]* [FROM NAMED <g>]*         (§13.2 dataset clause — declared
   *                                        default-graph union / GRAPH set)
   * WHERE {
@@ -42,12 +43,12 @@ import org.apache.spark.sql.functions._
   *                                            FLOOR/ROUND/MD5/SHA1/
   *                                            SHA256/geof:distance,
   *                                            + - * / on ?v/ints)
-  *   [OPTIONAL { triples }]
+  *   [OPTIONAL { triples [OPTIONAL { … }] [FILTER(expr op expr)] }]
   *   [MINUS { triples }]
   *   [FILTER(?v op "lit"|<iri>|number|?w [&&|'||' …])]  (op on two vars
   *                                                     = lexical compare;
-  *                                                     one connector kind
-  *                                                     per FILTER)
+  *                                                     mixed &&/|| = DNF,
+  *                                                     && binds tighter)
   *   [FILTER(REGEX(?v, "pat" [, "i"]) | STRSTARTS(?v, "s")
   *           | CONTAINS(?v, "s") | [!]BOUND(?v)
   *           | STR(?v) op "lit" | ?v [NOT] IN ("lit", <iri>, …)
@@ -130,7 +131,8 @@ object SparqlParser {
       boundFilters: Seq[(String, Boolean)] = Nil, // v, negated (!BOUND)
       existsFilters: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil,
       // (negated, group): FILTER [NOT] EXISTS { … }
-      orFilters: Seq[Seq[FilterAtom]] = Nil, // ||-joined atom groups
+      orFilters: Seq[Seq[Seq[FilterAtom]]] = Nil,
+      // each entry: one FILTER in DNF — a disjunction of && groups
       exprBinds: Seq[(String, BindExpr)] = Nil, // BIND(expr AS ?v)
       exprFilters: Seq[(BindExpr, String, BindExpr)] = Nil,
       // FILTER(expr op expr)
@@ -970,7 +972,7 @@ object SparqlParser {
     val inFils = Seq.newBuilder[(String, Boolean, Seq[String])]
     val bndFils = Seq.newBuilder[(String, Boolean)]
     val exFils = Seq.newBuilder[(Boolean, Seq[Bgp.Pattern])]
-    val orFils = Seq.newBuilder[Seq[FilterAtom]]
+    val orFils = Seq.newBuilder[Seq[Seq[FilterAtom]]]
     val tFils = Seq.newBuilder[TermTest]
     val eBnds = Seq.newBuilder[(String, BindExpr)]
     val vals = Seq.newBuilder[(String, Seq[String])]
@@ -1297,25 +1299,28 @@ object SparqlParser {
               }
             }
             if (p.is("&&") || p.is("||")) {
-              // SPARQL gives && higher precedence than || — a mix in one
-              // FILTER would need an expression tree; split into two
-              // FILTERs (conjunction is implicit across FILTER clauses)
-              val c = p.eat()
-              require(connector.isEmpty || connector == c,
-                "mixed && and || in one FILTER — split into separate " +
-                  "FILTER clauses (FILTERs conjoin)")
-              connector = c
+              // SPARQL gives && higher precedence than || — record the
+              // connector sequence and split into DNF below (mixed
+              // trees supported, r9; was single-connector only)
+              connector += (if (p.eat() == "&&") "&" else "|")
             } else more = false
           }
           p.expect(")")
           val group = atoms.result()
-          if (connector == "||" && group.length > 1) {
-            require(!group.exists(_.isInstanceOf[TermTest]),
-              "term-accessor tests (LANG/DATATYPE/is*) compile to " +
-                "pattern-scan predicates and cannot join a || group — " +
-                "split into separate FILTERs or use UNION")
-            orFils += group
-          } else group.foreach {
+          // split at '||' boundaries: a disjunction of && groups
+          val dnfB = Seq.newBuilder[Seq[FilterAtom]]
+          var cur = Seq.newBuilder[FilterAtom]
+          group.zipWithIndex.foreach { case (a, i) =>
+            cur += a
+            if (i < connector.length && connector.charAt(i) == '|') {
+              dnfB += cur.result(); cur = Seq.newBuilder[FilterAtom]
+            }
+          }
+          dnfB += cur.result()
+          val dnf = dnfB.result()
+          if (dnf.length == 1) dnf.head.foreach {
+            // pure conjunction: each atom keeps its optimized path
+            // (scan-level term filters, pushable per-kind predicates)
             case CmpLit(v, op, value, num) => fils += ((v, op, value, num))
             case CmpVar(a, op, b) => varFils += ((a, op, b))
             case InList(v, n, vs) => inFils += ((v, n, vs))
@@ -1324,6 +1329,12 @@ object SparqlParser {
             case ExprCmp(l, o, r) => eFils += ((l, o, r))
             case ExprBool(e) => bFils += e
             case t: TermTest => tFils += t
+          } else {
+            require(!dnf.exists(_.exists(_.isInstanceOf[TermTest])),
+              "term-accessor tests (LANG/DATATYPE/is*) compile to " +
+                "pattern-scan predicates and cannot join a || group — " +
+                "split into separate FILTERs or use UNION")
+            orFils += dnf
           }
         } else tripleish(p, g, pats, pths, fns)
       }
@@ -1886,8 +1897,9 @@ object SparqlParser {
         s"$fn(?$v) is not supported inside a || disjunction: term " +
           "accessors compile to per-pattern scan predicates")
     }
-    q.orFilters.foreach { group =>
-      sol = sol.filter(group.map(atomCol).reduce(_ || _))
+    q.orFilters.foreach { dnf =>
+      sol = sol.filter(
+        dnf.map(_.map(atomCol).reduce(_ && _)).reduce(_ || _))
     }
     q.exprFilters.foreach { case (l, op, r) =>
       sol = sol.filter(exprCmpCol(l, op, r))

@@ -1743,6 +1743,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       == Set(("a", Some("5"))))
   }
 
+  test("SparqlParser r9: mixed &&/|| FILTER — && binds tighter") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(("x", "urn:p", "1"), ("y", "urn:p", "5"),
+      ("z", "urn:p", "9")).toDF("subject", "predicate", "objectValue")
+    def vals(q: String): Seq[String] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.getString(0)).toSeq.sorted
+    // ?v = 9 || (?v > 0 && ?v < 2) — y(5) drops; a ||-tighter parse
+    // would read (9 || >0) && <2 and keep only x
+    assert(vals("""SELECT ?s WHERE { ?s <urn:p> ?v .
+      FILTER(?v = 9 || ?v > 0 && ?v < 2) }""") == Seq("x", "z"))
+    // the mirrored order: (?v > 0 && ?v < 2) || ?v = 9
+    assert(vals("""SELECT ?s WHERE { ?s <urn:p> ?v .
+      FILTER(?v > 0 && ?v < 2 || ?v = 9) }""") == Seq("x", "z"))
+  }
+
   test("SparqlParser r9: nested OPTIONAL groups (§18.2.2.6)") {
     import spark.implicits._
     import graft.rdf.SparqlParser
