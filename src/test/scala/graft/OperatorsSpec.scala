@@ -1186,10 +1186,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
         FILTER(STRSTARTS(?n, "Al") || ?n IN ("Zed")) }""")
       == Seq(Seq("a")))
-    intercept[IllegalArgumentException] {
-      run("""SELECT ?s WHERE { ?s <urn:name> ?n .
-          FILTER(?n = "A" && ?n = "B" || ?n = "C") }""")
-    }
+    // mixed connectors compile to DNF (r9; was a loud rejection):
+    // (Alice && startsWith Al) || Bob
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(?n = "Alice" && STRSTARTS(?n, "Al") || ?n = "Bob") }
+        ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("b")))
     // loud: uncorrelated EXISTS, BOUND of an unbound variable
     intercept[IllegalArgumentException] {
       run("""SELECT ?s WHERE { ?s <urn:type> "T" .
