@@ -1289,6 +1289,30 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // SPARQL federation (r9): SERVICE <endpoint> { … } against a
+    // REGISTERED endpoint relation — the address store is the local
+    // dataset, the geocode store a second endpoint; the SERVICE group
+    // evaluates as its own BGP over that relation and equi-joins the
+    // outer solutions on ?a. No per-row calls, no driver loop — the
+    // join/pushdown shape is what federation costs at scale (an HTTP
+    // gateway would populate the registry; SILENT + unregistered is a
+    // spec-conform no-op, unit-tested).
+    "q_quads_sparql_service" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""PREFIX sdo: <https://schema.org/>
+           |PREFIX addr: <https://w3id.org/profile/anz-address/>
+           |SELECT ?a ?name ?wkt WHERE {
+           |  ?a sdo:name ?name .
+           |  FILTER(CONTAINS(?name, "#00000001"))
+           |  SERVICE <urn:graft:geocode> {
+           |    ?a addr:hasGeocode ?g .
+           |    ?g <$HasGeometryP> ?geo .
+           |    ?geo <$AsWktP> ?wkt .
+           |  }
+           |} ORDER BY ?a""".stripMargin,
+        services = Map("urn:graft:geocode" -> geocodeQuads(s, dir)))
+    }),
+
     // Mixed &&/|| FILTER trees (r9; was single-connector with a
     // split-your-FILTERs rejection): && binds tighter than || per the
     // SPARQL grammar, so the clause compiles to DNF — a disjunction of
@@ -2986,6 +3010,17 @@ object QuadQueries extends QueryCatalog {
          |SELECT subject AS s, objectValue AS b FROM quads
          |WHERE graph = '$GraphG' AND predicate = '$HasPartP'
          |ORDER BY s, b""".stripMargin,
+
+    "q_quads_sparql_service" ->
+      """SELECT
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS a,
+        |  c_name AS name,
+        |  'POINT(' || CAST(140 + c_custkey % 10 AS VARCHAR) || ' -'
+        |    || CAST(10 + c_custkey % 5 AS VARCHAR) || ')' AS wkt
+        |FROM customer
+        |WHERE contains(c_name, '#00000001')
+        |ORDER BY a""".stripMargin,
 
     "q_quads_sparql_filter_mixed" ->
       """WITH c AS (

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *                                        default-graph union / GRAPH set)
   * WHERE {
   *   [GRAPH ?g|<iri> { group }]
+  *   [SERVICE [SILENT] <endpoint> { triples }] (registered-relation
+  *                                             federation)
   *   [{ SELECT … }]                          (sub-select, joined on shared vars)
   *   ?s <p> ?o .                             (predicate may be ?var, or a
   *    …                                       path: ^p, p1/p2, p1|p2,
@@ -143,7 +145,9 @@ object SparqlParser {
       boolFilters: Seq[BindExpr] = Nil,
       // FILTER(boolFn(args)) — bare boolean calls (geof:sfWithin …)
       fromGraphs: Seq[String] = Nil, // FROM <g> — default-graph union
-      fromNamed: Seq[String] = Nil) // FROM NAMED <g> — GRAPH-visible set
+      fromNamed: Seq[String] = Nil, // FROM NAMED <g> — GRAPH-visible set
+      serviceGroups: Seq[(String, Boolean, Seq[Bgp.Pattern])] = Nil)
+      // SERVICE [SILENT] <endpoint> { triples }: (iri, silent, group)
 
   /** One OPTIONAL group: its patterns, the FILTERs scoped INSIDE the
     * group (they constrain the group's MATCH — unmatched rows keep
@@ -740,6 +744,7 @@ object SparqlParser {
   private def kw(p: P): Boolean =
     p.is("OPTIONAL") || p.is("MINUS") || p.is("FILTER") ||
       p.is("GRAPH") || p.is("VALUES") || p.is("BIND") ||
+      p.is("SERVICE") ||
       p.is("{") // sub-select or UNION group
 
   /** Plain-pattern-only triples (OPTIONAL / MINUS / CONSTRUCT-WHERE
@@ -981,6 +986,7 @@ object SparqlParser {
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
     val unis = Seq.newBuilder[Seq[Seq[Bgp.Pattern]]]
+    val svcs = Seq.newBuilder[(String, Boolean, Seq[Bgp.Pattern])]
 
     def group(g: Option[Bgp.Term]): Unit = {
       while (!p.is("}")) {
@@ -989,6 +995,24 @@ object SparqlParser {
           p.eat()
           val gg = term(p.eat())
           p.expect("{"); group(Some(gg)); p.expect("}")
+        } else if (p.is("SERVICE")) {
+          // SERVICE [SILENT] <endpoint> { triples } — federation
+          // against a REGISTERED endpoint relation (execute's
+          // `services` map): the group evaluates as its own BGP over
+          // that relation and equi-joins the outer solutions on
+          // shared variables — no per-row calls, no driver loop. An
+          // HTTP gateway would populate the registry; SILENT turns an
+          // unregistered endpoint into a no-op per the spec's
+          // ignore-failure semantics.
+          p.eat()
+          val silent = p.is("SILENT"); if (silent) p.eat()
+          val t = p.eat()
+          require(t.startsWith("<"),
+            s"SERVICE needs an endpoint IRI, got '$t'")
+          p.expect("{")
+          val sp = triples(p, None)
+          p.expect("}")
+          svcs += ((t.substring(1, t.length - 1), silent, sp))
         } else if (p.is("{") && p.peek2.equalsIgnoreCase("SELECT")) {
           // sub-select: an independent query joined on shared variables
           // (the reference's documented getParts shape nests
@@ -1412,6 +1436,7 @@ object SparqlParser {
       boolFilters = bFils.result(),
       fromGraphs = fromG.result(),
       fromNamed = fromN.result(),
+      serviceGroups = svcs.result(),
       termFilters = tFils.result(),
       verb = if (constructTpl.nonEmpty) "construct"
         else if (isAsk) "ask"
@@ -1519,9 +1544,10 @@ object SparqlParser {
     * [[graft.operators.Checkpoints.cutOnce]] detects the materialized
     * root and skips. */
   def execute(quads: DataFrame, sparql: String,
-      functions: Map[String, PropertyFunction] = Map.empty): DataFrame =
+      functions: Map[String, PropertyFunction] = Map.empty,
+      services: Map[String, DataFrame] = Map.empty): DataFrame =
     executeQuery(graft.operators.Checkpoints.cutOnce(quads, eager = false),
-      parse(sparql), functions)
+      parse(sparql), functions, services)
 
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString =
@@ -1639,7 +1665,8 @@ object SparqlParser {
     }
 
   private def executeQuery(quads: DataFrame, q0: Query,
-      functions: Map[String, PropertyFunction]): DataFrame = {
+      functions: Map[String, PropertyFunction],
+      services: Map[String, DataFrame] = Map.empty): DataFrame = {
     // CONSTRUCT dispatches AFTER the solution pipeline below — its
     // WHERE is a full group graph pattern (filters, OPTIONAL, BIND…),
     // so the template instantiates over exactly the solutions SELECT *
@@ -1647,7 +1674,8 @@ object SparqlParser {
     if (q0.verb == "ask") {
       // the boolean is non-emptiness of the FULL solution pipeline
       // (filters, OPTIONAL, paths, VALUES… — everything SELECT * sees)
-      val sol = executeQuery(quads, q0.copy(verb = "select"), functions)
+      val sol = executeQuery(quads, q0.copy(verb = "select"), functions,
+        services)
       val exists = !sol.limit(1).isEmpty
       return quads.sparkSession.sql(s"SELECT $exists AS ask")
     }
@@ -1657,7 +1685,8 @@ object SparqlParser {
           // solve the WHERE exactly as SELECT ?v would, then CBD every
           // distinct focus — one relation-valued describe, no driver loop
           val focus = executeQuery(quads,
-            q0.copy(verb = "select", distinct = true), functions)
+            q0.copy(verb = "select", distinct = true), functions,
+            services)
             .select(col(v))
           QuadEmitter.describeAll(quads, focus)
         case None =>
@@ -1709,7 +1738,10 @@ object SparqlParser {
           else Set.empty[String]) ++
         q.unions.map(_.flatten.flatMap(pt => termVars(pt.s) ++
           termVars(pt.p) ++ termVars(pt.o) ++
-          pt.g.toSeq.flatMap(termVars)).toSet)
+          pt.g.toSeq.flatMap(termVars)).toSet) ++
+        q.serviceGroups.map { case (_, _, sp) =>
+          sp.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
+            termVars(pt.o)).toSet }
     if (!allowCartesian) {
       // union-find connectivity over shared variables: every pattern
       // with variables must reach every other (var-free patterns are
@@ -1807,7 +1839,21 @@ object SparqlParser {
       components += fn(scoped, fc.subjects, fc.objects)
     }
     q.subqueries.foreach(sq =>
-      components += executeQuery(quads, sq, functions))
+      components += executeQuery(quads, sq, functions, services))
+    q.serviceGroups.foreach { case (iri, silent, pats) =>
+      services.get(iri) match {
+        case Some(rel) =>
+          components += Bgp.select(
+            graft.operators.Checkpoints.cutOnce(rel, eager = false),
+            pats, dedup = false)
+        case None if silent => () // spec: SILENT failures are ignored
+        case None => throw new IllegalArgumentException(
+          s"unregistered SERVICE endpoint <$iri>" +
+            (if (services.isEmpty) ""
+             else s"; registered: ${services.keys.toSeq.sorted
+               .mkString(", ")}"))
+      }
+    }
     q.unions.foreach(branches =>
       components += Bgp.selectUnion(quads, branches, dedup = false))
 

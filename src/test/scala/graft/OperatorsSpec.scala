@@ -1745,6 +1745,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       == Set(("a", Some("5"))))
   }
 
+  test("SparqlParser r9: SERVICE federation against registered stores") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val local = Seq(("a", "urn:name", "A"), ("b", "urn:name", "B"))
+      .toDF("subject", "predicate", "objectValue")
+    val remote = Seq(("a", "urn:geo", "P1"))
+      .toDF("subject", "predicate", "objectValue")
+    val q = """SELECT ?s ?g WHERE { ?s <urn:name> ?n .
+      SERVICE <urn:ep> { ?s <urn:geo> ?g } }"""
+    val got = SparqlParser.execute(local, q,
+        services = Map("urn:ep" -> remote))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "P1")))
+    // unregistered endpoint: loud, names the registered ones
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.execute(local, q,
+        services = Map("urn:other" -> remote)).collect()
+    }
+    assert(e.getMessage.contains("urn:ep") &&
+      e.getMessage.contains("urn:other"))
+    // SILENT: an unregistered endpoint is ignored per spec — the
+    // query degrades to the local pattern alone
+    val silent = SparqlParser.execute(local,
+      """SELECT ?s WHERE { ?s <urn:name> ?n .
+        SERVICE SILENT <urn:gone> { ?s <urn:geo> ?g } } ORDER BY ?s""")
+      .collect().map(_.getString(0)).toSeq
+    assert(silent == Seq("a", "b"))
+  }
+
   test("SparqlParser r9: mixed &&/|| FILTER — && binds tighter") {
     import spark.implicits._
     import graft.rdf.SparqlParser
