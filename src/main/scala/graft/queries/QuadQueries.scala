@@ -1209,6 +1209,59 @@ object QuadQueries extends QueryCatalog {
         .orderBy(col("focus"), col("path"), col("constraint"))
     }),
 
+    // SHACL from TURTLE (r10, VERDICT r9 Missing #2): the SAME dirty
+    // graph and the SAME oracle as q_shape_validate, but the shapes come
+    // from a shapes DOCUMENT — the reference's actual contract
+    // (shacl.ttl + README "Loading SHACL shapes") — compiled by
+    // ShaclLoader through the full-grammar Turtle parser (sh:property
+    // bnode lists, sh:languageIn collection, numeric shorthand). If the
+    // loader drops or misreads one constraint, the violation set — and
+    // the hash — diverges.
+    "q_shacl_from_turtle" -> ((s, dir) => {
+      val shapesDoc =
+        s"""PREFIX sh: <http://www.w3.org/ns/shacl#>
+           |PREFIX sdo: <https://schema.org/>
+           |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           |PREFIX def: <https://example.org/def/>
+           |
+           |<urn:shape:Address>
+           |    a sh:NodeShape ;
+           |    sh:targetClass sdo:Place ;
+           |    sh:property [
+           |        sh:path sdo:name ;
+           |        sh:minCount 1 ;
+           |        sh:maxCount 1 ;
+           |        sh:nodeKind sh:Literal ;
+           |    ] ;
+           |    sh:property [
+           |        sh:path sdo:description ;
+           |        sh:minCount 1 ;
+           |        sh:maxCount 1 ;
+           |        sh:languageIn ( "en" ) ;
+           |    ] ;
+           |    sh:property [
+           |        sh:path def:accountBalance ;
+           |        sh:minCount 1 ;
+           |        sh:maxCount 1 ;
+           |        sh:datatype xsd:decimal ;
+           |    ] ;
+           |    sh:property [
+           |        sh:path sdo:hasPart ;
+           |        sh:minCount 4 ;
+           |        sh:nodeKind sh:BlankNode ;
+           |    ] ;
+           |.""".stripMargin
+      val shapes = graft.rdf.ShaclLoader.fromTurtle(shapesDoc)
+      val q = fullQuads(s, dir)
+      val key = coalesce(
+        regexp_extract(col("subject"), "([0-9]+)$", 1).cast("long"), lit(-1L))
+      val isName = col("predicate") === NameP
+      val dirty = q.filter(!(isName && key % 20 === 0))
+        .unionByName(q.filter(isName && key % 20 === 7))
+      graft.rdf.ShapeValidator.violations(dirty, shapes)
+        .orderBy(col("focus"), col("path"), col("constraint"))
+    }),
+
     // owl:sameAs closure + canonicalization (rdf/SameAs — the reference's
     // vocab graphs carry owl:sameAs links, reg-statuses.ttl:76-188): the
     // multi-source alias scenario. Every customer exists under its modern
@@ -2434,6 +2487,69 @@ object QuadQueries extends QueryCatalog {
       graft.rdf.PropertyShape(HasPartP, minCount = 4,
         nodeKind = Some(graft.model.TermKind.BNode)))))
 
+  /** Shared replay for q_shape_validate AND q_shacl_from_turtle:
+    * every ShapeSpec constraint recomputed in SQL over the same
+    * dirty quads — the loader gate must produce the identical
+    * violation set from shapes-as-data. */
+  private def shapeValidateOracle: String =
+    s"""$fullQuadsCte,
+         |dirty AS (
+         |  SELECT * FROM quads
+         |  WHERE NOT (predicate = '$NameP' AND COALESCE(TRY_CAST(regexp_extract(
+         |    subject, '([0-9]+)$$', 1) AS BIGINT), -1) % 20 = 0)
+         |  UNION ALL
+         |  SELECT * FROM quads
+         |  WHERE predicate = '$NameP' AND COALESCE(TRY_CAST(regexp_extract(
+         |    subject, '([0-9]+)$$', 1) AS BIGINT), -1) % 20 = 7),
+         |focus AS (
+         |  SELECT DISTINCT subject AS focus FROM dirty
+         |  WHERE predicate = '$RdfType' AND objectKind = 'iri'
+         |    AND objectValue = '$PlaceT'),
+         |props AS (
+         |  SELECT * FROM (VALUES
+         |    ('$NameP', 1, 1, NULL, 'literal', NULL),
+         |    ('$DescP', 1, 1, NULL, NULL, 'en'),
+         |    ('$BalanceP', 1, 1, '$XsdDecimal', NULL, NULL),
+         |    ('$HasPartP', 4, NULL, NULL, 'bnode', NULL))
+         |    AS t(path, min_count, max_count, dt_req, kind_req, lang_req)),
+         |stats AS (
+         |  SELECT f.focus, p.path, p.min_count, p.max_count, p.dt_req,
+         |    p.kind_req, p.lang_req,
+         |    COUNT(q.predicate) AS n,
+         |    SUM(CASE WHEN p.dt_req IS NOT NULL AND q.predicate IS NOT NULL
+         |      AND (q.objectKind <> 'literal' OR q.datatype IS NULL
+         |           OR q.datatype <> p.dt_req) THEN 1 ELSE 0 END) AS bad_dt,
+         |    SUM(CASE WHEN p.kind_req IS NOT NULL AND q.predicate IS NOT NULL
+         |      AND q.objectKind <> p.kind_req THEN 1 ELSE 0 END) AS bad_kind,
+         |    SUM(CASE WHEN p.lang_req IS NOT NULL AND q.predicate IS NOT NULL
+         |      AND (q.lang IS NULL OR q.lang <> p.lang_req)
+         |      THEN 1 ELSE 0 END) AS bad_lang
+         |  FROM focus f CROSS JOIN props p
+         |  LEFT JOIN dirty q ON q.subject = f.focus AND q.predicate = p.path
+         |  GROUP BY f.focus, p.path, p.min_count, p.max_count, p.dt_req,
+         |    p.kind_req, p.lang_req),
+         |viol AS (
+         |  SELECT focus, path, 'minCount' AS "constraint",
+         |    CAST(min_count AS VARCHAR) AS expected,
+         |    CAST(n AS VARCHAR) AS actual
+         |  FROM stats WHERE n < min_count
+         |  UNION ALL
+         |  SELECT focus, path, 'maxCount',
+         |    CAST(max_count AS VARCHAR), CAST(n AS VARCHAR)
+         |  FROM stats WHERE max_count IS NOT NULL AND n > max_count
+         |  UNION ALL
+         |  SELECT focus, path, 'datatype', dt_req, CAST(bad_dt AS VARCHAR)
+         |  FROM stats WHERE bad_dt > 0
+         |  UNION ALL
+         |  SELECT focus, path, 'nodeKind', kind_req, CAST(bad_kind AS VARCHAR)
+         |  FROM stats WHERE bad_kind > 0
+         |  UNION ALL
+         |  SELECT focus, path, 'language', lang_req, CAST(bad_lang AS VARCHAR)
+         |  FROM stats WHERE bad_lang > 0)
+         |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
+         |  expected, actual
+         |FROM viol ORDER BY focus, path, "constraint"""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_quads_explode" ->
       s"""$oracleQuadsCte
@@ -2925,64 +3041,10 @@ object QuadQueries extends QueryCatalog {
     // property table is a VALUES literal mirroring addressShapes, stats
     // aggregate per (focus, path) with per-constraint mismatch counts,
     // and each violated bound emits one row — same columns, same casts.
-    "q_shape_validate" ->
-      s"""$fullQuadsCte,
-         |dirty AS (
-         |  SELECT * FROM quads
-         |  WHERE NOT (predicate = '$NameP' AND COALESCE(TRY_CAST(regexp_extract(
-         |    subject, '([0-9]+)$$', 1) AS BIGINT), -1) % 20 = 0)
-         |  UNION ALL
-         |  SELECT * FROM quads
-         |  WHERE predicate = '$NameP' AND COALESCE(TRY_CAST(regexp_extract(
-         |    subject, '([0-9]+)$$', 1) AS BIGINT), -1) % 20 = 7),
-         |focus AS (
-         |  SELECT DISTINCT subject AS focus FROM dirty
-         |  WHERE predicate = '$RdfType' AND objectKind = 'iri'
-         |    AND objectValue = '$PlaceT'),
-         |props AS (
-         |  SELECT * FROM (VALUES
-         |    ('$NameP', 1, 1, NULL, 'literal', NULL),
-         |    ('$DescP', 1, 1, NULL, NULL, 'en'),
-         |    ('$BalanceP', 1, 1, '$XsdDecimal', NULL, NULL),
-         |    ('$HasPartP', 4, NULL, NULL, 'bnode', NULL))
-         |    AS t(path, min_count, max_count, dt_req, kind_req, lang_req)),
-         |stats AS (
-         |  SELECT f.focus, p.path, p.min_count, p.max_count, p.dt_req,
-         |    p.kind_req, p.lang_req,
-         |    COUNT(q.predicate) AS n,
-         |    SUM(CASE WHEN p.dt_req IS NOT NULL AND q.predicate IS NOT NULL
-         |      AND (q.objectKind <> 'literal' OR q.datatype IS NULL
-         |           OR q.datatype <> p.dt_req) THEN 1 ELSE 0 END) AS bad_dt,
-         |    SUM(CASE WHEN p.kind_req IS NOT NULL AND q.predicate IS NOT NULL
-         |      AND q.objectKind <> p.kind_req THEN 1 ELSE 0 END) AS bad_kind,
-         |    SUM(CASE WHEN p.lang_req IS NOT NULL AND q.predicate IS NOT NULL
-         |      AND (q.lang IS NULL OR q.lang <> p.lang_req)
-         |      THEN 1 ELSE 0 END) AS bad_lang
-         |  FROM focus f CROSS JOIN props p
-         |  LEFT JOIN dirty q ON q.subject = f.focus AND q.predicate = p.path
-         |  GROUP BY f.focus, p.path, p.min_count, p.max_count, p.dt_req,
-         |    p.kind_req, p.lang_req),
-         |viol AS (
-         |  SELECT focus, path, 'minCount' AS "constraint",
-         |    CAST(min_count AS VARCHAR) AS expected,
-         |    CAST(n AS VARCHAR) AS actual
-         |  FROM stats WHERE n < min_count
-         |  UNION ALL
-         |  SELECT focus, path, 'maxCount',
-         |    CAST(max_count AS VARCHAR), CAST(n AS VARCHAR)
-         |  FROM stats WHERE max_count IS NOT NULL AND n > max_count
-         |  UNION ALL
-         |  SELECT focus, path, 'datatype', dt_req, CAST(bad_dt AS VARCHAR)
-         |  FROM stats WHERE bad_dt > 0
-         |  UNION ALL
-         |  SELECT focus, path, 'nodeKind', kind_req, CAST(bad_kind AS VARCHAR)
-         |  FROM stats WHERE bad_kind > 0
-         |  UNION ALL
-         |  SELECT focus, path, 'language', lang_req, CAST(bad_lang AS VARCHAR)
-         |  FROM stats WHERE bad_lang > 0)
-         |SELECT 'urn:shape:Address' AS shape, focus, path, "constraint",
-         |  expected, actual
-         |FROM viol ORDER BY focus, path, "constraint"""".stripMargin,
+    "q_shape_validate" -> shapeValidateOracle,
+    // Shapes-as-data twin: same violations from the Turtle document, so
+    // the SAME independent replay gates the loader end-to-end.
+    "q_shacl_from_turtle" -> shapeValidateOracle,
 
     "q_quads_sparql_agg" ->
       s"""$fullQuadsCte,
