@@ -1549,6 +1549,23 @@ object SparqlParser {
     executeQuery(graft.operators.Checkpoints.cutOnce(quads, eager = false),
       parse(sparql), functions, services)
 
+  /** The reference's remote-vocab fetch, client side
+    * (`cam/remote_concepts.py:23`: `requests.post(sparql_endpoint,
+    * data=query)`): a full SPARQL TEXT posted to an endpoint, executed
+    * there in its entirety. The endpoint is a registered relation —
+    * the same registry SERVICE federation uses — and the posted text
+    * runs over that relation unmodified; an unregistered endpoint is
+    * the reference's non-200 `RuntimeError`, loudly. */
+  def executeRemote(endpoint: String, sparql: String,
+      services: Map[String, DataFrame]): DataFrame = {
+    val store = services.getOrElse(endpoint,
+      throw new IllegalArgumentException(
+        s"Failed to fetch from <$endpoint>: unregistered SPARQL " +
+          s"endpoint; registered: " +
+          services.keys.toSeq.sorted.mkString(", ")))
+    execute(store, sparql, services = services)
+  }
+
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString =
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
