@@ -191,7 +191,14 @@ object SparqlParser {
       // r9 builtins: SPARQL 1.1 §17.4.3 string accessors, RFC 3986
       // encoding, §17.4.4 numerics, §17.4.6 hashes
       "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
-      "ABS", "CEIL", "FLOOR", "ROUND", "MD5", "SHA1", "SHA256")
+      "ABS", "CEIL", "FLOOR", "ROUND", "MD5", "SHA1", "SHA256",
+      // r10 term constructors (§17.4.2): the write twins of the r9
+      // accessors — STRLANG/STRDT build tagged/typed literals, IRI/URI
+      // and BNODE build resource terms (kind/lang/datatype recorded via
+      // [[ctorMeta]] and stamped on CONSTRUCT templates), UUID/STRUUID
+      // mint fresh per-solution identifiers, NOW reads the injectable
+      // clock ([[withClock]])
+      "STRLANG", "STRDT", "IRI", "URI", "BNODE", "UUID", "STRUUID", "NOW")
 
   /** One atomic FILTER test — the unit both the conjunctive lists and
     * `||` disjunction groups compose from. */
@@ -588,8 +595,11 @@ object SparqlParser {
           else t.toUpperCase
         p.expect("(")
         val args = Seq.newBuilder[BindExpr]
-        args += full()
-        while (p.is(",")) { p.eat(); args += full() }
+        // zero-arg calls: UUID(), STRUUID(), NOW(), BNODE()
+        if (!p.is(")")) {
+          args += full()
+          while (p.is(",")) { p.eat(); args += full() }
+        }
         p.expect(")")
         BCall(fn, args.result())
       } else {
@@ -614,6 +624,36 @@ object SparqlParser {
     }
     full()
   }
+
+  /** Injectable clock for NOW() — SPARQL §17.4.5.1 pins one instant per
+    * query execution; the engine additionally lets callers PIN the
+    * instant (tests, reproducible batch runs). Thread-local because the
+    * value is captured at plan-build time on the calling thread. */
+  private val clockTl = new ThreadLocal[String]
+  def withClock[T](isoInstant: String)(f: => T): T = {
+    clockTl.set(isoInstant)
+    try f finally clockTl.remove()
+  }
+  private def clockNow(): String =
+    Option(clockTl.get()).getOrElse(java.time.Instant.now().toString)
+
+  /** Term metadata a constructor BIND stamps on its variable — the
+    * constructed term's kind/lang/datatype where statically known.
+    * CONSTRUCT templates consult this so a BIND(STRDT(…)) object
+    * round-trips the N-Quads sink with its datatype. */
+  private def ctorMeta(
+      e: BindExpr): Option[(String, Option[String], Option[String])] =
+    e match {
+      case BCall("STRLANG", Seq(_, BStr(tag))) =>
+        Some((graft.model.TermKind.Literal, Some(tag), None))
+      case BCall("STRDT", Seq(_, BStr(dt))) =>
+        Some((graft.model.TermKind.Literal, None, Some(dt)))
+      case BCall("IRI" | "URI", _) =>
+        Some((graft.model.TermKind.Iri, None, None))
+      case BCall("BNODE", _) =>
+        Some((graft.model.TermKind.BNode, None, None))
+      case _ => None
+    }
 
   /** Compile a BIND expression onto the solution's binding columns. */
   private def bindCol(e: BindExpr): Column = e match {
@@ -646,10 +686,15 @@ object SparqlParser {
       val (s, d) = (bindCol(a).cast("string"), bindCol(b).cast("string"))
       when(instr(s, d) > 0,
         substr(s, instr(s, d) + length(d), length(s))).otherwise("")
-    // §17.4.2.8: percent-encode everything but RFC 3986 unreserved;
-    // url_encode is form-encoding (space → '+'), so re-map to %20
+    // §17.4.2.8: percent-encode everything but RFC 3986 unreserved.
+    // url_encode is java.net.URLEncoder form-encoding, which deviates
+    // three ways (ADVICE r9): space → '+' (re-map to %20), '~' → %7E
+    // (unreserved, must stay raw), '*' left raw (reserved, must become
+    // %2A)
     case BCall("ENCODE_FOR_URI", Seq(a)) =>
-      regexp_replace(url_encode(bindCol(a).cast("string")), "\\+", "%20")
+      regexp_replace(regexp_replace(regexp_replace(
+        url_encode(bindCol(a).cast("string")),
+        "\\+", "%20"), "%7E", "~"), "\\*", "%2A")
     // §17.4.4 numerics — CEIL/FLOOR/ROUND surface as integer lexical
     // forms (the engine's solution columns are strings; "7", not "7.0")
     case BCall("ABS", Seq(a)) => abs(bindCol(a).cast("double"))
@@ -657,12 +702,38 @@ object SparqlParser {
       ceil(bindCol(a).cast("double")).cast("long")
     case BCall("FLOOR", Seq(a)) =>
       floor(bindCol(a).cast("double")).cast("long")
+    // §17.4.4.1 ROUND ties toward +∞ (ROUND(-2.5) = -2), unlike Spark
+    // round's HALF_UP-away-from-zero (ADVICE r9) — floor(x + 0.5)
     case BCall("ROUND", Seq(a)) =>
-      round(bindCol(a).cast("double"), 0).cast("long")
+      floor(bindCol(a).cast("double") + lit(0.5)).cast("long")
     // §17.4.6 hash functions — lowercase hex, same as every store
     case BCall("MD5", Seq(a)) => md5(bindCol(a).cast("string"))
     case BCall("SHA1", Seq(a)) => sha1(bindCol(a).cast("string"))
     case BCall("SHA256", Seq(a)) => sha2(bindCol(a).cast("string"), 256)
+    // §17.4.2 term constructors — the VALUE column is the term's
+    // lexical form; kind/lang/datatype ride separately via [[ctorMeta]]
+    // (stamped onto CONSTRUCT templates, where term identity is
+    // observable). STRLANG/STRDT require a CONSTANT tag/datatype — the
+    // only forms the reference's data uses (lang-tagged names,
+    // etl_pndb.py:240,314; 7 custom datatypes, cam/etl/namespaces.py).
+    case BCall("STRLANG", Seq(a, BStr(_))) => bindCol(a).cast("string")
+    case BCall("STRDT", Seq(a, BStr(_))) => bindCol(a).cast("string")
+    case BCall("STRLANG" | "STRDT", args) if args.sizeIs == 2 =>
+      throw new IllegalArgumentException(
+        "STRLANG/STRDT need a constant tag/datatype second argument")
+    case BCall("IRI" | "URI", Seq(a)) => bindCol(a).cast("string")
+    // BNODE(): a fresh label per solution; BNODE(str): the same label
+    // for the same lexical argument within the query (§17.4.2.9's
+    // within-result-set stability, made deterministic via hashing)
+    case BCall("BNODE", Nil) => expr("uuid()")
+    case BCall("BNODE", Seq(a)) => md5(bindCol(a).cast("string"))
+    // fresh per call per solution — Spark's uuid() is RFC 4122 v4,
+    // evaluated per row (nondeterministic expression, never collapsed)
+    case BCall("UUID", Nil) => concat(lit("urn:uuid:"), expr("uuid()"))
+    case BCall("STRUUID", Nil) => expr("uuid()")
+    // xsd:dateTime lexical form from the injectable clock — every call
+    // in one query execution sees the SAME instant (§17.4.5.1)
+    case BCall("NOW", Nil) => lit(clockNow())
     // GeoSPARQL geof:distance over POINT wktLiterals (GeoFunctions)
     case BCall(GeoFunctions.DistanceFn, Seq(g1, g2, BStr(units))) =>
       GeoFunctions.distance(bindCol(g1), bindCol(g2), units)
@@ -1241,15 +1312,17 @@ object SparqlParser {
                 }
               atoms += TermTest(v.substring(1), fn, op, arg)
             } else if (p.is("BOUND") || p.is("ISIRI") || p.is("ISURI") ||
-                p.is("ISLITERAL") || p.is("ISBLANK") || p.is("!")) {
+                p.is("ISLITERAL") || p.is("ISBLANK") || p.is("ISNUMERIC") ||
+                p.is("!")) {
               // [!]BOUND(?v) — IS [NOT] NULL on the binding column —
-              // and the [!]is* term-kind tests (TermTest)
+              // and the [!]is* term tests (TermTest)
               val neg = p.is("!")
               if (neg) p.eat()
               val fn = p.eat().toUpperCase
               require(Seq("BOUND", "ISIRI", "ISURI", "ISLITERAL",
-                "ISBLANK").contains(fn),
-                s"expected BOUND/isIRI/isLiteral/isBlank, got '$fn'")
+                "ISBLANK", "ISNUMERIC").contains(fn),
+                s"expected BOUND/isIRI/isLiteral/isBlank/isNumeric, " +
+                  s"got '$fn'")
               p.expect("(")
               val v = p.eat()
               require(v.startsWith("?"),
@@ -1569,6 +1642,12 @@ object SparqlParser {
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString =
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+  /** XSD numeric type hierarchy (§17.4.2.4 / XPath operand types). */
+  private val NumericDatatypes: Seq[String] = Seq(
+    "integer", "decimal", "float", "double", "long", "int", "short",
+    "byte", "nonNegativeInteger", "positiveInteger", "nonPositiveInteger",
+    "negativeInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte").map("http://www.w3.org/2001/XMLSchema#" + _)
 
   /** Compile each [[TermTest]] into a quad-column predicate on every
     * pattern binding its variable — object position always; subject
@@ -1613,6 +1692,14 @@ object SparqlParser {
           when(col("lang").isNotNull, RdfLangString).otherwise(XsdString))
         kindCol === graft.model.TermKind.Literal &&
           (if (tf.op == "=") eff === tf.arg else eff =!= tf.arg)
+      // §17.4.2.4 isNumeric: a literal whose DATATYPE is numeric —
+      // a lexically-numeric PLAIN literal is xsd:string and fails,
+      // exactly the distinction the gate's distractor pins
+      case "ISNUMERIC" =>
+        val hit = kindCol === graft.model.TermKind.Literal &&
+          col("datatype").isNotNull &&
+          col("datatype").isin(NumericDatatypes: _*)
+        if (tf.op == "=") hit else !hit
       case other =>
         throw new IllegalArgumentException(s"unknown term test '$other'")
     }
@@ -1990,7 +2077,21 @@ object SparqlParser {
         }: _*)
       q.offset.foreach(n => s2 = s2.offset(n))
       q.limit.foreach(n => s2 = s2.limit(n))
-      return Bgp.constructFromSolutions(s2, q.template)
+      // a template variable bound by a term-constructor BIND carries
+      // that constructor's kind/lang/datatype (textual templates
+      // otherwise instantiate variables as plain literals)
+      val meta = q.exprBinds.flatMap { case (v, e) =>
+        ctorMeta(e).map(v -> _)
+      }.toMap
+      val tpl = q.template.map { t =>
+        t.o match {
+          case Bgp.Var(n) if meta.contains(n) =>
+            val (kind, lang, dt) = meta(n)
+            t.copy(oKind = kind, lang = lang, datatype = dt)
+          case _ => t
+        }
+      }
+      return Bgp.constructFromSolutions(s2, tpl)
         .orderBy(col("subject"), col("predicate"), col("objectValue"))
     }
     if (q.aggregates.nonEmpty) {
