@@ -1378,6 +1378,57 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?iri""".stripMargin)
     }),
 
+    // geof:sfIntersects, POINT leg (r10, VERDICT r9 Missing #5 — the
+    // reference's own SQL twin predicate, ST_Intersects at
+    // cam/tables/lf_address.py:80): intersect = within OR boundary, so
+    // the query polygon deliberately puts one edge ON the x=146 point
+    // column — those points are NOT sfWithin but ARE sfIntersects,
+    // pinning the boundary leg. Oracle replays the rectangle bounds
+    // with boundary-inclusive comparisons.
+    "q_quads_sparql_geof_intersects" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(geocodeQuads(s, dir),
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |PREFIX addr: <https://w3id.org/profile/anz-address/>
+           |SELECT ?iri ?wkt WHERE {
+           |  ?iri addr:hasGeocode ?geocode .
+           |  ?geocode <http://www.opengis.net/ont/geosparql#hasGeometry> ?geo .
+           |  ?geo <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  FILTER(geof:sfIntersects(?wkt, "POLYGON((141.5 -13.5, 146 -13.5, 146 -10.5, 141.5 -10.5, 141.5 -13.5))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
+    // geof:sfIntersects, POLYGON×POLYGON leg: per-customer 0.6°
+    // squares against the same constant rectangle (constant FIRST —
+    // the symmetric-argument case). The bbox prefilter decides the
+    // axis-aligned case exactly and the survivors prove overlap
+    // through the vertex/edge legs; squares straddling the x=146 edge
+    // exercise edge crossing. Oracle replays interval overlap — for
+    // axis-aligned rectangles bbox overlap IS intersection.
+    "q_quads_sparql_geof_intersects_poly" -> ((s, dir) => {
+      import s.implicits._
+      val k = col("c_custkey")
+      val x = (lit(140) + k % 10).cast("double")
+      val y = (lit(-10) - k % 5).cast("double")
+      def pt(px: Column, py: Column): Column =
+        concat(px.cast("string"), lit(" "), py.cast("string"))
+      val wkt = concat(lit("POLYGON(("),
+        pt(x - 0.3d, y - 0.3d), lit(", "), pt(x + 0.3d, y - 0.3d),
+        lit(", "), pt(x + 0.3d, y + 0.3d), lit(", "),
+        pt(x - 0.3d, y + 0.3d), lit(", "), pt(x - 0.3d, y - 0.3d),
+        lit("))"))
+      val store = Tables.customer(s, dir).select(
+        concat(lit("https://example.org/cell/"), k.cast("string"))
+          .as("subject"),
+        lit("http://www.opengis.net/ont/geosparql#asWKT").as("predicate"),
+        wkt.as("objectValue"))
+      graft.rdf.SparqlParser.execute(store,
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |SELECT ?iri WHERE {
+           |  ?iri <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  FILTER(geof:sfIntersects("POLYGON((141.5 -13.5, 146 -13.5, 146 -10.5, 141.5 -10.5, 141.5 -13.5))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>, ?wkt))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
     // SPARQL dataset clause (r9): FROM <g> declares the query's
     // default graph — the discriminating case is a predicate that
     // lives in BOTH graphs (sdo:hasPart carries the nation/region/
@@ -3488,6 +3539,33 @@ object QuadQueries extends QueryCatalog {
         |FROM customer
         |WHERE abs(CAST(140 + c_custkey % 10 AS DOUBLE) - 144.5) / 3.2
         |    + abs(CAST(-(10 + c_custkey % 5) AS DOUBLE) + 12.3) / 2.6 < 1
+        |ORDER BY iri""".stripMargin,
+
+    // boundary-inclusive rectangle replay: x <= 146 keeps the point
+    // column ON the polygon edge that sfWithin excludes
+    "q_quads_sparql_geof_intersects" ->
+      """SELECT
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS iri,
+        |  'POINT(' || CAST(140 + c_custkey % 10 AS VARCHAR) || ' -'
+        |    || CAST(10 + c_custkey % 5 AS VARCHAR) || ')' AS wkt
+        |FROM customer
+        |WHERE CAST(140 + c_custkey % 10 AS DOUBLE) > 141.5
+        |  AND CAST(140 + c_custkey % 10 AS DOUBLE) <= 146
+        |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) > -13.5
+        |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) < -10.5
+        |ORDER BY iri""".stripMargin,
+
+    // axis-aligned rectangle × rectangle: intersection = interval
+    // overlap on both axes
+    "q_quads_sparql_geof_intersects_poly" ->
+      """SELECT
+        |  'https://example.org/cell/' || CAST(c_custkey AS VARCHAR) AS iri
+        |FROM customer
+        |WHERE CAST(140 + c_custkey % 10 AS DOUBLE) + 0.3 >= 141.5
+        |  AND CAST(140 + c_custkey % 10 AS DOUBLE) - 0.3 <= 146
+        |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) + 0.3 >= -13.5
+        |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) - 0.3 <= -10.5
         |ORDER BY iri""".stripMargin,
 
     "q_quads_sparql_builtins" ->

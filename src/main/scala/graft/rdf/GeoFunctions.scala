@@ -28,6 +28,7 @@ object GeoFunctions {
   val DistanceFn: String = Ns + "distance"
   val SfWithinFn: String = Ns + "sfWithin"
   val SfContainsFn: String = Ns + "sfContains"
+  val SfIntersectsFn: String = Ns + "sfIntersects"
 
   private val Num = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
   private val PointRe = s"POINT\\s*\\(\\s*$Num\\s+$Num\\s*\\)"
@@ -75,7 +76,13 @@ object GeoFunctions {
     * edge array — the per-row work drops to the two point regexes
     * plus four arithmetic edge tests (the accumulator trick below
     * keeps the point parse at once per row too). */
-  def withinConst(pointWkt: Column, polygonWkt: String): Column = {
+  /** Parse a constant single-ring WKT POLYGON on the driver. A polygon
+    * with holes (`POLYGON((outer),(hole))`) is REJECTED loudly (ADVICE
+    * r9: the first-ring regex would silently classify hole-interior
+    * points as within, against the documented single-ring contract). */
+  private def parseRing(polygonWkt: String): Seq[(Double, Double)] = {
+    require(!polygonWkt.contains("),("),
+      s"multi-ring polygons (holes) are unsupported: $polygonWkt")
     val m = java.util.regex.Pattern
       .compile("POLYGON\\s*\\(\\(([^)]*)\\)\\)").matcher(polygonWkt)
     require(m.find(), s"not a simple WKT POLYGON: $polygonWkt")
@@ -85,11 +92,20 @@ object GeoFunctions {
     }
     require(verts.length >= 4 && verts.head == verts.last,
       s"WKT polygon ring must be closed: $polygonWkt")
-    val edges = array(verts.zip(verts.tail).map {
+    verts
+  }
+
+  /** The driver-parsed ring as a literal edge array column. */
+  private def ringEdges(verts: Seq[(Double, Double)]): Column =
+    array(verts.zip(verts.tail).map {
       case ((ax, ay), (bx, by)) =>
         struct(lit(ax).as("ax"), lit(ay).as("ay"),
           lit(bx).as("bx"), lit(by).as("by"))
     }: _*)
+
+  def withinConst(pointWkt: Column, polygonWkt: String): Column = {
+    val verts = parseRing(polygonWkt)
+    val edges = ringEdges(verts)
     val init = struct(pointX(pointWkt).as("px"),
       pointY(pointWkt).as("py"), lit(0).as("c"))
     aggregate(edges, init,
@@ -143,6 +159,127 @@ object GeoFunctions {
       },
       acc => acc.getField("px").isNotNull &&
         acc.getField("c") % 2 === 1)
-    ring =!= "" && res
+    // multi-ring (holed) polygons evaluate to false rather than
+    // silently testing only the outer ring (ADVICE r9) — the column
+    // path cannot throw per row, so out-of-contract input never matches
+    ring =!= "" && !polygonWkt.cast("string").contains("),(") && res
+  }
+
+  // --- sfIntersects (r10, VERDICT r9 Missing #5) ----------------------
+  // The predicate the reference's own SQL twin uses (ST_Intersects,
+  // cam/tables/lf_address.py:80). Two geometry shapes:
+  // POINT × constant POLYGON (within-or-on-boundary) and single-ring
+  // POLYGON × constant POLYGON (bbox prefilter, then vertex-containment
+  // both ways + edge-pair crossing). All pure Column/HOF arithmetic
+  // over the lexical WKT — scan-level predicates, no shuffle, the same
+  // PERF.md #17 accumulator discipline as the ray cast above.
+
+  /** Point-in-const-ring test over coordinate COLUMNS (the ray cast of
+    * [[withinConst]] generalized away from the POINT regex), with an
+    * `onEdge` leg so boundary points count as intersecting —
+    * DE-9IM "not disjoint", which is what sfIntersects means. */
+  private def pointIntersectsConst(px0: Column, py0: Column,
+      verts: Seq[(Double, Double)]): Column = {
+    val init = struct(px0.as("px"), py0.as("py"),
+      lit(0).as("c"), lit(false).as("edge"))
+    aggregate(ringEdges(verts), init,
+      (acc, e) => {
+        val px = acc.getField("px"); val py = acc.getField("py")
+        val ax = e.getField("ax"); val ay = e.getField("ay")
+        val bx = e.getField("bx"); val by = e.getField("by")
+        val crossed = ((ay > py) =!= (by > py)) &&
+          (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+        val collinear =
+          (bx - ax) * (py - ay) - (by - ay) * (px - ax) === 0d
+        val between = px >= least(ax, bx) && px <= greatest(ax, bx) &&
+          py >= least(ay, by) && py <= greatest(ay, by)
+        struct(px.as("px"), py.as("py"),
+          (acc.getField("c") + when(crossed, 1).otherwise(0)).as("c"),
+          (acc.getField("edge") || (collinear && between)).as("edge"))
+      },
+      acc => acc.getField("px").isNotNull &&
+        (acc.getField("c") % 2 === 1 || acc.getField("edge")))
+  }
+
+  /** Segment intersection via orientation signs (includes endpoint
+    * touches; collinear-overlap pairs that touch without any endpoint
+    * orientation flip are not detected — the vertex-containment legs
+    * catch every such polygon overlap). */
+  private def segCross(e: Column,
+      c: (Double, Double), d: (Double, Double)): Column = {
+    val ax = e.getField("ax"); val ay = e.getField("ay")
+    val bx = e.getField("bx"); val by = e.getField("by")
+    def orient(px: Column, py: Column, qx: Column, qy: Column,
+        rx: Column, ry: Column): Column =
+      signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
+    val (cx, cy) = (lit(c._1), lit(c._2))
+    val (dx, dy) = (lit(d._1), lit(d._2))
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 =!= o2 && o3 =!= o4
+  }
+
+  /** `geof:sfIntersects(geom, constPolygon)` for POINT or single-ring
+    * POLYGON geometry columns. Polygons: a cheap bounding-box overlap
+    * PREFILTER short-circuits the edge tests for the (at scale,
+    * overwhelming) disjoint majority; survivors prove overlap by a row
+    * vertex inside the constant ring, a constant vertex inside the row
+    * ring, or a crossing edge pair — together complete for simple
+    * polygons. */
+  def intersectsConst(geomWkt: Column, polygonWkt: String): Column = {
+    val verts = parseRing(polygonWkt)
+    val cMinX = verts.map(_._1).min; val cMaxX = verts.map(_._1).max
+    val cMinY = verts.map(_._2).min; val cMaxY = verts.map(_._2).max
+
+    // POINT leg — within or on the boundary
+    val pointLeg = pointX(geomWkt).isNotNull &&
+      pointIntersectsConst(pointX(geomWkt), pointY(geomWkt), verts)
+
+    // POLYGON leg
+    val ring = regexp_extract(geomWkt.cast("string"),
+      "POLYGON\\s*\\(\\(([^)]*)\\)\\)", 1)
+    val pts = transform(split(ring, ","), s => {
+      val xy = split(trim(s), "\\s+")
+      struct(element_at(xy, 1).cast("double").as("x"),
+        element_at(xy, 2).cast("double").as("y"))
+    })
+    val xs = transform(pts, v => v.getField("x"))
+    val ys = transform(pts, v => v.getField("y"))
+    val bboxOk = array_min(xs) <= cMaxX && array_max(xs) >= cMinX &&
+      array_min(ys) <= cMaxY && array_max(ys) >= cMinY
+    val rowEdges = zip_with(slice(pts, lit(1), size(pts) - 1),
+      slice(pts, lit(2), size(pts) - 1),
+      (a, b) => struct(a.getField("x").as("ax"), a.getField("y").as("ay"),
+        b.getField("x").as("bx"), b.getField("y").as("by")))
+    // (a) any row vertex inside/on the constant ring
+    val rowVertexIn = exists(pts, v =>
+      pointIntersectsConst(v.getField("x"), v.getField("y"), verts))
+    // (b) any constant vertex inside the row ring (ray cast over the
+    // row's edges, the const vertex as a literal accumulator)
+    val constVertexIn = verts.dropRight(1).map { case (vx, vy) =>
+      val init = struct(lit(vx).as("px"), lit(vy).as("py"), lit(0).as("c"))
+      aggregate(rowEdges, init,
+        (acc, e) => {
+          val px = acc.getField("px"); val py = acc.getField("py")
+          val ax = e.getField("ax"); val ay = e.getField("ay")
+          val bx = e.getField("bx"); val by = e.getField("by")
+          val crossed = ((ay > py) =!= (by > py)) &&
+            (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+          struct(px.as("px"), py.as("py"),
+            (acc.getField("c") + when(crossed, 1).otherwise(0)).as("c"))
+        },
+        acc => acc.getField("c") % 2 === 1)
+    }.reduce(_ || _)
+    // (c) any edge pair crossing — const edges unroll into the lambda
+    val edgeCross = exists(rowEdges, e =>
+      verts.zip(verts.tail).map { case (c, d) => segCross(e, c, d) }
+        .reduce(_ || _))
+    val polyLeg = ring =!= "" &&
+      !geomWkt.cast("string").contains("),(") &&
+      bboxOk && (rowVertexIn || constVertexIn || edgeCross)
+
+    when(pointX(geomWkt).isNotNull, pointLeg).otherwise(polyLeg)
   }
 }

@@ -771,9 +771,19 @@ object SparqlParser {
       GeoFunctions.within(bindCol(g1), bindCol(g2))
     case BCall(GeoFunctions.SfContainsFn, Seq(g1, g2)) =>
       GeoFunctions.within(bindCol(g2), bindCol(g1))
+    // sfIntersects is symmetric — the constant polygon may sit in
+    // either argument (the reference's ST_Intersects edge,
+    // cam/tables/lf_address.py:80, writes area-first)
+    case BCall(GeoFunctions.SfIntersectsFn, Seq(g1, BStr(poly)))
+        if poly.toUpperCase.startsWith("POLYGON") =>
+      GeoFunctions.intersectsConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfIntersectsFn, Seq(BStr(poly), g2))
+        if poly.toUpperCase.startsWith("POLYGON") =>
+      GeoFunctions.intersectsConst(bindCol(g2), poly)
     case other => throw new IllegalArgumentException(
       s"not a boolean FILTER function: $other (supported: " +
-        s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>)")
+        s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>, " +
+        s"<${GeoFunctions.SfIntersectsFn}>)")
   }
 
   /** Compile a `FILTER(expr op expr)` comparison: numeric (double) when

@@ -1602,6 +1602,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(trials >= 15, s"too many degenerate polygons skipped: $trials")
   }
 
+  test("GeoFunctions.intersectsConst: points, boundary, polygon overlap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.rdf.GeoFunctions
+    val square = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"
+    def got(wkts: Seq[String]): Seq[Boolean] =
+      wkts.toDF("w").select(GeoFunctions.intersectsConst(col("w"), square))
+        .collect().map(_.getBoolean(0)).toSeq
+    // points: inside, ON the edge (within=false, intersects=true),
+    // on a vertex, outside
+    assert(got(Seq("POINT(5 5)", "POINT(10 5)", "POINT(0 0)",
+      "POINT(11 5)")) == Seq(true, true, true, false))
+    assert(Seq("POINT(10 5)").toDF("w")
+      .select(GeoFunctions.withinConst(col("w"), square))
+      .collect().head.getBoolean(0) == false)
+    // polygons: contained; containing; partial corner overlap;
+    // PLUS-SIGN cross (edges cross, NO vertex of either inside the
+    // other — the edge-pair leg alone must catch it); disjoint but
+    // bbox-overlapping (diagonal neighbor); far disjoint
+    val cross = "POLYGON((4 -5, 6 -5, 6 15, 4 15, 4 -5))"
+    assert(got(Seq(
+      "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))",
+      "POLYGON((-5 -5, 15 -5, 15 15, -5 15, -5 -5))",
+      "POLYGON((8 8, 12 8, 12 12, 8 12, 8 8))",
+      cross,
+      "POLYGON((11 11, 12 11, 12 12, 11 12, 11 11))",
+      "POLYGON((100 100, 101 100, 101 101, 100 101, 100 100))")) ==
+      Seq(true, true, true, true, false, false))
+    // holed polygons are rejected loudly on the constant side…
+    val holed = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0),(4 4, 6 4, 6 6, 4 6, 4 4))"
+    val e = intercept[IllegalArgumentException](
+      GeoFunctions.intersectsConst(col("w"), holed))
+    assert(e.getMessage.contains("multi-ring"))
+    assert(intercept[IllegalArgumentException](
+      GeoFunctions.withinConst(col("w"), holed))
+      .getMessage.contains("multi-ring"))
+    // …and never match as row values (ADVICE r9: no silent first-ring)
+    assert(got(Seq(holed)) == Seq(false))
+    assert(Seq(("POINT(5 5)", holed)).toDF("p", "poly")
+      .select(GeoFunctions.within(col("p"), col("poly")))
+      .collect().head.getBoolean(0) == false)
+  }
+
   test("SparqlParser r9: FROM / FROM NAMED dataset clause") {
     import spark.implicits._
     import graft.rdf.SparqlParser
