@@ -50,6 +50,19 @@ object SearchQueries extends QueryCatalog {
         .limit(10)
     }),
 
+    // T1 at 100 TB (r10, VERDICT r9 next-#7): the SAME autocomplete
+    // answer served from a materialized prefix index — built once
+    // (token-keyed aggregate, parquet partitioned by first character),
+    // then the query reads ONE pruned partition instead of tokenizing
+    // the corpus. Same oracle as q_search_prefix by construction;
+    // PlanAuditSpec pins the PartitionFilters pruning.
+    "q_search_prefix_indexed" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+        s"${s.sparkContext.applicationId}/prefix_index"
+      graft.operators.PrefixIndex.build(tokens(s, dir), path)
+      graft.operators.PrefixIndex.serve(s, path, "s")
+    }),
+
     // T2: tf·idf scored search for a 3-term query. idf = ln(N/df); the
     // score is rounded in the OUTPUT only (ranking uses the raw double;
     // equal tf-vectors tie-break on doc_id).
@@ -328,6 +341,15 @@ object SearchQueries extends QueryCatalog {
     })
   )
 
+  private val prefixOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents)
+      |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
+      |FROM toks WHERE tok LIKE 's%' AND length(tok) > 0
+      |GROUP BY tok ORDER BY df DESC, tok LIMIT 10""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_search_tfidf_sim" ->
       """WITH toks AS (
@@ -360,14 +382,9 @@ object SearchQueries extends QueryCatalog {
         |  FROM sim)
         |SELECT q_doc, CAST(rk AS INT) AS rk, doc_id AS match_doc, cosine
         |FROM ranked WHERE rk <= 3 ORDER BY q_doc, rk""".stripMargin,
-    "q_search_prefix" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
-        |  FROM documents)
-        |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
-        |FROM toks WHERE tok LIKE 's%' AND length(tok) > 0
-        |GROUP BY tok ORDER BY df DESC, tok LIMIT 10""".stripMargin,
+    "q_search_prefix" -> prefixOracle,
+    // the indexed path must return the identical page
+    "q_search_prefix_indexed" -> prefixOracle,
     "q_search_scored" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(

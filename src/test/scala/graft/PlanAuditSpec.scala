@@ -93,6 +93,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "lang filter did not reach PartitionFilters:\n" + plan)
   }
 
+  test("prefix-indexed autocomplete serves from one pruned bucket") {
+    val df = SparkEntry.queries("q_search_prefix_indexed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the first-character bucket is a PARTITION filter (directory
+    // prune), and the startsWith residual is pushed to the parquet scan
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      "bucket filter did not reach PartitionFilters:\n" + plan)
+    assert(plan.contains("StringStartsWith(tok,s"),
+      "prefix filter did not push to the index scan:\n" + plan)
+  }
+
   test("sketch expressions are not duplicated into pushed-down filters") {
     // Join-inferred isnotnull(key) constraints must fold away (the keys
     // are coalesce-wrapped): if they push below the exchange they inline
