@@ -74,6 +74,11 @@ object WeightedQuantile {
       weight: Column, p: Int = 1, q: Int = 2,
       numPartitions: Int = 0): DataFrame = {
     require(p > 0 && q > 0 && p <= q, s"need 0 < p/q <= 1, got $p/$q")
+    // deliberately NO outer cut here, unlike weightedQuantiles: with a
+    // single consumer the extra materialization barrier is pure
+    // overhead (r10 audit, PERF.md #25 — adding it cost +0.9 s warm at
+    // sf0.1; the quartiles keep theirs because THREE fraction readouts
+    // share the materialization)
     cumulative(df, key, value, weight, numPartitions)
       .filter(col("_wq_cum") * q >= col("tw") * p)
       .groupBy(col("k"))

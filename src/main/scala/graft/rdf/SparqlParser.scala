@@ -1853,9 +1853,14 @@ object SparqlParser {
         q.unions.map(_.flatten.flatMap(pt => termVars(pt.s) ++
           termVars(pt.p) ++ termVars(pt.o) ++
           pt.g.toSeq.flatMap(termVars)).toSet) ++
-        q.serviceGroups.map { case (_, _, sp) =>
-          sp.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
-            termVars(pt.o)).toSet }
+        // a SILENT group whose endpoint is unregistered contributes NO
+        // component (skipped below), so its variables must not anchor
+        // the connectivity check — they would spuriously reject a query
+        // whose evaluated components are connected (ADVICE r9)
+        q.serviceGroups.filterNot(g => g._2 && !services.contains(g._1))
+          .map { case (_, _, sp) =>
+            sp.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
+              termVars(pt.o)).toSet }
     if (!allowCartesian) {
       // union-find connectivity over shared variables: every pattern
       // with variables must reach every other (var-free patterns are
@@ -1971,7 +1976,23 @@ object SparqlParser {
     q.unions.foreach(branches =>
       components += Bgp.selectUnion(quads, branches, dedup = false))
 
-    var sol = joinComponents(components.result(), allowCartesian)
+    // SILENT-skipped SERVICE groups: per §18.6 a failed SILENT service
+    // yields a single solution with its variables UNBOUND — surface
+    // them as null columns (projecting one must not throw; ADVICE r9)
+    val skippedVars = q.serviceGroups.collect {
+      case (iri, true, sp) if !services.contains(iri) =>
+        sp.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
+          termVars(pt.o))
+    }.flatten.toSeq.distinct
+    val parts = components.result()
+    var sol =
+      if (parts.isEmpty && skippedVars.nonEmpty)
+        // every group was silently skipped: the one empty solution
+        quads.sparkSession.range(1).drop("id")
+      else joinComponents(parts, allowCartesian)
+    skippedVars.filterNot(sol.columns.contains).foreach { v =>
+      sol = sol.withColumn(v, lit(null).cast("string"))
+    }
     // anonymous `[ … ]` variables are not projectable (SPARQL bnode
     // scoping) — SELECT * must not leak them
     if (q.projection.isEmpty && q.aggregates.isEmpty) {

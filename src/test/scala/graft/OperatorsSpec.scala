@@ -1815,6 +1815,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         SERVICE SILENT <urn:gone> { ?s <urn:geo> ?g } } ORDER BY ?s""")
       .collect().map(_.getString(0)).toSeq
     assert(silent == Seq("a", "b"))
+    // r10 (ADVICE r9): the skipped group's variables are UNBOUND, not
+    // absent — projecting one yields nulls instead of throwing…
+    val unbound = SparqlParser.execute(local,
+      """SELECT ?s ?g WHERE { ?s <urn:name> ?n .
+        SERVICE SILENT <urn:gone> { ?s <urn:geo> ?g } } ORDER BY ?s""")
+      .collect().map(r => (r.getString(0), r.isNullAt(1))).toSeq
+    assert(unbound == Seq(("a", true), ("b", true)))
+    // …the skipped vars do not anchor connectivity (the evaluated
+    // components here are connected; pre-fix this spuriously rejected)…
+    val conn = SparqlParser.execute(local,
+      """SELECT ?s WHERE { ?s <urn:name> ?n .
+        SERVICE SILENT <urn:gone> { ?x <urn:geo> ?g } } ORDER BY ?s""")
+      .collect().map(_.getString(0)).toSeq
+    assert(conn == Seq("a", "b"))
+    // …and a service-only query degrades to ONE all-unbound solution
+    val only = SparqlParser.execute(local,
+      "SELECT ?g WHERE { SERVICE SILENT <urn:gone> { <a> <urn:geo> ?g } }")
+      .collect()
+    assert(only.length == 1 && only.head.isNullAt(0))
   }
 
   test("SparqlParser r9: mixed &&/|| FILTER — && binds tighter") {
