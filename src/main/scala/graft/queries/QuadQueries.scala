@@ -1605,6 +1605,27 @@ object QuadQueries extends QueryCatalog {
       }
     }),
 
+    // §17.4.5 date/time accessors (r10 — the last r9-Missing-#4 family):
+    // YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over the lifecycle
+    // xsd:dateTime literals, TZ on both a zoned constant and the
+    // store's zone-less form — all lexical-field extraction, replayed
+    // with the same regexes in DuckDB.
+    "q_quads_sparql_date_accessors" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?y ?mo (COUNT(*) AS ?n) (MIN(?d) AS ?dmin)
+           |       (MAX(?hms) AS ?hms_max) (MIN(?tzc) AS ?tzc)
+           |       (MIN(?tze) AS ?tze) WHERE {
+           |  ?b <$TimeInXsdP> ?ts .
+           |  BIND(YEAR(?ts) AS ?y)
+           |  BIND(MONTH(?ts) AS ?mo)
+           |  BIND(DAY(?ts) AS ?d)
+           |  BIND(HOURS(?ts) * 3600 + MINUTES(?ts) * 60 + SECONDS(?ts)
+           |    AS ?hms)
+           |  BIND(TZ("2024-03-06T01:02:03+05:30") AS ?tzc)
+           |  BIND(TZ(?ts) AS ?tze)
+           |} GROUP BY ?y ?mo ORDER BY ?y ?mo""".stripMargin)
+    }),
+
     // §17.4.2.4 isNumeric over the full store: only literals whose
     // DATATYPE is in the XSD numeric hierarchy survive — a
     // lexically-numeric PLAIN literal is xsd:string and must not
@@ -3423,6 +3444,27 @@ object QuadQueries extends QueryCatalog {
          |FROM quads
          |WHERE predicate = '$BalanceP' AND datatype = '$XsdDecimal'
          |""".stripMargin,
+
+    "q_quads_sparql_date_accessors" ->
+      s"""$fullQuadsCte,
+         |ts AS (SELECT objectValue AS v FROM quads
+         |       WHERE predicate = '$TimeInXsdP'),
+         |f AS (
+         |  SELECT
+         |    CAST(regexp_extract(v, '^(-?\\d{4,})', 1) AS INTEGER) AS y,
+         |    CAST(regexp_extract(v, '^-?\\d{4,}-(\\d{2})', 1) AS INTEGER)
+         |      AS mo,
+         |    CAST(regexp_extract(v, '^-?\\d{4,}-\\d{2}-(\\d{2})', 1)
+         |      AS INTEGER) AS d,
+         |    CAST(regexp_extract(v, 'T(\\d{2})', 1) AS DOUBLE) * 3600 +
+         |    CAST(regexp_extract(v, 'T\\d{2}:(\\d{2})', 1) AS DOUBLE) * 60 +
+         |    CAST(regexp_extract(v, 'T\\d{2}:\\d{2}:(\\d{2}(\\.\\d+)?)', 1)
+         |      AS DOUBLE) AS hms,
+         |    regexp_extract(v, '(Z|[+-]\\d{2}:\\d{2})$$', 1) AS tze
+         |  FROM ts)
+         |SELECT y, mo, COUNT(*) AS n, MIN(d) AS dmin, MAX(hms) AS hms_max,
+         |  '+05:30' AS tzc, MIN(tze) AS tze
+         |FROM f GROUP BY y, mo ORDER BY y, mo""".stripMargin,
 
     "q_quads_sparql_isnumeric" -> {
       val nums = Seq("integer", "decimal", "float", "double", "long",

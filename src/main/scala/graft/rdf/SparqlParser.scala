@@ -198,7 +198,9 @@ object SparqlParser {
       // [[ctorMeta]] and stamped on CONSTRUCT templates), UUID/STRUUID
       // mint fresh per-solution identifiers, NOW reads the injectable
       // clock ([[withClock]])
-      "STRLANG", "STRDT", "IRI", "URI", "BNODE", "UUID", "STRUUID", "NOW")
+      "STRLANG", "STRDT", "IRI", "URI", "BNODE", "UUID", "STRUUID", "NOW",
+      // r10 §17.4.5 date/time accessors (lexical-field extraction)
+      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
 
   /** One atomic FILTER test — the unit both the conjunctive lists and
     * `||` disjunction groups compose from. */
@@ -734,6 +736,32 @@ object SparqlParser {
     // xsd:dateTime lexical form from the injectable clock — every call
     // in one query execution sees the SAME instant (§17.4.5.1)
     case BCall("NOW", Nil) => lit(clockNow())
+    // §17.4.5 date/time accessors, computed LEXICALLY over the
+    // xsd:dateTime/xsd:date form (the engine's binding columns carry
+    // lexical values; field extraction by position is TZ-free and
+    // engine-agnostic — both sides of the oracle read the same text).
+    // SECONDS is xsd:decimal (fraction kept); TZ is the §17.4.5.8
+    // string form ("Z", "+05:30", "" when absent).
+    case BCall("YEAR", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"),
+        "^(-?\\d{4,})", 1).cast("int")
+    case BCall("MONTH", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"),
+        "^-?\\d{4,}-(\\d{2})", 1).cast("int")
+    case BCall("DAY", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"),
+        "^-?\\d{4,}-\\d{2}-(\\d{2})", 1).cast("int")
+    case BCall("HOURS", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"), "T(\\d{2})", 1).cast("int")
+    case BCall("MINUTES", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"),
+        "T\\d{2}:(\\d{2})", 1).cast("int")
+    case BCall("SECONDS", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"),
+        "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1).cast("double")
+    case BCall("TZ", Seq(a)) =>
+      regexp_extract(bindCol(a).cast("string"),
+        "(Z|[+-]\\d{2}:\\d{2})$", 1)
     // GeoSPARQL geof:distance over POINT wktLiterals (GeoFunctions)
     case BCall(GeoFunctions.DistanceFn, Seq(g1, g2, BStr(units))) =>
       GeoFunctions.distance(bindCol(g1), bindCol(g2), units)
