@@ -868,6 +868,42 @@ object QuadQueries extends QueryCatalog {
           col("objectKind"))
     }),
 
+    // S6 END-TO-END (r10): the reference's vocab-import flow —
+    // `Taskfile.yml` preloads each vocabs-import Turtle file into its
+    // named graph, and serving queries join data against vocab labels.
+    // Here: a SKOS vocab (prefLabel@en per nation concept) renders as a
+    // Turtle DOCUMENT, loads back through the full-grammar source, gets
+    // its graph assigned by the caller (Turtle carries none), merges
+    // with the data store, and a GRAPH-scoped textual SPARQL join
+    // serves label-resolved counts. Oracle replays the join
+    // relationally — the Turtle text never reaches the SQL.
+    "q_turtle_vocab_store" -> ((s, dir) => {
+      import graft.model.TermKind
+      val skosPrefLabel = "http://www.w3.org/2004/02/skos/core#prefLabel"
+      val vocabG = "urn:qali:graph:vocabs"
+      val nat = Tables.nation(s, dir)
+      val concept =
+        concat(lit("https://example.org/nation/"), slugify(col("n_name")))
+      val vocabQuads = nat.select(
+        concept.as("subject"), lit(TermKind.Iri).as("subjectKind"),
+        lit(skosPrefLabel).as("predicate"),
+        col("n_name").as("objectValue"),
+        lit(TermKind.Literal).as("objectKind"),
+        lit(null).cast("string").as("datatype"),
+        lit("en").as("lang"), lit(null).cast("string").as("graph"))
+      val out = tmp(s, "vocab_store_ttl")
+      QuadEmitter.writeTurtle(vocabQuads, out)
+      val loaded = graft.rdf.TurtleParser.readTurtle(s, out)
+        .withColumn("graph", lit(vocabG))
+      graft.rdf.SparqlParser.execute(
+        fullQuads(s, dir).unionByName(loaded),
+        s"""PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+           |SELECT ?label (COUNT(?addr) AS ?n) WHERE {
+           |  ?addr <$NationP> ?nat .
+           |  GRAPH <$vocabG> { ?nat skos:prefLabel ?label }
+           |} GROUP BY ?label ORDER BY ?label""".stripMargin)
+    }),
+
     // JSON-LD source (r8 — the read half of the third interchange
     // syntax, closing its round-trip like Turtle/N-Quads): the expanded
     // node NDJSON written by renderNodes loads back through
@@ -2797,6 +2833,13 @@ object QuadQueries extends QueryCatalog {
          |  datatype, lang
          |FROM quads WHERE graph = '${graft.model.Graphs.GeoNames}'
          |ORDER BY subject, predicate, objectValue""".stripMargin,
+    // relational replay of the vocab join — labels via the base tables,
+    // never the Turtle document
+    "q_turtle_vocab_store" ->
+      """SELECT n_name AS label, COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY label""".stripMargin,
+
     // The full-grammar fixture's expected graph as a VALUES literal —
     // fully independent of both the parser and the renderer; bnode
     // labels masked to '(b)' on both sides (the only generated values).
