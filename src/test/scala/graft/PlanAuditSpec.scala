@@ -1196,5 +1196,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(asinLine.contains("Filter") &&
       planStr.indexOf("ASIN") > joinIdx,
       "geof distance FILTER should sit below the join:\n" + planStr)
+    // r10: sfIntersects compiles to the same scan-level shape — a row
+    // Filter below the join (the aggregate() ray-cast marker), never a
+    // cartesian or a post-join residual
+    val ix = SparqlParser.execute(quads,
+      """SELECT ?s ?n WHERE {
+        |  ?s <urn:wkt> ?w . ?s <urn:name> ?n .
+        |  FILTER(<http://www.opengis.net/def/function/geosparql/sfIntersects>(
+        |    ?w, "POLYGON((-1 -1, 50.5 -1, 50.5 1, -1 1, -1 -1))"))
+        |}""".stripMargin)
+    val ixPlan = ix.queryExecution.executedPlan.toString
+    val ixJoin = ixPlan.indexOf("HashJoin")
+    assert(ixJoin >= 0 && !ixPlan.contains("CartesianProduct"),
+      "sfIntersects should keep the equi-join:\n" + ixPlan)
+    assert(ixPlan.indexOf("aggregate(") > ixJoin,
+      "sfIntersects FILTER should sit below the join:\n" + ixPlan)
+    assert(ix.count() == 50) // named points with x in 1..50
   }
 }
