@@ -168,6 +168,34 @@ class TurtleFullGrammarSpec extends AnyFunSuite {
     assert(q.find(_.objectValue == "default").get.graph == null)
   }
 
+  test("property fuzz: render→parse round-trips random unicode literals") {
+    // the renderer emits the escaped short-literal subset; the
+    // full-grammar parser must invert it for arbitrary content —
+    // quotes, backslashes, control chars, CJK/emoji, RTL text
+    val rnd = new scala.util.Random(42)
+    // CODE POINTS, not chars — naive char sampling would split the
+    // emoji's surrogate pair into invalid UTF-16
+    val alphabet: Seq[String] =
+      ("abc\"\\\n\t\r '«»中文😀" +
+        "\u202eمرحباé́")
+        .codePoints().toArray.toSeq.map(Character.toString)
+    def randomLit(): String =
+      (0 until 1 + rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    import org.apache.spark.unsafe.types.UTF8String
+    def esc(s: String): String =
+      graft.plans.NtEscape.compute(UTF8String.fromString(s)).toString
+    (1 to 50).foreach { i =>
+      val v = randomLit()
+      val doc =
+        s"""PREFIX ex: <urn:ex:>
+           |ex:s$i ex:p "${esc(v)}" .""".stripMargin
+      val got = parse(doc)
+      assert(got.length == 1 && got.head.objectValue == v,
+        s"round-trip failed for ${v.map(_.toInt)}")
+    }
+  }
+
   test("parses the reference's real vocab corpus when present") {
     val dir = new File("/root/reference/vocabs-import")
     assume(dir.isDirectory, "reference corpus not present")
