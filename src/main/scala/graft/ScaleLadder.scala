@@ -66,6 +66,13 @@ object ScaleLadder {
            |  ?iri addr:hasGeocode ?g . ?g <${wkt}hasGeometry> ?geo .
            |  ?geo <${wkt}asWKT> ?w .
            |  FILTER(<${geof}sfWithin>(?w, "POLYGON((141.3 -12.3, 144.5 -9.7, 147.7 -12.3, 144.5 -14.9, 141.3 -12.3))"))
+           |}""".stripMargin,
+      "geof_intersects" ->
+        s"""PREFIX addr: <https://w3id.org/profile/anz-address/>
+           |SELECT ?iri WHERE {
+           |  ?iri addr:hasGeocode ?g . ?g <${wkt}hasGeometry> ?geo .
+           |  ?geo <${wkt}asWKT> ?w .
+           |  FILTER(<${geof}sfIntersects>(?w, "POLYGON((141.5 -13.5, 146 -13.5, 146 -10.5, 141.5 -10.5, 141.5 -13.5))"))
            |}""".stripMargin)
 
     queries.foreach { case (name, q) =>
