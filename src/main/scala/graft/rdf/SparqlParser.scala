@@ -146,8 +146,11 @@ object SparqlParser {
       // FILTER(boolFn(args)) — bare boolean calls (geof:sfWithin …)
       fromGraphs: Seq[String] = Nil, // FROM <g> — default-graph union
       fromNamed: Seq[String] = Nil, // FROM NAMED <g> — GRAPH-visible set
-      serviceGroups: Seq[(String, Boolean, Seq[Bgp.Pattern])] = Nil)
-      // SERVICE [SILENT] <endpoint> { triples }: (iri, silent, group)
+      serviceGroups: Seq[(String, Boolean, Query)] = Nil)
+      // SERVICE [SILENT] <endpoint> { group }: (iri, silent, body) —
+      // the body is a FULL group graph pattern, parsed as a synthetic
+      // `SELECT * WHERE { … }` sub-query evaluated at the endpoint
+      // (r10; was triples-only)
 
   /** One OPTIONAL group: its patterns, the FILTERs scoped INSIDE the
     * group (they constrain the group's MATCH — unmatched rows keep
@@ -1095,7 +1098,7 @@ object SparqlParser {
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
     val unis = Seq.newBuilder[Seq[Seq[Bgp.Pattern]]]
-    val svcs = Seq.newBuilder[(String, Boolean, Seq[Bgp.Pattern])]
+    val svcs = Seq.newBuilder[(String, Boolean, Query)]
 
     def group(g: Option[Bgp.Term]): Unit = {
       while (!p.is("}")) {
@@ -1119,9 +1122,24 @@ object SparqlParser {
           require(t.startsWith("<"),
             s"SERVICE needs an endpoint IRI, got '$t'")
           p.expect("{")
-          val sp = triples(p, None)
-          p.expect("}")
-          svcs += ((t.substring(1, t.length - 1), silent, sp))
+          // capture the balanced body and parse it as a synthetic
+          // SELECT * sub-query — the SERVICE group gets the FULL
+          // grammar (FILTER, OPTIONAL, BIND, paths, …) exactly as a
+          // remote endpoint would evaluate it (§18.6 maps the group
+          // to a query executed at the service)
+          val body = Seq.newBuilder[String]
+          var depth = 1
+          while (depth > 0) {
+            val tok = p.eat()
+            require(tok != "<eof>", "unterminated SERVICE group")
+            if (tok == "{") depth += 1
+            else if (tok == "}") depth -= 1
+            if (depth > 0) body += tok
+          }
+          val sub = new P(List("SELECT", "*", "WHERE", "{") ++
+            body.result() ++ List("}"))
+          svcs += ((t.substring(1, t.length - 1), silent,
+            parseQuery(sub)))
         } else if (p.is("{") && p.peek2.equalsIgnoreCase("SELECT")) {
           // sub-select: an independent query joined on shared variables
           // (the reference's documented getParts shape nests
@@ -1587,6 +1605,25 @@ object SparqlParser {
     case _ => Set.empty
   }
 
+  /** The variables a sub-query (SERVICE body, here) can bind in its
+    * solution relation — projection/aggregate aliases when declared,
+    * else the pattern/path/bind variables of the group. */
+  private def queryVars(q: Query): Set[String] = {
+    if (q.aggregates.nonEmpty)
+      return (q.projection ++ q.aggregates.map(_.alias)).toSet
+    if (q.projection.nonEmpty) return q.projection.toSet
+    def optVars(og: OptGroup): Set[String] =
+      og.patterns.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
+        termVars(pt.o)).toSet ++ og.nested.flatMap(optVars)
+    q.patterns.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
+      termVars(pt.o) ++ pt.g.toSeq.flatMap(termVars)).toSet ++
+      q.optionals.flatMap(optVars) ++
+      q.paths.flatMap(pp => termVars(pp.s) ++ termVars(pp.o)) ++
+      q.unions.flatMap(_.flatten.flatMap(pt => termVars(pt.s) ++
+        termVars(pt.p) ++ termVars(pt.o))) ++
+      q.binds.map(_._1) ++ q.exprBinds.map(_._1)
+  }
+
   /** Evaluate one compound-path triple to its solution relation. */
   private def evalPath(quads: DataFrame, pp: PathPattern): DataFrame = {
     val scoped = pp.graph match {
@@ -1886,9 +1923,7 @@ object SparqlParser {
         // the connectivity check — they would spuriously reject a query
         // whose evaluated components are connected (ADVICE r9)
         q.serviceGroups.filterNot(g => g._2 && !services.contains(g._1))
-          .map { case (_, _, sp) =>
-            sp.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
-              termVars(pt.o)).toSet }
+          .map { case (_, _, svcQ) => queryVars(svcQ) }
     if (!allowCartesian) {
       // union-find connectivity over shared variables: every pattern
       // with variables must reach every other (var-free patterns are
@@ -1987,12 +2022,15 @@ object SparqlParser {
     }
     q.subqueries.foreach(sq =>
       components += executeQuery(quads, sq, functions, services))
-    q.serviceGroups.foreach { case (iri, silent, pats) =>
+    q.serviceGroups.foreach { case (iri, silent, svcQ) =>
       services.get(iri) match {
         case Some(rel) =>
-          components += Bgp.select(
+          // the body executes AT the endpoint over its relation, full
+          // pipeline (§18.6's remote-evaluation semantics), then joins
+          // the outer solutions on shared variables
+          components += executeQuery(
             graft.operators.Checkpoints.cutOnce(rel, eager = false),
-            pats, dedup = false)
+            svcQ, functions, services)
         case None if silent => () // spec: SILENT failures are ignored
         case None => throw new IllegalArgumentException(
           s"unregistered SERVICE endpoint <$iri>" +
@@ -2008,9 +2046,8 @@ object SparqlParser {
     // yields a single solution with its variables UNBOUND — surface
     // them as null columns (projecting one must not throw; ADVICE r9)
     val skippedVars = q.serviceGroups.collect {
-      case (iri, true, sp) if !services.contains(iri) =>
-        sp.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
-          termVars(pt.o))
+      case (iri, true, svcQ) if !services.contains(iri) =>
+        queryVars(svcQ)
     }.flatten.toSeq.distinct
     val parts = components.result()
     var sol =

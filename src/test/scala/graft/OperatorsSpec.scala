@@ -1836,6 +1836,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(only.length == 1 && only.head.isNullAt(0))
   }
 
+  test("SparqlParser r10: SERVICE bodies take the full group grammar") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val local = Seq(("a", "urn:name", "A"), ("b", "urn:name", "B"))
+      .toDF("subject", "predicate", "objectValue")
+    val remote = Seq(
+      ("a", "urn:geo", "P1"), ("a", "urn:pop", "900"),
+      ("b", "urn:geo", "P2"), ("b", "urn:pop", "100"),
+      ("a", "urn:tag", "T"))
+      .toDF("subject", "predicate", "objectValue")
+    // FILTER inside the SERVICE group evaluates AT the endpoint
+    val filtered = SparqlParser.execute(local,
+      """SELECT ?s ?g WHERE { ?s <urn:name> ?n .
+        |  SERVICE <urn:ep> { ?s <urn:geo> ?g . ?s <urn:pop> ?p .
+        |    FILTER(?p > 500) } }""".stripMargin,
+      services = Map("urn:ep" -> remote))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(filtered == Seq(("a", "P1")))
+    // OPTIONAL inside the SERVICE group: b matches geo, lacks tag
+    val opt = SparqlParser.execute(local,
+      """SELECT ?s ?t WHERE { ?s <urn:name> ?n .
+        |  SERVICE <urn:ep> { ?s <urn:geo> ?g
+        |    OPTIONAL { ?s <urn:tag> ?t } } } ORDER BY ?s""".stripMargin,
+      services = Map("urn:ep" -> remote))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(opt == Seq(("a", "T"), ("b", null)))
+    // BIND inside the SERVICE group joins on the computed variable
+    val bound = SparqlParser.execute(local,
+      """SELECT ?s ?lbl WHERE { ?s <urn:name> ?n .
+        |  SERVICE <urn:ep> { ?s <urn:pop> ?p .
+        |    BIND(CONCAT("pop=", ?p) AS ?lbl) } } ORDER BY ?s""".stripMargin,
+      services = Map("urn:ep" -> remote))
+      .collect().map(_.getString(1)).toSeq
+    assert(bound == Seq("pop=900", "pop=100"))
+  }
+
   test("SparqlParser r9: mixed &&/|| FILTER — && binds tighter") {
     import spark.implicits._
     import graft.rdf.SparqlParser
