@@ -58,6 +58,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stats-hinted BGP: bound-subject point pattern broadcasts " +
+      "despite a high-cardinality predicate") {
+    import spark.implicits._
+    import graft.rdf.{Bgp, QuadStats}
+    import graft.rdf.Bgp.{Const, Pattern, Var}
+    // urn:common carries 60 001 rows — over the 50 k broadcast
+    // estimate — so ONLY the subject-bound fold (VERDICT r9 Wrong #3)
+    // can hint the point pattern's side
+    val quads = graft.operators.Checkpoints.cut(
+      (1 to 60001).map(i => (s"s$i", "urn:common", s"x${i % 7}"))
+        .toDF("subject", "predicate", "objectValue"))
+    val pats = Seq(
+      Pattern(Var("z"), "urn:common", Var("x")),
+      Pattern(Const("s3"), "urn:common", Var("x")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      QuadStats.register(quads)
+      val plan = Bgp.select(quads, pats)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "bound-subject pattern should broadcast via the capped " +
+          "estimate:\n" + plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_parquet_agg_pushdown answers count/min/max from footers only") {
     val df = SparkEntry.queries("q_parquet_agg_pushdown")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
