@@ -655,6 +655,13 @@ object SparqlParser {
         Some((graft.model.TermKind.Literal, None, Some(dt)))
       case BCall("IRI" | "URI", _) =>
         Some((graft.model.TermKind.Iri, None, None))
+      // UUID() is an IRI-valued constructor (urn:uuid:…), §17.4.5.2
+      case BCall("UUID", _) =>
+        Some((graft.model.TermKind.Iri, None, None))
+      // NOW() yields an xsd:dateTime literal (§17.4.5.1)
+      case BCall("NOW", _) =>
+        Some((graft.model.TermKind.Literal, None,
+          Some("http://www.w3.org/2001/XMLSchema#dateTime")))
       case BCall("BNODE", _) =>
         Some((graft.model.TermKind.BNode, None, None))
       case _ => None
