@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
   *                                                     = lexical compare;
   *                                                     mixed &&/|| = DNF,
   *                                                     && binds tighter)
-  *   [FILTER(REGEX(?v, "pat" [, "i"]) | STRSTARTS(?v, "s")
+  *   [FILTER(REGEX(?v, "pat" [, "i"]) | STRSTARTS/STRENDS(?v, "s")
   *           | CONTAINS(?v, "s") | [!]BOUND(?v)
   *           | STR(?v) op "lit" | ?v [NOT] IN ("lit", <iri>, …)
   *           [&&|'||' …])]
@@ -1317,7 +1317,8 @@ object SparqlParser {
           var connector = "" // "", "&&" or "||"
           var more = true
           while (more) {
-            if (p.is("REGEX") || p.is("STRSTARTS") || p.is("CONTAINS")) {
+            if (p.is("REGEX") || p.is("STRSTARTS") || p.is("STRENDS") ||
+                p.is("CONTAINS")) {
               // SPARQL 1.1 string tests: REGEX(?v, "pat" [, "flags"]),
               // STRSTARTS(?v, "s"), CONTAINS(?v, "s")
               val fn = p.eat().toUpperCase
@@ -2138,6 +2139,7 @@ object SparqlParser {
         case "REGEX" =>
           col(v).rlike(if (flags.isEmpty) arg else s"(?$flags)$arg")
         case "STRSTARTS" => col(v).startsWith(arg)
+        case "STRENDS" => col(v).endsWith(arg)
         case "CONTAINS" => col(v).contains(arg)
       }
       case ExprCmp(l, op, r) => exprCmpCol(l, op, r)
@@ -2166,6 +2168,7 @@ object SparqlParser {
         case "REGEX" =>
           col(v).rlike(if (flags.isEmpty) arg else s"(?$flags)$arg")
         case "STRSTARTS" => col(v).startsWith(arg)
+        case "STRENDS" => col(v).endsWith(arg)
         case "CONTAINS" => col(v).contains(arg)
       })
     }

@@ -1375,6 +1375,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       == Seq(Seq("a"), Seq("c")))
     assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
         FILTER(STRSTARTS(?n, "beta")) }""") == Seq(Seq("b")))
+    // STRENDS (r10) — conjunctive and ||-disjunction contexts
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(STRENDS(?n, "Two")) } ORDER BY ?s""") == Seq(Seq("c")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:name> ?n .
+        FILTER(STRENDS(?n, "Two") || STRENDS(?n, "two")) } ORDER BY ?s""")
+      == Seq(Seq("b"), Seq("c")))
     // IRI comparate in a plain comparison
     assert(run("""SELECT ?s WHERE { ?s <urn:ref> ?r .
         FILTER(?r = <urn:target>) }""") == Seq(Seq("a")))
