@@ -53,6 +53,33 @@ class ShaclLoaderSpec extends AnyFunSuite {
       e.getMessage.contains("pattern"))
   }
 
+  test("multiple node shapes compile independently") {
+    val shapes = ShaclLoader.fromTurtle(
+      """PREFIX sh: <http://www.w3.org/ns/shacl#>
+        |PREFIX ex: <urn:ex:>
+        |<urn:shape:A> a sh:NodeShape ; sh:targetClass ex:A ;
+        |  sh:property [ sh:path ex:p ; sh:minCount 1 ] ;
+        |  sh:property [ sh:path ex:q ; sh:maxCount 2 ] .
+        |<urn:shape:B> a sh:NodeShape ; sh:targetClass ex:B .""".stripMargin)
+    assert(shapes.map(_.id).sorted ==
+      Seq("urn:shape:A", "urn:shape:B"))
+    val a = shapes.find(_.id == "urn:shape:A").get
+    assert(a.properties.map(_.path).sorted == Seq("urn:ex:p", "urn:ex:q"))
+    assert(a.properties.find(_.path == "urn:ex:q").get.maxCount ==
+      Some(2))
+    assert(shapes.find(_.id == "urn:shape:B").get.properties.isEmpty)
+  }
+
+  test("duplicate single-valued constraint fails loud") {
+    val e = intercept[IllegalArgumentException](ShaclLoader.fromTurtle(
+      """PREFIX sh: <http://www.w3.org/ns/shacl#>
+        |PREFIX ex: <urn:ex:>
+        |<urn:shape:X> a sh:NodeShape ; sh:targetClass ex:T ;
+        |  sh:property [ sh:path ex:p ; sh:minCount 1 ; sh:minCount 2 ]
+        |.""".stripMargin))
+    assert(e.getMessage.contains("expected at most one"))
+  }
+
   test("missing targetClass / no NodeShape / bad counts fail loud") {
     val e1 = intercept[IllegalArgumentException](ShaclLoader.fromTurtle(
       """PREFIX sh: <http://www.w3.org/ns/shacl#>

@@ -168,6 +168,34 @@ class TurtleFullGrammarSpec extends AnyFunSuite {
     assert(q.find(_.objectValue == "default").get.graph == null)
   }
 
+  test("@base directive and mid-document BASE re-binding") {
+    val q = parse(
+      """@base <https://one.example/dir/> .
+        |<x> <urn:p> <y> .
+        |BASE <https://two.example/other/>
+        |<x> <urn:p> </abs> .""".stripMargin)
+    assert(q(0).subject == "https://one.example/dir/x")
+    assert(q(0).objectValue == "https://one.example/dir/y")
+    assert(q(1).subject == "https://two.example/other/x")
+    assert(q(1).objectValue == "https://two.example/abs")
+  }
+
+  test("mid-document PREFIX re-binding wins for later statements") {
+    val q = parse(
+      """PREFIX ex: <urn:one:>
+        |ex:a ex:p ex:b .
+        |PREFIX ex: <urn:two:>
+        |ex:a ex:p ex:b .""".stripMargin)
+    assert(q(0).subject == "urn:one:a" && q(1).subject == "urn:two:a")
+  }
+
+  test("default-graph TriG block `{ … }` keeps a null graph") {
+    val q = parse(
+      """@prefix ex: <urn:ex:> .
+        |{ ex:a ex:p "v" . }""".stripMargin)
+    assert(q.head.graph == null && q.head.objectValue == "v")
+  }
+
   test("property fuzz: render→parse round-trips random unicode literals") {
     // the renderer emits the escaped short-literal subset; the
     // full-grammar parser must invert it for arbitrary content —
