@@ -149,6 +149,46 @@ object GraftFunctions {
   def dist2(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
 
+  /** Squared planar distance from a POINT to a SEGMENT — the metric the
+    * reference's road KNN actually computes (`ST_Distance(q.geom,
+    * rp.geom)` / `ORDER BY <->` where the road geometries are shapefile
+    * LINESTRINGs, `etl_lalf_road_qrt_spatial_match.py:80-83`,
+    * `etl-notes.md:57`; min over the polyline's segments = the
+    * point-to-linestring distance). Project the point onto the
+    * segment's supporting line, clamp the parameter to [0,1], distance to the
+    * clamped foot: `t = clamp(((p-a)·(b-a)) / |b-a|², 0, 1)`. Every op
+    * is IEEE add/mul/div + min/max — fixed association order, so the
+    * DuckDB oracle restates the identical expression and both engines
+    * agree bit-for-bit (the same parity argument as [[dist2]]).
+    * Whole-stage-codegen'd column arithmetic; degenerate zero-length
+    * segments divide 0/0 → NaN t, which the clamp turns into endpoint
+    * distance via greatest(0, least(1, NaN)) = … engine-dependent — so
+    * callers must not pass degenerate segments (the synthetic road
+    * fixtures never do). */
+  def pointSegDist2(px: Column, py: Column, ax: Column, ay: Column,
+      bx: Column, by: Column): Column = {
+    val vx = bx - ax
+    val vy = by - ay
+    val t = greatest(lit(0.0d), least(lit(1.0d),
+      ((px - ax) * vx + (py - ay) * vy) / (vx * vx + vy * vy)))
+    dist2(px, py, ax + t * vx, ay + t * vy)
+  }
+
+  /** Great-circle km from a point to the planar-parameter foot of its
+    * projection on a segment — the haversine variant of
+    * [[pointSegDist2]]. The foot is computed in coordinate space (exact
+    * for the reference's projected planar data; an approximation on
+    * raw lon/lat over long segments) and the final leg is the pinned
+    * haversine composition. */
+  def pointSegHaversineKm(px: Column, py: Column, ax: Column, ay: Column,
+      bx: Column, by: Column): Column = {
+    val vx = bx - ax
+    val vy = by - ay
+    val t = greatest(lit(0.0d), least(lit(1.0d),
+      ((px - ax) * vx + (py - ay) * vy) / (vx * vx + vy * vy)))
+    haversineKm(px, py, ax + t * vx, ay + t * vy)
+  }
+
   // --------------------------------------------------------------------
   // Money math — cross-engine exact aggregation
   // --------------------------------------------------------------------

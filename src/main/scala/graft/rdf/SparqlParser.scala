@@ -146,11 +146,18 @@ object SparqlParser {
       // FILTER(boolFn(args)) — bare boolean calls (geof:sfWithin …)
       fromGraphs: Seq[String] = Nil, // FROM <g> — default-graph union
       fromNamed: Seq[String] = Nil, // FROM NAMED <g> — GRAPH-visible set
-      serviceGroups: Seq[(String, Boolean, Query)] = Nil)
+      serviceGroups: Seq[(String, Boolean, Query)] = Nil,
       // SERVICE [SILENT] <endpoint> { group }: (iri, silent, body) —
       // the body is a FULL group graph pattern, parsed as a synthetic
       // `SELECT * WHERE { … }` sub-query evaluated at the endpoint
       // (r10; was triples-only)
+      unionQueries: Seq[Seq[Query]] = Nil)
+      // UNION whose branches need the FULL group grammar (FILTER /
+      // BIND / OPTIONAL / … inside a branch): each branch is a
+      // synthetic `SELECT * WHERE { … }` sub-query; branch solutions
+      // pad each other's variables with NULL and union as bags
+      // (§18.2.2.5 multiset union) — r11. Plain-BGP unions stay on the
+      // `unions` fast path.
 
   /** One OPTIONAL group: its patterns, the FILTERs scoped INSIDE the
     * group (they constrain the group's MATCH — unmatched rows keep
@@ -798,30 +805,59 @@ object SparqlParser {
     * predicates. `sfContains(poly, point)` is `sfWithin` with the
     * arguments swapped (OGC simple-feature relation inverses). */
   private def bindBool(e: BindExpr): Column = e match {
-    // constant polygons (the FILTER norm) parse once on the driver
+    // constant polygons (the FILTER norm) parse once on the driver;
+    // r11: MULTIPOLYGON and multi-ring (holed) constants are first-class
     case BCall(GeoFunctions.SfWithinFn, Seq(g1, BStr(poly)))
-        if poly.toUpperCase.startsWith("POLYGON") =>
+        if isPolyConst(poly) =>
       GeoFunctions.withinConst(bindCol(g1), poly)
     case BCall(GeoFunctions.SfContainsFn, Seq(BStr(poly), g2))
-        if poly.toUpperCase.startsWith("POLYGON") =>
+        if isPolyConst(poly) =>
       GeoFunctions.withinConst(bindCol(g2), poly)
     case BCall(GeoFunctions.SfWithinFn, Seq(g1, g2)) =>
       GeoFunctions.within(bindCol(g1), bindCol(g2))
     case BCall(GeoFunctions.SfContainsFn, Seq(g1, g2)) =>
       GeoFunctions.within(bindCol(g2), bindCol(g1))
-    // sfIntersects is symmetric — the constant polygon may sit in
-    // either argument (the reference's ST_Intersects edge,
-    // cam/tables/lf_address.py:80, writes area-first)
+    // sfIntersects/sfDisjoint/sfTouches/sfOverlaps are symmetric — the
+    // constant polygon may sit in either argument (the reference's
+    // ST_Intersects edge, cam/tables/lf_address.py:80, writes
+    // area-first)
     case BCall(GeoFunctions.SfIntersectsFn, Seq(g1, BStr(poly)))
-        if poly.toUpperCase.startsWith("POLYGON") =>
+        if isPolyConst(poly) =>
       GeoFunctions.intersectsConst(bindCol(g1), poly)
     case BCall(GeoFunctions.SfIntersectsFn, Seq(BStr(poly), g2))
-        if poly.toUpperCase.startsWith("POLYGON") =>
+        if isPolyConst(poly) =>
       GeoFunctions.intersectsConst(bindCol(g2), poly)
+    case BCall(GeoFunctions.SfDisjointFn, Seq(g1, BStr(poly)))
+        if isPolyConst(poly) =>
+      GeoFunctions.disjointConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfDisjointFn, Seq(BStr(poly), g2))
+        if isPolyConst(poly) =>
+      GeoFunctions.disjointConst(bindCol(g2), poly)
+    case BCall(GeoFunctions.SfTouchesFn, Seq(g1, BStr(poly)))
+        if isPolyConst(poly) =>
+      GeoFunctions.touchesConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfTouchesFn, Seq(BStr(poly), g2))
+        if isPolyConst(poly) =>
+      GeoFunctions.touchesConst(bindCol(g2), poly)
+    case BCall(GeoFunctions.SfOverlapsFn, Seq(g1, BStr(poly)))
+        if isPolyConst(poly) =>
+      GeoFunctions.overlapsConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfOverlapsFn, Seq(BStr(poly), g2))
+        if isPolyConst(poly) =>
+      GeoFunctions.overlapsConst(bindCol(g2), poly)
     case other => throw new IllegalArgumentException(
       s"not a boolean FILTER function: $other (supported: " +
         s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>, " +
-        s"<${GeoFunctions.SfIntersectsFn}>)")
+        s"<${GeoFunctions.SfIntersectsFn}>, " +
+        s"<${GeoFunctions.SfDisjointFn}>, <${GeoFunctions.SfTouchesFn}>, " +
+        s"<${GeoFunctions.SfOverlapsFn}>)")
+  }
+
+  /** A constant argument a geof: simple-feature relation can parse on
+    * the driver: POLYGON (any ring count) or MULTIPOLYGON. */
+  private def isPolyConst(poly: String): Boolean = {
+    val u = poly.toUpperCase
+    u.startsWith("POLYGON") || u.startsWith("MULTIPOLYGON")
   }
 
   /** Compile a `FILTER(expr op expr)` comparison: numeric (double) when
@@ -1105,6 +1141,7 @@ object SparqlParser {
     val bnds = Seq.newBuilder[(String, String, String)]
     val subs = Seq.newBuilder[Query]
     val unis = Seq.newBuilder[Seq[Seq[Bgp.Pattern]]]
+    val uniQs = Seq.newBuilder[Seq[Query]]
     val svcs = Seq.newBuilder[(String, Boolean, Query)]
 
     def group(g: Option[Bgp.Term]): Unit = {
@@ -1156,22 +1193,46 @@ object SparqlParser {
           subs += parseQuery(p)
           p.expect("}")
         } else if (p.is("{")) {
-          // `{ … } UNION { … }` alternative groups (each branch a plain
-          // BGP, padded with NULL for the other branches' variables —
-          // Bgp.selectUnion); a lone braced group is just grouping
+          // `{ … } UNION { … }` alternative groups. Plain-BGP branches
+          // compile onto Bgp.selectUnion (padded with NULL for the
+          // other branches' variables); a branch using the wider group
+          // grammar (FILTER / BIND / OPTIONAL / …) promotes the WHOLE
+          // union to synthetic `SELECT * WHERE { … }` sub-queries
+          // (r11 — the same capture trick the SERVICE grammar uses).
+          // A lone braced group is just grouping.
           p.eat()
-          val first = triples(p, g)
-          p.expect("}")
-          if (p.is("UNION")) {
-            val branches = Seq.newBuilder[Seq[Bgp.Pattern]]
-            branches += first
-            while (p.is("UNION")) {
-              p.eat(); p.expect("{")
-              branches += triples(p, g)
-              p.expect("}")
+          def captureGroup(): List[String] = {
+            val body = List.newBuilder[String]
+            var depth = 1
+            while (depth > 0) {
+              val tok = p.eat()
+              require(tok != "<eof>", "unterminated group")
+              if (tok == "{") depth += 1
+              else if (tok == "}") depth -= 1
+              if (depth > 0) body += tok
             }
-            unis += branches.result()
-          } else pats ++= first
+            body.result()
+          }
+          val bodies = List.newBuilder[List[String]]
+          bodies += captureGroup()
+          while (p.is("UNION")) {
+            p.eat(); p.expect("{")
+            bodies += captureGroup()
+          }
+          val bs = bodies.result()
+          val plainBgp = bs.forall(_.forall(t =>
+            !Seq("FILTER", "BIND", "OPTIONAL", "MINUS", "VALUES",
+              "SELECT", "SERVICE").exists(t.equalsIgnoreCase)))
+          def asTriples(body: List[String]): Seq[Bgp.Pattern] = {
+            val bp = new P(body :+ "}")
+            val out = triples(bp, g)
+            bp.expect("}")
+            out
+          }
+          if (bs.length == 1) pats ++= asTriples(bs.head)
+          else if (plainBgp) unis += bs.map(asTriples)
+          else uniQs += bs.map(body => parseQuery(new P(
+            List("SELECT", "*", "WHERE", "{") ++ body ++ List("}"))))
         } else if (p.is("OPTIONAL")) {
           // group body: triples, FILTERs SCOPED to the group (the
           // expression-comparison subset — a scoped filter constrains
@@ -1562,7 +1623,8 @@ object SparqlParser {
       valuesMulti = valsMulti.result(),
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
-      unions = unis.result(), selectOrder = order.result(),
+      unions = unis.result(), unionQueries = uniQs.result(),
+      selectOrder = order.result(),
       offset = off, having = hav.result(), filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
       boundFilters = bndFils.result(), existsFilters = exFils.result(),
@@ -2049,6 +2111,20 @@ object SparqlParser {
     }
     q.unions.foreach(branches =>
       components += Bgp.selectUnion(quads, branches, dedup = false))
+    // full-grammar UNION (r11): each branch runs the complete pipeline
+    // over the same store, then branches pad each other's variables
+    // with NULL and union as bags (§18.2.2.5 multiset union)
+    q.unionQueries.foreach { branches =>
+      val sols = branches.map(bq =>
+        executeQuery(quads, bq, functions, services))
+      val allVars = sols.flatMap(_.columns).distinct
+      components += sols.map { s0 =>
+        s0.select(allVars.map { v =>
+          if (s0.columns.contains(v)) col(v)
+          else lit(null).cast("string").as(v)
+        }: _*)
+      }.reduce(_ unionByName _)
+    }
 
     // SILENT-skipped SERVICE groups: per §18.6 a failed SILENT service
     // yields a single solution with its variables UNBOUND — surface
