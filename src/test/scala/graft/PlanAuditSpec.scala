@@ -131,6 +131,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "prefix filter did not push to the index scan:\n" + plan)
   }
 
+  test("persisted quad store: GRAPH scope prunes graph partitions, " +
+      "predicate pushes to the parquet scan") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    // r11: the durable-store layout (QuadStore.write: partitionBy
+    // graph, predicate-clustered files) must serve a GRAPH-scoped BGP
+    // by directory prune — the 100 TB contract.
+    val quads = spark.range(1, 200).select(
+      concat(lit("urn:s"), col("id")).as("subject"),
+      lit("iri").as("subjectKind"),
+      concat(lit("urn:p"), (col("id") % 3).cast("string")).as("predicate"),
+      concat(lit("v"), col("id")).as("objectValue"),
+      lit("literal").as("objectKind"),
+      lit(null).cast("string").as("datatype"),
+      lit(null).cast("string").as("lang"),
+      concat(lit("urn:g"), (col("id") % 4).cast("string")).as("graph"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_quadstore").toString
+    graft.rdf.QuadStore.write(quads, path)
+    val fresh = spark.newSession()
+    val served = graft.rdf.QuadStore.open(fresh, path)
+    // stats came from the sidecar, not a recount
+    assert(graft.rdf.QuadStats.lookup(served).exists(_("urn:p1") > 0))
+    val df = graft.rdf.SparqlParser.execute(served,
+      """SELECT ?s ?o WHERE {
+        |  GRAPH <urn:g2> { ?s <urn:p1> ?o }
+        |} ORDER BY ?s""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(graph") ||
+      plan.contains("PartitionFilters: [(graph"),
+      "GRAPH scope did not reach PartitionFilters:\n" + plan)
+    assert(plan.contains("EqualTo(predicate,urn:p1)"),
+      "predicate constant did not push to the parquet scan:\n" + plan)
+    // and the answer is right: ids ≡ 2 (mod 4) with id % 3 == 1
+    val got = df.collect().map(_.getString(0)).toSeq
+    val want = (1 until 200).filter(i => i % 4 == 2 && i % 3 == 1)
+      .map(i => s"urn:s$i").sorted
+    assert(got == want)
+  }
+
   test("sketch expressions are not duplicated into pushed-down filters") {
     // Join-inferred isnotnull(key) constraints must fold away (the keys
     // are coalesce-wrapped): if they push below the exchange they inline
