@@ -131,6 +131,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "prefix filter did not push to the index scan:\n" + plan)
   }
 
+  test("typo-tolerant search: candidate fetch stays partition-pruned") {
+    // r11: the SymSpell neighborhood probe must be an indexed lookup —
+    // bucket IN (first chars) prunes partitions, key IN (deletion
+    // neighborhood) pushes to the parquet scan. An exhaustive
+    // edit-distance scan would show neither.
+    val df = SparkEntry.queries("q_search_typo")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket") ||
+      plan.contains("PartitionFilters: [isnotnull(bucket"),
+      "bucket filter did not reach PartitionFilters:\n" + plan)
+    assert(plan.contains("In(key, [") || plan.contains("EqualTo(key"),
+      "deletion-neighborhood keys did not push to the index scan:\n" +
+        plan)
+  }
+
   test("persisted quad store: GRAPH scope prunes graph partitions, " +
       "predicate pushes to the parquet scan") {
     import org.apache.spark.sql.functions.{col, lit, concat}
