@@ -1763,9 +1763,18 @@ object SparqlParser {
     * root and skips. */
   def execute(quads: DataFrame, sparql: String,
       functions: Map[String, PropertyFunction] = Map.empty,
-      services: Map[String, DataFrame] = Map.empty): DataFrame =
-    executeQuery(graft.operators.Checkpoints.cutOnce(quads, eager = false),
+      services: Map[String, DataFrame] = Map.empty): DataFrame = {
+    // §17.4.5.1: NOW() returns THE SAME instant for every occurrence in
+    // a query execution — resolve the clock ONCE here, not per bindCol
+    // compile site (ADVICE r10: two NOW()s in one query could diverge),
+    // while an outer withClock pin still wins
+    val pinned = clockTl.get() != null
+    if (!pinned) clockTl.set(java.time.Instant.now().toString)
+    try executeQuery(
+      graft.operators.Checkpoints.cutOnce(quads, eager = false),
       parse(sparql), functions, services)
+    finally if (!pinned) clockTl.remove()
+  }
 
   /** The reference's remote-vocab fetch, client side
     * (`cam/remote_concepts.py:23`: `requests.post(sparql_endpoint,

@@ -1782,6 +1782,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       WHERE { ?s <urn:p> ?o }""") == Seq())
   }
 
+  test("NOW() is one instant per query execution (ADVICE r10)") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(("a", "urn:p", "1"))
+      .toDF("subject", "predicate", "objectValue")
+    // two NOW() occurrences in ONE query must bind the identical
+    // instant (§17.4.5.1) even without a withClock pin
+    val r = SparqlParser.execute(quads,
+      """SELECT ?t1 ?t2 WHERE { ?s <urn:p> ?o .
+        |BIND(NOW() AS ?t1) BIND(NOW() AS ?t2) }""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == r.getString(1))
+    // and withClock still pins both
+    val p = SparqlParser.withClock("2024-01-01T00:00:00Z") {
+      SparqlParser.execute(quads,
+        """SELECT ?t1 ?t2 WHERE { ?s <urn:p> ?o .
+          |BIND(NOW() AS ?t1) BIND(NOW() AS ?t2) }""".stripMargin)
+        .collect().head
+    }
+    assert(p.getString(0) == "2024-01-01T00:00:00Z" &&
+      p.getString(1) == "2024-01-01T00:00:00Z")
+  }
+
   test("SparqlParser r9: GeoSPARQL geof functions + builtin pack") {
     import spark.implicits._
     import graft.rdf.SparqlParser

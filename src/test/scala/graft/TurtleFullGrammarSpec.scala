@@ -224,6 +224,32 @@ class TurtleFullGrammarSpec extends AnyFunSuite {
     }
   }
 
+  test("generated bnode labels are document-scoped (ADVICE r10)") {
+    // two documents with identical anonymous bnodes must NOT conflate
+    // when merged: labels carry a per-document salt
+    val doc = """PREFIX sdo: <https://schema.org/>
+                |<urn:a> sdo:contactPoint [ sdo:name "x" ] .""".stripMargin
+    def labelsOf(d: String, key: String): Set[String] =
+      TurtleParser.parseDocument(d, saltKey = key)
+        .filter(_.objectKind == "bnode").map(_.objectValue).toSet
+    val a = labelsOf(doc, "file:///vocab/a.ttl")
+    val b = labelsOf(doc, "file:///vocab/b.ttl")
+    assert(a.size == 1 && b.size == 1 && a != b,
+      s"labels conflated across documents: $a vs $b")
+    // deterministic: a retried task regenerates the same labels
+    assert(labelsOf(doc, "file:///vocab/a.ttl") == a)
+    // generated labels never collide with an explicit label in the
+    // same document (disjoint genid-<salt> space)
+    val mixed = parse(
+      """PREFIX sdo: <https://schema.org/>
+        |_:anon-1 sdo:name "explicit" .
+        |<urn:a> sdo:contactPoint [ sdo:name "gen" ] .""".stripMargin)
+    val explicitL = mixed.filter(_.subjectKind == "bnode").map(_.subject)
+    val genL = mixed.filter(_.objectKind == "bnode").map(_.objectValue)
+    assert(explicitL.contains("anon-1"))
+    assert(genL.forall(l => l.startsWith("genid-") && l != "anon-1"))
+  }
+
   test("parses the reference's real vocab corpus when present") {
     val dir = new File("/root/reference/vocabs-import")
     assume(dir.isDirectory, "reference corpus not present")
