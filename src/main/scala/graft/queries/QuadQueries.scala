@@ -1614,6 +1614,38 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?iri""".stripMargin)
     }),
 
+    // §17/§11 aggregate-grammar remainder (r11, VERDICT r10 stretch
+    // #8): DISTINCT modifiers on SUM/AVG/GROUP_CONCAT (COUNT had it
+    // since r8), GROUP_CONCAT(DISTINCT …; SEPARATOR="|"), and HAVING
+    // over COMPUTED aggregate arithmetic with precedence + a second
+    // &&-clause whose leaves are DISTINCT set functions. The store
+    // gives each nation many (bal, seg) pairs, so the BGP join
+    // duplicates ?v once per segment — exactly the multiset where
+    // DISTINCT changes SUM/AVG. Integer-valued ?v keeps every sum
+    // exact in a double, so both engines' association orders agree
+    // bit-for-bit; AVG(DISTINCT) compiles to Σdistinct/|distinct| and
+    // the oracle states that same division.
+    "q_quads_sparql_agg_distinct" -> ((s, dir) => {
+      val natIri = concat(lit("https://example.org/nation/"),
+        col("c_nationkey").cast("string"))
+      val cust = Tables.customer(s, dir)
+      val store = cust.select(natIri.as("subject"),
+          lit("urn:bal").as("predicate"),
+          (col("c_custkey") % 97).cast("string").as("objectValue"))
+        .unionByName(cust.select(natIri.as("subject"),
+          lit("urn:seg").as("predicate"),
+          col("c_mktsegment").as("objectValue")))
+      graft.rdf.SparqlParser.execute(store,
+        """SELECT ?nat (SUM(DISTINCT ?v) AS ?sdist)
+          |  (AVG(DISTINCT ?v) AS ?adist)
+          |  (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR="|") AS ?segs)
+          |WHERE { ?nat <urn:bal> ?v . ?nat <urn:seg> ?seg }
+          |GROUP BY ?nat
+          |HAVING (SUM(?v) / COUNT(?v) > 44 &&
+          |  (SUM(DISTINCT ?v) + 100) / COUNT(DISTINCT ?v) >= 48)
+          |ORDER BY ?nat""".stripMargin)
+    }),
+
     // SPARQL dataset clause (r9): FROM <g> declares the query's
     // default graph — the discriminating case is a predicate that
     // lives in BOTH graphs (sdo:hasPart carries the nation/region/
@@ -3786,6 +3818,35 @@ object QuadQueries extends QueryCatalog {
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) + 0.3 >= -13.5
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) - 0.3 <= -10.5
         |ORDER BY iri""".stripMargin,
+
+    // the quad-pattern relations are SETS (distinct (nat, v) and
+    // (nat, seg) pairs), their join is the multiset SUM/AVG see;
+    // AVG(DISTINCT) restates as Σdistinct/|distinct| — the engine's
+    // exact composition — and every sum is integer-valued, so the
+    // doubles agree bit-for-bit
+    "q_quads_sparql_agg_distinct" ->
+      """WITH base AS (
+        |  SELECT 'https://example.org/nation/' ||
+        |      CAST(c_nationkey AS VARCHAR) AS nat,
+        |    CAST(c_custkey % 97 AS VARCHAR) AS vs,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |vals AS (SELECT DISTINCT nat, vs FROM base),
+        |segs AS (SELECT DISTINCT nat, seg FROM base),
+        |joined AS (
+        |  SELECT vals.nat, CAST(vs AS DOUBLE) AS v, seg
+        |  FROM vals JOIN segs ON vals.nat = segs.nat),
+        |agg AS (
+        |  SELECT nat,
+        |    SUM(DISTINCT v) AS sdist,
+        |    SUM(DISTINCT v) / COUNT(DISTINCT v) AS adist,
+        |    array_to_string(list_sort(list(DISTINCT seg)), '|') AS segs,
+        |    SUM(v) / COUNT(v) AS r1,
+        |    (SUM(DISTINCT v) + 100) / COUNT(DISTINCT v) AS r2
+        |  FROM joined GROUP BY nat)
+        |SELECT nat, sdist, adist, segs FROM agg
+        |WHERE r1 > 44 AND r2 >= 48
+        |ORDER BY nat""".stripMargin,
 
     // outer-minus-hole-plus-island as interval arithmetic: the engine
     // ray-casts all rings of the MULTIPOLYGON, the oracle states the

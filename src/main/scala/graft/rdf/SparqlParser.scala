@@ -86,6 +86,20 @@ object SparqlParser {
   final case class Agg(func: String, variable: String, alias: String,
       distinct: Boolean = false, sep: String = " ")
 
+  /** HAVING over COMPUTED aggregates (r11 — §11.1 defines HAVING as a
+    * constraint over any expression of the group solution, e.g.
+    * `HAVING (SUM(?bal) / COUNT(?addr) > 500)`): a precedence-correct
+    * arithmetic tree whose leaves are set-function calls, projected
+    * aliases, and numbers. Every aggregate leaf computes as a hidden
+    * column in the SAME aggregation pass — one shuffle regardless of
+    * how many HAVING clauses reference how many aggregates. */
+  sealed trait HExpr
+  final case class HAgg(func: String, variable: String,
+      distinct: Boolean = false) extends HExpr
+  final case class HVar(name: String) extends HExpr
+  final case class HNum(value: Double) extends HExpr
+  final case class HArith(op: String, l: HExpr, r: HExpr) extends HExpr
+
   /** A property-function invocation `subj <fnIri> (args)` — subject
     * and/or object position may be an RDF list of terms (the Jena
     * property-function calling convention the reference uses for
@@ -126,6 +140,8 @@ object SparqlParser {
       offset: Option[Int] = None,
       having: Seq[(Option[String], String, String, Double)] = Nil,
       // (aggFunc?, var-or-alias, op, threshold): HAVING clauses
+      havingComputed: Seq[(HExpr, String, HExpr)] = Nil,
+      // HAVING over arithmetic of aggregates (r11 — §11.1)
       filterFns: Seq[(String, String, String, String)] = Nil,
       // (func, var, arg, flags): REGEX | STRSTARTS | CONTAINS
       varFilters: Seq[(String, String, String)] = Nil, // ?a op ?b
@@ -1077,8 +1093,11 @@ object SparqlParser {
             "GROUP_CONCAT", "SAMPLE").contains(f),
           s"unsupported aggregate '$f'")
         p.expect("(")
+        // §18.5.1: every set function takes a DISTINCT modifier (r11;
+        // was COUNT-only). MIN/MAX/SAMPLE are value-set functions where
+        // DISTINCT cannot change the result — accepted as the no-op
+        // the spec defines it to be.
         val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
-        require(!dist || f == "COUNT", "DISTINCT only supported in COUNT")
         val v = p.eat()
         require(v.startsWith("?") || v == "*",
           s"aggregate argument must be a variable or *, got '$v'")
@@ -1569,30 +1588,57 @@ object SparqlParser {
       while (p.peek.startsWith("?")) grp += p.eat().substring(1)
     }
     val hav = Seq.newBuilder[(Option[String], String, String, Double)]
+    val havC = Seq.newBuilder[(HExpr, String, HExpr)]
     if (p.is("HAVING")) {
       // HAVING ((COUNT|SUM|…)(?v|*) op n | ?alias op n [&& …]) —
       // group filters over aggregate values, numeric comparates
       p.eat(); p.expect("(")
       var more = true
+      // precedence-correct arithmetic over set functions, aliases and
+      // numbers (r11): term = AGG([DISTINCT] ?v|*) | ?alias | number |
+      // '(' expr ')'; mul-chains bind tighter than add-chains.
+      def hTerm(): HExpr = {
+        if (p.peek.startsWith("?")) HVar(p.eat().substring(1))
+        else if (p.is("(")) { p.eat(); val e = hAdd(); p.expect(")"); e }
+        else if (p.peek.headOption.exists(c => c.isDigit || c == '-') ||
+          p.peek.headOption.contains('.')) HNum(p.eat().toDouble)
+        else {
+          val f = p.eat().toUpperCase
+          require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
+            s"unsupported HAVING aggregate '$f'")
+          p.expect("(")
+          val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
+          val arg = p.eat()
+          require(arg.startsWith("?") || arg == "*",
+            s"HAVING aggregate needs a variable or *, got '$arg'")
+          p.expect(")")
+          HAgg(f, if (arg == "*") "*" else arg.substring(1), dist)
+        }
+      }
+      def hMul(): HExpr = {
+        var l = hTerm()
+        while (p.is("*") || p.is("/")) { val o = p.eat()
+          l = HArith(o, l, hTerm()) }
+        l
+      }
+      def hAdd(): HExpr = {
+        var l = hMul()
+        while (p.is("+") || p.is("-")) { val o = p.eat()
+          l = HArith(o, l, hMul()) }
+        l
+      }
       while (more) {
-        val (fn, v) =
-          if (p.peek.startsWith("?")) (None, p.eat().substring(1))
-          else {
-            val f = p.eat().toUpperCase
-            require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
-              s"unsupported HAVING aggregate '$f'")
-            p.expect("(")
-            val arg = p.eat()
-            require(arg.startsWith("?") || arg == "*",
-              s"HAVING aggregate needs a variable or *, got '$arg'")
-            p.expect(")")
-            (Some(f), if (arg == "*") "*" else arg.substring(1))
-          }
+        val lhs = hAdd()
         val op = p.eat()
         require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
           s"unsupported HAVING operator '$op'")
-        val n = p.eat()
-        hav += ((fn, v, op, n.toDouble))
+        val rhs = hAdd()
+        (lhs, rhs) match {
+          // the historical simple shapes keep their dedicated path
+          case (HAgg(f, v, false), HNum(n)) => hav += ((Some(f), v, op, n))
+          case (HVar(v), HNum(n)) => hav += ((None, v, op, n))
+          case _ => havC += ((lhs, op, rhs))
+        }
         if (p.is("&&")) p.eat() else more = false
       }
       p.expect(")")
@@ -1625,7 +1671,8 @@ object SparqlParser {
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), unionQueries = uniQs.result(),
       selectOrder = order.result(),
-      offset = off, having = hav.result(), filterFns = fnFils.result(),
+      offset = off, having = hav.result(),
+      havingComputed = havC.result(), filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
       boundFilters = bndFils.result(), existsFilters = exFils.result(),
       orFilters = orFils.result(),
@@ -1648,7 +1695,8 @@ object SparqlParser {
     require(parsed.aggregates.isEmpty ||
       parsed.projection.toSet.subsetOf(parsed.groupBy.toSet),
       "with aggregates, every projected variable must be GROUPed BY")
-    require(parsed.having.isEmpty || parsed.aggregates.nonEmpty,
+    require((parsed.having.isEmpty && parsed.havingComputed.isEmpty) ||
+      parsed.aggregates.nonEmpty,
       "HAVING requires an aggregating SELECT")
     parsed
   }
@@ -2291,15 +2339,24 @@ object SparqlParser {
           if (a.variable == "*") count(lit(1))
           else if (a.distinct) countDistinct(col(a.variable))
           else count(col(a.variable))
-        case "SUM" => sum(col(a.variable).cast("double"))
+        case "SUM" =>
+          if (a.distinct) sum_distinct(col(a.variable).cast("double"))
+          else sum(col(a.variable).cast("double"))
         case "MIN" => min(col(a.variable))
         case "MAX" => max(col(a.variable))
-        case "AVG" => avg(col(a.variable).cast("double"))
+        case "AVG" =>
+          // AVG(DISTINCT) = Σdistinct / |distinct| — composed from two
+          // distinct aggregates in the SAME pass (no extra shuffle)
+          if (a.distinct) sum_distinct(col(a.variable).cast("double")) /
+            countDistinct(col(a.variable))
+          else avg(col(a.variable).cast("double"))
         // SPARQL leaves GROUP_CONCAT order and SAMPLE's pick
         // implementation-defined; this engine pins both deterministic
         // (sorted concatenation, minimum) for cross-engine parity
         case "GROUP_CONCAT" =>
-          array_join(sort_array(collect_list(col(a.variable))), a.sep)
+          if (a.distinct)
+            array_join(sort_array(collect_set(col(a.variable))), a.sep)
+          else array_join(sort_array(collect_list(col(a.variable))), a.sep)
         case "SAMPLE" => min(col(a.variable))
       }).as(a.alias)
       // HAVING entries that name an aggregate directly compute as
@@ -2307,7 +2364,19 @@ object SparqlParser {
       val havingAggs = q.having.zipWithIndex.collect {
         case ((Some(f), v, _, _), i) => Agg(f, v, s"_having_$i")
       }
-      val exprs = (q.aggregates ++ havingAggs).map(one)
+      // computed-HAVING leaves (r11): every distinct set-function leaf
+      // in every arithmetic HAVING joins the SAME aggregation pass
+      def hLeaves(e: HExpr): Seq[HAgg] = e match {
+        case a: HAgg => Seq(a)
+        case HArith(_, l, r) => hLeaves(l) ++ hLeaves(r)
+        case _ => Nil
+      }
+      val hcLeaves = q.havingComputed
+        .flatMap { case (l, _, r) => hLeaves(l) ++ hLeaves(r) }.distinct
+      val hcAggs = hcLeaves.zipWithIndex.map { case (a, i) =>
+        a -> Agg(a.func, a.variable, s"_havc_$i", distinct = a.distinct)
+      }
+      val exprs = (q.aggregates ++ havingAggs ++ hcAggs.map(_._2)).map(one)
       sol = sol.groupBy(q.groupBy.map(col): _*)
         .agg(exprs.head, exprs.tail: _*)
       q.having.zipWithIndex.foreach { case ((fn, v, op, n), i) =>
@@ -2323,8 +2392,34 @@ object SparqlParser {
           case ">=" => c >= l
         })
       }
-      if (havingAggs.nonEmpty)
-        sol = sol.drop(havingAggs.map(_.alias): _*)
+      val hcCols = hcAggs.map { case (a, agg) => a -> agg.alias }.toMap
+      def hCol(e: HExpr): Column = e match {
+        case a: HAgg => col(hcCols(a)).cast("double")
+        case HVar(v) => col(v).cast("double")
+        case HNum(d) => lit(d)
+        case HArith(op, l, r) =>
+          val (a, b) = (hCol(l), hCol(r))
+          op match {
+            case "+" => a + b
+            case "-" => a - b
+            case "*" => a * b
+            case "/" => a / b
+          }
+      }
+      q.havingComputed.foreach { case (l, op, r) =>
+        val (a, b) = (hCol(l), hCol(r))
+        sol = sol.filter(op match {
+          case "=" => a === b
+          case "!=" => a =!= b
+          case "<" => a < b
+          case ">" => a > b
+          case "<=" => a <= b
+          case ">=" => a >= b
+        })
+      }
+      if (havingAggs.nonEmpty || hcAggs.nonEmpty)
+        sol = sol.drop((havingAggs.map(_.alias) ++
+          hcAggs.map(_._2.alias)): _*)
       // emit columns in the written SELECT-list order (projected
       // variables and aggregate aliases interleaved as authored —
       // ADVICE r7; grouped-but-unprojected variables drop here)
