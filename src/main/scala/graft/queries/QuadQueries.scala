@@ -353,6 +353,25 @@ object QuadQueries extends QueryCatalog {
        |SELECT addr, name FROM sol
        |ORDER BY addr LIMIT 500""".stripMargin
 
+  /** DuckDB restatement of `pointSegHaversineKm` against a CONSTANT
+    * segment — identical op order (planar clamped projection, then the
+    * pinned haversine composition), so both engines produce the same
+    * doubles up to libm's 1-ulp trig variance (thresholds sit far from
+    * any knife edge). */
+  private def segHavKmSql(px: String, py: String,
+      ax: Double, ay: Double, bx: Double, by: Double): String = {
+    def n(d: Double) = s"($d)"
+    val vx = s"(${n(bx)} - ${n(ax)})"
+    val vy = s"(${n(by)} - ${n(ay)})"
+    val t = s"greatest(0.0, least(1.0, (($px - ${n(ax)}) * $vx + " +
+      s"($py - ${n(ay)}) * $vy) / ($vx * $vx + $vy * $vy)))"
+    val cx = s"(${n(ax)} + $t * $vx)"
+    val cy = s"(${n(ay)} + $t * $vy)"
+    s"2 * 6371.0088 * asin(sqrt(pow(sin(radians($cy - $py) / 2), 2) + " +
+      s"cos(radians($py)) * cos(radians($cy)) * " +
+      s"pow(sin(radians($cx - $px) / 2), 2)))"
+  }
+
   /** One DuckDB SELECT per emit, producing the same 8-column quad shape
     * the Spark explosion yields. */
   private def fqSelect(subjSql: String, subjKind: String, pred: String,
@@ -1611,6 +1630,55 @@ object QuadQueries extends QueryCatalog {
            |SELECT ?iri WHERE {
            |  ?iri <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
            |  FILTER(geof:sfIntersects(?wkt, "POLYGON((141.5 -13.5, 145.5 -13.5, 145.5 -10.5, 141.5 -10.5, 141.5 -13.5))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
+    // geof:sfCrosses (r11): DE-9IM crosses for the road × locality
+    // pair — the line passes through interior AND exterior. Contained
+    // roads (false), boundary-straddling roads (true), disjoint roads
+    // (false); oracle restates the straddle as interval logic.
+    "q_quads_sparql_geof_crosses" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val x = (lit(140) + k % 10).cast("double")
+      val y = (lit(-10) - k % 5).cast("double")
+      def pt(px: Column, py: Column): Column =
+        concat(px.cast("string"), lit(" "), py.cast("string"))
+      val wkt = when(k % 2 === 0,
+        concat(lit("LINESTRING("), pt(x - 0.7d, y), lit(", "),
+          pt(x + 0.7d, y), lit(")")))
+        .otherwise(
+          concat(lit("LINESTRING("), pt(x, y - 0.7d), lit(", "),
+            pt(x, y + 0.7d), lit(")")))
+      val store = Tables.customer(s, dir).select(
+        concat(lit("https://example.org/road/"), k.cast("string"))
+          .as("subject"),
+        lit("http://www.opengis.net/ont/geosparql#asWKT").as("predicate"),
+        wkt.as("objectValue"))
+      graft.rdf.SparqlParser.execute(store,
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |SELECT ?iri WHERE {
+           |  ?iri <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  FILTER(geof:sfCrosses(?wkt, "POLYGON((141.5 -13.5, 145.5 -13.5, 145.5 -10.5, 141.5 -10.5, 141.5 -13.5))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
+    // geof:distance with a LINESTRING operand (r11) — the reference's
+    // road-match metric through the textual layer: distance from each
+    // geocode POINT to a constant 2-segment road polyline =
+    // min-over-segments clamped-projection haversine; radius FILTER +
+    // 50 km distance bands in one query.
+    "q_quads_sparql_geof_distance_line" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(geocodeQuads(s, dir),
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |PREFIX uom: <${graft.rdf.GeoFunctions.UomNs}>
+           |PREFIX addr: <https://w3id.org/profile/anz-address/>
+           |SELECT ?iri ?band WHERE {
+           |  ?iri addr:hasGeocode ?geocode .
+           |  ?geocode <http://www.opengis.net/ont/geosparql#hasGeometry> ?geo .
+           |  ?geo <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  BIND(geof:distance(?wkt, "LINESTRING(141 -12, 144 -12, 146 -14)"^^<http://www.opengis.net/ont/geosparql#wktLiteral>, uom:kilometre) AS ?d)
+           |  BIND(FLOOR(?d / 50) AS ?band)
+           |  FILTER(?d < 150)
            |} ORDER BY ?iri""".stripMargin)
     }),
 
@@ -3818,6 +3886,47 @@ object QuadQueries extends QueryCatalog {
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) + 0.3 >= -13.5
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) - 0.3 <= -10.5
         |ORDER BY iri""".stripMargin,
+
+    // the straddle restated as interval logic: a road crosses iff its
+    // perpendicular coordinate is strictly inside and its extent
+    // straddles one of the two facing edges (extent 1.4 < rect side 4,
+    // so spanning both edges is impossible)
+    "q_quads_sparql_geof_crosses" ->
+      """WITH roads AS (
+        |  SELECT
+        |    'https://example.org/road/' || CAST(c_custkey AS VARCHAR)
+        |      AS iri,
+        |    c_custkey % 2 = 0 AS horiz,
+        |    CAST(140 + c_custkey % 10 AS DOUBLE) AS x,
+        |    CAST(-(10 + c_custkey % 5) AS DOUBLE) AS y
+        |  FROM customer)
+        |SELECT iri FROM roads
+        |WHERE CASE WHEN horiz
+        |  THEN y > -13.5 AND y < -10.5 AND
+        |    ((x - 0.7 < 141.5 AND x + 0.7 > 141.5) OR
+        |     (x - 0.7 < 145.5 AND x + 0.7 > 145.5))
+        |  ELSE x > 141.5 AND x < 145.5 AND
+        |    ((y - 0.7 < -13.5 AND y + 0.7 > -13.5) OR
+        |     (y - 0.7 < -10.5 AND y + 0.7 > -10.5))
+        |  END
+        |ORDER BY iri""".stripMargin,
+
+    // min over the two constant segments of the clamped-projection
+    // haversine — the same composition pointSegHaversineKm compiles
+    "q_quads_sparql_geof_distance_line" ->
+      s"""WITH pts AS (
+         |  SELECT 'https://example.org/customer/' ||
+         |      CAST(c_custkey AS VARCHAR) AS iri,
+         |    CAST(140 + c_custkey % 10 AS DOUBLE) AS lon,
+         |    CAST(-(10 + c_custkey % 5) AS DOUBLE) AS lat
+         |  FROM customer),
+         |d AS (
+         |  SELECT iri, least(
+         |    ${segHavKmSql("lon", "lat", 141, -12, 144, -12)},
+         |    ${segHavKmSql("lon", "lat", 144, -12, 146, -14)}) AS d
+         |  FROM pts)
+         |SELECT iri, CAST(FLOOR(d / 50) AS BIGINT) AS band
+         |FROM d WHERE d < 150 ORDER BY iri""".stripMargin,
 
     // the quad-pattern relations are SETS (distinct (nat, v) and
     // (nat, seg) pairs), their join is the multiset SUM/AVG see;

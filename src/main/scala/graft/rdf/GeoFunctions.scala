@@ -44,6 +44,7 @@ object GeoFunctions {
   val SfDisjointFn: String = Ns + "sfDisjoint"
   val SfTouchesFn: String = Ns + "sfTouches"
   val SfOverlapsFn: String = Ns + "sfOverlaps"
+  val SfCrossesFn: String = Ns + "sfCrosses"
 
   private val Num = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
   private val PointRe = s"POINT\\s*\\(\\s*$Num\\s+$Num\\s*\\)"
@@ -477,6 +478,76 @@ object GeoFunctions {
       .when(s.rlike("^\\s*(LINESTRING|MULTILINESTRING)\\s*\\("), lineTouch)
       .when(isPolyGeom(s), polyTouch)
       .otherwise(lit(false))
+  }
+
+  /** `geof:sfCrosses(line, constPolygon)` — DE-9IM crosses for a
+    * dim-1 × dim-2 pair: the line passes through BOTH the polygon's
+    * interior and its exterior. Witnesses: a PROPER edge crossing (an
+    * interior point of a line segment on an interior point of a ring
+    * edge — the line locally continues on both sides), or a strict
+    * interior vertex together with a strict exterior vertex. Only
+    * (MULTI)LINESTRING rows can cross a polygon — points and polygons
+    * evaluate false by definition (§DE-9IM dimension rules). */
+  def crossesConst(geomWkt: Column, polygonWkt: String): Column = {
+    val rings = parseRings(polygonWkt)
+    val constEdges = edgesLit(constEdgeSeq(rings))
+    val constEdgeTuples = constEdgeSeq(rings)
+    val s = geomWkt.cast("string")
+    val parts = partsOf(s)
+    val pts = flatten(parts)
+    val rowEdges = partEdges(parts)
+    val properCross = exists(rowEdges, e =>
+      constEdgeTuples.map { case (ax, ay, bx, by) =>
+        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
+    val strictIn = exists(pts, v =>
+      castPoint(v.getField("x"), v.getField("y"), constEdges)(
+        (in, e) => in && !e))
+    val strictOut = exists(pts, v =>
+      castPoint(v.getField("x"), v.getField("y"), constEdges)(
+        (in, e) => !in && !e))
+    s.rlike("^\\s*(LINESTRING|MULTILINESTRING)\\s*\\(") &&
+      (properCross || (strictIn && strictOut))
+  }
+
+  private val LineRe =
+    java.util.regex.Pattern.compile("LINESTRING\\s*\\(([^()]+)\\)")
+
+  /** Parse a constant WKT LINESTRING's vertex list on the driver. */
+  private[graft] def parseLine(wkt: String): Seq[(Double, Double)] = {
+    val m = LineRe.matcher(wkt.trim)
+    require(m.find(), s"not a WKT LINESTRING: $wkt")
+    val verts = m.group(1).split(",").toSeq.map { s0 =>
+      val xy = s0.trim.split("\\s+")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+    require(verts.length >= 2, s"LINESTRING needs ≥ 2 vertices: $wkt")
+    verts
+  }
+
+  /** `geof:distance(point, constLineString, units)` — great-circle
+    * distance from a POINT column to a constant road polyline: the min
+    * over segments of the clamped-projection point-segment distance
+    * ([[graft.functions.GraftFunctions.pointSegHaversineKm]]) — the
+    * reference's actual `ST_Distance(q.geom, rp.geom)` metric where
+    * rp.geom is a shapefile road LINESTRING
+    * (`etl_lalf_road_qrt_spatial_match.py:80-83`). The constant
+    * segments unroll into a `least(...)` chain — pure scan-side
+    * arithmetic, cost linear in the polyline's vertex count. */
+  def distanceToLineConst(pointWkt: Column, lineWkt: String,
+      unitsIri: String): Column = {
+    val verts = parseLine(lineWkt)
+    val px = pointX(pointWkt); val py = pointY(pointWkt)
+    val km = verts.zip(verts.tail).map { case ((ax, ay), (bx, by)) =>
+      graft.functions.GraftFunctions.pointSegHaversineKm(
+        px, py, lit(ax), lit(ay), lit(bx), lit(by))
+    }.reduce(least(_, _))
+    unitsIri match {
+      case u if u == UomNs + "metre" || u == UomNs + "meter" => km * 1000d
+      case u if u == UomNs + "kilometre" || u == UomNs + "kilometer" => km
+      case other => throw new IllegalArgumentException(
+        s"geof:distance units must be <${UomNs}metre> or " +
+          s"<${UomNs}kilometre>, got <$other>")
+    }
   }
 
   /** `geof:sfOverlaps(polygon, constPolygon)` — same-dimension

@@ -795,7 +795,15 @@ object SparqlParser {
     case BCall("TZ", Seq(a)) =>
       regexp_extract(bindCol(a).cast("string"),
         "(Z|[+-]\\d{2}:\\d{2})$", 1)
-    // GeoSPARQL geof:distance over POINT wktLiterals (GeoFunctions)
+    // GeoSPARQL geof:distance over POINT wktLiterals (GeoFunctions);
+    // r11: a constant LINESTRING operand takes the min-over-segments
+    // point-to-polyline distance — the reference's road-match metric
+    case BCall(GeoFunctions.DistanceFn, Seq(g1, BStr(line), BStr(units)))
+        if line.toUpperCase.startsWith("LINESTRING") =>
+      GeoFunctions.distanceToLineConst(bindCol(g1), line, units)
+    case BCall(GeoFunctions.DistanceFn, Seq(BStr(line), g2, BStr(units)))
+        if line.toUpperCase.startsWith("LINESTRING") =>
+      GeoFunctions.distanceToLineConst(bindCol(g2), line, units)
     case BCall(GeoFunctions.DistanceFn, Seq(g1, g2, BStr(units))) =>
       GeoFunctions.distance(bindCol(g1), bindCol(g2), units)
     // COALESCE over unbound (null) bindings — OPTIONAL-group variables
@@ -861,6 +869,12 @@ object SparqlParser {
     case BCall(GeoFunctions.SfOverlapsFn, Seq(BStr(poly), g2))
         if isPolyConst(poly) =>
       GeoFunctions.overlapsConst(bindCol(g2), poly)
+    case BCall(GeoFunctions.SfCrossesFn, Seq(g1, BStr(poly)))
+        if isPolyConst(poly) =>
+      GeoFunctions.crossesConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfCrossesFn, Seq(BStr(poly), g2))
+        if isPolyConst(poly) =>
+      GeoFunctions.crossesConst(bindCol(g2), poly)
     case other => throw new IllegalArgumentException(
       s"not a boolean FILTER function: $other (supported: " +
         s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>, " +

@@ -1678,6 +1678,54 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getBoolean(0))
   }
 
+  test("pointSegDist2 property: equals brute-force min over the segment; " +
+      "inflated-bbox cover is admissible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions.pointSegDist2
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((rnd.nextDouble() * 10, rnd.nextDouble() * 10,
+      rnd.nextDouble() * 10, rnd.nextDouble() * 10,
+      rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val got = rows.toDF("px", "py", "ax", "ay", "bx", "by")
+      .select(pointSegDist2(col("px"), col("py"), col("ax"), col("ay"),
+        col("bx"), col("by")))
+      .collect().map(_.getDouble(0))
+    rows.zip(got).foreach { case ((px, py, ax, ay, bx, by), d2) =>
+      // dense parameter sweep brackets the true minimum
+      val brute = (0 to 1000).map { i =>
+        val t = i / 1000.0
+        val cx = ax + t * (bx - ax); val cy = ay + t * (by - ay)
+        (px - cx) * (px - cx) + (py - cy) * (py - cy)
+      }.min
+      assert(math.abs(d2 - brute) < 1e-4,
+        s"d2=$d2 brute=$brute for ($px,$py)-($ax,$ay,$bx,$by)")
+      // clamp: never below the unclamped line distance, never above
+      // either endpoint distance
+      val endMin = math.min((px - ax) * (px - ax) + (py - ay) * (py - ay),
+        (px - bx) * (px - bx) + (py - by) * (py - by))
+      assert(d2 <= endMin + 1e-12)
+      // admissibility of the KNN cell cover: d ≤ R ⇒ the point lies in
+      // the segment bbox inflated by R, so its grid cell is inside the
+      // cover range the join explodes
+      val R = 0.5
+      if (d2 <= R * R) {
+        assert(px >= math.min(ax, bx) - R && px <= math.max(ax, bx) + R)
+        assert(py >= math.min(ay, by) - R && py <= math.max(ay, by) + R)
+      }
+    }
+    // haversine variant agrees with plain haversine to the closest
+    // point when the closest point is an endpoint (t clamps to 0)
+    val hk = Seq((0.0, 0.0, 3.0, 0.0, 5.0, 0.0))
+      .toDF("px", "py", "ax", "ay", "bx", "by")
+      .select(graft.functions.GraftFunctions.pointSegHaversineKm(
+        col("px"), col("py"), col("ax"), col("ay"), col("bx"), col("by")),
+        graft.functions.GraftFunctions.haversineKm(
+          col("px"), col("py"), col("ax"), col("ay")))
+      .collect().head
+    assert(math.abs(hk.getDouble(0) - hk.getDouble(1)) < 1e-9)
+  }
+
   test("GeoFunctions r11: LINESTRING/MULTIPOINT operands, relations") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -1741,6 +1789,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       square,
       "POLYGON((10 0, 20 0, 20 10, 10 10, 10 0))")) ==
       Seq(true, false, false, false, false))
+    // sfCrosses: through-crossing true; contained, disjoint, point,
+    // polygon rows all false; boundary-collinear line (no interior)
+    // false
+    def crosses(wkts: Seq[String]): Seq[Boolean] =
+      wkts.toDF("w").select(GeoFunctions.crossesConst(col("w"), square))
+        .collect().map(_.getBoolean(0)).toSeq
+    assert(crosses(Seq(
+      "LINESTRING(-5 5, 15 5)",
+      "LINESTRING(5 -5, 5 5)",
+      "LINESTRING(2 2, 3 3)",
+      "LINESTRING(20 20, 30 30)",
+      "LINESTRING(0 0, 10 0)",
+      "POINT(5 5)",
+      "POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))")) ==
+      Seq(true, true, false, false, false, false, false))
+    // distanceToLineConst: closest point interior to a segment, at a
+    // vertex, and beyond an endpoint (clamped)
+    val line = "LINESTRING(0 0, 10 0)"
+    val dk = Seq("POINT(5 1)", "POINT(12 0)", "POINT(0 0)").toDF("w")
+      .select(GeoFunctions.distanceToLineConst(col("w"), line,
+        GeoFunctions.UomNs + "kilometre"))
+      .collect().map(_.getDouble(0))
+    // 1 degree lat ≈ 111.195 km at the equator; clamp to (10,0) for
+    // (12,0); on-line point is 0
+    assert(math.abs(dk(0) - 111.195) < 0.01, s"got ${dk(0)}")
+    assert(math.abs(dk(1) - 2 * 111.195) < 0.5, s"got ${dk(1)}")
+    assert(dk(2) == 0.0)
+
     // ADVICE r10 #4: boundary-only contact via collinear overlapping
     // edges whose overlap endpoints are CONSTANT-polygon vertices —
     // the row square's edge spans past both const vertices, so no row

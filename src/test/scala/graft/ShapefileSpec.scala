@@ -117,6 +117,42 @@ class ShapefileSpec extends AnyFunSuite with SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("not a shapefile")))
   }
 
+  test("shapefile-sourced HOLED polygon flows into the spatial " +
+      "predicates end-to-end (r11 — the Shapefile→geof seam)") {
+    val d = dir("holed_e2e")
+    // the real qld_postcode_polygon shape: outer ring + hole
+    Shapefile.writeShp(s"$d/donut.shp", Seq(
+      PolygonShape(Seq(
+        Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)),
+        Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))))))
+    val wkt = Shapefile.readShp(spark, s"$d/donut.shp")
+      .select(col("wkt")).collect()(0).getString(0)
+    // constant path: the loaded WKT is the FILTER constant
+    import spark.implicits._
+    val pts = Seq("POINT(3 3)", "POINT(1.5 1.5)", "POINT(5 5)").toDF("p")
+    assert(pts.select(graft.rdf.GeoFunctions.withinConst(col("p"), wkt))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true, false, false))
+    assert(pts.select(graft.rdf.GeoFunctions
+        .intersectsConst(col("p"), wkt))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true, false, false))
+    // column path: the loaded WKT is a geometry COLUMN (the J6 join
+    // shape), annulus point in, hole point out
+    assert(Seq(("POINT(3 3)", wkt), ("POINT(1.5 1.5)", wkt))
+      .toDF("p", "poly")
+      .select(graft.rdf.GeoFunctions.within(col("p"), col("poly")))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+    // and through the TEXTUAL SPARQL layer, loaded-WKT as the literal
+    val quads = Seq(("a", "urn:g", "POINT(3 3)"),
+      ("h", "urn:g", "POINT(1.5 1.5)"), ("o", "urn:g", "POINT(9 9)"))
+      .toDF("subject", "predicate", "objectValue")
+    val got = graft.rdf.SparqlParser.execute(quads,
+      s"""SELECT ?s WHERE { ?s <urn:g> ?w .
+         |FILTER(<${graft.rdf.GeoFunctions.SfWithinFn}>(?w, "$wkt")) }
+         |ORDER BY ?s""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a"))
+  }
+
   test("parsed WKT feeds the existing spatial operators") {
     val d = dir("consume")
     Shapefile.writeShp(s"$d/pts.shp",
