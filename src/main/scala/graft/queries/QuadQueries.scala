@@ -1633,6 +1633,61 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?iri""".stripMargin)
     }),
 
+    // §11.1 SELECT projection expressions over aggregates (r11): the
+    // SELECT clause computes arithmetic OVER set functions — the mean
+    // as SUM/COUNT, and a duplication spread normalized by the
+    // distinct-segment count — each leaf sharing ONE aggregation pass
+    // with the HAVING constraint. Integer-valued sums keep every
+    // double bit-identical cross-engine.
+    "q_quads_sparql_agg_select_expr" -> ((s, dir) => {
+      val natIri = concat(lit("https://example.org/nation/"),
+        col("c_nationkey").cast("string"))
+      val cust = Tables.customer(s, dir)
+      val store = cust.select(natIri.as("subject"),
+          lit("urn:bal").as("predicate"),
+          (col("c_custkey") % 97).cast("string").as("objectValue"))
+        .unionByName(cust.select(natIri.as("subject"),
+          lit("urn:seg").as("predicate"),
+          col("c_mktsegment").as("objectValue")))
+      graft.rdf.SparqlParser.execute(store,
+        """SELECT ?nat (SUM(?v) / COUNT(?v) AS ?mean)
+          |  ((SUM(?v) - SUM(DISTINCT ?v)) / COUNT(DISTINCT ?seg) AS ?spread)
+          |WHERE { ?nat <urn:bal> ?v . ?nat <urn:seg> ?seg }
+          |GROUP BY ?nat
+          |HAVING (COUNT(*) > 100)
+          |ORDER BY ?nat""".stripMargin)
+    }),
+
+    // geof:sfEquals (r11 — completes ALL EIGHT simple-feature
+    // relations): per-customer squares vs the constant square at
+    // (143, -13) — exactly the k≡3 (mod 10) squares are spatially
+    // equal (x=143 forces y=-13 on this lattice). The oracle states
+    // equality as the four computed-vs-parsed bound comparisons,
+    // which both engines' IEEE arithmetic decides identically.
+    "q_quads_sparql_geof_equals" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val x = (lit(140) + k % 10).cast("double")
+      val y = (lit(-10) - k % 5).cast("double")
+      def pt(px: Column, py: Column): Column =
+        concat(px.cast("string"), lit(" "), py.cast("string"))
+      val wkt = concat(lit("POLYGON(("),
+        pt(x - 0.3d, y - 0.3d), lit(", "), pt(x + 0.3d, y - 0.3d),
+        lit(", "), pt(x + 0.3d, y + 0.3d), lit(", "),
+        pt(x - 0.3d, y + 0.3d), lit(", "), pt(x - 0.3d, y - 0.3d),
+        lit("))"))
+      val store = Tables.customer(s, dir).select(
+        concat(lit("https://example.org/cell/"), k.cast("string"))
+          .as("subject"),
+        lit("http://www.opengis.net/ont/geosparql#asWKT").as("predicate"),
+        wkt.as("objectValue"))
+      graft.rdf.SparqlParser.execute(store,
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |SELECT ?iri WHERE {
+           |  ?iri <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  FILTER(geof:sfEquals(?wkt, "POLYGON((142.7 -13.3, 143.3 -13.3, 143.3 -12.7, 142.7 -12.7, 142.7 -13.3))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
     // geof:sfCrosses (r11): DE-9IM crosses for the road × locality
     // pair — the line passes through interior AND exterior. Contained
     // roads (false), boundary-straddling roads (true), disjoint roads
@@ -3885,6 +3940,46 @@ object QuadQueries extends QueryCatalog {
         |  AND CAST(140 + c_custkey % 10 AS DOUBLE) - 0.3 <= 146
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) + 0.3 >= -13.5
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) - 0.3 <= -10.5
+        |ORDER BY iri""".stripMargin,
+
+    // the same distinct-pair join multiset; mean and spread restated
+    // with the identical division order
+    "q_quads_sparql_agg_select_expr" ->
+      """WITH base AS (
+        |  SELECT 'https://example.org/nation/' ||
+        |      CAST(c_nationkey AS VARCHAR) AS nat,
+        |    CAST(c_custkey % 97 AS VARCHAR) AS vs,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |vals AS (SELECT DISTINCT nat, vs FROM base),
+        |segs AS (SELECT DISTINCT nat, seg FROM base),
+        |joined AS (
+        |  SELECT vals.nat, CAST(vs AS DOUBLE) AS v, seg
+        |  FROM vals JOIN segs ON vals.nat = segs.nat),
+        |agg AS (
+        |  SELECT nat,
+        |    SUM(v) / COUNT(v) AS mean,
+        |    (SUM(v) - SUM(DISTINCT v)) / COUNT(DISTINCT seg) AS spread,
+        |    COUNT(*) AS n
+        |  FROM joined GROUP BY nat)
+        |SELECT nat, mean, spread FROM agg
+        |WHERE n > 100
+        |ORDER BY nat""".stripMargin,
+
+    // region equality as the four bound comparisons on the identical
+    // doubles (computed x±0.3 vs parsed literals — same IEEE results
+    // in both engines)
+    "q_quads_sparql_geof_equals" ->
+      """WITH sq AS (
+        |  SELECT
+        |    'https://example.org/cell/' || CAST(c_custkey AS VARCHAR)
+        |      AS iri,
+        |    CAST(140 + c_custkey % 10 AS DOUBLE) AS x,
+        |    CAST(-(10 + c_custkey % 5) AS DOUBLE) AS y
+        |  FROM customer)
+        |SELECT iri FROM sq
+        |WHERE x - 0.3 = 142.7 AND x + 0.3 = 143.3
+        |  AND y - 0.3 = -13.3 AND y + 0.3 = -12.7
         |ORDER BY iri""".stripMargin,
 
     // the straddle restated as interval logic: a road crosses iff its

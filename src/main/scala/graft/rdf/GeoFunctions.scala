@@ -45,6 +45,7 @@ object GeoFunctions {
   val SfTouchesFn: String = Ns + "sfTouches"
   val SfOverlapsFn: String = Ns + "sfOverlaps"
   val SfCrossesFn: String = Ns + "sfCrosses"
+  val SfEqualsFn: String = Ns + "sfEquals"
 
   private val Num = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
   private val PointRe = s"POINT\\s*\\(\\s*$Num\\s+$Num\\s*\\)"
@@ -478,6 +479,36 @@ object GeoFunctions {
       .when(s.rlike("^\\s*(LINESTRING|MULTILINESTRING)\\s*\\("), lineTouch)
       .when(isPolyGeom(s), polyTouch)
       .otherwise(lit(false))
+  }
+
+  /** `geof:sfEquals(polygon, constPolygon)` — spatially equal regions
+    * (DE-9IM equals is mutual covering, independent of vertex lists:
+    * a ring with an extra collinear vertex still equals). Decided by
+    * the two containment witnesses: every row vertex inside-or-on the
+    * constant rings AND every constant vertex inside-or-on the row
+    * geometry AND no proper boundary crossing. With sfEquals the
+    * engine covers ALL EIGHT simple-feature relations (Equals,
+    * Disjoint, Intersects, Touches, Within, Contains, Overlaps,
+    * Crosses — GeoSPARQL Req 22). */
+  def equalsConst(geomWkt: Column, polygonWkt: String): Column = {
+    val rings = parseRings(polygonWkt)
+    val constEdges = edgesLit(constEdgeSeq(rings))
+    val constEdgeTuples = constEdgeSeq(rings)
+    val s = geomWkt.cast("string")
+    val parts = partsOf(s)
+    val pts = flatten(parts)
+    val rowEdges = partEdges(parts)
+    val properCross = exists(rowEdges, e =>
+      constEdgeTuples.map { case (ax, ay, bx, by) =>
+        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
+    val rowInConst = forall(pts, v =>
+      castPoint(v.getField("x"), v.getField("y"), constEdges)(
+        (in, e) => in || e))
+    val constInRow = constVerts(rings).map { case (vx, vy) =>
+      castConstPoint(vx, vy, rowEdges)((in, e) => in || e)
+    }.reduce(_ && _)
+    isPolyGeom(s) && size(pts) >= 4 &&
+      rowInConst && constInRow && !properCross
   }
 
   /** `geof:sfCrosses(line, constPolygon)` — DE-9IM crosses for a

@@ -142,6 +142,9 @@ object SparqlParser {
       // (aggFunc?, var-or-alias, op, threshold): HAVING clauses
       havingComputed: Seq[(HExpr, String, HExpr)] = Nil,
       // HAVING over arithmetic of aggregates (r11 — §11.1)
+      aggExprs: Seq[(String, HExpr)] = Nil,
+      // SELECT (arith-of-aggregates AS ?alias) — §11.1 projection
+      // expressions (r11); leaves share the single aggregation pass
       filterFns: Seq[(String, String, String, String)] = Nil,
       // (func, var, arg, flags): REGEX | STRSTARTS | CONTAINS
       varFilters: Seq[(String, String, String)] = Nil, // ?a op ?b
@@ -875,6 +878,12 @@ object SparqlParser {
     case BCall(GeoFunctions.SfCrossesFn, Seq(BStr(poly), g2))
         if isPolyConst(poly) =>
       GeoFunctions.crossesConst(bindCol(g2), poly)
+    case BCall(GeoFunctions.SfEqualsFn, Seq(g1, BStr(poly)))
+        if isPolyConst(poly) =>
+      GeoFunctions.equalsConst(bindCol(g1), poly)
+    case BCall(GeoFunctions.SfEqualsFn, Seq(BStr(poly), g2))
+        if isPolyConst(poly) =>
+      GeoFunctions.equalsConst(bindCol(g2), poly)
     case other => throw new IllegalArgumentException(
       s"not a boolean FILTER function: $other (supported: " +
         s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>, " +
@@ -1007,6 +1016,42 @@ object SparqlParser {
     parsed
   }
 
+  /** Precedence-correct arithmetic over set functions, projected
+    * aliases and numbers (r11): `term = AGG([DISTINCT] ?v|*) | ?alias
+    * | number | '(' expr ')'`; mul-chains bind tighter than
+    * add-chains. Shared by HAVING constraints and SELECT-clause
+    * aggregate expressions (§11.1 projection expressions). */
+  private def hTerm(p: P): HExpr = {
+    if (p.peek.startsWith("?")) HVar(p.eat().substring(1))
+    else if (p.is("(")) { p.eat(); val e = hAdd(p); p.expect(")"); e }
+    else if (p.peek.headOption.exists(c => c.isDigit || c == '-') ||
+      p.peek.headOption.contains('.')) HNum(p.eat().toDouble)
+    else {
+      val f = p.eat().toUpperCase
+      require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
+        s"unsupported aggregate '$f' in an aggregate expression")
+      p.expect("(")
+      val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
+      val arg = p.eat()
+      require(arg.startsWith("?") || arg == "*",
+        s"aggregate needs a variable or *, got '$arg'")
+      p.expect(")")
+      HAgg(f, if (arg == "*") "*" else arg.substring(1), dist)
+    }
+  }
+  private def hMul(p: P): HExpr = {
+    var l = hTerm(p)
+    while (p.is("*") || p.is("/")) { val o = p.eat()
+      l = HArith(o, l, hTerm(p)) }
+    l
+  }
+  private def hAdd(p: P): HExpr = {
+    var l = hMul(p)
+    while (p.is("+") || p.is("-")) { val o = p.eat()
+      l = HArith(o, l, hMul(p)) }
+    l
+  }
+
   private def parseQuery(p: P): Query = {
     var constructTpl: Seq[Bgp.Template] = Nil
     if (p.is("CONSTRUCT")) {
@@ -1079,14 +1124,20 @@ object SparqlParser {
     }
     val proj = Seq.newBuilder[String]
     val aggs = Seq.newBuilder[Agg]
+    val aggExprsB = Seq.newBuilder[(String, HExpr)]
     val order = Seq.newBuilder[String]
     val selExprs = Seq.newBuilder[(String, BindExpr)]
     descVar.foreach(proj += _)
     if (descVar.isDefined || isAsk) () // no SELECT list to parse
     else if (p.is("*")) p.eat()
     else while (p.peek.startsWith("?") || p.is("(")) {
-      if (p.is("(") && !Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
-          "GROUP_CONCAT", "SAMPLE").exists(p.peek2.equalsIgnoreCase)) {
+      // does this '('-group open (possibly through nested parens, as
+      // in `((SUM(?v) - …) / … AS ?x)`) with a set function? — routes
+      // between plain SELECT expressions and aggregate expressions
+      def aggStarts: Boolean = p.ts.drop(1).dropWhile(_ == "(")
+        .headOption.exists(t => Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
+          "GROUP_CONCAT", "SAMPLE").exists(t.equalsIgnoreCase))
+      if (p.is("(") && !aggStarts) {
         // (expr AS ?alias) — SELECT-clause expression, compiled exactly
         // like an expression BIND (a projection column); rejected with
         // aggregates by the projection ⊆ GROUP BY check below
@@ -1100,21 +1151,21 @@ object SparqlParser {
         selExprs += ((a.substring(1), e))
         proj += a.substring(1)
         order += a.substring(1)
-      } else if (p.is("(")) { // (FUNC(?v) AS ?alias)
+      } else if (p.is("(") &&
+          Seq("GROUP_CONCAT", "SAMPLE").exists(p.peek2.equalsIgnoreCase)) {
+        // (GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="…"]) AS ?a) /
+        // (SAMPLE(?v) AS ?a) — the string-valued set functions keep
+        // their dedicated form (SEPARATOR is GROUP_CONCAT-only syntax)
         p.eat()
         val f = p.eat().toUpperCase
-        require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
-            "GROUP_CONCAT", "SAMPLE").contains(f),
-          s"unsupported aggregate '$f'")
         p.expect("(")
         // §18.5.1: every set function takes a DISTINCT modifier (r11;
-        // was COUNT-only). MIN/MAX/SAMPLE are value-set functions where
-        // DISTINCT cannot change the result — accepted as the no-op
-        // the spec defines it to be.
+        // was COUNT-only). SAMPLE is a value-pick where DISTINCT
+        // cannot change the result — accepted as the spec's no-op.
         val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
         val v = p.eat()
-        require(v.startsWith("?") || v == "*",
-          s"aggregate argument must be a variable or *, got '$v'")
+        require(v.startsWith("?"),
+          s"aggregate argument must be a variable, got '$v'")
         // GROUP_CONCAT(?v; SEPARATOR="…") — SPARQL's one parameterized
         // aggregate; default separator is a single space per the spec
         var sep = " "
@@ -1129,8 +1180,25 @@ object SparqlParser {
         val a = p.eat()
         require(a.startsWith("?"), s"AS needs a variable, got '$a'")
         p.expect(")")
-        aggs += Agg(f, if (v == "*") "*" else v.substring(1),
+        aggs += Agg(f, v.substring(1),
           a.substring(1), distinct = dist, sep = sep)
+        order += a.substring(1)
+      } else if (p.is("(")) { // (AGG-EXPR AS ?alias), numeric family
+        p.eat()
+        // §11.1 projection expressions over aggregates (r11): a bare
+        // set-function call keeps the one-Agg fast path; anything with
+        // arithmetic becomes an aggregate EXPRESSION whose set-function
+        // leaves compute as hidden columns in the same aggregation pass
+        val e = hAdd(p)
+        p.expect("AS")
+        val a = p.eat()
+        require(a.startsWith("?"), s"AS needs a variable, got '$a'")
+        p.expect(")")
+        e match {
+          case HAgg(f, v, d) =>
+            aggs += Agg(f, v, a.substring(1), distinct = d)
+          case _ => aggExprsB += ((a.substring(1), e))
+        }
         order += a.substring(1)
       } else { val v = p.eat().substring(1); proj += v; order += v }
     }
@@ -1608,45 +1676,12 @@ object SparqlParser {
       // group filters over aggregate values, numeric comparates
       p.eat(); p.expect("(")
       var more = true
-      // precedence-correct arithmetic over set functions, aliases and
-      // numbers (r11): term = AGG([DISTINCT] ?v|*) | ?alias | number |
-      // '(' expr ')'; mul-chains bind tighter than add-chains.
-      def hTerm(): HExpr = {
-        if (p.peek.startsWith("?")) HVar(p.eat().substring(1))
-        else if (p.is("(")) { p.eat(); val e = hAdd(); p.expect(")"); e }
-        else if (p.peek.headOption.exists(c => c.isDigit || c == '-') ||
-          p.peek.headOption.contains('.')) HNum(p.eat().toDouble)
-        else {
-          val f = p.eat().toUpperCase
-          require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(f),
-            s"unsupported HAVING aggregate '$f'")
-          p.expect("(")
-          val dist = { val d = p.is("DISTINCT"); if (d) p.eat(); d }
-          val arg = p.eat()
-          require(arg.startsWith("?") || arg == "*",
-            s"HAVING aggregate needs a variable or *, got '$arg'")
-          p.expect(")")
-          HAgg(f, if (arg == "*") "*" else arg.substring(1), dist)
-        }
-      }
-      def hMul(): HExpr = {
-        var l = hTerm()
-        while (p.is("*") || p.is("/")) { val o = p.eat()
-          l = HArith(o, l, hTerm()) }
-        l
-      }
-      def hAdd(): HExpr = {
-        var l = hMul()
-        while (p.is("+") || p.is("-")) { val o = p.eat()
-          l = HArith(o, l, hMul()) }
-        l
-      }
       while (more) {
-        val lhs = hAdd()
+        val lhs = hAdd(p)
         val op = p.eat()
         require(Seq("=", "!=", "<", ">", "<=", ">=").contains(op),
           s"unsupported HAVING operator '$op'")
-        val rhs = hAdd()
+        val rhs = hAdd(p)
         (lhs, rhs) match {
           // the historical simple shapes keep their dedicated path
           case (HAgg(f, v, false), HNum(n)) => hav += ((Some(f), v, op, n))
@@ -1686,7 +1721,8 @@ object SparqlParser {
       unions = unis.result(), unionQueries = uniQs.result(),
       selectOrder = order.result(),
       offset = off, having = hav.result(),
-      havingComputed = havC.result(), filterFns = fnFils.result(),
+      havingComputed = havC.result(), aggExprs = aggExprsB.result(),
+      filterFns = fnFils.result(),
       varFilters = varFils.result(), inFilters = inFils.result(),
       boundFilters = bndFils.result(), existsFilters = exFils.result(),
       orFilters = orFils.result(),
@@ -1706,11 +1742,11 @@ object SparqlParser {
     // with aggregates, projected plain variables must be grouped
     // (projection ⊆ groupBy — SPARQL allows grouping by a variable
     // without projecting it, ADVICE r7)
-    require(parsed.aggregates.isEmpty ||
+    require((parsed.aggregates.isEmpty && parsed.aggExprs.isEmpty) ||
       parsed.projection.toSet.subsetOf(parsed.groupBy.toSet),
       "with aggregates, every projected variable must be GROUPed BY")
     require((parsed.having.isEmpty && parsed.havingComputed.isEmpty) ||
-      parsed.aggregates.nonEmpty,
+      parsed.aggregates.nonEmpty || parsed.aggExprs.nonEmpty,
       "HAVING requires an aggregating SELECT")
     parsed
   }
@@ -2347,7 +2383,7 @@ object SparqlParser {
       return Bgp.constructFromSolutions(s2, tpl)
         .orderBy(col("subject"), col("predicate"), col("objectValue"))
     }
-    if (q.aggregates.nonEmpty) {
+    if (q.aggregates.nonEmpty || q.aggExprs.nonEmpty) {
       def one(a: Agg): Column = (a.func match {
         case "COUNT" =>
           if (a.variable == "*") count(lit(1))
@@ -2378,15 +2414,16 @@ object SparqlParser {
       val havingAggs = q.having.zipWithIndex.collect {
         case ((Some(f), v, _, _), i) => Agg(f, v, s"_having_$i")
       }
-      // computed-HAVING leaves (r11): every distinct set-function leaf
-      // in every arithmetic HAVING joins the SAME aggregation pass
+      // computed-HAVING + SELECT-expression leaves (r11): every
+      // distinct set-function leaf joins the SAME aggregation pass
       def hLeaves(e: HExpr): Seq[HAgg] = e match {
         case a: HAgg => Seq(a)
         case HArith(_, l, r) => hLeaves(l) ++ hLeaves(r)
         case _ => Nil
       }
-      val hcLeaves = q.havingComputed
-        .flatMap { case (l, _, r) => hLeaves(l) ++ hLeaves(r) }.distinct
+      val hcLeaves = (q.havingComputed
+        .flatMap { case (l, _, r) => hLeaves(l) ++ hLeaves(r) } ++
+        q.aggExprs.flatMap { case (_, e) => hLeaves(e) }).distinct
       val hcAggs = hcLeaves.zipWithIndex.map { case (a, i) =>
         a -> Agg(a.func, a.variable, s"_havc_$i", distinct = a.distinct)
       }
@@ -2430,6 +2467,12 @@ object SparqlParser {
           case "<=" => a <= b
           case ">=" => a >= b
         })
+      }
+      // §11.1 SELECT projection expressions: materialize each alias
+      // from the hidden leaf columns (post-HAVING — HAVING sees the
+      // group, not the projection)
+      q.aggExprs.foreach { case (alias, e) =>
+        sol = sol.withColumn(alias, hCol(e))
       }
       if (havingAggs.nonEmpty || hcAggs.nonEmpty)
         sol = sol.drop((havingAggs.map(_.alias) ++

@@ -1789,6 +1789,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       square,
       "POLYGON((10 0, 20 0, 20 10, 10 10, 10 0))")) ==
       Seq(true, false, false, false, false))
+    // sfEquals: identical true; same region with an extra collinear
+    // vertex true; shifted/contained/point false
+    def eqs(wkts: Seq[String]): Seq[Boolean] =
+      wkts.toDF("w").select(GeoFunctions.equalsConst(col("w"), square))
+        .collect().map(_.getBoolean(0)).toSeq
+    assert(eqs(Seq(
+      square,
+      "POLYGON((0 0, 5 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON((1 0, 11 0, 11 10, 1 10, 1 0))",
+      "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))",
+      "POINT(5 5)")) ==
+      Seq(true, true, false, false, false))
+
     // sfCrosses: through-crossing true; contained, disjoint, point,
     // polygon rows all false; boundary-collinear line (no interior)
     // false
