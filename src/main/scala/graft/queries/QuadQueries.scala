@@ -1633,6 +1633,39 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?iri""".stripMargin)
     }),
 
+    // Full-grammar MINUS body (r11): the subtracted group carries its
+    // own FILTER — "places except those whose nation part is CHINA" —
+    // re-parsed as a synthetic sub-query and anti-joined on the shared
+    // variable (§8.3). Oracle replays with NOT IN over the same
+    // filtered join.
+    "q_quads_sparql_minus_full" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?addr ?name WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr <$NameP> ?name .
+           |  MINUS {
+           |    ?addr <$HasPartP> ?b .
+           |    ?b <$AddTypeP> <$PartNationT> .
+           |    ?b <$ValueP> ?nation .
+           |    FILTER(?nation = "CHINA")
+           |  }
+           |} ORDER BY ?addr LIMIT 300""".stripMargin)
+    }),
+
+    // Full-grammar FILTER NOT EXISTS body (r11): the tested group
+    // carries a NUMERIC filter — "places with no negative balance" —
+    // semi/anti-join on the shared variable after the body's own
+    // pipeline runs.
+    "q_quads_sparql_exists_full" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?addr ?name WHERE {
+           |  ?addr <$RdfType> <$PlaceT> .
+           |  ?addr <$NameP> ?name .
+           |  FILTER NOT EXISTS { ?addr <$BalanceP> ?bal .
+           |    FILTER(?bal < 0) }
+           |} ORDER BY ?addr LIMIT 300""".stripMargin)
+    }),
+
     // §11.1 SELECT projection expressions over aggregates (r11): the
     // SELECT clause computes arithmetic OVER set functions — the mean
     // as SUM/COUNT, and a duplication spread normalized by the
@@ -3941,6 +3974,39 @@ object QuadQueries extends QueryCatalog {
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) + 0.3 >= -13.5
         |  AND CAST(-(10 + c_custkey % 5) AS DOUBLE) - 0.3 <= -10.5
         |ORDER BY iri""".stripMargin,
+
+    "q_quads_sparql_minus_full" ->
+      s"""$fullQuadsCte,
+         |pl AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |china AS (
+         |  SELECT DISTINCT hp.subject AS addr
+         |  FROM quads hp
+         |  JOIN quads ty ON hp.objectValue = ty.subject
+         |    AND ty.predicate = '$AddTypeP'
+         |    AND ty.objectValue = '$PartNationT'
+         |  JOIN quads va ON hp.objectValue = va.subject
+         |    AND va.predicate = '$ValueP' AND va.objectValue = 'CHINA'
+         |  WHERE hp.predicate = '$HasPartP')
+         |SELECT addr, name FROM pl JOIN nm USING (addr)
+         |WHERE addr NOT IN (SELECT addr FROM china)
+         |ORDER BY addr LIMIT 300""".stripMargin,
+
+    "q_quads_sparql_exists_full" ->
+      s"""$fullQuadsCte,
+         |pl AS (SELECT DISTINCT subject AS addr FROM quads
+         |       WHERE predicate = '$RdfType' AND objectValue = '$PlaceT'),
+         |nm AS (SELECT DISTINCT subject AS addr, objectValue AS name
+         |       FROM quads WHERE predicate = '$NameP'),
+         |negbal AS (
+         |  SELECT DISTINCT subject AS addr FROM quads
+         |  WHERE predicate = '$BalanceP'
+         |    AND CAST(objectValue AS DOUBLE) < 0)
+         |SELECT addr, name FROM pl JOIN nm USING (addr)
+         |WHERE addr NOT IN (SELECT addr FROM negbal)
+         |ORDER BY addr LIMIT 300""".stripMargin,
 
     // the same distinct-pair join multiset; mean and spread restated
     // with the identical division order

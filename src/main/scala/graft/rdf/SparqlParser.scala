@@ -170,13 +170,17 @@ object SparqlParser {
       // the body is a FULL group graph pattern, parsed as a synthetic
       // `SELECT * WHERE { … }` sub-query evaluated at the endpoint
       // (r10; was triples-only)
-      unionQueries: Seq[Seq[Query]] = Nil)
+      unionQueries: Seq[Seq[Query]] = Nil,
       // UNION whose branches need the FULL group grammar (FILTER /
       // BIND / OPTIONAL / … inside a branch): each branch is a
       // synthetic `SELECT * WHERE { … }` sub-query; branch solutions
       // pad each other's variables with NULL and union as bags
       // (§18.2.2.5 multiset union) — r11. Plain-BGP unions stay on the
       // `unions` fast path.
+      minusQueries: Seq[Query] = Nil,
+      // full-grammar MINUS bodies (r11): anti-join on shared vars
+      existsQueries: Seq[(Boolean, Query)] = Nil)
+      // full-grammar FILTER [NOT] EXISTS bodies (r11): (anti-)semi-join
 
   /** One OPTIONAL group: its patterns, the FILTERs scoped INSIDE the
     * group (they constrain the group's MATCH — unmatched rows keep
@@ -365,7 +369,33 @@ object SparqlParser {
     // fresh anonymous-bnode variable names for `[ … ]` object groups
     private var anonN = 0
     def freshAnon(): String = { anonN += 1; s"_anon$anonN" }
+    /** Consume and return the body of an already-OPENED `{ … }` group
+      * (balanced; the closing brace is eaten, not returned) — the
+      * capture that lets SERVICE / UNION / MINUS / EXISTS bodies
+      * re-parse under the full grammar as synthetic sub-queries. */
+    def captureBalanced(): List[String] = {
+      val body = List.newBuilder[String]
+      var depth = 1
+      while (depth > 0) {
+        val tok = eat()
+        require(tok != "<eof>", "unterminated group")
+        if (tok == "{") depth += 1
+        else if (tok == "}") depth -= 1
+        if (depth > 0) body += tok
+      }
+      body.result()
+    }
   }
+
+  /** Does a captured group body need the full group grammar (anything
+    * beyond plain triples)? */
+  private def needsFullGrammar(body: List[String]): Boolean =
+    body.exists(t => Seq("FILTER", "BIND", "OPTIONAL", "MINUS", "VALUES",
+      "SELECT", "SERVICE").exists(t.equalsIgnoreCase))
+
+  private def asSubQuery(body: List[String]): Query =
+    parseQuery(new P(List("SELECT", "*", "WHERE", "{") ++ body ++
+      List("}")))
 
   /** Minimal literal unescape for quoted tokens: `\"` and `\\`. */
   private[rdf] def unquote(t: String): String =
@@ -1243,6 +1273,8 @@ object SparqlParser {
     val subs = Seq.newBuilder[Query]
     val unis = Seq.newBuilder[Seq[Seq[Bgp.Pattern]]]
     val uniQs = Seq.newBuilder[Seq[Query]]
+    val minusQs = Seq.newBuilder[Query]
+    val exQs = Seq.newBuilder[(Boolean, Query)]
     val svcs = Seq.newBuilder[(String, Boolean, Query)]
 
     def group(g: Option[Bgp.Term]): Unit = {
@@ -1302,28 +1334,13 @@ object SparqlParser {
           // (r11 — the same capture trick the SERVICE grammar uses).
           // A lone braced group is just grouping.
           p.eat()
-          def captureGroup(): List[String] = {
-            val body = List.newBuilder[String]
-            var depth = 1
-            while (depth > 0) {
-              val tok = p.eat()
-              require(tok != "<eof>", "unterminated group")
-              if (tok == "{") depth += 1
-              else if (tok == "}") depth -= 1
-              if (depth > 0) body += tok
-            }
-            body.result()
-          }
           val bodies = List.newBuilder[List[String]]
-          bodies += captureGroup()
+          bodies += p.captureBalanced()
           while (p.is("UNION")) {
             p.eat(); p.expect("{")
-            bodies += captureGroup()
+            bodies += p.captureBalanced()
           }
           val bs = bodies.result()
-          val plainBgp = bs.forall(_.forall(t =>
-            !Seq("FILTER", "BIND", "OPTIONAL", "MINUS", "VALUES",
-              "SELECT", "SERVICE").exists(t.equalsIgnoreCase)))
           def asTriples(body: List[String]): Seq[Bgp.Pattern] = {
             val bp = new P(body :+ "}")
             val out = triples(bp, g)
@@ -1331,9 +1348,8 @@ object SparqlParser {
             out
           }
           if (bs.length == 1) pats ++= asTriples(bs.head)
-          else if (plainBgp) unis += bs.map(asTriples)
-          else uniQs += bs.map(body => parseQuery(new P(
-            List("SELECT", "*", "WHERE", "{") ++ body ++ List("}"))))
+          else if (!bs.exists(needsFullGrammar)) unis += bs.map(asTriples)
+          else uniQs += bs.map(asSubQuery)
         } else if (p.is("OPTIONAL")) {
           // group body: triples, FILTERs SCOPED to the group (the
           // expression-comparison subset — a scoped filter constrains
@@ -1368,7 +1384,17 @@ object SparqlParser {
           p.eat()
           opts += optGroup()
         } else if (p.is("MINUS")) {
-          p.eat(); p.expect("{"); mins += triples(p, g); p.expect("}")
+          // plain-BGP bodies compile onto Bgp.selectMinus; a body with
+          // FILTER/BIND/… re-parses as a synthetic sub-query whose
+          // solutions anti-join on the shared variables (§8.3 — r11)
+          p.eat(); p.expect("{")
+          val body = p.captureBalanced()
+          if (needsFullGrammar(body)) minusQs += asSubQuery(body)
+          else {
+            val bp = new P(body :+ "}")
+            mins += triples(bp, g)
+            bp.expect("}")
+          }
         } else if (p.is("BIND")) {
           p.eat(); p.expect("(")
           if ((p.peek.startsWith("<") || p.peek.startsWith("\"")) &&
@@ -1471,8 +1497,15 @@ object SparqlParser {
           val neg = p.is("NOT")
           if (neg) { p.eat(); p.expect("EXISTS") } else p.expect("EXISTS")
           p.expect("{")
-          exFils += ((neg, triples(p, g)))
-          p.expect("}")
+          // full-grammar EXISTS bodies (FILTER/BIND/… inside) become
+          // synthetic sub-queries semi-joined on shared variables (r11)
+          val body = p.captureBalanced()
+          if (needsFullGrammar(body)) exQs += ((neg, asSubQuery(body)))
+          else {
+            val bp = new P(body :+ "}")
+            exFils += ((neg, triples(bp, g)))
+            bp.expect("}")
+          }
         } else if (p.is("FILTER")) {
           p.eat(); p.expect("(")
           val atoms = Seq.newBuilder[FilterAtom]
@@ -1719,6 +1752,7 @@ object SparqlParser {
       binds = bnds.result(), paths = pths.result(),
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), unionQueries = uniQs.result(),
+      minusQueries = minusQs.result(), existsQueries = exQs.result(),
       selectOrder = order.result(),
       offset = off, having = hav.result(),
       havingComputed = havC.result(), aggExprs = aggExprsB.result(),
@@ -2005,7 +2039,16 @@ object SparqlParser {
       unions = q.unions.map(_.map(_.map(sp))),
       existsFilters = q.existsFilters.map { case (n, g) => (n, g.map(sp)) },
       subqueries = q.subqueries.map(s =>
-        s.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed)))
+        s.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed)),
+      // full-grammar sub-query bodies inherit the dataset clause the
+      // same way sub-selects do (r11)
+      unionQueries = q.unionQueries.map(_.map(b =>
+        b.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed))),
+      minusQueries = q.minusQueries.map(b =>
+        b.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed)),
+      existsQueries = q.existsQueries.map { case (n, b) =>
+        (n, b.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed))
+      })
   }
 
   /** Dataset restriction for the relation-level access paths (paths,
@@ -2095,6 +2138,7 @@ object SparqlParser {
         q.unions.map(_.flatten.flatMap(pt => termVars(pt.s) ++
           termVars(pt.p) ++ termVars(pt.o) ++
           pt.g.toSeq.flatMap(termVars)).toSet) ++
+        q.unionQueries.map(_.flatMap(b => queryVars(b)).toSet) ++
         // a SILENT group whose endpoint is unregistered contributes NO
         // component (skipped below), so its variables must not anchor
         // the connectivity check — they would spuriously reject a query
@@ -2304,6 +2348,30 @@ object SparqlParser {
           "cartesian test)")
       sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
         if (neg) "left_anti" else "left_semi")
+    }
+    // full-grammar EXISTS / MINUS bodies (r11): the body runs the
+    // complete pipeline, then (anti-)semi-joins on shared variables —
+    // for BGP+local-filter bodies this equals §18's per-solution
+    // substitution semantics
+    q.existsQueries.foreach { case (neg, eq) =>
+      val ex = executeQuery(quads, eq, functions, services)
+      val shared = sol.columns.toSet.intersect(ex.columns.toSet).toSeq
+      require(shared.nonEmpty,
+        "a FILTER [NOT] EXISTS group must share at least one variable " +
+          "with the outer patterns (an uncorrelated EXISTS is a " +
+          "cartesian test)")
+      sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
+        if (neg) "left_anti" else "left_semi")
+    }
+    q.minusQueries.foreach { mq =>
+      val neg = executeQuery(quads, mq, functions, services)
+      val shared = sol.columns.toSet.intersect(neg.columns.toSet).toSeq
+      require(shared.nonEmpty,
+        "a MINUS group must share at least one variable with the " +
+          "required patterns (a disjoint-domain MINUS removes nothing " +
+          "per SPARQL semantics — surely not what was meant)")
+      sol = sol.join(neg.select(shared.map(col): _*).distinct(), shared,
+        "left_anti")
     }
     // ||-joined groups: compile each atom to its Column and disjoin —
     // one row filter per FILTER clause, same as the conjunctive path
