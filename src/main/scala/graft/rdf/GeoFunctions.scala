@@ -205,30 +205,16 @@ object GeoFunctions {
         finish(acc.getField("c") % 2 === 1, acc.getField("edge")))
   }
 
-  /** Ray-cast a CONSTANT point against the ROW geometry's edge array —
-    * the inverse direction, with the same on-edge leg (ADVICE r10: the
-    * strict-interior-only cast missed collinear boundary-only
-    * contacts). */
-  private def castConstPoint(vx: Double, vy: Double, rowEdges: Column)(
-      finish: (Column, Column) => Column): Column = {
-    val init = struct(lit(0).as("c"), lit(false).as("edge"))
-    aggregate(rowEdges, init,
-      (acc, e) => {
-        val ax = e.getField("ax"); val ay = e.getField("ay")
-        val bx = e.getField("bx"); val by = e.getField("by")
-        val crossed = ((ay > lit(vy)) =!= (by > lit(vy))) &&
-          (lit(vx) < (bx - ax) * (lit(vy) - ay) / (by - ay) + ax)
-        val collinear =
-          (bx - ax) * (lit(vy) - ay) - (by - ay) * (lit(vx) - ax) === 0d
-        val between =
-          lit(vx) >= least(ax, bx) && lit(vx) <= greatest(ax, bx) &&
-            lit(vy) >= least(ay, by) && lit(vy) <= greatest(ay, by)
-        struct(
-          (acc.getField("c") + when(crossed, 1).otherwise(0)).as("c"),
-          (acc.getField("edge") || (collinear && between)).as("edge"))
-      },
-      acc => finish(acc.getField("c") % 2 === 1, acc.getField("edge")))
-  }
+  /** The distinct constant ring vertices as a literal point-struct
+    * array — every per-witness test iterates this ONE array with a
+    * HOF instead of unrolling a copy of the cast tree per vertex
+    * (PERF.md #31: driver-side unrolling made the relation predicates'
+    * expression trees large enough that ANALYSIS, not evaluation,
+    * dominated — 7 s scale-independent). */
+  private def witnessLit(rings: Seq[Seq[(Double, Double)]]): Column =
+    array(constVerts(rings).map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y"))
+    }: _*)
 
   private def orient(px: Column, py: Column, qx: Column, qy: Column,
       rx: Column, ry: Column): Column =
