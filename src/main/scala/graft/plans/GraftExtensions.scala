@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       JaroWinkler.builder))
     ext.injectFunction((
+      FunctionIdentifier("graft_sf_relate"),
+      new ExpressionInfo(classOf[SfRelate].getName, "graft_sf_relate"),
+      SfRelate.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       NfcNormalize.builder))

@@ -112,271 +112,50 @@ object GeoFunctions {
     rings.toSeq
   }
 
-  /** Consecutive-vertex edges of every ring (WKT rings repeat the first
-    * vertex last, so pairing adjacent vertices covers the closing
-    * edge). */
-  private def constEdgeSeq(rings: Seq[Seq[(Double, Double)]])
-      : Seq[(Double, Double, Double, Double)] =
-    rings.flatMap(r => r.zip(r.tail).map {
-      case ((ax, ay), (bx, by)) => (ax, ay, bx, by)
-    })
+  // ====================================================================
+  // Simple-feature relations. Each builder validates any constant
+  // polygon loudly on the driver (parseRings: closed rings, >=4
+  // vertices), then compiles to ONE native [[graft.plans.SfRelate]]
+  // call — a single WKT tokenizer pass plus primitive loops per row,
+  // inside whole-stage codegen (PERF.md #31; the prior composed-HOF
+  // formulation evaluated interpreted with no CSE and re-parsed the
+  // WKT at every sub-predicate). Semantics, witnesses, and the
+  // documented completeness bounds live with the implementation:
+  // [[graft.plans.SfRelate]].
+  // ====================================================================
 
-  /** The driver-parsed edges as a literal edge-struct array column. */
-  private def edgesLit(
-      edges: Seq[(Double, Double, Double, Double)]): Column =
-    array(edges.map { case (ax, ay, bx, by) =>
-      struct(lit(ax).as("ax"), lit(ay).as("ay"),
-        lit(bx).as("bx"), lit(by).as("by"))
-    }: _*)
-
-  /** Distinct ring vertices (closing duplicates dropped) — the witness
-    * points for the vertex-containment legs. */
-  private def constVerts(rings: Seq[Seq[(Double, Double)]])
-      : Seq[(Double, Double)] =
-    rings.flatMap(_.dropRight(1)).distinct
-
-  /** Driver-side strict-interior even-odd test (used to validate
-    * constant witness points before shipping them into a plan). */
-  private def insideRingsStrict(x: Double, y: Double,
-      rings: Seq[Seq[(Double, Double)]]): Boolean = {
-    var c = 0
-    var onEdge = false
-    rings.foreach(r => r.zip(r.tail).foreach {
-      case ((ax, ay), (bx, by)) =>
-        if (((ay > y) != (by > y)) &&
-          (x < (bx - ax) * (y - ay) / (by - ay) + ax)) c += 1
-        if ((bx - ax) * (y - ay) - (by - ay) * (x - ax) == 0d &&
-          x >= math.min(ax, bx) && x <= math.max(ax, bx) &&
-          y >= math.min(ay, by) && y <= math.max(ay, by)) onEdge = true
-    })
-    c % 2 == 1 && !onEdge
+  private def relateCall(rel: String, geom: Column, other: Column): Column = {
+    graft.plans.SfRelate.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_sf_relate", lit(rel), geom.cast("string"),
+      other.cast("string"))
   }
 
-  /** Shoelace centroid of a ring (vertex mean when degenerate). */
-  private def shoelaceCentroid(
-      ring: Seq[(Double, Double)]): (Double, Double) = {
-    val segs = ring.zip(ring.tail)
-    val a2 = segs.map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum
-    if (a2 == 0d) {
-      val open = ring.dropRight(1)
-      (open.map(_._1).sum / open.length, open.map(_._2).sum / open.length)
-    } else {
-      val cx = segs.map { case ((x1, y1), (x2, y2)) =>
-        (x1 + x2) * (x1 * y2 - x2 * y1) }.sum / (3d * a2)
-      val cy = segs.map { case ((x1, y1), (x2, y2)) =>
-        (y1 + y2) * (x1 * y2 - x2 * y1) }.sum / (3d * a2)
-      (cx, cy)
-    }
-  }
-
-  // ====================================================================
-  // Ray-cast primitives. ONE aggregate pass with the parsed point
-  // carried in the ACCUMULATOR: Column-composed HOF expressions
-  // re-inline every referenced subexpression into each lambda position
-  // (the PERF.md #17 trap), so threading px/py through the accumulator
-  // keeps the point parse at once per row; each edge test is a handful
-  // of struct-field reads and arithmetic ops.
-  // ====================================================================
-
-  /** Ray-cast a COLUMN point against an edge-array column, tracking
-    * crossing parity AND boundary contact; `finish(inside, onEdge)`
-    * picks the relation (interior-only for sfWithin, inside-or-boundary
-    * for sfIntersects, strict interior for the overlap witnesses). */
-  private def castPoint(px0: Column, py0: Column, edges: Column)(
-      finish: (Column, Column) => Column): Column = {
-    val init = struct(px0.as("px"), py0.as("py"),
-      lit(0).as("c"), lit(false).as("edge"))
-    aggregate(edges, init,
-      (acc, e) => {
-        val px = acc.getField("px"); val py = acc.getField("py")
-        val ax = e.getField("ax"); val ay = e.getField("ay")
-        val bx = e.getField("bx"); val by = e.getField("by")
-        val crossed = ((ay > py) =!= (by > py)) &&
-          (px < (bx - ax) * (py - ay) / (by - ay) + ax)
-        val collinear =
-          (bx - ax) * (py - ay) - (by - ay) * (px - ax) === 0d
-        val between = px >= least(ax, bx) && px <= greatest(ax, bx) &&
-          py >= least(ay, by) && py <= greatest(ay, by)
-        struct(px.as("px"), py.as("py"),
-          (acc.getField("c") + when(crossed, 1).otherwise(0)).as("c"),
-          (acc.getField("edge") || (collinear && between)).as("edge"))
-      },
-      acc => acc.getField("px").isNotNull &&
-        finish(acc.getField("c") % 2 === 1, acc.getField("edge")))
-  }
-
-  /** The distinct constant ring vertices as a literal point-struct
-    * array — every per-witness test iterates this ONE array with a
-    * HOF instead of unrolling a copy of the cast tree per vertex
-    * (PERF.md #31: driver-side unrolling made the relation predicates'
-    * expression trees large enough that ANALYSIS, not evaluation,
-    * dominated — 7 s scale-independent). */
-  private def witnessLit(rings: Seq[Seq[(Double, Double)]]): Column =
-    array(constVerts(rings).map { case (x, y) =>
-      struct(lit(x).as("x"), lit(y).as("y"))
-    }: _*)
-
-  private def orient(px: Column, py: Column, qx: Column, qy: Column,
-      rx: Column, ry: Column): Column =
-    signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
-
-  /** Segment intersection via orientation signs (includes endpoint
-    * touches; collinear-overlap pairs that touch without any endpoint
-    * orientation flip are caught by the vertex on-edge legs). */
-  private def segCross(e: Column,
-      c: (Double, Double), d: (Double, Double)): Column = {
-    val ax = e.getField("ax"); val ay = e.getField("ay")
-    val bx = e.getField("bx"); val by = e.getField("by")
-    val (cx, cy) = (lit(c._1), lit(c._2))
-    val (dx, dy) = (lit(d._1), lit(d._2))
-    val o1 = orient(ax, ay, bx, by, cx, cy)
-    val o2 = orient(ax, ay, bx, by, dx, dy)
-    val o3 = orient(cx, cy, dx, dy, ax, ay)
-    val o4 = orient(cx, cy, dx, dy, bx, by)
-    o1 =!= o2 && o3 =!= o4
-  }
-
-  /** PROPER crossing — the segments cross at an interior point of both
-    * (all four orientations nonzero). A proper crossing between two
-    * polygon boundaries is an interior-overlap witness; an endpoint
-    * touch is not. */
-  private def segCrossProper(e: Column,
-      c: (Double, Double), d: (Double, Double)): Column = {
-    val ax = e.getField("ax"); val ay = e.getField("ay")
-    val bx = e.getField("bx"); val by = e.getField("by")
-    val (cx, cy) = (lit(c._1), lit(c._2))
-    val (dx, dy) = (lit(d._1), lit(d._2))
-    val o1 = orient(ax, ay, bx, by, cx, cy)
-    val o2 = orient(ax, ay, bx, by, dx, dy)
-    val o3 = orient(cx, cy, dx, dy, ax, ay)
-    val o4 = orient(cx, cy, dx, dy, bx, by)
-    o1 =!= o2 && o3 =!= o4 &&
-      o1 =!= 0d && o2 =!= 0d && o3 =!= 0d && o4 =!= 0d
-  }
-
-  // ====================================================================
-  // Column-geometry parsing. The innermost parenthesis groups of any
-  // WKT surface/curve geometry are its coordinate runs — rings for
-  // (MULTI)POLYGON, parts for MULTILINESTRING, the whole vertex list
-  // for LINESTRING — so ONE regexp_extract_all serves every shape.
-  // ====================================================================
-
-  private def isPolyGeom(s: Column): Column =
-    s.rlike("^\\s*(POLYGON|MULTIPOLYGON)\\s*\\(")
-
-  /** Innermost coordinate runs as array&lt;array&lt;struct(x,y)&gt;&gt;. */
-  private def partsOf(s: Column): Column =
-    transform(regexp_extract_all(s, lit("\\(([^()]+)\\)"), lit(1)),
-      r => transform(split(r, ","), v => {
-        val xy = split(trim(v), "\\s+")
-        struct(element_at(xy, 1).cast("double").as("x"),
-          element_at(xy, 2).cast("double").as("y"))
-      }))
-
-  /** Consecutive-vertex edges of every part, flattened. WKT rings are
-    * textually closed, so adjacent pairing covers the closing edge;
-    * for open LINESTRING parts the pairing is exactly the segment
-    * list. */
-  private def partEdges(parts: Column): Column =
-    flatten(transform(parts, pts => zip_with(
-      slice(pts, lit(1), size(pts) - 1),
-      slice(pts, lit(2), size(pts) - 1),
-      (a, b) => struct(a.getField("x").as("ax"), a.getField("y").as("ay"),
-        b.getField("x").as("bx"), b.getField("y").as("by")))))
-
-  // ====================================================================
-  // sfWithin
-  // ====================================================================
-
-  /** `geof:sfWithin(point, polygon)` — POINT strictly inside a WKT
+  /** `geof:sfWithin(point, constPolygon)` — POINT strictly inside a WKT
     * POLYGON (any ring count) or MULTIPOLYGON: even-odd crossing parity
-    * over ALL ring edges, so a point inside a hole counts its hole
-    * crossings too (even total → outside) and a point on an island part
-    * is odd → inside. Points ON a ring are boundary cases the even-odd
-    * rule does not define; callers choose polygons off the data lattice
-    * (as the gates do). */
+    * over ALL rings, so a point inside a hole counts its hole crossings
+    * too (even total → outside) and a point on an island part is odd →
+    * inside. Points ON a ring are boundary cases the even-odd rule does
+    * not define; callers choose polygons off the data lattice (as the
+    * gates do). */
   def withinConst(pointWkt: Column, polygonWkt: String): Column = {
-    val edges = edgesLit(constEdgeSeq(parseRings(polygonWkt)))
-    castPoint(pointX(pointWkt), pointY(pointWkt), edges)((in, _) => in)
+    parseRings(polygonWkt)
+    relateCall("within", pointWkt, lit(polygonWkt))
   }
 
-  /** Column-polygon variant: the ring text parses per row with native
-    * HOFs (`transform`/`zip_with`/`aggregate`) — no shuffle, the
-    * predicate composes with BGP scan filters like any comparison.
-    * Multi-ring and MULTIPOLYGON forms evaluate with the same even-odd
-    * rule (r11 — previously rejected). */
-  def within(pointWkt: Column, polygonWkt: Column): Column = {
-    val s = polygonWkt.cast("string")
-    val edges = partEdges(partsOf(s))
-    isPolyGeom(s) && size(edges) >= 3 &&
-      castPoint(pointX(pointWkt), pointY(pointWkt), edges)((in, _) => in)
-  }
+  /** Column-polygon variant: the polygon text parses per row inside the
+    * same native expression — no shuffle, the predicate composes with
+    * BGP scan filters like any comparison. Multi-ring and MULTIPOLYGON
+    * forms evaluate with the same even-odd rule. */
+  def within(pointWkt: Column, polygonWkt: Column): Column =
+    relateCall("within", pointWkt, polygonWkt)
 
-  // ====================================================================
-  // sfIntersects — DE-9IM "not disjoint" over the full simple-feature
-  // menagerie against a constant polygon (r10; r11: multi-ring,
-  // MULTIPOLYGON, LINESTRING/MULTILINESTRING/MULTIPOINT operands).
-  // A cheap bounding-box overlap PREFILTER short-circuits the edge
-  // tests for the (at scale, overwhelming) disjoint majority; survivors
-  // prove contact by a row vertex inside-or-on the constant rings, a
-  // constant vertex inside-or-on the row geometry, or a crossing edge
-  // pair — together complete for simple-feature inputs (a boundary
-  // crossing implies a crossing edge pair or a collinear contact, and
-  // collinear contacts always put some vertex of one geometry on the
-  // other's boundary).
-  // ====================================================================
-
+  /** `geof:sfIntersects(geom, constPolygon)` — DE-9IM "not disjoint"
+    * over the full simple-feature menagerie (POINT / MULTIPOINT /
+    * (MULTI)LINESTRING / (MULTI)POLYGON rows). */
   def intersectsConst(geomWkt: Column, polygonWkt: String): Column = {
-    val rings = parseRings(polygonWkt)
-    val verts = rings.flatten
-    val cMinX = verts.map(_._1).min; val cMaxX = verts.map(_._1).max
-    val cMinY = verts.map(_._2).min; val cMaxY = verts.map(_._2).max
-    val constEdges = edgesLit(constEdgeSeq(rings))
-    val constEdgeTuples = constEdgeSeq(rings)
-    val witnesses = constVerts(rings)
-    val s = geomWkt.cast("string")
-
-    // POINT leg — inside or on the boundary
-    val pointLeg =
-      castPoint(pointX(s), pointY(s), constEdges)((in, e) => in || e)
-
-    // shared vertex/edge machinery for the non-point shapes
-    val parts = partsOf(s)
-    val pts = flatten(parts)
-    val xs = transform(pts, v => v.getField("x"))
-    val ys = transform(pts, v => v.getField("y"))
-    val bboxOk = size(pts) >= 1 &&
-      array_min(xs) <= cMaxX && array_max(xs) >= cMinX &&
-      array_min(ys) <= cMaxY && array_max(ys) >= cMinY
-    val rowEdges = partEdges(parts)
-    // (a) any row vertex inside/on the constant rings
-    val rowVertexIn = exists(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => in || e))
-    // (b) any constant vertex inside/on the row geometry (parity is
-    // only meaningful against closed rings; the on-edge leg alone
-    // serves open curves)
-    def constVertexHit(withParity: Boolean): Column =
-      witnesses.map { case (vx, vy) =>
-        castConstPoint(vx, vy, rowEdges)((in, e) =>
-          if (withParity) in || e else e)
-      }.reduce(_ || _)
-    // (c) any edge pair crossing — const edges unroll into the lambda
-    val edgeCross = exists(rowEdges, e =>
-      constEdgeTuples.map { case (ax, ay, bx, by) =>
-        segCross(e, (ax, ay), (bx, by)) }.reduce(_ || _))
-
-    val polyLeg = bboxOk &&
-      (rowVertexIn || constVertexHit(withParity = true) || edgeCross)
-    val lineLeg = bboxOk &&
-      (rowVertexIn || constVertexHit(withParity = false) || edgeCross)
-    val multiPointLeg = bboxOk && rowVertexIn
-
-    when(s.rlike("^\\s*POINT\\s*\\("), pointLeg)
-      .when(s.rlike("^\\s*MULTIPOINT\\s*\\("), multiPointLeg)
-      .when(s.rlike("^\\s*(LINESTRING|MULTILINESTRING)\\s*\\("), lineLeg)
-      .when(isPolyGeom(s), polyLeg)
-      .otherwise(lit(false))
+    parseRings(polygonWkt)
+    relateCall("intersects", geomWkt, lit(polygonWkt))
   }
 
   /** `geof:sfDisjoint(geom, constPolygon)` — no shared point at all:
@@ -384,148 +163,47 @@ object GeoFunctions {
     * (unparseable rows are neither intersecting nor disjoint — they
     * evaluate false on both, never silently classifying garbage). */
   def disjointConst(geomWkt: Column, polygonWkt: String): Column = {
-    val s = geomWkt.cast("string")
-    val known = s.rlike("^\\s*(POINT|MULTIPOINT|LINESTRING|" +
-      "MULTILINESTRING|POLYGON|MULTIPOLYGON)\\s*\\(")
-    known && !coalesce(intersectsConst(geomWkt, polygonWkt), lit(true))
-  }
-
-  /** Interior-overlap witness for geometry × constant polygon: a point
-    * strictly inside both. Witnesses tried: a strict row vertex, a
-    * strict constant vertex, a PROPER edge crossing (interior point of
-    * both boundaries ⇒ each boundary passes through the other's
-    * interior), the row outer-part vertex mean (validated strictly
-    * inside the ROW first, so concave shapes cannot produce a false
-    * positive), and the constant outer ring's shoelace centroid
-    * (validated on the driver). Complete for convex shapes and for any
-    * pair with a vertex or proper-crossing witness; a witness-free
-    * concave-concave interior overlap (interleaved combs) is the
-    * documented completeness bound. */
-  private def interiorsOverlap(s: Column, rings: Seq[Seq[(Double, Double)]],
-      constEdges: Column): Column = {
-    val constEdgeTuples = constEdgeSeq(rings)
-    val parts = partsOf(s)
-    val pts = flatten(parts)
-    val rowEdges = partEdges(parts)
-    val rowStrict = exists(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => in && !e))
-    val constStrict = constVerts(rings).map { case (vx, vy) =>
-      castConstPoint(vx, vy, rowEdges)((in, e) => in && !e)
-    }.reduce(_ || _)
-    val properCross = exists(rowEdges, e =>
-      constEdgeTuples.map { case (ax, ay, bx, by) =>
-        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
-    // row vertex-mean witness (covers e.g. identical rectangles, where
-    // every vertex sits ON the other's boundary and no crossing is
-    // proper): sound because it must be strictly inside the row itself
-    val outer = element_at(parts, 1)
-    val n1 = (size(outer) - 1).cast("double")
-    val mx = aggregate(slice(outer, lit(1), size(outer) - 1), lit(0.0d),
-      (a, v) => a + v.getField("x")) / n1
-    val my = aggregate(slice(outer, lit(1), size(outer) - 1), lit(0.0d),
-      (a, v) => a + v.getField("y")) / n1
-    val meanWitness =
-      castPoint(mx, my, rowEdges)((in, e) => in && !e) &&
-        castPoint(mx, my, constEdges)((in, e) => in && !e)
-    // const centroid witness, validated strictly interior on the driver
-    val (ccx, ccy) = shoelaceCentroid(rings.head)
-    val centroidWitness =
-      if (insideRingsStrict(ccx, ccy, rings))
-        castConstPoint(ccx, ccy, rowEdges)((in, e) => in && !e)
-      else lit(false)
-    rowStrict || constStrict || properCross || meanWitness ||
-      centroidWitness
+    parseRings(polygonWkt)
+    relateCall("disjoint", geomWkt, lit(polygonWkt))
   }
 
   /** `geof:sfTouches(geom, constPolygon)` — boundaries meet, interiors
     * do not (DE-9IM `FT*******` family). POINT: on the boundary.
+    * MULTIPOINT: intersects with no member strictly interior.
     * LINESTRING: intersects with no strict-interior vertex and no
     * proper crossing. POLYGON: intersects && !interior-overlap. */
   def touchesConst(geomWkt: Column, polygonWkt: String): Column = {
-    val rings = parseRings(polygonWkt)
-    val constEdges = edgesLit(constEdgeSeq(rings))
-    val s = geomWkt.cast("string")
-    val inter = intersectsConst(geomWkt, polygonWkt)
-    val pointTouch =
-      castPoint(pointX(s), pointY(s), constEdges)((_, e) => e)
-    val parts = partsOf(s)
-    val pts = flatten(parts)
-    val rowEdges = partEdges(parts)
-    val constEdgeTuples = constEdgeSeq(rings)
-    val anyStrictVertex = exists(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => in && !e))
-    val properCross = exists(rowEdges, e =>
-      constEdgeTuples.map { case (ax, ay, bx, by) =>
-        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
-    val lineTouch = inter && !anyStrictVertex && !properCross
-    val polyTouch = inter && !interiorsOverlap(s, rings, constEdges)
-    when(s.rlike("^\\s*POINT\\s*\\("), pointTouch)
-      .when(s.rlike("^\\s*(LINESTRING|MULTILINESTRING)\\s*\\("), lineTouch)
-      .when(isPolyGeom(s), polyTouch)
-      .otherwise(lit(false))
+    parseRings(polygonWkt)
+    relateCall("touches", geomWkt, lit(polygonWkt))
   }
 
   /** `geof:sfEquals(polygon, constPolygon)` — spatially equal regions
-    * (DE-9IM equals is mutual covering, independent of vertex lists:
-    * a ring with an extra collinear vertex still equals). Decided by
-    * the two containment witnesses: every row vertex inside-or-on the
-    * constant rings AND every constant vertex inside-or-on the row
-    * geometry AND no proper boundary crossing. With sfEquals the
-    * engine covers ALL EIGHT simple-feature relations (Equals,
-    * Disjoint, Intersects, Touches, Within, Contains, Overlaps,
-    * Crosses — GeoSPARQL Req 22). */
+    * (DE-9IM equals is mutual covering, independent of vertex lists: a
+    * ring with an extra collinear vertex still equals). Decided by the
+    * two containment witnesses (vertices + edge midpoints each way) and
+    * no proper boundary crossing. With sfEquals the engine covers ALL
+    * EIGHT simple-feature relations (GeoSPARQL Req 22). */
   def equalsConst(geomWkt: Column, polygonWkt: String): Column = {
-    val rings = parseRings(polygonWkt)
-    val constEdges = edgesLit(constEdgeSeq(rings))
-    val constEdgeTuples = constEdgeSeq(rings)
-    val s = geomWkt.cast("string")
-    val parts = partsOf(s)
-    val pts = flatten(parts)
-    val rowEdges = partEdges(parts)
-    val properCross = exists(rowEdges, e =>
-      constEdgeTuples.map { case (ax, ay, bx, by) =>
-        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
-    val rowInConst = forall(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => in || e))
-    val constInRow = constVerts(rings).map { case (vx, vy) =>
-      castConstPoint(vx, vy, rowEdges)((in, e) => in || e)
-    }.reduce(_ && _)
-    isPolyGeom(s) && size(pts) >= 4 &&
-      rowInConst && constInRow && !properCross
+    parseRings(polygonWkt)
+    relateCall("equals", geomWkt, lit(polygonWkt))
   }
 
   /** `geof:sfCrosses(line, constPolygon)` — DE-9IM crosses for a
     * dim-1 × dim-2 pair: the line passes through BOTH the polygon's
-    * interior and its exterior. Witnesses: a PROPER edge crossing (an
-    * interior point of a line segment on an interior point of a ring
-    * edge — the line locally continues on both sides), or a strict
-    * interior vertex together with a strict exterior vertex. Only
-    * (MULTI)LINESTRING rows can cross a polygon — points and polygons
-    * evaluate false by definition (§DE-9IM dimension rules). */
+    * interior and its exterior. Only (MULTI)LINESTRING rows can cross a
+    * polygon — points and polygons evaluate false by definition. */
   def crossesConst(geomWkt: Column, polygonWkt: String): Column = {
-    val rings = parseRings(polygonWkt)
-    val constEdges = edgesLit(constEdgeSeq(rings))
-    val constEdgeTuples = constEdgeSeq(rings)
-    val s = geomWkt.cast("string")
-    val parts = partsOf(s)
-    val pts = flatten(parts)
-    val rowEdges = partEdges(parts)
-    val properCross = exists(rowEdges, e =>
-      constEdgeTuples.map { case (ax, ay, bx, by) =>
-        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
-    val strictIn = exists(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => in && !e))
-    val strictOut = exists(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => !in && !e))
-    s.rlike("^\\s*(LINESTRING|MULTILINESTRING)\\s*\\(") &&
-      (properCross || (strictIn && strictOut))
+    parseRings(polygonWkt)
+    relateCall("crosses", geomWkt, lit(polygonWkt))
   }
 
+  /** `geof:sfOverlaps(polygon, constPolygon)` — same-dimension
+    * geometries whose interiors overlap but neither is contained in the
+    * other (DE-9IM overlaps; polygon operands only). */
+  def overlapsConst(geomWkt: Column, polygonWkt: String): Column = {
+    parseRings(polygonWkt)
+    relateCall("overlaps", geomWkt, lit(polygonWkt))
+  }
   private val LineRe =
     java.util.regex.Pattern.compile("LINESTRING\\s*\\(([^()]+)\\)")
 
@@ -565,33 +243,5 @@ object GeoFunctions {
         s"geof:distance units must be <${UomNs}metre> or " +
           s"<${UomNs}kilometre>, got <$other>")
     }
-  }
-
-  /** `geof:sfOverlaps(polygon, constPolygon)` — same-dimension
-    * geometries whose interiors overlap but neither is contained in
-    * the other (DE-9IM overlaps; polygon operands only — overlap of
-    * mixed dimensions is false by definition). Containment is decided
-    * by the all-vertices-inside-or-on + no-proper-crossing witness —
-    * complete for simple polygon pairs: leaving the container forces a
-    * proper boundary crossing or a vertex strictly outside. */
-  def overlapsConst(geomWkt: Column, polygonWkt: String): Column = {
-    val rings = parseRings(polygonWkt)
-    val constEdges = edgesLit(constEdgeSeq(rings))
-    val constEdgeTuples = constEdgeSeq(rings)
-    val s = geomWkt.cast("string")
-    val parts = partsOf(s)
-    val pts = flatten(parts)
-    val rowEdges = partEdges(parts)
-    val properCross = exists(rowEdges, e =>
-      constEdgeTuples.map { case (ax, ay, bx, by) =>
-        segCrossProper(e, (ax, ay), (bx, by)) }.reduce(_ || _))
-    val rowInConst = forall(pts, v =>
-      castPoint(v.getField("x"), v.getField("y"), constEdges)(
-        (in, e) => in || e)) && !properCross
-    val constInRow = constVerts(rings).map { case (vx, vy) =>
-      castConstPoint(vx, vy, rowEdges)((in, e) => in || e)
-    }.reduce(_ && _) && !properCross
-    isPolyGeom(s) && intersectsConst(geomWkt, polygonWkt) &&
-      interiorsOverlap(s, rings, constEdges) && !rowInConst && !constInRow
   }
 }

@@ -1277,9 +1277,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(asinLine.contains("Filter") &&
       planStr.indexOf("ASIN") > joinIdx,
       "geof distance FILTER should sit below the join:\n" + planStr)
-    // r10: sfIntersects compiles to the same scan-level shape — a row
-    // Filter below the join (the aggregate() ray-cast marker), never a
-    // cartesian or a post-join residual
+    // r10 (marker updated r12): sfIntersects compiles to the same
+    // scan-level shape — a row Filter below the join (the native
+    // graft_sf_relate predicate), never a cartesian or a post-join
+    // residual
     val ix = SparqlParser.execute(quads,
       """SELECT ?s ?n WHERE {
         |  ?s <urn:wkt> ?w . ?s <urn:name> ?n .
@@ -1290,7 +1291,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val ixJoin = ixPlan.indexOf("HashJoin")
     assert(ixJoin >= 0 && !ixPlan.contains("CartesianProduct"),
       "sfIntersects should keep the equi-join:\n" + ixPlan)
-    assert(ixPlan.indexOf("aggregate(") > ixJoin,
+    assert(ixPlan.indexOf("graft_sf_relate") > ixJoin,
       "sfIntersects FILTER should sit below the join:\n" + ixPlan)
     assert(ix.count() == 50) // named points with x in 1..50
   }
