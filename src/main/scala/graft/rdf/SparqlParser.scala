@@ -391,7 +391,7 @@ object SparqlParser {
     * beyond plain triples)? */
   private def needsFullGrammar(body: List[String]): Boolean =
     body.exists(t => Seq("FILTER", "BIND", "OPTIONAL", "MINUS", "VALUES",
-      "SELECT", "SERVICE").exists(t.equalsIgnoreCase))
+      "SELECT", "SERVICE", "UNION", "GRAPH").exists(t.equalsIgnoreCase))
 
   private def asSubQuery(body: List[String]): Query =
     parseQuery(new P(List("SELECT", "*", "WHERE", "{") ++ body ++
@@ -919,7 +919,8 @@ object SparqlParser {
         s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>, " +
         s"<${GeoFunctions.SfIntersectsFn}>, " +
         s"<${GeoFunctions.SfDisjointFn}>, <${GeoFunctions.SfTouchesFn}>, " +
-        s"<${GeoFunctions.SfOverlapsFn}>)")
+        s"<${GeoFunctions.SfOverlapsFn}>, <${GeoFunctions.SfCrossesFn}>, " +
+        s"<${GeoFunctions.SfEqualsFn}>)")
   }
 
   /** A constant argument a geof: simple-feature relation can parse on

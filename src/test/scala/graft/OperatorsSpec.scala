@@ -1192,6 +1192,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         FILTER(?n = "Alice" && STRSTARTS(?n, "Al") || ?n = "Bob") }
         ORDER BY ?s""")
       == Seq(Seq("a"), Seq("b")))
+    // r12 (ADVICE r11): a MINUS / EXISTS body containing a nested
+    // UNION promotes to the synthetic sub-query path instead of dying
+    // in the triples-only parser
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        MINUS { { ?s <urn:name> "Alice" } UNION
+                { ?s <urn:name> "Bob" } } }""") == Seq(Seq("c")))
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        FILTER EXISTS { { ?s <urn:name> "Alice" } UNION
+                        { ?s <urn:name> "Bob" } } } ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("b")))
     // loud: uncorrelated EXISTS, BOUND of an unbound variable
     intercept[IllegalArgumentException] {
       run("""SELECT ?s WHERE { ?s <urn:type> "T" .
