@@ -596,7 +596,117 @@ object SpatialQueries extends QueryCatalog {
     (area, line)
   }
 
+  /** Geometry-column × geometry-column spatial join (r12, VERDICT r11
+    * Missing #2 — the reference's actual join shape:
+    * `ST_Intersects(pp.wkt, ST_GeomFromText(sp.wkt_literal,…))`,
+    * `cam/tables/lf_address.py:80`): road LINESTRING column × locality
+    * POLYGON column, NO constant side. Scale shape: each side explodes
+    * into the grid cells of its bbox (roads ≤ ~4 cells, localities a
+    * bounded constant), the cell id is the equi-join key (the locality
+    * cover BROADCASTS — nation-sized dimension), the exact native
+    * `graft_sf_relate` predicate runs only on cover-collided pairs,
+    * and multi-cell collisions dedupe with one DISTINCT on the pair
+    * key before the aggregate. Bounds sit at .005 offsets off the
+    * two-decimal coordinate lattice, so no touch/boundary case exists
+    * and the oracle restates intersection as pure interval logic. */
+  private def polyLineIntersectsJoin(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val x = coord(k, 7919L); val y = coord(k, 104729L)
+    val horiz = k % 2 === 0
+    def pt(px: Column, py: Column): Column =
+      concat(px.cast("string"), lit(" "), py.cast("string"))
+    val roads = Tables.customer(s, dir).select(
+      k.as("qid"),
+      when(horiz, concat(lit("LINESTRING("), pt(x - 0.7d, y), lit(", "),
+          pt(x + 0.7d, y), lit(")")))
+        .otherwise(concat(lit("LINESTRING("), pt(x, y - 0.7d), lit(", "),
+          pt(x, y + 0.7d), lit(")"))).as("rwkt"),
+      when(horiz, x - 0.7d).otherwise(x).as("x1"),
+      when(horiz, x + 0.7d).otherwise(x).as("x2"),
+      when(horiz, y).otherwise(y - 0.7d).as("y1"),
+      when(horiz, y).otherwise(y + 0.7d).as("y2"))
+    val roadCover = roads
+      .withColumn("cellX",
+        explode(sequence(cellOf(col("x1")), cellOf(col("x2")))))
+      .withColumn("cellY",
+        explode(sequence(cellOf(col("y1")), cellOf(col("y2")))))
+      .select(col("qid"), col("rwkt"), col("cellX"), col("cellY"))
+    val n = col("n_nationkey")
+    val rects = Tables.nation(s, dir).select(n,
+        (((n * 3) % 8).cast("double") - 0.005d).as("a1"),
+        (((n * 5) % 8).cast("double") - 0.005d).as("b1"))
+      .withColumn("a2", col("a1") + 2.01d)
+      .withColumn("b2", col("b1") + 2.01d)
+    def ringWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+      concat(pt(x1, y1), lit(", "), pt(x2, y1), lit(", "), pt(x2, y2),
+        lit(", "), pt(x1, y2), lit(", "), pt(x1, y1))
+    val rectCover = rects
+      .withColumn("pwkt", concat(lit("POLYGON(("),
+        ringWkt(col("a1"), col("b1"), col("a2"), col("b2")), lit("))")))
+      .withColumn("cellX",
+        explode(sequence(cellOf(col("a1")), cellOf(col("a2")))))
+      .withColumn("cellY",
+        explode(sequence(cellOf(col("b1")), cellOf(col("b2")))))
+      .select(col("n_nationkey"), col("pwkt"), col("cellX"), col("cellY"))
+    roadCover.join(broadcast(rectCover), Seq("cellX", "cellY"))
+      .filter(graft.rdf.GeoFunctions.intersects(col("rwkt"), col("pwkt")))
+      .select(col("n_nationkey"), col("qid")).distinct()
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_roads"), sum(col("qid")).as("sum_keys"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Polygon-column × polygon-column sfOverlaps join (r12, same
+    * machinery): per-customer 0.6° squares × per-nation 2.01°
+    * localities, keeping only PARTIAL overlaps — interiors meet but
+    * neither side contains the other (containment pairs match no
+    * row). Same grid cover + broadcast + DISTINCT dedupe shape. */
+  private def polyPolyOverlapsJoin(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val x = coord(k, 7919L); val y = coord(k, 104729L)
+    def pt(px: Column, py: Column): Column =
+      concat(px.cast("string"), lit(" "), py.cast("string"))
+    def ringWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+      concat(pt(x1, y1), lit(", "), pt(x2, y1), lit(", "), pt(x2, y2),
+        lit(", "), pt(x1, y2), lit(", "), pt(x1, y1))
+    val squares = Tables.customer(s, dir).select(
+        k.as("qid"), (x - 0.3d).as("sx1"), (x + 0.3d).as("sx2"),
+        (y - 0.3d).as("sy1"), (y + 0.3d).as("sy2"))
+      .withColumn("swkt", concat(lit("POLYGON(("),
+        ringWkt(col("sx1"), col("sy1"), col("sx2"), col("sy2")), lit("))")))
+    val sqCover = squares
+      .withColumn("cellX",
+        explode(sequence(cellOf(col("sx1")), cellOf(col("sx2")))))
+      .withColumn("cellY",
+        explode(sequence(cellOf(col("sy1")), cellOf(col("sy2")))))
+      .select(col("qid"), col("swkt"), col("cellX"), col("cellY"))
+    val n = col("n_nationkey")
+    val rects = Tables.nation(s, dir).select(n,
+        (((n * 3) % 8).cast("double") - 0.005d).as("a1"),
+        (((n * 5) % 8).cast("double") - 0.005d).as("b1"))
+      .withColumn("a2", col("a1") + 2.01d)
+      .withColumn("b2", col("b1") + 2.01d)
+    val rectCover = rects
+      .withColumn("pwkt", concat(lit("POLYGON(("),
+        ringWkt(col("a1"), col("b1"), col("a2"), col("b2")), lit("))")))
+      .withColumn("cellX",
+        explode(sequence(cellOf(col("a1")), cellOf(col("a2")))))
+      .withColumn("cellY",
+        explode(sequence(cellOf(col("b1")), cellOf(col("b2")))))
+      .select(col("n_nationkey"), col("pwkt"), col("cellX"), col("cellY"))
+    sqCover.join(broadcast(rectCover), Seq("cellX", "cellY"))
+      .filter(graft.rdf.GeoFunctions.overlaps(col("swkt"), col("pwkt")))
+      .select(col("n_nationkey"), col("qid")).distinct()
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("qid")).as("sum_keys"))
+      .orderBy(col("n_nationkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_poly_line_intersects" ->
+      ((s, dir) => polyLineIntersectsJoin(s, dir)),
+    "q_join_poly_poly_overlaps" ->
+      ((s, dir) => polyPolyOverlapsJoin(s, dir)),
     "q_spatial_area_centroid" -> ((s, dir) => areaCentroid(s, dir)),
     "q_spatial_polyline_length" -> ((s, dir) => polylineLength(s, dir)),
     "q_join_point_in_polygon" -> ((s, dir) => pointInPolygon(s, dir)),
@@ -616,6 +726,52 @@ object SpatialQueries extends QueryCatalog {
     * oracle scale); the Spark side must produce identical rows from the
     * bucketed plan — that equivalence is exactly what the gate checks. */
   override def oracleSql: Map[String, String] = Map(
+    "q_join_poly_line_intersects" ->
+      """WITH roads AS (
+        |  SELECT c_custkey AS qid,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 AS x,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 AS y,
+        |    c_custkey % 2 = 0 AS horiz
+        |  FROM customer),
+        |rects AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) - 0.005 AS a1,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) - 0.005 AS b1
+        |  FROM nation),
+        |r2 AS (SELECT n_nationkey, a1, b1, a1 + 2.01 AS a2,
+        |    b1 + 2.01 AS b2 FROM rects),
+        |hits AS (
+        |  SELECT n_nationkey, qid FROM roads JOIN r2 ON
+        |    CASE WHEN horiz
+        |      THEN y > b1 AND y < b2 AND x - 0.7 < a2 AND x + 0.7 > a1
+        |      ELSE x > a1 AND x < a2 AND y - 0.7 < b2 AND y + 0.7 > b1
+        |    END)
+        |SELECT n_nationkey, COUNT(*) AS n_roads,
+        |  CAST(SUM(qid) AS BIGINT) AS sum_keys
+        |FROM hits GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    "q_join_poly_poly_overlaps" ->
+      """WITH sq AS (
+        |  SELECT c_custkey AS qid,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 - 0.3 AS sx1,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 + 0.3 AS sx2,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 - 0.3 AS sy1,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 + 0.3 AS sy2
+        |  FROM customer),
+        |rects AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) - 0.005 AS a1,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) - 0.005 AS b1
+        |  FROM nation),
+        |r2 AS (SELECT n_nationkey, a1, b1, a1 + 2.01 AS a2,
+        |    b1 + 2.01 AS b2 FROM rects),
+        |hits AS (
+        |  SELECT n_nationkey, qid FROM sq JOIN r2 ON
+        |    sx1 < a2 AND sx2 > a1 AND sy1 < b2 AND sy2 > b1
+        |    AND NOT (sx1 > a1 AND sx2 < a2 AND sy1 > b1 AND sy2 < b2)
+        |    AND NOT (a1 > sx1 AND a2 < sx2 AND b1 > sy1 AND b2 < sy2))
+        |SELECT n_nationkey, COUNT(*) AS n_overlaps,
+        |  CAST(SUM(qid) AS BIGINT) AS sum_keys
+        |FROM hits GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
     "q_spatial_area_centroid" -> measureOracle._1,
     "q_spatial_polyline_length" -> measureOracle._2,
     "q_join_knn" ->

