@@ -36,13 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are op-for-op the prior Column composition, which the
   * OperatorsSpec relation matrix and the geof gate oracles pin:
   * even-odd ray cast (crossing parity over ALL rings; on-edge =
-  * collinear + bbox clamp), orientation-sign segment crossings,
-  * interior-overlap witnesses (strict vertex both ways, proper
-  * crossing, row vertex-mean, driver-validated const centroid), and
-  * containment by vertices + edge midpoints with no proper crossing
-  * (midpoints close the ADVICE r11 concave false positive; a concavity
-  * confined to half an edge span still evades — exactness needs
-  * segment clipping, the documented bound). IEEE double arithmetic is
+  * collinear + bbox clamp) and orientation-sign segment crossings. The
+  * containment and interior-overlap decisions go beyond the r11
+  * heuristics and are EXACT for even-odd polygon regions: containment
+  * is the boundary-subset test over clipped sub-segments
+  * ([[SfRelate.boundaryInRegion]] — closes the ADVICE r11 concave
+  * false positive entirely), and interior overlap adds segment-
+  * clipping midpoint witnesses plus guaranteed scanline interior
+  * points ([[SfRelate.interiorsOverlap]] — closes the r11
+  * "interleaved combs" bound). IEEE double arithmetic is
   * deterministic, so no oracle hash moves.
   *
   * Null contract: null inputs poison to null; a geometry whose prefix
@@ -189,43 +191,10 @@ object SfRelate {
       }
       seen.toArray.flatMap { case (x, y) => Array(x, y) }
     }
-    /** Vertices + edge midpoints, distinct — the containment
-      * witnesses (concavity guard). */
-    val witnessAll: Array[Double] = {
-      val seen = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
-      var i = 0
-      while (i < verts.length) { seen += ((verts(i), verts(i + 1))); i += 2 }
-      rings.foreach { r =>
-        var j = 0
-        while (j < r.length - 2) {
-          seen += (((r(j) + r(j + 2)) / 2d, (r(j + 1) + r(j + 3)) / 2d))
-          j += 2
-        }
-      }
-      seen.toArray.flatMap { case (x, y) => Array(x, y) }
-    }
-    /** Outer-ring shoelace centroid (vertex mean when degenerate),
-      * usable as an interior witness only when strictly inside. */
-    val (centroidX, centroidY, centroidStrict) = {
-      val ring = rings.head
-      val n = ring.length / 2
-      var a2 = 0d; var cx = 0d; var cy = 0d; var sx = 0d; var sy = 0d
-      var i = 0
-      while (i < ring.length - 2) {
-        val x1 = ring(i); val y1 = ring(i + 1)
-        val x2 = ring(i + 2); val y2 = ring(i + 3)
-        val c = x1 * y2 - x2 * y1
-        a2 += c; cx += (x1 + x2) * c; cy += (y1 + y2) * c
-        i += 2
-      }
-      var j = 0
-      while (j < ring.length - 2) { sx += ring(j); sy += ring(j + 1); j += 2 }
-      val (px, py) =
-        if (a2 == 0d) (sx / (n - 1), sy / (n - 1))
-        else (cx / (3d * a2), cy / (3d * a2))
-      val mask = rayCast(px, py, rings)
-      (px, py, (mask & 1) == 1 && (mask & 2) == 0)
-    }
+    /** A guaranteed strictly-interior point of the even-odd region
+      * (scanline construction, [[SfRelate.interiorPoint]]); null when
+      * the region is degenerate (no area). */
+    val interior: Array[Double] = interiorPoint(rings)
   }
 
   /** Parse + precompute the constant side; null when not a
@@ -351,17 +320,6 @@ object SfRelate {
     false
   }
 
-  /** Every flat-witness-array point satisfying `code` vs row parts. */
-  private def allWitness(ws: Array[Double],
-      parts: Array[Array[Double]], code: Int): Boolean = {
-    var i = 0
-    while (i < ws.length) {
-      if (!finish(rayCast(ws(i), ws(i + 1), parts), code)) return false
-      i += 2
-    }
-    true
-  }
-
   private def bboxOverlap(parts: Array[Array[Double]], cp: ConstPoly): Boolean = {
     var any = false
     var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
@@ -411,56 +369,157 @@ object SfRelate {
     constHit || anyEdgeCross(parts, cp.rings, proper = false)
   }
 
-  /** Interior-overlap witness: a point strictly inside both. Strict
-    * row vertex, strict const vertex, proper crossing, row outer-part
-    * vertex mean (validated strictly inside the ROW first), const
-    * centroid (driver-validated). Complete for convex shapes and any
-    * pair with a vertex/proper-crossing witness; witness-free
-    * concave-concave interleavings are the documented bound. */
+  /** A strictly-interior point of an even-odd region, by scanline: for
+    * adjacent distinct vertex ordinates y1 < y2, cast the line
+    * y = (y1+y2)/2 through every edge; inside the band the region's
+    * horizontal cross-section is constant, so the midpoint of the
+    * first pair of sorted crossings is strictly interior. Returns
+    * null only for degenerate (zero-area) input. Works unchanged for
+    * holed and multi-part regions — the crossings already encode the
+    * even-odd rule. */
+  private[plans] def interiorPoint(
+      parts: Array[Array[Double]]): Array[Double] = {
+    val ys = scala.collection.mutable.SortedSet.empty[Double]
+    parts.foreach { r =>
+      var i = 1
+      while (i < r.length) { ys += r(i); i += 2 }
+    }
+    val bands = ys.toArray
+    var b = 0
+    while (b < bands.length - 1) {
+      val yMid = (bands(b) + bands(b + 1)) / 2d
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      parts.foreach { r =>
+        var i = 0
+        while (i < r.length - 2) {
+          val ax = r(i); val ay = r(i + 1)
+          val bx = r(i + 2); val by = r(i + 3)
+          if ((ay > yMid) != (by > yMid))
+            xs += (bx - ax) * (yMid - ay) / (by - ay) + ax
+          i += 2
+        }
+      }
+      if (xs.length >= 2) {
+        val sorted = xs.sorted
+        val cand = Array((sorted(0) + sorted(1)) / 2d, yMid)
+        if (finish(rayCast(cand(0), cand(1), parts), StrictIn)) return cand
+      }
+      b += 1
+    }
+    null
+  }
+
+  /** Segment-clipping probe: split each `subject` edge at every
+    * intersection with the `region` boundary (transversal crossings,
+    * vertex touches, collinear-overlap endpoints all contribute
+    * parameters), then test whether SOME sub-segment midpoint
+    * satisfies `code` against the region. Region membership is
+    * constant on sub-segments, so the midpoints classify the whole
+    * boundary exactly:
+    *  - `StrictIn`: a boundary point of one region strictly interior
+    *    to the other — forces interior overlap (interiors are open,
+    *    and every neighborhood of a boundary point meets its own
+    *    interior), and with the vertex witnesses is complete for
+    *    non-containment overlap (boundary∩interior, when non-empty,
+    *    contains a vertex or an open edge sub-arc).
+    *  - `StrictOut`: a boundary escape — its absence (with all
+    *    vertices in-or-on) decides containment EXACTLY, because
+    *    ext(region) is path-connected: an interior point of the
+    *    subject outside the region would force a boundary escape. */
+  private def clipAny(subject: Array[Array[Double]],
+      region: Array[Array[Double]], code: Int): Boolean = {
+    var p = 0
+    while (p < subject.length) {
+      val e = subject(p)
+      var i = 0
+      while (i < e.length - 2) {
+        val ax = e(i); val ay = e(i + 1)
+        val bx = e(i + 2); val by = e(i + 3)
+        val rx = bx - ax; val ry = by - ay
+        val ts = scala.collection.mutable.SortedSet(0d, 1d)
+        var q = 0
+        while (q < region.length) {
+          val r = region(q)
+          var j = 0
+          while (j < r.length - 2) {
+            val cx = r(j); val cy = r(j + 1)
+            val dx = r(j + 2); val dy = r(j + 3)
+            val sx = dx - cx; val sy = dy - cy
+            val denom = rx * sy - ry * sx
+            val qpx = cx - ax; val qpy = cy - ay
+            if (denom != 0d) {
+              val t = (qpx * sy - qpy * sx) / denom
+              val u = (qpx * ry - qpy * rx) / denom
+              if (t >= 0d && t <= 1d && u >= 0d && u <= 1d) ts += t
+            } else if (qpx * ry - qpy * rx == 0d) {
+              val len2 = rx * rx + ry * ry
+              if (len2 != 0d) {
+                val tc = (qpx * rx + qpy * ry) / len2
+                val td = ((dx - ax) * rx + (dy - ay) * ry) / len2
+                if (tc >= 0d && tc <= 1d) ts += tc
+                if (td >= 0d && td <= 1d) ts += td
+              }
+            }
+            j += 2
+          }
+          q += 1
+        }
+        val params = ts.toArray
+        var k = 0
+        while (k < params.length - 1) {
+          val tm = (params(k) + params(k + 1)) / 2d
+          if (finish(rayCast(ax + tm * rx, ay + tm * ry, region), code))
+            return true
+          k += 1
+        }
+        i += 2
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** Interior-overlap decision: a point strictly inside both regions
+    * exists. Witnesses, in cost order: a strict vertex either way, a
+    * PROPER edge crossing, a clipped-sub-segment midpoint either way
+    * ([[clipWitness]] — covers every non-containment overlap), and a
+    * guaranteed interior point of either region strictly inside the
+    * other ([[interiorPoint]] — covers containment/equality, including
+    * concave shapes whose vertex mean or centroid falls outside).
+    * Together SOUND and COMPLETE for even-odd polygon regions (r12;
+    * closes the r11 "interleaved combs" completeness bound). */
   private def interiorsOverlap(parts: Array[Array[Double]],
       cp: ConstPoly): Boolean = {
     if (anyRowVertex(parts, cp.rings, StrictIn)) return true
     if (anyWitness(cp.verts, parts, StrictIn)) return true
     if (anyEdgeCross(parts, cp.rings, proper = true)) return true
-    // row vertex-mean witness over the first part, closing vertex
-    // dropped (covers identical rectangles: all vertices ON, no
-    // proper crossing)
-    if (parts.nonEmpty) {
-      val outer = parts.head
-      val n1 = (outer.length / 2 - 1).toDouble
-      var sx = 0d; var sy = 0d
-      var i = 0
-      while (i < outer.length - 2) { sx += outer(i); sy += outer(i + 1); i += 2 }
-      val mx = sx / n1; val my = sy / n1
-      if (finish(rayCast(mx, my, parts), StrictIn) &&
-        finish(rayCast(mx, my, cp.rings), StrictIn)) return true
-    }
-    cp.centroidStrict &&
-      finish(rayCast(cp.centroidX, cp.centroidY, parts), StrictIn)
+    if (clipAny(parts, cp.rings, StrictIn)) return true
+    if (clipAny(cp.rings, parts, StrictIn)) return true
+    val rowIp = interiorPoint(parts)
+    if (rowIp != null &&
+      finish(rayCast(rowIp(0), rowIp(1), cp.rings), StrictIn)) return true
+    cp.interior != null &&
+      finish(rayCast(cp.interior(0), cp.interior(1), parts), StrictIn)
   }
 
-  /** Row region ⊆ const region: every row vertex AND row-edge midpoint
-    * inside-or-on (caller adds the no-proper-crossing conjunct). */
-  private def rowRegionInConst(parts: Array[Array[Double]],
-      cp: ConstPoly): Boolean = {
+  /** ∂subject ⊆ region-closure — which decides subject ⊆ region-closure
+    * exactly (see [[clipAny]]): every subject vertex in-or-on AND no
+    * clipped sub-segment midpoint strictly outside. Replaces the r11
+    * vertex+edge-midpoint heuristic (exact now even for concavities
+    * confined to part of an edge span). */
+  private def boundaryInRegion(subject: Array[Array[Double]],
+      region: Array[Array[Double]]): Boolean = {
     var p = 0
-    while (p < parts.length) {
-      val r = parts(p)
+    while (p < subject.length) {
+      val r = subject(p)
       var i = 0
       while (i < r.length) {
-        if (!finish(rayCast(r(i), r(i + 1), cp.rings), InOrOn)) return false
+        if (!finish(rayCast(r(i), r(i + 1), region), InOrOn)) return false
         i += 2
-      }
-      var j = 0
-      while (j < r.length - 2) {
-        val mx = (r(j) + r(j + 2)) / 2d
-        val my = (r(j + 1) + r(j + 3)) / 2d
-        if (!finish(rayCast(mx, my, cp.rings), InOrOn)) return false
-        j += 2
       }
       p += 1
     }
-    true
+    !clipAny(subject, region, StrictOut)
   }
 
   private def totalVerts(parts: Array[Array[Double]]): Int = {
@@ -522,10 +581,10 @@ object SfRelate {
         else {
           val parts = parseParts(g)
           if (parts == null) return null
+          // mutual boundary containment ⟺ identical closed regions
           java.lang.Boolean.valueOf(totalVerts(parts) >= 4 &&
-            !anyEdgeCross(parts, cp.rings, proper = true) &&
-            rowRegionInConst(parts, cp) &&
-            allWitness(cp.witnessAll, parts, InOrOn))
+            boundaryInRegion(parts, cp.rings) &&
+            boundaryInRegion(cp.rings, parts))
         }
       case "crosses" =>
         if (!LineP.matcher(g).find()) java.lang.Boolean.FALSE
@@ -544,11 +603,9 @@ object SfRelate {
           if (parts == null) return null
           if (!interShaped(g, parts, cp) || !interiorsOverlap(parts, cp))
             return java.lang.Boolean.FALSE
-          val properCross = anyEdgeCross(parts, cp.rings, proper = true)
-          val rowIn = rowRegionInConst(parts, cp) && !properCross
-          val constIn = allWitness(cp.witnessAll, parts, InOrOn) &&
-            !properCross
-          java.lang.Boolean.valueOf(!rowIn && !constIn)
+          java.lang.Boolean.valueOf(
+            !boundaryInRegion(parts, cp.rings) &&
+              !boundaryInRegion(cp.rings, parts))
         }
     }
   }

@@ -212,8 +212,8 @@ object GeoFunctions {
   /** `geof:sfEquals(polygon, constPolygon)` — spatially equal regions
     * (DE-9IM equals is mutual covering, independent of vertex lists: a
     * ring with an extra collinear vertex still equals). Decided by the
-    * two containment witnesses (vertices + edge midpoints each way) and
-    * no proper boundary crossing. With sfEquals the engine covers ALL
+    * exact mutual boundary-containment test over clipped sub-segments
+    * ([[graft.plans.SfRelate]]). With sfEquals the engine covers ALL
     * EIGHT simple-feature relations (GeoSPARQL Req 22). */
   def equalsConst(geomWkt: Column, polygonWkt: String): Column = {
     parseRings(polygonWkt)

