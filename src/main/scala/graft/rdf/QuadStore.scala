@@ -38,11 +38,42 @@ object QuadStore {
   private def statsFile(path: String) =
     java.nio.file.Paths.get(path, "_quadstats.tsv")
 
+  private def fpFile(path: String) =
+    java.nio.file.Paths.get(path, "_fingerprint.tsv")
+
+  /** Input fingerprint for staleness detection (r12): the source
+    * directory's parquet listing (name, size, mtime) plus a caller
+    * format version (bumped when the emit spec changes shape). A store
+    * whose recorded fingerprint differs from the current inputs is
+    * rebuilt, never served — a stale store must not survive a testdata
+    * regeneration between rounds. */
+  def fingerprint(sourceDir: String, formatVersion: Int): String = {
+    val files = Option(new java.io.File(sourceDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    s"v$formatVersion;$files"
+  }
+
+  /** Does a store at `path` exist with exactly this fingerprint? */
+  def isFresh(path: String, fp: String): Boolean = {
+    val f = fpFile(path)
+    java.nio.file.Files.exists(f) &&
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+  }
+
   /** Bulk-load: write the quad relation as the partitioned + predicate-
     * clustered parquet layout and persist its predicate statistics
     * alongside. One predicate-keyed shuffle — the same cost class as
     * any store's bulk import sort. */
-  def write(quads: DataFrame, path: String): Unit = {
+  def write(quads: DataFrame, path: String): Unit =
+    write(quads, path, fp = None)
+
+  /** [[write]] recording an input fingerprint for [[isFresh]]. */
+  def write(quads: DataFrame, path: String, fp: Option[String]): Unit = {
     quads.select(QuadCols.map(col): _*)
       .repartition(col("predicate"))
       .sortWithinPartitions(col("predicate"), col("subject"))
@@ -52,6 +83,8 @@ object QuadStore {
     java.nio.file.Files.write(statsFile(path),
       java.util.Arrays.asList(counts: _*),
       java.nio.charset.StandardCharsets.UTF_8)
+    fp.foreach(v => java.nio.file.Files.write(fpFile(path),
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** Open the store in ANY session — typically a fresh one with no
