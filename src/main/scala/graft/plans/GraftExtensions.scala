@@ -52,7 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       NfcNormalize.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkt_bbox"),
+      new ExpressionInfo(classOf[WktBbox].getName, "graft_wkt_bbox"),
+      WktBbox.builder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
+    ext.injectOptimizerRule(_ => SpatialRelateJoinRewrite)
     // Post-operator-batch slot (runs ONCE, after InferFiltersFromConstraints
     // et al.) — the same placement Spark gives its own InjectRuntimeFilter:
     // inside the fixed-point batch, constraint inference would mirror the

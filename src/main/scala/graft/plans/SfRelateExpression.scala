@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native GeoSPARQL simple-feature relation over WKT lexical forms
@@ -624,5 +624,86 @@ object SfRelate {
     s.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sf_relate"),
       new ExpressionInfo(classOf[SfRelate].getName, "graft_sf_relate"),
+      builder)
+}
+
+/** `graft_wkt_bbox(wkt)` → `struct<minx,miny,maxx,maxy:double>` — the
+  * bounding box of any WKT geometry's coordinate runs (same tokenizer
+  * as [[SfRelate]]); null for unparseable/empty input. The grid-cover
+  * key extractor behind [[SpatialRelateJoinRewrite]]: a geometry's
+  * cell cover is the cross product of the floored bbox ranges. */
+case class WktBbox(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = WktBbox.schema
+  override def prettyName: String = "graft_wkt_bbox"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes a string WKT argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(wkt: Any): Any =
+    WktBbox.compute(wkt.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w => {
+      val tmp = ctx.freshName("graftBbox")
+      s"""
+         |InternalRow $tmp = graft.plans.WktBbox.compute($w.toString());
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WktBbox {
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.types.StructField
+
+  val schema: StructType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+
+  def compute(wkt: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val parts = SfRelate.parseParts(wkt)
+    if (parts == null || parts.isEmpty) return null
+    var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+    var minY = Double.PositiveInfinity; var maxY = Double.NegativeInfinity
+    var any = false
+    parts.foreach { r =>
+      var i = 0
+      while (i < r.length) {
+        any = true
+        val x = r(i); val y = r(i + 1)
+        if (x < minX) minX = x; if (x > maxX) maxX = x
+        if (y < minY) minY = y; if (y > maxY) maxY = y
+        i += 2
+      }
+    }
+    if (!any) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](minX, minY, maxX, maxY))
+  }
+
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_wkt_bbox takes (wkt); got ${args.length}")
+    WktBbox(args(0))
+  }
+
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_wkt_bbox"),
+      new ExpressionInfo(classOf[WktBbox].getName, "graft_wkt_bbox"),
       builder)
 }

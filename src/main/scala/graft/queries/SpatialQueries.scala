@@ -702,11 +702,59 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("n_nationkey"))
   }
 
+  /** The AUTOMATIC form of [[polyPolyOverlapsJoin]] (r12): no
+    * hand-written cover/explode/dedupe — the query is the plain relate
+    * θ-join (`squares JOIN rects ON sfOverlaps(swkt, pwkt)`, exactly
+    * the reference's `ST_Intersects` join shape), and
+    * [[graft.plans.SpatialRelateJoinRewrite]] turns it into the
+    * grid-cell cover equi-join with a canonical-cell conjunct
+    * (exactly-once per pair, no DISTINCT). Runs in a child session so
+    * enabling the rule cannot leak into sibling queries. The oracle is
+    * the same interval restatement as the manual gate: result identity
+    * is the rule's exactness contract. */
+  private def polyOverlapsAutoJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+
+        graft.plans.SpatialRelateJoinRewrite
+    // newSession has a fresh function registry; the relate builder
+    // registers into the ACTIVE session, which is the parent here
+    graft.plans.SfRelate.register(s2)
+    val k = col("c_custkey")
+    val x = coord(k, 7919L); val y = coord(k, 104729L)
+    def pt(px: Column, py: Column): Column =
+      concat(px.cast("string"), lit(" "), py.cast("string"))
+    def ringWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+      concat(pt(x1, y1), lit(", "), pt(x2, y1), lit(", "), pt(x2, y2),
+        lit(", "), pt(x1, y2), lit(", "), pt(x1, y1))
+    val squares = Tables.customer(s2, dir).select(
+        k.as("qid"), (x - 0.3d).as("sx1"), (x + 0.3d).as("sx2"),
+        (y - 0.3d).as("sy1"), (y + 0.3d).as("sy2"))
+      .withColumn("swkt", concat(lit("POLYGON(("),
+        ringWkt(col("sx1"), col("sy1"), col("sx2"), col("sy2")), lit("))")))
+      .select(col("qid"), col("swkt"))
+    val n = col("n_nationkey")
+    val rects = Tables.nation(s2, dir).select(n,
+        (((n * 3) % 8).cast("double") - 0.005d).as("a1"),
+        (((n * 5) % 8).cast("double") - 0.005d).as("b1"))
+      .withColumn("a2", col("a1") + 2.01d)
+      .withColumn("b2", col("b1") + 2.01d)
+      .withColumn("pwkt", concat(lit("POLYGON(("),
+        ringWkt(col("a1"), col("b1"), col("a2"), col("b2")), lit("))")))
+      .select(col("n_nationkey"), col("pwkt"))
+    squares.join(rects,
+        graft.rdf.GeoFunctions.overlaps(col("swkt"), col("pwkt")))
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("qid")).as("sum_keys"))
+      .orderBy(col("n_nationkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_poly_line_intersects" ->
       ((s, dir) => polyLineIntersectsJoin(s, dir)),
     "q_join_poly_poly_overlaps" ->
       ((s, dir) => polyPolyOverlapsJoin(s, dir)),
+    "q_join_relate_auto" -> ((s, dir) => polyOverlapsAutoJoin(s, dir)),
     "q_spatial_area_centroid" -> ((s, dir) => areaCentroid(s, dir)),
     "q_spatial_polyline_length" -> ((s, dir) => polylineLength(s, dir)),
     "q_join_point_in_polygon" -> ((s, dir) => pointInPolygon(s, dir)),
@@ -750,6 +798,31 @@ object SpatialQueries extends QueryCatalog {
         |  CAST(SUM(qid) AS BIGINT) AS sum_keys
         |FROM hits GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
     "q_join_poly_poly_overlaps" ->
+      """WITH sq AS (
+        |  SELECT c_custkey AS qid,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 - 0.3 AS sx1,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 + 0.3 AS sx2,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 - 0.3 AS sy1,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 + 0.3 AS sy2
+        |  FROM customer),
+        |rects AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 3) % 8 AS DOUBLE) - 0.005 AS a1,
+        |    CAST((n_nationkey * 5) % 8 AS DOUBLE) - 0.005 AS b1
+        |  FROM nation),
+        |r2 AS (SELECT n_nationkey, a1, b1, a1 + 2.01 AS a2,
+        |    b1 + 2.01 AS b2 FROM rects),
+        |hits AS (
+        |  SELECT n_nationkey, qid FROM sq JOIN r2 ON
+        |    sx1 < a2 AND sx2 > a1 AND sy1 < b2 AND sy2 > b1
+        |    AND NOT (sx1 > a1 AND sx2 < a2 AND sy1 > b1 AND sy2 < b2)
+        |    AND NOT (a1 > sx1 AND a2 < sx2 AND b1 > sy1 AND b2 < sy2))
+        |SELECT n_nationkey, COUNT(*) AS n_overlaps,
+        |  CAST(SUM(qid) AS BIGINT) AS sum_keys
+        |FROM hits GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    // the automatic-rewrite gate must produce byte-identical results
+    // to the manual grid join — one oracle text serves both
+    "q_join_relate_auto" ->
       """WITH sq AS (
         |  SELECT c_custkey AS qid,
         |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 - 0.3 AS sx1,

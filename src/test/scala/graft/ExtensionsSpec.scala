@@ -286,4 +286,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.length == expected.size, "duplicate or missing pairs")
     assert(got.toSet == expected)
   }
+
+  test("relate theta-join is rewritten to a grid-cover equi-join, " +
+      "exactly once per pair") {
+    import spark.implicits._
+    import graft.rdf.GeoFunctions
+    def rect(id: Long, x: Double, y: Double, w: Double, h: Double) =
+      (id, s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, " +
+        s"$x ${y + h}, $x $y))", x, y, x + w, y + h)
+    // rectangles spanning several 1.0-degree grid cells so the cover
+    // join would duplicate pairs without the canonical-cell conjunct
+    val a = (1 to 120).map(i =>
+      rect(i.toLong, (i % 12) * 0.7, (i % 8) * 0.9, 2.3, 1.7))
+      .toDF("aid", "awkt", "ax1", "ay1", "ax2", "ay2")
+    val b = (1 to 40).map(i =>
+      rect(i.toLong, (i % 9) * 1.1, (i % 5) * 1.3, 3.1, 2.4))
+      .toDF("bid", "bwkt", "bx1", "by1", "bx2", "by2")
+    val joined = a.join(b,
+      GeoFunctions.intersects(col("awkt"), col("bwkt")))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "relate join was not rewritten:\n" + plan)
+    assert(plan.contains("__graft_cellx_l"),
+      "expected the grid-cover keys in the plan:\n" + plan)
+
+    // Ground truth: interval arithmetic on the driver (closed-rectangle
+    // intersection, matching sfIntersects' boundary-inclusive contract).
+    val av = a.select("aid", "ax1", "ay1", "ax2", "ay2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val bv = b.select("bid", "bx1", "by1", "bx2", "by2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val expected = (for {
+      (ai, x1, y1, x2, y2) <- av; (bi, u1, v1, u2, v2) <- bv
+      if x1 <= u2 && x2 >= u1 && y1 <= v2 && y2 >= v1
+    } yield (ai, bi)).toSet
+    val got = joined.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == expected.size,
+      s"duplicate or missing pairs: got ${got.length}, want ${expected.size}")
+    assert(got.toSet == expected)
+
+    // idempotence: the rewritten plan has equi keys, so a second pass
+    // through the rule leaves it unchanged
+    val once = graft.plans.SpatialRelateJoinRewrite(
+      joined.queryExecution.optimizedPlan)
+    assert(once.fastEquals(joined.queryExecution.optimizedPlan))
+  }
 }

@@ -244,6 +244,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         assert(plan.contains("graft_sf_relate"),
           s"$q lost the exact native predicate:\n" + plan)
       }
+    // the AUTOMATIC form: the plain relate θ-join, rewritten by
+    // SpatialRelateJoinRewrite into the same shape (cell-cover keys,
+    // no nested loop, native predicate as residual)
+    val auto = SparkEntry.queries("q_join_relate_auto")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!auto.contains("BroadcastNestedLoopJoin") &&
+      !auto.contains("CartesianProduct"),
+      "relate θ-join was not rewritten:\n" + auto)
+    assert(auto.contains("__graft_cellx_l") &&
+      auto.contains("graft_sf_relate"),
+      "expected cover keys + exact residual:\n" + auto)
   }
 
   test("quota sampling gets a map-side partial WindowGroupLimit") {
