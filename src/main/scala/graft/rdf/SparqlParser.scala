@@ -723,6 +723,17 @@ object SparqlParser {
       case _ => None
     }
 
+  /** Variables a BIND/FILTER expression references (connectivity edges
+    * for the cartesian guard — r12). */
+  private def bindExprVars(e: BindExpr): Set[String] = e match {
+    case BVar(n) => Set(n)
+    case BCall(_, args) => args.flatMap(bindExprVars).toSet
+    case BArith(_, l, r) => bindExprVars(l) ++ bindExprVars(r)
+    case BIf(l, _, r, t, f) =>
+      Seq(l, r, t, f).flatMap(bindExprVars).toSet
+    case _ => Set.empty
+  }
+
   /** Compile a BIND expression onto the solution's binding columns. */
   private def bindCol(e: BindExpr): Column = e match {
     case BVar(n) => col(n)
@@ -2165,8 +2176,15 @@ object SparqlParser {
     if (!allowCartesian) {
       // union-find connectivity over shared variables: every pattern
       // with variables must reach every other (var-free patterns are
-      // 1-row markers, exempt)
-      val withVars = patternVarSets.filter(_.nonEmpty)
+      // 1-row markers, exempt). A boolean FILTER whose variables span
+      // groups is a CONNECTING edge (r12): `?a :wkt ?w . ?z :zone ?p .
+      // FILTER(geof:sfIntersects(?w, ?p))` is the GeoSPARQL spatial
+      // θ-join, not an accidental cartesian — it evaluates as the
+      // cross-product filtered by the relate predicate, which
+      // [[graft.plans.SpatialRelateJoinRewrite]] turns into a
+      // grid-cover equi-join in rule-enabled sessions.
+      val filterEdges = q.boolFilters.map(bindExprVars)
+      val withVars = (patternVarSets ++ filterEdges).filter(_.nonEmpty)
       if (withVars.length > 1) {
         var groups = withVars.map(identity)
         var merged = true

@@ -1957,21 +1957,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       val zones = Seq(("z1", "urn:zone", square))
         .toDF("subject", "predicate", "objectValue")
         .withColumn("graph", lit("g"))
-      // the two patterns share no variable, so this is the SPARQL
-      // cartesian the engine guards by default — a deliberate opt-in
-      // here (the scalable path is the grid-cell join gate,
-      // q_join_poly_line_intersects)
-      spark.conf.set("graft.sparql.allowCartesian", "true")
-      try {
-        val got = SparqlParser.execute(quads.union(zones),
+      // the two patterns share no variable, but the FILTER spans both
+      // groups — the GeoSPARQL spatial θ-join idiom, which the
+      // cartesian guard recognizes as a CONNECTING edge (r12); no
+      // allowCartesian opt-in needed (and SpatialRelateJoinRewrite
+      // grid-buckets it in rule-enabled sessions)
+      val got = SparqlParser.execute(quads.union(zones),
+        s"""PREFIX geof: <${GeoFunctions.Ns}>
+           |SELECT ?r WHERE {
+           |  ?r <urn:wkt> ?w . ?z <urn:zone> ?poly .
+           |  FILTER(geof:sfIntersects(?w, ?poly))
+           |} ORDER BY ?r""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("r1"))
+      // a filter touching only ONE group does NOT connect — still the
+      // guarded cartesian
+      intercept[IllegalArgumentException] {
+        SparqlParser.execute(quads.union(zones),
           s"""PREFIX geof: <${GeoFunctions.Ns}>
              |SELECT ?r WHERE {
              |  ?r <urn:wkt> ?w . ?z <urn:zone> ?poly .
-             |  FILTER(geof:sfIntersects(?w, ?poly))
-             |} ORDER BY ?r""".stripMargin)
-          .collect().map(_.getString(0)).toSeq
-        assert(got == Seq("r1"))
-      } finally spark.conf.unset("graft.sparql.allowCartesian")
+             |  FILTER(geof:sfIntersects(?w, "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"^^<http://www.opengis.net/ont/geosparql#wktLiteral>))
+             |} ORDER BY ?r""".stripMargin).collect()
+      }
     }
   }
 
