@@ -1983,6 +1983,98 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SfRelate property: random rotated convex pairs agree with a " +
+      "separating-axis reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.rdf.GeoFunctions
+    val rnd = new scala.util.Random(29)
+    // random convex CCW polygon: sorted angles on a circle
+    def convex(): Array[(Double, Double)] = {
+      val k = 3 + rnd.nextInt(5)
+      val cx = rnd.nextDouble() * 20 - 10
+      val cy = rnd.nextDouble() * 20 - 10
+      val r = 0.5 + rnd.nextDouble() * 4
+      val angles = Seq.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      if (angles.zip(angles.tail).exists { case (a, b) => b - a < 0.1 }) null
+      else angles.map(a => (cx + r * math.cos(a), cy + r * math.sin(a)))
+        .toArray
+    }
+    def wkt(p: Array[(Double, Double)]): String =
+      (p :+ p.head).map { case (x, y) => s"$x $y" }
+        .mkString("POLYGON((", ", ", "))")
+    // SAT margin: max over all edge normals of the projection gap;
+    // < 0 = overlap on every axis (interiors intersect), > 0 =
+    // separated. Exact for convex pairs.
+    def satMargin(a: Array[(Double, Double)],
+        b: Array[(Double, Double)]): Double = {
+      def axes(p: Array[(Double, Double)]) =
+        p.indices.map { i =>
+          val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.length)
+          (-(y2 - y1), x2 - x1)
+        }
+      (axes(a) ++ axes(b)).map { case (nx, ny) =>
+        val n = math.sqrt(nx * nx + ny * ny)
+        def proj(p: Array[(Double, Double)]) = {
+          val vs = p.map { case (x, y) => (x * nx + y * ny) / n }
+          (vs.min, vs.max)
+        }
+        val (a1, a2) = proj(a); val (b1, b2) = proj(b)
+        math.max(b1 - a2, a1 - b2)
+      }.max
+    }
+    // containment margin: min signed inner distance of A's vertices to
+    // B's edges (CCW ⇒ inside is the positive side); > 0 = strictly in
+    def inMargin(a: Array[(Double, Double)],
+        b: Array[(Double, Double)]): Double =
+      a.map { case (px, py) =>
+        b.indices.map { i =>
+          val (x1, y1) = b(i); val (x2, y2) = b((i + 1) % b.length)
+          val len = math.hypot(x2 - x1, y2 - y1)
+          ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) / len
+        }.min
+      }.min
+    var tried = 0
+    var checked = 0
+    val cases = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Boolean, Boolean)]
+    while (tried < 400 && checked < 150) {
+      tried += 1
+      val a = convex(); val b = convex()
+      if (a != null && b != null) {
+        val m = satMargin(a, b)
+        val ab = inMargin(a, b); val ba = inMargin(b, a)
+        // skip borderline geometry (margins within float noise of 0):
+        // the two implementations may legitimately disagree there
+        if (math.abs(m) > 1e-4 && math.abs(ab) > 1e-4 &&
+          math.abs(ba) > 1e-4) {
+          checked += 1
+          val inter = m < 0
+          val over = inter && ab < 0 && ba < 0
+          cases += ((wkt(a), wkt(b), inter, over))
+        }
+      }
+    }
+    assert(checked >= 100, s"too many degenerate pairs skipped: $checked")
+    val df = cases.toSeq.toDF("a", "b", "expInter", "expOver")
+    val got = df.select(
+        GeoFunctions.intersects(col("a"), col("b")).as("gotInter"),
+        GeoFunctions.overlaps(col("a"), col("b")).as("gotOver"),
+        GeoFunctions.touches(col("a"), col("b")).as("gotTouch"),
+        col("expInter"), col("expOver"), col("a"), col("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(3),
+        s"intersects mismatch: ${r.getString(5)} vs ${r.getString(6)}")
+      assert(r.getBoolean(1) == r.getBoolean(4),
+        s"overlaps mismatch: ${r.getString(5)} vs ${r.getString(6)}")
+      // borderline (touch-only) pairs were filtered, so touches is
+      // false everywhere in this sample
+      assert(!r.getBoolean(2),
+        s"unexpected touch: ${r.getString(5)} vs ${r.getString(6)}")
+    }
+  }
+
   test("SparqlParser r9: FROM / FROM NAMED dataset clause") {
     import spark.implicits._
     import graft.rdf.SparqlParser
