@@ -39,12 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * collinear + bbox clamp) and orientation-sign segment crossings. The
   * containment and interior-overlap decisions go beyond the r11
   * heuristics and are EXACT for even-odd polygon regions: containment
-  * is the boundary-subset test over clipped sub-segments
-  * ([[SfRelate.boundaryInRegion]] — closes the ADVICE r11 concave
-  * false positive entirely), and interior overlap adds segment-
-  * clipping midpoint witnesses plus guaranteed scanline interior
-  * points ([[SfRelate.interiorsOverlap]] — closes the r11
-  * "interleaved combs" bound). IEEE double arithmetic is
+  * and interior overlap are decided by the overlay-face sampler
+  * ([[SfRelate.overlayExists]]) with clipped-sub-segment and vertex
+  * witnesses as sound fast paths ([[SfRelate.regionWithin]],
+  * [[SfRelate.interiorsOverlap]] — closes the ADVICE r11 concave
+  * false positive and the r11 "interleaved combs" bound, holed and
+  * multi-part regions included). IEEE double arithmetic is
   * deterministic, so no oracle hash moves.
   *
   * Null contract: null inputs poison to null; a geometry whose prefix
@@ -160,11 +160,9 @@ object SfRelate {
     parts.toArray
   }
 
-  /** The constant side: a POLYGON/MULTIPOLYGON with everything the
-    * relations need precomputed — ring edge list, bbox, distinct
-    * vertex witnesses, vertex+midpoint containment witnesses, and the
-    * driver-validated strict-interior centroid witness. Built once per
-    * plan for FILTER literals; rebuilt per row for polygon columns
+  /** The constant side: a POLYGON/MULTIPOLYGON with the ring edge
+    * list, bbox, and distinct vertex witnesses precomputed. Built once
+    * per plan for FILTER literals; rebuilt per row for polygon columns
     * (the tokenizer is a single pass, still far cheaper than the old
     * interpreted HOF chain). Null for non-polygon/garbage input. */
   final class ConstPoly(val rings: Array[Array[Double]]) {
@@ -191,10 +189,6 @@ object SfRelate {
       }
       seen.toArray.flatMap { case (x, y) => Array(x, y) }
     }
-    /** A guaranteed strictly-interior point of the even-odd region
-      * (scanline construction, [[SfRelate.interiorPoint]]); null when
-      * the region is degenerate (no area). */
-    val interior: Array[Double] = interiorPoint(rings)
   }
 
   /** Parse + precompute the constant side; null when not a
@@ -369,44 +363,98 @@ object SfRelate {
     constHit || anyEdgeCross(parts, cp.rings, proper = false)
   }
 
-  /** A strictly-interior point of an even-odd region, by scanline: for
-    * adjacent distinct vertex ordinates y1 < y2, cast the line
-    * y = (y1+y2)/2 through every edge; inside the band the region's
-    * horizontal cross-section is constant, so the midpoint of the
-    * first pair of sorted crossings is strictly interior. Returns
-    * null only for degenerate (zero-area) input. Works unchanged for
-    * holed and multi-part regions — the crossings already encode the
-    * even-odd rule. */
-  private[plans] def interiorPoint(
-      parts: Array[Array[Double]]): Array[Double] = {
-    val ys = scala.collection.mutable.SortedSet.empty[Double]
-    parts.foreach { r =>
+  /** Overlay-face sampler — the EXACT decision core for interior
+    * overlap and containment over arbitrary even-odd regions (holed,
+    * multi-part). The edges of both regions partition the plane into
+    * open faces on which membership in each region is constant. Bands
+    * between consecutive CRITICAL ordinates (every vertex of either
+    * region plus every subject-edge × region-edge intersection) contain
+    * no criticals, so inside a band every edge crosses the full band
+    * height and every face-component meets the band's mid scanline;
+    * sampling the midpoints of consecutive x-crossings therefore
+    * visits EVERY face (completeness), and each sample avoids all
+    * edges (soundness of the strict classifications). Returns whether
+    * some face satisfies `codeS` against the subject AND `codeR`
+    * against the region; bands are clipped to the subject's y-range —
+    * faces outside it cannot be strictly inside the subject. */
+  private def overlayExists(subject: Array[Array[Double]],
+      region: Array[Array[Double]], codeS: Int, codeR: Int): Boolean = {
+    var sMinY = Double.PositiveInfinity; var sMaxY = Double.NegativeInfinity
+    subject.foreach { r =>
       var i = 1
-      while (i < r.length) { ys += r(i); i += 2 }
+      while (i < r.length) {
+        if (r(i) < sMinY) sMinY = r(i)
+        if (r(i) > sMaxY) sMaxY = r(i)
+        i += 2
+      }
+    }
+    if (sMinY >= sMaxY) return false
+    val ys = scala.collection.mutable.SortedSet(sMinY, sMaxY)
+    def addVerts(parts: Array[Array[Double]]): Unit =
+      parts.foreach { r =>
+        var i = 1
+        while (i < r.length) {
+          if (r(i) > sMinY && r(i) < sMaxY) ys += r(i)
+          i += 2
+        }
+      }
+    addVerts(subject); addVerts(region)
+    // subject-edge × region-edge intersection ordinates
+    subject.foreach { e =>
+      var i = 0
+      while (i < e.length - 2) {
+        val ax = e(i); val ay = e(i + 1); val bx = e(i + 2); val by = e(i + 3)
+        val rx = bx - ax; val ry = by - ay
+        region.foreach { r =>
+          var j = 0
+          while (j < r.length - 2) {
+            val cx = r(j); val cy = r(j + 1)
+            val sx = r(j + 2) - cx; val sy = r(j + 3) - cy
+            val denom = rx * sy - ry * sx
+            if (denom != 0d) {
+              val qpx = cx - ax; val qpy = cy - ay
+              val t = (qpx * sy - qpy * sx) / denom
+              val u = (qpx * ry - qpy * rx) / denom
+              if (t >= 0d && t <= 1d && u >= 0d && u <= 1d) {
+                val iy = ay + t * ry
+                if (iy > sMinY && iy < sMaxY) ys += iy
+              }
+            }
+            j += 2
+          }
+        }
+        i += 2
+      }
     }
     val bands = ys.toArray
     var b = 0
     while (b < bands.length - 1) {
-      val yMid = (bands(b) + bands(b + 1)) / 2d
+      val midY = (bands(b) + bands(b + 1)) / 2d
       val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      parts.foreach { r =>
-        var i = 0
-        while (i < r.length - 2) {
-          val ax = r(i); val ay = r(i + 1)
-          val bx = r(i + 2); val by = r(i + 3)
-          if ((ay > yMid) != (by > yMid))
-            xs += (bx - ax) * (yMid - ay) / (by - ay) + ax
-          i += 2
+      def crossings(parts: Array[Array[Double]]): Unit =
+        parts.foreach { r =>
+          var i = 0
+          while (i < r.length - 2) {
+            val ax = r(i); val ay = r(i + 1)
+            val bx = r(i + 2); val by = r(i + 3)
+            if ((ay > midY) != (by > midY))
+              xs += (bx - ax) * (midY - ay) / (by - ay) + ax
+            i += 2
+          }
         }
-      }
-      if (xs.length >= 2) {
-        val sorted = xs.sorted
-        val cand = Array((sorted(0) + sorted(1)) / 2d, yMid)
-        if (finish(rayCast(cand(0), cand(1), parts), StrictIn)) return cand
+      crossings(subject); crossings(region)
+      val sorted = xs.sorted
+      var k = 0
+      while (k < sorted.length - 1) {
+        val mx = (sorted(k) + sorted(k + 1)) / 2d
+        if (mx > sorted(k) && mx < sorted(k + 1) &&
+          finish(rayCast(mx, midY, subject), codeS) &&
+          finish(rayCast(mx, midY, region), codeR)) return true
+        k += 1
       }
       b += 1
     }
-    null
+    false
   }
 
   /** Segment-clipping probe: split each `subject` edge at every
@@ -480,14 +528,12 @@ object SfRelate {
   }
 
   /** Interior-overlap decision: a point strictly inside both regions
-    * exists. Witnesses, in cost order: a strict vertex either way, a
-    * PROPER edge crossing, a clipped-sub-segment midpoint either way
-    * ([[clipWitness]] — covers every non-containment overlap), and a
-    * guaranteed interior point of either region strictly inside the
-    * other ([[interiorPoint]] — covers containment/equality, including
-    * concave shapes whose vertex mean or centroid falls outside).
-    * Together SOUND and COMPLETE for even-odd polygon regions (r12;
-    * closes the r11 "interleaved combs" completeness bound). */
+    * exists. Cheap sound witnesses first (a strict vertex either way,
+    * a PROPER edge crossing, a clipped-sub-segment midpoint either
+    * way), then the [[overlayExists]] face sampler as the exact
+    * decision — SOUND and COMPLETE for even-odd polygon regions,
+    * holed and multi-part included (r12; closes the r11 "interleaved
+    * combs" completeness bound). */
   private def interiorsOverlap(parts: Array[Array[Double]],
       cp: ConstPoly): Boolean = {
     if (anyRowVertex(parts, cp.rings, StrictIn)) return true
@@ -495,19 +541,20 @@ object SfRelate {
     if (anyEdgeCross(parts, cp.rings, proper = true)) return true
     if (clipAny(parts, cp.rings, StrictIn)) return true
     if (clipAny(cp.rings, parts, StrictIn)) return true
-    val rowIp = interiorPoint(parts)
-    if (rowIp != null &&
-      finish(rayCast(rowIp(0), rowIp(1), cp.rings), StrictIn)) return true
-    cp.interior != null &&
-      finish(rayCast(cp.interior(0), cp.interior(1), parts), StrictIn)
+    overlayExists(parts, cp.rings, StrictIn, StrictIn)
   }
 
-  /** ∂subject ⊆ region-closure — which decides subject ⊆ region-closure
-    * exactly (see [[clipAny]]): every subject vertex in-or-on AND no
-    * clipped sub-segment midpoint strictly outside. Replaces the r11
-    * vertex+edge-midpoint heuristic (exact now even for concavities
-    * confined to part of an edge span). */
-  private def boundaryInRegion(subject: Array[Array[Double]],
+  /** subject-region ⊆ region-closure, exactly: no overlay face is
+    * strictly inside the subject and strictly outside the region
+    * (int(A) ⊆ B̄ ⟺ no in-A face lies in ext(B), and A ⊆ B̄ follows
+    * because B̄ is closed). Cheap sound REJECTS first: a subject
+    * vertex or clipped sub-segment midpoint strictly outside forces a
+    * face escape (boundary points have interior points arbitrarily
+    * close). The plain boundary-subset test is NOT sufficient for
+    * holed regions — a subject whose interior swallows a region hole
+    * keeps its whole boundary inside (the r12 band-vs-annulus case);
+    * the face sampler sees the hole. */
+  private def regionWithin(subject: Array[Array[Double]],
       region: Array[Array[Double]]): Boolean = {
     var p = 0
     while (p < subject.length) {
@@ -519,7 +566,8 @@ object SfRelate {
       }
       p += 1
     }
-    !clipAny(subject, region, StrictOut)
+    if (clipAny(subject, region, StrictOut)) return false
+    !overlayExists(subject, region, StrictIn, StrictOut)
   }
 
   private def totalVerts(parts: Array[Array[Double]]): Int = {
@@ -583,8 +631,8 @@ object SfRelate {
           if (parts == null) return null
           // mutual boundary containment ⟺ identical closed regions
           java.lang.Boolean.valueOf(totalVerts(parts) >= 4 &&
-            boundaryInRegion(parts, cp.rings) &&
-            boundaryInRegion(cp.rings, parts))
+            regionWithin(parts, cp.rings) &&
+            regionWithin(cp.rings, parts))
         }
       case "crosses" =>
         if (!LineP.matcher(g).find()) java.lang.Boolean.FALSE
@@ -604,8 +652,8 @@ object SfRelate {
           if (!interShaped(g, parts, cp) || !interiorsOverlap(parts, cp))
             return java.lang.Boolean.FALSE
           java.lang.Boolean.valueOf(
-            !boundaryInRegion(parts, cp.rings) &&
-              !boundaryInRegion(cp.rings, parts))
+            !regionWithin(parts, cp.rings) &&
+              !regionWithin(cp.rings, parts))
         }
     }
   }

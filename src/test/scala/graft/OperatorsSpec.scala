@@ -1983,6 +1983,58 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SfRelate: holed and multi-part regions through the exact " +
+      "overlap/containment machinery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.rdf.GeoFunctions
+    val annulus = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(3 3, 7 3, 7 7, 3 7, 3 3))"
+    def rel(relName: String, g: String, p: String): Boolean =
+      Seq(g).toDF("w")
+        .select(relName match {
+          case "overlaps" => GeoFunctions.overlapsConst(col("w"), p)
+          case "touches" => GeoFunctions.touchesConst(col("w"), p)
+          case "equals" => GeoFunctions.equalsConst(col("w"), p)
+          case "intersects" => GeoFunctions.intersectsConst(col("w"), p)
+          case "disjoint" => GeoFunctions.disjointConst(col("w"), p)
+        }).collect().head.getBoolean(0)
+    // square spanning the annulus band AND the hole: interiors overlap
+    // in the band; neither contains the other (the square covers hole
+    // area outside the annulus region)
+    val band = "POLYGON((1 1, 9 1, 9 9, 1 9, 1 1))"
+    assert(rel("intersects", band, annulus))
+    assert(rel("overlaps", band, annulus))
+    assert(!rel("equals", band, annulus))
+    // square EXACTLY filling the hole: boundaries coincide with the
+    // hole ring, interiors are disjoint (the hole is outside the
+    // even-odd region) → touches, not overlaps
+    val filler = "POLYGON((3 3, 7 3, 7 7, 3 7, 3 3))"
+    assert(rel("intersects", filler, annulus))
+    assert(rel("touches", filler, annulus))
+    assert(!rel("overlaps", filler, annulus))
+    // square strictly inside the hole: no shared point at all
+    val inHole = "POLYGON((4 4, 6 4, 6 6, 4 6, 4 4))"
+    assert(rel("disjoint", inHole, annulus))
+    assert(!rel("touches", inHole, annulus))
+    // the annulus equals itself (hole-ring witnesses sit ON the
+    // boundary; mutual boundary containment holds)
+    assert(rel("equals", annulus, annulus))
+    // annulus as the ROW geometry against a band-overlapping square
+    assert(rel("overlaps", annulus, band))
+    // multi-part: two islands vs a square engulfing only island 1 —
+    // interiors overlap, neither side contains the other
+    val islands = "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0))," +
+      "((8 8, 10 8, 10 10, 8 10, 8 8)))"
+    val engulf = "POLYGON((-1 -1, 3 -1, 3 3, -1 3, -1 -1))"
+    assert(rel("overlaps", islands, engulf))
+    // square containing BOTH islands: containment, not overlap
+    val all = "POLYGON((-1 -1, 11 -1, 11 11, -1 11, -1 -1))"
+    assert(rel("intersects", islands, all))
+    assert(!rel("overlaps", islands, all))
+    assert(!rel("touches", islands, all))
+  }
+
   test("SfRelate property: random rotated convex pairs agree with a " +
       "separating-axis reference") {
     import spark.implicits._
