@@ -93,7 +93,11 @@ object SpatialRelateJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    // Cross-with-condition is how a θ-join reaches the optimizer when
+    // the query wrote crossJoin().filter(...) (the SPARQL spatial-join
+    // path) — semantically Inner, and the rewrite gives it equi keys
+    case j @ Join(left, right, Inner | org.apache.spark.sql.catalyst
+        .plans.Cross, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val relate = conjuncts.collectFirst {
         case RelateCond(g, p)

@@ -1962,14 +1962,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       // cartesian guard recognizes as a CONNECTING edge (r12); no
       // allowCartesian opt-in needed (and SpatialRelateJoinRewrite
       // grid-buckets it in rule-enabled sessions)
-      val got = SparqlParser.execute(quads.union(zones),
+      val spatialJoin = SparqlParser.execute(quads.union(zones),
         s"""PREFIX geof: <${GeoFunctions.Ns}>
            |SELECT ?r WHERE {
            |  ?r <urn:wkt> ?w . ?z <urn:zone> ?poly .
            |  FILTER(geof:sfIntersects(?w, ?poly))
            |} ORDER BY ?r""".stripMargin)
-        .collect().map(_.getString(0)).toSeq
+      val got = spatialJoin.collect().map(_.getString(0)).toSeq
       assert(got == Seq("r1"))
+      // and the executing session auto-registers the grid-cover
+      // rewrite, so the θ-join plans as a cell-keyed join, never a
+      // nested loop (r12)
+      val sjPlan = spatialJoin.queryExecution.executedPlan.toString
+      assert(!sjPlan.contains("BroadcastNestedLoopJoin") &&
+        !sjPlan.contains("CartesianProduct") &&
+        sjPlan.contains("__graft_cellx_l"),
+        "SPARQL spatial θ-join should grid-bucket:\n" + sjPlan)
       // a filter touching only ONE group does NOT connect — still the
       // guarded cartesian
       intercept[IllegalArgumentException] {
