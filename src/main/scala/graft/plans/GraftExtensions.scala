@@ -56,6 +56,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_wkt_bbox"),
       new ExpressionInfo(classOf[WktBbox].getName, "graft_wkt_bbox"),
       WktBbox.builder))
+    GeomConstruct.UnaryNames.foreach { case (name, op) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GeomConstruct].getName, name),
+        GeomConstruct.unaryBuilder(name, op)))
+    }
+    GeomConstruct.BinaryNames.foreach { case (name, op) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GeomOverlay].getName, name),
+        GeomConstruct.binaryBuilder(name, op)))
+    }
+    GeomConstruct.MeasureNames.foreach { case (name, op) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GeomMeasure].getName, name),
+        GeomConstruct.measureBuilder(name, op)))
+    }
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
     ext.injectOptimizerRule(_ => SpatialRelateJoinRewrite)
     // Post-operator-batch slot (runs ONCE, after InferFiltersFromConstraints

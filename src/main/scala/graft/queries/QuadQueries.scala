@@ -1583,6 +1583,68 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?iri""".stripMargin)
     }),
 
+    // r12: GeoSPARQL NON-TOPOLOGICAL (constructive) functions in BIND —
+    // geof:envelope / geof:convexHull / geof:getSRID over a per-customer
+    // diamond polygon on INTEGER coordinates. The oracle string-builds
+    // the canonical serializations (CCW from the min vertex, integral
+    // doubles printed as integers) from the same key arithmetic; see
+    // plans/GeomConstructExpression.scala for the contract.
+    "q_quads_sparql_geof_construct" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val x = k % 40
+      val y = k % 25
+      def ip(px: Column, py: Column): Column =
+        concat(px.cast("long").cast("string"), lit(" "),
+          py.cast("long").cast("string"))
+      val wkt = concat(lit("POLYGON(("),
+        ip(x + 2, y), lit(", "), ip(x + 4, y + 2), lit(", "),
+        ip(x + 2, y + 4), lit(", "), ip(x, y + 2), lit(", "),
+        ip(x + 2, y), lit("))"))
+      val store = Tables.customer(s, dir).select(
+        concat(lit("https://example.org/cell/"), k.cast("string"))
+          .as("subject"),
+        lit("http://www.opengis.net/ont/geosparql#asWKT").as("predicate"),
+        wkt.as("objectValue"))
+      graft.rdf.SparqlParser.execute(store,
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |SELECT ?iri ?env ?hull ?srid WHERE {
+           |  ?iri <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  BIND(geof:envelope(?wkt) AS ?env)
+           |  BIND(geof:convexHull(?wkt) AS ?hull)
+           |  BIND(geof:getSRID(?wkt) AS ?srid)
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
+    // r12: constructive→relation COMPOSITION — a geof: construct bound
+    // by BIND feeds a simple-feature FILTER (the polygon side is a
+    // computed COLUMN, re-parsed per row by the native relate
+    // expression). Point (20.5 12.5) sits strictly inside the diamond's
+    // envelope iff x ∈ {17..20} and y ∈ {9..12}.
+    "q_quads_sparql_geof_compose" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val x = k % 40
+      val y = k % 25
+      def ip(px: Column, py: Column): Column =
+        concat(px.cast("long").cast("string"), lit(" "),
+          py.cast("long").cast("string"))
+      val wkt = concat(lit("POLYGON(("),
+        ip(x + 2, y), lit(", "), ip(x + 4, y + 2), lit(", "),
+        ip(x + 2, y + 4), lit(", "), ip(x, y + 2), lit(", "),
+        ip(x + 2, y), lit("))"))
+      val store = Tables.customer(s, dir).select(
+        concat(lit("https://example.org/cell/"), k.cast("string"))
+          .as("subject"),
+        lit("http://www.opengis.net/ont/geosparql#asWKT").as("predicate"),
+        wkt.as("objectValue"))
+      graft.rdf.SparqlParser.execute(store,
+        s"""PREFIX geof: <${graft.rdf.GeoFunctions.Ns}>
+           |SELECT ?iri WHERE {
+           |  ?iri <http://www.opengis.net/ont/geosparql#asWKT> ?wkt .
+           |  BIND(geof:envelope(?wkt) AS ?env)
+           |  FILTER(geof:sfWithin("POINT(20.5 12.5)", ?env))
+           |} ORDER BY ?iri""".stripMargin)
+    }),
+
     // r11 (VERDICT r10 Missing #5): the GeoSPARQL relation pack —
     // sfTouches / sfOverlaps / sfDisjoint classify per-customer 0.6°
     // squares against a constant rectangle whose bounds sit at .1/.3
@@ -4161,6 +4223,40 @@ object QuadQueries extends QueryCatalog {
         |WHERE ((x > 140.5 AND x < 145.5 AND y > -13.5 AND y < -10.5
         |        AND NOT (x > 142.5 AND x < 143.5 AND y > -12.5 AND y < -11.5))
         |    OR (x > 147.5 AND x < 148.5 AND y > -14.5 AND y < -13.5))
+        |ORDER BY iri""".stripMargin,
+
+    // the canonical constructive serializations string-built from the
+    // same integer key arithmetic (envelope = bbox corners CCW; hull =
+    // the diamond itself rotated to start at its min vertex (x, y+2))
+    "q_quads_sparql_geof_construct" ->
+      """WITH t AS (
+        |  SELECT
+        |    'https://example.org/cell/' || CAST(c_custkey AS VARCHAR)
+        |      AS iri,
+        |    c_custkey % 40 AS x, c_custkey % 25 AS y
+        |  FROM customer)
+        |SELECT iri,
+        |  'POLYGON((' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || ', ' || CAST(x+4 AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || ', ' || CAST(x+4 AS VARCHAR) || ' ' || CAST(y+4 AS VARCHAR)
+        |    || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y+4 AS VARCHAR)
+        |    || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || '))' AS env,
+        |  'POLYGON((' || CAST(x AS VARCHAR) || ' ' || CAST(y+2 AS VARCHAR)
+        |    || ', ' || CAST(x+2 AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || ', ' || CAST(x+4 AS VARCHAR) || ' ' || CAST(y+2 AS VARCHAR)
+        |    || ', ' || CAST(x+2 AS VARCHAR) || ' ' || CAST(y+4 AS VARCHAR)
+        |    || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y+2 AS VARCHAR)
+        |    || '))' AS hull,
+        |  'http://www.opengis.net/def/crs/OGC/1.3/CRS84' AS srid
+        |FROM t ORDER BY iri""".stripMargin,
+
+    "q_quads_sparql_geof_compose" ->
+      """SELECT 'https://example.org/cell/' || CAST(c_custkey AS VARCHAR)
+        |    AS iri
+        |FROM customer
+        |WHERE c_custkey % 40 IN (17, 18, 19, 20)
+        |  AND c_custkey % 25 IN (9, 10, 11, 12)
         |ORDER BY iri""".stripMargin,
 
     // each simple-feature relation restated as interval arithmetic on

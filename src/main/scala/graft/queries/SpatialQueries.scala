@@ -749,7 +749,174 @@ object SpatialQueries extends QueryCatalog {
       .orderBy(col("n_nationkey"))
   }
 
+  // ====================================================================
+  // Constructive geometry (r12): the GeoSPARQL §8.7 non-topological
+  // functions — envelope / convexHull / getSRID / boundary and the
+  // even-odd ring-algebra set ops (graft.plans.GeomConstruct). All
+  // geometries below are synthesized on INTEGER coordinates so the
+  // canonical WKT output strings replay in DuckDB with integer string
+  // concatenation (the canonical-serialization contract: CCW rings
+  // rotated to the min vertex, integral doubles printed as integers).
+  // ====================================================================
+
+  /** Integer expression rendered as its decimal string (both engines
+    * print BIGINT identically — the WKT-string parity trick). */
+  private def istr(c: Column): Column = c.cast("long").cast("string")
+
+  private def ipt(x: Column, y: Column): Column =
+    concat(istr(x), lit(" "), istr(y))
+
+  /** geof:envelope + geof:convexHull + geof:getSRID over a 3-vertex
+    * LINESTRING per customer; the oracle string-builds the canonical
+    * envelope box and hull triangle from the same integer arithmetic. */
+  private def geomEnvelopeHull(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val x = (k % 50) + 10
+    val y = (k % 30) + 20
+    val line = concat(lit("LINESTRING("), ipt(x, y), lit(", "),
+      ipt(x + 4, y + 2), lit(", "), ipt(x + 1, y + 5), lit(")"))
+    Tables.customer(s, dir)
+      .select(k.as("qid"), line.as("wkt"))
+      .select(col("qid"),
+        graft.rdf.GeoFunctions.envelope(col("wkt")).as("env"),
+        graft.rdf.GeoFunctions.convexHull(col("wkt")).as("hull"),
+        graft.rdf.GeoFunctions.getSrid(col("wkt")).as("srid"))
+      .orderBy(col("qid"))
+  }
+
+  /** geof:boundary over mixed geometry: even customers carry a HOLED
+    * polygon (boundary = both rings as a canonical MULTILINESTRING),
+    * odd customers an open 3-vertex LINESTRING (boundary = the mod-2
+    * endpoint MULTIPOINT). */
+  private def geomBoundary(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val x = (k % 40) + 5
+    val y = (k % 25) + 3
+    val poly = concat(lit("POLYGON(("),
+      ipt(x, y), lit(", "), ipt(x + 10, y), lit(", "),
+      ipt(x + 10, y + 10), lit(", "), ipt(x, y + 10), lit(", "),
+      ipt(x, y), lit("),("),
+      ipt(x + 2, y + 2), lit(", "), ipt(x + 8, y + 2), lit(", "),
+      ipt(x + 8, y + 8), lit(", "), ipt(x + 2, y + 8), lit(", "),
+      ipt(x + 2, y + 2), lit("))"))
+    val line = concat(lit("LINESTRING("), ipt(x, y), lit(", "),
+      ipt(x + 3, y + 1), lit(", "), ipt(x + 5, y), lit(")"))
+    Tables.customer(s, dir)
+      .select(k.as("qid"),
+        when(k % 2 === 0, poly).otherwise(line).as("wkt"))
+      .select(col("qid"),
+        graft.rdf.GeoFunctions.boundaryGeom(col("wkt")).as("bnd"))
+      .orderBy(col("qid"))
+  }
+
+  /** Per-customer 6×6 square, the constant 8×5 clip rectangle the
+    * overlay gates share. */
+  private def overlaySquare(k: Column): Column = {
+    val x = k % 20
+    val y = k % 12
+    concat(lit("POLYGON(("),
+      ipt(x, y), lit(", "), ipt(x + 6, y), lit(", "),
+      ipt(x + 6, y + 6), lit(", "), ipt(x, y + 6), lit(", "),
+      ipt(x, y), lit("))"))
+  }
+  private val OverlayClip = "POLYGON((10 4, 18 4, 18 9, 10 9, 10 4))"
+
+  /** geof:intersection, compared LEXICALLY: the Sutherland–Hodgman clip
+    * of the row square against the constant rectangle must canonicalize
+    * to exactly the min/max-corner rectangle the oracle string-builds
+    * (touch-only pairs degrade to zero-area rings → POLYGON EMPTY). */
+  private def geomIntersection(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    Tables.customer(s, dir)
+      .select(k.as("qid"), overlaySquare(k).as("a"))
+      .select(col("qid"),
+        graft.rdf.GeoFunctions.intersection(col("a"), lit(OverlayClip))
+          .as("ix"))
+      .orderBy(col("qid"))
+  }
+
+  /** union / difference / symDifference verified SEMANTICALLY: the ring
+    * algebra's output feeds sfWithin point-membership probes whose
+    * parity the oracle replays as interval Boolean logic (in_u = A∨B,
+    * in_d = A∧¬B, in_s = A⊕B). Probe points sit on half-integer
+    * coordinates so they never touch a ring. */
+  private def geomOverlayMembership(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val p = concat(lit("POINT("), istr((k * 7) % 24), lit(".5 "),
+      istr((k * 11) % 14), lit(".5)"))
+    Tables.customer(s, dir)
+      .select(k.as("qid"), overlaySquare(k).as("a"), p.as("p"))
+      .select(col("qid"),
+        graft.rdf.GeoFunctions.within(col("p"),
+          graft.rdf.GeoFunctions.unionGeom(col("a"), lit(OverlayClip)))
+          .cast("int").as("in_u"),
+        graft.rdf.GeoFunctions.within(col("p"),
+          graft.rdf.GeoFunctions.differenceGeom(col("a"), lit(OverlayClip)))
+          .cast("int").as("in_d"),
+        graft.rdf.GeoFunctions.within(col("p"),
+          graft.rdf.GeoFunctions.symDifference(col("a"), lit(OverlayClip)))
+          .cast("int").as("in_s"))
+      .orderBy(col("qid"))
+  }
+
+  /** graft_st_area / graft_st_length / graft_st_centroid over WKT
+    * geometry columns: even customers a CONCENTRIC-holed square (area
+    * 100−4g², perimeter 40+8g, centroid exactly the shared center — an
+    * exact integer division, so the canonical POINT string matches
+    * byte-for-byte), odd customers a 3-4-5 polyline (length exactly
+    * 10). All arithmetic closed-form in the oracle. */
+  private def geomMeasure(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val x = (k % 40) + 5
+    val y = (k % 25) + 3
+    val g = (k % 3) + 1
+    val poly = concat(lit("POLYGON(("),
+      ipt(x, y), lit(", "), ipt(x + 10, y), lit(", "),
+      ipt(x + 10, y + 10), lit(", "), ipt(x, y + 10), lit(", "),
+      ipt(x, y), lit("),("),
+      ipt(x + 5 - g, y + 5 - g), lit(", "), ipt(x + 5 + g, y + 5 - g),
+      lit(", "), ipt(x + 5 + g, y + 5 + g), lit(", "),
+      ipt(x + 5 - g, y + 5 + g), lit(", "), ipt(x + 5 - g, y + 5 - g),
+      lit("))"))
+    val line = concat(lit("LINESTRING("), ipt(x, y), lit(", "),
+      ipt(x + 3, y + 4), lit(", "), ipt(x + 6, y), lit(")"))
+    Tables.customer(s, dir)
+      .select(k.as("qid"),
+        when(k % 2 === 0, poly).otherwise(line).as("wkt"))
+      .select(col("qid"),
+        graft.rdf.GeoFunctions.areaGeom(col("wkt")).as("area"),
+        graft.rdf.GeoFunctions.lengthGeom(col("wkt")).as("len"),
+        when(col("qid") % 2 === 0,
+          graft.rdf.GeoFunctions.centroidGeom(col("wkt")))
+          .otherwise(lit("n/a")).as("ctr"))
+      .orderBy(col("qid"))
+  }
+
+  /** The overlay-analytics composition (the flood-zone shape:
+    * `area(intersection(parcel, zone))`): per-customer square clipped
+    * by the constant rectangle, areas partial-aggregated per bucket —
+    * the empty region measures 0, so no null guards. */
+  private def geomOverlayArea(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val ia = graft.rdf.GeoFunctions.areaGeom(
+      graft.rdf.GeoFunctions.intersection(overlaySquare(k),
+        lit(OverlayClip)))
+    Tables.customer(s, dir)
+      .select(k.as("qid"), ia.as("ia"))
+      .groupBy((col("qid") % 10).as("bucket"))
+      .agg(sum(col("ia")).as("total_overlap"),
+        count(when(col("ia") > 0, 1)).as("n_overlapping"))
+      .orderBy(col("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geom_measure" -> ((s, dir) => geomMeasure(s, dir)),
+    "q_geom_overlay_area" -> ((s, dir) => geomOverlayArea(s, dir)),
+    "q_geom_envelope_hull" -> ((s, dir) => geomEnvelopeHull(s, dir)),
+    "q_geom_boundary" -> ((s, dir) => geomBoundary(s, dir)),
+    "q_geom_intersection" -> ((s, dir) => geomIntersection(s, dir)),
+    "q_geom_overlay_membership" ->
+      ((s, dir) => geomOverlayMembership(s, dir)),
     "q_join_poly_line_intersects" ->
       ((s, dir) => polyLineIntersectsJoin(s, dir)),
     "q_join_poly_poly_overlaps" ->
@@ -774,6 +941,120 @@ object SpatialQueries extends QueryCatalog {
     * oracle scale); the Spark side must produce identical rows from the
     * bucketed plan — that equivalence is exactly what the gate checks. */
   override def oracleSql: Map[String, String] = Map(
+    // Constructive-geometry gates: the oracle string-builds the
+    // CANONICAL serialization (CCW from the min vertex, integers) from
+    // the same key arithmetic — byte-identical strings are the check.
+    "q_geom_measure" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS qid,
+        |    c_custkey % 40 + 5 AS x, c_custkey % 25 + 3 AS y,
+        |    1 + c_custkey % 3 AS g
+        |  FROM customer)
+        |SELECT qid,
+        |  CASE WHEN qid % 2 = 0
+        |    THEN CAST(100 - 4*g*g AS DOUBLE) ELSE 0.0 END AS area,
+        |  CASE WHEN qid % 2 = 0
+        |    THEN CAST(40 + 8*g AS DOUBLE) ELSE 10.0 END AS len,
+        |  CASE WHEN qid % 2 = 0
+        |    THEN 'POINT(' || CAST(x+5 AS VARCHAR) || ' '
+        |      || CAST(y+5 AS VARCHAR) || ')'
+        |    ELSE 'n/a' END AS ctr
+        |FROM t ORDER BY qid""".stripMargin,
+    "q_geom_overlay_area" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS qid,
+        |    c_custkey % 20 AS x, c_custkey % 12 AS y
+        |  FROM customer),
+        |i AS (
+        |  SELECT qid,
+        |    GREATEST(LEAST(x + 6, 18) - GREATEST(x, 10), 0) AS w,
+        |    GREATEST(LEAST(y + 6, 9) - GREATEST(y, 4), 0) AS h
+        |  FROM t)
+        |SELECT qid % 10 AS bucket,
+        |  CAST(SUM(w * h) AS DOUBLE) AS total_overlap,
+        |  COUNT(*) FILTER (WHERE w * h > 0) AS n_overlapping
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_geom_envelope_hull" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS qid,
+        |    c_custkey % 50 + 10 AS x, c_custkey % 30 + 20 AS y
+        |  FROM customer)
+        |SELECT qid,
+        |  'POLYGON((' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || ', ' || CAST(x+4 AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || ', ' || CAST(x+4 AS VARCHAR) || ' ' || CAST(y+5 AS VARCHAR)
+        |    || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y+5 AS VARCHAR)
+        |    || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || '))' AS env,
+        |  'POLYGON((' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || ', ' || CAST(x+4 AS VARCHAR) || ' ' || CAST(y+2 AS VARCHAR)
+        |    || ', ' || CAST(x+1 AS VARCHAR) || ' ' || CAST(y+5 AS VARCHAR)
+        |    || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |    || '))' AS hull,
+        |  'http://www.opengis.net/def/crs/OGC/1.3/CRS84' AS srid
+        |FROM t ORDER BY qid""".stripMargin,
+    "q_geom_boundary" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS qid,
+        |    c_custkey % 40 + 5 AS x, c_custkey % 25 + 3 AS y
+        |  FROM customer)
+        |SELECT qid,
+        |  CASE WHEN qid % 2 = 0 THEN
+        |    'MULTILINESTRING((' || CAST(x AS VARCHAR) || ' '
+        |      || CAST(y AS VARCHAR) || ', ' || CAST(x+10 AS VARCHAR)
+        |      || ' ' || CAST(y AS VARCHAR) || ', '
+        |      || CAST(x+10 AS VARCHAR) || ' ' || CAST(y+10 AS VARCHAR)
+        |      || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y+10 AS VARCHAR)
+        |      || ', ' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |      || '), (' || CAST(x+2 AS VARCHAR) || ' '
+        |      || CAST(y+2 AS VARCHAR) || ', ' || CAST(x+8 AS VARCHAR)
+        |      || ' ' || CAST(y+2 AS VARCHAR) || ', '
+        |      || CAST(x+8 AS VARCHAR) || ' ' || CAST(y+8 AS VARCHAR)
+        |      || ', ' || CAST(x+2 AS VARCHAR) || ' ' || CAST(y+8 AS VARCHAR)
+        |      || ', ' || CAST(x+2 AS VARCHAR) || ' ' || CAST(y+2 AS VARCHAR)
+        |      || '))'
+        |  ELSE
+        |    'MULTIPOINT(' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |      || ', ' || CAST(x+5 AS VARCHAR) || ' ' || CAST(y AS VARCHAR)
+        |      || ')'
+        |  END AS bnd
+        |FROM t ORDER BY qid""".stripMargin,
+    "q_geom_intersection" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS qid,
+        |    c_custkey % 20 AS x, c_custkey % 12 AS y
+        |  FROM customer),
+        |i AS (
+        |  SELECT qid, GREATEST(x, 10) AS ix1, GREATEST(y, 4) AS iy1,
+        |    LEAST(x + 6, 18) AS ix2, LEAST(y + 6, 9) AS iy2
+        |  FROM t)
+        |SELECT qid,
+        |  CASE WHEN ix1 < ix2 AND iy1 < iy2 THEN
+        |    'POLYGON((' || CAST(ix1 AS VARCHAR) || ' '
+        |      || CAST(iy1 AS VARCHAR) || ', ' || CAST(ix2 AS VARCHAR)
+        |      || ' ' || CAST(iy1 AS VARCHAR) || ', '
+        |      || CAST(ix2 AS VARCHAR) || ' ' || CAST(iy2 AS VARCHAR)
+        |      || ', ' || CAST(ix1 AS VARCHAR) || ' ' || CAST(iy2 AS VARCHAR)
+        |      || ', ' || CAST(ix1 AS VARCHAR) || ' ' || CAST(iy1 AS VARCHAR)
+        |      || '))'
+        |  ELSE 'POLYGON EMPTY' END AS ix
+        |FROM i ORDER BY qid""".stripMargin,
+    "q_geom_overlay_membership" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS qid,
+        |    c_custkey % 20 AS x, c_custkey % 12 AS y,
+        |    CAST((c_custkey * 7) % 24 AS DOUBLE) + 0.5 AS px,
+        |    CAST((c_custkey * 11) % 14 AS DOUBLE) + 0.5 AS py
+        |  FROM customer),
+        |m AS (
+        |  SELECT qid,
+        |    (px > x AND px < x + 6 AND py > y AND py < y + 6) AS in_a,
+        |    (px > 10 AND px < 18 AND py > 4 AND py < 9) AS in_b
+        |  FROM t)
+        |SELECT qid, CAST(in_a OR in_b AS INT) AS in_u,
+        |  CAST(in_a AND NOT in_b AS INT) AS in_d,
+        |  CAST(in_a <> in_b AS INT) AS in_s
+        |FROM m ORDER BY qid""".stripMargin,
     "q_join_poly_line_intersects" ->
       """WITH roads AS (
         |  SELECT c_custkey AS qid,

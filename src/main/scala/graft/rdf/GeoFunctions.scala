@@ -38,6 +38,16 @@ object GeoFunctions {
   val UomNs = "http://www.opengis.net/def/uom/OGC/1.0/"
 
   val DistanceFn: String = Ns + "distance"
+  // Non-topological (constructive) functions, GeoSPARQL 1.0 §8.7 —
+  // implemented by [[graft.plans.GeomConstruct]]/[[graft.plans.GeomOverlay]]
+  val EnvelopeFn: String = Ns + "envelope"
+  val BoundaryFn: String = Ns + "boundary"
+  val ConvexHullFn: String = Ns + "convexHull"
+  val GetSridFn: String = Ns + "getSRID"
+  val IntersectionFn: String = Ns + "intersection"
+  val UnionFn: String = Ns + "union"
+  val DifferenceFn: String = Ns + "difference"
+  val SymDifferenceFn: String = Ns + "symDifference"
   val SfWithinFn: String = Ns + "sfWithin"
   val SfContainsFn: String = Ns + "sfContains"
   val SfIntersectsFn: String = Ns + "sfIntersects"
@@ -123,6 +133,82 @@ object GeoFunctions {
   // documented completeness bounds live with the implementation:
   // [[graft.plans.SfRelate]].
   // ====================================================================
+
+  // ====================================================================
+  // Constructive (non-topological) functions — geof:envelope /
+  // geof:boundary / geof:convexHull / geof:getSRID and the even-odd
+  // ring-algebra set ops. Each compiles to one native expression
+  // ([[graft.plans.GeomConstruct]] / [[graft.plans.GeomOverlay]]);
+  // semantics, completeness bounds, and the canonical serialization
+  // contract are documented there.
+  // ====================================================================
+
+  private def constructCall(op: String, name: String, g: Column): Column = {
+    graft.plans.GeomConstruct.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(name, g.cast("string"))
+  }
+
+  private def overlayCall(name: String, a: Column, b: Column): Column = {
+    graft.plans.GeomConstruct.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(name, a.cast("string"), b.cast("string"))
+  }
+
+  /** `geof:envelope(g)` — bounding geometry of any WKT literal. */
+  def envelope(g: Column): Column =
+    constructCall("envelope", "graft_st_envelope", g)
+
+  /** `geof:boundary(g)` — OGC boundary (polygon rings as curves, curve
+    * mod-2 endpoints as points, empty set for points). */
+  def boundaryGeom(g: Column): Column =
+    constructCall("boundary", "graft_st_boundary", g)
+
+  /** `geof:convexHull(g)` — monotone-chain hull of any WKT literal. */
+  def convexHull(g: Column): Column =
+    constructCall("convex_hull", "graft_st_convex_hull", g)
+
+  /** `geof:getSRID(g)` — the literal's embedded `<crs>` prefix, else
+    * the GeoSPARQL default CRS84 IRI. */
+  def getSrid(g: Column): Column =
+    constructCall("srid", "graft_st_srid", g)
+
+  /** `geof:intersection(a, b)` — exact for any even-odd operand against
+    * a convex-ringed one; null past that bound (see GeomConstruct). */
+  def intersection(a: Column, b: Column): Column =
+    overlayCall("graft_st_intersection", a, b)
+
+  /** `geof:union(a, b)` — A ⊕ B ⊕ (A∩B) in the ring algebra. */
+  def unionGeom(a: Column, b: Column): Column =
+    overlayCall("graft_st_union", a, b)
+
+  /** `geof:difference(a, b)` — A ⊕ (A∩B) in the ring algebra. */
+  def differenceGeom(a: Column, b: Column): Column =
+    overlayCall("graft_st_difference", a, b)
+
+  /** `geof:symDifference(a, b)` — ring concatenation: exact for
+    * arbitrary even-odd operands. */
+  def symDifference(a: Column, b: Column): Column =
+    overlayCall("graft_st_symdifference", a, b)
+
+  /** `graft_st_area(g)` — planar even-odd area of a (MULTI)POLYGON WKT
+    * (holes subtract, islands add); 0 for points/curves and the empty
+    * region, so `area(intersection(a, b))` composes as overlay
+    * analytics. Planar units (not geodesic) — SQL/Column surface only,
+    * deliberately NOT exposed under `geof:` (GeoSPARQL 1.0 defines no
+    * area function; a unit-less planar one would masquerade as one). */
+  def areaGeom(g: Column): Column =
+    constructCall("area", "graft_st_area", g)
+
+  /** `graft_st_length(g)` — planar curve length / polygon boundary
+    * length; 0 for points and the empty region. */
+  def lengthGeom(g: Column): Column =
+    constructCall("length", "graft_st_length", g)
+
+  /** `graft_st_centroid(g)` — area-weighted centroid of the even-odd
+    * region as a WKT POINT (`POINT EMPTY` for the empty region). */
+  def centroidGeom(g: Column): Column =
+    constructCall("centroid", "graft_st_centroid", g)
 
   private def relateCall(rel: String, geom: Column, other: Column): Column = {
     graft.plans.SfRelate.register(

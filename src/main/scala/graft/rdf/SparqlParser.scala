@@ -850,6 +850,26 @@ object SparqlParser {
       GeoFunctions.distanceToLineConst(bindCol(g2), line, units)
     case BCall(GeoFunctions.DistanceFn, Seq(g1, g2, BStr(units))) =>
       GeoFunctions.distance(bindCol(g1), bindCol(g2), units)
+    // GeoSPARQL non-topological (constructive) functions (r12):
+    // geof:envelope/boundary/convexHull/getSRID and the even-odd
+    // ring-algebra set ops — native expressions, constant operands
+    // fold at optimization time (GeomConstruct/GeomOverlay)
+    case BCall(GeoFunctions.EnvelopeFn, Seq(g)) =>
+      GeoFunctions.envelope(bindCol(g))
+    case BCall(GeoFunctions.BoundaryFn, Seq(g)) =>
+      GeoFunctions.boundaryGeom(bindCol(g))
+    case BCall(GeoFunctions.ConvexHullFn, Seq(g)) =>
+      GeoFunctions.convexHull(bindCol(g))
+    case BCall(GeoFunctions.GetSridFn, Seq(g)) =>
+      GeoFunctions.getSrid(bindCol(g))
+    case BCall(GeoFunctions.IntersectionFn, Seq(a, b)) =>
+      GeoFunctions.intersection(bindCol(a), bindCol(b))
+    case BCall(GeoFunctions.UnionFn, Seq(a, b)) =>
+      GeoFunctions.unionGeom(bindCol(a), bindCol(b))
+    case BCall(GeoFunctions.DifferenceFn, Seq(a, b)) =>
+      GeoFunctions.differenceGeom(bindCol(a), bindCol(b))
+    case BCall(GeoFunctions.SymDifferenceFn, Seq(a, b)) =>
+      GeoFunctions.symDifference(bindCol(a), bindCol(b))
     // COALESCE over unbound (null) bindings — OPTIONAL-group variables
     // are the canonical argument; null-skipping is exactly Spark's
     case BCall("COALESCE", args) if args.nonEmpty =>
@@ -2197,7 +2217,15 @@ object SparqlParser {
       // [[graft.plans.SpatialRelateJoinRewrite]] turns into a
       // grid-cover equi-join in rule-enabled sessions.
       val filterEdges = q.boolFilters.map(bindExprVars)
-      val withVars = (patternVarSets ++ filterEdges).filter(_.nonEmpty)
+      // BIND(expr AS ?v) connects ?v to the group expr's variables
+      // live in (r12): a FILTER over a BIND-computed variable (e.g. a
+      // geof: construct fed into a relation test) is connected, not a
+      // cartesian
+      val bindEdges = q.exprBinds.map { case (v, e) =>
+        bindExprVars(e) + v
+      }
+      val withVars =
+        (patternVarSets ++ filterEdges ++ bindEdges).filter(_.nonEmpty)
       if (withVars.length > 1) {
         var groups = withVars.map(identity)
         var merged = true

@@ -1,0 +1,229 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GeomConstruct, SfRelate}
+
+/** Constructive-geometry expression layer (GeoSPARQL §8.7
+  * non-topological functions): canonical serialization, OGC boundary
+  * rules, the even-odd ring algebra's exactness on membership parity,
+  * and its documented concave×concave bound. */
+class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
+
+  private def c(op: String, wkt: String): String = {
+    val r = GeomConstruct.compute(op, wkt)
+    if (r == null) null else r.toString
+  }
+  private def o(op: String, a: String, b: String): String = {
+    val r = GeomConstruct.computeOverlay(op, a, b)
+    if (r == null) null else r.toString
+  }
+  /** Even-odd membership of a point in a serialized ring set — the same
+    * native machinery the relation pack serves ("POLYGON EMPTY" parses
+    * to no region = false everywhere). */
+  private def member(px: Double, py: Double, wkt: String): Boolean = {
+    val cp = SfRelate.constPoly(wkt)
+    cp != null && SfRelate.relate("within", s"POINT($px $py)", cp) == true
+  }
+
+  test("envelope: box, degenerate line, degenerate point; integral " +
+      "coordinates print as integers") {
+    assert(c("envelope", "LINESTRING(10 20, 14 22, 11 25)") ==
+      "POLYGON((10 20, 14 20, 14 25, 10 25, 10 20))")
+    assert(c("envelope", "LINESTRING(3 7, 9 7)") == "LINESTRING(3 7, 9 7)")
+    assert(c("envelope", "POINT(2.5 -3)") == "POINT(2.5 -3)")
+    assert(c("envelope", "MULTIPOINT(1 1, 4 9, 2 0)") ==
+      "POLYGON((1 0, 4 0, 4 9, 1 9, 1 0))")
+    assert(c("envelope", "garbage") == null)
+  }
+
+  test("boundary: polygon rings as canonical curves, curve mod-2 " +
+      "endpoints, empty set for points") {
+    // holed square: both rings, CCW, rotated to min vertex, sorted
+    assert(c("boundary", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(2 2, 8 2, 8 8, 2 8, 2 2))") ==
+      "MULTILINESTRING((0 0, 10 0, 10 10, 0 10, 0 0), " +
+        "(2 2, 8 2, 8 8, 2 8, 2 2))")
+    // a CW-written ring canonicalizes to the same CCW curve
+    assert(c("boundary", "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))") ==
+      "LINESTRING(0 0, 10 0, 10 10, 0 10, 0 0)")
+    assert(c("boundary", "LINESTRING(5 3, 8 4, 10 3)") ==
+      "MULTIPOINT(5 3, 10 3)")
+    // closed curve: every endpoint has even multiplicity
+    assert(c("boundary", "LINESTRING(0 0, 1 0, 1 1, 0 0)") ==
+      "MULTIPOINT EMPTY")
+    // two segments sharing one endpoint: the shared one cancels mod 2
+    assert(c("boundary", "MULTILINESTRING((0 0, 5 5), (5 5, 9 0))") ==
+      "MULTIPOINT(0 0, 9 0)")
+    assert(c("boundary", "POINT(1 2)") == "GEOMETRYCOLLECTION EMPTY")
+  }
+
+  test("convex hull: monotone chain, canonical CCW from the min vertex; " +
+      "degenerate collinear and single-point forms") {
+    // diamond + interior point: hull is the diamond from min vertex
+    assert(c("convex_hull", "MULTIPOINT(2 0, 4 2, 2 4, 0 2, 2 2)") ==
+      "POLYGON((0 2, 2 0, 4 2, 2 4, 0 2))")
+    assert(c("convex_hull", "LINESTRING(0 0, 2 2, 4 4)") ==
+      "LINESTRING(0 0, 4 4)")
+    assert(c("convex_hull", "MULTIPOINT(3 1, 3 1)") == "POINT(3 1)")
+    // polygon input: hull of a concave L is its bounding pentagon
+    assert(c("convex_hull", "POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+      == "POLYGON((0 0, 4 0, 4 2, 2 4, 0 4, 0 0))")
+  }
+
+  test("getSRID: embedded crs prefix else the CRS84 default") {
+    assert(c("srid", "POINT(1 2)") == GeomConstruct.DefaultCrs)
+    assert(c("srid",
+      "<http://www.opengis.net/def/crs/EPSG/0/4283> POINT(1 2)") ==
+      "http://www.opengis.net/def/crs/EPSG/0/4283")
+  }
+
+  test("intersection: rectangle pairs clip to the canonical min/max " +
+      "rectangle; touch-only and disjoint pairs are empty") {
+    val b = "POLYGON((10 4, 18 4, 18 9, 10 9, 10 4))"
+    assert(o("intersection", "POLYGON((8 2, 14 2, 14 8, 8 8, 8 2))", b) ==
+      "POLYGON((10 4, 14 4, 14 8, 10 8, 10 4))")
+    // touching along x=10: zero-area ring drops to the empty region
+    assert(o("intersection", "POLYGON((4 2, 10 2, 10 8, 4 8, 4 2))", b) ==
+      "POLYGON EMPTY")
+    assert(o("intersection", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", b) ==
+      "POLYGON EMPTY")
+    // subject fully inside the clip: unchanged (canonicalized)
+    assert(o("intersection", "POLYGON((11 5, 13 5, 13 7, 11 7, 11 5))", b)
+      == "POLYGON((11 5, 13 5, 13 7, 11 7, 11 5))")
+  }
+
+  test("ring algebra: duplicate rings cancel in pairs — difference and " +
+      "symDifference of a region with itself are empty") {
+    val a = "POLYGON((1 1, 5 1, 5 5, 1 5, 1 1))"
+    assert(o("sym_difference", a, a) == "POLYGON EMPTY")
+    assert(o("difference", a, a) == "POLYGON EMPTY")
+  }
+
+  test("intersection is exact for a CONCAVE subject against a convex " +
+      "clip: membership parity on an off-lattice probe grid") {
+    val lShape = "POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    val clip = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val ix = o("intersection", lShape, clip)
+    assert(ix != null)
+    for (i <- -1 to 9; j <- -1 to 9) {
+      val px = i + 0.5; val py = j + 0.5
+      val expected = member(px, py, lShape) && member(px, py, clip)
+      assert(member(px, py, ix) == expected,
+        s"parity at ($px, $py): got ${member(px, py, ix)}, " +
+          s"want $expected, ix=$ix")
+    }
+  }
+
+  test("concave×concave intersection reports the documented bound (null)") {
+    val lShape = "POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    assert(o("intersection", lShape, lShape) == null)
+    // symDifference has no bound: concave×concave still exact
+    assert(o("sym_difference", lShape, lShape) == "POLYGON EMPTY")
+  }
+
+  test("property: union/difference/symDifference membership parity " +
+      "matches Boolean interval logic on random integer rectangles") {
+    val rnd = new scala.util.Random(17)
+    def rect(): (Int, Int, Int, Int) = {
+      val x = rnd.nextInt(12); val y = rnd.nextInt(12)
+      (x, y, x + 1 + rnd.nextInt(8), y + 1 + rnd.nextInt(8))
+    }
+    def wkt(r: (Int, Int, Int, Int)): String = {
+      val (x1, y1, x2, y2) = r
+      s"POLYGON(($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    }
+    def in(px: Double, py: Double, r: (Int, Int, Int, Int)): Boolean =
+      px > r._1 && px < r._3 && py > r._2 && py < r._4
+    for (_ <- 1 to 120) {
+      val a = rect(); val b = rect()
+      val u = o("union", wkt(a), wkt(b))
+      val d = o("difference", wkt(a), wkt(b))
+      val sd = o("sym_difference", wkt(a), wkt(b))
+      assert(u != null && d != null && sd != null)
+      for (_ <- 1 to 8) {
+        val px = rnd.nextInt(22) + 0.5; val py = rnd.nextInt(22) + 0.5
+        val ia = in(px, py, a); val ib = in(px, py, b)
+        assert(member(px, py, u) == (ia || ib), s"union $a $b ($px,$py)")
+        assert(member(px, py, d) == (ia && !ib), s"diff $a $b ($px,$py)")
+        assert(member(px, py, sd) == (ia ^ ib), s"sym $a $b ($px,$py)")
+      }
+    }
+  }
+
+  private def m(op: String, wkt: String): java.lang.Double =
+    GeomConstruct.computeMeasure(op, wkt)
+
+  test("area: even-odd exact for holes, islands, and the empty region; " +
+      "0 for points and curves") {
+    assert(m("area", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(2 2, 8 2, 8 8, 2 8, 2 2))") == 64.0)
+    assert(m("area", "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0))," +
+      "((5 5, 8 5, 8 8, 5 8, 5 5)))") == 13.0)
+    // island INSIDE a hole: 100 − 36 + 1 (depth parities +, −, +);
+    // the island ring carries a duplicate vertex the cleaner drops
+    assert(m("area", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(2 2, 8 2, 8 8, 2 8, 2 2)," +
+      "(4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 5.5, 4.5 4.5))") == 65.0)
+    assert(m("area", "POLYGON EMPTY") == 0.0)
+    assert(m("area", "LINESTRING(0 0, 5 5)") == 0.0)
+    assert(m("area", "POINT(1 1)") == 0.0)
+    assert(m("area", "junk") == null)
+  }
+
+  test("length: curve length, polygon boundary length (holes count)") {
+    assert(m("length", "LINESTRING(0 0, 3 4, 6 0)") == 10.0)
+    assert(m("length", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(2 2, 8 2, 8 8, 2 8, 2 2))") == 64.0)
+    assert(m("length", "MULTILINESTRING((0 0, 3 4), (10 10, 13 14))") ==
+      10.0)
+    assert(m("length", "POINT(1 1)") == 0.0)
+    assert(m("length", "MULTIPOINT EMPTY") == 0.0)
+  }
+
+  test("centroid: concentric hole keeps the center exactly; empty " +
+      "region is POINT EMPTY; composes with the overlay output") {
+    assert(c("centroid", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(3 3, 7 3, 7 7, 3 7, 3 3))") == "POINT(5 5)")
+    assert(c("centroid", "POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))") ==
+      "POINT(2 1)")
+    assert(c("centroid", "POLYGON EMPTY") == "POINT EMPTY")
+    // area(intersection) composition: 6×6 ∩ 8×5 clip = 4×2 rectangle
+    val ix = o("intersection", "POLYGON((8 2, 14 2, 14 8, 8 8, 8 2))",
+      "POLYGON((10 4, 18 4, 18 9, 10 9, 10 4))")
+    assert(m("area", ix) == 16.0)
+    assert(c("centroid", ix) == "POINT(12 6)")
+    // empty intersection measures 0 — no null guard needed downstream
+    assert(m("area", o("intersection",
+      "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON((10 4, 18 4, 18 9, 10 9, 10 4))")) == 0.0)
+  }
+
+  test("SQL surface: the graft_st_* functions register and run inside " +
+      "whole-stage codegen") {
+    GeomConstruct.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_st_envelope('LINESTRING(1 2, 5 4)') AS env,
+        |  graft_st_convex_hull('MULTIPOINT(0 0, 2 0, 1 1, 1 3)') AS hull,
+        |  graft_st_srid('POINT(1 1)') AS srid,
+        |  graft_st_intersection('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))',
+        |    'POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))') AS ix,
+        |  graft_st_symdifference('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))',
+        |    'POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))') AS sd
+        |""".stripMargin).collect().head
+    assert(row.getString(0) == "POLYGON((1 2, 5 2, 5 4, 1 4, 1 2))")
+    assert(row.getString(1) == "POLYGON((0 0, 2 0, 1 3, 0 0))")
+    assert(row.getString(2) == GeomConstruct.DefaultCrs)
+    assert(row.getString(3) == "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(row.getString(4) == "POLYGON EMPTY")
+    // null propagation: garbage geometry and the concave×concave bound
+    val n = spark.sql(
+      """SELECT graft_st_envelope('nope') AS a,
+        |  graft_st_intersection(
+        |    'POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))',
+        |    'POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))') AS b
+        |""".stripMargin).collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+}
