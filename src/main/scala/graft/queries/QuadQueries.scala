@@ -1243,6 +1243,24 @@ object QuadQueries extends QueryCatalog {
            |}""".stripMargin)
     }),
 
+    // NESTED GRAPH blocks (r12 — SPARQL 1.1 §13.3: GRAPH replaces the
+    // active graph for its body; nesting recurses): the outer block
+    // binds address names in the addresses graph, the INNER block
+    // re-scopes to the geographical-names graph and joins part values
+    // on the shared ?v — a cross-graph value join written exactly the
+    // way a federation-minded SPARQL user nests it. Oracle: customer
+    // names are key-unique, so the value join pairs each address with
+    // its own geo-name bnode.
+    "q_quads_sparql_graph_nested" -> ((s, dir) => {
+      graft.rdf.SparqlParser.execute(fullQuads(s, dir),
+        s"""SELECT ?addr ?gb WHERE {
+           |  GRAPH <$GraphA> {
+           |    ?addr <$NameP> ?v .
+           |    GRAPH <$GraphG> { ?gb <$ValueP> ?v }
+           |  }
+           |} ORDER BY ?addr""".stripMargin)
+    }),
+
     // Textual SPARQL with AGGREGATES: GROUP BY over graph-scoped
     // bindings, straight from the string form — the analytics half of
     // the serving surface (a SPARQL store answers COUNT dashboards as
@@ -4250,6 +4268,17 @@ object QuadQueries extends QueryCatalog {
         |    || '))' AS hull,
         |  'http://www.opengis.net/def/crs/OGC/1.3/CRS84' AS srid
         |FROM t ORDER BY iri""".stripMargin,
+
+    // the cross-graph value join replays directly off customer: names
+    // are key-unique, value (en) carries c_name verbatim in GN
+    "q_quads_sparql_graph_nested" ->
+      """SELECT
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS addr,
+        |  'gn-given-name-' || CAST(c_custkey AS VARCHAR) AS gb
+        |FROM customer
+        |WHERE c_name IS NOT NULL AND length(trim(c_name)) > 0
+        |ORDER BY addr""".stripMargin,
 
     "q_quads_sparql_geof_compose" ->
       """SELECT 'https://example.org/cell/' || CAST(c_custkey AS VARCHAR)

@@ -1328,7 +1328,11 @@ object SparqlParser {
     def group(g: Option[Bgp.Term]): Unit = {
       while (!p.is("}")) {
         if (p.is("GRAPH")) {
-          require(g.isEmpty, "nested GRAPH blocks are not supported")
+          // SPARQL 1.1 §13.3: GRAPH replaces the ACTIVE graph for its
+          // body — nesting (r12) simply recurses with the new term
+          // (the previous active graph resumes after the block); an
+          // inner graph VARIABLE shared with an outer pattern joins on
+          // it like any other variable
           p.eat()
           val gg = term(p.eat())
           p.expect("{"); group(Some(gg)); p.expect("}")

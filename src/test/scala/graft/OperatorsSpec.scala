@@ -2576,6 +2576,45 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         ORDER BY ?s OFFSET 2 LIMIT 5""") == Seq(Seq("c")))
   }
 
+  test("SparqlParser r12: nested GRAPH blocks re-scope the active " +
+      "graph; a variable inner term binds and joins") {
+    import spark.implicits._
+    import graft.rdf.SparqlParser
+    val quads = Seq(
+      ("a", "urn:link", "x", "urn:g1"), ("b", "urn:link", "y", "urn:g1"),
+      ("x", "urn:tag", "T1", "urn:g2"), ("y", "urn:tag", "T2", "urn:g3"),
+      ("x", "urn:tag", "T9", "urn:g1"))
+      .toDF("subject", "predicate", "objectValue", "graph")
+    def run(q: String): Set[Seq[String]] =
+      SparqlParser.execute(quads, q).collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString)).toSet
+    // constant inner graph: the body escapes the outer scope — the
+    // urn:g1 tag of x must NOT match
+    assert(run("""SELECT ?s ?t WHERE {
+        GRAPH <urn:g1> {
+          ?s <urn:link> ?o .
+          GRAPH <urn:g2> { ?o <urn:tag> ?t }
+        }
+      }""") == Set(Seq("a", "T1")))
+    // variable inner graph ranges over ALL graphs (incl. the outer one)
+    assert(run("""SELECT ?s ?g ?t WHERE {
+        GRAPH <urn:g1> {
+          ?s <urn:link> ?o .
+          GRAPH ?g { ?o <urn:tag> ?t }
+        }
+      }""") == Set(
+      Seq("a", "urn:g2", "T1"), Seq("a", "urn:g1", "T9"),
+      Seq("b", "urn:g3", "T2")))
+    // after the inner block the OUTER active graph resumes
+    assert(run("""SELECT ?s ?t WHERE {
+        GRAPH <urn:g1> {
+          ?s <urn:link> ?o .
+          GRAPH <urn:g2> { ?o <urn:tag> ?t }
+          ?o <urn:tag> ?t2 .
+        }
+      }""") == Set(Seq("a", "T1")))
+  }
+
   test("SparqlParser r8: property functions and the cartesian guard") {
     import spark.implicits._
     import graft.rdf.{Bgp, PropertyFunctions, SparqlParser}
