@@ -1213,6 +1213,48 @@ object QuadQueries extends QueryCatalog {
            |} ORDER BY ?addr LIMIT 500""".stripMargin)
     }),
 
+    // INCREMENTAL store maintenance (r12) — the reference's
+    // lf_incremental_action sync (etl-notes.md:316; spatial objects
+    // "synced via the message oriented middleware", etl-notes.md:9):
+    // bulk-load once, then apply a subject-level upsert batch (updates
+    // replace each touched subject's FULL quad set, deletes remove
+    // subjects; a subject in both is replaced). Cost ∝ affected graph
+    // partitions via dynamic partition overwrite, stats sidecar
+    // adjusted arithmetically; replay-idempotent (the exactly-once
+    // argument for the streaming foreachBatch path, QuadStore.upsertBatch).
+    // Oracle replays the final state with CASE logic.
+    "q_quads_store_upsert" -> ((s, dir) => {
+      import graft.model.TermKind
+      val store = tmp(s, "quad_store_upsert")
+      val cust = Tables.customer(s, dir)
+      val k = col("c_custkey")
+      def subj: Column =
+        concat(lit("https://example.org/customer/"), k.cast("string"))
+      def mk(df: org.apache.spark.sql.DataFrame, pred: String,
+          v: Column): org.apache.spark.sql.DataFrame =
+        df.select(subj.as("subject"),
+          lit(TermKind.Iri).as("subjectKind"),
+          lit(pred).as("predicate"), v.as("objectValue"),
+          lit(TermKind.Literal).as("objectKind"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("lang"),
+          lit(graft.model.Graphs.Addresses).as("graph"))
+      val initial = mk(cust, NameP, col("c_name")).unionByName(
+        mk(cust, BalanceP, concat(lit("bal-"), k.cast("string"))))
+      graft.rdf.QuadStore.write(initial, store) // reset per invocation
+      val upd = cust.filter(k % 7 === 0)
+      val delta = mk(upd, NameP, col("c_name")).unionByName(
+        mk(upd, BalanceP, concat(lit("upd-"), k.cast("string"))))
+      val dels = cust.filter(k % 11 === 0)
+        .select(lit(graft.model.Graphs.Addresses).as("graph"),
+          subj.as("subject"))
+      graft.rdf.QuadStore.upsert(s, store, delta, Some(dels))
+      graft.rdf.QuadStore.open(s, store)
+        .filter(col("predicate") === BalanceP)
+        .select(col("subject"), col("objectValue"))
+        .orderBy(col("subject"))
+    }),
+
     // Textual VALUES: the inline-bindings serving shape ("count these
     // three nations") — the allow-list compiles to isin() on the
     // binding column, a pushable IN filter, composed with GROUP BY
@@ -4268,6 +4310,20 @@ object QuadQueries extends QueryCatalog {
         |    || '))' AS hull,
         |  'http://www.opengis.net/def/crs/OGC/1.3/CRS84' AS srid
         |FROM t ORDER BY iri""".stripMargin,
+
+    // final-state replay: updated subjects (k%7=0) carry the new
+    // balance even when also deleted (delta wins); other k%11=0
+    // subjects are gone; the rest keep the original balance
+    "q_quads_store_upsert" ->
+      """SELECT
+        |  'https://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+        |    AS subject,
+        |  CASE WHEN c_custkey % 7 = 0
+        |    THEN 'upd-' || CAST(c_custkey AS VARCHAR)
+        |    ELSE 'bal-' || CAST(c_custkey AS VARCHAR) END AS objectValue
+        |FROM customer
+        |WHERE c_custkey % 7 = 0 OR c_custkey % 11 <> 0
+        |ORDER BY subject""".stripMargin,
 
     // the cross-graph value join replays directly off customer: names
     // are key-unique, value (en) carries c_name verbatim in GN

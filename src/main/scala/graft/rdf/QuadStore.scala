@@ -87,6 +87,119 @@ object QuadStore {
       v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** Incremental SUBJECT-LEVEL upsert (r12) — the reference's
+    * `lalfpdba.lf_incremental_action` sync contract (`etl-notes.md:316`,
+    * and the architectural requirement that spatial objects "must be
+    * synced via the message oriented middleware", `etl-notes.md:9`):
+    * a delta quad relation REPLACES every touched `(graph, subject)`'s
+    * quads wholesale (the delta carries each touched subject's FULL new
+    * state) and `deletes` removes subjects outright. A subject in both
+    * is replaced (delta wins — delete-then-insert order).
+    *
+    * Scale shape: cost ∝ AFFECTED GRAPH PARTITIONS, not the corpus —
+    * the untouched-row survivor set is one `(graph, subject)` anti-join
+    * over the affected partitions only (graph partition pruning reaches
+    * the scan), re-clustered by predicate exactly like [[write]], and
+    * committed with DYNAMIC partition overwrite so only the affected
+    * `graph=` directories are rewritten. A graph whose quads all vanish
+    * is swept explicitly (dynamic overwrite cannot delete a partition
+    * it writes no rows to). The predicate statistics sidecar is
+    * adjusted arithmetically (old − removed + added) — never a corpus
+    * recount.
+    *
+    * REPLAY-IDEMPOTENT by construction: applying the same (delta,
+    * deletes) twice yields byte-equivalent state, because replace and
+    * delete are absorbing. That is the exactly-once argument for the
+    * streaming path ([[upsertBatch]]) — at-least-once delivery +
+    * idempotent apply, the same contract as
+    * [[graft.streaming.EventPipelines.writeBatchIdempotent]] and the
+    * reference's resumable `qrt_found` flag. */
+  def upsert(s: SparkSession, path: String, delta: DataFrame,
+      deletes: Option[DataFrame] = None): Unit = {
+    val cur = s.read.parquet(path).select(QuadCols.map(col): _*)
+    val deltaQ = delta.select(QuadCols.map(col): _*)
+    val delKeys = deletes
+      .map(_.select(col("graph"), col("subject")))
+      .getOrElse(deltaQ.select(col("graph"), col("subject")).limit(0))
+    val touched = deltaQ.select(col("graph"), col("subject"))
+      .unionByName(delKeys).distinct()
+    // named graphs are few by design (the reference has four) — the
+    // affected-graph list is driver-side O(graphs), never O(rows)
+    val affected = touched.select(col("graph")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val survivors = cur
+      .filter(col("graph").isin(affected: _*))
+      .join(touched, Seq("graph", "subject"), "left_anti")
+    // removed-per-predicate BEFORE the files are overwritten
+    val removed = cur.filter(col("graph").isin(affected: _*))
+      .join(touched, Seq("graph", "subject"), "left_semi")
+      .groupBy(col("predicate")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val added = deltaQ.groupBy(col("predicate")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = survivors.unionByName(deltaQ)
+      .repartition(col("predicate"))
+      .sortWithinPartitions(col("predicate"), col("subject"))
+      // break the read-modify-write cycle: the plan must not reference
+      // the parquet files the commit below replaces; checkpoint size ∝
+      // affected partitions
+      .localCheckpoint(true)
+    val remaining = updated.groupBy(col("graph")).count()
+      .collect().map(_.getString(0)).toSet
+    val prevMode =
+      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updated.write.mode("overwrite").partitionBy("graph").parquet(path)
+    finally prevMode match {
+      case Some(m) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // graphs emptied by the upsert: dynamic overwrite wrote no rows for
+    // them, so their old directory must be swept explicitly (partition
+    // values are Hive-escaped on disk — ':' is %3A)
+    affected.filterNot(remaining).foreach { g =>
+      val dir = java.nio.file.Paths.get(path, "graph=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(g))
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    // arithmetic sidecar maintenance: old − removed + added
+    val old: Map[String, Long] =
+      if (java.nio.file.Files.exists(statsFile(path))) {
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(statsFile(path))).asScala
+          .filter(_.contains('\t'))
+          .map { line =>
+            val i = line.indexOf('\t')
+            line.substring(i + 1) -> line.substring(0, i).toLong
+          }.toMap
+      } else Map.empty
+    val merged = (old.keySet ++ removed.keySet ++ added.keySet).toSeq
+      .map { p =>
+        p -> (old.getOrElse(p, 0L) - removed.getOrElse(p, 0L) +
+          added.getOrElse(p, 0L))
+      }
+      .filter(_._2 > 0)
+      .map { case (p, n) => s"$n\t$p" }
+    java.nio.file.Files.write(statsFile(path),
+      java.util.Arrays.asList(merged: _*),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** `foreachBatch` handler for STREAMING store maintenance: apply each
+    * micro-batch of quad deltas as a subject-level upsert. Structured
+    * Streaming replays a failed batch id with identical data, and
+    * [[upsert]] is replay-idempotent, so the composition is
+    * exactly-once without a ledger. */
+  def upsertBatch(path: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) upsert(batch.sparkSession, path, batch)
+
   /** Open the store in ANY session — typically a fresh one with no
     * derivation cache: the relation is a plain parquet scan (column
     * pruning + predicate pushdown + graph partition pruning all reach

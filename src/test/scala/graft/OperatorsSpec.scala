@@ -2576,6 +2576,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         ORDER BY ?s OFFSET 2 LIMIT 5""") == Seq(Seq("c")))
   }
 
+  test("QuadStore.upsert: delete-then-insert precedence, emptied-graph " +
+      "partition sweep, partition-pruned survivors") {
+    import spark.implicits._
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_io/upsert_unit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    def quads(rows: Seq[(String, String, String)]) =
+      rows.toDF("s", "v", "g").select(
+        col("s").as("subject"), lit("iri").as("subjectKind"),
+        lit("urn:p").as("predicate"), col("v").as("objectValue"),
+        lit("literal").as("objectKind"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"), col("g").as("graph"))
+    graft.rdf.QuadStore.write(quads(Seq(
+      ("s1", "a", "urn:g1"), ("s2", "b", "urn:g1"),
+      ("s3", "c", "urn:g2"))), store)
+    // replace s1, delete s1 AND s3: the delta wins for s1
+    // (delete-then-insert); g2 loses its only subject → its partition
+    // directory must be swept, not left stale
+    graft.rdf.QuadStore.upsert(spark, store,
+      quads(Seq(("s1", "a2", "urn:g1"))),
+      Some(Seq(("s1", "urn:g1"), ("s3", "urn:g2")).toDF("s", "g")
+        .select(col("g").as("graph"), col("s").as("subject"))))
+    val back = graft.rdf.QuadStore.open(spark, store)
+      .select(col("subject"), col("objectValue"), col("graph"))
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(("s1", "a2", "urn:g1"), ("s2", "b", "urn:g1")))
+    // the on-disk partition value is Hive-escaped (':' → %3A): the g1
+    // dir exists in that form, and the emptied g2 dir was swept
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "graph=urn%3Ag1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "graph=urn%3Ag2")))
+    val stats = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(store, "_quadstats.tsv"))
+    assert(stats.size() == 1 && stats.get(0) == "2\turn:p", stats)
+  }
+
   test("SparqlParser r12: nested GRAPH blocks re-scope the active " +
       "graph; a variable inner term binds and joins") {
     import spark.implicits._
