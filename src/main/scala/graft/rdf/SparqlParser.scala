@@ -2224,12 +2224,18 @@ object SparqlParser {
       // BIND(expr AS ?v) connects ?v to the group expr's variables
       // live in (r12): a FILTER over a BIND-computed variable (e.g. a
       // geof: construct fed into a relation test) is connected, not a
-      // cartesian
-      val bindEdges = q.exprBinds.map { case (v, e) =>
-        bindExprVars(e) + v
+      // cartesian.
+      val bindEdges = q.exprBinds.collect {
+        case (v, e) if bindExprVars(e).nonEmpty => bindExprVars(e) + v
       }
-      val withVars =
-        (patternVarSets ++ filterEdges ++ bindEdges).filter(_.nonEmpty)
+      // OPTIONAL groups left-join onto the solution stream — their
+      // variables are reachable through the shared join vars, and a
+      // BIND/FILTER over an OPTIONAL-bound variable is connected
+      val optEdges = q.optionals.map(og =>
+        og.patterns.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
+          termVars(pt.o) ++ pt.g.toSeq.flatMap(termVars)).toSet)
+      val withVars = (patternVarSets ++ filterEdges ++ bindEdges ++
+        optEdges).filter(_.nonEmpty)
       if (withVars.length > 1) {
         var groups = withVars.map(identity)
         var merged = true
@@ -2249,9 +2255,16 @@ object SparqlParser {
             i += 1
           }
         }
-        require(groups.length == 1,
+        // only groups anchored by a MAIN-component variable (pattern /
+        // path / property-fn / sub-query / union / service) can
+        // cartesian: BIND derivation chains rooted at constants
+        // (UUID()→STR→STRLEN) and OPTIONAL-only islands ride or
+        // left-join the solution stream — they cannot multiply it
+        val mainVars: Set[String] = patternVarSets.flatten.toSet
+        val anchored = groups.filter(_.exists(mainVars))
+        require(anchored.length <= 1,
           "disconnected patterns cross-join (the SPARQL cartesian) — " +
-            s"variable groups: ${groups.map(_.toSeq.sorted.mkString("?", " ?", ""))
+            s"variable groups: ${anchored.map(_.toSeq.sorted.mkString("?", " ?", ""))
                 .mkString("{", "} {", "}")}; " +
             "set graft.sparql.allowCartesian=true to allow")
       }
