@@ -18,17 +18,18 @@ import graft.operators.Checkpoints.CutOps
   *
   * Scale shape: each round is ONE equi-join of the (symmetrized) edge
   * relation against the label relation keyed on node id — the node id is
-  * the shuffle key — followed by a map-side-combinable min-aggregate.
-  * Rounds = component diameter, and near-dup clusters are shallow (dup
-  * groups are cliques or near-cliques from banding, diameter 1-3), so
-  * 3-4 rounds is typical. Lineage is cut per round through
-  * [[Checkpoints.cut]] (reliable mode available session-wide). For
-  * adversarial long-chain graphs (diameter ≫ 10) prefer the
-  * star-contraction variants (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", SoCC'14) — same join shape, fewer rounds; the
-  * propagation loop here keeps every round a plain shuffle join with no
-  * driver-side graph state, which is the right trade for dedup-shaped
-  * inputs.
+  * the shuffle key — followed by a map-side-combinable min-aggregate and
+  * a POINTER JUMP (follow the label's own label — the path-halving
+  * shortcut of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): each round the effective propagation distance
+  * DOUBLES, so rounds ≈ log₂(diameter), not diameter. Dedup clusters
+  * (cliques from banding, diameter 1-3) converge in 2-3 rounds as
+  * before; grid/chain graphs — the r12 cell-DBSCAN gate's 20×20 dense
+  * grid has Chebyshev diameter 19, which plain propagation walked in 19
+  * rounds, brushing the maxRounds cliff — converge in ~6 (PERF.md #33).
+  * Lineage is cut per round through [[Checkpoints.cut]] (reliable mode
+  * available session-wide); every round stays a plain shuffle join with
+  * no driver-side graph state.
   *
   * Convergence is detected by an anti-join probe (`changed.isEmpty`) —
   * one cheap action per round, no `collect()` of labels.
@@ -50,29 +51,71 @@ object ConnectedComponents {
       maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val e = edges.select(a.as("src"), b.as("dst"))
-    val sym = e.unionByName(e.select(col("dst").as("src"),
-      col("src").as("dst"))).cutLineage(eager = false)
+    val sym0 = e.unionByName(e.select(col("dst").as("src"),
+      col("src").as("dst")))
+    // self-loops make each node its own neighbor, so one equi-join
+    // delivers min(self, neighbors) — no per-round Union of the label
+    // relation with itself (which also trips Union constraint
+    // inference on shared attribute ids)
+    val sym = sym0.unionByName(
+      sym0.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .cutLineage(eager = false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .cutLineage()
     var round = 0
     var converged = false
+    // cheap per-round change detector: the unordered hash signature of
+    // the label relation. The relation is a deterministic function of
+    // the round, so SIGNATURES DIFFER ⇒ definitely changed (skip the
+    // expensive probe); signatures EQUAL ⇒ run the EXACT anti-join
+    // probe, which remains the sole convergence authority — a hash
+    // collision costs one extra probe, never a wrong answer.
+    // bit_xor: commutative, duplicate-free by construction (one row
+    // per node), and cannot overflow under ANSI arithmetic
+    def signature(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("node"), col("comp"))))
+        .first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    var prevSig = signature(labels)
     while (!converged && round < maxRounds) {
-      // neighbor labels flow across edges; min with the node's own label
-      val fromNeighbors = sym
+      // neighbor labels flow across edges (self-loops included, so the
+      // min covers the node's own label); ONE equi-join + one
+      // map-side-combinable min per round
+      val prop = sym
         .join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp"))
-        .unionByName(fromNeighbors)
         .groupBy(col("node"))
         .agg(min(col("comp")).as("comp"))
+        .cutLineage(eager = false)
+      // pointer jump (path halving): a label is itself a node id, so
+      // follow it one hop — comp[n] := comp[comp[n]]. Labels only
+      // decrease monotonically, so the jump is always ≤ and the round
+      // count drops from O(diameter) to O(log diameter).
+      val next = prop.as("l")
+        .join(prop.select(col("node").as("cnode"),
+          col("comp").as("pcomp")).as("p"),
+          col("l.comp") === col("p.cnode"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp")))
+            .as("comp"))
         .cutLineage()
-      converged = next.as("n")
+      val sig = signature(next)
+      converged = sig == prevSig && next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .isEmpty
+      prevSig = sig
       labels = next
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        // scalastyle:off println
+        println(s"[cc] round $round converged=$converged " +
+          s"t=${System.nanoTime() / 1000000}")
+        // scalastyle:on println
     }
     if (!converged)
       throw new IllegalStateException(

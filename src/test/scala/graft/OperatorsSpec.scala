@@ -230,6 +230,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ConnectedComponents: pointer jumping converges a long chain in " +
+      "O(log diameter) rounds") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // a 200-node path (diameter 199): plain hash-min propagation would
+    // need 199 rounds — far past the default bound; path halving
+    // reaches fixpoint within the default 20
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.label(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
   test("ConnectedComponents == union-find on random graphs") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
