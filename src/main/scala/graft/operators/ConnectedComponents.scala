@@ -91,18 +91,24 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("comp")).as("comp"))
         .cutLineage(eager = false)
-      // pointer jump (path halving): a label is itself a node id, so
-      // follow it one hop — comp[n] := comp[comp[n]]. Labels only
-      // decrease monotonically, so the jump is always ≤ and the round
-      // count drops from O(diameter) to O(log diameter).
-      val next = prop.as("l")
-        .join(prop.select(col("node").as("cnode"),
-          col("comp").as("pcomp")).as("p"),
-          col("l.comp") === col("p.cnode"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp")))
-            .as("comp"))
-        .cutLineage()
+      // pointer jump (path halving) from round 3 on: a label is itself
+      // a node id, so follow it one hop — comp[n] := comp[comp[n]].
+      // Labels only decrease monotonically, so the jump is always ≤
+      // and the round count drops from O(diameter) to O(log diameter).
+      // The first two rounds skip it: dedup-shaped graphs (banded
+      // near-dup cliques, diameter 1-3) converge in 2-3 plain rounds,
+      // and the jump's label-wide self-join shuffle would be pure
+      // overhead there; deep graphs pay 2 plain rounds then go
+      // logarithmic.
+      val next = if (round < 2) prop
+        else prop.as("l")
+          .join(prop.select(col("node").as("cnode"),
+            col("comp").as("pcomp")).as("p"),
+            col("l.comp") === col("p.cnode"), "left")
+          .select(col("l.node").as("node"),
+            least(col("l.comp"), coalesce(col("pcomp"), col("l.comp")))
+              .as("comp"))
+          .cutLineage(eager = false)
       val sig = signature(next)
       converged = sig == prevSig && next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
