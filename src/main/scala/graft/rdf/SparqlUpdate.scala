@@ -414,7 +414,22 @@ object SparqlUpdate {
       }
       op match {
         case InsertData(rows) =>
-          acc.unionByName(constRelation(acc, rows)).dropDuplicates()
+          // set semantics WITHOUT a corpus-wide dedup shuffle (r12):
+          // the constant relation is tiny by construction, so already-
+          // present copies are detected by a BROADCAST semi-join (a
+          // map-side scan of the store — no exchange) and only the
+          // missing rows append. The store relation itself is
+          // set-semantic by contract (an RDF graph is a set), so no
+          // global dropDuplicates is owed here.
+          val keys = dataKeys ++ termKeys
+          val newRows = constRelation(acc, rows).dropDuplicates(keys)
+          val existing = acc
+            .join(broadcast(newRows.select(keys.map(col): _*)),
+              keys, "left_semi")
+            .select(keys.map(col): _*)
+          val missing = newRows
+            .join(broadcast(existing), keys, "left_anti")
+          acc.unionByName(missing)
         case DeleteData(rows) =>
           val keys = dataKeys ++ termKeys
           removalJoin(acc, constRelation(acc, rows)

@@ -199,6 +199,42 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
       "POLYGON((10 4, 18 4, 18 9, 10 9, 10 4))")) == 0.0)
   }
 
+  test("property: random rectilinear CONCAVE subjects clipped by random " +
+      "convex rectangles keep membership parity everywhere") {
+    val rnd = new scala.util.Random(41)
+    // random staircase (rectilinear, simple, concave) polygon: walk
+    // right along a random upper profile, return left along y=0
+    def staircase(): String = {
+      val steps = 3 + rnd.nextInt(4)
+      val xs = (0 to steps).scanLeft(0)((a, _) => a + 1 + rnd.nextInt(3))
+        .tail
+      val sb = new StringBuilder("POLYGON((0 0")
+      var px = 0
+      xs.foreach { x =>
+        val h = 1 + rnd.nextInt(8)
+        sb.append(s", $px $h, $x $h") // up/down to h, right to x
+        px = x
+      }
+      sb.append(s", $px 0, 0 0))")
+      sb.toString
+    }
+    for (_ <- 1 to 60) {
+      val subj = staircase()
+      val cx = rnd.nextInt(10); val cy = rnd.nextInt(6)
+      val cw = 1 + rnd.nextInt(10); val ch = 1 + rnd.nextInt(8)
+      val clip = s"POLYGON(($cx $cy, ${cx + cw} $cy, " +
+        s"${cx + cw} ${cy + ch}, $cx ${cy + ch}, $cx $cy))"
+      val ix = o("intersection", subj, clip)
+      assert(ix != null, s"$subj x $clip")
+      for (i <- -1 to 20; j <- -1 to 10) {
+        val px = i + 0.5; val py = j + 0.5
+        val want = member(px, py, subj) && member(px, py, clip)
+        assert(member(px, py, ix) == want,
+          s"($px,$py) subj=$subj clip=$clip ix=$ix")
+      }
+    }
+  }
+
   test("SQL surface: the graft_st_* functions register and run inside " +
       "whole-stage codegen") {
     GeomConstruct.register(spark)
