@@ -147,8 +147,11 @@ object SparqlUpdate {
       expect("{")
       val out = Seq.newBuilder[ConstQuad]
       def triplesIn(g: Option[String]): Unit = {
+        // default-graph triples may be followed by a GRAPH block in the
+        // same QuadData ({ <s> <p> <o> . GRAPH <g> { … } }) — yield
+        // back to the outer loop instead of eating GRAPH as a subject
         var more = true
-        while (more && !is("}")) {
+        while (more && !is("}") && (g.nonEmpty || !is("GRAPH"))) {
           val (s, sk) = constTerm(eat())
           val pTok = eat()
           require(pTok.startsWith("<"),
@@ -421,14 +424,25 @@ object SparqlUpdate {
           // missing rows append. The store relation itself is
           // set-semantic by contract (an RDF graph is a set), so no
           // global dropDuplicates is owed here.
+          // Both joins must be NULL-SAFE: the keys include nullable
+          // term columns (datatype/lang are null for plain literals and
+          // IRIs; graph is null for default-graph quads). Plain `=`
+          // never matches NULL=NULL, so existing statements would go
+          // undetected and INSERT DATA would append duplicates.
           val keys = dataKeys ++ termKeys
           val newRows = constRelation(acc, rows).dropDuplicates(keys)
+          val probe = keys.foldLeft(newRows.select(keys.map(col): _*))(
+            (df, k) => df.withColumnRenamed(k, s"_in_$k"))
+          val semiCond = keys
+            .map(k => nullSafe(acc(k), probe(s"_in_$k"))).reduce(_ && _)
           val existing = acc
-            .join(broadcast(newRows.select(keys.map(col): _*)),
-              keys, "left_semi")
+            .join(broadcast(probe), semiCond, "left_semi")
             .select(keys.map(col): _*)
-          val missing = newRows
-            .join(broadcast(existing), keys, "left_anti")
+          val exR = keys.foldLeft(existing)(
+            (df, k) => df.withColumnRenamed(k, s"_ex_$k"))
+          val antiCond = keys
+            .map(k => nullSafe(newRows(k), exR(s"_ex_$k"))).reduce(_ && _)
+          val missing = newRows.join(broadcast(exR), antiCond, "left_anti")
           acc.unionByName(missing)
         case DeleteData(rows) =>
           val keys = dataKeys ++ termKeys

@@ -2504,6 +2504,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(shapes(delIri) == Set(("literal", null), ("literal", "en")))
   }
 
+  test("SparqlUpdate r13: INSERT DATA is set-semantic with nullable keys") {
+    import spark.implicits._
+    import graft.rdf.SparqlUpdate
+    // datatype/lang-carrying relation: at least one key column is NULL
+    // for every row (plain literal → both null; IRI object → both null;
+    // default graph → graph null). The r12 semi/anti joins used plain
+    // equality, so NULL keys never matched and re-inserts duplicated.
+    val quads = Seq(
+      ("a", "iri", "urn:p", "x", "literal", null, null, null),
+      ("a", "iri", "urn:p", "5", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, null),
+      ("a", "iri", "urn:p", "hej", "literal", null, "sv", "g1"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    // re-insert all three existing statements → no-op, count unchanged
+    val re = SparqlUpdate.execute(quads,
+      """INSERT DATA {
+        |  <a> <urn:p> "x" .
+        |  <a> <urn:p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |  GRAPH <g1> { <a> <urn:p> "hej"@sv }
+        |}""".stripMargin)
+    assert(re.count() == 3L)
+    // a genuinely new row (same lexical form, new lang) still appends
+    val add = SparqlUpdate.execute(quads,
+      """INSERT DATA { <a> <urn:p> "x"@en }""")
+    assert(add.count() == 4L)
+    assert(add.where($"lang" === "en").count() == 1L)
+  }
+
   test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
