@@ -59,13 +59,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val maxPasses = math.max(1, envInt("SPARK_GRAFT_BENCH_RUNS", 3))
-    // Default budget sized against observed harness behavior: the r05
-    // driver run completed at ~2 600 s wall without being killed, and the
-    // artifact flushes after every run anyway, so the cost of aiming high
-    // is bounded — while the benefit (at least one timed pass after
-    // warm-up even under heavy CPU steal → min over TIME-SEPARATED
-    // samples) is what makes the numbers trustworthy at all.
-    val budgetS = math.max(1, envInt("SPARK_GRAFT_BENCH_BUDGET_S", 2400))
+    // Default budget SCALES WITH THE CATALOG (VERDICT r12 #1): a fixed
+    // 2 400 s fit a 300-query catalog but at 450 queries the cold
+    // warm-up pass alone overran it, so r12 shipped passes=0 — every
+    // number a single cold sample on a steal-prone VM. 8 s/query keeps
+    // the old floor at small catalogs and leaves room for the warm-up
+    // (~5 s/q cold) plus at least one full warm pass (~1 s/q) at any
+    // size. The artifact flushes after every run, so the cost of aiming
+    // high is bounded — while the benefit (min over TIME-SEPARATED
+    // warm samples) is what makes the numbers trustworthy at all.
+    val budgetS = math.max(1, envInt("SPARK_GRAFT_BENCH_BUDGET_S",
+      math.max(2400, 8 * names.size)))
     val bench0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - bench0) / 1e9
 

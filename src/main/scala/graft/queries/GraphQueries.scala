@@ -131,11 +131,14 @@ object GraphQueries extends QueryCatalog {
     // the DIRECTED customer→supplier trade graph — the bipartite
     // companion of q_graph_pagerank: authority(s) sums hub scores of
     // buyers, hub(c) sums authority of its suppliers. Each half-step is
-    // one edge-scan with the (node-cardinality) score vector broadcast
-    // and a map-side-partial sum; scores are SUM-normalized and rounded
-    // to 9 dp per step on BOTH engines so float order can't drift
-    // across iterations (the pagerank parity discipline). Fixed
-    // iterations keep the oracle replayable.
+    // one edge-scan with the (node-cardinality) score vector joined —
+    // SIZE-GATED broadcast (Broadcasts.sizeGated over an HLL endpoint
+    // estimate, no distinct shuffle): below ~5M nodes the vector rides
+    // map-side, above it the node id stays the shuffle key instead of
+    // OOMing the driver. Scores are SUM-normalized and rounded to 9 dp
+    // per step on BOTH engines so float order can't drift across
+    // iterations (the pagerank parity discipline). Fixed iterations
+    // keep the oracle replayable.
     "q_graph_hits" -> ((s, dir) => {
       val edges = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -145,6 +148,12 @@ object GraphQueries extends QueryCatalog {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
         .cutLineage()
+      // one map-side HLL pass bounds both score vectors' cardinality
+      val est = edges.agg(approx_count_distinct(col("sp")).as("nsp"),
+        approx_count_distinct(col("c")).as("nc")).first()
+      val nMax = math.max(est.getLong(0), est.getLong(1))
+      def gated(df: DataFrame): DataFrame =
+        graft.operators.Broadcasts.sizeGated(df, nMax)
       def normed(df: DataFrame, key: String, v: String): DataFrame = {
         val t = df.agg(sum(col(v)).as("t"))
         df.crossJoin(broadcast(t))
@@ -153,9 +162,9 @@ object GraphQueries extends QueryCatalog {
       // h0 = 1 ⇒ a1 ∝ in-degree
       val a1 = normed(edges.groupBy(col("sp"))
         .agg(count(lit(1)).cast("double").as("a")), "sp", "a")
-      val h1 = normed(edges.join(broadcast(a1), Seq("sp"))
+      val h1 = normed(edges.join(gated(a1), Seq("sp"))
         .groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
-      val a2 = normed(edges.join(broadcast(h1), Seq("c"))
+      val a2 = normed(edges.join(gated(h1), Seq("c"))
         .groupBy(col("sp")).agg(sum(col("h")).as("a")), "sp", "a")
       a2.select(col("sp").as("s_suppkey"), round(col("a"), 6).as("authority"))
         .orderBy(col("authority").desc, col("s_suppkey"))

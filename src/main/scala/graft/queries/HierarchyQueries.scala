@@ -96,12 +96,19 @@ object HierarchyQueries extends QueryCatalog {
         .unionByName(pairs.select((col("sp") * 2 + 1).as("src"),
           (col("c") * 2).as("dst")))
         .cutLineage()
-      // rank and degree vectors are node-cardinality (≪ edges) — they
-      // BROADCAST onto the edge scan, so one iteration = one pass over
-      // the edges with a map-side-partial contribution sum; each
-      // iteration's (small) rank vector is cut so the next broadcast
-      // builds from materialized rows, not the replayed plan
+      // rank and degree vectors are node-cardinality (≪ edges) — below
+      // the cap they BROADCAST onto the edge scan, so one iteration =
+      // one pass over the edges with a map-side-partial contribution
+      // sum; each iteration's rank vector is cut so the next join
+      // builds from materialized rows, not the replayed plan. The
+      // vectors grow LINEARLY with the data, so the hint is SIZE-GATED
+      // (Broadcasts.sizeGated): past ~5M nodes the node id stays the
+      // shuffle key and the joins degrade to hash exchanges instead of
+      // OOMing the driver — nn stays a 1-row broadcast at any scale.
       val nodes = edges.select(col("src").as("node")).distinct().cutLineage()
+      val nNodes = nodes.count() // exact: nodes is materialized
+      def gated(df: DataFrame): DataFrame =
+        graft.operators.Broadcasts.sizeGated(df, nNodes)
       val nn = nodes.agg(count(lit(1)).as("nn"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .cutLineage()
@@ -109,8 +116,8 @@ object HierarchyQueries extends QueryCatalog {
         .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
       val Iters = 2
       for (i <- 1 to Iters) {
-        ranks = edges.join(broadcast(ranks), col("src") === col("node"))
-          .join(broadcast(deg), Seq("src"))
+        ranks = edges.join(gated(ranks), col("src") === col("node"))
+          .join(gated(deg), Seq("src"))
           .crossJoin(broadcast(nn))
           .groupBy(col("dst"), col("nn"))
           .agg((lit(0.15) / col("nn") +

@@ -59,7 +59,9 @@ object SearchQueries extends QueryCatalog {
     "q_search_prefix_indexed" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
         s"${s.sparkContext.applicationId}/prefix_index"
-      graft.operators.PrefixIndex.build(tokens(s, dir), path)
+      graft.operators.BuildOnce(s"$path|$dir") {
+        graft.operators.PrefixIndex.build(tokens(s, dir), path)
+      }
       graft.operators.PrefixIndex.serve(s, path, "s")
     }),
 

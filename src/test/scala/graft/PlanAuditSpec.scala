@@ -1330,4 +1330,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "sfIntersects FILTER should sit below the join:\n" + ixPlan)
     assert(ix.count() == 50) // named points with x in 1..50
   }
+
+  test("r13: score-vector broadcast is size-gated — strategy flips " +
+    "past the node cap") {
+    import spark.implicits._
+    import graft.operators.Broadcasts
+    // the pagerank/HITS join shape: edges ⋈ node-keyed score vector.
+    // Below the cap the explicit hint must broadcast; at a (synthetic)
+    // node-count estimate past the cap the hint must be withheld so the
+    // node id stays the shuffle key (VERDICT r12 "What's wrong" #2 —
+    // a node-cardinality broadcast OOMs at 100× data).
+    val edges = (1 to 200).map(i => (i.toLong % 20, i.toLong))
+      .toDF("node", "dst")
+    val ranks = (0L until 20L).map(n => (n, 1.0 / 20)).toDF("node", "rank")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = edges
+        .join(Broadcasts.sizeGated(ranks, estimatedRows = 20L), Seq("node"))
+        .queryExecution.executedPlan.toString
+      assert(small.contains("BroadcastHashJoin"),
+        "below the cap the score vector should broadcast:\n" + small)
+      val big = edges
+        .join(Broadcasts.sizeGated(ranks,
+          estimatedRows = Broadcasts.MaxVectorRows + 1), Seq("node"))
+        .queryExecution.executedPlan.toString
+      assert(!big.contains("BroadcastHashJoin"),
+        "past the cap the hint must be withheld (shuffle join):\n" + big)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
