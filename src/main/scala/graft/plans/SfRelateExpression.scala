@@ -236,8 +236,10 @@ object SfRelate {
     math.signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
 
   /** Any row-edge × const-ring-edge crossing; `proper` requires all
-    * four orientation signs nonzero (interior-point crossing). */
-  private def anyEdgeCross(parts: Array[Array[Double]],
+    * four orientation signs nonzero (interior-point crossing).
+    * `private[plans]`: GeomConstruct reuses it as the non-crossing
+    * contract check on overlay outputs (ADVICE r12). */
+  private[plans] def anyEdgeCross(parts: Array[Array[Double]],
       rings: Array[Array[Double]], proper: Boolean): Boolean = {
     var p = 0
     while (p < parts.length) {

@@ -7,7 +7,8 @@ import graft.plans.{GeomConstruct, SfRelate}
 /** Constructive-geometry expression layer (GeoSPARQL §8.7
   * non-topological functions): canonical serialization, OGC boundary
   * rules, the even-odd ring algebra's exactness on membership parity,
-  * and its documented concave×concave bound. */
+  * and the band-decomposition overlay's exactness on concave×concave
+  * operands (r13 — the r12 convexity bound is gone). */
 class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
 
   private def c(op: String, wkt: String): String = {
@@ -115,11 +116,74 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("concave×concave intersection reports the documented bound (null)") {
+  test("r13: concave×concave overlay is exact via band decomposition " +
+      "(the r12 null bound is gone)") {
     val lShape = "POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
-    assert(o("intersection", lShape, lShape) == null)
-    // symDifference has no bound: concave×concave still exact
+    // idempotence: L ∩ L is the L region (a tiling of it) — parity and
+    // area both match the operand everywhere
+    val self = o("intersection", lShape, lShape)
+    assert(self != null && m("area", self) == 12.0)
+    for (i <- -1 to 9; j <- -1 to 9) {
+      val px = i + 0.5; val py = j + 0.5
+      assert(member(px, py, self) == member(px, py, lShape),
+        s"($px,$py) self=$self")
+    }
+    // symDifference stays exact (and empty) on identical operands
     assert(o("sym_difference", lShape, lShape) == "POLYGON EMPTY")
+    // two concave interlocking shapes: L and its 180°-rotated twin
+    // shifted to overlap; closed-form overlap area by cell count
+    val lRot = "POLYGON((1 1, 5 1, 5 5, 3 5, 3 3, 1 3, 1 1))"
+    val ix = o("intersection", lShape, lRot)
+    assert(ix != null)
+    for (i <- -1 to 11; j <- -1 to 11) {
+      val px = i + 0.5; val py = j + 0.5
+      val want = member(px, py, lShape) && member(px, py, lRot)
+      assert(member(px, py, ix) == want, s"($px,$py) ix=$ix")
+    }
+    // area parity: |A∩B| + |A∖B| = |A|; |A∪B| = |A|+|B|−|A∩B|
+    val ia = m("area", ix)
+    assert(ia != null)
+    assert(math.abs(m("area", o("difference", lShape, lRot)) +
+      ia - 12.0) < 1e-9)
+    assert(math.abs(m("area", o("union", lShape, lRot)) -
+      (12.0 + 12.0 - ia)) < 1e-9)
+    assert(math.abs(m("area", o("sym_difference", lShape, lRot)) -
+      (12.0 + 12.0 - 2 * ia)) < 1e-9)
+  }
+
+  test("r13: overlay outputs with crossing rings re-derive through the " +
+      "decomposition — measures are correct (ADVICE r12)") {
+    // two overlapping unit-offset squares: symDifference used to emit
+    // the two crossing rings verbatim, and area() silently returned
+    // area(a)−area(b) terms; now the XOR region tiles exactly
+    val a = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val b = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val sd = o("sym_difference", a, b)
+    assert(m("area", sd) == 6.0) // 4 + 4 − 2·1
+    for (i <- -1 to 7; j <- -1 to 7) {
+      val px = i / 2.0 + 0.25; val py = j / 2.0 + 0.25
+      assert(member(px, py, sd) == (member(px, py, a) ^ member(px, py, b)),
+        s"($px,$py) sd=$sd")
+    }
+    // union of the same pair: 7; difference: 3
+    assert(m("area", o("union", a, b)) == 7.0)
+    assert(m("area", o("difference", a, b)) == 3.0)
+    // centroid of a tiled output (every cell corner on a sibling):
+    // ringAlgebra's centroid-sample fallback, not None
+    assert(c("centroid", o("difference", a,
+      "POLYGON((0 0, 2 0, 2 1, 0 1, 0 0))")) == "POINT(1 1.5)")
+  }
+
+  test("r13: POLYGON EMPTY composes through overlays (ADVICE r12)") {
+    val a = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val far = "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"
+    val e = o("intersection", a, far)
+    assert(e == "POLYGON EMPTY")
+    // chained: intersection(intersection(a,b),c) stays empty, not null
+    assert(o("intersection", e, a) == "POLYGON EMPTY")
+    assert(o("union", e, a) == a)
+    assert(o("difference", a, e) == a)
+    assert(o("sym_difference", e, e) == "POLYGON EMPTY")
   }
 
   test("property: union/difference/symDifference membership parity " +
@@ -253,13 +317,14 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getString(2) == GeomConstruct.DefaultCrs)
     assert(row.getString(3) == "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))")
     assert(row.getString(4) == "POLYGON EMPTY")
-    // null propagation: garbage geometry and the concave×concave bound
+    // null propagation: garbage geometry; concave×concave now RESOLVES
+    // through the decomposition (r13) — 12 area units, not null
     val n = spark.sql(
       """SELECT graft_st_envelope('nope') AS a,
-        |  graft_st_intersection(
+        |  graft_st_area(graft_st_intersection(
         |    'POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))',
-        |    'POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))') AS b
+        |    'POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))')) AS b
         |""".stripMargin).collect().head
-    assert(n.isNullAt(0) && n.isNullAt(1))
+    assert(n.isNullAt(0) && n.getDouble(1) == 12.0)
   }
 }
