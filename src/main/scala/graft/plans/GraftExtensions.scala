@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GeomMeasure].getName, name),
         GeomConstruct.measureBuilder(name, op)))
     }
+    ext.injectFunction((
+      FunctionIdentifier("graft_st_buffer"),
+      new ExpressionInfo(classOf[GeomBuffer].getName, "graft_st_buffer"),
+      GeomConstruct.bufferBuilder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
     ext.injectOptimizerRule(_ => SpatialRelateJoinRewrite)
     // Post-operator-batch slot (runs ONCE, after InferFiltersFromConstraints

@@ -346,15 +346,22 @@ object GraphQueries extends QueryCatalog {
         .filter(col("node") % 50 === 0)
       var reached = sources.withColumn("dist", lit(0)).cutLineage()
       var frontier = reached
+      // ONE action per round (PERF.md #33 discipline, r13): the next
+      // frontier is cut LAZILY and count() both materializes its
+      // blocks and IS the emptiness probe — the eager-cut + isEmpty
+      // pair cost two scheduled jobs per round for the same
+      // information
+      var frontierRows = frontier.count()
       var depth = 0
-      while (depth < 3 && !frontier.isEmpty) {
+      while (depth < 3 && frontierRows > 0) {
         depth += 1
         val next = frontier
           .join(edges, frontier("node") === edges("u"))
           .select(col("v").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
           .withColumn("dist", lit(depth))
-          .cutLineage()
+          .cutLineage(eager = false)
+        frontierRows = next.count()
         reached = reached.unionByName(next).cutLineage(eager = false)
         frontier = next
       }
@@ -384,13 +391,38 @@ object GraphQueries extends QueryCatalog {
       var dist = edges.select(col("u").as("node")).distinct()
         .filter(col("node") % 50 === 0)
         .withColumn("dist", lit(0L)).cutLineage()
-      for (_ <- 1 to 4) {
+      // ONE action per round (PERF.md #33, r13): each round's relation
+      // is cut lazily and the xor-signature aggregate both materializes
+      // it and detects the fixpoint — when the relation stops changing,
+      // every later relaxation is a no-op, so exiting early returns the
+      // identical ≤4-hop minimum. Signatures equal ⇒ confirm with the
+      // exact join probe (collision costs one extra probe, never a
+      // wrong answer — the ConnectedComponents discipline).
+      def signature(df: DataFrame): Long =
+        df.agg(bit_xor(xxhash64(col("node"), col("dist"))))
+          .first() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+      var prevSig = signature(dist)
+      var round = 0
+      var converged = false
+      while (round < 4 && !converged) {
+        round += 1
         val relaxed = dist
           .join(edges, dist("node") === edges("u"))
           .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-        dist = dist.unionByName(relaxed)
+        val next = dist.unionByName(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .cutLineage()
+          .cutLineage(eager = false)
+        val sig = signature(next)
+        converged = sig == prevSig && next.as("n")
+          .join(dist.as("o"), col("n.node") === col("o.node"), "full_outer")
+          .filter(col("n.dist") =!= col("o.dist") ||
+            col("n.dist").isNull =!= col("o.dist").isNull)
+          .isEmpty
+        prevSig = sig
+        dist = next
       }
       dist.orderBy(col("node"))
     }),
@@ -440,16 +472,22 @@ object GraphQueries extends QueryCatalog {
     "q_graph_modularity" -> ((s, dir) => {
       val e0 = coSupplyEdges(s, dir).cutLineage(eager = false)
       val lab = labelPropLabels(s, dir).cutLineage(eager = false)
+      // the label map is node-cardinality — same size-gated broadcast
+      // rule as pagerank/HITS (grows with the data; the count also
+      // materializes the lazy cut once for its three consumers)
+      val nLab = lab.count()
+      def gated(df: DataFrame): DataFrame =
+        graft.operators.Broadcasts.sizeGated(df, nLab)
       val m = e0.agg(count(lit(1)).cast("double").as("m"))
       val intra = e0
-        .join(broadcast(lab).as("lu"), col("u") === col("lu.node"))
-        .join(broadcast(lab).as("lv"), col("v") === col("lv.node"))
+        .join(gated(lab).as("lu"), col("u") === col("lu.node"))
+        .join(gated(lab).as("lv"), col("v") === col("lv.node"))
         .filter(col("lu.label") === col("lv.label"))
         .groupBy(col("lu.label").as("lbl")).agg(count(lit(1)).as("ec"))
       val deg = e0.select(col("u").as("n"))
         .unionByName(e0.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val dc = deg.join(broadcast(lab), col("n") === col("node"))
+      val dc = deg.join(gated(lab), col("n") === col("node"))
         .groupBy(col("label").as("lbl"))
         .agg(sum(col("d")).cast("double").as("dc"))
       dc.join(intra, Seq("lbl"), "left_outer")

@@ -48,6 +48,7 @@ object GeoFunctions {
   val UnionFn: String = Ns + "union"
   val DifferenceFn: String = Ns + "difference"
   val SymDifferenceFn: String = Ns + "symDifference"
+  val BufferFn: String = Ns + "buffer"
   val SfWithinFn: String = Ns + "sfWithin"
   val SfContainsFn: String = Ns + "sfContains"
   val SfIntersectsFn: String = Ns + "sfIntersects"
@@ -190,6 +191,19 @@ object GeoFunctions {
     * arbitrary even-odd operands. */
   def symDifference(a: Column, b: Column): Column =
     overlayCall("graft_st_symdifference", a, b)
+
+  /** `geof:buffer(g, r, units)` (r13 — the reference's
+    * distance-threshold road match, etl_lalf_road_qrt_spatial_match):
+    * dilation by the inscribed Pythagorean 20-gon disk —
+    * [[graft.plans.GeomBuffer]]. The ring algebra is PLANAR, so only
+    * the planar unit (uom:degree, the coordinates' own unit under
+    * CRS84) is accepted; a metric radius would need geodesic math this
+    * algebra deliberately does not do — rejected loudly. */
+  def bufferGeom(g: Column, r: Column): Column = {
+    graft.plans.GeomConstruct.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_st_buffer", g.cast("string"), r.cast("double"))
+  }
 
   /** `graft_st_area(g)` — planar even-odd area of a (MULTI)POLYGON WKT
     * (holes subtract, islands add); 0 for points/curves and the empty

@@ -35,11 +35,52 @@ object QuadStore {
   val QuadCols: Seq[String] = Seq("subject", "subjectKind", "predicate",
     "objectValue", "objectKind", "datatype", "lang", "graph")
 
-  private def statsFile(path: String) =
-    java.nio.file.Paths.get(path, "_quadstats.tsv")
+  // Sidecar I/O goes through Hadoop's FileSystem — the SAME resolver
+  // the parquet write/read paths use implicitly — so a store on a
+  // non-local URI (hdfs://, s3a://) gets working staleness checks,
+  // sidecar maintenance, and emptied-partition sweeps; java.nio
+  // against such a path silently reported "missing" (ADVICE r12).
+  private def hfs(s: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
+  }
 
-  private def fpFile(path: String) =
-    java.nio.file.Paths.get(path, "_fingerprint.tsv")
+  private def readTextIfExists(s: SparkSession, p: String)
+      : Option[String] = {
+    val (f, hp) = hfs(s, p)
+    if (!f.exists(hp)) None
+    else {
+      val in = f.open(hp)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private def writeText(s: SparkSession, p: String,
+      content: String): Unit = {
+    val (f, hp) = hfs(s, p)
+    val out = f.create(hp, true)
+    try out.write(content.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def statsFile(path: String): String = path + "/_quadstats.tsv"
+
+  private def fpFile(path: String): String = path + "/_fingerprint.tsv"
+
+  private def parseStats(text: String): Map[String, Long] =
+    text.split('\n').iterator
+      .filter(_.contains('\t'))
+      .map { line =>
+        val i = line.indexOf('\t')
+        line.substring(i + 1) -> line.substring(0, i).toLong
+      }.toMap
 
   /** Input fingerprint for staleness detection (r12): the source
     * directory's parquet listing (name, size, mtime) plus a caller
@@ -58,12 +99,8 @@ object QuadStore {
   }
 
   /** Does a store at `path` exist with exactly this fingerprint? */
-  def isFresh(path: String, fp: String): Boolean = {
-    val f = fpFile(path)
-    java.nio.file.Files.exists(f) &&
-      new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8) == fp
-  }
+  def isFresh(path: String, fp: String): Boolean =
+    readTextIfExists(SparkSession.active, fpFile(path)).contains(fp)
 
   /** Bulk-load: write the quad relation as the partitioned + predicate-
     * clustered parquet layout and persist its predicate statistics
@@ -80,11 +117,8 @@ object QuadStore {
       .write.mode("overwrite").partitionBy("graph").parquet(path)
     val counts = quads.groupBy("predicate").count().collect()
       .flatMap(r => Option(r.getString(0)).map(p => s"${r.getLong(1)}\t$p"))
-    java.nio.file.Files.write(statsFile(path),
-      java.util.Arrays.asList(counts: _*),
-      java.nio.charset.StandardCharsets.UTF_8)
-    fp.foreach(v => java.nio.file.Files.write(fpFile(path),
-      v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    writeText(quads.sparkSession, statsFile(path), counts.mkString("\n"))
+    fp.foreach(v => writeText(quads.sparkSession, fpFile(path), v))
   }
 
   /** Incremental SUBJECT-LEVEL upsert (r12) — the reference's
@@ -160,26 +194,16 @@ object QuadStore {
     // them, so their old directory must be swept explicitly (partition
     // values are Hive-escaped on disk — ':' is %3A)
     affected.filterNot(remaining).foreach { g =>
-      val dir = java.nio.file.Paths.get(path, "graph=" +
+      val (f, _) = hfs(s, path)
+      val dir = new org.apache.hadoop.fs.Path(path, "graph=" +
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(g))
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      if (f.exists(dir)) f.delete(dir, true)
     }
     // arithmetic sidecar maintenance: old − removed + added
     val old: Map[String, Long] =
-      if (java.nio.file.Files.exists(statsFile(path))) {
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(statsFile(path))).asScala
-          .filter(_.contains('\t'))
-          .map { line =>
-            val i = line.indexOf('\t')
-            line.substring(i + 1) -> line.substring(0, i).toLong
-          }.toMap
-      } else Map.empty
+      readTextIfExists(s, statsFile(path)).map(parseStats)
+        .getOrElse(Map.empty)
     val merged = (old.keySet ++ removed.keySet ++ added.keySet).toSeq
       .map { p =>
         p -> (old.getOrElse(p, 0L) - removed.getOrElse(p, 0L) +
@@ -187,9 +211,7 @@ object QuadStore {
       }
       .filter(_._2 > 0)
       .map { case (p, n) => s"$n\t$p" }
-    java.nio.file.Files.write(statsFile(path),
-      java.util.Arrays.asList(merged: _*),
-      java.nio.charset.StandardCharsets.UTF_8)
+    writeText(s, statsFile(path), merged.mkString("\n"))
   }
 
   /** `foreachBatch` handler for STREAMING store maintenance: apply each
@@ -209,16 +231,9 @@ object QuadStore {
     * pass. */
   def open(s: SparkSession, path: String): DataFrame = {
     val df = s.read.parquet(path).select(QuadCols.map(col): _*)
-    val f = statsFile(path)
-    if (java.nio.file.Files.exists(f)) {
-      val m = scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(f)).asScala
-        .filter(_.contains('\t'))
-        .map { line =>
-          val i = line.indexOf('\t')
-          line.substring(i + 1) -> line.substring(0, i).toLong
-        }.toMap
-      QuadStats.registerPrecomputed(df, m)
-    } else df
+    readTextIfExists(s, statsFile(path)) match {
+      case Some(text) => QuadStats.registerPrecomputed(df, parseStats(text))
+      case None => df
+    }
   }
 }

@@ -311,7 +311,18 @@ object SparqlParser {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace &&
           "{}()./|+^[];,<>\"=!&".indexOf(s.charAt(j)) < 0) j += 1
-        out += s.substring(i, j); i = j
+        // decimal continuation (r13): an INTEGER token immediately
+        // followed by '.' and a digit is one decimal literal
+        // ("2.0", "-3.5") — a triple-terminating '.' always has the
+        // object separated by whitespace or follows a non-integer
+        // token, so the merge can't eat a statement separator
+        if (j < s.length && s.charAt(j) == '.' && j + 1 < s.length &&
+          s.charAt(j + 1).isDigit &&
+          s.substring(i, j).matches("-?[0-9]+")) {
+          var k = j + 1
+          while (k < s.length && s.charAt(k).isDigit) k += 1
+          out += s.substring(i, k); i = k
+        } else { out += s.substring(i, j); i = j }
       }
     }
     out.result()
@@ -870,6 +881,14 @@ object SparqlParser {
       GeoFunctions.differenceGeom(bindCol(a), bindCol(b))
     case BCall(GeoFunctions.SymDifferenceFn, Seq(a, b)) =>
       GeoFunctions.symDifference(bindCol(a), bindCol(b))
+    // geof:buffer(g, r, units) — planar dilation; the ring algebra's
+    // coordinate unit (uom:degree) is the only accepted unit
+    case BCall(GeoFunctions.BufferFn, Seq(g, r, BStr(units))) =>
+      if (units != GeoFunctions.UomNs + "degree")
+        throw new IllegalArgumentException(
+          s"geof:buffer units must be <${GeoFunctions.UomNs}degree> " +
+            s"(planar ring algebra), got <$units>")
+      GeoFunctions.bufferGeom(bindCol(g), bindCol(r))
     // COALESCE over unbound (null) bindings — OPTIONAL-group variables
     // are the canonical argument; null-skipping is exactly Spark's
     case BCall("COALESCE", args) if args.nonEmpty =>
@@ -2234,10 +2253,8 @@ object SparqlParser {
       val optEdges = q.optionals.map(og =>
         og.patterns.flatMap(pt => termVars(pt.s) ++ termVars(pt.p) ++
           termVars(pt.o) ++ pt.g.toSeq.flatMap(termVars)).toSet)
-      val withVars = (patternVarSets ++ filterEdges ++ bindEdges ++
-        optEdges).filter(_.nonEmpty)
-      if (withVars.length > 1) {
-        var groups = withVars.map(identity)
+      def mergeGroups(sets: Seq[Set[String]]): Seq[Set[String]] = {
+        var groups = sets
         var merged = true
         while (merged) {
           merged = false
@@ -2255,6 +2272,24 @@ object SparqlParser {
             i += 1
           }
         }
+        groups
+      }
+      // An OPTIONAL or bare BIND may only act as connectivity when it
+      // roots in AT MOST ONE main-pattern group (ADVICE r12): a
+      // left-join never removes rows and a computed binding alone never
+      // constrains, so an OPTIONAL/BIND spanning TWO main islands would
+      // "bridge" them while the main BGP still cross-joins underneath —
+      // exactly the cartesian the guard exists to catch. FILTER edges
+      // always connect: they select on the product (a θ-join by
+      // design). Main groups are computed from pattern edges alone.
+      val mainGroups = mergeGroups(patternVarSets.filter(_.nonEmpty))
+      def rootsInOneMainGroup(vs: Set[String]): Boolean =
+        mainGroups.count(_.intersect(vs).nonEmpty) <= 1
+      val withVars = (patternVarSets ++ filterEdges ++
+        bindEdges.filter(rootsInOneMainGroup) ++
+        optEdges.filter(rootsInOneMainGroup)).filter(_.nonEmpty)
+      if (withVars.length > 1) {
+        val groups = mergeGroups(withVars)
         // only groups anchored by a MAIN-component variable (pattern /
         // path / property-fn / sub-query / union / service) can
         // cartesian: BIND derivation chains rooted at constants

@@ -364,14 +364,20 @@ object SparqlUpdate {
     quads.join(rh, cond, "left_anti")
   }
 
-  /** LOAD resolver by file extension: Turtle/TriG documents parse
+  /** LOAD resolver: http(s) URLs fetch through the driver-side vocab
+    * gateway (r13, [[HttpVocab]] — the reference's `graph.parse(url)`);
+    * files dispatch by extension — Turtle/TriG documents parse
     * per-file, N-Quads/N-Triples parse line-parallel. */
   def defaultLoader(s: org.apache.spark.sql.SparkSession)
       : String => DataFrame = url => {
-    val path = if (url.startsWith("file://")) url.substring(7) else url
-    if (path.endsWith(".ttl") || path.endsWith(".trig"))
-      TurtleParser.readTrig(s, path)
-    else QuadParser.readNQuads(s, path)
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      HttpVocab.fetch(s, url)
+    else {
+      val path = if (url.startsWith("file://")) url.substring(7) else url
+      if (path.endsWith(".ttl") || path.endsWith(".trig"))
+        TurtleParser.readTrig(s, path)
+      else QuadParser.readNQuads(s, path)
+    }
   }
 
   /** Apply `update` to the quad relation, returning the updated

@@ -299,6 +299,98 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def buf(wkt: String, r: Double): String = {
+    val b = GeomConstruct.computeBuffer(wkt, r)
+    if (b == null) null else b.toString
+  }
+
+  test("r13 buffer: point dilates to the inscribed Pythagorean 20-gon " +
+      "with exact integer vertices at radius 25") {
+    val d = buf("POINT(100 100)", 25)
+    // all 20 fan vertices are integer (3-4-5 / 7-24-25 triples · 25)
+    assert(d != null && !d.contains("."), d)
+    assert(m("area", d) == 386.0 / 125 * 625) // 386/125 · r² = 1930
+    // membership: strictly inside the fan vs outside the disk
+    assert(member(100, 100, d) && member(110, 110, d)) // d≈14.1 < 24.6
+    assert(!member(126, 100, d) && !member(118, 118, d)) // 26, 25.46 out
+    // r = 0; negative r erodes — curves and points erode to empty
+    assert(buf("POINT(1 2)", 0) == "POLYGON EMPTY")
+    assert(buf("POINT(1 2)", -1) == "POLYGON EMPTY")
+    assert(buf("LINESTRING(0 0, 4 0)", -1) == "POLYGON EMPTY")
+    assert(buf("POLYGON EMPTY", 3) == "POLYGON EMPTY")
+  }
+
+  test("r13 buffer: negative radius erodes — exact inward offset for " +
+      "convex regions, anti-fan slivers at concave (hole) corners") {
+    val box = "POLYGON((0 0, 6 0, 6 6, 0 6, 0 0))"
+    // convex erosion is governed by the (exact) edge strips alone:
+    // 6×6 ⊖ 1 = the 4×4 inner box
+    assert(math.abs(m("area", buf(box, -1.0)) - 16.0) < 1e-9)
+    val e = buf(box, -1.0)
+    assert(member(3, 3, e) && !member(1.5, 0.8, e) && !member(0.5, 3, e))
+    // over-erosion: radius past the inradius empties the region
+    assert(m("area", buf(box, -3.0)) == 0.0)
+    // holed square ⊖ 1: outer erodes to [1,9]², the hole dilates to
+    // its 1-offset with INSCRIBED corner fans — only the four corner
+    // anti-fan slivers (1 − 193/250 each) survive
+    val holed = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(2 2, 8 2, 8 8, 2 8, 2 2))"
+    assert(math.abs(m("area", buf(holed, -1.0)) -
+      4 * (1 - 193.0 / 250)) < 1e-9)
+  }
+
+  test("r13 buffer: box dilation area has the closed form " +
+      "w·h + 2r(w+h) + (386/125)r²; holes shrink correctly") {
+    val box = "POLYGON((0 0, 6 0, 6 6, 0 6, 0 0))"
+    for (r <- Seq(0.5, 1.0, 1.5)) {
+      val a = m("area", buf(box, r))
+      val want = 36.0 + 2 * r * 12 + 386.0 / 125 * r * r
+      assert(math.abs(a - want) < 1e-9, s"r=$r got $a want $want")
+    }
+    // holed square, r=1: the outer boundary dilates to the 12×12 box
+    // minus four convex-corner deficits (1 − quarter-fan = 1 − 193/250
+    // each); the hole rim dilates INTO the hole, eroding the 6×6 hole
+    // to exactly 4×4 (inward offset of a convex hole has no corner
+    // rounding — the corner fans lie inside the edge strips)
+    val holed = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)," +
+      "(2 2, 8 2, 8 8, 2 8, 2 2))"
+    val a = m("area", buf(holed, 1.0))
+    val want2 = 144.0 - 4 * (1 - 193.0 / 250) - 16.0
+    assert(math.abs(a - want2) < 1e-9, s"got $a want $want2")
+    // buffered region contains the original and its near-rim exterior
+    val d = buf(box, 1.0)
+    assert(member(3, 3, d) && member(-0.5, 3, d) && member(6.5, 6.5, d))
+    assert(!member(7.2, 7.2, d)) // corner diag: d≈1.697 > 1
+  }
+
+  test("r13 buffer: polyline sweep matches exact point-to-segment " +
+      "distance outside the approximation band") {
+    val road = "LINESTRING(5 2, 15 2, 15 10, 30 10)"
+    val r = 3.5
+    val d = buf(road, r)
+    assert(d != null)
+    // exact point-to-polyline distance
+    def segDist(px: Double, py: Double, x1: Double, y1: Double,
+        x2: Double, y2: Double): Double = {
+      val dx = x2 - x1; val dy = y2 - y1
+      val t = math.max(0.0, math.min(1.0,
+        ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)))
+      math.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+    }
+    def dist(px: Double, py: Double): Double =
+      Seq((5d, 2d, 15d, 2d), (15d, 2d, 15d, 10d), (15d, 10d, 30d, 10d))
+        .map { case (a, b, c, e) => segDist(px, py, a, b, c, e) }.min
+    // integer lattice: distances are integers (axis-aligned interiors)
+    // or √(a²+b²) (endpoints); no lattice distance falls in the
+    // inscribed band (r·cos(10.31°), r] = (3.4437, 3.5] since 12 is
+    // not a sum of two squares — every probe is unambiguous
+    for (i <- 0 to 34; j <- -3 to 15) {
+      val e = dist(i, j)
+      assert(e < 3.4437 || e > 3.5, s"fixture broke band at ($i,$j): $e")
+      assert(member(i, j, d) == (e < r), s"($i,$j) d=$e")
+    }
+  }
+
   test("SQL surface: the graft_st_* functions register and run inside " +
       "whole-stage codegen") {
     GeomConstruct.register(spark)

@@ -2241,6 +2241,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // sfContains is sfWithin with the roles swapped
     assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
       FILTER(<$geofC>("$ell", ?w)) } ORDER BY ?s""") == Seq("i1", "i2"))
+    // geof:buffer (r13): the road-match composition — points within
+    // the polyline's planar buffer; only the uom:degree unit is legal
+    val geofB = "http://www.opengis.net/def/function/geosparql/buffer"
+    val geofI =
+      "http://www.opengis.net/def/function/geosparql/sfIntersects"
+    val deg = "http://www.opengis.net/def/uom/OGC/1.0/degree"
+    // distances to the segment (0,0)-(4,0): i1 → 1, i2 → 3, o1 → 3,
+    // o2 → 1; buffer r = 2 keeps i1 and o2
+    assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
+      FILTER(<$geofI>(?w, <$geofB>("LINESTRING(0 0, 4 0)", 2.0, <$deg>)))
+      } ORDER BY ?s""") == Seq("i1", "o2"))
+    intercept[IllegalArgumentException] {
+      pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
+        FILTER(<$geofI>(?w, <$geofB>("LINESTRING(0 0, 4 0)", 2.0, <$m>)))
+        }""")
+    }
     // the general (variable-polygon) path must agree with the
     // constant-polygon fast path the FILTER grammar dispatches to
     val viaCol = pts
@@ -2533,6 +2549,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(add.where($"lang" === "en").count() == 1L)
   }
 
+  test("HttpVocab r13: vocab graphs fetch over HTTP into the quad " +
+      "relation; LOAD <http://…> resolves through the gateway") {
+    import graft.rdf.{HttpVocab, SparqlUpdate}
+    import spark.implicits._
+    val ttl =
+      """PREFIX ex: <http://example.org/>
+        |ex:a ex:label "Alpha" .
+        |ex:b ex:label "Beta"@de .
+        |""".stripMargin
+    val nt = "<http://example.org/c> <http://example.org/label> " +
+      "\"Gamma\" .\n"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String, ct: String): Unit =
+      server.createContext(path,
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", ct)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        })
+    serve("/vocab.ttl", ttl, "text/turtle")
+    serve("/extra.nt", nt, "application/n-triples")
+    server.createContext("/missing",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // content-type dispatch: turtle and n-triples both land as quads
+      val v = HttpVocab.fetchAll(spark,
+        Seq(s"$base/vocab.ttl", s"$base/extra.nt"))
+      assert(v.select("objectValue").collect().map(_.getString(0))
+        .toSet == Set("Alpha", "Beta", "Gamma"))
+      assert(v.where($"lang" === "de").count() == 1)
+      // non-200 raises loudly (the reference's RuntimeError contract)
+      val e = intercept[RuntimeException] {
+        HttpVocab.fetch(spark, s"$base/missing")
+      }
+      assert(e.getMessage.contains("404"))
+      // SPARQL UPDATE LOAD over http: the gateway is the resolver
+      val quads = Seq(("s", "iri", "urn:p", "x", "literal", null, null,
+        null))
+        .toDF("subject", "subjectKind", "predicate", "objectValue",
+          "objectKind", "datatype", "lang", "graph")
+      val loaded = SparqlUpdate.execute(quads, s"LOAD <$base/extra.nt>")
+      assert(loaded.count() == 2 &&
+        loaded.where($"objectValue" === "Gamma").count() == 1)
+    } finally server.stop(0)
+  }
+
   test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
@@ -2750,6 +2819,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       """SELECT * WHERE { ?a <urn:name> ?n . ?p <urn:type> ?t }""")
       .count() == 4)
     finally spark.conf.unset("graft.sparql.allowCartesian")
+    // r13 (ADVICE r12): an OPTIONAL spanning BOTH disconnected main
+    // groups does NOT rescue them — the main BGP still cross-joins
+    // before the left-join, which never removes rows
+    val eo = intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        """SELECT * WHERE { ?a <urn:name> ?n . ?p <urn:type> ?t .
+          |OPTIONAL { ?a <urn:hasPart> ?x . ?p <urn:value> ?x } }"""
+          .stripMargin)
+    }
+    assert(eo.getMessage.contains("allowCartesian"))
+    // a bare BIND over both groups doesn't constrain either
+    val eb = intercept[IllegalArgumentException] {
+      SparqlParser.execute(quads,
+        """SELECT * WHERE { ?a <urn:name> ?n . ?p <urn:type> ?t .
+          |BIND(CONCAT(?n, ?t) AS ?c) }""".stripMargin)
+    }
+    assert(eb.getMessage.contains("allowCartesian"))
+    // but an OPTIONAL rooted in ONE group + a FILTER reaching the other
+    // stays connected (the left-join output is genuinely selected on)
+    assert(SparqlParser.execute(quads,
+      """SELECT * WHERE { ?a <urn:name> ?n . ?p <urn:type> ?t .
+        |OPTIONAL { ?a <urn:hasPart> ?x } FILTER(?x = ?p) }"""
+        .stripMargin).count() == 2)
   }
 
   test("PropertyPath.eval: step, inverse, sequence, alternation, closure") {

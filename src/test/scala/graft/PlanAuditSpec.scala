@@ -1331,6 +1331,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(ix.count() == 50) // named points with x in 1..50
   }
 
+  test("r13: BFS and SSSP loops schedule ONE job per round (lazy cut + " +
+    "probe action fused)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    def countJobs(build: => org.apache.spark.sql.DataFrame): Int = {
+      sc.addSparkListener(l)
+      // AQE materializes each shuffle stage as its own scheduler job,
+      // so "jobs" would over-count ACTIONS by the plan's stage count —
+      // the invariant under test is actions per round, measured with
+      // AQE off
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        org.apache.spark.GraftListenerBus.waitUntilEmpty(sc)
+        jobs.set(0)
+        build // loop actions run during plan CONSTRUCTION
+        org.apache.spark.GraftListenerBus.waitUntilEmpty(sc)
+        jobs.get()
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        sc.removeSparkListener(l)
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    // BFS: 1 eager seed cut + 1 initial frontier count + 3 rounds × 1
+    // fused count-and-materialize + 1 edge-relation seed job = 6
+    // (an eager-cut + isEmpty loop schedules 2/round → 9+)
+    val bfsJobs = countJobs(graft.SparkEntry.queries("q_graph_bfs")(
+      spark, dir))
+    assert(bfsJobs <= 6, s"BFS scheduled $bfsJobs jobs (want ≤ 6)")
+    // SSSP: 1 eager seed cut + 1 seed signature + per round 1 fused
+    // signature (+ the exact probe only on the convergence round) —
+    // ≤ 4 rounds → ≤ 8 jobs total
+    val ssspJobs = countJobs(graft.SparkEntry.queries("q_graph_sssp")(
+      spark, dir))
+    assert(ssspJobs <= 8, s"SSSP scheduled $ssspJobs jobs (want ≤ 8)")
+  }
+
   test("r13: score-vector broadcast is size-gated — strategy flips " +
     "past the node cap") {
     import spark.implicits._
