@@ -2239,7 +2239,13 @@ object SparqlParser {
       // cross-product filtered by the relate predicate, which
       // [[graft.plans.SpatialRelateJoinRewrite]] turns into a
       // grid-cover equi-join in rule-enabled sessions.
-      val filterEdges = q.boolFilters.map(bindExprVars)
+      val filterEdges = q.boolFilters.map(bindExprVars) ++
+        // comparison FILTERs spanning groups connect the same way
+        // (r13): `FILTER(?a = ?b)` / `FILTER(expr op expr)` select on
+        // the product — a θ-join, not an accidental cartesian
+        q.varFilters.map { case (a, _, b) => Set(a, b) } ++
+        q.exprFilters.map { case (l, _, r) =>
+          bindExprVars(l) ++ bindExprVars(r) }
       // BIND(expr AS ?v) connects ?v to the group expr's variables
       // live in (r12): a FILTER over a BIND-computed variable (e.g. a
       // geof: construct fed into a relation test) is connected, not a
