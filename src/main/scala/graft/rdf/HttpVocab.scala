@@ -68,4 +68,77 @@ object HttpVocab {
   def fetchAll(s: SparkSession, urls: Seq[String],
       timeoutMs: Int = 10000): DataFrame =
     urls.map(fetch(s, _, timeoutMs)).reduce(_ unionByName _)
+
+  /** SPARQL 1.1 Protocol client — the reference's remote-concept
+    * lookup verbatim (`cam/remote_concepts.py:23`:
+    * `requests.post(sparql_endpoint, data=query)` + non-200
+    * RuntimeError): POST the query text form-encoded, accept the W3C
+    * JSON results document, return the solution relation (one string
+    * column per head var, unbound → null; an ASK document yields one
+    * boolean `ask` column). Driver-side by design: remote answers are
+    * vocab-sized by contract and broadcast into joins — the corpus
+    * never crosses the wire. */
+  def selectRemote(s: SparkSession, endpoint: String, query: String,
+      timeoutMs: Int = 10000): DataFrame = {
+    val conn = new java.net.URL(endpoint).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type",
+      "application/x-www-form-urlencoded")
+    conn.setRequestProperty("Accept", "application/sparql-results+json")
+    try {
+      val body = "query=" + java.net.URLEncoder.encode(query, "UTF-8")
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new RuntimeException(
+          s"Failed to fetch from <$endpoint>: HTTP $code")
+      val in = conn.getInputStream
+      val text =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      parseSparqlJson(s, text)
+    } finally conn.disconnect()
+  }
+
+  /** Parse a W3C "SPARQL Query Results JSON Format" document into a
+    * solution DataFrame. Bindings surface their lexical `value` (the
+    * engine's solution relations are lexical-form strings); Jackson is
+    * Spark's own JSON library — no new dependency. */
+  def parseSparqlJson(s: SparkSession, json: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    if (root.has("boolean")) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ask",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      return s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(root.get("boolean").asBoolean())), schema)
+    }
+    val vars = root.path("head").path("vars").elements().asScala
+      .map(_.asText()).toSeq
+    require(vars.nonEmpty,
+      "SPARQL results document has no head.vars and no boolean")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      root.path("results").path("bindings").elements().asScala.map { b =>
+        org.apache.spark.sql.Row.fromSeq(vars.map(v =>
+          if (b.has(v)) b.get(v).path("value").asText() else null))
+      }.toList.asJava
+    val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+      org.apache.spark.sql.types.StructField(v,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    s.createDataFrame(rows, schema)
+  }
 }

@@ -1987,14 +1987,23 @@ object SparqlParser {
     * runs over that relation unmodified; an unregistered endpoint is
     * the reference's non-200 `RuntimeError`, loudly. */
   def executeRemote(endpoint: String, sparql: String,
-      services: Map[String, DataFrame]): DataFrame = {
-    val store = services.getOrElse(endpoint,
-      throw new IllegalArgumentException(
+      services: Map[String, DataFrame]): DataFrame =
+    services.get(endpoint) match {
+      case Some(store) => execute(store, sparql, services = services)
+      // a REAL http(s) endpoint with no registered relation goes over
+      // the wire (r13 — the reference's actual POST,
+      // cam/remote_concepts.py:23): SPARQL 1.1 Protocol via
+      // [[HttpVocab.selectRemote]]; connection/HTTP failures raise
+      // loudly, matching the reference's non-200 RuntimeError
+      case None if endpoint.startsWith("http://") ||
+          endpoint.startsWith("https://") =>
+        HttpVocab.selectRemote(
+          org.apache.spark.sql.SparkSession.active, endpoint, sparql)
+      case None => throw new IllegalArgumentException(
         s"Failed to fetch from <$endpoint>: unregistered SPARQL " +
           s"endpoint; registered: " +
-          services.keys.toSeq.sorted.mkString(", ")))
-    execute(store, sparql, services = services)
-  }
+          services.keys.toSeq.sorted.mkString(", "))
+    }
 
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString =

@@ -2602,6 +2602,58 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("HttpVocab r13: SPARQL 1.1 Protocol client — POSTed query, JSON " +
+      "results parse, ASK form, executeRemote fallback") {
+    import graft.rdf.{HttpVocab, SparqlParser}
+    val posted = new java.util.concurrent.atomic.AtomicReference[String]
+    val srj =
+      """{"head":{"vars":["s","label"]},
+        | "results":{"bindings":[
+        |  {"s":{"type":"uri","value":"urn:a"},
+        |   "label":{"type":"literal","value":"Alpha","xml:lang":"en"}},
+        |  {"s":{"type":"uri","value":"urn:b"}}
+        |]}}""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        posted.set(body)
+        val resp =
+          (if (body.contains("ASK")) """{"head":{},"boolean":true}"""
+           else srj).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          "application/sparql-results+json")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+    server.start()
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+    try {
+      val q = "SELECT ?s ?label WHERE { ?s <urn:lbl> ?label }"
+      val got = HttpVocab.selectRemote(spark, ep, q).collect()
+      // the protocol POST carried the form-encoded query text
+      assert(java.net.URLDecoder.decode(
+        posted.get.stripPrefix("query="), "UTF-8") == q)
+      // bindings parse: lexical values, unbound → null
+      assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("urn:a", "Alpha"), ("urn:b", null)))
+      // ASK document yields the one-row boolean relation
+      val ask = HttpVocab.selectRemote(spark, ep, "ASK { ?s ?p ?o }")
+      assert(ask.columns.toSeq == Seq("ask") &&
+        ask.collect().head.getBoolean(0))
+      // executeRemote: an unregistered http endpoint goes over the wire
+      val viaRemote = SparqlParser.executeRemote(ep, q, Map.empty)
+      assert(viaRemote.count() == 2)
+      // an unregistered NON-http endpoint stays the loud error
+      intercept[IllegalArgumentException] {
+        SparqlParser.executeRemote("urn:nowhere", q, Map.empty)
+      }
+    } finally server.stop(0)
+  }
+
   test("SparqlUpdate: INSERT DATA, DELETE DATA, DELETE WHERE, sequences") {
     import spark.implicits._
     import graft.rdf.SparqlUpdate
