@@ -496,13 +496,61 @@ object GeomConstruct {
     UTF8String.fromString(renderRingSet(rings))
   }
 
-  /** PROPER edge crossing anywhere in the ring set (self-crossings
-    * included; adjacent edges share endpoints, so `proper` never fires
-    * on them) — the non-crossing contract [[ringAlgebra]] requires. */
+  /** Fast-path validity: [[ringAlgebra]]'s signed decomposition needs
+    * a LAMINAR ring family (each pair nested or interior-disjoint).
+    * Two violations are detectable locally: (a) a PROPER edge crossing
+    * anywhere in the set (self-crossings included; adjacent edges
+    * share endpoints, so `proper` never fires on them), and (b) edges
+    * of DIFFERENT rings overlapping COLLINEARLY over positive length —
+    * the rectilinear way two rings partially overlap without a proper
+    * crossing (caught by the r13 staircase property test: the sign
+    * decomposition measured |A⊕B| wrong by the shared-edge region).
+    * Partially-overlapping interiors always produce one of the two;
+    * point-touches keep laminarity and the sign sampler handles them. */
   private def ringsCross(rings: Seq[Array[Double]]): Boolean = {
     if (rings.length == 0) return false
     val closed = rings.map(r => r ++ Array(r(0), r(1))).toArray
-    SfRelate.anyEdgeCross(closed, closed, proper = true)
+    if (SfRelate.anyEdgeCross(closed, closed, proper = true)) return true
+    var i = 0
+    while (i < closed.length) {
+      var j = i + 1
+      while (j < closed.length) {
+        if (collinearOverlap(closed(i), closed(j))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Any edge of `r1` collinear with an edge of `r2` and overlapping
+    * it over POSITIVE length (rings in closed form). */
+  private def collinearOverlap(r1: Array[Double],
+      r2: Array[Double]): Boolean = {
+    var i = 0
+    while (i < r1.length - 2) {
+      val ax = r1(i); val ay = r1(i + 1)
+      val bx = r1(i + 2); val by = r1(i + 3)
+      var j = 0
+      while (j < r2.length - 2) {
+        val cx = r2(j); val cy = r2(j + 1)
+        val dx = r2(j + 2); val dy = r2(j + 3)
+        val o1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        val o2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+        if (o1 == 0d && o2 == 0d) {
+          // collinear — 1-D overlap along the dominant axis
+          val horiz = math.abs(bx - ax) >= math.abs(by - ay)
+          val (a1, b1) = if (horiz) (ax, bx) else (ay, by)
+          val (c1, d1) = if (horiz) (cx, dx) else (cy, dy)
+          val lo = math.max(math.min(a1, b1), math.min(c1, d1))
+          val hi = math.min(math.max(a1, b1), math.max(c1, d1))
+          if (hi > lo) return true
+        }
+        j += 2
+      }
+      i += 2
+    }
+    false
   }
 
   /** Constructive overlay by BAND DECOMPOSITION (r13 — the header's

@@ -391,6 +391,54 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r13 property: random CONCAVE × CONCAVE staircase overlays keep " +
+      "membership parity and the area identities everywhere") {
+    val rnd = new scala.util.Random(97)
+    def staircase(x0: Int, y0: Int): String = {
+      val steps = 3 + rnd.nextInt(3)
+      val xs = (0 to steps).scanLeft(x0)((a, _) => a + 1 + rnd.nextInt(3))
+        .tail
+      val sb = new StringBuilder(s"POLYGON(($x0 $y0")
+      var px = x0
+      xs.foreach { x =>
+        val h = y0 + 1 + rnd.nextInt(7)
+        sb.append(s", $px $h, $x $h")
+        px = x
+      }
+      sb.append(s", $px $y0, $x0 $y0))")
+      sb.toString
+    }
+    for (_ <- 1 to 40) {
+      val a = staircase(rnd.nextInt(6), rnd.nextInt(4))
+      val b = staircase(rnd.nextInt(6), rnd.nextInt(4))
+      val ix = o("intersection", a, b)
+      val un = o("union", a, b)
+      val df = o("difference", a, b)
+      val sd = o("sym_difference", a, b)
+      assert(ix != null && un != null && df != null && sd != null,
+        s"$a x $b")
+      // membership parity on the off-lattice grid — both operands
+      // concave, so every op takes the decomposition path
+      for (i <- -1 to 20; j <- -1 to 12) {
+        val px = i + 0.5; val py = j + 0.5
+        val ia = member(px, py, a); val ib = member(px, py, b)
+        assert(member(px, py, ix) == (ia && ib), s"ix ($px,$py) $a $b")
+        assert(member(px, py, un) == (ia || ib), s"un ($px,$py) $a $b")
+        assert(member(px, py, df) == (ia && !ib), s"df ($px,$py) $a $b")
+        assert(member(px, py, sd) == (ia ^ ib), s"sd ($px,$py) $a $b")
+      }
+      // area identities over the measure pass (exercises the tiled-
+      // output centroid-sample sign fallback on every output)
+      val (ma, mb) = (m("area", a), m("area", b))
+      val (mi, mu, md, ms) = (m("area", ix), m("area", un),
+        m("area", df), m("area", sd))
+      assert(Seq(mi, mu, md, ms).forall(_ != null), s"$a x $b")
+      assert(math.abs(mu - (ma + mb - mi)) < 1e-9, s"|A∪B| $a $b")
+      assert(math.abs(md - (ma - mi)) < 1e-9, s"|A∖B| $a $b")
+      assert(math.abs(ms - (ma + mb - 2 * mi)) < 1e-9, s"|A⊕B| $a $b")
+    }
+  }
+
   test("SQL surface: the graft_st_* functions register and run inside " +
       "whole-stage codegen") {
     GeomConstruct.register(spark)
