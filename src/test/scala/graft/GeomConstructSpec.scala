@@ -439,6 +439,60 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r13 property: random staircase dilation AND erosion match exact " +
+      "boundary distance at r = 3.5 (band-safe for any integer " +
+      "rectilinear fixture)") {
+    // r = 3.5 keeps every integer-lattice distance to an integer
+    // axis-aligned boundary out of the inscribed-fan ambiguity band
+    // (r·cos 10.31°, r] = (3.4437, 3.5]: interior distances are
+    // integers; vertex distances are √(a²+b²) and 12 is not a sum of
+    // two squares — fixture-independent for this shape class)
+    val rnd = new scala.util.Random(131)
+    val r = 3.5
+    def segDist(px: Double, py: Double, x1: Double, y1: Double,
+        x2: Double, y2: Double): Double = {
+      val dx = x2 - x1; val dy = y2 - y1
+      val t = math.max(0.0, math.min(1.0,
+        ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)))
+      math.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+    }
+    for (_ <- 1 to 25) {
+      val steps = 3 + rnd.nextInt(3)
+      val xs = (0 to steps).scanLeft(0)((a, _) => a + 2 + rnd.nextInt(4))
+        .tail
+      val verts = scala.collection.mutable.ArrayBuffer[(Int, Int)]((0, 0))
+      var px = 0
+      xs.foreach { x =>
+        val h = 2 + rnd.nextInt(9)
+        verts += ((px, h)); verts += ((x, h))
+        px = x
+      }
+      verts += ((px, 0))
+      val ring = verts :+ verts.head
+      val poly = "POLYGON((" +
+        ring.map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+      val segs = ring.sliding(2).map(p =>
+        (p(0)._1.toDouble, p(0)._2.toDouble,
+          p(1)._1.toDouble, p(1)._2.toDouble)).toSeq
+      def bd(qx: Double, qy: Double): Double =
+        segs.map { case (a, b, c, d) => segDist(qx, qy, a, b, c, d) }.min
+      val dil = buf(poly, r)
+      val ero = buf(poly, -r)
+      assert(dil != null && ero != null, poly)
+      for (i <- -4 to 24; j <- -4 to 14) {
+        val qx = i.toDouble; val qy = j.toDouble
+        val inP = member(qx, qy, poly)
+        val d = bd(qx, qy)
+        if (d != 0.0) { // boundary lattice points are their own class
+          assert(member(qx, qy, dil) == (inP || d < r),
+            s"dil ($qx,$qy) d=$d in=$inP $poly")
+          assert(member(qx, qy, ero) == (inP && d > r),
+            s"ero ($qx,$qy) d=$d in=$inP $poly")
+        }
+      }
+    }
+  }
+
   test("SQL surface: the graft_st_* functions register and run inside " +
       "whole-stage codegen") {
     GeomConstruct.register(spark)
