@@ -59,17 +59,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val maxPasses = math.max(1, envInt("SPARK_GRAFT_BENCH_RUNS", 3))
-    // Default budget SCALES WITH THE CATALOG (VERDICT r12 #1): a fixed
-    // 2 400 s fit a 300-query catalog but at 450 queries the cold
-    // warm-up pass alone overran it, so r12 shipped passes=0 — every
-    // number a single cold sample on a steal-prone VM. 8 s/query keeps
-    // the old floor at small catalogs and leaves room for the warm-up
-    // (~5 s/q cold) plus at least one full warm pass (~1 s/q) at any
-    // size. The artifact flushes after every run, so the cost of aiming
-    // high is bounded — while the benefit (min over TIME-SEPARATED
-    // warm samples) is what makes the numbers trustworthy at all.
+    // Default budget SCALES WITH THE CATALOG (VERDICT r12 #1) but is
+    // CAPPED BELOW THE EXTERNAL KILL ENVELOPE (VERDICT r13 #1): the r13
+    // catalog-scaled budget (8·452 = 3 616 s) overshot the driver's
+    // ~3 600 s kill line, so instead of stopping cleanly and printing
+    // the final line (as r12 did), the run was killed mid-pass-1 →
+    // rc 124, parsed=null. The envelope is env-overridable
+    // (SPARK_GRAFT_BENCH_ENVELOPE_S, default 3 600); the internal
+    // budget reserves 300 s of headroom for the in-flight query, the
+    // final render and JVM/sbt shutdown. 8 s/query still keeps the old
+    // floor at small catalogs; the artifact flushes after every run
+    // AND the parseable line now prints after every pass, so even a
+    // kill leaves complete totals in the stdout tail.
+    val envelopeS = envInt("SPARK_GRAFT_BENCH_ENVELOPE_S", 3600)
     val budgetS = math.max(1, envInt("SPARK_GRAFT_BENCH_BUDGET_S",
-      math.max(2400, 8 * names.size)))
+      math.min(math.max(2400, 8 * names.size),
+        math.max(600, envelopeS - 300))))
     val bench0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - bench0) / 1e9
 
@@ -79,6 +84,10 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Int]()
       .withDefaultValue(0)
     var passesDone = 0
+    // Per-pass wall-clock at completion (VERDICT r13 next-#5): the only
+    // way to tell a steal burst (one pass crawls, its neighbors don't)
+    // from a real regression (every pass slow) in a single artifact.
+    val passWalls = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     import graft.JsonUtil.jstr
     def f3(v: Double): String = BigDecimal(v)
@@ -99,8 +108,9 @@ object Bench {
                   else "error")))
       val errJson = m(errors.map { case (k, v) => k -> jstr(v) })
       val warnJson = m(warnings.map { case (k, v) => k -> jstr(v) })
+      val wallsJson = m(passWalls.map { case (k, v) => k -> f3(v) })
       val total = timings.valuesIterator.filter(_ >= 0).sum
-      s"""{"modes":$modeJson,"warnings":$warnJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","passes":${passesDone},"completed":${timings.size},"planned":${names.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
+      s"""{"modes":$modeJson,"warnings":$warnJson,"queries":$qs,"errors":$errJson,"pass_walls":$wallsJson,"sf":"$sfDir","passes":${passesDone},"completed":${timings.size},"planned":${names.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
     }
     def flush(): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -129,6 +139,12 @@ object Bench {
       System.err.println(s"[bench] warmup $n (t=${f3(elapsedS)}s)")
       runOnce(n, warm = true)
     }
+    passWalls("warmup") = elapsedS
+    // Print the parseable line after EVERY pass, not only at clean exit
+    // (VERDICT r13 #1b): the driver's tail capture keeps the last lines
+    // of stdout, so a kill at any later point still finds a complete
+    // artifact line covering everything finished so far.
+    println(renderLine())
     // Timed passes: stop STARTING a new pass when over budget; stop
     // mid-pass too (every query already has its warm-up estimate, and
     // a partial pass still improved the prefix's mins). Alternating
@@ -145,7 +161,9 @@ object Bench {
         }
       }
       passesDone = p
+      passWalls(s"pass$p") = elapsedS
       flush()
+      println(renderLine())
     }
     println(renderLine())
     spark.stop()

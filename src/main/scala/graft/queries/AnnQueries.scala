@@ -224,11 +224,13 @@ object AnnQueries extends QueryCatalog {
       val n = Tables.embeddings(s, dir).count()
       val CM = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
       val v = vectors(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
-        s"${s.sparkContext.applicationId}/ivf_index"
-      // the index persists ONCE per (JVM, dir) — the serving split's
-      // whole point; bench re-runs probe the stored index only
-      graft.operators.BuildOnce(s"$path|$dir") {
+      val path = graft.operators.BuildOnce.scoped(
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+          s"${s.sparkContext.applicationId}/ivf_index", dir)
+      // the index persists ONCE per (JVM, dir) at a dir-scoped path —
+      // the serving split's whole point; bench re-runs probe the
+      // stored index only
+      graft.operators.BuildOnce(path) {
         graft.operators.VectorSearch.ivfWriteIndex(v, CM, path)
       }
       graft.operators.VectorSearch

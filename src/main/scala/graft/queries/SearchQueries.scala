@@ -57,9 +57,10 @@ object SearchQueries extends QueryCatalog {
     // the corpus. Same oracle as q_search_prefix by construction;
     // PlanAuditSpec pins the PartitionFilters pruning.
     "q_search_prefix_indexed" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
-        s"${s.sparkContext.applicationId}/prefix_index"
-      graft.operators.BuildOnce(s"$path|$dir") {
+      val path = graft.operators.BuildOnce.scoped(
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+          s"${s.sparkContext.applicationId}/prefix_index", dir)
+      graft.operators.BuildOnce(path) {
         graft.operators.PrefixIndex.build(tokens(s, dir), path)
       }
       graft.operators.PrefixIndex.serve(s, path, "s")

@@ -309,15 +309,18 @@ object SourceSinkQueries extends QueryCatalog {
     // filter prunes to a single partition before any row is touched
     // (PartitionFilters in the scan — asserted by PlanAuditSpec).
     "q_facet_partitioned" -> ((s, dir) => {
-      // the faceted layout is the one-time offline half — build once
-      // per (JVM, dir), serve the pruned read on every run
-      graft.operators.BuildOnce(s"${tmp(s, "docs_by_lang")}|$dir") {
+      // the faceted layout is the one-time offline half — built once
+      // per (JVM, dir) at a dir-scoped path (alternating dirs in one
+      // JVM each keep their own layout), pruned read on every run
+      val layout = graft.operators.BuildOnce.scoped(
+        tmp(s, "docs_by_lang"), dir)
+      graft.operators.BuildOnce(layout) {
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").partitionBy("lang")
-          .parquet(tmp(s, "docs_by_lang"))
+          .parquet(layout)
       }
-      s.read.parquet(tmp(s, "docs_by_lang"))
+      s.read.parquet(layout)
         .filter(col("lang") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
@@ -339,13 +342,13 @@ object SourceSinkQueries extends QueryCatalog {
     "q_join_dpp" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      graft.operators.BuildOnce(s"${tmp(s, "docs_dpp")}|$dir") {
-        docs.write.mode("overwrite").partitionBy("lang")
-          .parquet(tmp(s, "docs_dpp"))
+      val layout = graft.operators.BuildOnce.scoped(tmp(s, "docs_dpp"), dir)
+      graft.operators.BuildOnce(layout) {
+        docs.write.mode("overwrite").partitionBy("lang").parquet(layout)
       }
       val dim = docs.select(col("lang")).distinct()
         .filter(col("lang").isin("en", "es"))
-      s.read.parquet(tmp(s, "docs_dpp"))
+      s.read.parquet(layout)
         .join(broadcast(dim), Seq("lang"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))

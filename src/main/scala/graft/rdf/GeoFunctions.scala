@@ -195,14 +195,26 @@ object GeoFunctions {
   /** `geof:buffer(g, r, units)` (r13 — the reference's
     * distance-threshold road match, etl_lalf_road_qrt_spatial_match):
     * dilation by the inscribed Pythagorean 20-gon disk —
-    * [[graft.plans.GeomBuffer]]. The ring algebra is PLANAR, so only
-    * the planar unit (uom:degree, the coordinates' own unit under
-    * CRS84) is accepted; a metric radius would need geodesic math this
-    * algebra deliberately does not do — rejected loudly. */
+    * [[graft.plans.GeomBuffer]]. The ring algebra is PLANAR: uom:degree
+    * buffers in the coordinates' own unit under CRS84; uom:metre (r14)
+    * goes through [[bufferGeomMetres]]'s local equirectangular
+    * projection. */
   def bufferGeom(g: Column, r: Column): Column = {
     graft.plans.GeomConstruct.register(
       org.apache.spark.sql.SparkSession.active)
     call_function("graft_st_buffer", g.cast("string"), r.cast("double"))
+  }
+
+  /** `geof:buffer(g, r, uom:metre)` (r14 — VERDICT r13 Missing #2):
+    * metric radius via the local equirectangular projection at the
+    * geometry's own latitude and the haversine spherical constant —
+    * [[graft.plans.GeomBufferMetres]]. Same constant-folding behavior
+    * as the degree form (a constant road's metric buffer folds once
+    * for the whole scan). */
+  def bufferGeomMetres(g: Column, r: Column): Column = {
+    graft.plans.GeomConstruct.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_st_buffer_m", g.cast("string"), r.cast("double"))
   }
 
   /** `graft_st_area(g)` — planar even-odd area of a (MULTI)POLYGON WKT

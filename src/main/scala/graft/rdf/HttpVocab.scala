@@ -66,8 +66,13 @@ object HttpVocab {
   /** Union-fetch several vocab URLs into one graph — the reference's
     * `get_vocab_graph(urls)`. */
   def fetchAll(s: SparkSession, urls: Seq[String],
-      timeoutMs: Int = 10000): DataFrame =
+      timeoutMs: Int = 10000): DataFrame = {
+    // an empty URL list is a caller bug (a misconfigured vocab set),
+    // not an empty graph — fail with the actual problem, not a bare
+    // `empty.reduceLeft` (ADVICE r13)
+    require(urls.nonEmpty, "fetchAll: no vocabulary URLs given")
     urls.map(fetch(s, _, timeoutMs)).reduce(_ unionByName _)
+  }
 
   /** SPARQL 1.1 Protocol client — the reference's remote-concept
     * lookup verbatim (`cam/remote_concepts.py:23`:

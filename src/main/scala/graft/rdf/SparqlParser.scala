@@ -170,6 +170,11 @@ object SparqlParser {
       // the body is a FULL group graph pattern, parsed as a synthetic
       // `SELECT * WHERE { … }` sub-query evaluated at the endpoint
       // (r10; was triples-only)
+      serviceTexts: Seq[String] = Nil,
+      // r14, 1:1 with serviceGroups: the body re-rendered as
+      // self-contained SPARQL text (tokens are prefix-expanded before
+      // parsing, so no prologue is needed) — what goes over the wire
+      // when the endpoint is a live remote (§18.6 remote evaluation)
       unionQueries: Seq[Seq[Query]] = Nil,
       // UNION whose branches need the FULL group grammar (FILTER /
       // BIND / OPTIONAL / … inside a branch): each branch is a
@@ -881,14 +886,21 @@ object SparqlParser {
       GeoFunctions.differenceGeom(bindCol(a), bindCol(b))
     case BCall(GeoFunctions.SymDifferenceFn, Seq(a, b)) =>
       GeoFunctions.symDifference(bindCol(a), bindCol(b))
-    // geof:buffer(g, r, units) — planar dilation; the ring algebra's
-    // coordinate unit (uom:degree) is the only accepted unit
+    // geof:buffer(g, r, units) — planar dilation in uom:degree (the
+    // ring algebra's coordinate unit under CRS84); uom:metre (r14)
+    // routes through the local equirectangular projection at the
+    // geometry's own latitude
     case BCall(GeoFunctions.BufferFn, Seq(g, r, BStr(units))) =>
-      if (units != GeoFunctions.UomNs + "degree")
-        throw new IllegalArgumentException(
+      units match {
+        case u if u == GeoFunctions.UomNs + "degree" =>
+          GeoFunctions.bufferGeom(bindCol(g), bindCol(r))
+        case u if u == GeoFunctions.UomNs + "metre" ||
+            u == GeoFunctions.UomNs + "meter" =>
+          GeoFunctions.bufferGeomMetres(bindCol(g), bindCol(r))
+        case other => throw new IllegalArgumentException(
           s"geof:buffer units must be <${GeoFunctions.UomNs}degree> " +
-            s"(planar ring algebra), got <$units>")
-      GeoFunctions.bufferGeom(bindCol(g), bindCol(r))
+            s"or <${GeoFunctions.UomNs}metre>, got <$other>")
+      }
     // COALESCE over unbound (null) bindings — OPTIONAL-group variables
     // are the canonical argument; null-skipping is exactly Spark's
     case BCall("COALESCE", args) if args.nonEmpty =>
@@ -1343,6 +1355,7 @@ object SparqlParser {
     val minusQs = Seq.newBuilder[Query]
     val exQs = Seq.newBuilder[(Boolean, Query)]
     val svcs = Seq.newBuilder[(String, Boolean, Query)]
+    val svcTexts = Seq.newBuilder[String]
 
     def group(g: Option[Bgp.Term]): Unit = {
       while (!p.is("}")) {
@@ -1386,6 +1399,12 @@ object SparqlParser {
           }
           val sub = new P(List("SELECT", "*", "WHERE", "{") ++
             body.result() ++ List("}"))
+          // body tokens are already prefix-expanded, so the space-join
+          // is a self-contained query — the §18.6 text a live remote
+          // endpoint receives (string literals are single tokens, so
+          // re-joining never corrupts their content)
+          svcTexts += body.result()
+            .mkString("SELECT * WHERE { ", " ", " }")
           svcs += ((t.substring(1, t.length - 1), silent,
             parseQuery(sub)))
         } else if (p.is("{") && p.peek2.equalsIgnoreCase("SELECT")) {
@@ -1838,6 +1857,7 @@ object SparqlParser {
       fromGraphs = fromG.result(),
       fromNamed = fromN.result(),
       serviceGroups = svcs.result(),
+      serviceTexts = svcTexts.result(),
       termFilters = tFils.result(),
       verb = if (constructTpl.nonEmpty) "construct"
         else if (isAsk) "ask"
@@ -1994,16 +2014,39 @@ object SparqlParser {
       // the wire (r13 — the reference's actual POST,
       // cam/remote_concepts.py:23): SPARQL 1.1 Protocol via
       // [[HttpVocab.selectRemote]]; connection/HTTP failures raise
-      // loudly, matching the reference's non-200 RuntimeError
-      case None if endpoint.startsWith("http://") ||
-          endpoint.startsWith("https://") =>
+      // loudly, matching the reference's non-200 RuntimeError.
+      // OPT-IN ONLY (ADVICE r13): without the session flag, a typo'd
+      // registered-endpoint name or an untrusted SERVICE IRI embedded
+      // in query text must fail loudly and LOCALLY, not reach the
+      // network (nondeterministic CI failures, SSRF surface).
+      case None if (endpoint.startsWith("http://") ||
+          endpoint.startsWith("https://")) && remoteEnabled =>
+        // generous read timeout: the endpoint runs a full engine query
+        // before the first response byte (a cold plan can take tens of
+        // seconds), and the connect timeout still fails fast on a dead
+        // host
         HttpVocab.selectRemote(
-          org.apache.spark.sql.SparkSession.active, endpoint, sparql)
+          org.apache.spark.sql.SparkSession.active, endpoint, sparql,
+          timeoutMs = 300000)
       case None => throw new IllegalArgumentException(
         s"Failed to fetch from <$endpoint>: unregistered SPARQL " +
           s"endpoint; registered: " +
-          services.keys.toSeq.sorted.mkString(", "))
+          services.keys.toSeq.sorted.mkString(", ") +
+          (if (!remoteEnabled && (endpoint.startsWith("http://") ||
+            endpoint.startsWith("https://")))
+            s"; live remote execution is disabled — set " +
+              s"$RemoteEnabledKey=true to POST to real endpoints"
+          else ""))
     }
+
+  /** Session flag gating live driver-side HTTP POSTs to unregistered
+    * http(s) endpoints (`spark.graft.sparql.remote.enabled`, default
+    * false). Registered relations and the in-process [[SparqlServer]]
+    * specs that opt in are unaffected. */
+  val RemoteEnabledKey = "spark.graft.sparql.remote.enabled"
+  private def remoteEnabled: Boolean =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get(RemoteEnabledKey, "false")).toOption.contains("true")
 
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString =
@@ -2249,11 +2292,20 @@ object SparqlParser {
       // [[graft.plans.SpatialRelateJoinRewrite]] turns into a
       // grid-cover equi-join in rule-enabled sessions.
       val filterEdges = q.boolFilters.map(bindExprVars) ++
-        // comparison FILTERs spanning groups connect the same way
-        // (r13): `FILTER(?a = ?b)` / `FILTER(expr op expr)` select on
-        // the product — a θ-join, not an accidental cartesian
-        q.varFilters.map { case (a, _, b) => Set(a, b) } ++
-        q.exprFilters.map { case (l, _, r) =>
+        // only EQUALITY-shaped comparison FILTERs fully connect
+        // (ADVICE r13): `FILTER(?a = ?b)` is an equi-θ-join Catalyst
+        // hash-joins; an INEQUALITY (`?a != ?b`, `?a < ?b`) selects on
+        // the product but still EVALUATES as a near-full cartesian —
+        // those form the soft tier below (warn, don't silence)
+        q.varFilters.collect { case (a, "=", b) => Set(a, b) } ++
+        q.exprFilters.collect { case (l, "=", r) =>
+          bindExprVars(l) ++ bindExprVars(r) }
+      // the soft tier: non-equality comparisons bridging groups keep
+      // the query runnable (a deliberate band/range θ-join is a real
+      // query shape) but emit a loud warning — the product is paid
+      val weakEdges = q.varFilters.collect {
+        case (a, op, b) if op != "=" => Set(a, b) } ++
+        q.exprFilters.collect { case (l, op, r) if op != "=" =>
           bindExprVars(l) ++ bindExprVars(r) }
       // BIND(expr AS ?v) connects ?v to the group expr's variables
       // live in (r12): a FILTER over a BIND-computed variable (e.g. a
@@ -2312,11 +2364,24 @@ object SparqlParser {
         // left-join the solution stream — they cannot multiply it
         val mainVars: Set[String] = patternVarSets.flatten.toSet
         val anchored = groups.filter(_.exists(mainVars))
-        require(anchored.length <= 1,
-          "disconnected patterns cross-join (the SPARQL cartesian) — " +
-            s"variable groups: ${anchored.map(_.toSeq.sorted.mkString("?", " ?", ""))
-                .mkString("{", "} {", "}")}; " +
-            "set graft.sparql.allowCartesian=true to allow")
+        if (anchored.length > 1) {
+          // second chance: groups bridged ONLY by inequality filters
+          // run (a deliberate range θ-join) but warn — the engine
+          // still evaluates the full product under the filter
+          val softGroups = mergeGroups(withVars ++ weakEdges.filter(_.nonEmpty))
+            .filter(_.exists(mainVars))
+          require(softGroups.length <= 1,
+            "disconnected patterns cross-join (the SPARQL cartesian) — " +
+              s"variable groups: ${anchored.map(_.toSeq.sorted.mkString("?", " ?", ""))
+                  .mkString("{", "} {", "}")}; " +
+              "set graft.sparql.allowCartesian=true to allow")
+          System.err.println(
+            "[graft] warning: pattern groups " +
+              anchored.map(_.toSeq.sorted.mkString("?", " ?", ""))
+                .mkString("{", "} {", "}") +
+              " are connected only by non-equality FILTERs — the join " +
+              "evaluates as a filtered cartesian product")
+        }
       }
     }
 
@@ -2386,7 +2451,7 @@ object SparqlParser {
     }
     q.subqueries.foreach(sq =>
       components += executeQuery(quads, sq, functions, services))
-    q.serviceGroups.foreach { case (iri, silent, svcQ) =>
+    q.serviceGroups.zipWithIndex.foreach { case ((iri, silent, svcQ), i) =>
       services.get(iri) match {
         case Some(rel) =>
           // the body executes AT the endpoint over its relation, full
@@ -2395,6 +2460,18 @@ object SparqlParser {
           components += executeQuery(
             graft.operators.Checkpoints.cutOnce(rel, eager = false),
             svcQ, functions, services)
+        // live federation (r14): an unregistered http(s) endpoint with
+        // the remote opt-in POSTs the captured body text — §18.6's
+        // actual remote evaluation, the SPARQL 1.1 Protocol on the
+        // wire; the solution relation joins like any component.
+        // SILENT swallows transport/endpoint failures per spec.
+        case None if (iri.startsWith("http://") ||
+            iri.startsWith("https://")) && remoteEnabled &&
+            q.serviceTexts.isDefinedAt(i) =>
+          try components += HttpVocab.selectRemote(
+            org.apache.spark.sql.SparkSession.active, iri,
+            q.serviceTexts(i), timeoutMs = 300000)
+          catch { case e: Exception if silent => () }
         case None if silent => () // spec: SILENT failures are ignored
         case None => throw new IllegalArgumentException(
           s"unregistered SERVICE endpoint <$iri>" +

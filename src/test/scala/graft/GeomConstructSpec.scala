@@ -493,6 +493,66 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def bufM(wkt: String, rM: Double): String = {
+    val b = GeomConstruct.computeBufferMetres(wkt, rM)
+    if (b == null) null else b.toString
+  }
+
+  test("r14 metre buffer: equator point = the degree buffer of the " +
+      "converted radius; latitude widens the fan by 1/cos phi in lon") {
+    val rM = 2.0 * GeomConstruct.MetresPerDegree // exactly 2 degrees of arc
+    // at the equator cos(0) = 1: the metre form IS the degree form
+    assert(bufM("POINT(10 0)", rM) == buf("POINT(10 0)", 2.0))
+    // at latitude 60 the lon scale is cos60 = 0.5: the fan's lon extent
+    // doubles while its lat extent stays 2 — check via membership
+    val d60 = bufM("POINT(10 60)", rM)
+    assert(member(13.5, 60, d60)) // 3.5 deg lon ≈ 1.75 arc-deg < 2·cos9°
+    assert(!member(10, 62.5, d60)) // 2.5 deg lat: outside
+    assert(!member(14.5, 60, d60)) // 4.5 deg lon ≈ 2.25 arc-deg: outside
+    // erosion and empties behave like the degree form
+    assert(bufM("POINT(1 2)", -1.0) == "POLYGON EMPTY")
+    assert(bufM("POLYGON EMPTY", 5.0) == "POLYGON EMPTY")
+    assert(bufM("nope", 5.0) == null)
+    // area scales by exactly 1/cos phi vs the same-radius equator fan
+    // (the inverse lon unscale is a pure x-stretch of the 20-gon)
+    val a0 = m("area", bufM("POINT(0 0)", rM))
+    val a60 = m("area", bufM("POINT(0 60)", rM))
+    assert(math.abs(a60 * Math.cos(Math.toRadians(60)) - a0) < 1e-6,
+      s"$a0 vs $a60")
+  }
+
+  test("r14 metre buffer: SPARQL geof:buffer dispatches uom:metre and " +
+      "keeps uom:degree; unknown units reject loudly") {
+    import spark.implicits._
+    val quads = Seq(
+      ("urn:s", "iri", "http://www.opengis.net/ont/geosparql#asWKT",
+        "POINT(10 0)", "literal",
+        "http://www.opengis.net/ont/geosparql#wktLiteral", null, "urn:g"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    val rM = 2.0 * GeomConstruct.MetresPerDegree
+    val got = graft.rdf.SparqlParser.execute(quads,
+      s"""PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+         |PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+         |PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/>
+         |SELECT ?bm ?bd WHERE {
+         |  ?s geo:asWKT ?w .
+         |  BIND(geof:buffer(?w, $rM, uom:metre) AS ?bm)
+         |  BIND(geof:buffer(?w, 2.0, uom:degree) AS ?bd)
+         |}""".stripMargin).collect().head
+    assert(got.getString(0) == got.getString(1)) // equator: identical
+    val e = intercept[Exception] {
+      graft.rdf.SparqlParser.execute(quads,
+        """PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+          |PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/>
+          |SELECT ?b WHERE { ?s geo:asWKT ?w .
+          |  BIND(geof:buffer(?w, 1.0, uom:radian) AS ?b) }""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("geof:buffer units"))
+  }
+
   test("SQL surface: the graft_st_* functions register and run inside " +
       "whole-stage codegen") {
     GeomConstruct.register(spark)

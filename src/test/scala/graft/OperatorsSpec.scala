@@ -2644,9 +2644,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       val ask = HttpVocab.selectRemote(spark, ep, "ASK { ?s ?p ?o }")
       assert(ask.columns.toSeq == Seq("ask") &&
         ask.collect().head.getBoolean(0))
-      // executeRemote: an unregistered http endpoint goes over the wire
-      val viaRemote = SparqlParser.executeRemote(ep, q, Map.empty)
-      assert(viaRemote.count() == 2)
+      // executeRemote reaches the wire ONLY with the opt-in flag
+      // (ADVICE r13: default must fail loudly and locally — SSRF /
+      // nondeterministic-CI surface otherwise)
+      intercept[IllegalArgumentException] {
+        SparqlParser.executeRemote(ep, q, Map.empty)
+      }
+      spark.conf.set(SparqlParser.RemoteEnabledKey, "true")
+      try {
+        val viaRemote = SparqlParser.executeRemote(ep, q, Map.empty)
+        assert(viaRemote.count() == 2)
+      } finally spark.conf.unset(SparqlParser.RemoteEnabledKey)
       // an unregistered NON-http endpoint stays the loud error
       intercept[IllegalArgumentException] {
         SparqlParser.executeRemote("urn:nowhere", q, Map.empty)

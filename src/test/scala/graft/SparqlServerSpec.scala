@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rdf.{HttpVocab, SparqlParser, SparqlServer}
+
+/** The serving loop with CLIENT AND SERVER both this engine (VERDICT
+  * r13 next-#3): [[SparqlServer]] wraps `SparqlParser.execute` over a
+  * quad relation behind the SPARQL 1.1 Protocol; the existing protocol
+  * client ([[HttpVocab.selectRemote]], `SparqlParser.executeRemote`,
+  * and the live `SERVICE <http://…>` branch) round-trips against it —
+  * the reference's web-UI / autocomplete serving shape
+  * (`cam/web/app.py:37-44`, `cam/graphdb.py:5-35`) with no mock on
+  * either side of the wire. */
+class SparqlServerSpec extends AnyFunSuite with SparkTestBase {
+
+  private def quadDf = {
+    import spark.implicits._
+    Seq(
+      ("urn:a", "iri", "https://schema.org/name", "Alpha", "literal",
+        null, "en", "urn:g:1"),
+      ("urn:b", "iri", "https://schema.org/name", "Beta", "literal",
+        null, null, "urn:g:1"),
+      ("urn:a", "iri", "urn:p:score", "3", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g:1"),
+      ("urn:c", "iri", "https://schema.org/name", "a \"quoted\" name",
+        "literal", null, null, "urn:g:2"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+  }
+
+  test("SparqlServer r14: SELECT over GET, form POST, and direct POST " +
+      "all answer the W3C JSON document the engine's own client parses") {
+    val h = SparqlServer.serve(quadDf)
+    try {
+      val q = "SELECT ?s ?n WHERE { ?s <https://schema.org/name> ?n } " +
+        "ORDER BY ?s"
+      // client = this engine's protocol client (form POST)
+      val viaClient = HttpVocab.selectRemote(spark, h.endpoint, q, timeoutMs = 120000)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(viaClient ==
+        Seq(("urn:a", "Alpha"), ("urn:b", "Beta"),
+          ("urn:c", "a \"quoted\" name")))
+      // GET form: same document
+      val enc = java.net.URLEncoder.encode(q, "UTF-8")
+      val (getBody, getCt) =
+        HttpVocab.get(s"${h.endpoint}?query=$enc", timeoutMs = 120000)
+      assert(getCt.startsWith("application/sparql-results+json"))
+      val viaGet = HttpVocab.parseSparqlJson(spark, getBody)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(viaGet == viaClient)
+      // direct application/sparql-query POST
+      val conn = new java.net.URL(h.endpoint).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/sparql-query")
+      conn.setReadTimeout(120000)
+      val os = conn.getOutputStream
+      os.write(q.getBytes("UTF-8")); os.close()
+      assert(conn.getResponseCode == 200)
+      val direct = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      val viaDirect = HttpVocab.parseSparqlJson(spark, direct)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(viaDirect == viaClient)
+    } finally h.stop()
+  }
+
+  test("SparqlServer r14: ASK, CONSTRUCT-as-nquads, 400 on missing " +
+      "query, 500 on malformed query") {
+    val h = SparqlServer.serve(quadDf)
+    try {
+      // ASK → boolean document → the client's one-row boolean relation
+      val ask = HttpVocab.selectRemote(spark, h.endpoint,
+        "ASK { ?s <urn:p:score> ?v }", timeoutMs = 120000)
+      assert(ask.columns.toSeq == Seq("ask") &&
+        ask.collect().head.getBoolean(0))
+      // CONSTRUCT: N-Quads text with the right content type
+      val q = java.net.URLEncoder.encode(
+        "CONSTRUCT { ?s <urn:p:named> ?n } WHERE " +
+          "{ ?s <https://schema.org/name> ?n }", "UTF-8")
+      val (nq, ct) = {
+        val conn = new java.net.URL(s"${h.endpoint}?query=$q")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(120000)
+        try {
+          if (conn.getResponseCode != 200)
+            fail(s"HTTP ${conn.getResponseCode}: " + new String(
+              conn.getErrorStream.readAllBytes(), "UTF-8"))
+          (new String(conn.getInputStream.readAllBytes(), "UTF-8"),
+            conn.getContentType)
+        } finally conn.disconnect()
+      }
+      assert(ct.startsWith("application/n-quads"))
+      assert(nq.linesIterator.size == 3 &&
+        nq.contains("<urn:a> <urn:p:named> \"Alpha\""))
+      // missing query → 400; malformed → 500 (the client raises the
+      // reference's non-200 RuntimeError on both)
+      def codeOf(url: String): Int = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try c.getResponseCode finally c.disconnect()
+      }
+      assert(codeOf(h.endpoint) == 400)
+      assert(codeOf(s"${h.endpoint}?query=NOT%20SPARQL") == 500)
+      intercept[RuntimeException] {
+        HttpVocab.selectRemote(spark, h.endpoint, "NOT SPARQL")
+      }
+    } finally h.stop()
+  }
+
+  test("SparqlServer r14: a SERVICE clause traverses the real local " +
+      "HTTP loop — engine federates to engine over the wire") {
+    import spark.implicits._
+    // the local store: scores; the REMOTE endpoint: names
+    val local = Seq(
+      ("urn:a", "iri", "urn:p:score", "3", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g:1"),
+      ("urn:b", "iri", "urn:p:score", "7", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g:1"),
+      ("urn:z", "iri", "urn:p:score", "9", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g:1"))
+      .toDF("subject", "subjectKind", "predicate", "objectValue",
+        "objectKind", "datatype", "lang", "graph")
+    val h = SparqlServer.serve(quadDf)
+    try {
+      // without the opt-in the unregistered http endpoint fails loudly
+      intercept[IllegalArgumentException] {
+        SparqlParser.execute(local,
+          s"""SELECT ?s ?v ?n WHERE {
+             |  ?s <urn:p:score> ?v .
+             |  SERVICE <${h.endpoint}> {
+             |    ?s <https://schema.org/name> ?n . }
+             |} ORDER BY ?s""".stripMargin)
+      }
+      spark.conf.set(SparqlParser.RemoteEnabledKey, "true")
+      try {
+        val got = SparqlParser.execute(local,
+          s"""SELECT ?s ?v ?n WHERE {
+             |  ?s <urn:p:score> ?v .
+             |  SERVICE <${h.endpoint}> {
+             |    ?s <https://schema.org/name> ?n . }
+             |} ORDER BY ?s""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getString(2))).toSeq
+        // urn:z has no remote name → inner join drops it
+        assert(got == Seq(("urn:a", "3", "Alpha"), ("urn:b", "7", "Beta")))
+        // SILENT + a dead endpoint is still the spec'd no-op
+        val silent = SparqlParser.execute(local,
+          """SELECT ?s ?v WHERE {
+            |  ?s <urn:p:score> ?v .
+            |  SERVICE SILENT <http://127.0.0.1:9/sparql> {
+            |    ?s <https://schema.org/name> ?n . }
+            |} ORDER BY ?s""".stripMargin)
+        assert(silent.count() == 3)
+      } finally spark.conf.unset(SparqlParser.RemoteEnabledKey)
+    } finally h.stop()
+  }
+}
