@@ -327,7 +327,24 @@ object SparqlParser {
           var k = j + 1
           while (k < s.length && s.charAt(k).isDigit) k += 1
           out += s.substring(i, k); i = k
-        } else { out += s.substring(i, j); i = j }
+        } else {
+          // a path quantifier glued to a prefixed name ("ex:edge*",
+          // "ex:edge?") splits into its own token (r14, W3C sample:
+          // `*`/`?` are not stop-chars like `+`, so the quantifier was
+          // swallowed into the name and expanded into a nonexistent
+          // IRI). A variable token starts with '?' and is never split;
+          // the bare "*" of `SELECT *`/`COUNT(*)` is length 1.
+          var tok = s.substring(i, j)
+          i = j
+          val quants = List.newBuilder[String]
+          while (tok.length > 1 && !tok.startsWith("?") &&
+            (tok.last == '*' || tok.last == '?')) {
+            quants += tok.last.toString
+            tok = tok.dropRight(1)
+          }
+          out += tok
+          quants.result().reverse.foreach(out += _)
+        }
       }
     }
     out.result()
@@ -376,7 +393,25 @@ object SparqlParser {
   private class P(var ts: List[String]) {
     def peek: String = ts.headOption.getOrElse("<eof>")
     def peek2: String = ts.drop(1).headOption.getOrElse("<eof>")
-    def eat(): String = { val h = peek; ts = ts.drop(1); h }
+    // Watchdog (r14, W3C syntax-negative sample): a truncated query
+    // ("SELECT ?x WHERE { ?x <p> ?v", "ASK { ?s <p>") used to spin a
+    // grammar loop at end-of-input forever, accumulating "<eof>"
+    // pseudo-terms until the heap died — a driver DoS now that
+    // [[SparqlServer]] accepts query text over HTTP. Reading past the
+    // end a bounded number of times is legal (several sites probe one
+    // "<eof>" sentinel and throw their own message); reading past it
+    // repeatedly can only be a non-consuming loop, so fail loudly.
+    private var eofReads = 0
+    def eat(): String = {
+      val h = peek
+      if (ts.isEmpty) {
+        eofReads += 1
+        require(eofReads < 64,
+          "unexpected end of query — unterminated group or triple")
+      }
+      ts = ts.drop(1)
+      h
+    }
     def expect(t: String): Unit = {
       val h = eat()
       require(h.equalsIgnoreCase(t), s"expected '$t', got '$h'")
@@ -640,9 +675,9 @@ object SparqlParser {
     }
   }
 
-  /** `expr := atom (('+'|'-'|'*'|'/') atom)*` (left-assoc, one
-    * precedence level); `atom := ?v | "lit" | <iri> | int | FN(args)
-    * | '(' expr ')'`. */
+  /** `expr := mul (('+'|'-') mul)*`; `mul := atom (('*'|'/') atom)*`
+    * (each level left-assoc — XPath/SPARQL §17.3 precedence, r14);
+    * `atom := ?v | "lit" | <iri> | int | FN(args) | '(' expr ')'`. */
   private def bindExpr(p: P): BindExpr = {
     def atom(): BindExpr =
       if (p.is("(")) { p.eat(); val e = full(); p.expect(")"); e }
@@ -691,11 +726,23 @@ object SparqlParser {
           BStr(tok.substring(1, tok.length - 1))
         else BNum(tok.toDouble)
       }
-    def full(): BindExpr = {
+    // XPath/SPARQL §17.3 operator precedence (r14, W3C sample caught a
+    // flat left-to-right chain evaluating ?v + 2 * 3 as (?v+2)*3):
+    // multiplicative binds tighter than additive, each level
+    // left-associative
+    def mul(): BindExpr = {
       var e = atom()
-      while (p.is("+") || p.is("-") || p.is("*") || p.is("/")) {
+      while (p.is("*") || p.is("/")) {
         val op = p.eat()
         e = BArith(op, e, atom())
+      }
+      e
+    }
+    def full(): BindExpr = {
+      var e = mul()
+      while (p.is("+") || p.is("-")) {
+        val op = p.eat()
+        e = BArith(op, e, mul())
       }
       e
     }

@@ -498,6 +498,59 @@ class GeomConstructSpec extends AnyFunSuite with SparkTestBase {
     if (b == null) null else b.toString
   }
 
+  test("r14 property: buffer is MONOTONE in the radius — memberships " +
+      "nest and areas are monotone for dilation and erosion (degree " +
+      "and metre forms)") {
+    // structural, band-independent: the edge strips and vertex fans at
+    // a larger radius contain the smaller radius' pieces outright (same
+    // directions, same anchors, strictly larger extents), so the
+    // arrangement union nests — even boundary points of the smaller
+    // buffer are interior to the larger one
+    val rnd = new scala.util.Random(211)
+    for (_ <- 1 to 12) {
+      val steps = 3 + rnd.nextInt(3)
+      val xs = (0 to steps).scanLeft(0)((a, _) => a + 2 + rnd.nextInt(4))
+        .tail
+      val verts = scala.collection.mutable.ArrayBuffer[(Int, Int)]((0, 0))
+      var px = 0
+      xs.foreach { x =>
+        val h = 2 + rnd.nextInt(9)
+        verts += ((px, h)); verts += ((x, h))
+        px = x
+      }
+      verts += ((px, 0))
+      val ring = verts :+ verts.head
+      val poly = "POLYGON((" +
+        ring.map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+      val radii = Seq(0.75, 1.75, 2.75, 3.75)
+      val dils = radii.map(r => buf(poly, r))
+      val eros = radii.map(r => buf(poly, -r))
+      assert(dils.forall(_ != null) && eros.forall(_ != null), poly)
+      val dAreas = dils.map(d => m("area", d))
+      assert(dAreas.zip(dAreas.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"dilation area monotone $poly: $dAreas")
+      val eAreas = eros.map(e => m("area", e)) // over-eroded → EMPTY → 0
+      assert(eAreas.zip(eAreas.tail).forall { case (a, b) => b <= a + 1e-9 },
+        s"erosion area antitone $poly: $eAreas")
+      for (i <- -4 to 24; j <- -4 to 14) {
+        val qx = i + 0.5; val qy = j + 0.5
+        val ds = dils.map(d => member(qx, qy, d))
+        assert(ds.zip(ds.tail).forall { case (a, b) => !a || b },
+          s"dilation nesting ($qx,$qy) $poly")
+        val es = eros.map(e => member(qx, qy, e))
+        assert(es.zip(es.tail).forall { case (a, b) => !b || a },
+          s"erosion nesting ($qx,$qy) $poly")
+      }
+      // metre form: same fixed projection for every radius (phi0 is a
+      // function of the input alone) → same monotonicity
+      val rM0 = GeomConstruct.MetresPerDegree
+      val mAreas = Seq(0.75, 1.75, 2.75).map(f =>
+        m("area", bufM(poly, f * rM0)))
+      assert(mAreas.zip(mAreas.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"metre dilation area monotone $poly: $mAreas")
+    }
+  }
+
   test("r14 metre buffer: equator point = the degree buffer of the " +
       "converted radius; latitude widens the fan by 1/cos phi in lon") {
     val rM = 2.0 * GeomConstruct.MetresPerDegree // exactly 2 degrees of arc

@@ -2252,9 +2252,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
       FILTER(<$geofI>(?w, <$geofB>("LINESTRING(0 0, 4 0)", 2.0, <$deg>)))
       } ORDER BY ?s""") == Seq("i1", "o2"))
+    // uom:metre is legal since r14 (local equirectangular projection);
+    // 2 arc-degrees of metres at the equator-ish fixture reproduces the
+    // degree answer, and an UNKNOWN unit still rejects loudly
+    val twoDegM = 2.0 * graft.plans.GeomConstruct.MetresPerDegree
+    assert(pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
+      FILTER(<$geofI>(?w, <$geofB>("LINESTRING(0 0, 4 0)", $twoDegM, <$m>)))
+      } ORDER BY ?s""") == Seq("i1", "o2"))
     intercept[IllegalArgumentException] {
       pvals(s"""SELECT ?s WHERE { ?s <urn:g> ?w .
-        FILTER(<$geofI>(?w, <$geofB>("LINESTRING(0 0, 4 0)", 2.0, <$m>)))
+        FILTER(<$geofI>(?w, <$geofB>("LINESTRING(0 0, 4 0)", 2.0,
+          <http://www.opengis.net/def/uom/OGC/1.0/radian>)))
         }""")
     }
     // the general (variable-polygon) path must agree with the
