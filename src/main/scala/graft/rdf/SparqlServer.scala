@@ -46,12 +46,26 @@ object SparqlServer {
 
   /** Serve `quads` at `http://127.0.0.1:port/sparql` (port 0 = pick a
     * free one). `functions`/`services` pass through to the executor —
-    * a served endpoint can itself federate to registered relations. */
+    * a served endpoint can itself federate to registered relations.
+    *
+    * `maxResultRows` bounds what one request may pull onto the driver:
+    * the serving contract is LIMIT-bounded pages, and an unbounded
+    * `SELECT ?s ?p ?o` over a big store would otherwise collect the
+    * corpus into the JSON document on the handler thread. Over the cap
+    * the request fails LOUDLY with 413 (never silent truncation — a
+    * cut-off result set would read as the complete answer). */
   def serve(quads: DataFrame, port: Int = 0,
       functions: Map[String, SparqlParser.PropertyFunction] = Map.empty,
       services: Map[String, DataFrame] = Map.empty,
-      poolSize: Int = 4): Handle = {
+      poolSize: Int = 4,
+      maxResultRows: Long = 100000L): Handle = {
     def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      // one cheap probe job: count at most cap+1 rows, never the corpus
+      // (a cap at Int.MaxValue or above disables the check)
+      def overCap(df: DataFrame): Boolean = {
+        val probe = math.min(maxResultRows, Int.MaxValue - 2L).toInt + 1
+        df.limit(probe).count() > maxResultRows
+      }
       def respond(code: Int, ct: String, body: String): Unit = {
         val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", ct)
@@ -70,6 +84,10 @@ object SparqlServer {
             if (cols == Seq("ask"))
               respond(200, "application/sparql-results+json",
                 SparqlResults.askJson(result).collect().head.getString(0))
+            else if (overCap(result))
+              respond(413, "text/plain",
+                s"result exceeds $maxResultRows rows — page with " +
+                  "LIMIT/OFFSET (SPARQL 1.1 §15.5)")
             else if (cols.contains("subject") &&
                 cols.contains("predicate") && cols.contains("objectValue")) {
               // CONSTRUCT/DESCRIBE: a quad relation → N-Quads text

@@ -108,6 +108,21 @@ class SparqlServerSpec extends AnyFunSuite with SparkTestBase {
         HttpVocab.selectRemote(spark, h.endpoint, "NOT SPARQL")
       }
     } finally h.stop()
+    // over-cap result sets fail LOUDLY with 413 (no silent truncation)
+    val capped = SparqlServer.serve(quadDf, maxResultRows = 2L)
+    try {
+      val e = intercept[RuntimeException] {
+        HttpVocab.selectRemote(spark, capped.endpoint,
+          "SELECT ?s ?n WHERE { ?s <https://schema.org/name> ?n }",
+          timeoutMs = 120000)
+      }
+      assert(e.getMessage.contains("413"), e.getMessage)
+      // a LIMIT-paged query under the cap still answers
+      val page = HttpVocab.selectRemote(spark, capped.endpoint,
+        "SELECT ?s ?n WHERE { ?s <https://schema.org/name> ?n } " +
+          "ORDER BY ?s LIMIT 2", timeoutMs = 120000)
+      assert(page.count() == 2)
+    } finally capped.stop()
   }
 
   test("SparqlServer r14: a SERVICE clause traverses the real local " +
