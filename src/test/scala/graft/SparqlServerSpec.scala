@@ -169,6 +169,25 @@ class SparqlServerSpec extends AnyFunSuite with SparkTestBase {
             |    ?s <https://schema.org/name> ?n . }
             |} ORDER BY ?s""".stripMargin)
         assert(silent.count() == 3)
+        // body re-rendering fidelity: the POSTed text is a space-join
+        // of the captured tokens, so FILTERs and literals with spaces
+        // and escaped quotes must survive the wire verbatim — the
+        // remote filters on "a \"quoted\" name"'s inner word and only
+        // urn:c comes back
+        val localC = local.unionByName(
+          Seq(("urn:c", "iri", "urn:p:score", "5", "literal",
+            "http://www.w3.org/2001/XMLSchema#integer", null, "urn:g:1"))
+            .toDF("subject", "subjectKind", "predicate", "objectValue",
+              "objectKind", "datatype", "lang", "graph"))
+        val filtered = SparqlParser.execute(localC,
+          s"""SELECT ?s ?n WHERE {
+             |  ?s <urn:p:score> ?v .
+             |  SERVICE <${h.endpoint}> {
+             |    ?s <https://schema.org/name> ?n .
+             |    FILTER(CONTAINS(?n, "\\"quoted\\" name")) }
+             |} ORDER BY ?s""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        assert(filtered == Seq(("urn:c", "a \"quoted\" name")))
       } finally spark.conf.unset(SparqlParser.RemoteEnabledKey)
     } finally h.stop()
   }
