@@ -127,12 +127,18 @@ object Bgp {
     minusGroups.foldLeft(select(quads, required, dedup)) { (acc, group) =>
       val neg = select(quads, group)
       val shared = acc.columns.toSet.intersect(neg.columns.toSet).toSeq
-      require(shared.nonEmpty,
-        "a MINUS group must share at least one variable with the " +
-          "required patterns (a disjoint-domain MINUS removes nothing " +
-          "per SPARQL semantics — surely not what was meant)")
-      acc.join(neg.select(shared.map(col): _*).distinct(), shared,
-        "left_anti")
+      if (shared.isEmpty) {
+        // §8.3: disjoint domains are never compatible, so the MINUS
+        // removes NOTHING — honor the spec (r14; was a loud reject)
+        // but warn, because a silent no-op is usually an authoring bug
+        System.err.println(
+          "[graft] warning: MINUS group shares no variable with the " +
+            "required patterns — per SPARQL §8.3 it removes nothing " +
+            "(evaluated as a no-op)")
+        acc
+      } else
+        acc.join(neg.select(shared.map(col): _*).distinct(), shared,
+          "left_anti")
     }
 
   /** SPARQL UNION: the solution sets of alternative groups, each padded

@@ -184,7 +184,11 @@ object SparqlParser {
       // `unions` fast path.
       minusQueries: Seq[Query] = Nil,
       // full-grammar MINUS bodies (r11): anti-join on shared vars
-      existsQueries: Seq[(Boolean, Query)] = Nil)
+      existsQueries: Seq[(Boolean, Query)] = Nil,
+      orderExprBinds: Seq[(String, BindExpr)] = Nil)
+      // ORDER BY [DESC](expr) sort keys that are EXPRESSIONS (r14):
+      // each computes as a hidden column named in orderBy, applied
+      // before the final projection and dropped after the sort
       // full-grammar FILTER [NOT] EXISTS bodies (r11): (anti-)semi-join
 
   /** One OPTIONAL group: its patterns, the FILTERs scoped INSIDE the
@@ -196,7 +200,10 @@ object SparqlParser {
     * with group filters applied over the group's own join result. */
   final case class OptGroup(patterns: Seq[Bgp.Pattern],
       filters: Seq[(BindExpr, String, BindExpr)] = Nil,
-      nested: Seq[OptGroup] = Nil)
+      nested: Seq[OptGroup] = Nil,
+      exists: Seq[(Boolean, Seq[Bgp.Pattern])] = Nil)
+      // FILTER [NOT] EXISTS inside the group (r14): (anti-)semi-join
+      // applied to the GROUP's solutions before it left-joins outward
 
   /** A registered property function: `(quads, subjectTerms, objectTerms)
     * → solution relation` whose columns are named after the `Var` terms;
@@ -238,7 +245,14 @@ object SparqlParser {
       // clock ([[withClock]])
       "STRLANG", "STRDT", "IRI", "URI", "BNODE", "UUID", "STRUUID", "NOW",
       // r10 §17.4.5 date/time accessors (lexical-field extraction)
-      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
+      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+      // r14: remaining §17.4.6 hashes, and term accessors usable in
+      // BIND position over CONSTRUCTOR-bound variables (resolved
+      // statically via [[ctorMeta]] — see resolveAccessors; FILTER
+      // keeps routing accessors to the pattern-scan TermTest path,
+      // whose branches precede the expression branch)
+      "SHA384", "SHA512",
+      "LANG", "DATATYPE", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL")
 
   /** One atomic FILTER test — the unit both the conjunctive lists and
     * `||` disjunction groups compose from. */
@@ -295,14 +309,32 @@ object SparqlParser {
           require(j > 0, s"unterminated IRI at offset $i")
           out += s.substring(i, j + 1); i = j + 1
         }
-      } else if (c == '"') {
-        // backslash-escaped quotes stay inside the literal (ADVICE r7)
-        var j = i + 1
-        while (j < s.length && s.charAt(j) != '"') {
-          if (s.charAt(j) == '\\' && j + 1 < s.length) j += 2 else j += 1
+      } else if (c == '#') {
+        // comment to end of line (§19.4) — '#' inside IRIs and string
+        // literals never reaches here (their branches scan atomically)
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '"' || c == '\'') {
+        // string literal, all four §19.8 forms: short/long ("""…"""),
+        // either quote char. Every form canonicalizes to ONE
+        // double-quoted token (requote: inner quote chars and raw
+        // newlines become ECHAR escapes), so the rest of the grammar
+        // tests t.startsWith("\"") only.
+        val q = c
+        if (i + 2 < s.length && s.charAt(i + 1) == q &&
+          s.charAt(i + 2) == q) {
+          val close = s"$q$q$q"
+          val j = s.indexOf(close, i + 3)
+          require(j > 0, s"unterminated long string at offset $i")
+          out += requote(s.substring(i + 3, j)); i = j + 3
+        } else {
+          // backslash-escaped quotes stay inside the literal (ADVICE r7)
+          var j = i + 1
+          while (j < s.length && s.charAt(j) != q) {
+            if (s.charAt(j) == '\\' && j + 1 < s.length) j += 2 else j += 1
+          }
+          require(j < s.length, s"unterminated literal at offset $i")
+          out += requote(s.substring(i + 1, j)); i = j + 1
         }
-        require(j < s.length, s"unterminated literal at offset $i")
-        out += s.substring(i, j + 1); i = j + 1
       } else if (c == '|' && i + 1 < s.length && s.charAt(i + 1) == '|') {
         out += "||"; i += 2 // FILTER disjunction (path alternation is one |)
       } else if ("{}()./|+^[];,".indexOf(c) >= 0) { out += c.toString; i += 1 }
@@ -348,6 +380,28 @@ object SparqlParser {
       }
     }
     out.result()
+  }
+
+  /** Canonical double-quoted token from raw string-literal CONTENT:
+    * escape pairs pass through untouched; bare `"` and raw line breaks
+    * (legal inside long strings) become ECHAR escapes, so every token
+    * is one double-quoted single-line string whatever the source form. */
+  private def requote(content: String): String = {
+    val b = new StringBuilder("\"")
+    var k = 0
+    while (k < content.length) {
+      val ch = content.charAt(k)
+      if (ch == '\\' && k + 1 < content.length) {
+        b.append(ch).append(content.charAt(k + 1)); k += 2
+      } else {
+        if (ch == '"') b.append("\\\"")
+        else if (ch == '\n') b.append("\\n")
+        else if (ch == '\r') b.append("\\r")
+        else b.append(ch)
+        k += 1
+      }
+    }
+    b.append('"').toString
   }
 
   private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -449,8 +503,47 @@ object SparqlParser {
       List("}")))
 
   /** Minimal literal unescape for quoted tokens: `\"` and `\\`. */
-  private[rdf] def unquote(t: String): String =
-    t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Bare (unquoted) literal tokens legal in a VALUES data block:
+    * SPARQL's NumericLiteral and BooleanLiteral shorthands (§4.1.2) —
+    * the lexical form carries into the binding column verbatim. */
+  private def isBareLiteralTok(t: String): Boolean =
+    t.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") ||
+      t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")
+
+  /** Decode a double-quoted token to its value: the §19.8 ECHAR set
+    * (\t \b \n \r \f \" \' \\) and UCHAR (\uXXXX, \UXXXXXXXX). An
+    * escape outside the grammar keeps both characters — "\d+" stays a
+    * regex-ready backslash-d, the engine's documented lenient read. */
+  private[rdf] def unquote(t: String): String = {
+    val s0 = t.substring(1, t.length - 1)
+    val b = new StringBuilder
+    var k = 0
+    while (k < s0.length) {
+      val ch = s0.charAt(k)
+      if (ch == '\\' && k + 1 < s0.length) {
+        s0.charAt(k + 1) match {
+          case 'n' => b.append('\n'); k += 2
+          case 't' => b.append('\t'); k += 2
+          case 'r' => b.append('\r'); k += 2
+          case 'b' => b.append('\b'); k += 2
+          case 'f' => b.append('\f'); k += 2
+          case '"' => b.append('"'); k += 2
+          case '\'' => b.append('\''); k += 2
+          case '\\' => b.append('\\'); k += 2
+          case 'u' if k + 6 <= s0.length =>
+            b.append(Integer.parseInt(
+              s0.substring(k + 2, k + 6), 16).toChar)
+            k += 6
+          case 'U' if k + 10 <= s0.length =>
+            b.appendAll(java.lang.Character.toChars(
+              Integer.parseInt(s0.substring(k + 2, k + 10), 16)))
+            k += 10
+          case other => b.append('\\').append(other); k += 2
+        }
+      } else { b.append(ch); k += 1 }
+    }
+    b.toString
+  }
 
   private[rdf] def term(t: String): Bgp.Term =
     if (t.startsWith("?")) Bgp.Var(t.substring(1))
@@ -621,9 +714,15 @@ object SparqlParser {
         val predTok = p.peek
         if (predTok.startsWith("?")) {
           p.eat()
+          val pv = Bgp.Var(predTok.substring(1))
           val (o, sf) = objTerm()
-          pats += Bgp.Pattern(subj, Bgp.Var(predTok.substring(1)),
-            o, g, sf)
+          pats += Bgp.Pattern(subj, pv, o, g, sf)
+          // `,` object list (§4.2.2): same subject AND predicate
+          while (p.is(",")) {
+            p.eat()
+            val (o2, sf2) = objTerm()
+            pats += Bgp.Pattern(subj, pv, o2, g, sf2)
+          }
         } else {
           val parsed = path(p)
           // an argument list in object position ⇒ property function
@@ -642,9 +741,17 @@ object SparqlParser {
             case Left(iri) =>
               val (o, sf) = objTerm()
               pats += Bgp.Pattern(subj, Bgp.Const(iri), o, g, sf)
+              while (p.is(",")) { // `,` object list (§4.2.2)
+                p.eat()
+                val (o2, sf2) = objTerm()
+                pats += Bgp.Pattern(subj, Bgp.Const(iri), o2, g, sf2)
+              }
             case Right(cp) =>
-              val o = term(p.eat())
-              paths += PathPattern(subj, cp, o, g)
+              paths += PathPattern(subj, cp, term(p.eat()), g)
+              while (p.is(",")) {
+                p.eat()
+                paths += PathPattern(subj, cp, term(p.eat()), g)
+              }
           }
         }
         if (p.is(";")) p.eat() else more = false
@@ -681,6 +788,10 @@ object SparqlParser {
   private def bindExpr(p: P): BindExpr = {
     def atom(): BindExpr =
       if (p.is("(")) { p.eat(); val e = full(); p.expect(")"); e }
+      // unary minus (§17.3 UnaryExpression): a standalone '-' token
+      // before an atom; the glued form ('-?v' as one token) is handled
+      // in the leaf branch below
+      else if (p.is("-")) { p.eat(); BArith("-", BNum(0), atom()) }
       else if (p.is("IF")) {
         // IF(expr op expr, then, else) — the condition grammar is the
         // expression-FILTER comparison, reusing its compiler
@@ -717,6 +828,8 @@ object SparqlParser {
       } else {
         val tok = p.eat()
         if (tok.startsWith("?")) BVar(tok.substring(1))
+        else if (tok.startsWith("-?"))
+          BArith("-", BNum(0), BVar(tok.substring(2)))
         else if (tok.startsWith("\"")) {
           // expressions operate on the lexical form — a typed-literal
           // suffix ("…"^^geo:wktLiteral / @tag) parses and drops
@@ -786,6 +899,48 @@ object SparqlParser {
       case _ => None
     }
 
+  /** Rewrite term-accessor calls over CONSTRUCTOR-bound variables to
+    * their statically-known answers (r14): `BIND(STRDT("1", xsd:int) AS
+    * ?x) BIND(DATATYPE(?x) AS ?d)` folds to the constant datatype IRI,
+    * because [[ctorMeta]] knows the constructed term's kind/lang/
+    * datatype at parse time. `meta` maps each prior expression-BIND
+    * variable to its ctor metadata. Accessors over PATTERN-bound
+    * variables stay unresolved and fail loudly in [[bindCol]] — their
+    * term metadata lives on the quad relation at the scan (TermTest). */
+  private def resolveAccessors(e: BindExpr,
+      meta: Map[String, (String, Option[String], Option[String])])
+      : BindExpr = {
+    import graft.model.TermKind
+    def bool(b: Boolean) = BStr(if (b) "true" else "false")
+    def rec(e: BindExpr): BindExpr = e match {
+      case BCall("LANG", Seq(BVar(n))) if meta.contains(n) &&
+          meta(n)._1 == TermKind.Literal =>
+        // §17.4.2.3: lang of a plain/typed literal is ""
+        BStr(meta(n)._2.getOrElse(""))
+      case BCall("DATATYPE", Seq(BVar(n))) if meta.contains(n) &&
+          meta(n)._1 == TermKind.Literal =>
+        // §17.4.2.7: lang-tagged → rdf:langString, plain → xsd:string
+        BStr(meta(n) match {
+          case (_, _, Some(dt)) => dt
+          case (_, Some(_), None) =>
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+          case _ => "http://www.w3.org/2001/XMLSchema#string"
+        })
+      case BCall("ISIRI" | "ISURI", Seq(BVar(n))) if meta.contains(n) =>
+        bool(meta(n)._1 == TermKind.Iri)
+      case BCall("ISBLANK", Seq(BVar(n))) if meta.contains(n) =>
+        bool(meta(n)._1 == TermKind.BNode)
+      case BCall("ISLITERAL", Seq(BVar(n))) if meta.contains(n) =>
+        bool(meta(n)._1 == TermKind.Literal)
+      case BCall(f, args) => BCall(f, args.map(rec))
+      case BArith(op, l, r) => BArith(op, rec(l), rec(r))
+      case BIf(l, op, r, t, fv) =>
+        BIf(rec(l), op, rec(r), rec(t), rec(fv))
+      case other => other
+    }
+    rec(e)
+  }
+
   /** Variables a BIND/FILTER expression references (connectivity edges
     * for the cartesian guard — r12). */
   private def bindExprVars(e: BindExpr): Set[String] = e match {
@@ -852,6 +1007,20 @@ object SparqlParser {
     case BCall("MD5", Seq(a)) => md5(bindCol(a).cast("string"))
     case BCall("SHA1", Seq(a)) => sha1(bindCol(a).cast("string"))
     case BCall("SHA256", Seq(a)) => sha2(bindCol(a).cast("string"), 256)
+    case BCall("SHA384", Seq(a)) => sha2(bindCol(a).cast("string"), 384)
+    case BCall("SHA512", Seq(a)) => sha2(bindCol(a).cast("string"), 512)
+    // term accessors in BIND position resolve statically against the
+    // ctor metadata of a PRIOR constructor BIND (resolveAccessors);
+    // reaching bindCol unresolved means the argument is pattern-bound —
+    // its term metadata lives on the quad relation at the scan, which
+    // the FILTER TermTest path reads; reject loudly with the fix
+    case BCall(f @ ("LANG" | "DATATYPE" | "ISIRI" | "ISURI" |
+        "ISBLANK" | "ISLITERAL"), Seq(_)) =>
+      throw new IllegalArgumentException(
+        s"$f(…) in BIND position requires its argument to be bound by " +
+          "a term constructor (STRLANG/STRDT/IRI/BNODE/NOW) in a prior " +
+          "BIND — for pattern-bound variables use FILTER, where term " +
+          "accessors compile to pattern-scan predicates")
     // §17.4.2 term constructors — the VALUE column is the term's
     // lexical form; kind/lang/datatype ride separately via [[ctorMeta]]
     // (stamped onto CONSTRUCT templates, where term identity is
@@ -1404,6 +1573,71 @@ object SparqlParser {
     val svcs = Seq.newBuilder[(String, Boolean, Query)]
     val svcTexts = Seq.newBuilder[String]
 
+    // one VALUES data block, cursor positioned AFTER the keyword —
+    // shared by the inline group-pattern position and the trailing
+    // end-of-query clause (§10.2, r14)
+    def parseValuesBlock(): Unit = {
+      if (p.is("(")) {
+        // multi-variable form: VALUES (?a ?b) { (x y) (x UNDEF) }
+        // — each row is a conjunction over its DEFINED columns
+        // (UNDEF leaves the variable unconstrained, SPARQL's
+        // compatible-solution semantics), rows disjoin. Inline data
+        // blocks are small by construction, so the disjunctive row
+        // predicate stays a pushable filter — never a join.
+        p.eat()
+        val mv = Seq.newBuilder[String]
+        while (!p.is(")")) {
+          val t = p.eat()
+          require(t.startsWith("?"),
+            s"VALUES needs variables, got '$t'")
+          mv += t.substring(1)
+        }
+        p.expect(")")
+        val mvars = mv.result()
+        require(mvars.nonEmpty, "VALUES () needs at least one variable")
+        p.expect("{")
+        val rows = Seq.newBuilder[Seq[Option[String]]]
+        while (!p.is("}")) {
+          p.expect("(")
+          val row = Seq.newBuilder[Option[String]]
+          while (!p.is(")")) {
+            val t = p.eat()
+            row += (if (t.equalsIgnoreCase("UNDEF")) None
+              else if (t.startsWith("\"")) Some(unquote(t))
+              else if (t.startsWith("<"))
+                Some(t.substring(1, t.length - 1))
+              else if (isBareLiteralTok(t)) Some(t)
+              else throw new IllegalArgumentException(
+                s"VALUES entries must be IRIs, literals or UNDEF, " +
+                  s"got '$t'"))
+          }
+          p.expect(")")
+          val r = row.result()
+          require(r.length == mvars.length,
+            s"VALUES row arity ${r.length} != ${mvars.length} variables")
+          rows += r
+        }
+        p.expect("}")
+        valsMulti += ((mvars, rows.result()))
+      } else {
+        val v = p.eat()
+        require(v.startsWith("?"), s"VALUES needs a variable, got '$v'")
+        p.expect("{")
+        val vs = Seq.newBuilder[String]
+        while (!p.is("}")) {
+          val t = p.eat()
+          require(t.startsWith("<") || t.startsWith("\"") ||
+            isBareLiteralTok(t),
+            s"VALUES entries must be IRIs or literals, got '$t'")
+          vs += (if (t.startsWith("\"")) unquote(t)
+            else if (t.startsWith("<")) t.substring(1, t.length - 1)
+            else t)
+        }
+        p.expect("}")
+        vals += ((v.substring(1), vs.result()))
+      }
+    }
+
     def group(g: Option[Bgp.Term]): Unit = {
       while (!p.is("}")) {
         if (p.is("GRAPH")) {
@@ -1500,10 +1734,29 @@ object SparqlParser {
             val gp = Seq.newBuilder[Bgp.Pattern]
             val gf = Seq.newBuilder[(BindExpr, String, BindExpr)]
             val gn = Seq.newBuilder[OptGroup]
+            val ge = Seq.newBuilder[(Boolean, Seq[Bgp.Pattern])]
             while (!p.is("}")) {
               if (p.is("OPTIONAL")) {
                 p.eat()
                 gn += optGroup()
+              } else if (p.is("FILTER") &&
+                  (p.peek2.equalsIgnoreCase("EXISTS") ||
+                    p.peek2.equalsIgnoreCase("NOT"))) {
+                // FILTER [NOT] EXISTS scoped INSIDE the optional group
+                // (r14): constrains what the group MATCHES — an
+                // (anti-)semi-join on the group's own solutions
+                p.eat()
+                val eNeg = p.is("NOT")
+                if (eNeg) { p.eat(); p.expect("EXISTS") }
+                else p.expect("EXISTS")
+                p.expect("{")
+                val body = p.captureBalanced()
+                require(!needsFullGrammar(body),
+                  "FILTER EXISTS inside OPTIONAL supports plain " +
+                    "triple-pattern bodies")
+                val bp = new P(body :+ "}")
+                ge += ((eNeg, triples(bp, g)))
+                bp.expect("}")
               } else if (p.is("FILTER")) {
                 p.eat(); p.expect("(")
                 val l = bindExpr(p)
@@ -1516,7 +1769,7 @@ object SparqlParser {
               } else gp ++= triples(p, g)
             }
             p.expect("}")
-            OptGroup(gp.result(), gf.result(), gn.result())
+            OptGroup(gp.result(), gf.result(), gn.result(), ge.result())
           }
           p.eat()
           opts += optGroup()
@@ -1568,63 +1821,7 @@ object SparqlParser {
           // compiles to isin() on the binding column, i.e. a pushable
           // IN filter, the common "these N entities" serving shape
           p.eat()
-          if (p.is("(")) {
-            // multi-variable form: VALUES (?a ?b) { (x y) (x UNDEF) }
-            // — each row is a conjunction over its DEFINED columns
-            // (UNDEF leaves the variable unconstrained, SPARQL's
-            // compatible-solution semantics), rows disjoin. Inline data
-            // blocks are small by construction, so the disjunctive row
-            // predicate stays a pushable filter — never a join.
-            p.eat()
-            val mv = Seq.newBuilder[String]
-            while (!p.is(")")) {
-              val t = p.eat()
-              require(t.startsWith("?"),
-                s"VALUES needs variables, got '$t'")
-              mv += t.substring(1)
-            }
-            p.expect(")")
-            val mvars = mv.result()
-            require(mvars.nonEmpty, "VALUES () needs at least one variable")
-            p.expect("{")
-            val rows = Seq.newBuilder[Seq[Option[String]]]
-            while (!p.is("}")) {
-              p.expect("(")
-              val row = Seq.newBuilder[Option[String]]
-              while (!p.is(")")) {
-                val t = p.eat()
-                row += (if (t.equalsIgnoreCase("UNDEF")) None
-                  else if (t.startsWith("\"")) Some(unquote(t))
-                  else if (t.startsWith("<"))
-                    Some(t.substring(1, t.length - 1))
-                  else if (t.nonEmpty && t.forall(_.isDigit)) Some(t)
-                  else throw new IllegalArgumentException(
-                    s"VALUES entries must be IRIs, literals or UNDEF, " +
-                      s"got '$t'"))
-              }
-              p.expect(")")
-              val r = row.result()
-              require(r.length == mvars.length,
-                s"VALUES row arity ${r.length} != ${mvars.length} variables")
-              rows += r
-            }
-            p.expect("}")
-            valsMulti += ((mvars, rows.result()))
-          } else {
-          val v = p.eat()
-          require(v.startsWith("?"), s"VALUES needs a variable, got '$v'")
-          p.expect("{")
-          val vs = Seq.newBuilder[String]
-          while (!p.is("}")) {
-            val t = p.eat()
-            require(t.startsWith("<") || t.startsWith("\""),
-              s"VALUES entries must be IRIs or literals, got '$t'")
-            vs += (if (t.startsWith("\"")) unquote(t)
-              else t.substring(1, t.length - 1))
-          }
-          p.expect("}")
-          vals += ((v.substring(1), vs.result()))
-          }
+          parseValuesBlock()
         } else if (p.is("FILTER") &&
             (p.peek2.equalsIgnoreCase("EXISTS") ||
               p.peek2.equalsIgnoreCase("NOT"))) {
@@ -1728,8 +1925,22 @@ object SparqlParser {
               else atoms += TermTest(v.substring(1),
                 if (fn == "ISURI") "ISIRI" else fn,
                 if (neg) "!=" else "=", "")
+            } else if (p.is("SAMETERM")) {
+              // sameTerm(a, b) — §17.4.1.8. The engine's binding
+              // columns carry lexical forms, so this compiles to the
+              // expression comparison (numeric when a side is numeric);
+              // the lexical-form deviation ("01" vs "1" as integers)
+              // is the same one the = operator carries here
+              p.eat(); p.expect("(")
+              val l = bindExpr(p)
+              p.expect(",")
+              val r = bindExpr(p)
+              p.expect(")")
+              atoms += ExprCmp(l, "=", r)
             } else if ((BindFns.exists(p.is) && !p.is("STR")) ||
                 p.is("(") || p.peek.headOption.exists(_.isDigit) ||
+                p.peek.startsWith("\"") || // literal-first: "a" < ?x
+                (p.peek.startsWith("-") && p.peek.length > 1) ||
                 (p.peek.startsWith("<") && p.peek2 == "(") ||
                 (p.peek.startsWith("?") &&
                   Seq("+", "-", "*", "/").contains(p.peek2))) {
@@ -1863,12 +2074,26 @@ object SparqlParser {
       p.expect(")")
     }
     val ord = Seq.newBuilder[(String, Boolean)]
+    val ordExprs = Seq.newBuilder[(String, BindExpr)]
+    var ordExprN = 0
     if (p.is("ORDER")) {
       p.eat(); p.expect("BY")
       while (p.peek.startsWith("?") || p.is("DESC") || p.is("ASC")) {
         if (p.is("DESC") || p.is("ASC")) {
           val desc = p.eat().equalsIgnoreCase("DESC")
-          p.expect("("); ord += ((p.eat().substring(1), desc)); p.expect(")")
+          p.expect("(")
+          // the sort key is a full expression (§9.1 OrderCondition) —
+          // a bare variable keeps the direct path; anything else
+          // becomes a hidden computed column (r14)
+          bindExpr(p) match {
+            case BVar(n) => ord += ((n, desc))
+            case e =>
+              ordExprN += 1
+              val hidden = s"_ordExpr$ordExprN"
+              ordExprs += ((hidden, e))
+              ord += ((hidden, desc))
+          }
+          p.expect(")")
         } else ord += ((p.eat().substring(1), false))
       }
     }
@@ -1882,6 +2107,20 @@ object SparqlParser {
         p.eat(); off = Some(p.eat().toInt)
       } else modifiers = false
     }
+    // trailing VALUES clause (§10.2: a data block may close the whole
+    // query). The engine applies VALUES as a pushable pre-projection
+    // filter, which is join-equivalent — EXCEPT under LIMIT/OFFSET,
+    // where the spec joins AFTER the slice; reject that combination
+    // loudly rather than silently reorder
+    if (p.is("VALUES")) {
+      require(lim.isEmpty && off.isEmpty,
+        "trailing VALUES combined with LIMIT/OFFSET is not supported " +
+          "(the engine pushes VALUES below the slice; move the data " +
+          "block into the group pattern if pre-slice filtering is " +
+          "intended)")
+      p.eat()
+      parseValuesBlock()
+    }
     val parsed = Query(distinct, proj.result(), aggs.result(),
       grp.result(), pats.result(), opts.result(), mins.result(),
       fils.result(), ord.result(), lim, values = vals.result(),
@@ -1890,6 +2129,7 @@ object SparqlParser {
       propFns = fns.result(), subqueries = subs.result(),
       unions = unis.result(), unionQueries = uniQs.result(),
       minusQueries = minusQs.result(), existsQueries = exQs.result(),
+      orderExprBinds = ordExprs.result(),
       selectOrder = order.result(),
       offset = off, having = hav.result(),
       havingComputed = havC.result(), aggExprs = aggExprsB.result(),
@@ -2202,7 +2442,8 @@ object SparqlParser {
       patterns = q.patterns.map(sp),
       optionals = {
         def so(og: OptGroup): OptGroup = og.copy(
-          patterns = og.patterns.map(sp), nested = og.nested.map(so))
+          patterns = og.patterns.map(sp), nested = og.nested.map(so),
+          exists = og.exists.map { case (n, g2) => (n, g2.map(sp)) })
         q.optionals.map(so)
       },
       minuses = q.minuses.map(_.map(sp)),
@@ -2464,6 +2705,15 @@ object SparqlParser {
         og.filters.foreach { case (l, op, r) =>
           opt = opt.filter(exprCmpCol(l, op, r))
         }
+        og.exists.foreach { case (neg, grp) =>
+          val ex = Bgp.select(quads, grp)
+          val sh = opt.columns.toSet.intersect(ex.columns.toSet).toSeq
+          require(sh.nonEmpty,
+            "FILTER EXISTS inside OPTIONAL must share a variable with " +
+              "the group's patterns")
+          opt = opt.join(ex.select(sh.map(col): _*).distinct(), sh,
+            if (neg) "left_anti" else "left_semi")
+        }
         opt
       }
       components += q.optionals
@@ -2569,8 +2819,15 @@ object SparqlParser {
     q.binds.foreach { case (v, value, _) =>
       sol = sol.withColumn(v, lit(value))
     }
+    // expression BINDs in authoring order; each constructor BIND feeds
+    // the ctor-metadata environment so a LATER accessor call over its
+    // variable (DATATYPE/LANG/is*) folds to the known constant (r14)
+    var ctorEnv =
+      Map.empty[String, (String, Option[String], Option[String])]
     q.exprBinds.foreach { case (v, e) =>
-      sol = sol.withColumn(v, bindCol(e))
+      val re = resolveAccessors(e, ctorEnv)
+      sol = sol.withColumn(v, bindCol(re))
+      ctorMeta(re).foreach(m => ctorEnv += (v -> m))
     }
     q.values.foreach { case (v, vs) =>
       require(sol.columns.contains(v),
@@ -2606,39 +2863,47 @@ object SparqlParser {
         s"BOUND(?$v): variable is not bound by any pattern")
       sol = sol.filter(if (neg) col(v).isNull else col(v).isNotNull)
     }
-    q.existsFilters.foreach { case (neg, group) =>
-      val ex = Bgp.select(quads, group)
+    // FILTER [NOT] EXISTS sharing NO variable with the outer solutions
+    // is a CONSTANT test per §18.5 (the substituted pattern is the
+    // same for every solution): one bounded emptiness probe decides it
+    // for all rows — never a cartesian join (r14; was a loud reject)
+    def existsJoin(neg: Boolean, ex: DataFrame): Unit = {
       val shared = sol.columns.toSet.intersect(ex.columns.toSet).toSeq
-      require(shared.nonEmpty,
-        "a FILTER [NOT] EXISTS group must share at least one variable " +
-          "with the outer patterns (an uncorrelated EXISTS is a " +
-          "cartesian test)")
-      sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
-        if (neg) "left_anti" else "left_semi")
+      if (shared.isEmpty) {
+        System.err.println(
+          "[graft] warning: FILTER [NOT] EXISTS shares no variable " +
+            "with the outer patterns — evaluating as a constant " +
+            "emptiness probe")
+        val any = !ex.isEmpty
+        if (if (neg) any else !any) sol = sol.filter(lit(false))
+      } else
+        sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
+          if (neg) "left_anti" else "left_semi")
+    }
+    q.existsFilters.foreach { case (neg, group) =>
+      existsJoin(neg, Bgp.select(quads, group))
     }
     // full-grammar EXISTS / MINUS bodies (r11): the body runs the
     // complete pipeline, then (anti-)semi-joins on shared variables —
     // for BGP+local-filter bodies this equals §18's per-solution
     // substitution semantics
     q.existsQueries.foreach { case (neg, eq) =>
-      val ex = executeQuery(quads, eq, functions, services)
-      val shared = sol.columns.toSet.intersect(ex.columns.toSet).toSeq
-      require(shared.nonEmpty,
-        "a FILTER [NOT] EXISTS group must share at least one variable " +
-          "with the outer patterns (an uncorrelated EXISTS is a " +
-          "cartesian test)")
-      sol = sol.join(ex.select(shared.map(col): _*).distinct(), shared,
-        if (neg) "left_anti" else "left_semi")
+      existsJoin(neg, executeQuery(quads, eq, functions, services))
     }
     q.minusQueries.foreach { mq =>
       val neg = executeQuery(quads, mq, functions, services)
       val shared = sol.columns.toSet.intersect(neg.columns.toSet).toSeq
-      require(shared.nonEmpty,
-        "a MINUS group must share at least one variable with the " +
-          "required patterns (a disjoint-domain MINUS removes nothing " +
-          "per SPARQL semantics — surely not what was meant)")
-      sol = sol.join(neg.select(shared.map(col): _*).distinct(), shared,
-        "left_anti")
+      if (shared.isEmpty)
+        // §8.3: disjoint domains are never compatible — MINUS removes
+        // NOTHING. A silent no-op is usually an authoring bug, so warn
+        // loudly, but honor the spec (r14; was a loud reject)
+        System.err.println(
+          "[graft] warning: MINUS group shares no variable with the " +
+            "required patterns — per SPARQL §8.3 it removes nothing " +
+            "(evaluated as a no-op)")
+      else
+        sol = sol.join(neg.select(shared.map(col): _*).distinct(), shared,
+          "left_anti")
     }
     // ||-joined groups: compile each atom to its Column and disjoin —
     // one row filter per FILTER clause, same as the conjunctive path
@@ -2675,9 +2940,11 @@ object SparqlParser {
         dnf.map(_.map(atomCol).reduce(_ && _)).reduce(_ || _))
     }
     q.exprFilters.foreach { case (l, op, r) =>
-      sol = sol.filter(exprCmpCol(l, op, r))
+      sol = sol.filter(exprCmpCol(
+        resolveAccessors(l, ctorEnv), op, resolveAccessors(r, ctorEnv)))
     }
-    q.boolFilters.foreach(e => sol = sol.filter(bindBool(e)))
+    q.boolFilters.foreach(e =>
+      sol = sol.filter(bindBool(resolveAccessors(e, ctorEnv))))
     q.filterFns.foreach { case (fn, v, arg, flags) =>
       sol = sol.filter(fn match {
         // SPARQL REGEX is a partial match (like Java find/RLIKE);
@@ -2725,8 +2992,13 @@ object SparqlParser {
           else if (a.distinct) countDistinct(col(a.variable))
           else count(col(a.variable))
         case "SUM" =>
-          if (a.distinct) sum_distinct(col(a.variable).cast("double"))
-          else sum(col(a.variable).cast("double"))
+          val s =
+            if (a.distinct) sum_distinct(col(a.variable).cast("double"))
+            else sum(col(a.variable).cast("double"))
+          // §18.5.1.2: Sum({}) = 0 — observable only in the global
+          // (no GROUP BY) aggregation, where zero solutions still
+          // yield one row; grouped aggregation has no empty groups
+          if (q.groupBy.isEmpty) coalesce(s, lit(0d)) else s
         case "MIN" => min(col(a.variable))
         case "MAX" => max(col(a.variable))
         case "AVG" =>
@@ -2817,13 +3089,30 @@ object SparqlParser {
       // ADVICE r7; grouped-but-unprojected variables drop here)
       if (q.selectOrder.nonEmpty)
         sol = sol.select(q.selectOrder.map(col): _*)
-    } else if (q.projection.nonEmpty)
+    } else if (q.projection.nonEmpty && q.orderExprBinds.isEmpty)
       sol = sol.select(q.projection.map(col): _*)
-    if (q.distinct && q.aggregates.isEmpty) sol = sol.distinct()
+    if (q.distinct && q.aggregates.isEmpty) {
+      require(q.orderExprBinds.isEmpty,
+        "ORDER BY an expression is not supported with DISTINCT " +
+          "(§9.1 restricts DISTINCT sort keys to projected variables)")
+      sol = sol.distinct()
+    }
+    // expression sort keys (r14): compute as hidden columns, sort,
+    // then drop and apply the deferred projection — Project over Sort
+    // preserves the order (narrow transformation)
+    q.orderExprBinds.foreach { case (n, e) =>
+      sol = sol.withColumn(n, bindCol(e))
+    }
     if (q.orderBy.nonEmpty)
       sol = sol.orderBy(q.orderBy.map { case (v, desc) =>
         if (desc) col(v).desc else col(v).asc
       }: _*)
+    if (q.orderExprBinds.nonEmpty) {
+      sol = sol.drop(q.orderExprBinds.map(_._1): _*)
+      if (q.projection.nonEmpty && q.aggregates.isEmpty &&
+        q.aggExprs.isEmpty)
+        sol = sol.select(q.projection.map(col): _*)
+    }
     q.offset.foreach(n => sol = sol.offset(n))
     q.limit.foreach(n => sol = sol.limit(n))
     sol

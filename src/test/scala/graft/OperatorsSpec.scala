@@ -1215,11 +1215,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         FILTER EXISTS { { ?s <urn:name> "Alice" } UNION
                         { ?s <urn:name> "Bob" } } } ORDER BY ?s""")
       == Seq(Seq("a"), Seq("b")))
-    // loud: uncorrelated EXISTS, BOUND of an unbound variable
-    intercept[IllegalArgumentException] {
-      run("""SELECT ?s WHERE { ?s <urn:type> "T" .
-          FILTER NOT EXISTS { ?q <urn:other> ?r } }""")
-    }
+    // r14 (W3C sample): an uncorrelated EXISTS is a CONSTANT test per
+    // §18.5 — one emptiness probe, never a cartesian join. The probed
+    // pattern matches nothing here, so NOT EXISTS keeps every row
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        FILTER NOT EXISTS { ?q <urn:other> ?r } } ORDER BY ?s""")
+      == Seq(Seq("a"), Seq("b"), Seq("c")))
+    // …and a matching uncorrelated pattern under NOT EXISTS drops all
+    assert(run("""SELECT ?s WHERE { ?s <urn:type> "T" .
+        FILTER NOT EXISTS { ?q <urn:name> ?r } }""") == Nil)
+    // loud: BOUND of an unbound variable
     intercept[IllegalArgumentException] {
       run("""SELECT ?s WHERE { ?s <urn:type> "T" .
           FILTER(BOUND(?nope)) }""")

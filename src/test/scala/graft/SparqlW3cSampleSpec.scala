@@ -30,7 +30,9 @@ class SparqlW3cSampleSpec extends AnyFunSuite with SparkTestBase {
   private def quads(ttl: String): DataFrame = {
     import spark.implicits._
     TurtleParser.parseDocument(
-      "@prefix ex: <http://example/> .\n" + ttl, saltKey = "w3c")
+      "@prefix ex: <http://example/> .\n" +
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n" + ttl,
+      saltKey = "w3c")
       .toSeq.toDF()
   }
 
@@ -278,6 +280,247 @@ class SparqlW3cSampleSpec extends AnyFunSuite with SparkTestBase {
       "SELECT ?o ?t WHERE { { ex:a ex:p ?o } UNION " +
         "{ ex:b ex:type ?t } }",
       List(s"o=1|t=UNDEF", s"o=UNDEF|t=${E}T")))
+
+  // ---- round-14 battery #2: spec-semantics drift probes --------------
+  private val D5 = // dateTime accessors
+    "ex:d ex:date \"2010-06-21T11:28:01Z\"^^xsd:dateTime ."
+
+  private val cases2: Seq[C] = Seq(
+    // ---- operator semantics (§17.3 operand type promotion) ----
+    C("op-integer-divide-is-decimal", D2,
+      // op:numeric-divide on two xsd:integer operands yields xsd:decimal
+      "SELECT (?v / 2 AS ?x) WHERE { ex:s6 ex:num ?v }",
+      List("x=3.5")),
+    C("op-unary-minus", D2,
+      "SELECT (-?v AS ?x) WHERE { ex:s6 ex:num ?v }",
+      List("x=-7")),
+    C("op-promote-int-plus-decimal", D2,
+      "SELECT (?v + 1.5 AS ?x) WHERE { ex:s6 ex:num ?v }",
+      List("x=8.5")),
+    C("op-compare-across-numeric-types", D2,
+      "SELECT ?s WHERE { ?s ex:num ?v FILTER(?v = 7.0) }",
+      List(s"s=${E}s6")),
+    C("op-string-less-than", D2,
+      "SELECT ?x WHERE { ex:s1 ex:str ?x FILTER(\"a\" < ?x) }",
+      List("x=foobar")),
+    // ---- XPath rounding rules (fn:round half goes UP, even when
+    //      negative: round(-2.5) = -2; fn:ceil/floor on negatives) ----
+    C("fn-round-negative-half-up", D2,
+      "SELECT (ROUND(-2.5) AS ?a) (ROUND(2.5) AS ?b) " +
+        "WHERE { ex:s3 ex:num ?v }",
+      List("a=-2|b=3")),
+    C("fn-ceil-floor-negative", D2,
+      "SELECT (CEIL(-2.6) AS ?c) (FLOOR(-2.6) AS ?f) " +
+        "WHERE { ex:s3 ex:num ?v }",
+      List("c=-2|f=-3")),
+    // ---- string functions, edge shapes ----
+    C("fn-replace-group-ref", D2,
+      "SELECT (REPLACE(\"abc\", \"(b)\", \"[$1]\") AS ?r) " +
+        "WHERE { ex:s3 ex:num ?v }",
+      List("r=a[b]c")),
+    C("fn-substr-past-end", D2,
+      "SELECT (SUBSTR(\"foo\", 2, 99) AS ?r) WHERE { ex:s3 ex:num ?v }",
+      List("r=oo")),
+    C("fn-strdt-datatype", D2,
+      "SELECT ?d WHERE { ex:s3 ex:num ?v " +
+        "BIND(STRDT(\"123\", xsd:integer) AS ?x) " +
+        "BIND(DATATYPE(?x) AS ?d) }",
+      List("d=http://www.w3.org/2001/XMLSchema#integer")),
+    C("fn-strlang-lang", D2,
+      "SELECT ?l WHERE { ex:s3 ex:num ?v " +
+        "BIND(STRLANG(\"chat\", \"fr\") AS ?x) BIND(LANG(?x) AS ?l) }",
+      List("l=fr")),
+    C("fn-iri-constructor-is-iri", D2,
+      "SELECT ?ok WHERE { ex:s3 ex:num ?v " +
+        "BIND(IRI(\"http://example/z\") AS ?i) " +
+        "BIND(isIRI(?i) AS ?ok) }",
+      List("ok=true")),
+    C("fn-bnode-is-blank", D2,
+      "SELECT ?ok WHERE { ex:s3 ex:num ?v " +
+        "BIND(BNODE() AS ?b) BIND(isBlank(?b) AS ?ok) }",
+      List("ok=true")),
+    C("fn-sameterm", D2,
+      "SELECT ?s WHERE { ?s ex:num ?v FILTER(sameTerm(?v, 2)) }",
+      List(s"s=${E}s3")),
+    C("fn-sha384-sha512-len", D2,
+      "SELECT (STRLEN(SHA384(\"abc\")) AS ?a) " +
+        "(STRLEN(SHA512(\"abc\")) AS ?b) WHERE { ex:s3 ex:num ?v }",
+      List("a=96|b=128")),
+    // ---- dateTime accessors (§17.4.5) ----
+    C("fn-datetime-accessors", D5,
+      "SELECT (YEAR(?d) AS ?y) (MONTH(?d) AS ?m) (DAY(?d) AS ?dd) " +
+        "(HOURS(?d) AS ?h) (MINUTES(?d) AS ?mi) (SECONDS(?d) AS ?se) " +
+        "WHERE { ex:d ex:date ?d }",
+      List("dd=21|h=11|m=6|mi=28|se=1|y=2010")),
+    C("fn-tz", D5,
+      "SELECT (TZ(?d) AS ?z) WHERE { ex:d ex:date ?d }",
+      List("z=Z")),
+    C("fn-now-is-current", D5,
+      "SELECT (IF(YEAR(NOW()) >= 2026, \"ok\", \"stale\") AS ?r) " +
+        "WHERE { ex:d ex:date ?d }",
+      List("r=ok")),
+    // ---- aggregates: empty-input + unbound rules (§18.5) ----
+    C("agg-empty-no-groupby-one-row", D1,
+      // no GROUP BY over zero solutions: ONE row; COUNT=0, SUM=0
+      "SELECT (COUNT(?v) AS ?n) (SUM(?v) AS ?t) " +
+        "WHERE { ex:nope ex:p ?v }",
+      List("n=0|t=0")),
+    C("agg-empty-with-groupby-no-rows", D1,
+      "SELECT ?s (SUM(?v) AS ?t) WHERE { ?s ex:missing ?v } GROUP BY ?s",
+      Nil),
+    C("agg-count-var-skips-unbound", D3,
+      // COUNT(?v) counts only bound; COUNT(*) counts solutions
+      "SELECT (COUNT(?v) AS ?a) (COUNT(*) AS ?b) WHERE { " +
+        "?s ex:type ex:T OPTIONAL { ?s ex:p ?v } }",
+      List("a=1|b=2")),
+    C("agg-sum-distinct", D1,
+      "SELECT (SUM(DISTINCT ?v) AS ?t) WHERE { ?s ex:p ?v . " +
+        "VALUES ?v { 1 2 } }",
+      List("t=3")),
+    C("agg-max-strings", D2,
+      "SELECT (MAX(?x) AS ?m) WHERE { ?s ex:str ?x }",
+      List("m=foobar")),
+    // ---- negation scope (§8): MINUS with disjoint domains removes
+    //      NOTHING; NOT EXISTS with a free variable removes EVERYTHING
+    //      when the pattern matches anywhere ----
+    C("neg-minus-disjoint-domains", D3,
+      "SELECT ?s WHERE { ?s ex:type ex:T MINUS { ?x ex:p ?v } }",
+      List(s"s=${E}a", s"s=${E}b")),
+    C("neg-not-exists-free-var", D3,
+      "SELECT ?s WHERE { ?s ex:type ex:T " +
+        "FILTER NOT EXISTS { ?x ex:p ?v } }",
+      Nil),
+    C("neg-exists-in-optional", D3,
+      "SELECT ?s ?v WHERE { ?s ex:type ex:T " +
+        "OPTIONAL { ?s ex:p ?v FILTER EXISTS { ?s ex:type ex:T } } }",
+      List(s"s=${E}a|v=1", s"s=${E}b|v=UNDEF")),
+    // ---- property path algebra compositions ----
+    C("path-alt-with-inverse", D4,
+      "SELECT ?o WHERE { ex:b (ex:edge|^ex:edge) ?o }",
+      List(s"o=${E}a", s"o=${E}c")),
+    C("path-seq-fwd-then-inverse", D4,
+      "SELECT ?o WHERE { ex:a ex:knows/^ex:knows ?o }",
+      List(s"o=${E}a")),
+    // §18.2.2.3: an NPS with ONLY inverse members matches only reverse
+    // edges (with predicate outside the set) — b's sole incoming edge
+    // is ex:edge, which is excluded
+    C("path-nps-inverse-only", D4,
+      "SELECT ?o WHERE { ex:b !(^ex:edge) ?o }",
+      Nil),
+    // mixed NPS: forward edges with pred ∉ {knows} (a→b via edge)
+    // union reverse edges with pred ∉ {knows} (none into a)
+    C("path-nps-mixed", D4,
+      "SELECT ?o WHERE { ex:a !(ex:knows|^ex:knows) ?o }",
+      List(s"o=${E}b")),
+    C("path-grouped-seq-plus", D4,
+      "SELECT ?o WHERE { ex:a (ex:edge/ex:edge)+ ?o }",
+      List(s"o=${E}c")),
+    // ^(p1/p2): `x ^path y` ⇔ `y path x`, so ex:c ^(edge/edge) ?o asks
+    // who reaches c in exactly two forward edge hops (inv(p1/p2) =
+    // inv(p2)/inv(p1))
+    C("path-inverse-of-seq", D4,
+      "SELECT ?o WHERE { ex:c ^(ex:edge/ex:edge) ?o }",
+      List(s"o=${E}a")),
+    // ---- VALUES / BIND placement & scope ----
+    C("values-trailing-clause", D1,
+      "SELECT ?s ?v WHERE { ?s ex:p ?v } VALUES ?s { ex:s2 }",
+      List(s"s=${E}s2|v=2")),
+    C("bind-then-pattern-joins", D1,
+      "SELECT ?v WHERE { BIND(ex:s1 AS ?s) ?s ex:p ?v }",
+      List("v=1", "v=3")),
+    C("coalesce-all-unbound", D3,
+      "SELECT ?w WHERE { ?s ex:type ex:T FILTER(?s = ex:b) " +
+        "OPTIONAL { ?s ex:p ?v } BIND(COALESCE(?v) AS ?w) }",
+      List("w=UNDEF")),
+    // ---- solution modifiers ----
+    C("order-by-expression", D1,
+      "SELECT ?v WHERE { ?s ex:p ?v } ORDER BY DESC(?v * -1) LIMIT 2",
+      List("v=1", "v=2")),
+    C("offset-past-end", D1,
+      "SELECT ?v WHERE { ?s ex:p ?v } ORDER BY ?v OFFSET 9 LIMIT 2",
+      Nil),
+    C("select-reduced", D1,
+      "SELECT REDUCED ?s WHERE { ?s ex:q ?v }",
+      List(s"s=${E}s1", s"s=${E}s2")),
+    // ---- subquery composition ----
+    C("subquery-aggregate-join", D1,
+      "SELECT ?s WHERE { " +
+        "{ SELECT (MAX(?v) AS ?mx) WHERE { ?x ex:p ?v } } " +
+        "?s ex:p ?mx }",
+      List(s"s=${E}s1")),
+    C("subquery-limit-scoped", D1,
+      "SELECT ?s ?v WHERE { " +
+        "{ SELECT ?s WHERE { ?s ex:q ?w } ORDER BY ?w LIMIT 1 } " +
+        "?s ex:p ?v }",
+      List(s"s=${E}s2|v=2")))
+
+  // ---- round-14 battery #3: syntax-surface conformance (§19 grammar
+  //      forms that all mean the same thing) ----
+  private val cases3: Seq[C] = Seq(
+    C("syntax-comment-lines", D1,
+      "SELECT ?v # trailing comment\n" +
+        "WHERE { # another\n ?s ex:q ?v } ORDER BY ?v",
+      List("v=4", "v=5")),
+    C("syntax-single-quoted-string", D2,
+      "SELECT ?s WHERE { ?s ex:str ?x FILTER(?x = 'foobar') }",
+      List(s"s=${E}s1")),
+    C("syntax-long-string-with-quote", D2,
+      "SELECT (STRLEN(\"\"\"say \"hi\" twice\"\"\") AS ?n) " +
+        "WHERE { ex:s3 ex:num ?v }",
+      List("n=14")),
+    C("syntax-long-single-quoted", D2,
+      "SELECT ?s WHERE { ?s ex:str ?x FILTER(?x = '''foobar''') }",
+      List(s"s=${E}s1")),
+    C("syntax-escapes-tab-unicode", D2,
+      "SELECT (STRLEN(\"a\\tb\") AS ?n) (\"\\u0041\" AS ?u) " +
+        "WHERE { ex:s3 ex:num ?v }",
+      List("n=3|u=A")),
+    C("syntax-comma-object-list", D1,
+      // `?s ex:p 1 , 3` ⇔ two patterns sharing subject AND predicate
+      "SELECT ?s WHERE { ?s ex:p 1 , 3 }",
+      List(s"s=${E}s1")),
+    C("syntax-semicolon-pred-obj-list", D1,
+      "SELECT ?s ?v ?w WHERE { ?s ex:p ?v ; ex:q ?w FILTER(?v = 1) }",
+      List(s"s=${E}s1|v=1|w=5")),
+    C("syntax-a-rdf-type", "ex:a a ex:T . ex:a ex:p 1 .",
+      "SELECT ?s WHERE { ?s a ex:T }",
+      List(s"s=${E}a")),
+    C("syntax-lowercase-keywords", D1,
+      "select ?v where { ?s ex:p ?v } order by desc(?v) limit 1",
+      List("v=3")),
+    C("syntax-anon-bnode-object", D4,
+      "SELECT ?s WHERE { ?s ex:knows [ ex:name \"X\" ] }",
+      List(s"s=${E}a")))
+
+  test("W3C SPARQL 1.1 sample #3: syntax-surface forms normalize to " +
+      "the same answers") {
+    val failures = cases3.flatMap { c =>
+      val got =
+        try bag(SparqlParser.execute(quads(c.data), Prologue + c.query))
+        catch { case e: Throwable => List(s"<threw: ${e.getMessage}>") }
+      if (got == c.expected) None
+      else Some(s"${c.name}:\n  expected ${c.expected}\n  got      $got")
+    }
+    info(s"W3C sample #3: ${cases3.size - failures.size}/${cases3.size} pass")
+    assert(failures.isEmpty,
+      s"\n${failures.size}/${cases3.size} diverge:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("W3C SPARQL 1.1 sample #2: semantics-drift probes match the " +
+      "spec answers") {
+    val failures = cases2.flatMap { c =>
+      val got =
+        try bag(SparqlParser.execute(quads(c.data), Prologue + c.query))
+        catch { case e: Throwable => List(s"<threw: ${e.getMessage}>") }
+      if (got == c.expected) None
+      else Some(s"${c.name}:\n  expected ${c.expected}\n  got      $got")
+    }
+    info(s"W3C sample #2: ${cases2.size - failures.size}/${cases2.size} pass")
+    assert(failures.isEmpty,
+      s"\n${failures.size}/${cases2.size} diverge:\n" +
+        failures.mkString("\n"))
+  }
 
   test("W3C SPARQL 1.1 sample: evaluation cases match the spec answers") {
     val failures = cases.flatMap { c =>
