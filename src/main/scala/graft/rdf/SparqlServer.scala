@@ -18,12 +18,17 @@ import org.apache.spark.sql.DataFrame
   *    (`query=…`) — what [[HttpVocab.selectRemote]] and the reference's
   *    `requests.post(endpoint, data=query)` send
   *  - `POST /sparql` with `application/sparql-query` — the direct form
+  *  - `POST /update` (`update=` form data or `application/sparql-update`)
+  *    — the Protocol §2.2 update operation (r14): runs
+  *    [[SparqlUpdate.execute]] and atomically swaps the served relation,
+  *    the reference's store-write endpoint (`cam/graphdb.py:52-58`)
   *
-  * SELECT answers with the W3C JSON results document
-  * ([[SparqlResults.json]]), ASK with the boolean document, CONSTRUCT /
-  * DESCRIBE with `application/n-quads` text. Missing query → 400;
-  * execution failure → 500 with the message (the client surfaces the
-  * reference's non-200 RuntimeError).
+  * SELECT answers with the W3C results document the Accept header asks
+  * for — JSON (default), XML, CSV or TSV ([[SparqlResults]]; see
+  * [[negotiate]]) — ASK with the boolean document (JSON or XML),
+  * CONSTRUCT / DESCRIBE with `application/n-quads` text. Missing query
+  * → 400; execution failure → 500 with the message (the client
+  * surfaces the reference's non-200 RuntimeError).
   *
   * Scale shape: the HTTP layer is driver-side by design — the serving
   * contract is LIMIT-bounded result pages over a store the cluster
@@ -36,11 +41,16 @@ import org.apache.spark.sql.DataFrame
   */
 object SparqlServer {
 
-  /** A running endpoint; `stop()` releases the port. */
+  /** A running endpoint; `stop()` releases the port. `relation` is the
+    * CURRENT served quad relation — the initial one until a protocol
+    * update ([[updateEndpoint]]) swaps it. */
   final class Handle(server: com.sun.net.httpserver.HttpServer,
-      pool: java.util.concurrent.ExecutorService) {
+      pool: java.util.concurrent.ExecutorService,
+      current: java.util.concurrent.atomic.AtomicReference[DataFrame]) {
     def port: Int = server.getAddress.getPort
     def endpoint: String = s"http://127.0.0.1:$port/sparql"
+    def updateEndpoint: String = s"http://127.0.0.1:$port/update"
+    def relation: DataFrame = current.get()
     def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
   }
 
@@ -59,6 +69,10 @@ object SparqlServer {
       services: Map[String, DataFrame] = Map.empty,
       poolSize: Int = 4,
       maxResultRows: Long = 100000L): Handle = {
+    // the served relation — swapped atomically by protocol updates
+    // (readers see either the old or the new relation, never a mix)
+    val current =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](quads)
     def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
       // one cheap probe job: count at most cap+1 rows, never the corpus
       // (a cap at Int.MaxValue or above disables the check)
@@ -78,12 +92,21 @@ object SparqlServer {
           case None => respond(400, "text/plain",
             "missing 'query' parameter (SPARQL 1.1 Protocol)")
           case Some(text) =>
-            val result = SparqlParser.execute(quads, text,
+            val fmt = negotiate(Option(
+              ex.getRequestHeaders.getFirst("Accept")).getOrElse(""))
+            val result = SparqlParser.execute(current.get(), text,
               functions = functions, services = services)
             val cols = result.columns.toSeq
-            if (cols == Seq("ask"))
-              respond(200, "application/sparql-results+json",
-                SparqlResults.askJson(result).collect().head.getString(0))
+            if (cols == Seq("ask")) {
+              // ASK: only the JSON and XML documents define a boolean
+              // form — CSV/TSV accepts fall back to JSON
+              if (fmt == Xml)
+                respond(200, Xml,
+                  SparqlResults.askXml(result).collect().head.getString(0))
+              else
+                respond(200, Json,
+                  SparqlResults.askJson(result).collect().head.getString(0))
+            }
             else if (overCap(result))
               respond(413, "text/plain",
                 s"result exceeds $maxResultRows rows — page with " +
@@ -101,12 +124,55 @@ object SparqlServer {
                 QuadEmitter.renderNQuads(quaded).collect()
                   .map(_.getString(0)).sorted.mkString("", "\n", "\n"))
             }
-            else
-              respond(200, "application/sparql-results+json",
+            else fmt match {
+              // line formats: (ord, value) rows — ord 0 is the header
+              case Csv => respond(200, Csv, lines(
+                SparqlResults.csv(result), "\r\n"))
+              case Tsv => respond(200, Tsv, lines(
+                SparqlResults.tsv(result), "\n"))
+              case Xml => respond(200, Xml,
+                SparqlResults.xml(result).collect().head.getString(0))
+              case _ => respond(200, Json,
                 SparqlResults.json(result).collect().head.getString(0))
+            }
         }
       } catch {
         case e: Throwable => respond(500, "text/plain",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+
+    // SPARQL 1.1 Protocol §2.2 update operation — the write half the
+    // reference serves at its store's /statements endpoint
+    // (cam/graphdb.py:52-58). POST only (`update=` form param or a
+    // direct application/sparql-update body); one writer at a time
+    // (synchronized), the swapped-in relation is lineage-cut so
+    // compounding updates never deepen the serving plan. 204 on
+    // success, 400 on a missing update, 500 on failure.
+    val updateLock = new Object
+    def handleUpdate(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      def respond(code: Int, body: String): Unit = {
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain")
+        // 204 must not carry a body per HTTP — length -1 sends none
+        ex.sendResponseHeaders(code, if (code == 204) -1 else bytes.length)
+        if (code != 204) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      try {
+        updateOf(ex) match {
+          case None => respond(400,
+            "missing 'update' parameter (SPARQL 1.1 Protocol §2.2; " +
+              "POST with update= form data or application/sparql-update)")
+          case Some(text) => updateLock.synchronized {
+            import graft.operators.Checkpoints.CutOps
+            current.set(
+              SparqlUpdate.execute(current.get(), text).cutLineage())
+            respond(204, "")
+          }
+        }
+      } catch {
+        case e: Throwable => respond(500,
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
@@ -117,9 +183,41 @@ object SparqlServer {
     server.setExecutor(pool)
     server.createContext("/sparql",
       (ex: com.sun.net.httpserver.HttpExchange) => handle(ex))
+    server.createContext("/update",
+      (ex: com.sun.net.httpserver.HttpExchange) => handleUpdate(ex))
     server.start()
-    new Handle(server, pool)
+    new Handle(server, pool, current)
   }
+
+  private val Json = "application/sparql-results+json"
+  private val Xml = "application/sparql-results+xml"
+  private val Csv = "text/csv"
+  private val Tsv = "text/tab-separated-values"
+
+  /** Content negotiation over the four W3C results formats (r14): walk
+    * the Accept header's media ranges in order and pick the first
+    * supported one; no header, `*` `/` `*`, or nothing supported →
+    * the JSON document (the protocol's de-facto default — what
+    * sparqlwrapper requests). q-values are ignored (ranges are taken
+    * in author order), a documented simplification. */
+  private[graft] def negotiate(accept: String): String = {
+    val aliases = Map(
+      Json -> Json, "application/json" -> Json,
+      Xml -> Xml, "application/xml" -> Xml,
+      Csv -> Csv, Tsv -> Tsv)
+    accept.split(',').iterator
+      .map(_.trim.split(";")(0).trim.toLowerCase)
+      .collectFirst { case t if aliases.contains(t) => aliases(t) }
+      .getOrElse(Json)
+  }
+
+  /** Render an `(ord, value)` line relation (CSV/TSV builders) to the
+    * wire document: header (ord 0) first, then data rows in sequence.
+    * CSV rows join with CRLF (RFC 4180); TSV with LF. */
+  private def lines(doc: DataFrame, eol: String): String =
+    doc.orderBy(org.apache.spark.sql.functions.col("ord"))
+      .select("value").collect()
+      .map(_.getString(0)).mkString("", eol, eol)
 
   /** Extract the query text per Protocol §2.1: GET query-string param,
     * POSTed form param, or a direct `application/sparql-query` body. */
@@ -141,5 +239,20 @@ object SparqlServer {
         else fromForm(body)
       case _ => None
     }
+  }
+
+  /** Extract the update text per Protocol §2.2: POST only — `update=`
+    * form param or a direct `application/sparql-update` body. */
+  private def updateOf(
+      ex: com.sun.net.httpserver.HttpExchange): Option[String] = {
+    if (ex.getRequestMethod != "POST") return None
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("")
+    if (ct.startsWith("application/sparql-update")) Some(body)
+    else body.split('&').iterator.map(_.split("=", 2))
+      .collectFirst { case Array("update", v) =>
+        java.net.URLDecoder.decode(v, "UTF-8") }
   }
 }

@@ -125,6 +125,110 @@ class SparqlServerSpec extends AnyFunSuite with SparkTestBase {
     } finally capped.stop()
   }
 
+  test("SparqlServer r14: Accept-header negotiation serves the CSV, " +
+      "TSV and XML results documents; ASK negotiates XML") {
+    // unit surface first: author-order media ranges, aliases, fallback
+    assert(SparqlServer.negotiate("") ==
+      "application/sparql-results+json")
+    assert(SparqlServer.negotiate("text/html, */*") ==
+      "application/sparql-results+json")
+    assert(SparqlServer.negotiate(
+      "text/html, application/xml;q=0.9, text/csv") ==
+      "application/sparql-results+xml")
+    assert(SparqlServer.negotiate("text/csv;q=0.1") == "text/csv")
+    assert(SparqlServer.negotiate("Application/JSON") ==
+      "application/sparql-results+json")
+    val h = SparqlServer.serve(quadDf)
+    try {
+      val q = java.net.URLEncoder.encode(
+        "SELECT ?s ?n WHERE { ?s <https://schema.org/name> ?n } " +
+          "ORDER BY ?s", "UTF-8")
+      def fetch(accept: String, query: String = q): (String, String) = {
+        val conn = new java.net.URL(s"${h.endpoint}?query=$query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(120000)
+        conn.setRequestProperty("Accept", accept)
+        try {
+          if (conn.getResponseCode != 200)
+            fail(s"HTTP ${conn.getResponseCode}: " + new String(
+              conn.getErrorStream.readAllBytes(), "UTF-8"))
+          (new String(conn.getInputStream.readAllBytes(), "UTF-8"),
+            conn.getContentType)
+        } finally conn.disconnect()
+      }
+      // CSV: untyped lexical values, RFC 4180 quoting, CRLF rows
+      val (csv, csvCt) = fetch("text/csv")
+      assert(csvCt.startsWith("text/csv"))
+      val csvLines = csv.split("\r\n").toSeq
+      assert(csvLines.head == "s,n")
+      // field-internal quotes doubled, field quoted (RFC 4180)
+      assert(csvLines.tail.sorted == Seq(
+        "urn:a,Alpha", "urn:b,Beta",
+        "urn:c,\"a \"\"quoted\"\" name\"").sorted, csv)
+      // TSV: term syntax (quoted literals), LF rows
+      val (tsv, tsvCt) = fetch("text/tab-separated-values")
+      assert(tsvCt.startsWith("text/tab-separated-values"))
+      val tsvLines = tsv.split("\n").toSeq
+      assert(tsvLines.head == "?s\t?n")
+      assert(tsvLines.contains("\"urn:a\"\t\"Alpha\""), tsv)
+      // XML: the W3C results document
+      val (xml, xmlCt) = fetch("application/sparql-results+xml")
+      assert(xmlCt.startsWith("application/sparql-results+xml"))
+      assert(xml.contains("<variable name=\"s\"/>") &&
+        xml.contains("<binding name=\"n\"><literal>Alpha</literal>"), xml)
+      // ASK with an XML accept → the boolean XML document
+      val askQ = java.net.URLEncoder.encode(
+        "ASK { ?s <urn:p:score> ?v }", "UTF-8")
+      val (askXml, askCt) = fetch("application/xml", askQ)
+      assert(askCt.startsWith("application/sparql-results+xml"))
+      assert(askXml.contains("<boolean>true</boolean>"), askXml)
+    } finally h.stop()
+  }
+
+  test("SparqlServer r14: POST /update runs SPARQL UPDATE and swaps " +
+      "the served relation — the Protocol §2.2 write half") {
+    val h = SparqlServer.serve(quadDf)
+    try {
+      def post(body: String, ct: String): Int = {
+        val conn = new java.net.URL(h.updateEndpoint).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", ct)
+        conn.setReadTimeout(120000)
+        val os = conn.getOutputStream
+        os.write(body.getBytes("UTF-8")); os.close()
+        try conn.getResponseCode finally conn.disconnect()
+      }
+      // direct application/sparql-update body: insert + delete in one
+      // request — 204, then the QUERY endpoint sees the new state
+      assert(post(
+        "INSERT DATA { GRAPH <urn:g:1> { <urn:d> " +
+          "<https://schema.org/name> \"Delta\" } } ; " +
+          "DELETE DATA { GRAPH <urn:g:1> { <urn:b> " +
+          "<https://schema.org/name> \"Beta\" } }",
+        "application/sparql-update") == 204)
+      val names = HttpVocab.selectRemote(spark, h.endpoint,
+        "SELECT ?n WHERE { ?s <https://schema.org/name> ?n } ORDER BY ?n",
+        timeoutMs = 120000).collect().map(_.getString(0)).toSeq
+      assert(names == Seq("Alpha", "Delta", "a \"quoted\" name"), names)
+      // form-encoded update param works too
+      val upd = java.net.URLEncoder.encode(
+        "DELETE DATA { GRAPH <urn:g:1> { <urn:d> " +
+          "<https://schema.org/name> \"Delta\" } }", "UTF-8")
+      assert(post(s"update=$upd",
+        "application/x-www-form-urlencoded") == 204)
+      assert(h.relation.filter(col("objectValue") === "Delta").count()
+        == 0)
+      // missing update → 400; malformed → 500; GET → 400
+      assert(post("nope=1", "application/x-www-form-urlencoded") == 400)
+      assert(post("NOT AN UPDATE", "application/sparql-update") == 500)
+      val getConn = new java.net.URL(h.updateEndpoint).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try assert(getConn.getResponseCode == 400)
+      finally getConn.disconnect()
+    } finally h.stop()
+  }
+
   test("SparqlServer r14: a SERVICE clause traverses the real local " +
       "HTTP loop — engine federates to engine over the wire") {
     import spark.implicits._
