@@ -12,8 +12,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema`).
   */
 object Tables {
+  /** Per-(session, path) memo of the RESOLVED scan relation (r14 opt:
+    * guide §1.2/§6 — `spark.read.parquet` pays a driver-side footer
+    * schema-inference pass plus file listing on EVERY call, and a
+    * 454-query bench touching 2-4 tables per query re-paid it
+    * thousands of times per run). The memo holds the logical PLAN leaf
+    * (file index + schema), never rows: every action still scans the
+    * parquet from disk, filters/pruning still push down per query —
+    * this is the path-based twin of a catalog table's cached
+    * relation. Weak session key: entries die with the session, so
+    * stopped test sessions never pin stale file indexes. */
+  private val scans =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scans.synchronized {
+      val perSession = scans.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+      perSession.getOrElseUpdate(s"$dir/$name",
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

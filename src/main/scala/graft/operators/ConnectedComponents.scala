@@ -61,9 +61,12 @@ object ConnectedComponents {
       sym0.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
       .cutLineage(eager = false)
+    // lazy (r14 opt): the initial signature action below materializes
+    // the label blocks AND reads the hash in one job — the eager cut
+    // paid a separate materialization job first
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .cutLineage()
+      .cutLineage(eager = false)
     var round = 0
     var converged = false
     // cheap per-round change detector: the unordered hash signature of

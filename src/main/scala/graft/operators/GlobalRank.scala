@@ -64,7 +64,15 @@ object GlobalRank {
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
+    // r14 opt (guide §2.4): repartitionByRange SAMPLES its input to
+    // pick range boundaries — on a derived input that sampling job
+    // re-ran the whole upstream plan once before the exchange ran it
+    // again (chained ranks compounded it). cutOnce is a no-op when the
+    // input is already a scan or a checkpoint (scans re-read fine and
+    // keep pushdown); anything join/aggregate-shaped materializes once
+    // and both the sampler and the exchange read the blocks.
+    val in = if (cutLineage) Checkpoints.cutOnce(df, eager = false) else df
+    val ranged = in
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_gr_mid", monotonically_increasing_id())

@@ -41,8 +41,16 @@ object WeightedQuantile {
     val n =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val rows = df.select(key.as("k"), value.as("v"), weight.as("w"))
-      .groupBy(col("k"), col("v")).agg(sum(col("w")).as("w"))
+    // r14 opt (guide §2.4): repartitionByRange SAMPLES its input to
+    // pick boundaries — an extra job that re-ran the whole groupBy
+    // aggregate from the scan before the real range shuffle ran it
+    // again. The lazy cut materializes the per-(key, value) weight
+    // relation once; the sampling pass and the range exchange both
+    // read the stored blocks.
+    val rows = Checkpoints.cut(
+      df.select(key.as("k"), value.as("v"), weight.as("w"))
+        .groupBy(col("k"), col("v")).agg(sum(col("w")).as("w")),
+      eager = false)
     val ranged = rows
       .repartitionByRange(n, col("k"), col("v"))
       .withColumn("_wq_pid", spark_partition_id())

@@ -55,10 +55,6 @@ object DedupQueries extends QueryCatalog {
     shingled(s, dir).withColumn("sig",
       TextDedup.minhashSignature(col("shingles"), seeds = 2))
 
-  /** LSH: 4 bands × 2 signature rows → (band, band_key) buckets. */
-  private def minhashBuckets(s: SparkSession, dir: String): DataFrame =
-    TextDedup.lshBands(minhashed(s, dir), bands = 4, rowsPerBand = 2)
-
   private def jaccard(a: Column, b: Column): Column =
     TextDedup.jaccard(a, b)
 
@@ -78,7 +74,18 @@ object DedupQueries extends QueryCatalog {
     * and the planner still auto-broadcasts when the relation really
     * is small — size-gated by Spark, not hard-coded here. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = minhashBuckets(s, dir)
+    // r14 opt (guide §2.4, the ngram_jaccard lesson applied here): the
+    // shingle relation feeds the band build AND both verify legs —
+    // uncut, each consumer re-ran the scan + repartition + HOF shingle
+    // transform (3× the sketch compute per action, and the analyzer
+    // walked three copies of the HOF subtree). One lazy cut
+    // materializes it once; q_dedup_minhash/_clusters/_canonical all
+    // inherit the fix.
+    val sh = shingled(s, dir).cutLineage(eager = false)
+    val b = TextDedup.lshBands(
+      sh.withColumn("sig", TextDedup.minhashSignature(col("shingles"),
+        seeds = 2)),
+      bands = 4, rowsPerBand = 2)
     val cand = b.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") &&
@@ -86,7 +93,6 @@ object DedupQueries extends QueryCatalog {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(s, dir)
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))

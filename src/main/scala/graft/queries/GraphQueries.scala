@@ -147,7 +147,11 @@ object GraphQueries extends QueryCatalog {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
-        .cutLineage()
+        // lazy cut (r14 opt): the HLL estimate below is the loop's
+        // first action anyway — it materializes the cut's blocks AND
+        // reads the estimate in ONE job, where the eager cut paid a
+        // separate materialization job first (guide §1.2: fewer passes)
+        .cutLineage(eager = false)
       // one map-side HLL pass bounds both score vectors' cardinality
       val est = edges.agg(approx_count_distinct(col("sp")).as("nsp"),
         approx_count_distinct(col("c")).as("nc")).first()
@@ -344,7 +348,9 @@ object GraphQueries extends QueryCatalog {
         .cutLineage(eager = false)
       val sources = edges.select(col("u").as("node")).distinct()
         .filter(col("node") % 50 === 0)
-      var reached = sources.withColumn("dist", lit(0)).cutLineage()
+      // lazy (r14 opt): the first frontier count materializes the cut
+      var reached = sources.withColumn("dist", lit(0))
+        .cutLineage(eager = false)
       var frontier = reached
       // ONE action per round (PERF.md #33 discipline, r13): the next
       // frontier is cut LAZILY and count() both materializes its
@@ -388,9 +394,10 @@ object GraphQueries extends QueryCatalog {
       val edges = sym
         .withColumn("w", (col("u") + col("v")) % 5 + lit(1L))
         .cutLineage(eager = false)
+      // lazy (r14 opt): the initial signature materializes the cut
       var dist = edges.select(col("u").as("node")).distinct()
         .filter(col("node") % 50 === 0)
-        .withColumn("dist", lit(0L)).cutLineage()
+        .withColumn("dist", lit(0L)).cutLineage(eager = false)
       // ONE action per round (PERF.md #33, r13): each round's relation
       // is cut lazily and the xor-signature aggregate both materializes
       // it and detects the fixpoint — when the relation stops changing,
@@ -521,7 +528,10 @@ object GraphQueries extends QueryCatalog {
           .join(alive.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(alive.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
           .select(col("u"), col("v"))
-          .cutLineage()
+          // lazy (r14 opt): the peel has no per-round action — the one
+          // terminal aggregate materializes the 3 chained cuts inside
+          // one job instead of 3 scheduled materialization jobs
+          .cutLineage(eager = false)
       }
       edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
         .orderBy(col("node"))

@@ -30,7 +30,7 @@ object HierarchyQueries extends QueryCatalog {
     var acc = nodes.filter(col("node") <= 1)
       .select(col("node"), lit(0).as("level"),
         concat(lit("/"), col("node").cast("string")).as("path"))
-    var frontier = acc.cutLineage()
+    var frontier = acc.cutLineage(eager = false)
     var levelCount = frontier.count()
     while (levelCount > 0) {
       val next = frontier.as("f")
@@ -39,7 +39,11 @@ object HierarchyQueries extends QueryCatalog {
           (col("f.level") + 1).as("level"),
           concat(col("f.path"), lit("/"), col("c.node").cast("string"))
             .as("path"))
-        .cutLineage()
+        // ONE action per round (r14 opt, the BFS discipline): the lazy
+        // cut's blocks materialize inside the count() that is already
+        // the emptiness probe — eager-cut + count was two scheduled
+        // jobs per level, ~2× the loop's job count at depth log₂(N)
+        .cutLineage(eager = false)
       levelCount = next.count()
       if (levelCount > 0) acc = acc.unionByName(next)
       frontier = next
@@ -105,8 +109,11 @@ object HierarchyQueries extends QueryCatalog {
       // (Broadcasts.sizeGated): past ~5M nodes the node id stays the
       // shuffle key and the joins degrade to hash exchanges instead of
       // OOMing the driver — nn stays a 1-row broadcast at any scale.
-      val nodes = edges.select(col("src").as("node")).distinct().cutLineage()
-      val nNodes = nodes.count() // exact: nodes is materialized
+      // lazy cut (r14 opt): count() materializes the blocks AND reads
+      // the exact cardinality in one job (eager cut + count was two)
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .cutLineage(eager = false)
+      val nNodes = nodes.count() // exact: the count materialized nodes
       def gated(df: DataFrame): DataFrame =
         graft.operators.Broadcasts.sizeGated(df, nNodes)
       val nn = nodes.agg(count(lit(1)).as("nn"))
@@ -125,7 +132,9 @@ object HierarchyQueries extends QueryCatalog {
           .select(col("dst").as("node"), round(col("raw"), 9).as("rank"))
         // cut BETWEEN iterations only: the next broadcast then builds from
         // materialized rows; the final vector flows straight to the top-k
-        if (i < Iters) ranks = ranks.cutLineage()
+        // (lazy: the next iteration's broadcast build materializes it —
+        // no separate scheduled job)
+        if (i < Iters) ranks = ranks.cutLineage(eager = false)
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
         .select(col("node"),

@@ -254,8 +254,15 @@ object MiningQueries extends QueryCatalog {
     // broadcasts. Top-20 by lift leaves the executors as a
     // TakeOrderedAndProject.
     "q_basket_rules" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // r14 opt (guide §2.4): the distinct basket relation feeds FOUR
+      // consumers (item supports, the basket total, both pair-join
+      // legs) — uncut, each replayed the scan + distinct shuffle. One
+      // lazy cut materializes it once (the q_basket_triples `b`
+      // discipline applied here).
+      val li = graft.operators.Checkpoints.cut(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct(),
+        eager = false)
       val item = li.groupBy(col("l_partkey").as("p"))
         .agg(count(lit(1)).as("sp"))
       val n = li.agg(countDistinct(col("l_orderkey")).as("n"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
+import graft.operators.Checkpoints.CutOps
 
 /** SURVEY §2.10 — the text/search serving surface:
   *
@@ -130,8 +131,14 @@ object SearchQueries extends QueryCatalog {
       import org.apache.spark.sql.expressions.Window
       val toks = tokens(s, dir)
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      // r14 opt (guide §2.4): tf feeds BOTH the df aggregate and the
+      // weight projection, and unit feeds BOTH the query and corpus
+      // legs of the inverted-index join — uncut, each consumer replayed
+      // the tokenize + groupBy from the scan (the token explode ran 4×
+      // per action). Two lazy cuts materialize each relation once.
       val tf = toks.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).cast("double").as("tf"))
+        .cutLineage(eager = false)
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = tf.join(broadcast(df), Seq("tok"))
         .crossJoin(broadcast(n))
@@ -143,6 +150,7 @@ object SearchQueries extends QueryCatalog {
         .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       val unit = w.join(nrm, Seq("doc_id"))
         .select(col("doc_id"), col("tok"), (col("w") / col("nrm")).as("u"))
+        .cutLineage(eager = false)
       val q = unit.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("q_doc"), col("tok"), col("u").as("uq"))
       val sim = q.join(unit.filter(col("doc_id") % 25 =!= 0), Seq("tok"))

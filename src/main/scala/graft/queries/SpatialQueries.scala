@@ -115,7 +115,11 @@ object SpatialQueries extends QueryCatalog {
     // at r ≥ 15 sees every candidate, so every probe decides.
     val GlobalR = 15.0
     var r = CellSize
-    var residue = queryPoints(s, dir).cutLineage()
+    // lazy cuts throughout the ring loop (r14 opt, guide §1.2): each
+    // pass's single count() action materializes every lazily-cut
+    // relation it depends on — the eager-cut variants scheduled 3 jobs
+    // per pass (best cut, residue cut, residue count) for the same work
+    var residue = queryPoints(s, dir).cutLineage(eager = false)
     // Empty-but-typed accumulator: an empty probe set must yield an empty
     // result, not an NPE from a never-assigned accumulator.
     var out: DataFrame = residue.select(col("qid"), col("qid").as("cid"),
@@ -136,14 +140,19 @@ object SpatialQueries extends QueryCatalog {
         .filter(if (global) lit(true) else col("d2") <= lit(r * r))
       val byDist = Window.partitionBy(col("qid"))
         .orderBy(col("d2"), col("cid"))
-      val ranked = pairs.withColumn("rk", row_number().over(byDist))
+      // ranked feeds BOTH the best-pick and the decided-count branch in
+      // non-global passes — cut it there so the grid join + window run
+      // once per pass (single-consumer global pass skips the cut)
+      val ranked0 = pairs.withColumn("rk", row_number().over(byDist))
+      val ranked =
+        if (global) ranked0 else ranked0.cutLineage(eager = false)
       val best = ranked
         .filter(col("rk") <= K && col("qname") === col("cname"))
         .withColumn("best", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("rk"))))
         .filter(col("best") === 1)
         .select(col("qid"), col("cid"), col("d2"), col("rk"))
-        .cutLineage()
+        .cutLineage(eager = false)
       out = out.unionByName(best)
       if (global) residueCount = 0
       else {
@@ -151,7 +160,7 @@ object SpatialQueries extends QueryCatalog {
           ranked.groupBy(col("qid")).agg(count(lit(1)).as("nc"))
             .filter(col("nc") >= K).select(col("qid"))).distinct()
         residue = residue.join(decided, Seq("qid"), "left_anti")
-          .cutLineage()
+          .cutLineage(eager = false)
         residueCount = residue.count()
         r *= 2
       }

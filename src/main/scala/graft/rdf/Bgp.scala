@@ -117,11 +117,12 @@ object Bgp {
     * that is compatible with some solution of a MINUS group on their
     * shared variables — negation as one anti equi-join per group (the
     * join keys are the shared variable bindings, so Catalyst plans the
-    * same hash anti-join as any NOT EXISTS). Per the SPARQL spec, a
-    * MINUS group sharing NO variable with the required patterns removes
-    * nothing (disjoint domains are never "compatible") — that silent
-    * no-op is almost always an authoring bug, so it is rejected loudly
-    * here instead. */
+    * same hash anti-join as any NOT EXISTS). Per SPARQL §8.3, a MINUS
+    * group sharing NO variable with the required patterns removes
+    * nothing (disjoint domains are never "compatible") — evaluated as
+    * the spec no-op with a stderr warning, since it is almost always an
+    * authoring bug (r14: was a loud reject; the W3C sample suite pins
+    * the spec behavior). */
   def selectMinus(quads: DataFrame, required: Seq[Pattern],
       minusGroups: Seq[Seq[Pattern]], dedup: Boolean = true): DataFrame =
     minusGroups.foldLeft(select(quads, required, dedup)) { (acc, group) =>

@@ -53,9 +53,21 @@ object SameAs {
     * nquads sink (ADVICE r7). */
   def smush(quads: DataFrame, labels: DataFrame): DataFrame = {
     val hasSubjKind = quads.columns.contains("subjectKind")
-    val subjL = labels.select(col("node").as("_s_node"),
+    // r14 opt (guide §3.1): the label relation comes out of the CC loop
+    // as a checkpointed LogicalRDD, whose size estimate never clears
+    // the auto-broadcast threshold — both rewrite joins planned as
+    // SortMergeJoin, shuffling the FULL quad relation twice just to
+    // rewrite a (small) alias table's worth of IRIs. The alias table is
+    // node-cardinality (grows with the data), so the broadcast is
+    // SIZE-GATED like every score-vector join (Broadcasts.sizeGated,
+    // 5M-row cap): below the cap the quad relation is never shuffled
+    // by the rewrite (only dropDuplicates pays one exchange), above it
+    // the join degrades to the node-keyed shuffle it is today. The
+    // count is O(1)-ish — labels is already materialized by the loop.
+    val gated = graft.operators.Broadcasts.sizeGated(labels, labels.count())
+    val subjL = gated.select(col("node").as("_s_node"),
       col("canon").as("_s_canon"))
-    val objL = labels.select(col("node").as("_o_node"),
+    val objL = gated.select(col("node").as("_o_node"),
       col("canon").as("_o_canon"))
     val subjCond =
       if (hasSubjKind)
