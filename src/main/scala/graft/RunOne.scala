@@ -21,6 +21,29 @@ object RunOne {
       .config("spark.ui.enabled", sys.env.getOrElse("RUNONE_UI", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JOBLOG=1: per-job wall times (guide §1.1 empirical loop without a
+    // UI — tells you whether a query's seconds sit in one big job or in
+    // many scheduled little ones).
+    if (sys.env.contains("JOBLOG")) {
+      import org.apache.spark.scheduler.{SparkListener,
+        SparkListenerJobStart, SparkListenerJobEnd}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val descs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          starts.put(j.jobId, System.nanoTime())
+          descs.put(j.jobId, Option(
+            j.properties.getProperty("spark.job.description"))
+            .getOrElse(""))
+        }
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          val t0 = starts.getOrDefault(j.jobId, System.nanoTime())
+          println(f"[job] id=${j.jobId}%-4d ${
+            (System.nanoTime() - t0) / 1e9}%6.3f s  ${
+            descs.getOrDefault(j.jobId, "")}")
+        }
+      })
+    }
     if (sys.env.contains("EXPLAIN"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to iters).foreach { i =>

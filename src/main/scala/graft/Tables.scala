@@ -12,27 +12,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema`).
   */
 object Tables {
-  /** Per-(session, path) memo of the RESOLVED scan relation (r14 opt:
-    * guide §1.2/§6 — `spark.read.parquet` pays a driver-side footer
-    * schema-inference pass plus file listing on EVERY call, and a
-    * 454-query bench touching 2-4 tables per query re-paid it
-    * thousands of times per run). The memo holds the logical PLAN leaf
-    * (file index + schema), never rows: every action still scans the
-    * parquet from disk, filters/pruning still push down per query —
-    * this is the path-based twin of a catalog table's cached
-    * relation. Weak session key: entries die with the session, so
-    * stopped test sessions never pin stale file indexes. */
-  private val scans =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+  /** Global path→schema memo (r15 rework of the r14 resolved-scan memo;
+    * ADVICE r14 medium): `spark.read.parquet` with no user schema pays a
+    * driver-side footer schema-inference pass on EVERY call, and a
+    * 454-query bench touching 2-4 tables per query re-paid it thousands
+    * of times per run. Memoizing the inferred SCHEMA (a plain
+    * StructType — no session, no file index, no rows) keeps that win
+    * while fixing what the r14 memo got wrong: the old
+    * WeakHashMap[SparkSession, DataFrame] values strongly referenced
+    * their session key through queryExecution, so per-query
+    * `newSession()` callers pinned a SessionState forever, and repeated
+    * calls returned the IDENTICAL Dataset instance (latent
+    * ambiguous-self-join trap). Now every call builds a fresh relation
+    * from the memoized schema: file listing is re-done per call (these
+    * are single-file tables — trivial), so in-session overwrites are
+    * picked up, and each call gets fresh expression ids.
+    *
+    * The key includes the nanosAsLong legacy flag because it changes
+    * what inference RETURNS for TIMESTAMP(NANOS) columns (LongType vs a
+    * failure) — two sessions differing on that flag must not share an
+    * entry. */
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    scans.synchronized {
-      val perSession = scans.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate(s"$dir/$name",
-        spark.read.parquet(s"$dir/$name.parquet"))
-    }
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("false") + "|" + path
+    val schema = schemas.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -346,8 +346,9 @@ object DedupQueries extends QueryCatalog {
       // The gram relation materializes ONCE (lazy checkpoint) and feeds
       // both the sketch build and the survivor re-joins below.
       val grams = charGrams(s, dir).cutLineage(eager = false)
-      // coalesce: non-nullable join key / predicate inputs — see
-      // minhashBuckets.
+      // coalesce: non-nullable join key / predicate inputs — see the
+      // band-key coalesce rationale in TextDedup.lshBands (ADVICE r14:
+      // the old pointer named minhashBuckets, inlined into minhashPairs).
       val g = grams
         .withColumn("blk",
           coalesce(array_min(transform(col("grams"), x => md5(x))), lit("")))

@@ -158,9 +158,16 @@ object GraphQueries extends QueryCatalog {
       val nMax = math.max(est.getLong(0), est.getLong(1))
       def gated(df: DataFrame): DataFrame =
         graft.operators.Broadcasts.sizeGated(df, nMax)
+      // r15 opt (guide §2.4): each score vector materializes ONCE (lazy
+      // cut) — the sum-normalizer's broadcast build is its first action
+      // and fills the blocks; the main leg and every downstream consumer
+      // (the next half-step's gated broadcast) then read blocks instead
+      // of replaying the edge-join + groupBy per consumer (the r14
+      // measured shape: 5 extra ~0.4 s edge passes per run).
       def normed(df: DataFrame, key: String, v: String): DataFrame = {
-        val t = df.agg(sum(col(v)).as("t"))
-        df.crossJoin(broadcast(t))
+        val d = df.cutLineage(eager = false)
+        val t = d.agg(sum(col(v)).as("t"))
+        d.crossJoin(broadcast(t))
           .select(col(key), round(col(v) / col("t"), 9).as(v))
       }
       // h0 = 1 ⇒ a1 ∝ in-degree

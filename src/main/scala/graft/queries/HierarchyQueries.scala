@@ -95,11 +95,19 @@ object HierarchyQueries extends QueryCatalog {
       // (2·custkey / 2·suppkey+1): long-keyed shuffles and checkpoints
       // move fixed-width rows, not concatenated strings — the id space
       // is disjoint by parity, and the oracle replays the arithmetic.
-      val edges = pairs.select((col("c") * 2).as("src"),
+      // r15 opt (guide §2.3): cut the HALF-SIZE pair relation, not the
+      // symmetrized edge relation — the union above the materialized
+      // blocks is projection-only, so every consumer reads |pairs|
+      // blocks twice instead of materializing (and then reading) a 2×
+      // copy. Lazy: nodes.count() below is the loop's first action
+      // anyway — it materializes the pair blocks AND the node blocks
+      // and reads the cardinality in ONE job, where the r13 eager cut
+      // paid a separate scheduled materialization pass first.
+      val pairsM = pairs.cutLineage(eager = false)
+      val edges = pairsM.select((col("c") * 2).as("src"),
           (col("sp") * 2 + 1).as("dst"))
-        .unionByName(pairs.select((col("sp") * 2 + 1).as("src"),
+        .unionByName(pairsM.select((col("sp") * 2 + 1).as("src"),
           (col("c") * 2).as("dst")))
-        .cutLineage()
       // rank and degree vectors are node-cardinality (≪ edges) — below
       // the cap they BROADCAST onto the edge scan, so one iteration =
       // one pass over the edges with a map-side-partial contribution
@@ -117,18 +125,32 @@ object HierarchyQueries extends QueryCatalog {
       def gated(df: DataFrame): DataFrame =
         graft.operators.Broadcasts.sizeGated(df, nNodes)
       val nn = nodes.agg(count(lit(1)).as("nn"))
+      // lazy (r15 opt): the first iteration's contribution build below
+      // is deg's first consumer — it materializes the blocks in place
+      // of the separate eager-cut job
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .cutLineage()
+        .cutLineage(eager = false)
       var ranks = nodes.crossJoin(broadcast(nn))
         .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
       val Iters = 2
       for (i <- 1 to Iters) {
-        ranks = edges.join(gated(ranks), col("src") === col("node"))
-          .join(gated(deg), Seq("src"))
+        // r15 opt (guide §2.4/§3.1): fold the static out-degree into the
+        // rank vector BEFORE it rides onto the edges — contrib is a
+        // node-cardinality ⋈ node-cardinality join (deg gated-broadcast
+        // under the cap), so each iteration ships ONE score vector onto
+        // the edge scan instead of two (r14 shape: broadcast(ranks) AND
+        // broadcast(deg) both built per iteration). Arithmetic is
+        // unchanged: q = rank/outdeg is the identical double the old
+        // per-edge-row division produced (same operands, computed once
+        // per src instead of once per edge row), and the contribution
+        // sum aggregates the same multiset.
+        val contrib = ranks.join(gated(deg), col("node") === col("src"))
+          .select(col("node"), (col("rank") / col("outdeg")).as("q"))
+        ranks = edges.join(gated(contrib), col("src") === col("node"))
           .crossJoin(broadcast(nn))
           .groupBy(col("dst"), col("nn"))
           .agg((lit(0.15) / col("nn") +
-            lit(0.85) * sum(col("rank") / col("outdeg"))).as("raw"))
+            lit(0.85) * sum(col("q"))).as("raw"))
           .select(col("dst").as("node"), round(col("raw"), 9).as("rank"))
         // cut BETWEEN iterations only: the next broadcast then builds from
         // materialized rows; the final vector flows straight to the top-k

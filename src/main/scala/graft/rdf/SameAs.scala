@@ -63,8 +63,13 @@ object SameAs {
     // 5M-row cap): below the cap the quad relation is never shuffled
     // by the rewrite (only dropDuplicates pays one exchange), above it
     // the join degrades to the node-keyed shuffle it is today. The
-    // count is O(1)-ish — labels is already materialized by the loop.
-    val gated = graft.operators.Broadcasts.sizeGated(labels, labels.count())
+    // count is O(1)-ish at the current call sites — labels is already
+    // materialized by the CC loop — and cutOnce (ADVICE r14 low) guards
+    // the general caller: a raw-lineage label relation is materialized
+    // ONCE by the count instead of computing the full derivation for
+    // the count and again for each rewrite join.
+    val mat = graft.operators.Checkpoints.cutOnce(labels, eager = false)
+    val gated = graft.operators.Broadcasts.sizeGated(mat, mat.count())
     val subjL = gated.select(col("node").as("_s_node"),
       col("canon").as("_s_canon"))
     val objL = gated.select(col("node").as("_o_node"),
