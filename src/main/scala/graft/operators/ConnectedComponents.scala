@@ -76,48 +76,60 @@ object ConnectedComponents {
     // probe, which remains the sole convergence authority — a hash
     // collision costs one extra probe, never a wrong answer.
     // bit_xor: commutative, duplicate-free by construction (one row
-    // per node), and cannot overflow under ANSI arithmetic
-    def signature(df: DataFrame): Long =
-      df.agg(bit_xor(xxhash64(col("node"), col("comp"))))
-        .first() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-    var prevSig = signature(labels)
+    // per node), and cannot overflow under ANSI arithmetic.
+    // The SAME single job also reads the exact node count (r15 opt):
+    // it sizes the next round's gated broadcast for free.
+    def sigAndCount(df: DataFrame): (Long, Long) = {
+      val r = df.agg(bit_xor(xxhash64(col("node"), col("comp"))),
+        count(lit(1))).first()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    var (prevSig, nNodes) = sigAndCount(labels)
     while (!converged && round < maxRounds) {
       // neighbor labels flow across edges (self-loops included, so the
       // min covers the node's own label); ONE equi-join + one
-      // map-side-combinable min per round
-      val prop = sym
-        .join(labels, sym("src") === labels("node"))
+      // map-side-combinable min per round. The label vector is
+      // node-cardinality — SIZE-GATED broadcast (r15 opt, guide §3.1,
+      // the pagerank/HITS discipline): below the 5M cap the vector
+      // rides map-side onto the materialized edge blocks and the round
+      // costs ONE exchange (the dst min-aggregate) instead of
+      // shuffling the edge relation per round; above the cap the node
+      // id stays the shuffle key exactly as before. The exact count
+      // comes from the previous round's signature job — no extra pass.
+      val lb = Broadcasts.sizeGated(labels, nNodes)
+      val prop0 = sym
+        .join(lb, sym("src") === lb("node"))
         .select(col("dst").as("node"), col("comp"))
         .groupBy(col("node"))
         .agg(min(col("comp")).as("comp"))
-        .cutLineage(eager = false)
       // pointer jump (path halving) from round 3 on: a label is itself
       // a node id, so follow it one hop — comp[n] := comp[comp[n]].
       // Labels only decrease monotonically, so the jump is always ≤
       // and the round count drops from O(diameter) to O(log diameter).
       // The first two rounds skip it: dedup-shaped graphs (banded
       // near-dup cliques, diameter 1-3) converge in 2-3 plain rounds,
-      // and the jump's label-wide self-join shuffle would be pure
-      // overhead there; deep graphs pay 2 plain rounds then go
-      // logarithmic.
-      val next = if (round < 2) prop
-        else prop.as("l")
-          .join(prop.select(col("node").as("cnode"),
+      // and the jump's label-wide lookup would be pure overhead there;
+      // deep graphs pay 2 plain rounds then go logarithmic. The jump
+      // stays a plain self-join: its two legs share ONE computation of
+      // prop through ReuseExchange, where a broadcast lookup side would
+      // need an extra per-round materialization job (measured slower on
+      // the many-round grid graphs the jump exists for).
+      val next = if (round < 2) prop0.cutLineage(eager = false)
+        else prop0.as("l")
+          .join(prop0.select(col("node").as("cnode"),
             col("comp").as("pcomp")).as("p"),
             col("l.comp") === col("p.cnode"), "left")
           .select(col("l.node").as("node"),
             least(col("l.comp"), coalesce(col("pcomp"), col("l.comp")))
               .as("comp"))
           .cutLineage(eager = false)
-      val sig = signature(next)
+      val (sig, n2) = sigAndCount(next)
       converged = sig == prevSig && next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .isEmpty
       prevSig = sig
+      nNodes = n2
       labels = next
       round += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
