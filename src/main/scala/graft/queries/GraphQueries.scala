@@ -365,16 +365,25 @@ object GraphQueries extends QueryCatalog {
       // pair cost two scheduled jobs per round for the same
       // information
       var frontierRows = frontier.count()
+      var reachedRows = frontierRows
       var depth = 0
       while (depth < 3 && frontierRows > 0) {
         depth += 1
-        val next = frontier
+        // frontier and reached are node-cardinality vectors whose exact
+        // counts the emptiness probes already read — SIZE-GATED
+        // broadcast (r15 opt, the CC-round discipline): below the cap
+        // each round is one pass over the materialized edge blocks with
+        // no edge shuffle; above it the node id stays the shuffle key.
+        def gated(df: DataFrame, n: Long): DataFrame =
+          graft.operators.Broadcasts.sizeGated(df, n)
+        val next = gated(frontier, frontierRows)
           .join(edges, frontier("node") === edges("u"))
           .select(col("v").as("node")).distinct()
-          .join(reached, Seq("node"), "left_anti")
+          .join(gated(reached, reachedRows), Seq("node"), "left_anti")
           .withColumn("dist", lit(depth))
           .cutLineage(eager = false)
         frontierRows = next.count()
+        reachedRows += frontierRows
         reached = reached.unionByName(next).cutLineage(eager = false)
         frontier = next
       }
@@ -412,30 +421,36 @@ object GraphQueries extends QueryCatalog {
       // identical ≤4-hop minimum. Signatures equal ⇒ confirm with the
       // exact join probe (collision costs one extra probe, never a
       // wrong answer — the ConnectedComponents discipline).
-      def signature(df: DataFrame): Long =
-        df.agg(bit_xor(xxhash64(col("node"), col("dist"))))
-          .first() match {
-            case r if r.isNullAt(0) => 0L
-            case r => r.getLong(0)
-          }
-      var prevSig = signature(dist)
+      // the same single job also reads the exact row count (r15 opt):
+      // it sizes the next round's gated broadcast for free, exactly as
+      // in the ConnectedComponents rounds
+      def sigAndCount(df: DataFrame): (Long, Long) = {
+        val r = df.agg(bit_xor(xxhash64(col("node"), col("dist"))),
+          count(lit(1))).first()
+        (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+      }
+      var (prevSig, nDist) = sigAndCount(dist)
       var round = 0
       var converged = false
       while (round < 4 && !converged) {
         round += 1
-        val relaxed = dist
+        // dist is a node-cardinality vector — size-gated broadcast onto
+        // the materialized edge blocks (the CC-round discipline): below
+        // the cap a relaxation round never shuffles the edges
+        val relaxed = graft.operators.Broadcasts.sizeGated(dist, nDist)
           .join(edges, dist("node") === edges("u"))
           .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
         val next = dist.unionByName(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
           .cutLineage(eager = false)
-        val sig = signature(next)
+        val (sig, n2) = sigAndCount(next)
         converged = sig == prevSig && next.as("n")
           .join(dist.as("o"), col("n.node") === col("o.node"), "full_outer")
           .filter(col("n.dist") =!= col("o.dist") ||
             col("n.dist").isNull =!= col("o.dist").isNull)
           .isEmpty
         prevSig = sig
+        nDist = n2
         dist = next
       }
       dist.orderBy(col("node"))

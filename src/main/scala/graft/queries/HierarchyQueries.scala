@@ -33,6 +33,11 @@ object HierarchyQueries extends QueryCatalog {
     var frontier = acc.cutLineage(eager = false)
     var levelCount = frontier.count()
     while (levelCount > 0) {
+      // examined r15: gating the frontier broadcast here (the CC-round
+      // discipline) measured SLOWER (3.0→3.4 s / 3.3→4.8 s warm) — at
+      // log₂(N) levels the per-level broadcast-build job costs more
+      // than the small join shuffles it replaces. The loop keeps the
+      // plain join; AQE still localizes small frontiers at runtime.
       val next = frontier.as("f")
         .join(children.as("c"), col("c.parent") === col("f.node"))
         .select(col("c.node").as("node"),
