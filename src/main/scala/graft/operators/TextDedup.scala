@@ -63,13 +63,22 @@ object TextDedup {
     * @param seeds digests per token, 1..4 (enforced — a silent cap would
     *              hand the caller a narrower signature than requested);
     *              signature width = 4×seeds, so up to 16 components */
-  def minhashSignature(tokens: Column, seeds: Int = 2): Column = {
+  def minhashSignature(tokens: Column, seeds: Int = 2): Column =
+    minhashSignature(tokens, seeds, None)
+
+  /** As above, with the seed-"" digest array optionally PRECOMPUTED by
+    * the caller (r15 opt): a caller that also needs the raw md5 array
+    * (e.g. the argmin-LSH block key is `array_min` of exactly that
+    * array) computes it once in its own projection and passes the
+    * column here, instead of paying the per-token md5 pass twice. */
+  def minhashSignature(tokens: Column, seeds: Int,
+      md5s0: Option[Column]): Column = {
     require(seeds >= 1 && seeds <= 4,
       s"seeds must be in 1..4 (got $seeds); signature width is 4*seeds")
     val salts = Seq("", "x", "y", "z").take(seeds)
     concat(salts.map { s =>
       val hashed =
-        if (s.isEmpty) transform(tokens, t => md5(t))
+        if (s.isEmpty) md5s0.getOrElse(transform(tokens, t => md5(t)))
         else transform(tokens, t => md5(concat(lit(s), t)))
       sliceMins(hashed)
     }: _*)
@@ -150,16 +159,24 @@ object TextDedup {
   }
 
   /** SimHash sketch over a token-set column: bit i = majority vote of
-    * md5-nibble-i high bits (md5 has exactly 32 nibbles → 32 bits). */
+    * md5-nibble-i high bits (md5 has exactly 32 nibbles → 32 bits).
+    * The md5 array is bound ONCE per row through a single-element-array
+    * transform (r15 opt: the straightforward nesting re-ran the whole
+    * `transform(tokens, md5)` inside every one of the 32 bit lambdas —
+    * 32× the hashing per document, the dominant cost of the simhash
+    * sketch pass). */
   def simhash(tokensCol: String): Column =
     coalesce(expr(
-      s"""aggregate(
-         |  transform(sequence(0, 31), i ->
-         |    IF(2 * size(filter(transform($tokensCol, t -> md5(t)), m ->
-         |         substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
-         |       > size($tokensCol),
-         |       shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin), lit(0L))
+      s"""element_at(transform(
+         |  array(transform($tokensCol, t -> md5(t))), mds ->
+         |  aggregate(
+         |    transform(sequence(0, 31), i ->
+         |      IF(2 * size(filter(mds, m ->
+         |           substring(m, i + 1, 1) IN ('8','9','a','b','c','d','e','f')))
+         |         > size($tokensCol),
+         |         shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+         |    cast(0 as bigint), (acc, x) -> acc + x)), 1)""".stripMargin),
+      lit(0L))
 
   /** Exact Jaccard between two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =

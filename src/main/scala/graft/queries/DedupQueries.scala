@@ -349,17 +349,23 @@ object DedupQueries extends QueryCatalog {
       // coalesce: non-nullable join key / predicate inputs — see the
       // band-key coalesce rationale in TextDedup.lshBands (ADVICE r14:
       // the old pointer named minhashBuckets, inlined into minhashPairs).
+      // r15 opt: the seed-"" digest array feeds BOTH the block key
+      // (its array_min) and the first 4 signature components — computed
+      // once in its own projection and referenced twice (the double
+      // reference is what stops CollapseProject from inlining the
+      // transform back into each consumer), saving one of five per-gram
+      // md5 passes. blk/sz/sig live in ONE select for the same reason.
       val g = grams
-        .withColumn("blk",
-          coalesce(array_min(transform(col("grams"), x => md5(x))), lit("")))
-        .withColumn("sz", coalesce(size(col("grams")), lit(0)))
-        // 16-component MinHash sketch for the cheap agreement filter —
-        // four md5 seeds per gram sliced into 8-hex (32-bit) components
-        // (TextDedup.minhashSignature; slice-width and flat-transform
-        // rationale in its scaladoc / PERF.md #7-8).
-        .withColumn("sig", coalesce(
-          graft.operators.TextDedup.minhashSignature(col("grams"), seeds = 4),
-          array()))
+        .withColumn("m0", transform(col("grams"), x => md5(x)))
+        .select(col("doc_id"), col("grams"),
+          coalesce(array_min(col("m0")), lit("")).as("blk"),
+          coalesce(size(col("grams")), lit(0)).as("sz"),
+          // 16-component MinHash sketch for the cheap agreement filter —
+          // four md5 seeds per gram sliced into 8-hex (32-bit) components
+          // (TextDedup.minhashSignature; slice-width and flat-transform
+          // rationale in its scaladoc / PERF.md #7-8).
+          coalesce(graft.operators.TextDedup.minhashSignature(
+            col("grams"), seeds = 4, Some(col("m0"))), array()).as("sig"))
       // Three-stage candidate pruning, all inside the join condition so
       // pairs die before the O(|A|+|B|) exact intersect:
       //  1. size ratio — J >= 0.6 implies min/max >= 3/5, integer-exact,
