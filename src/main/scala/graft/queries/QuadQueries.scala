@@ -242,7 +242,7 @@ object QuadQueries extends QueryCatalog {
 
   /** Bump when [[fullEmits]] / the emit layout changes shape — part of
     * the persisted store's staleness fingerprint. */
-  private val StoreFormatVersion = 1
+  private val StoreFormatVersion = 2
 
   /** Where the persisted full store for an sf dir lives: keyed by the
     * dir path so different scale factors never collide. */

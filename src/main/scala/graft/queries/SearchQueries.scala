@@ -140,12 +140,17 @@ object SearchQueries extends QueryCatalog {
         .agg(count(lit(1)).cast("double").as("tf"))
         .cutLineage(eager = false)
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // r15: w feeds the norm aggregate AND the unit join leg, whose
+      // exchanges differ (partial-agg vs plain), so ReuseExchange cannot
+      // dedup them — one more lazy cut makes the idf projection compute
+      // once per action
       val w = tf.join(broadcast(df), Seq("tok"))
         .crossJoin(broadcast(n))
         .filter(col("df") < col("n_docs"))
         .select(col("doc_id"), col("tok"),
           (col("tf") * log(col("n_docs").cast("double") / col("df")))
             .as("w"))
+        .cutLineage(eager = false)
       val nrm = w.groupBy(col("doc_id"))
         .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       val unit = w.join(nrm, Seq("doc_id"))

@@ -62,7 +62,8 @@ object Bgp {
       Pattern(s, Const(p), o, g)
   }
 
-  private def bindings(q: DataFrame, pat: Pattern, idx: Int): DataFrame = {
+  private def bindings(q: DataFrame, pat: Pattern, idx: Int,
+      provablyDistinct: Boolean = false): DataFrame = {
     var df = q
     pat.scanFilter.foreach(f => df = df.filter(f))
     val cols = Seq.newBuilder[Column]
@@ -91,8 +92,14 @@ object Bgp {
     }
     val out = cols.result()
     // a pattern with no variables still constrains the match: keep a
-    // 0-or-more-row marker relation joined by cross (1-row semantics)
+    // 0-or-more-row marker relation joined by cross (1-row semantics).
+    // The set-semantics distinct is SKIPPED when the store statistics
+    // prove it a no-op (r15, guide §2.4 — see [[QuadStats]]: the
+    // predicate's (subject, objectValue) pairs are duplicate-free, so
+    // any projection of the constant-filtered rows is too); at 100 TB
+    // that elides one full exchange per triple pattern.
     if (out.isEmpty) df.limit(1).select(lit(idx).as(s"_bgp_m$idx"))
+    else if (provablyDistinct) df.select(out: _*)
     else df.select(out: _*).distinct()
   }
 
@@ -274,8 +281,22 @@ object Bgp {
       dedup: Boolean = true): DataFrame = {
     require(patterns.nonEmpty, "at least one triple pattern required")
     val stats = QuadStats.lookup(quads)
+    // distinct elision (r15): a pattern over a predicate whose
+    // (subject, objectValue) pairs the store statistics certify
+    // duplicate-free cannot produce duplicate bindings — constants only
+    // subset the rows, and the projected tuple separates whatever
+    // survives. A variable predicate needs the certificate for EVERY
+    // predicate in the store (the tuple then carries the predicate
+    // column, so global pair-uniqueness separates rows).
+    val uniq = QuadStats.lookupUniq(quads)
+    def provablyDistinct(p: Pattern): Boolean = uniq.exists { u =>
+      p.p match {
+        case Const(v) => u.contains(v)
+        case Var(_) => stats.exists(m => m.keySet.forall(u.contains))
+      }
+    }
     val items = patterns.zipWithIndex.map { case (p, i) =>
-      val df0 = bindings(quads, p, i)
+      val df0 = bindings(quads, p, i, provablyDistinct(p))
       // a pattern whose predicate the store stats bound to a small
       // partition is a genuine dimension: hint broadcast so its joins
       // skip the shuffle entirely (the store relation is a lineage-cut

@@ -74,13 +74,30 @@ object QuadStore {
 
   private def fpFile(path: String): String = path + "/_fingerprint.tsv"
 
-  private def parseStats(text: String): Map[String, Long] =
-    text.split('\n').iterator
-      .filter(_.contains('\t'))
-      .map { line =>
-        val i = line.indexOf('\t')
-        line.substring(i + 1) -> line.substring(0, i).toLong
-      }.toMap
+  /** Sidecar line formats: `count\tu\tpredicate` / `count\td\tpredicate`
+    * (r15 — `u` marks duplicate-free (subject, objectValue) pairs, the
+    * [[QuadStats]] distinct-elision statistic) with the r11 two-field
+    * `count\tpredicate` still accepted (its predicates conservatively
+    * carry NO uniqueness flag — predicates are IRIs, never the bare
+    * letters the flag field uses, so the formats cannot collide). */
+  private def parseStats(text: String): QuadStats.Stats = {
+    val counts = Map.newBuilder[String, Long]
+    val uniq = Set.newBuilder[String]
+    text.split('\n').iterator.filter(_.contains('\t')).foreach { line =>
+      val i = line.indexOf('\t')
+      val n = line.substring(0, i).toLong
+      val rest = line.substring(i + 1)
+      val j = rest.indexOf('\t')
+      val (flag, pred) =
+        if (j >= 0 && (rest.substring(0, j) == "u" ||
+            rest.substring(0, j) == "d"))
+          (rest.substring(0, j), rest.substring(j + 1))
+        else ("", rest)
+      counts += pred -> n
+      if (flag == "u") uniq += pred
+    }
+    QuadStats.Stats(counts.result(), uniq.result())
+  }
 
   /** Input fingerprint for staleness detection (r12): the source
     * directory's parquet listing (name, size, mtime) plus a caller
@@ -115,9 +132,15 @@ object QuadStore {
       .repartition(col("predicate"))
       .sortWithinPartitions(col("predicate"), col("subject"))
       .write.mode("overwrite").partitionBy("graph").parquet(path)
-    val counts = quads.groupBy("predicate").count().collect()
-      .flatMap(r => Option(r.getString(0)).map(p => s"${r.getLong(1)}\t$p"))
-    writeText(quads.sparkSession, statsFile(path), counts.mkString("\n"))
+    val lines = quads.groupBy("predicate")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("subject"), col("objectValue")).as("d"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map { p =>
+        val flag = if (r.getLong(1) == r.getLong(2)) "u" else "d"
+        s"${r.getLong(1)}\t$flag\t$p"
+      })
+    writeText(quads.sparkSession, statsFile(path), lines.mkString("\n"))
     fp.foreach(v => writeText(quads.sparkSession, fpFile(path), v))
   }
 
@@ -200,17 +223,26 @@ object QuadStore {
           .escapePathName(g))
       if (f.exists(dir)) f.delete(dir, true)
     }
-    // arithmetic sidecar maintenance: old − removed + added
-    val old: Map[String, Long] =
-      readTextIfExists(s, statsFile(path)).map(parseStats)
-        .getOrElse(Map.empty)
-    val merged = (old.keySet ++ removed.keySet ++ added.keySet).toSeq
+    // arithmetic sidecar maintenance: old − removed + added. A
+    // predicate the upsert touched loses its uniqueness flag (the
+    // arithmetic cannot prove pairs stayed duplicate-free; a lost flag
+    // only costs the redundant per-pattern distinct, never wrong rows);
+    // untouched predicates keep theirs.
+    val old = readTextIfExists(s, statsFile(path)).map(parseStats)
+      .getOrElse(QuadStats.Stats(Map.empty, Set.empty))
+    val touchedPreds = removed.keySet ++ added.keySet
+    val merged = (old.counts.keySet ++ touchedPreds).toSeq
       .map { p =>
-        p -> (old.getOrElse(p, 0L) - removed.getOrElse(p, 0L) +
+        p -> (old.counts.getOrElse(p, 0L) - removed.getOrElse(p, 0L) +
           added.getOrElse(p, 0L))
       }
       .filter(_._2 > 0)
-      .map { case (p, n) => s"$n\t$p" }
+      .map { case (p, n) =>
+        val flag =
+          if (old.uniqSO.contains(p) && !touchedPreds.contains(p)) "u"
+          else "d"
+        s"$n\t$flag\t$p"
+      }
     writeText(s, statsFile(path), merged.mkString("\n"))
   }
 
