@@ -32,11 +32,19 @@ object PropertyPath {
     *                 bound recursion the same way)
     */
   def closure(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cutLineage()
+    // ONE action per round (r15 — the BFS/traverse discipline from
+    // r13/r14, applied to the oldest remaining 2-actions-per-round
+    // loop): cuts are LAZY and the full count() is both the
+    // materializer of the cut blocks and the emptiness probe — the
+    // eager-cut + limit(1).count() pair scheduled two jobs per round
+    // for the same information (and limit-probing a lazily-cut relation
+    // would materialize only the probed partitions).
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .cutLineage(eager = false)
     var acc = e.select(col("src"), col("dst"), lit(1).as("dist"))
     var frontier = acc
     var depth = 1
-    var more = frontier.limit(1).count() > 0
+    var more = frontier.count() > 0
     while (more && depth < maxDepth) {
       val next = frontier.as("f")
         .join(e.as("e"), col("f.dst") === col("e.src"))
@@ -49,9 +57,9 @@ object PropertyPath {
         // both the min-dist guarantee and the cycle-termination proof
         .join(acc.select(col("src"), col("dst")), Seq("src", "dst"),
           "left_anti")
-        .cutLineage()
+        .cutLineage(eager = false)
       depth += 1
-      more = next.limit(1).count() > 0
+      more = next.count() > 0
       if (more) {
         acc = acc.unionByName(next)
         frontier = next
@@ -154,8 +162,13 @@ object PropertyPath {
       require(mx <= 32, s"path quantifier bound $mx exceeds 32 — use p+ " +
         "or p* (bounded fixpoint) for effectively-unbounded repetition")
       // hop is referenced up to `mx` times — cut once so each level is
-      // one join, not a re-derivation of the inner path per level
-      val hop = eval(quads, p).cutLineage()
+      // one join, not a re-derivation of the inner path per level.
+      // Lazy cuts (r15): the quantifier loop has no per-level action, so
+      // eager cuts scheduled mx separate materialization jobs; lazily
+      // cut, each level's blocks fill inside the one terminal action
+      // while the LOGICAL plan still sees a leaf per level (the
+      // plan-explosion guard the cut exists for).
+      val hop = eval(quads, p).cutLineage(eager = false)
       var acc: DataFrame = if (mn == 0) zeroLength(quads) else null
       var cur = hop
       for (k <- 1 to mx) {
@@ -164,7 +177,7 @@ object PropertyPath {
         if (k < mx) cur = cur.as("a")
           .join(hop.as("b"), col("a.dst") === col("b.src"))
           .select(col("a.src").as("src"), col("b.dst").as("dst"))
-          .distinct().cutLineage()
+          .distinct().cutLineage(eager = false)
       }
       if (acc == null) zeroLength(quads).limit(0) else acc.distinct()
     case Negated(fwd, inv) =>
