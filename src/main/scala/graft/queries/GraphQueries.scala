@@ -49,9 +49,12 @@ object GraphQueries extends QueryCatalog {
 
   /** Two synchronous min-label rounds over neighbors∪self — shared by
     * q_graph_labelprop (the labels) and q_graph_modularity (the quality
-    * score of exactly those labels). */
-  private def labelPropLabels(s: SparkSession, dir: String): DataFrame = {
-    val e0 = coSupplyEdges(s, dir)
+    * score of exactly those labels). Takes the edge relation from the
+    * caller (r15): modularity already materializes the co-supply edges
+    * for its own intra/degree relations, and passing the SAME cut
+    * relation in saves re-deriving the lineitem self-join + distinct a
+    * second time inside the label build. */
+  private def labelPropLabels(e0: DataFrame): DataFrame = {
     val adjBase = e0.unionByName(
       e0.select(col("v").as("u"), col("u").as("v")))
     val nodes = adjBase.select(col("u")).distinct()
@@ -489,7 +492,8 @@ object GraphQueries extends QueryCatalog {
     // fixed-width columns regardless of graph size. The self-loop union
     // keeps isolated-in-round nodes stable without an outer join.
     "q_graph_labelprop" -> ((s, dir) =>
-      labelPropLabels(s, dir).orderBy(col("node"))),
+      labelPropLabels(coSupplyEdges(s, dir).cutLineage(eager = false))
+        .orderBy(col("node"))),
 
     // Newman modularity of the label-propagation communities — the
     // quality score that tells you whether the detected partition beats
@@ -500,7 +504,7 @@ object GraphQueries extends QueryCatalog {
     // Q = Σ_c [e_c/m − (d_c/2m)²] folds in a single-row aggregate.
     "q_graph_modularity" -> ((s, dir) => {
       val e0 = coSupplyEdges(s, dir).cutLineage(eager = false)
-      val lab = labelPropLabels(s, dir).cutLineage(eager = false)
+      val lab = labelPropLabels(e0).cutLineage(eager = false)
       // the label map is node-cardinality — same size-gated broadcast
       // rule as pagerank/HITS (grows with the data; the count also
       // materializes the lazy cut once for its three consumers)
