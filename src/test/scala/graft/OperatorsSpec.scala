@@ -2795,7 +2795,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(store, "graph=urn%3Ag2")))
     val stats = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(store, "_quadstats.tsv"))
-    assert(stats.size() == 1 && stats.get(0) == "2\turn:p", stats)
+    // touched predicates lose their uniqueness flag (r15 sidecar:
+    // count<TAB>flag<TAB>predicate)
+    assert(stats.size() == 1 && stats.get(0) == "2\td\turn:p", stats)
   }
 
   test("SparqlParser r12: nested GRAPH blocks re-scope the active " +

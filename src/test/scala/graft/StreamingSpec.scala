@@ -387,7 +387,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // the stats sidecar tracked the arithmetic (4 quads of urn:p)
       val stats = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(store, "_quadstats.tsv"))
-      assert(stats.size() == 1 && stats.get(0) == "4\turn:p", stats)
+      // r15 sidecar format: count<TAB>flag<TAB>predicate, upsert-touched
+      // predicates conservatively flagged d
+      assert(stats.size() == 1 && stats.get(0) == "4\td\turn:p", stats)
     } finally q.stop()
   }
 
