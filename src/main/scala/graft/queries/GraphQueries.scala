@@ -233,8 +233,17 @@ object GraphQueries extends QueryCatalog {
         .join(broadcast(deg), Seq("u"))
         .join(broadcast(deg.select(col("u").as("v"), col("d").as("dv"))),
           Seq("v"))
+        // r15 (inherited sf0.001 defect): ANSI-mode corr() RAISES
+        // Division-by-zero on an empty/degenerate edge set instead of
+        // returning the SQL NULL DuckDB returns. The same Pearson value
+        // from the same co-moment accumulators, with the degenerate
+        // case null-safe: covar_pop/(stddev_pop·stddev_pop) under
+        // try_divide. Hash parity re-proven at sf0.001/0.01/0.1.
         .agg(count(lit(1)).as("n_endpoints"),
-          round(corr(col("d").cast("double"), col("dv").cast("double")), 6)
+          round(try_divide(
+            covar_pop(col("d").cast("double"), col("dv").cast("double")),
+            stddev_pop(col("d").cast("double")) *
+              stddev_pop(col("dv").cast("double"))), 6)
             .as("assortativity"))
     }),
 
